@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its DuckDB oracle at sf0.01 (or
+--sf-dir), compares row count, sorted column names, and an
+order-insensitive value hash. Exit 1 on any mismatch.
+
+Usage: python scripts/verify_local.py [--sf-dir DIR] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+from startup_data_pipeline_spark.sources.tables import TABLES
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    """(row_count, sorted columns, order-insensitive value hash)."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def cell(v) -> str:
+        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return f"{v:.6f}"
+            return f"{v:.6f}"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return str(v)
+
+    rows = sorted(
+        "|".join(cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+    return len(df), cols, h
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_spark(shuffle_partitions=8)
+    queries = all_queries()
+    names = args.only.split(",") if args.only else list(queries)
+
+    failures = []
+    for name in names:
+        rq = queries[name]
+        t0 = time.time()
+        try:
+            sdf = rq.fn(spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if rq.oracle is None:
+            print(f"ok   {name}: rows={len(sdf)} (no oracle, rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(rq.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        status = "ok  " if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        print(
+            f"{status} {name}: spark rows={sn} hash={sh} | "
+            f"oracle rows={on} hash={oh} [{time.time()-t0:.1f}s]"
+        )
+        if status == "FAIL":
+            if sc != oc:
+                print(f"     cols spark={sc}\n     cols oracle={oc}")
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if failures:
+        print("failures:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

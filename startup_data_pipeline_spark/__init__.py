@@ -1,0 +1,24 @@
+"""startup_data_pipeline_spark — a PySpark-native analytics engine.
+
+A brand-new engine providing the query and data-processing capabilities of
+the reference pipeline (AddyCuber/startup-data-pipeline, surveyed in
+SURVEY.md), re-expressed Spark-first: every relational operator is a pure
+DataFrame-in / DataFrame-out function optimized by Catalyst, effectful
+connectors are isolated behind narrow Pandas-UDF interfaces, and scale
+extensions (dedup, similarity search, text analysis, multimodal columns)
+are first-class operators.
+
+Layout
+------
+- ``session``    : tuned SparkSession builder (UTC, AQE, Arrow).
+- ``config``     : reference constants as data (keyword sets, blocklists,
+                   ATS patterns, tier thresholds, confidences).
+- ``sources``    : parquet table loaders + connector shells.
+- ``functions``  : scalar column helpers (Spark SQL expressions only).
+- ``operators``  : relational operators (filters, joins, aggs, windows,
+                   merge, dedup, similarity, text).
+- ``plans``      : end-to-end pipeline compositions (the flagship query).
+- ``streaming``  : incremental micro-batch / Structured Streaming wrappers.
+"""
+
+__version__ = "0.1.0"

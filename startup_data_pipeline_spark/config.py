@@ -1,0 +1,87 @@
+"""Reference constants as data (SURVEY.md §7.1).
+
+Every constant the reference hard-codes becomes declarative config here so
+operators stay pure and the keyword sets can be broadcast / swapped.
+Citations point at the reference file:line each constant mirrors.
+
+The driver's synthetic ``documents`` table uses a Spark-ish vocabulary
+(``merge stream spark window join agg ...``) rather than funding headlines,
+so the *demo* keyword sets below are drawn from that vocabulary; the
+*reference* sets are kept verbatim for the domain pipeline. Both flow
+through the same operators.
+"""
+
+from __future__ import annotations
+
+# --- ingest keyword predicate (reference rss_ingest.py:15-40, P2) -------
+STRONG_KEYWORDS = [
+    "raises", "secures", "bags", "closes round", "lands", "nabs",
+    "funding", "invests",
+]
+CONTEXT_KEYWORDS = [
+    "series a", "series b", "series c", "series d", "series e",
+    "seed", "pre-seed", "angel", "valuation", "venture capital", "equity",
+]
+MONEY_KEYWORDS = ["$", "million", "mn", "cr", "crore", "billion", "bn"]
+
+# Demo sets over the driver's documents vocabulary (same operator, data
+# appropriate for /root/testdata fixtures).
+DOC_STRONG_KEYWORDS = ["merge", "stream", "vector"]
+DOC_CONTEXT_KEYWORDS = ["spark", "window", "query"]
+DOC_MONEY_KEYWORDS = ["join", "agg"]
+
+# --- tech-role classifier (reference detect_ats.py:23-28, P4) -----------
+TECH_KEYWORDS = [
+    "software", "engineer", "developer", "backend", "frontend",
+    "full stack", "fullstack", "data engineer", "data scientist", "ml",
+    "machine learning", "ai", "mle", "platform", "devops", "sre",
+    "infra", "infrastructure", "android", "ios", "mobile", "security",
+    "qa",
+]
+
+# --- hiring tiers (reference detect_ats.py:30, 320-328, F18) ------------
+RECENT_DAYS = 14
+
+# --- domain resolution (reference domain_resolver.py, P7/W4) ------------
+PARKED_BLOCKLIST = [
+    "godaddy.com", "sedo.com", "afternic.com", "dan.com", "hugedomains.com",
+    "namecheap.com", "porkbun.com", "domain.com", "buydomains.com",
+    "parkingcrew.net", "undeveloped.com",
+]
+SOCIAL_HOSTS = [
+    "linkedin.com", "twitter.com", "x.com", "facebook.com", "instagram.com",
+    "youtube.com", "medium.com", "crunchbase.com", "github.com", "tiktok.com",
+]
+TLD_CANDIDATES = [".com", ".io", ".ai", ".co"]  # domain_resolver.py:136-151 (J8)
+
+# resolution-waterfall confidences (domain_resolver.py:101,130,147 + main.py:80-87, W4)
+CONFIDENCE = {
+    "llm_explicit": 0.98,
+    "press_release": 0.92,
+    "ddg": 0.85,
+    "guess": 0.60,
+    "failed": 0.0,
+}
+
+# --- ATS provider classify (reference detect_ats.py:32-38, F19) ---------
+ATS_PATTERNS = {
+    "greenhouse": "Greenhouse",
+    "lever.co": "Lever",
+    "ashbyhq": "Ashby",
+    "workable": "Workable",
+    "bamboohr": "BambooHR",
+}
+DEFAULT_PROVIDER = "Internal"
+
+# --- run caps & windows (reference main.py:43,60-63, W5/P3) -------------
+LOOKBACK_DAYS = 7
+MAX_NEW_PER_RUN = 20
+
+# --- fixed "now" for reproducible, oracle-comparable queries ------------
+# SURVEY.md §7.5 risk 6: freeze now as a query parameter. The events table
+# spans 2024-01-01..2024-01-30, so "now" is pinned just past its end.
+FIXED_NOW = "2024-01-31 00:00:00"
+FIXED_TODAY = "2024-01-31"
+
+# --- text-analysis extension (SURVEY.md §2.11) --------------------------
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]

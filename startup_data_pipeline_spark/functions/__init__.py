@@ -1,0 +1,14 @@
+from .columns import (  # noqa: F401
+    normalize_title,
+    any_keyword,
+    keyword_funding_predicate,
+    tech_title_predicate,
+    slugify,
+    strip_legal_suffix,
+    normalize_domain,
+    tier_case,
+    provider_classify,
+    additive_score,
+    days_since,
+    money_display,
+)

@@ -1,0 +1,125 @@
+"""Scalar column helpers — pure ``pyspark.sql.functions`` expressions.
+
+Everything here stays JVM-side inside whole-stage codegen (SURVEY.md §2.8:
+the F-table is deliberately all built-ins, no Python UDFs in the hot path).
+Each helper cites the reference behavior it re-expresses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..config import (
+    ATS_PATTERNS,
+    DEFAULT_PROVIDER,
+    STOPWORDS,
+    TECH_KEYWORDS,
+)
+
+
+def normalize_title(col: Column) -> Column:
+    """P1 (reference rss_ingest.py:52): fold dash variants to space, lower."""
+    return F.lower(F.regexp_replace(col, "[-–—]", " "))
+
+
+def any_keyword(col: Column, keywords: Sequence[str]) -> Column:
+    """Any-of-substring predicate over a keyword set (P2/P4/P7).
+
+    Built as an OR-chain of ``contains`` so Catalyst folds it into one
+    codegen'd predicate; keyword sets are literals (broadcast-free).
+    """
+    pred = F.lit(False)
+    for k in keywords:
+        pred = pred | col.contains(k)
+    return pred
+
+
+def keyword_funding_predicate(
+    title: Column,
+    strong: Sequence[str],
+    context: Sequence[str],
+    money: Sequence[str],
+) -> Column:
+    """P2 (reference rss_ingest.py:54-58): strong OR (context AND money)."""
+    t = normalize_title(title)
+    return any_keyword(t, strong) | (any_keyword(t, context) & any_keyword(t, money))
+
+
+def tech_title_predicate(title: Column) -> Column:
+    """P4 (reference detect_ats.py:23-28, 50-52): tech keyword in title."""
+    return any_keyword(F.lower(title), TECH_KEYWORDS)
+
+
+def strip_legal_suffix(name: Column) -> Column:
+    """F2 (reference domain_resolver.py:32,41): drop trailing legal suffix."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(name), r"\b(inc|corp|co|llc|ltd|gmbh|ag|sas|bv)\b\.?$", ""
+        )
+    )
+
+
+def slugify(name: Column) -> Column:
+    """F5 (reference domain_resolver.py:47): lower + remove ' ', '.', ','."""
+    return F.translate(F.lower(name), " .,", "")
+
+
+def normalize_domain(url: Column) -> Column:
+    """F7 (reference domain_resolver.py:50-61): canonical https://{host}.
+
+    Lower host, strip ``www.``, reassemble with https scheme.
+    """
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    base = F.regexp_replace(host, r"^www\.", "")
+    return F.concat(F.lit("https://"), base)
+
+
+def tier_case(recent_count: Column, tech_count: Column) -> Column:
+    """F18 (reference detect_ats.py:320-328): A / B / C hiring tier."""
+    return (
+        F.when(recent_count > 0, F.lit("A"))
+        .when(tech_count > 0, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+
+
+def provider_classify(host: Column) -> Column:
+    """F19 (reference detect_ats.py:266-271): host substring → provider."""
+    expr: Column | None = None
+    for pat, name in ATS_PATTERNS.items():
+        cond = host.contains(pat)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    assert expr is not None
+    return expr.otherwise(F.lit(DEFAULT_PROVIDER))
+
+
+def additive_score(terms: Sequence[tuple[Column, int]]) -> Column:
+    """F17 (reference find_linkedin.py:13-47): sum of conditional weights."""
+    score = F.lit(0)
+    for cond, weight in terms:
+        score = score + F.when(cond, F.lit(weight)).otherwise(F.lit(0))
+    return score
+
+
+def days_since(ts: Column, today: Column) -> Column:
+    """A4 (reference detect_ats.py:47-48,335): max(0, days between)."""
+    return F.greatest(F.lit(0), F.datediff(today, F.to_date(ts)))
+
+
+def money_display(amount: Column) -> Column:
+    """F11 (reference telegram_alerts.py:26): "$1,234,567" else Undisclosed.
+
+    Uses floor before formatting so Spark/DuckDB rounding modes can't
+    diverge in oracle comparison.
+    """
+    return F.when(amount.isNull(), F.lit("Undisclosed")).otherwise(
+        F.concat(F.lit("$"), F.format_number(F.floor(amount).cast("long"), 0))
+    )
+
+
+def stopword_count(tokens: Column) -> Column:
+    """Count stopword occurrences in a token array (text-analysis ext)."""
+    return F.size(F.filter(tokens, lambda t: t.isin(STOPWORDS)))

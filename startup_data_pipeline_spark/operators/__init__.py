@@ -1,0 +1,12 @@
+from . import (  # noqa: F401
+    ingest,
+    state,
+    hiring,
+    resolve,
+    publish,
+    jsonops,
+    text,
+    dedup,
+    similarity,
+    windows,
+)

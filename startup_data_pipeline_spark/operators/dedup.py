@@ -1,0 +1,215 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+SURVEY.md §2.11 — the scale extensions seeded by the reference's URL dedup
+(J1/A5) and name-normalization (F5/F2). All hashing is md5-based so the
+DuckDB oracle can reproduce signatures bit-for-bit (portable across
+engines, unlike xxhash64/murmur).
+
+Scale design:
+- Exact dedup shuffles 16-byte digests, not documents (text.fingerprint).
+- MinHash: one explode over distinct shingles + one groupBy — shuffle
+  carries (doc, shingle-hash) pairs; signatures are tiny fixed-width rows.
+- LSH: candidate generation is a self-join on (band_id, band_key) — only
+  colliding buckets join, never the full cross product. Skewed buckets
+  (boilerplate shingles) are handled by AQE skew-join; a bucket-size cap
+  filter is provided for adversarial corpora.
+- SimHash: single groupBy with 16 conditional integer sums; near-dup
+  lookup is bit_count(a XOR b) <= r on a band-partitioned self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+SIMHASH_BITS = 16
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a document."""
+    t = tokens(text)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signature per document over word-shingle sets.
+
+    Permutation i is simulated by md5(i || shingle); the signature entry
+    is the lexicographic min digest — equivalent to min-over-permutation
+    on a random hash family, and exactly reproducible in ANSI SQL
+    (min(md5(i || s))), which keeps this oracle-checkable.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair.
+
+    shingle→minhash→band→bucket-join. ``max_bucket`` drops degenerate
+    buckets (boilerplate-heavy corpora) before the join — the standard
+    guard against quadratic blowup at scale.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        F.col(id_col), F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        exploded = exploded.withColumn("__sz", F.count(F.lit(1)).over(w)).filter(
+            F.col("__sz") <= max_bucket
+        ).drop("__sz")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
+
+    explode → self-join on shingle → intersection counts → |A∪B| by
+    inclusion-exclusion. The shingle join is the natural candidate
+    restriction (disjoint docs never meet), so cost is proportional to
+    true collisions, not n². Jaccard rounded to 4 for oracle stability.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def _hex4_to_int(h4: Column) -> Column:
+    """First-4-hex-chars → int via conv (portable: oracle uses strpos math)."""
+    return F.conv(h4, 16, 10).cast("int")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (md5-derived token hashes).
+
+    For each bit b: sum +/-1 votes across tokens (weighted by occurrence);
+    bit set iff the vote is positive. One groupBy, 16 integer sums —
+    map-side combinable, exact in any engine.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4)))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Joins on the high byte as a blocking key (docs differing only in low
+    bits still collide), then exact bit_count filter. At scale the
+    blocking key bounds the self-join; multi-probe would add rotations.
+    """
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    ).withColumn("blk", F.shiftright(F.col("sh_a"), 8))
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
+    ).withColumn("blk", F.shiftright(F.col("sh_b"), 8))
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,68 @@
+"""Hiring-signal operators: job aggregates + tiering (SURVEY.md §3.2).
+
+Reference detect_ats.py:291-336 loops one company at a time; here it is a
+single distributed groupBy with map-side partial aggregation:
+``jobs → filter(tech) → groupBy(key).agg(...) → tier case``.
+
+Scale: the aggregation shuffles once on the grouping key; counts/max are
+partial-aggregated map-side so the shuffle carries one row per key per
+partition, not raw postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import days_since, tier_case
+
+
+def job_aggregates(
+    jobs: DataFrame,
+    key: str,
+    tech_pred: Column,
+    ts_col: str,
+    recent_cutoff: Column,
+    today: Column,
+) -> DataFrame:
+    """A1-A4 (detect_ats.py:312-318, 335): per-key hiring aggregates.
+
+    - n_jobs        : total postings (diagnostic).
+    - tech_roles    : postings whose title matches the tech predicate (A1).
+    - recent_tech   : tech postings within the recency window (A2).
+    - latest_posted : max posting timestamp over tech postings (A3; Spark
+                      max ignores nulls, matching the reference generator).
+    - days_since_posted : max(0, days since latest) (A4), null-safe.
+    """
+    ts = F.col(ts_col)
+    tech = F.when(tech_pred, F.lit(1))
+    recent = F.when(tech_pred & (ts >= recent_cutoff), F.lit(1))
+    agg = jobs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.count(tech).alias("tech_roles"),
+        F.count(recent).alias("recent_tech"),
+        F.max(F.when(tech_pred, ts)).alias("latest_posted"),
+    )
+    return agg.withColumn(
+        "days_since_posted", days_since(F.col("latest_posted"), today)
+    )
+
+
+def assign_tier(aggs: DataFrame) -> DataFrame:
+    """F18 (detect_ats.py:320-328): tier A/B/C + human-readable details."""
+    tier = tier_case(F.col("recent_tech"), F.col("tech_roles"))
+    details = (
+        F.when(
+            F.col("recent_tech") > 0,
+            F.concat(
+                F.col("recent_tech").cast("string"),
+                F.lit(" recent tech roles"),
+            ),
+        )
+        .when(
+            F.col("tech_roles") > 0,
+            F.concat(F.col("tech_roles").cast("string"), F.lit(" tech roles")),
+        )
+        .otherwise(F.lit("no tech roles found"))
+    )
+    return aggs.withColumn("hiring_tier", tier).withColumn("details", details)

@@ -1,0 +1,70 @@
+"""Ingest-side relational operators (SURVEY.md §2.2/2.7: P1-P3, S2, W5).
+
+These operate on any DataFrame with the right columns — in the domain
+pipeline that's the articles feed; in the fixture battery it's
+``documents`` / ``events``. All expressions are built-ins so filters push
+down to the parquet scan and stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import keyword_funding_predicate
+
+
+def keyword_filter(
+    df: DataFrame,
+    title_col: str,
+    strong: Sequence[str],
+    context: Sequence[str],
+    money: Sequence[str],
+) -> DataFrame:
+    """P1+P2: normalize title, keep rows matching the funding predicate.
+
+    Reference: rss_ingest.py:51-58. A cheap, highly selective predicate
+    placed before any expensive enrichment (SURVEY.md §4.1) — Catalyst
+    pushes it into the scan.
+    """
+    return df.filter(keyword_funding_predicate(F.col(title_col), strong, context, money))
+
+
+def recency_filter(
+    df: DataFrame, ts_col: str, cutoff: Column, keep_undated: bool = True
+) -> DataFrame:
+    """P3: drop rows older than the cutoff; undated rows are ADMITTED.
+
+    Reference rss_ingest.py:45,61-69 skips the cutoff check for entries
+    without a parsed date (SURVEY.md §2.9 late/undated row) — replicated
+    with an explicit null-passthrough branch.
+    """
+    ts = F.col(ts_col)
+    pred = ts >= cutoff
+    if keep_undated:
+        pred = ts.isNull() | pred
+    return df.filter(pred)
+
+
+def union_sources(dfs: Sequence[DataFrame]) -> DataFrame:
+    """S2: N same-schema sources → one DataFrame (rss_ingest.py:47-50).
+
+    ``unionByName(allowMissingColumns=True)`` so a source missing an
+    optional column still unions (schema drift tolerance).
+    """
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+
+
+def cap_newest(df: DataFrame, ts_col: str, n: int, tiebreak: str) -> DataFrame:
+    """W5: keep the newest N rows (main.py:60-63 safety cap).
+
+    The reference relies on feed order; we make the ordering explicit and
+    deterministic (ts desc, tiebreak asc) so results are reproducible.
+    Spark turns orderBy+limit into TakeOrderedAndProject — no full sort.
+    """
+    return df.orderBy(F.col(ts_col).desc(), F.col(tiebreak).asc()).limit(n)

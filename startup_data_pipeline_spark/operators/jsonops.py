@@ -1,0 +1,41 @@
+"""Semi-structured operators: JSON repair, parse, explode.
+
+SURVEY.md §2.8 F14 and §2.1 S4-S9. The reference hand-repairs LLM JSON
+(llm_parse.py:78-94: strip markdown fences, slice to outermost braces,
+drop trailing commas) then ``json.loads``; here the repair is a codegen'd
+regexp chain and the parse is ``from_json`` with an explicit schema —
+malformed input yields a null struct, replicating the reference's ``{}``
+failure path (llm_parse.py:96-98, resilience-as-null).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+
+def repair_json(raw: Column) -> Column:
+    """F14 repair chain (llm_parse.py:78-94), null-safe."""
+    s = F.regexp_replace(raw, r"```(json)?", "")            # strip fences
+    s = F.regexp_extract(s, r"(\{[\s\S]*\})", 1)            # outermost braces
+    s = F.regexp_replace(s, r",\s*\}", "}")                 # trailing comma }
+    s = F.regexp_replace(s, r",\s*\]", "]")                 # trailing comma ]
+    return F.when(s == "", None).otherwise(s)
+
+
+def parse_json(df: DataFrame, raw_col: str, schema: StructType, out: str) -> DataFrame:
+    """F14 parse: repaired text → typed struct (null on failure)."""
+    return df.withColumn(out, F.from_json(repair_json(F.col(raw_col)), schema))
+
+
+def explode_postings(df: DataFrame, payload_col: str, jobs_schema: ArrayType) -> DataFrame:
+    """S4-S9 normalizer core: payload struct → one row per job posting.
+
+    The provider-specific field mapping (Greenhouse ``absolute_url`` vs
+    Lever ``hostedUrl`` etc.) is applied by the caller; this supplies the
+    UDTF-style one-to-many explode (SURVEY.md §2.10).
+    """
+    return df.withColumn("__job", F.explode(F.col(payload_col))).select(
+        "*", F.col("__job.*")
+    ).drop("__job")

@@ -1,0 +1,47 @@
+"""Publish-side operators: sink projections and alert filtering.
+
+SURVEY.md §2.1 S14/S15, §2.2 P9/P10, §2.8 F11/F15. Sinks themselves are
+``df.write`` / ``foreachPartition``; the relational work (projection,
+rename, formatting, tier filter) is here and fully oracle-testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import money_display
+
+
+def sheet_projection(df: DataFrame, mapping: Sequence[tuple[str, str]]) -> DataFrame:
+    """P10 (to_gsheet.py:46-50, 95-111): fixed-order renamed projection."""
+    return df.select(*[F.col(src).alias(dst) for src, dst in mapping])
+
+
+def alert_filter(df: DataFrame, tier_col: str, tiers: Sequence[str]) -> DataFrame:
+    """P9 (main.py:124-125): only qualifying tiers alert."""
+    return df.filter(F.col(tier_col).isin(list(tiers)))
+
+
+def alert_payload(df: DataFrame, name_col: str, amount_col: str) -> DataFrame:
+    """F11 (telegram_alerts.py:26): formatted money with fallback."""
+    return df.withColumn("amount_display", money_display(F.col(amount_col)))
+
+
+def write_append(df: DataFrame, path: str) -> None:
+    """S14 stand-in: append sink (Sheets → parquet append)."""
+    df.write.mode("append").parquet(path)
+
+
+def foreach_alert(df: DataFrame, send) -> None:
+    """S15 (telegram_alerts.py, main.py:124-129): per-row side-effect sink.
+
+    ``foreachPartition`` so one connection per partition, not per row.
+    """
+    def handle(rows):
+        for r in rows:
+            send(r.asDict())
+
+    df.foreachPartition(handle)

@@ -1,0 +1,102 @@
+"""Domain-resolution operators: waterfall, TLD candidates, scored top-k.
+
+SURVEY.md §2.5 W1-W4, §2.3 J8/J9, §2.8 F17. The reference's sequential
+short-circuit waterfall (domain_resolver.py:154-168) becomes columnar:
+compute every strategy column, then coalesce in precedence order (W4) —
+cost parity for effectful strategies lives in the connector shell
+(sources/connectors.py) which evaluates per-row sequentially.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def waterfall_coalesce(
+    df: DataFrame,
+    strategies: Sequence[tuple[str, Column, float]],
+    out_value: str = "domain",
+    out_conf: str = "confidence",
+    out_source: str = "source_strategy",
+) -> DataFrame:
+    """W4 (domain_resolver.py:154-168 + main.py:80-87): precedence merge.
+
+    ``strategies`` is an ordered list of (tag, value_column, confidence).
+    The first non-null value wins; confidence and source tag follow the
+    same winner (parallel when-chains, SURVEY.md §2.5 W4).
+    """
+    value = F.coalesce(*[v for _, v, _ in strategies])
+    conf: Column | None = None
+    src: Column | None = None
+    for tag, v, c in strategies:
+        hit = v.isNotNull()
+        conf = F.when(hit, F.lit(c)) if conf is None else conf.when(hit, F.lit(c))
+        src = F.when(hit, F.lit(tag)) if src is None else src.when(hit, F.lit(tag))
+    assert conf is not None and src is not None
+    return (
+        df.withColumn(out_value, value)
+        .withColumn(out_conf, conf.otherwise(F.lit(0.0)))
+        .withColumn(out_source, src.otherwise(F.lit("failed")))
+    )
+
+
+def tld_candidates(
+    df: DataFrame, slug_col: str, tlds: Sequence[str]
+) -> DataFrame:
+    """J8 (domain_resolver.py:136-151): slug × TLD candidate expansion.
+
+    ``posexplode`` keeps the list position as ``tld_priority`` so the
+    reference's fixed preference order is explicit (SURVEY.md §7.5 risk 2).
+    """
+    arr = F.array(*[F.lit(t) for t in tlds])
+    return df.select(
+        "*", F.posexplode(arr).alias("tld_priority", "tld")
+    ).withColumn(
+        "candidate_url",
+        F.concat(F.lit("https://"), F.col(slug_col), F.col("tld")),
+    )
+
+
+def first_success(
+    df: DataFrame,
+    key: str,
+    success: Column,
+    priority_cols: Sequence[str],
+) -> DataFrame:
+    """W3 (domain_resolver.py:141-149): first passing candidate in order.
+
+    Probe all candidates (they're bounded), filter to successes, then
+    deterministic row_number over the explicit priority.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in priority_cols])
+    return (
+        df.filter(success)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_by_score(
+    df: DataFrame,
+    partition_by: str,
+    score: Column,
+    k: int,
+    tiebreak: Sequence[str],
+) -> DataFrame:
+    """W1/F17 (find_linkedin.py:88-97): best-k candidates per group.
+
+    The score column is an additive when-chain built by the caller
+    (functions.additive_score); ranking is deterministic via tiebreaks.
+    """
+    w = Window.partitionBy(partition_by).orderBy(
+        score.desc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

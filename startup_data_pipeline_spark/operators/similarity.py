@@ -1,0 +1,192 @@
+"""Similarity-search operators over embedding columns (SURVEY.md §2.11).
+
+Brute-force cosine top-k as the correctness baseline, an LSH-bucketed
+variant as the scale path, and nearest-centroid classification.
+
+Determinism contract: embeddings are quantized to integers
+(round(x * SCALE)) before any arithmetic, so dot products are exact
+integer math — identical in Spark and the DuckDB oracle, immune to
+float-summation-order differences (SURVEY.md §7.5 risk 2 applied to
+floats). With |x| <= ~1 and 64 dims, scores stay far below 2^53 so even
+a double-based engine computes them exactly.
+
+Scale design:
+- Queries are the small side → ``broadcast`` makes the brute-force scan
+  shuffle-free: score+topk per candidate partition, then a tiny global
+  top-k reduction.
+- The sign-LSH variant buckets candidates by the sign pattern of a few
+  fixed projections — the IVF-style candidate restriction for 100 TB.
+- Centroids: per-dimension integer sums via posexplode+groupBy (64 rows
+  per vector), then a broadcast join back — exact and tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 10000
+
+
+def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<long> of round(x * scale)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two equal-length long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k nearest candidates per query by quantized dot product.
+
+    Output: (query_id, neighbor_id, rank, score). Self-matches excluded;
+    ranking tie-broken by neighbor id for determinism.
+    """
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", int_dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def sign_lsh_bucket(vec_q: Column, dims: list[int]) -> Column:
+    """Sign-pattern bucket over chosen dimensions of a quantized vector.
+
+    A fixed-hyperplane (axis-aligned) random-projection LSH: vectors in
+    the same orthant over ``dims`` share a bucket. Cheap, deterministic,
+    SQL-reproducible.
+    """
+    bits = [
+        F.when(F.element_at(vec_q, d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The scale path — the crossJoin shrinks by ~2^|dims|; recall is traded
+    for candidate-set size exactly as in IVF/LSH ANN systems.
+    """
+    dims = dims or [0, 1, 2, 3]
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"))
+        .withColumn("bucket", sign_lsh_bucket(F.col("qv"), dims))
+    )
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("cv"), dims))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", int_dot(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label per-dimension integer sums + counts (exact centroids)."""
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantize(F.col(vec_col))).alias("pos", "val"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.sum("val").alias("sum_val"), F.count(F.lit(1)).alias("n_vec")
+    )
+
+
+def centroid_classify(
+    embeddings: DataFrame, id_col: str, label_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid prediction by max mean dot product.
+
+    score(v, L) = sum_d v_d * sum_vals(L, d) / n(L) — computed as integer
+    numerator with per-label scaling; argmax tie-broken by label asc.
+    To keep arithmetic exact we compare n(L)-scaled scores via doubles of
+    integral value (safe below 2^53 for these magnitudes).
+    """
+    cents = label_centroids(embeddings, label_col, vec_col)
+    ex = embeddings.select(
+        F.col(id_col).alias("vec_id_"),
+        F.col(label_col).alias("true_label"),
+        F.posexplode(quantize(F.col(vec_col))).alias("pos", "val"),
+    )
+    scored = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id_", "true_label", "label")
+        .agg(
+            (F.sum(F.col("val") * F.col("sum_val")) / F.first("n_vec")).alias(
+                "score"
+            )
+        )
+    )
+    w = Window.partitionBy("vec_id_").orderBy(
+        F.col("score").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            F.col("vec_id_").alias("vec_id"),
+            "true_label",
+            F.col("label").alias("predicted_label"),
+        )
+    )

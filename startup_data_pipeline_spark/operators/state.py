@@ -1,0 +1,133 @@
+"""State-table operators: anti/semi joins, dedup, upsert MERGE.
+
+SURVEY.md §2.3 J1/J2/J6/J7 and §2.4 A5. The reference keeps pipeline state
+in SQLite (upsert.py); here state is a parquet table and the operators are
+join-based so they distribute.
+
+Scale notes:
+- The seen-URLs side of the anti-join is tiny relative to the incoming
+  feed → ``broadcast()`` it and the anti-join is shuffle-free.
+- The J7 merge is a full-outer join on the natural key; at 100 TB the
+  state table would be bucketed on the key so the merge co-locates
+  (no shuffle of the big side). With AQE on, a small incoming batch
+  broadcast-joins automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anti_join_seen(
+    incoming: DataFrame,
+    state: DataFrame,
+    incoming_key: str,
+    state_key: str,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """J1 (main.py:49-58 + upsert.py:62-85): drop already-seen rows.
+
+    The reference's SQL ``IN`` probe + Python set-difference becomes a
+    broadcast hash LEFT ANTI join — the pre-flight dedup that protects the
+    expensive enrichment stage (SURVEY.md §4.1 row 1).
+    """
+    keys = state.select(F.col(state_key).alias("__seen_key")).dropDuplicates()
+    if broadcast_state:
+        keys = F.broadcast(keys)
+    return incoming.join(
+        keys, incoming[incoming_key] == keys["__seen_key"], "left_anti"
+    )
+
+
+def semi_join_exists(
+    incoming: DataFrame,
+    state: DataFrame,
+    incoming_key: str,
+    state_key: str,
+    broadcast_state: bool = True,
+) -> DataFrame:
+    """J2 (upsert.py:72-80): keep only rows whose key exists in state."""
+    keys = state.select(F.col(state_key).alias("__seen_key")).dropDuplicates()
+    if broadcast_state:
+        keys = F.broadcast(keys)
+    return incoming.join(
+        keys, incoming[incoming_key] == keys["__seen_key"], "left_semi"
+    )
+
+
+def exact_dedup(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """A5 / exact dedup at scale: one deterministic row per key.
+
+    ``dropDuplicates`` keeps an arbitrary row; for oracle-stable and
+    reproducible results we use row_number over an explicit order
+    (SURVEY.md §7.5 risk 2 — determinism before windowing).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_merge(
+    state: DataFrame,
+    incoming: DataFrame,
+    key_cols: Sequence[str],
+    coalesce_cols: Sequence[str],
+    overwrite_cols: Sequence[str],
+) -> DataFrame:
+    """J7 (upsert.py:88-159): MERGE with per-column update rules.
+
+    Replicates SQLite ``ON CONFLICT DO UPDATE`` semantics on plain
+    DataFrames via full-outer join + column-wise combination:
+
+    - ``coalesce_cols``: COALESCE(new, old) — a null incoming value never
+      erases stored data (upsert.py:116-121: amount, website, linkedin,
+      lead_investor, tech_roles).
+    - ``overwrite_cols``: last-write-wins — incoming value replaces stored
+      whenever the incoming row exists (upsert.py:122-126: investors,
+      hiring_tier, careers_url, ats_provider, last_seen).
+    - keys: NOT-MATCHED rows insert; unmatched state rows persist.
+
+    NULL-key wrinkle (SURVEY.md §7.5 risk 1): SQLite UNIQUE treats NULL as
+    distinct, so NULL-keyed rows never conflict. We replicate by joining
+    with null-safe equality DISABLED (plain ``=``): null keys never match,
+    so null-keyed incoming rows always insert.
+    """
+    inc = incoming.select(
+        *[F.col(c).alias(f"__n_{c}") for c in incoming.columns]
+    ).withColumn("__n_exists", F.lit(True))
+    cond = None
+    for k in key_cols:
+        c = state[k] == inc[f"__n_{k}"]
+        cond = c if cond is None else cond & c
+    joined = state.withColumn("__o_exists", F.lit(True)).join(
+        inc, cond, "full_outer"
+    )
+
+    n_exists = F.col("__n_exists").isNotNull()
+    o_exists = F.col("__o_exists").isNotNull()
+
+    out_cols = []
+    for c in state.columns:
+        if c == "__o_exists":
+            continue
+        new_c, old_c = F.col(f"__n_{c}"), F.col(c)
+        if c in key_cols:
+            expr = F.when(n_exists, new_c).otherwise(old_c)
+        elif c in coalesce_cols:
+            expr = F.when(n_exists & o_exists, F.coalesce(new_c, old_c)).otherwise(
+                F.when(n_exists, new_c).otherwise(old_c)
+            )
+        elif c in overwrite_cols:
+            expr = F.when(n_exists, new_c).otherwise(old_c)
+        else:
+            expr = F.when(n_exists & ~o_exists, new_c).otherwise(old_c)
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)

@@ -1,0 +1,105 @@
+"""Text-analysis operators over document tables (SURVEY.md §2.11).
+
+Training-data-pipeline primitives: tokenization, token counting, quality
+scoring, language-ID heuristic, document fingerprinting. All pure Spark
+SQL expressions — no Python in the hot path — so they scale to 100 TB of
+text as embarrassingly-parallel scans (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import STOPWORDS
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenizer; empty strings filtered (split artifact)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish units.
+
+    ``n_subtokens`` approximates BPE pre-tokenization with a regex count
+    of word/number/punctuation units (the tokenizer-independent length
+    signal a data pipeline budgets by).
+    """
+    t = tokens(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(t))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)))
+        .withColumn(
+            "n_subtokens",
+            F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, nchars_col: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword signals.
+
+    Mirrors C4/Gopher-style heuristic filters: documents outside sane
+    length bands or with off-distribution stopword ratios are flagged.
+    Ratios are rounded to fixed precision for cross-engine determinism.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    mean_len = F.round(F.length(F.col(text_col)).cast("double") / n_tok, 4)
+    stop_ratio = F.round(n_stop.cast("double") / n_tok, 4)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality_ok",
+            (n_tok >= 10) & (mean_len <= 12.0) & (stop_ratio <= 0.5),
+        )
+    )
+
+
+def lang_id_heuristic(df: DataFrame, text_col: str) -> DataFrame:
+    """Language-ID by marker-token voting (n-gram heuristic).
+
+    Real lang-ID uses character n-gram profiles; over the fixture's
+    word-soup corpus we use marker-token counts with a deterministic
+    argmax (ties broken by fixed language order) — same operator shape,
+    fixture-appropriate markers.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    markers = {
+        "en": ["the", "a"],
+        "fr": ["le", "la"],
+        "es": ["el", "los"],
+        "de": ["der", "das"],
+        "zh": ["de", "shi"],
+    }
+    scored = df
+    for lang, ms in markers.items():
+        scored = scored.withColumn(
+            f"__s_{lang}", F.size(F.filter(t, lambda x: x.isin(ms)))
+        )
+    best = F.greatest(*[F.col(f"__s_{m}") for m in markers])
+    pred: Column | None = None
+    for lang in markers:  # fixed order = deterministic tie-break
+        cond = F.col(f"__s_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    assert pred is not None
+    out = scored.withColumn(
+        "predicted_lang",
+        F.when(best > 0, pred).otherwise(F.lit("und")),
+    )
+    return out.drop(*[f"__s_{m}" for m in markers])
+
+
+def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text.
+
+    The reference seeds this with URL-identity dedup (A5); a content
+    fingerprint is the scale-robust generalization (hash-groupBy exact
+    dedup over 100 TB shuffles 16-byte digests, not documents).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out, F.md5(norm))

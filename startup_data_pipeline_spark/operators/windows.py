@@ -1,0 +1,67 @@
+"""Event-time window operators over the events stream table.
+
+SURVEY.md §2.9: the reference has no continuous windows (cron micro-batch
+only); these are the extension operators its events fixture exists for.
+Identical expressions run in batch (here, oracle-checked) and under
+Structured Streaming (streaming/incremental.py) — same ``F.window`` call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame, ts_col: str, width: str, group_cols: list[str]
+) -> DataFrame:
+    """Tumbling-window counts/sums. Windows are epoch-aligned (matches
+    DuckDB time_bucket). Money-ish sums go through decimal for exactness.
+    """
+    return (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *group_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, ts_col: str, width: str, slide: str, group_cols: list[str]
+) -> DataFrame:
+    """Sliding-window aggregation; each event lands in width/slide windows."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), width, slide).alias("w"), *group_cols
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events")
+    )
+
+
+def sessionize(
+    events: DataFrame, user_col: str, ts_col: str, gap_minutes: int
+) -> DataFrame:
+    """Batch sessionization: new session when the gap exceeds the threshold.
+
+    lag(ts) per user → gap predicate → running sum = session index.
+    (Streaming equivalent: ``session_window(ts, gap)``.)
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn("__new", is_new).withColumn(
+        "session_id",
+        F.sum(F.col("__new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new")

@@ -1,0 +1,1 @@
+from .pipeline import flagship_hiring_signal  # noqa: F401

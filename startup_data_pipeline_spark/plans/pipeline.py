@@ -1,0 +1,103 @@
+"""The flagship end-to-end plan (SURVEY.md §7.2 minimum slice).
+
+The reference's core question — "recently funded companies actively
+hiring tech roles, tiered A/B/C" (main.py:36-136) — re-expressed over the
+driver fixture star schema:
+
+- ``orders``   stand in for funding events (announcement = o_orderdate),
+- ``customer`` for companies,
+- ``lineitem`` for job postings (active line = tech role, recent shipdate
+  = recent posting),
+- a deterministic modulus of order keys for the already-seen state table.
+
+Shape (one DataFrame lineage, SURVEY.md §3.1):
+  scan(orders) → recency filter → anti-join(seen) → cap newest
+  → join(customer ⋈ nation, broadcast) → join(lineitem aggs)
+  → tier case → projection.
+
+Scale notes: the seen-keys and dimension sides broadcast; the lineitem
+aggregation partial-aggregates map-side then shuffles once on o_orderkey;
+AQE handles skew. The final projection prunes to the published columns so
+the parquet scans read only what the plan needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import MAX_NEW_PER_RUN
+from ..functions.columns import tier_case
+from ..operators.ingest import cap_newest, recency_filter
+from ..operators.state import anti_join_seen
+from ..sources.tables import load_table
+
+# Frozen query parameters (reproducible runs, SURVEY.md §7.5 risk 6).
+ORDERS_CUTOFF = "2000-01-01"     # P3 recency lookback over o_orderdate
+RECENT_SHIP_CUTOFF = "2001-06-01"  # A2 "recent posting" window
+CAP = MAX_NEW_PER_RUN * 50       # W5 safety cap, scaled to fixture volume
+
+
+def flagship_hiring_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    # state of already-processed funding events (deterministic fixture)
+    seen = orders.filter((F.col("o_orderkey") % 7) == 0).select("o_orderkey")
+
+    recent = recency_filter(
+        orders, "o_orderdate", F.lit(ORDERS_CUTOFF).cast("timestamp")
+    )
+    fresh = anti_join_seen(recent, seen, "o_orderkey", "o_orderkey")
+    capped = cap_newest(fresh, "o_orderdate", CAP, "o_orderkey")
+
+    # per-order "hiring" aggregates from lineitem (A1-A3 analog)
+    li = lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "N", F.lit(1))).alias(
+            "active_lines"
+        ),
+        F.count(
+            F.when(
+                (F.col("l_returnflag") == "N")
+                & (F.col("l_shipdate") >= F.lit(RECENT_SHIP_CUTOFF).cast("timestamp")),
+                F.lit(1),
+            )
+        ).alias("recent_lines"),
+        # decimal sum = exact accumulation regardless of partition order;
+        # cast to double only at the boundary (schema-stable vs oracle)
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("order_value"),
+    )
+
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_mktsegment", "n_name")
+
+    out = (
+        capped.join(li, capped.o_orderkey == li.l_orderkey, "left")
+        .join(F.broadcast(dim), capped.o_custkey == dim.c_custkey, "left")
+        .withColumn(
+            "hiring_tier",
+            tier_case(
+                F.coalesce(F.col("recent_lines"), F.lit(0)),
+                F.coalesce(F.col("active_lines"), F.lit(0)),
+            ),
+        )
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("c_name").alias("company"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("announced"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("active_lines"), F.lit(0)).alias("active_lines"),
+            F.coalesce(F.col("recent_lines"), F.lit(0)).alias("recent_lines"),
+            F.coalesce(F.col("order_value"), F.lit(0.0)).alias("order_value"),
+            "hiring_tier",
+        )
+    )
+    return out

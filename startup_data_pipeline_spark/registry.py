@@ -1,0 +1,354 @@
+"""Query registry: every implemented operator as a (spark, oracle) pair.
+
+This is the engine's sqllogictest-style corpus (SURVEY.md §5.2): each
+entry maps a name → a Spark callable ``(spark, sf_dir) -> DataFrame`` and
+a DuckDB-dialect ANSI SQL oracle over the same parquet tables. The driver
+runs both at sf0.01 and compares row-count + schema + order-insensitive
+value hash; ``scripts/verify_local.py`` replicates that gate locally.
+
+Determinism rules (SURVEY.md §7.5):
+- every computed column aliased identically on both sides;
+- money/float aggregates accumulate in DECIMAL then cast to DOUBLE at the
+  boundary (partition-order-proof, engine-exact);
+- counts cast to BIGINT on both sides;
+- all ordering used for top-k / first-match is explicit and tie-broken;
+- "now" is frozen (config.FIXED_NOW / per-table cutoffs), never wall-clock.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import (
+    DOC_CONTEXT_KEYWORDS,
+    DOC_MONEY_KEYWORDS,
+    DOC_STRONG_KEYWORDS,
+)
+from .functions.columns import provider_classify
+from .operators import hiring, ingest, state
+from .plans.pipeline import flagship_hiring_signal
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    survey_ops: str = ""  # SURVEY.md §2 rows this query certifies
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None, survey_ops: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, survey_ops)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, RegisteredQuery]:
+    # import for side effect of registration of extension batteries
+    from . import registry_ext  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Ingest battery: P1-P3, S2, W5
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_keyword_filter",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (
+        contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'merge')
+        OR contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'stream')
+        OR contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'vector')
+        OR (
+            (contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'spark')
+             OR contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'window')
+             OR contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'query'))
+            AND
+            (contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'join')
+             OR contains(lower(regexp_replace(text, '[-–—]', ' ', 'g')), 'agg'))
+        )
+    )
+    """,
+    survey_ops="P1 P2 (rss_ingest.py:51-58)",
+)
+def q_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ingest.keyword_filter(
+        docs, "text", DOC_STRONG_KEYWORDS, DOC_CONTEXT_KEYWORDS, DOC_MONEY_KEYWORDS
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_recency_filter",
+    oracle="""
+    SELECT event_id, ts
+    FROM events
+    WHERE ts IS NULL OR ts >= TIMESTAMP '2024-01-24 00:00:00'
+    """,
+    survey_ops="P3 + undated-admit (rss_ingest.py:45,61-69)",
+)
+def q_recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return ingest.recency_filter(
+        events, "ts", F.lit("2024-01-24 00:00:00").cast("timestamp")
+    ).select("event_id", "ts")
+
+
+@register(
+    "q_union_sources",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+    survey_ops="S2 union (rss_ingest.py:47-50)",
+)
+def q_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    feed_a = events.filter(F.col("event_type") == "error")
+    feed_b = events.filter(F.col("event_type") == "purchase")
+    return ingest.union_sources(
+        [f.select("event_id", "event_type", "value") for f in (feed_a, feed_b)]
+    )
+
+
+@register(
+    "q_cap_newest",
+    oracle="""
+    SELECT event_id, ts FROM events
+    ORDER BY ts DESC, event_id ASC
+    LIMIT 20
+    """,
+    survey_ops="W5 newest-N cap (main.py:60-63)",
+)
+def q_cap_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return ingest.cap_newest(events, "ts", 20, "event_id").select("event_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# State battery: J1, J2
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_anti_join_seen",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+    survey_ops="J1 anti join (main.py:49-58, upsert.py:62-85)",
+)
+def q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "customers with no large order yet" — the seen-set is the filtered
+    # key list, broadcast so the anti-join is shuffle-free (J1 at scale)
+    customer = load_table(spark, sf_dir, "customer")
+    seen = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return state.anti_join_seen(customer, seen, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_semi_join_exists",
+    oracle="""
+    SELECT o_orderkey
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM customer
+        WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+    )
+    """,
+    survey_ops="J2/J6 semi join (upsert.py:72-80)",
+)
+def q_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return state.semi_join_exists(
+        orders, building, "o_custkey", "c_custkey"
+    ).select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Hiring battery: A1-A4, F18
+# ---------------------------------------------------------------------------
+
+_JOB_AGGS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_jobs,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS tech_roles,
+           CAST(COUNT(CASE WHEN event_type = 'error'
+                            AND ts >= TIMESTAMP '2024-01-17 00:00:00'
+                           THEN 1 END) AS BIGINT) AS recent_tech,
+           MAX(CASE WHEN event_type = 'error' THEN ts END) AS latest_posted,
+           GREATEST(0, date_diff('day',
+               CAST(MAX(CASE WHEN event_type = 'error' THEN ts END) AS DATE),
+               DATE '2024-01-31')) AS days_since_posted
+    FROM events
+    GROUP BY user_id
+"""
+
+
+def _job_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return hiring.job_aggregates(
+        events,
+        key="user_id",
+        tech_pred=F.col("event_type") == "error",
+        ts_col="ts",
+        recent_cutoff=F.lit("2024-01-17 00:00:00").cast("timestamp"),
+        today=F.lit("2024-01-31").cast("date"),
+    )
+
+
+@register(
+    "q_job_aggs",
+    oracle=_JOB_AGGS_ORACLE,
+    survey_ops="A1-A4 (detect_ats.py:312-318,335)",
+)
+def q_job_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _job_aggs(spark, sf_dir)
+
+
+@register(
+    "q_tier_case",
+    oracle=f"""
+    WITH aggs AS ({_JOB_AGGS_ORACLE})
+    SELECT user_id, tech_roles, recent_tech,
+           CASE WHEN recent_tech > 0 THEN 'A'
+                WHEN tech_roles > 0 THEN 'B'
+                ELSE 'C' END AS hiring_tier,
+           CASE WHEN recent_tech > 0
+                    THEN CAST(recent_tech AS VARCHAR) || ' recent tech roles'
+                WHEN tech_roles > 0
+                    THEN CAST(tech_roles AS VARCHAR) || ' tech roles'
+                ELSE 'no tech roles found' END AS details
+    FROM aggs
+    """,
+    survey_ops="F18 tier case (detect_ats.py:320-328)",
+)
+def q_tier_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hiring.assign_tier(_job_aggs(spark, sf_dir)).select(
+        "user_id", "tech_roles", "recent_tech", "hiring_tier", "details"
+    )
+
+
+@register(
+    "q_provider_map",
+    oracle="""
+    SELECT doc_id, host,
+           CASE WHEN contains(host, 'greenhouse') THEN 'Greenhouse'
+                WHEN contains(host, 'lever.co') THEN 'Lever'
+                WHEN contains(host, 'ashbyhq') THEN 'Ashby'
+                WHEN contains(host, 'workable') THEN 'Workable'
+                WHEN contains(host, 'bamboohr') THEN 'BambooHR'
+                ELSE 'Internal' END AS ats_provider
+    FROM (
+        SELECT doc_id,
+               source || CASE CAST(doc_id % 5 AS INTEGER)
+                   WHEN 0 THEN '.greenhouse.io'
+                   WHEN 1 THEN '.lever.co'
+                   WHEN 2 THEN '.ashbyhq.com'
+                   WHEN 3 THEN '.workable.com'
+                   ELSE '.example.com' END AS host
+        FROM documents
+    )
+    """,
+    survey_ops="F19 provider classify (detect_ats.py:266-271)",
+)
+def q_provider_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"),
+        F.when(F.col("doc_id") % 5 == 0, ".greenhouse.io")
+        .when(F.col("doc_id") % 5 == 1, ".lever.co")
+        .when(F.col("doc_id") % 5 == 2, ".ashbyhq.com")
+        .when(F.col("doc_id") % 5 == 3, ".workable.com")
+        .otherwise(".example.com"),
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        provider_classify(host).alias("ats_provider"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY.md §7.2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_flagship",
+    oracle="""
+    WITH seen AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    recent AS (
+        SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    ),
+    fresh AS (
+        SELECT r.* FROM recent r
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.o_orderkey = r.o_orderkey)
+    ),
+    capped AS (
+        SELECT * FROM fresh ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 1000
+    ),
+    li AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT)
+                   AS active_lines,
+               CAST(COUNT(CASE WHEN l_returnflag = 'N'
+                                AND l_shipdate >= TIMESTAMP '2001-06-01'
+                               THEN 1 END) AS BIGINT) AS recent_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS order_value
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    dim AS (
+        SELECT c_custkey, c_name, c_mktsegment, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT capped.o_orderkey AS order_key,
+           c_name AS company,
+           n_name AS nation,
+           c_mktsegment AS segment,
+           strftime(o_orderdate, '%Y-%m-%d') AS announced,
+           COALESCE(n_lines, 0) AS n_lines,
+           COALESCE(active_lines, 0) AS active_lines,
+           COALESCE(recent_lines, 0) AS recent_lines,
+           COALESCE(order_value, 0.0) AS order_value,
+           CASE WHEN COALESCE(recent_lines, 0) > 0 THEN 'A'
+                WHEN COALESCE(active_lines, 0) > 0 THEN 'B'
+                ELSE 'C' END AS hiring_tier
+    FROM capped
+    LEFT JOIN li ON o_orderkey = l_orderkey
+    LEFT JOIN dim ON o_custkey = c_custkey
+    """,
+    survey_ops="§3.1 end-to-end: P3 J1 W5 J5 A1-A3 F18 P10",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_hiring_signal(spark, sf_dir)

@@ -1,0 +1,8 @@
+"""Extension query batteries (merge, windows, text, dedup, similarity).
+
+Registered into the same registry as the core battery; split out so the
+core file stays readable. Populated incrementally — see registry.py for
+the determinism rules every entry follows.
+"""
+
+from __future__ import annotations

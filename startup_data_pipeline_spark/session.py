@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Settings rationale (scale-first, see SURVEY.md §4):
+- ``spark.sql.session.timeZone=UTC``: the reference is tz-aware-UTC
+  throughout (reference ``rss_ingest.py:45``, ``detect_ats.py:44-45``);
+  also required for DuckDB-oracle comparability (DuckDB timestamps are
+  UTC-naive).
+- AQE on (+ skew join + partition coalescing): runtime re-planning is the
+  scale story for 100 TB — skewed join keys get split, tiny post-shuffle
+  partitions get merged.
+- Arrow on: every Pandas-UDF boundary is Arrow-batched.
+- shuffle partitions default to the local core count (env
+  ``SPARK_GRAFT_CPUS``, fallback 32); on a real cluster this would be
+  sized to ~2-3x total cores and AQE coalescing handles the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "startup-data-pipeline-spark"
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config."""
+    n = shuffle_partitions if shuffle_partitions is not None else default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,55 @@
+"""Parquet table loaders for the driver fixture tables (TESTDATA.md).
+
+Parquet is the engine's storage format: columnar, predicate-pushdown- and
+column-pruning-friendly (reference's SQLite scan S12 → parquet scan).
+Loaders never infer schemas from samples — parquet carries its schema.
+
+At 100 TB these would be partitioned/ bucketed tables behind a catalog;
+the loader interface (name -> DataFrame) is the stable seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # parquet reader rejects; read nanos as long and convert to a
+        # microsecond TimestampType (lossless here: fixture nanos are
+        # microsecond-aligned, and DuckDB compares at micro precision).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division — epoch-nanos exceed double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
