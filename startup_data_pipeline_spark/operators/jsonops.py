@@ -21,7 +21,7 @@ def repair_json(raw: Column) -> Column:
     s = F.regexp_extract(s, r"(\{[\s\S]*\})", 1)            # outermost braces
     s = F.regexp_replace(s, r",\s*\}", "}")                 # trailing comma }
     s = F.regexp_replace(s, r",\s*\]", "]")                 # trailing comma ]
-    return F.when(s == "", None).otherwise(s)
+    return F.when(s == "", F.lit(None).cast("string")).otherwise(s)
 
 
 def parse_json(df: DataFrame, raw_col: str, schema: StructType, out: str) -> DataFrame:

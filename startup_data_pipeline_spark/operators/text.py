@@ -28,11 +28,13 @@ def token_stats(df: DataFrame, text_col: str) -> DataFrame:
     """
     t = tokens(F.col(text_col))
     return (
-        df.withColumn("n_tokens", F.size(t))
-        .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)))
+        df.withColumn("n_tokens", F.size(t).cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)).cast("long"))
         .withColumn(
             "n_subtokens",
-            F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")),
+            F.regexp_count(
+                F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+            ).cast("long"),
         )
     )
 
@@ -50,7 +52,7 @@ def quality_score(df: DataFrame, text_col: str, nchars_col: str) -> DataFrame:
     mean_len = F.round(F.length(F.col(text_col)).cast("double") / n_tok, 4)
     stop_ratio = F.round(n_stop.cast("double") / n_tok, 4)
     return (
-        df.withColumn("n_tokens", n_tok)
+        df.withColumn("n_tokens", n_tok.cast("long"))
         .withColumn("mean_token_len", mean_len)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn(

@@ -22,7 +22,9 @@ def tumbling_agg(
         events.groupBy(F.window(F.col(ts_col), width).alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -47,14 +49,18 @@ def sliding_agg(
 
 
 def sessionize(
-    events: DataFrame, user_col: str, ts_col: str, gap_minutes: int
+    events: DataFrame, user_col: str, ts_col: str, gap_minutes: int,
+    tiebreak: str = "event_id",
 ) -> DataFrame:
     """Batch sessionization: new session when the gap exceeds the threshold.
 
     lag(ts) per user → gap predicate → running sum = session index.
-    (Streaming equivalent: ``session_window(ts, gap)``.)
+    (Streaming equivalent: ``session_window(ts, gap)``.) Ordering is
+    tie-broken so session numbering is deterministic.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
     is_new = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)

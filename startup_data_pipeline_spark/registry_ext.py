@@ -1,8 +1,595 @@
-"""Extension query batteries (merge, windows, text, dedup, similarity).
+"""Extension query batteries (merge, ranking, projection, windows, text,
+dedup, similarity).
 
 Registered into the same registry as the core battery; split out so the
-core file stays readable. Populated incrementally — see registry.py for
-the determinism rules every entry follows.
+core file stays readable. Every entry follows registry.py's determinism
+rules (aliased columns, decimal-then-double aggregates, explicit
+tie-broken ordering, frozen time parameters).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import CONFIDENCE, TLD_CANDIDATES
+from .functions.columns import additive_score, money_display, slugify
+from .operators import dedup, publish, resolve, similarity, state, text, windows
+from .registry import register
+from .sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Merge/state battery: J7, A5
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_upsert_merge",
+    oracle="""
+    WITH state AS (
+        SELECT c_custkey AS company_key,
+               c_name AS company_name,
+               nullif(c_mktsegment, 'BUILDING') AS segment,
+               c_acctbal AS balance,
+               'old' AS src
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    inc AS (
+        SELECT c_custkey AS company_key,
+               c_name AS company_name,
+               nullif(c_mktsegment, 'MACHINERY') AS segment,
+               c_acctbal + 1000 AS balance,
+               'new' AS src
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT COALESCE(i.company_key, s.company_key) AS company_key,
+           CASE WHEN i.company_key IS NOT NULL
+                THEN COALESCE(i.company_name, s.company_name)
+                ELSE s.company_name END AS company_name,
+           CASE WHEN i.company_key IS NOT NULL
+                THEN COALESCE(i.segment, s.segment)
+                ELSE s.segment END AS segment,
+           CASE WHEN i.company_key IS NOT NULL
+                THEN i.balance ELSE s.balance END AS balance,
+           CASE WHEN i.company_key IS NOT NULL
+                THEN i.src ELSE s.src END AS src
+    FROM state s FULL OUTER JOIN inc i ON s.company_key = i.company_key
+    """,
+    survey_ops="J7 upsert MERGE, per-column COALESCE-vs-overwrite (upsert.py:88-159)",
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    st = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("company_key"),
+        F.col("c_name").alias("company_name"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("old").alias("src"),
+    )
+    inc = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("company_key"),
+        F.col("c_name").alias("company_name"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("segment"),
+        (F.col("c_acctbal") + 1000).alias("balance"),
+        F.lit("new").alias("src"),
+    )
+    return state.upsert_merge(
+        st,
+        inc,
+        key_cols=["company_key"],
+        coalesce_cols=["company_name", "segment"],
+        overwrite_cols=["balance", "src"],
+    )
+
+
+@register(
+    "q_exact_dedup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+    ) = 1
+    """,
+    survey_ops="A5 dedup / exact dedup at scale (upsert.py:80)",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return state.exact_dedup(
+        li, keys=["l_orderkey"], order_by=["l_linenumber", "l_partkey", "l_suppkey"]
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Ranking/waterfall battery: W1-W4, F17, J8
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_topk",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_nationkey
+            ORDER BY c_acctbal DESC, c_custkey ASC
+        ) AS rn
+        FROM customer
+    )
+    WHERE rn <= 1
+    """,
+    survey_ops="W1 top-1 by score (find_linkedin.py:88-97)",
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return resolve.top_k_by_score(
+        cust, "c_nationkey", F.col("c_acctbal"), k=1, tiebreak=["c_custkey"]
+    ).select("c_nationkey", "c_custkey", "c_name", "score", "rank")
+
+
+@register(
+    "q_score_topk",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(score AS BIGINT) AS score, CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT c_nationkey, c_custkey, score, row_number() OVER (
+            PARTITION BY c_nationkey ORDER BY score DESC, c_custkey ASC
+        ) AS rn
+        FROM (
+            SELECT *,
+                (CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 50 ELSE 0 END
+               + CASE WHEN c_acctbal > 5000 THEN 30 ELSE 0 END
+               + CASE WHEN contains(c_name, '5') THEN 20 ELSE 0 END
+               + CASE WHEN c_nationkey < 5 THEN -30 ELSE 0 END) AS score
+            FROM customer
+        )
+    )
+    WHERE rn <= 3
+    """,
+    survey_ops="F17 additive scoring + W1 top-k (find_linkedin.py:13-47,88-97)",
+)
+def q_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    score = additive_score(
+        [
+            (F.col("c_mktsegment") == "AUTOMOBILE", 50),
+            (F.col("c_acctbal") > 5000, 30),
+            (F.col("c_name").contains("5"), 20),
+            (F.col("c_nationkey") < 5, -30),
+        ]
+    ).cast("long")
+    return resolve.top_k_by_score(
+        cust, "c_nationkey", score, k=3, tiebreak=["c_custkey"]
+    ).select("c_nationkey", "c_custkey", "score", "rank")
+
+
+@register(
+    "q_waterfall_coalesce",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(s_press, s_ddg, s_guess) AS domain,
+           CASE WHEN s_press IS NOT NULL THEN 0.92
+                WHEN s_ddg IS NOT NULL THEN 0.85
+                WHEN s_guess IS NOT NULL THEN 0.60
+                ELSE 0.0 END AS confidence,
+           CASE WHEN s_press IS NOT NULL THEN 'press_release'
+                WHEN s_ddg IS NOT NULL THEN 'ddg'
+                WHEN s_guess IS NOT NULL THEN 'guess'
+                ELSE 'failed' END AS source_strategy
+    FROM (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal > 9000 THEN 'press:' || c_name END AS s_press,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 'ddg:' || c_name END AS s_ddg,
+               CASE WHEN c_nationkey % 2 = 0 THEN 'guess:' || c_name END AS s_guess
+        FROM customer
+    )
+    """,
+    survey_ops="W4 resolution waterfall precedence (domain_resolver.py:154-168)",
+)
+def q_waterfall_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    press = F.when(
+        F.col("c_acctbal") > 9000, F.concat(F.lit("press:"), F.col("c_name"))
+    )
+    ddg = F.when(
+        F.col("c_mktsegment") == "BUILDING", F.concat(F.lit("ddg:"), F.col("c_name"))
+    )
+    guess = F.when(
+        F.col("c_nationkey") % 2 == 0, F.concat(F.lit("guess:"), F.col("c_name"))
+    )
+    out = resolve.waterfall_coalesce(
+        cust,
+        [
+            ("press_release", press, CONFIDENCE["press_release"]),
+            ("ddg", ddg, CONFIDENCE["ddg"]),
+            ("guess", guess, CONFIDENCE["guess"]),
+        ],
+    )
+    return out.select("c_custkey", "domain", "confidence", "source_strategy")
+
+
+@register(
+    "q_tld_explode",
+    oracle="""
+    SELECT s_suppkey, candidate_url, tld_priority
+    FROM (
+        SELECT s_suppkey, tld_priority,
+               'https://' || slug || tld AS candidate_url,
+               row_number() OVER (
+                   PARTITION BY s_suppkey ORDER BY tld_priority ASC
+               ) AS rn
+        FROM (
+            SELECT s_suppkey, translate(lower(s_name), ' .,', '') AS slug
+            FROM supplier
+        )
+        CROSS JOIN (VALUES (0, '.com'), (1, '.io'), (2, '.ai'), (3, '.co'))
+            AS tlds(tld_priority, tld)
+        WHERE (length(slug) + tld_priority) % 3 = 0
+    )
+    WHERE rn = 1
+    """,
+    survey_ops="J8 slug×TLD expansion + W3 ordered first-success (domain_resolver.py:136-151)",
+)
+def q_tld_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", slugify(F.col("s_name")).alias("slug")
+    )
+    cands = resolve.tld_candidates(sup, "slug", TLD_CANDIDATES)
+    # deterministic stand-in for the HTTP probe (P6): success by arithmetic
+    success = (F.length("slug") + F.col("tld_priority")) % 3 == 0
+    return resolve.first_success(
+        cands, "s_suppkey", success, ["tld_priority"]
+    ).select("s_suppkey", "candidate_url", "tld_priority")
+
+
+# ---------------------------------------------------------------------------
+# Publish battery: P9, P10, F10, F11, F15, F16
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sheet_projection",
+    oracle="""
+    SELECT c_name AS "Company",
+           o_orderpriority AS "Round",
+           COALESCE(o_totalprice, 0) AS "Amount",
+           strftime(o_orderdate, '%Y-%m-%d') AS "Date",
+           o_orderstatus AS "Status",
+           array_to_string(string_split(c_name, '0'), ', ') AS "Investors"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    survey_ops="P10 sheet projection + F10 date fmt + F15 array_join + F16 coalesce (to_gsheet.py)",
+)
+def q_sheet_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey).withColumns(
+        {
+            "order_date_str": F.date_format("o_orderdate", "yyyy-MM-dd"),
+            "amount": F.coalesce(F.col("o_totalprice"), F.lit(0.0)),
+            "investors_str": F.array_join(F.split(F.col("c_name"), "0"), ", "),
+        }
+    )
+    return publish.sheet_projection(
+        df,
+        [
+            ("c_name", "Company"),
+            ("o_orderpriority", "Round"),
+            ("amount", "Amount"),
+            ("order_date_str", "Date"),
+            ("o_orderstatus", "Status"),
+            ("investors_str", "Investors"),
+        ],
+    )
+
+
+@register(
+    "q_alert_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN amount IS NULL THEN 'Undisclosed'
+                ELSE '$' || format('{:,}', CAST(floor(amount) AS BIGINT))
+           END AS amount_display
+    FROM (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE o_totalprice END AS amount
+        FROM orders
+    )
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    survey_ops="P9 tier alert filter + F11 money display (main.py:124-129, telegram_alerts.py:26)",
+)
+def q_alert_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "amount",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = publish.alert_filter(orders, "o_orderpriority", ["1-URGENT", "2-HIGH"])
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        money_display(F.col("amount")).alias("amount_display"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured battery: F14 (repair + parse)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+    survey_ops="F14 JSON parse with schema (llm_parse.py:78-98)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .operators import jsonops
+
+    events = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = jsonops.parse_json(events, "props", schema, "parsed")
+    return parsed.select(
+        "event_id", F.col("parsed.k").alias("k")
+    ).filter(F.col("k") > 50)
+
+
+@register(
+    "q_json_repair",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(repaired, '$.k') AS INTEGER) AS k
+    FROM (
+        SELECT event_id,
+               regexp_replace(
+                   regexp_extract(
+                       regexp_replace(messy, '```(json)?', '', 'g'),
+                       '(\\{[\\s\\S]*\\})', 1),
+                   ',\\s*\\}', '}', 'g') AS repaired
+        FROM (
+            SELECT event_id,
+                   '```json' || chr(10)
+                   || regexp_replace(props, '\\}$', ',}', 'g')
+                   || chr(10) || '```' AS messy
+            FROM events
+        )
+    )
+    """,
+    survey_ops="F14 fence/trailing-comma repair (llm_parse.py:78-94)",
+)
+def q_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from .operators import jsonops
+
+    events = load_table(spark, sf_dir, "events")
+    # deterministically corrupt clean JSON the way LLM output arrives:
+    # markdown fences + trailing comma (llm_parse.py failure modes)
+    messy = F.concat(
+        F.lit("```json\n"),
+        F.regexp_replace(F.col("props"), r"\}$", ",}"),
+        F.lit("\n```"),
+    )
+    schema = StructType([StructField("k", IntegerType())])
+    out = jsonops.parse_json(
+        events.withColumn("messy", messy), "messy", schema, "parsed"
+    )
+    return out.select("event_id", F.col("parsed.k").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows battery (§2.9 extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ops="tumbling window agg (§2.9; events fixture)",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return windows.tumbling_agg(events, "ts", "10 minutes", ["event_type"])
+
+
+@register(
+    "q_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) - j * INTERVAL '5 minutes'
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) AS js(j)
+    GROUP BY 1, 2
+    """,
+    survey_ops="sliding window agg (§2.9)",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return windows.sliding_agg(events, "ts", "10 minutes", "5 minutes", ["event_type"])
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS session_id
+    FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ) IS NULL
+                    OR date_diff('second',
+                        lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ), ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    """,
+    survey_ops="sessionization (lag + cumsum; §2.9 extension)",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return windows.sessionize(events, "user_id", "ts", 30).select(
+        "user_id", "event_id", "session_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLAP headline battery (TPC-H-style; bench workhorses)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ops="TPC-H Q1 shape: multi-agg groupBy (A-class at scale)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '2000-03-15'
+      AND l_shipdate > TIMESTAMP '2000-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    survey_ops="TPC-H Q3 shape: selective 3-way join + agg + top-k",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    survey_ops="TPC-H Q5 shape: 6-way star join (broadcast dims at scale)",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, (F.col("o_custkey") == cust.c_custkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), (nat.n_regionkey == reg.r_regionkey)
+              & (reg.r_name == "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )

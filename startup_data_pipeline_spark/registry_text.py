@@ -1,0 +1,377 @@
+"""Text-analysis, dedup, and similarity-search query batteries.
+
+SURVEY.md §2.11 extension operators over ``documents`` / ``embeddings``.
+All hashing is md5-based and all vector math is integer-quantized so the
+DuckDB oracles reproduce results bit-for-bit (registry.py rules).
+NOTE: oracles CAST float columns to DOUBLE before arithmetic — DuckDB
+otherwise multiplies FLOAT in single precision while Spark uses double,
+and round() boundaries diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, text
+from .registry import register
+from .sources.tables import load_table
+
+# Shared DuckDB fragments --------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+_MINHASH_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks
+    )
+    SELECT doc_id,
+           min(md5('0:' || shingle)) AS mh_0,
+           min(md5('1:' || shingle)) AS mh_1,
+           min(md5('2:' || shingle)) AS mh_2,
+           min(md5('3:' || shingle)) AS mh_3
+    FROM sh GROUP BY doc_id
+"""
+
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subtokens
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+    survey_ops="token counting (§2.11 text analysis)",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "text").select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_subtokens"
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(CAST(length(text) AS DOUBLE) / n_tok, 4) AS mean_token_len,
+           round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+           (n_tok >= 10
+            AND round(CAST(length(text) AS DOUBLE) / n_tok, 4) <= 12.0
+            AND round(CAST(n_stop AS DOUBLE) / n_tok, 4) <= 0.5) AS quality_ok
+    FROM (
+        SELECT doc_id, text, len(toks) AS n_tok,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','to','in'], t))) AS n_stop
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+    """,
+    survey_ops="quality scoring (§2.11; C4/Gopher-style heuristics)",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "text", "n_chars").select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "quality_ok"
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN best > 0 THEN
+                CASE WHEN s_en = best THEN 'en'
+                     WHEN s_fr = best THEN 'fr'
+                     WHEN s_es = best THEN 'es'
+                     WHEN s_de = best THEN 'de'
+                     WHEN s_zh = best THEN 'zh'
+                END
+           ELSE 'und' END AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               greatest(s_en, s_fr, s_es, s_de, s_zh) AS best,
+               s_en, s_fr, s_es, s_de, s_zh
+        FROM (
+            SELECT doc_id, lang,
+                len(list_filter(toks, t -> list_contains(['the','a'], t))) AS s_en,
+                len(list_filter(toks, t -> list_contains(['le','la'], t))) AS s_fr,
+                len(list_filter(toks, t -> list_contains(['el','los'], t))) AS s_es,
+                len(list_filter(toks, t -> list_contains(['der','das'], t))) AS s_de,
+                len(list_filter(toks, t -> list_contains(['de','shi'], t))) AS s_zh
+            FROM (SELECT doc_id, lang, {_TOKS} AS toks
+                  FROM (SELECT doc_id, lang, lower(text) AS text FROM documents))
+        )
+    )
+    """,
+    survey_ops="language-ID heuristic (§2.11)",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id_heuristic(docs, "text").select(
+        "doc_id", "lang", "predicted_lang"
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    survey_ops="document fingerprinting (§2.11; A5 generalized)",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH / Jaccard / SimHash dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_minhash_signatures",
+    oracle=_MINHASH_SQL,
+    survey_ops="MinHash signatures over word shingles (§2.11 near-dup)",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+
+
+@register(
+    "q_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+    survey_ops="MinHash-LSH banding → candidate pairs (§2.11)",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    """,
+    survey_ops="exact n-gram Jaccard near-dup (§2.11)",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", k=3)
+
+
+def _simhash_oracle() -> str:
+    d = "strpos('0123456789abcdef', substr(m, {i}, 1)) - 1"
+    h = (
+        f"(4096 * ({d.format(i=1)}) + 256 * ({d.format(i=2)}) "
+        f"+ 16 * ({d.format(i=3)}) + ({d.format(i=4)}))"
+    )
+    votes = ",\n".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {h} AS h
+        FROM (SELECT doc_id, substr(md5(tok), 1, 4) AS m FROM tok)
+    ),
+    votes AS (
+        SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS INTEGER) AS simhash FROM votes
+    """
+
+
+@register(
+    "q_simhash",
+    oracle=_simhash_oracle(),
+    survey_ops="SimHash fingerprints (§2.11 near-dup)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash16(docs, "doc_id", "text")
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_simhash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(CAST(a.simhash AS BIGINT),
+                              CAST(b.simhash AS BIGINT))) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+    """,
+    survey_ops="SimHash near-dup pairs, hamming<=3 (§2.11)",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash16(docs, "doc_id", "text")
+    return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ann_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, {_QUANT} AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, {_QUANT} AS cv FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> qv[i] * cv[i])) AS BIGINT) AS score
+        FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    survey_ops="brute-force cosine/IP top-k ANN baseline (§2.11)",
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5
+    )
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, qv,
+               (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings WHERE vec_id < 10)
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, cv,
+               (CASE WHEN cv[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN cv[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN cv[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN cv[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, {_QUANT} AS cv FROM embeddings)
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> qv[i] * cv[i])) AS BIGINT) AS score
+        FROM q JOIN c USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    survey_ops="sign-LSH bucketed ANN (scale path, §2.11)",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5, dims=[0, 1, 2, 3]
+    )
+
+
+@register(
+    "q_centroid_classify",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label AS true_label, i AS pos, qv[i] AS val
+        FROM (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings)
+        CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+    ),
+    cents AS (
+        SELECT true_label AS label, pos,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(COUNT(*) AS BIGINT) AS n_vec
+        FROM ex GROUP BY true_label, pos
+    ),
+    scored AS (
+        SELECT e.vec_id, e.true_label, c.label,
+               SUM(e.val * c.sum_val) / any_value(c.n_vec) AS score
+        FROM ex e JOIN cents c USING (pos)
+        GROUP BY e.vec_id, e.true_label, c.label
+    )
+    SELECT vec_id, true_label, label AS predicted_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, label ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn = 1
+    """,
+    survey_ops="nearest-centroid classification over embeddings (§2.11)",
+)
+def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_classify(emb, "vec_id", "label", "embedding")
