@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's headline queries on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q_x": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a noop-format write (full
+materialization, no driver collect overhead). A warmup query absorbs JVM
+/ codegen startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "q_flagship",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_job_aggs",
+    "q_upsert_merge",
+    "q_exact_dedup",
+    "q_tumbling_window",
+    "q_sessionize",
+    "q_window_topk",
+    "q_fingerprint",
+    "q_minhash_signatures",
+    "q_lsh_pairs",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_ann_topk",
+    "q_centroid_classify",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    run("q_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = run(name)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

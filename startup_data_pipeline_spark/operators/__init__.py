@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     resolve,
     publish,
     jsonops,
+    multimodal,
     text,
     dedup,
     similarity,

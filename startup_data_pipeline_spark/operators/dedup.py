@@ -28,8 +28,12 @@ SIMHASH_BITS = 16
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a document."""
-    t = tokens(text)
+    """Distinct word k-gram shingles of a case-normalized document.
+
+    Lowercasing before shingling is the standard near-dup normalization —
+    "THE quick" and "the quick" must land in the same shingle.
+    """
+    t = tokens(F.lower(text))
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -175,7 +179,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     map-side combinable, exact in any engine.
     """
     tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).withColumn("h", _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4)))
     votes = [
         F.sum(

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (SURVEY.md §2.11).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing — schema, partition-friendly batch
+shapes, Arrow-batched UDF signatures, frame-index explosion — is real
+and tested; the actual codec work is STUBBED: the container has no
+image/audio libraries, so decode attempts either raise
+``NotImplementedError`` (real-codec path) or produce a clearly-marked
+deterministic fake (pipeline-testing path).
+
+Scale notes: binary payloads ride the same columnar parquet lane as any
+column (dictionary/off-heap friendly); feature extraction is
+``mapInPandas`` so one Arrow batch of blobs crosses the boundary at a
+time, and partition sizing (``spark.sql.files.maxPartitionBytes``)
+bounds executor memory per task — the standard 100 TB media-pipeline
+layout (metadata hot path native, payload cold path batched).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructType
+
+HAVE_PIL = False
+try:  # gate the real decoder behind an import-try (not in this container)
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+FEATURE_DIM = 8
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str, media_format: str = "fake/utf8"
+) -> DataFrame:
+    """Wrap a column as an opaque binary payload + typed metadata struct.
+
+    In production the payload comes off object storage; the fixture path
+    encodes text so every downstream signature sees real ``binary``.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit(media_format).alias("format"),
+        F.length(payload).alias("n_bytes"),
+        F.lit(16000).alias("sample_rate"),
+        F.lit(25).alias("fps"),
+    )
+    return df.withColumn("payload", payload).withColumn("media_meta", meta)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode binary → pixel array. REAL-CODEC PATH — requires PIL.
+
+    Raises NotImplementedError in this container; the call signature and
+    output schema are the production contract.
+    """
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL, which is not installed in this "
+            "container; use extract_features (deterministic fake) to test "
+            "the pipeline plumbing"
+        )
+    raise NotImplementedError("real decode path intentionally not implemented")
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Feature-extraction stage over binary payloads (Arrow-batched).
+
+    DETERMINISTIC FAKE features (md5-seeded), clearly marked: stands in
+    for a CNN/audio embedding so partitioning, batch shape, and schema
+    are exercised without codec libraries. Output: array<float> of
+    ``dim`` values in [0, 1).
+    """
+    import hashlib
+
+    schema = StructType(list(df.schema.fields)).add(
+        "features", ArrayType(FloatType())
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload_col]:
+                if blob is None:
+                    out.append(None)
+                    continue
+                d = hashlib.md5(bytes(blob)).digest()
+                out.append([d[i] / 256.0 for i in range(dim)])
+            pdf["features"] = out
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.mapInPandas(feats, schema)
+
+
+def sample_frames(
+    df: DataFrame, meta_col: str = "media_meta", every_n: int = 5, max_frames: int = 100
+) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index.
+
+    Pure JVM-side explode over a frame-index sequence derived from the
+    metadata (duration × fps in production) — the UDTF shape of S6-S9
+    applied to media. The per-frame decode would then be an
+    ``extract_features``-style batched stage.
+    """
+    n_frames = F.least(
+        F.lit(max_frames), (F.col(f"{meta_col}.n_bytes") / 10).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_frames, F.lit(every_n))
+    return df.withColumn("frame_index", F.explode(idx))

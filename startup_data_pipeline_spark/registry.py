@@ -57,7 +57,7 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 
 def all_queries() -> dict[str, RegisteredQuery]:
     # import for side effect of registration of extension batteries
-    from . import registry_ext, registry_text  # noqa: F401
+    from . import registry_ext, registry_stream, registry_text  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,335 @@
+"""Streaming, multimodal, and scalar-function query batteries.
+
+- Streaming entries execute REAL Structured Streaming queries
+  (AvailableNow trigger → memory sink) and return the materialized
+  result, so the driver's oracle check covers the streaming path
+  end-to-end, not just a batch twin.
+- Multimodal entries exercise the binary-payload plumbing; the
+  Arrow-batched feature stage is genuinely non-SQL → rows-only check.
+- Scalar battery covers the remaining SURVEY §2.8 rows (F2/F3/F5/F6/F7/
+  F8/F10/F12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.columns import normalize_domain, slugify, strip_legal_suffix
+from .operators import multimodal, windows
+from .registry import register
+from .sources.tables import load_table
+from .streaming import incremental
+
+
+# ---------------------------------------------------------------------------
+# Streaming battery (§2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey_ops="§2.9: Structured Streaming tumbling agg ≡ batch (AvailableNow)",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = incremental.read_events_stream(spark, sf_dir)
+    agg = windows.tumbling_agg(stream, "ts", "10 minutes", ["event_type"])
+    return incremental.run_available_now(agg, "q_stream_tumbling_sink")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id FROM events",
+    survey_ops="§2.9: watermarked streaming dropDuplicates (J1-as-stream)",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = incremental.read_events_stream(spark, sf_dir)
+    deduped = incremental.streaming_seen_dedup(
+        stream, ["user_id"], "ts", "1 hour"
+    ).select("user_id")
+    return incremental.run_available_now_append(deduped, "q_stream_dedup_sink")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal battery (§2.11)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(frame_index AS INTEGER) AS frame_index
+    FROM (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   least(100, CAST(floor(octet_length(encode(text)) / 10)
+                              AS INTEGER)), 5)) AS frame_index
+        FROM documents
+    )
+    """,
+    survey_ops="§2.11 multimodal: frame-index sampling (JVM-side explode)",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = multimodal.attach_binary_payload(docs, "text")
+    return multimodal.sample_frames(wrapped, every_n=5).select(
+        "doc_id", "frame_index"
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # Arrow-batched Python feature stage — genuinely non-SQL
+    survey_ops="§2.11 multimodal: binary payload + batched feature extraction",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = multimodal.attach_binary_payload(docs, "text")
+    feats = multimodal.extract_features(wrapped)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+@register(
+    "q_connector_pipeline",
+    oracle=None,  # mapInPandas connector shell — the engine's non-SQL surface
+    survey_ops="§3.3 waterfall-in-one-stage + §2.10 LLM extract (fixture transport)",
+)
+def q_connector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference pipeline §3.1 steps 5-6 on fixtures with a deterministic
+    offline transport: fetch body → LLM extract (fake model) → resolve
+    waterfall. Exercises the full connector shell without network."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sources import connectors
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("art://"), F.col("doc_id")).alias("url"),
+        F.col("text"),
+    )
+
+    def transport(url: str) -> str | None:
+        if url.startswith("art://") and url.endswith(("0", "2", "4", "6", "8")):
+            return f'<a href="https://press{url[-1]}.example">x</a>'
+        if url.startswith("ddg://") and len(url) % 3 == 0:
+            return f"https://{url[6:]}.ai"
+        if url.startswith("https://") and url.endswith(".com"):
+            return "ok"
+        return None
+
+    schema = StructType(
+        [
+            StructField("company_name", StringType()),
+            StructField("amount_raised_usd", LongType()),
+        ]
+    )
+    fetched = connectors.fetch_text_stage(docs, "url", "body", transport)
+    extracted = connectors.llm_extract_stage(
+        fetched, "text", schema, connectors.deterministic_fake_model
+    ).select(
+        "doc_id", "url", F.col("llm.company_name").alias("company_name")
+    )
+    resolved = connectors.resolve_waterfall_stage(
+        extracted, "company_name", "url", transport
+    )
+    return resolved.select(
+        "doc_id", "company_name", "domain", "confidence", "source_strategy"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar battery (§2.8 remainder: F2 F3 F5 F6 F7 F8 F10 F12)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_name_normalize",
+    oracle="""
+    SELECT s_suppkey, name2,
+           trim(regexp_replace(lower(name2),
+               '\\b(inc|corp|co|llc|ltd|gmbh|ag|sas|bv)\\b\\.?$', ''))
+               AS stripped,
+           translate(trim(regexp_replace(lower(name2),
+               '\\b(inc|corp|co|llc|ltd|gmbh|ag|sas|bv)\\b\\.?$', '')),
+               ' .,', '') AS slug,
+           regexp_extract(lower(name2), '([a-z0-9#]+)\\.([a-z]{2,})$', 1)
+               AS tld_base,
+           regexp_extract(lower(name2), '([a-z0-9#]+)\\.([a-z]{2,})$', 2)
+               AS tld_ext
+    FROM (
+        SELECT s_suppkey,
+               s_name || CASE CAST(s_suppkey % 4 AS INTEGER)
+                   WHEN 0 THEN ' Inc.'
+                   WHEN 1 THEN ' GmbH'
+                   WHEN 2 THEN '.ai'
+                   ELSE '' END AS name2
+        FROM supplier
+    )
+    """,
+    survey_ops="F2 legal-suffix strip + F3 embedded-TLD + F5 slugify (domain_resolver.py:32-47)",
+)
+def q_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    name2 = F.concat(
+        F.col("s_name"),
+        F.when(F.col("s_suppkey") % 4 == 0, " Inc.")
+        .when(F.col("s_suppkey") % 4 == 1, " GmbH")
+        .when(F.col("s_suppkey") % 4 == 2, ".ai")
+        .otherwise(""),
+    )
+    df = sup.withColumn("name2", name2)
+    stripped = strip_legal_suffix(F.col("name2"))
+    return df.select(
+        "s_suppkey",
+        "name2",
+        stripped.alias("stripped"),
+        slugify(stripped).alias("slug"),
+        F.regexp_extract(
+            F.lower(F.col("name2")), r"([a-z0-9#]+)\.([a-z]{2,})$", 1
+        ).alias("tld_base"),
+        F.regexp_extract(
+            F.lower(F.col("name2")), r"([a-z0-9#]+)\.([a-z]{2,})$", 2
+        ).alias("tld_ext"),
+    )
+
+
+@register(
+    "q_url_parse",
+    oracle="""
+    SELECT c_custkey, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           replace(replace(regexp_extract(url, '[?&]uddg=([^&]*)', 1),
+               '%3A', ':'), '%2F', '/') AS uddg_target,
+           'https://' || regexp_replace(
+               lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+               '^www\\.', '') AS canonical
+    FROM (
+        SELECT c_custkey,
+               'https://www.Site' || c_custkey || '.com/jobs/' || c_custkey
+               || '?uddg=https%3A%2F%2Ftarget' || c_custkey || '.io&x=1' AS url
+        FROM customer
+    )
+    """,
+    survey_ops="F6 URL parse/unwrap + F7 canonicalize (domain_resolver.py:50-61,124-126)",
+)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://www.Site"),
+        F.col("c_custkey"),
+        F.lit(".com/jobs/"),
+        F.col("c_custkey"),
+        F.lit("?uddg=https%3A%2F%2Ftarget"),
+        F.col("c_custkey"),
+        F.lit(".io&x=1"),
+    )
+    df = cust.withColumn("url", url)
+    return df.select(
+        "c_custkey",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.url_decode(
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("uddg"))
+        ).alias("uddg_target"),
+        normalize_domain(F.col("url")).alias("canonical"),
+    )
+
+
+@register(
+    "q_time_parse",
+    oracle="""
+    SELECT event_id,
+           strptime(substr(replace(iso_z, 'Z', '+00:00'), 1, 19),
+                    '%Y-%m-%dT%H:%M:%S') AS parsed_iso,
+           epoch_ms(ms) AS parsed_ms
+    FROM (
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso_z,
+               epoch_ms(ts) AS ms
+        FROM events
+    )
+    """,
+    survey_ops="F8 ISO-Z + epoch-ms parse, F10 format (detect_ats.py:69-85, rss_ingest.py:65)",
+)
+def q_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")
+        ).alias("iso_z"),
+        F.unix_millis(F.col("ts")).alias("ms"),
+    )
+    # the reference's Z→+00:00 fix (detect_ats.py:69-77), then parse
+    fixed = F.regexp_replace(F.col("iso_z"), "Z$", "+00:00")
+    return df.select(
+        "event_id",
+        F.to_timestamp(
+            F.substring(fixed, 1, 19), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("parsed_iso"),
+        F.timestamp_millis(F.col("ms")).alias("parsed_ms"),
+    )
+
+
+@register(
+    "q_currency_parse",
+    oracle="""
+    SELECT c_custkey, raw,
+           TRY_CAST(NULLIF(regexp_extract(raw, '([0-9]+)', 1), '') AS BIGINT)
+           * CASE WHEN contains(raw, 'Cr') THEN 120000
+                  WHEN contains(raw, 'M') THEN 1000000
+                  WHEN contains(raw, 'K') THEN 1000
+                  ELSE NULL END AS amount_usd
+    FROM (
+        SELECT c_custkey,
+               CASE CAST(c_custkey % 4 AS INTEGER)
+                   WHEN 0 THEN '$' || (c_custkey % 90 + 1) || 'M'
+                   WHEN 1 THEN '₹' || (c_custkey % 90 + 1) || ' Cr'
+                   WHEN 2 THEN '$' || (c_custkey % 900 + 1) || 'K'
+                   ELSE 'undisclosed' END AS raw
+        FROM customer
+    )
+    """,
+    survey_ops="F12 currency → USD conversion in-engine (llm_parse.py:44-48)",
+)
+def q_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    raw = (
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.lit("$"), (F.col("c_custkey") % 90 + 1), F.lit("M")),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 1,
+            F.concat(F.lit("₹"), (F.col("c_custkey") % 90 + 1), F.lit(" Cr")),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.lit("$"), (F.col("c_custkey") % 900 + 1), F.lit("K")),
+        )
+        .otherwise(F.lit("undisclosed"))
+    )
+    df = cust.withColumn("raw", raw)
+    value = F.nullif(F.regexp_extract(F.col("raw"), r"([0-9]+)", 1), F.lit("")).cast(
+        "long"
+    )
+    mult = (
+        F.when(F.col("raw").contains("Cr"), 120000)
+        .when(F.col("raw").contains("M"), 1000000)
+        .when(F.col("raw").contains("K"), 1000)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return df.select(
+        "c_custkey", "raw", (value * mult).alias("amount_usd")
+    )

@@ -20,13 +20,15 @@ from .sources.tables import load_table
 # Shared DuckDB fragments --------------------------------------------------
 
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+# near-dup shingles/tokens are case-normalized (dedup.word_shingles)
+_TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 _SHINGLES = (
     "list_distinct(list_transform(generate_series(1, len(toks) - 2), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 _MINHASH_SQL = f"""
     WITH toks AS (
-        SELECT doc_id, {_TOKS} AS toks FROM documents
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
     ),
     sh AS (
         SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks
@@ -182,7 +184,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ngram_jaccard",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
     sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
     sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
     inter AS (
@@ -220,7 +222,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH tok AS (
-        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        SELECT doc_id, unnest({_TOKS_LOWER}) AS tok FROM documents
     ),
     hashed AS (
         SELECT doc_id, {h} AS h

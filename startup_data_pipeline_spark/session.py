@@ -17,10 +17,37 @@ Settings rationale (scale-first, see SURVEY.md §4):
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 APP_NAME = "startup-data-pipeline-spark"
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Any stage that pickles a function from this package (mapInPandas
+    connector/multimodal stages) needs the package importable on the
+    worker side. On a real cluster that's a ``--py-files`` zip; here we
+    build the zip lazily once per session so the engine works no matter
+    how the host created the SparkSession or what its sys.path is.
+    """
+    sc = spark.sparkContext
+    marker = "_sdps_package_shipped"
+    if getattr(sc, marker, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"sdps_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    sc.addPyFile(zip_path)
+    setattr(sc, marker, True)
 
 
 def default_parallelism() -> int:

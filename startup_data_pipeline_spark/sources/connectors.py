@@ -1,0 +1,213 @@
+"""Effectful connector shell — the engine's ONLY Python-UDF surface.
+
+SURVEY.md §2.10/§4.1: every network-touching reference operation (article
+fetch S3, URL validation P6, search connectors S10/S11, LLM extraction,
+ATS job fetch S4-S9) is isolated here behind ``mapInPandas`` stages with
+an injectable transport, so:
+
+- the relational core stays 100 % oracle-testable offline (tests inject
+  fixture transports; nothing in this repo performs real I/O),
+- effectful stages are Arrow-batched (never row-at-a-time Python),
+- cost-ordering is structural: callers place these stages AFTER cheap
+  native filters / limits / anti-joins (the reference's manual cost
+  discipline, main.py:49-63),
+- cluster-wide politeness: `rate_limited_repartition` caps concurrent
+  connector tasks so total QPS ≤ quota (README.md:206-213).
+
+Transports are plain callables ``url -> str | None`` (None = fetch
+failure → null flows on, the reference's resilience-as-null contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+Transport = Callable[[str], "str | None"]
+
+
+def offline_transport(url: str) -> str | None:
+    """Default transport: no network in this environment — every fetch
+    degrades to None (the reference's timeout/error path). Inject a real
+    HTTP transport in production; inject a dict-backed fixture transport
+    in tests."""
+    return None
+
+
+def fixture_transport(pages: dict[str, str]) -> Transport:
+    return lambda url: pages.get(url)
+
+
+def rate_limited_repartition(df: DataFrame, max_concurrency: int) -> DataFrame:
+    """Bound connector-stage parallelism so cluster QPS ≤ API quota.
+
+    With N partitions at most N tasks fetch concurrently; per-task
+    politeness sleeps then bound total QPS ≤ N / sleep_s. (The 1000-
+    executor version of domain_resolver.py:110's single-threaded 1 s
+    sleep.)
+    """
+    return df.repartition(max_concurrency)
+
+
+def fetch_text_stage(
+    df: DataFrame,
+    url_col: str,
+    out_col: str,
+    transport: Transport,
+    max_len: int = 1800,
+) -> DataFrame:
+    """S3 (llm_parse.py:20-34): per-row page fetch + truncate.
+
+    mapInPandas so one Python worker handles a whole Arrow batch; the
+    1800-char truncation (the reference's token-cost guard) happens
+    engine-side before any LLM stage sees the text.
+    """
+    schema = StructType(list(df.schema.fields)).add(out_col, "string")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for u in pdf[url_col]:
+                page = transport(u) if u else None
+                texts.append(page[:max_len] if page else None)
+            pdf[out_col] = texts
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.mapInPandas(fetch, schema)
+
+
+def validate_url_stage(
+    df: DataFrame, url_col: str, out_col: str, transport: Transport
+) -> DataFrame:
+    """P6 (main.py:20-33): reachability probe → boolean column.
+
+    Nondeterministic by nature; structurally placed after cheap filters.
+    """
+    schema = StructType(list(df.schema.fields)).add(out_col, "boolean")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [
+                transport(u) is not None if u else False for u in pdf[url_col]
+            ]
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.mapInPandas(probe, schema)
+
+
+def resolve_waterfall_stage(
+    df: DataFrame,
+    name_col: str,
+    article_url_col: str,
+    transport: Transport,
+) -> DataFrame:
+    """§3.3: the sequential short-circuit resolution waterfall.
+
+    Runs INSIDE one mapInPandas stage so later strategies are only
+    attempted for rows still unresolved — the reference's cost behavior
+    (domain_resolver.py:154-168), impossible to express with eager
+    columnar evaluation (SURVEY.md §4.1 short-circuit row).
+
+    Strategy order + confidences: press_release 0.92 → ddg 0.85 →
+    guess 0.60 → failed 0.0.
+    """
+    from ..config import CONFIDENCE, TLD_CANDIDATES
+
+    schema = (
+        StructType(list(df.schema.fields))
+        .add("domain", "string")
+        .add("confidence", "double")
+        .add("source_strategy", "string")
+    )
+
+    def slug(name: str) -> str:
+        return "".join(c for c in name.lower() if c not in " .,")
+
+    def resolve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doms, confs, srcs = [], [], []
+            for name, art in zip(pdf[name_col], pdf[article_url_col]):
+                dom, conf, src = None, CONFIDENCE["failed"], "failed"
+                if name:
+                    page = transport(art) if art else None
+                    if page and "href=" in page:  # press-release anchor scan
+                        dom = page.split('href="', 1)[1].split('"', 1)[0]
+                        conf, src = CONFIDENCE["press_release"], "press_release"
+                    if dom is None:
+                        hit = transport(f"ddg://{slug(name)}")
+                        if hit:
+                            dom, conf, src = hit, CONFIDENCE["ddg"], "ddg"
+                    if dom is None:
+                        for tld in TLD_CANDIDATES:  # J8/W3 ordered probe
+                            cand = f"https://{slug(name)}{tld}"
+                            if transport(cand) is not None:
+                                dom, conf, src = cand, CONFIDENCE["guess"], "guess"
+                                break
+                doms.append(dom)
+                confs.append(conf)
+                srcs.append(src)
+            pdf["domain"] = doms
+            pdf["confidence"] = confs
+            pdf["source_strategy"] = srcs
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.mapInPandas(resolve, schema)
+
+
+def llm_extract_stage(
+    df: DataFrame,
+    text_col: str,
+    out_schema: StructType,
+    model: Callable[[str], "str | None"],
+) -> DataFrame:
+    """LLM structured extraction (llm_parse.py:101-132) as a batch stage.
+
+    ``model`` maps article text → raw (possibly messy) JSON; the repair +
+    typed parse happens engine-side (operators.jsonops.parse_json), so a
+    misbehaving model degrades to null fields, never a failed job.
+    """
+    from ..operators.jsonops import parse_json
+
+    schema = StructType(list(df.schema.fields)).add("llm_raw", "string")
+
+    def call(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["llm_raw"] = [
+                model(t) if isinstance(t, str) and t else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    raw = df.mapInPandas(call, schema)
+    return parse_json(raw, "llm_raw", out_schema, "llm")
+
+
+def deterministic_fake_model(text: str) -> str:
+    """Offline stand-in for the LLM: deterministic extraction from the
+    first tokens, wrapped in the messy envelope real models produce
+    (fences + trailing comma), to exercise the repair path end-to-end."""
+    toks = text.split()
+    name = toks[0].title() if toks else None
+    amount = len(text) * 100000
+    return (
+        "```json\n"
+        f'{{"company_name": "{name}", "amount_raised_usd": {amount},}}'
+        "\n```"
+    )

@@ -1,0 +1,124 @@
+"""Incremental / Structured Streaming wrappers (SURVEY.md §2.9).
+
+The reference is a cron-driven incremental micro-batch job: every 6 hours
+it pulls feeds, anti-joins the already-seen set, processes ≤20 new rows,
+and persists state (run.yml + upsert.py:62-85). The Spark-native shape is
+Structured Streaming with ``Trigger.AvailableNow`` — process everything
+new, checkpoint, stop — with watermarked ``dropDuplicates`` replacing the
+SQLite seen-set probe.
+
+The same DataFrame expressions run in batch and streaming; functions here
+wire fixture parquet into ``readStream`` and materialize results so the
+streaming path is oracle-checkable against the batch equivalent.
+
+Scale notes: state for dedup/windows lives in the checkpointed state
+store, bounded by the watermark (the reference's 7-day lookback maps to
+``withWatermark('published_at', '7 days')``); ``maxFilesPerTrigger``
+supplies the per-run backpressure cap (reference: 20 articles/run).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet stores TIMESTAMP(NANOS); streaming reads need the same
+# long-nanos workaround as sources/tables.py.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture as a file stream (stand-in for kafka/feed source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(df: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Execute a streaming aggregation to completion, return the result.
+
+    ``Trigger.AvailableNow`` + complete-mode memory sink: process all
+    currently-available input (the reference's per-cron-run semantics),
+    then stop. Returns the materialized table as a DataFrame.
+    """
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def run_available_now_append(
+    df: DataFrame, query_name: str | None = None
+) -> DataFrame:
+    """Append-mode variant for non-aggregated streams (dedup, filters)."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def streaming_seen_dedup(
+    stream: DataFrame, key_cols: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """J1-as-a-stream: watermarked dropDuplicates on the natural key.
+
+    The reference's SQLite seen-URL probe (upsert.py:62-85) becomes
+    checkpointed dedup state; the watermark bounds that state exactly the
+    way the 7-day lookback bounds the reference's re-scan window.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def foreach_batch_alert_sink(df: DataFrame, tiers: list[str], sink) -> None:
+    """S15 streaming shape: per-micro-batch filtered foreach alert.
+
+    ``sink`` receives each qualifying row dict; exactly-once delivery is
+    the sink's job (the reference's Telegram POST is at-least-once too).
+    """
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        for r in batch_df.filter(
+            F.col("hiring_tier").isin(tiers)
+        ).toLocalIterator():
+            sink(r.asDict())
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from startup_data_pipeline_spark.functions import columns as FX
+from startup_data_pipeline_spark.operators import jsonops
+from tests.conftest import rows
+
+
+def _one(spark, value, fn):
+    df = spark.createDataFrame([(value,)], ["v"]).select(fn(F.col("v")).alias("r"))
+    return df.collect()[0]["r"]
+
+
+def test_slugify_and_legal_suffix(spark):
+    assert _one(spark, "Acme Data, Inc.", FX.slugify) == "acmedatainc"
+    assert _one(spark, "Acme Data Inc.", FX.strip_legal_suffix) == "acme data"
+    assert _one(spark, "Foo GmbH", FX.strip_legal_suffix) == "foo"
+    assert _one(spark, "Plain Name", FX.strip_legal_suffix) == "plain name"
+
+
+def test_normalize_domain(spark):
+    assert (
+        _one(spark, "HTTP://WWW.Example.COM/careers?x=1", FX.normalize_domain)
+        == "https://example.com"
+    )
+
+
+def test_money_display_null_fallback(spark):
+    df = spark.createDataFrame([(5000000,), (None,)], "v long")
+    got = rows(df.select(FX.money_display(F.col("v")).alias("r")), "r")
+    assert got == [("$5,000,000",), ("Undisclosed",)]
+
+
+def test_provider_classify_default(spark):
+    vals = [
+        ("boards.greenhouse.io", "Greenhouse"),
+        ("jobs.lever.co", "Lever"),
+        ("careers.acme.dev", "Internal"),
+    ]
+    for host, want in vals:
+        assert _one(spark, host, FX.provider_classify) == want
+
+
+SCHEMA = StructType(
+    [StructField("company_name", StringType()), StructField("amount", IntegerType())]
+)
+
+
+def test_json_repair_fences_and_commas(spark):
+    messy = '```json\n{"company_name": "Acme", "amount": 5,}\n```'
+    df = spark.createDataFrame([(messy,)], ["raw"])
+    out = jsonops.parse_json(df, "raw", SCHEMA, "p").select("p.*").collect()[0]
+    assert out["company_name"] == "Acme"
+    assert out["amount"] == 5
+
+
+def test_json_parse_malformed_yields_null_struct(spark):
+    # llm_parse.py:96-98 failure path: garbage → {} → null fields, row kept
+    df = spark.createDataFrame([("totally not json",)], ["raw"])
+    out = jsonops.parse_json(df, "raw", SCHEMA, "p")
+    assert out.count() == 1
+    assert out.select("p").collect()[0]["p"] is None
+
+
+def test_json_parse_prose_wrapped(spark):
+    messy = 'Here is the data: {"company_name": "Beta", "amount": 7} hope it helps'
+    df = spark.createDataFrame([(messy,)], ["raw"])
+    out = df.select(
+        F.from_json(jsonops.repair_json(F.col("raw")), SCHEMA).alias("p")
+    ).select("p.*").collect()[0]
+    assert out["company_name"] == "Beta"

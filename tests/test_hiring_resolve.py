@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import hiring, resolve
+from tests.conftest import rows
+
+JOBS_SCHEMA = "domain string, title string, posted string"
+
+
+def _jobs(spark):
+    return spark.createDataFrame(
+        [
+            ("x.com", "Software Engineer", "2024-01-25"),   # tech, recent
+            ("x.com", "Office Manager", "2024-01-28"),      # non-tech
+            ("y.com", "Data Scientist", "2023-12-01"),      # tech, stale
+            ("y.com", "ML Engineer", None),                  # tech, undated
+            ("z.com", "Accountant", None),                   # non-tech only
+        ],
+        JOBS_SCHEMA,
+    ).withColumn("posted", F.col("posted").cast("timestamp"))
+
+
+def _aggs(spark):
+    from startup_data_pipeline_spark.functions.columns import tech_title_predicate
+
+    return hiring.job_aggregates(
+        _jobs(spark),
+        key="domain",
+        tech_pred=tech_title_predicate(F.col("title")),
+        ts_col="posted",
+        recent_cutoff=F.lit("2024-01-17").cast("timestamp"),
+        today=F.lit("2024-01-31").cast("date"),
+    )
+
+
+def test_job_aggregates_counts_and_nulls(spark):
+    got = {r["domain"]: r.asDict() for r in _aggs(spark).collect()}
+    assert got["x.com"]["tech_roles"] == 1
+    assert got["x.com"]["recent_tech"] == 1
+    assert got["x.com"]["days_since_posted"] == 6
+    assert got["y.com"]["tech_roles"] == 2
+    assert got["y.com"]["recent_tech"] == 0          # undated not recent
+    assert got["y.com"]["days_since_posted"] == 61   # stale date used
+    assert got["z.com"]["tech_roles"] == 0
+    assert got["z.com"]["latest_posted"] is None
+    assert got["z.com"]["days_since_posted"] == 0    # null-safe A4
+
+
+def test_tier_assignment(spark):
+    got = {r["domain"]: r for r in hiring.assign_tier(_aggs(spark)).collect()}
+    assert got["x.com"]["hiring_tier"] == "A"
+    assert got["x.com"]["details"] == "1 recent tech roles"
+    assert got["y.com"]["hiring_tier"] == "B"
+    assert got["z.com"]["hiring_tier"] == "C"
+    assert got["z.com"]["details"] == "no tech roles found"
+
+
+def test_waterfall_precedence_and_failure(spark):
+    df = spark.createDataFrame(
+        [(1, "p", "d"), (2, None, "d"), (3, None, None)], ["id", "press", "ddg"]
+    )
+    out = resolve.waterfall_coalesce(
+        df,
+        [("press_release", F.col("press"), 0.92), ("ddg", F.col("ddg"), 0.85)],
+    )
+    got = {r["id"]: (r["domain"], r["confidence"], r["source_strategy"])
+           for r in out.collect()}
+    assert got[1] == ("p", 0.92, "press_release")  # higher strategy wins
+    assert got[2] == ("d", 0.85, "ddg")
+    assert got[3] == (None, 0.0, "failed")          # resilience-as-null
+
+
+def test_tld_candidates_and_first_success(spark):
+    df = spark.createDataFrame([("acme",)], ["slug"])
+    cands = resolve.tld_candidates(df, "slug", [".com", ".io"])
+    assert rows(cands, "tld_priority", "candidate_url") == [
+        (0, "https://acme.com"),
+        (1, "https://acme.io"),
+    ]
+    # both "succeed" → the lower priority must win
+    out = resolve.first_success(
+        cands.withColumn("g", F.lit(True)), "slug", F.col("g"), ["tld_priority"]
+    )
+    assert rows(out, "candidate_url") == [("https://acme.com",)]
+
+
+def test_top_k_by_score_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 10), ("g", 3, 5)], ["grp", "id", "s"]
+    )
+    out = resolve.top_k_by_score(df, "grp", F.col("s"), k=1, tiebreak=["id"])
+    assert rows(out, "id") == [(1,)]  # equal scores → lowest id wins

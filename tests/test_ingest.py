@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import ingest
+from tests.conftest import rows
+
+STRONG = ["raises", "secures"]
+CONTEXT = ["series a", "seed"]
+MONEY = ["$", "million"]
+
+
+def _articles(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Acme raises $5M"),                # strong
+            (2, "Beta lands seed— $2 million"),    # context+money (em dash)
+            (3, "Gamma hires a CFO"),              # neither
+            (4, "Delta Series A update"),          # context, no money
+            (5, "EPSILON SECURES FUNDING"),        # strong, uppercase
+        ],
+        ["id", "title"],
+    )
+
+
+def test_keyword_filter_strong_or_context_and_money(spark):
+    out = ingest.keyword_filter(_articles(spark), "title", STRONG, CONTEXT, MONEY)
+    assert rows(out, "id") == [(1,), (2,), (5,)]
+
+
+def test_keyword_filter_dash_normalization(spark):
+    # P1: the em dash in row 2 must fold to a space, keeping "seed" intact
+    df = spark.createDataFrame([(1, "X–seed $1 million")], ["id", "title"])
+    out = ingest.keyword_filter(df, "title", [], ["seed"], ["$"])
+    assert out.count() == 1
+
+
+def test_recency_filter_admits_undated(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-01"), (3, None)], ["id", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ingest.recency_filter(df, "ts", F.lit("2024-01-05").cast("timestamp"))
+    assert rows(out, "id") == [(1,), (3,)]  # undated row 3 admitted
+
+
+def test_recency_filter_can_drop_undated(spark):
+    df = spark.createDataFrame([(1, None)], "id int, ts timestamp")
+    out = ingest.recency_filter(
+        df, "ts", F.lit("2024-01-05").cast("timestamp"), keep_undated=False
+    )
+    assert out.count() == 0
+
+
+def test_union_sources_allows_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "title"])
+    b = spark.createDataFrame([(2, "y", "feed2")], ["id", "title", "source"])
+    out = ingest.union_sources([a, b])
+    assert set(out.columns) == {"id", "title", "source"}
+    assert out.count() == 2
+    assert out.filter(F.col("source").isNull()).count() == 1
+
+
+def test_cap_newest_keeps_newest_deterministically(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-03"), (3, "2024-01-03"), (4, "2024-01-02")],
+        ["id", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ingest.cap_newest(df, "ts", 2, "id")
+    assert rows(out, "id") == [(2,), (3,)]  # tie broken by id asc

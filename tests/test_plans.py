@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+from startup_data_pipeline_spark.plans.pipeline import flagship_hiring_signal
+
+
+def test_flagship_smoke(spark, sf_dir):
+    df = flagship_hiring_signal(spark, sf_dir)
+    assert df.columns == [
+        "order_key", "company", "nation", "segment", "announced",
+        "n_lines", "active_lines", "recent_lines", "order_value", "hiring_tier",
+    ]
+    out = df.collect()
+    assert len(out) > 0
+    assert {r["hiring_tier"] for r in out} <= {"A", "B", "C"}
+
+
+def test_flagship_anti_join_excludes_seen(spark, sf_dir):
+    df = flagship_hiring_signal(spark, sf_dir)
+    assert df.filter("order_key % 7 = 0").count() == 0

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import state
+from tests.conftest import rows
+
+STATE_SCHEMA = "k string, amount long, tier string, last string"
+
+
+def _state(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 100, "C", "t1"),   # matched: incoming has nulls to coalesce
+            ("b", None, "B", "t1"),  # matched: incoming fills amount
+            ("c", 300, "A", "t1"),   # unmatched: must persist untouched
+        ],
+        STATE_SCHEMA,
+    )
+
+
+def _incoming(spark):
+    return spark.createDataFrame(
+        [
+            ("a", None, "A", "t2"),  # null amount must NOT erase stored 100
+            ("b", 250, None, "t2"),  # overwrite tier with null (last-write-wins)
+            ("d", 400, "B", "t2"),   # not matched: insert
+            (None, 999, "C", "t2"),  # NULL key: never conflicts, inserts
+        ],
+        STATE_SCHEMA,
+    )
+
+
+def test_upsert_merge_per_column_rules(spark):
+    out = state.upsert_merge(
+        _state(spark),
+        _incoming(spark),
+        key_cols=["k"],
+        coalesce_cols=["amount"],
+        overwrite_cols=["tier", "last"],
+    )
+    got = {r["k"]: (r["amount"], r["tier"], r["last"]) for r in out.collect()}
+    assert got["a"] == (100, "A", "t2")    # COALESCE kept old amount
+    assert got["b"] == (250, None, "t2")   # overwrite allows null tier
+    assert got["c"] == (300, "A", "t1")    # untouched state row
+    assert got["d"] == (400, "B", "t2")    # inserted
+    assert got[None] == (999, "C", "t2")   # NULL key inserted, no conflict
+    assert out.count() == 5
+
+
+def test_upsert_merge_idempotent_for_identical_batch(spark):
+    st = _state(spark)
+    inc = _incoming(spark)
+    once = state.upsert_merge(st, inc, ["k"], ["amount"], ["tier", "last"])
+    twice = state.upsert_merge(once, inc, ["k"], ["amount"], ["tier", "last"])
+    # re-applying the same incoming batch must not change non-null data...
+    non_null_keys = [r for r in rows(once) if r[0] is not None]
+    non_null_keys2 = [r for r in rows(twice) if r[0] is not None]
+    assert non_null_keys == non_null_keys2
+    # ...but NULL-keyed rows duplicate (SQLite UNIQUE-NULL semantics,
+    # SURVEY.md §7.5 risk 1) — that wrinkle is intentional
+    assert twice.filter(F.col("k").isNull()).count() == 2
+
+
+def test_anti_and_semi_join(spark):
+    inc = spark.createDataFrame([(1,), (2,), (3,)], ["url"])
+    seen = spark.createDataFrame([(2,), (9,)], ["source_url"])
+    assert rows(state.anti_join_seen(inc, seen, "url", "source_url")) == [(1,), (3,)]
+    assert rows(state.semi_join_exists(inc, seen, "url", "source_url")) == [(2,)]
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 2, "y"), ("a", 1, "x"), ("b", 5, "z")], ["k", "ord", "v"]
+    )
+    out = state.exact_dedup(df, keys=["k"], order_by=["ord"])
+    assert rows(out, "k", "v") == [("a", "x"), ("b", "z")]

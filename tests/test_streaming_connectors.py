@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from startup_data_pipeline_spark.operators import multimodal, windows
+from startup_data_pipeline_spark.sources import connectors
+from startup_data_pipeline_spark.streaming import incremental
+from tests.conftest import rows
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    stream = incremental.read_events_stream(spark, sf_dir)
+    agg = windows.tumbling_agg(stream, "ts", "10 minutes", ["event_type"])
+    got = incremental.run_available_now(agg, "t_stream_tumbling")
+
+    batch = windows.tumbling_agg(
+        load_table(spark, sf_dir, "events"), "ts", "10 minutes", ["event_type"]
+    )
+    assert rows(got) == rows(batch)
+
+
+def test_streaming_dedup_bounded_by_key(spark, sf_dir):
+    stream = incremental.read_events_stream(spark, sf_dir)
+    deduped = incremental.streaming_seen_dedup(
+        stream, ["user_id"], "ts", "1 hour"
+    ).select("user_id")
+    got = incremental.run_available_now_append(deduped, "t_stream_dedup")
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    want = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    assert rows(got) == rows(want)
+
+
+def test_foreach_batch_alert_sink(spark, sf_dir):
+    stream = incremental.read_events_stream(spark, sf_dir)
+    tiers = stream.withColumn(
+        "hiring_tier", F.when(F.col("event_type") == "error", "A").otherwise("C")
+    )
+    seen: list[dict] = []
+    incremental.foreach_batch_alert_sink(tiers, ["A"], seen.append)
+    assert len(seen) > 0
+    assert all(r["hiring_tier"] == "A" for r in seen)
+
+
+# --- connector shell -------------------------------------------------------
+
+def test_fetch_text_stage_truncates_and_nulls(spark):
+    df = spark.createDataFrame([("u1",), ("u2",), (None,)], "url string")
+    transport = connectors.fixture_transport({"u1": "x" * 5000})
+    out = connectors.fetch_text_stage(df, "url", "body", transport, max_len=1800)
+    got = {r["url"]: r["body"] for r in out.collect()}
+    assert len(got["u1"]) == 1800          # S3 truncation
+    assert got["u2"] is None               # fetch failure → null flows on
+    assert got[None] is None
+
+
+def test_resolve_waterfall_short_circuit_order(spark):
+    df = spark.createDataFrame(
+        [("Acme", "a1"), ("Beta", "a2"), ("Gamma", "a3"), ("Delta", "a4")],
+        ["name", "article"],
+    )
+    transport = connectors.fixture_transport(
+        {
+            "a1": '<a href="https://acme.dev">site</a>',  # press hit
+            "ddg://beta": "https://beta.ai",               # ddg hit
+            "https://gamma.com": "ok",                     # guess hit (.com first)
+            "https://gamma.io": "ok",                      # lower priority, ignored
+        }
+    )
+    out = connectors.resolve_waterfall_stage(df, "name", "article", transport)
+    got = {r["name"]: (r["domain"], r["confidence"], r["source_strategy"])
+           for r in out.collect()}
+    assert got["Acme"] == ("https://acme.dev", 0.92, "press_release")
+    assert got["Beta"] == ("https://beta.ai", 0.85, "ddg")
+    assert got["Gamma"] == ("https://gamma.com", 0.60, "guess")
+    assert got["Delta"] == (None, 0.0, "failed")
+
+
+def test_llm_extract_stage_repairs_messy_model_output(spark):
+    schema = StructType(
+        [
+            StructField("company_name", StringType()),
+            StructField("amount_raised_usd", LongType()),
+        ]
+    )
+    df = spark.createDataFrame([("acme raises big",)], ["body"])
+    out = connectors.llm_extract_stage(
+        df, "body", schema, connectors.deterministic_fake_model
+    )
+    r = out.select("llm.*").collect()[0]
+    assert r["company_name"] == "Acme"
+    assert r["amount_raised_usd"] == 15 * 100000
+
+
+def test_offline_transport_degrades_to_null(spark):
+    df = spark.createDataFrame([("http://x",)], ["url"])
+    out = connectors.validate_url_stage(
+        df, "url", "ok", connectors.offline_transport
+    )
+    assert out.collect()[0]["ok"] is False
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+def test_multimodal_payload_and_features(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
+    wrapped = multimodal.attach_binary_payload(df, "text")
+    r = wrapped.collect()[0]
+    assert bytes(r["payload"]) == b"hello world"
+    assert r["media_meta"]["n_bytes"] == 11
+
+    feat = multimodal.extract_features(wrapped).collect()[0]["features"]
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v < 1.0 for v in feat)
+    # deterministic: same payload → same features
+    feat2 = multimodal.extract_features(wrapped).collect()[0]["features"]
+    assert feat == feat2
+
+
+def test_multimodal_decode_is_gated(spark):
+    import pytest
+
+    df = multimodal.attach_binary_payload(
+        spark.createDataFrame([(1, "x")], ["id", "text"]), "text"
+    )
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(df)
+
+
+def test_frame_sampling_explodes_indices(spark):
+    df = multimodal.attach_binary_payload(
+        spark.createDataFrame([(1, "x" * 100)], ["id", "text"]), "text"
+    )
+    out = multimodal.sample_frames(df, every_n=5)
+    idx = [r["frame_index"] for r in out.collect()]
+    assert idx == list(range(0, 11, 5))  # n_bytes/10 = 10 frames, step 5

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import dedup, similarity, text
+from tests.conftest import rows
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "  THE  quick brown fox jumps over the lazy dog "),  # ws/case variant
+    (3, "a completely different document about spark engines"),
+    (4, "the quick brown fox jumps over the lazy cat"),       # near dup of 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    out = {r["doc_id"]: r["fingerprint"]
+           for r in text.fingerprint(_docs(spark), "text").collect()}
+    assert out[1] == out[2]          # exact dup after normalization
+    assert out[1] != out[3]
+
+
+def test_token_stats(spark):
+    out = text.token_stats(_docs(spark), "text").filter(F.col("doc_id") == 1)
+    r = out.collect()[0]
+    assert r["n_tokens"] == 9
+    assert r["n_distinct_tokens"] == 8  # 'the' twice
+
+
+def test_minhash_identical_token_sequences_share_signature(spark):
+    sigs = {r["doc_id"]: (r["mh_0"], r["mh_1"])
+            for r in dedup.minhash_signatures(
+                _docs(spark), "doc_id", "text", num_hashes=2, k=3).collect()}
+    assert sigs[1] == sigs[2]
+
+
+def test_jaccard_pairs_scores(spark):
+    out = dedup.jaccard_pairs(_docs(spark), "doc_id", "text", k=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0                      # identical shingle sets
+    assert 0.0 < got[(1, 4)] < 1.0                 # near dup
+    assert (1, 3) not in got                       # disjoint docs never pair
+
+
+def test_simhash_exact_dup_zero_hamming(spark):
+    sigs = dedup.simhash16(_docs(spark), "doc_id", "text")
+    pairs = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0  # identical token multisets
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+    out = df.select(dedup.word_shingles(F.col("text"), 3).alias("s"))
+    assert out.collect()[0]["s"] == []
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0], 0),
+    (2, [0.9998, 0.02, 0.0], 0),   # near 1
+    (3, [0.0, 1.0, 0.0], 1),
+    (4, [-1.0, 0.0, 0.0], 1),      # opposite of 1
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(EMB, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_excludes_self_and_ranks(spark):
+    out = similarity.brute_force_topk(_emb(spark), "vec_id", "embedding", [1], k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [2, 3, 4]  # cosine order; self excluded
+
+
+def test_int_dot_exactness(spark):
+    df = spark.createDataFrame([([10000, -3], [2, 5])], ["a", "b"]).select(
+        similarity.int_dot(
+            F.col("a").cast("array<long>"), F.col("b").cast("array<long>")
+        ).alias("d")
+    )
+    assert df.collect()[0]["d"] == 19985
+
+
+def test_centroid_classify_separable(spark):
+    out = similarity.centroid_classify(_emb(spark), "vec_id", "label", "embedding")
+    got = {r["vec_id"]: r["predicted_label"] for r in out.collect()}
+    assert got[1] == 0 and got[2] == 0  # aligned with label-0 centroid
