@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
+from .util import ensure_min_parallelism
 
 SIMHASH_BITS = 16
 
@@ -54,7 +55,7 @@ def minhash_signatures(
     on a random hash family, and exactly reproducible in ANSI SQL
     (min(md5(i || s))), which keeps this oracle-checkable.
     """
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
     aggs = [
@@ -132,7 +133,7 @@ def jaccard_pairs(
     restriction (disjoint docs never meet), so cost is proportional to
     true collisions, not n². Jaccard rounded to 4 for oracle stability.
     """
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
@@ -178,7 +179,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit set iff the vote is positive. One groupBy, 16 integer sums —
     map-side combinable, exact in any engine.
     """
-    tok = df.select(
+    tok = ensure_min_parallelism(df).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).withColumn("h", _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4)))
     votes = [

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_min_parallelism
+
 QUANT_SCALE = 10000
 
 
@@ -63,7 +65,7 @@ def brute_force_topk(
             quantize(F.col(vec_col)).alias("qv"),
         )
     )
-    c = embeddings.select(
+    c = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
     scored = (

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import STOPWORDS
+from .util import ensure_min_parallelism
 
 
 def tokens(text: Column) -> Column:
@@ -104,4 +105,4 @@ def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataF
     dedup over 100 TB shuffles 16-byte digests, not documents).
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.withColumn(out, F.md5(norm))
+    return ensure_min_parallelism(df).withColumn(out, F.md5(norm))

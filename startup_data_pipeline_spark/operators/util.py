@@ -1,0 +1,23 @@
+"""Operator-side plan utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition ONLY IF the input is under-parallelized.
+
+    Heavy per-row operators (shingling, hashing, vector math) are
+    CPU-bound: a single-file parquet scan yields one partition and
+    serializes the whole stage (observed 7× slowdown at sf0.1). On a real
+    100 TB table the scan already has thousands of splits and this is a
+    no-op — the guard keeps us from paying a gratuitous shuffle there.
+    """
+    if n is None:
+        n = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

@@ -74,6 +74,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture parquet is one smallish file per table; split scans finer
+        # so CPU-bound stages parallelize (at warehouse scale files >>
+        # cores and the default 128m is right — this is a local knob)
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
