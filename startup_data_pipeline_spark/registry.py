@@ -57,7 +57,12 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 
 def all_queries() -> dict[str, RegisteredQuery]:
     # import for side effect of registration of extension batteries
-    from . import registry_ext, registry_stream, registry_text  # noqa: F401
+    from . import (  # noqa: F401
+        registry_ats,
+        registry_ext,
+        registry_stream,
+        registry_text,
+    )
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,347 @@
+"""ATS-source, careers-link, and blocklist query batteries.
+
+Covers SURVEY §2.1 S4-S9 (provider payload normalizers), §2.5 W2
+(prioritized first-match careers link), §2.2 P7/P8 (blocklist and
+self-link anti-filters), §2.8 F13 (JSON serialize).
+
+Payloads are constructed deterministically from fixture tables, so the
+oracle can state the EXPECTED normalized output directly — validating
+Spark's from_json/explode path against an independent construction
+rather than a parallel JSON parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ATS_PATTERNS, PARKED_BLOCKLIST, SOCIAL_HOSTS
+from .functions.columns import any_keyword, slugify, tech_title_predicate
+from .registry import register
+from .sources import ats
+from .sources.tables import load_table
+
+
+def _gh_iso(day_expr: str) -> str:
+    return f"'2024-01-' || lpad(CAST({day_expr} AS VARCHAR), 2, '0') || 'T09:30:00Z'"
+
+
+# ---------------------------------------------------------------------------
+# S4: Greenhouse
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ats_greenhouse",
+    oracle=f"""
+    SELECT 'd' || doc_id AS domain,
+           t.title_prefix || doc_id AS title,
+           'City' || (doc_id % 7) AS location,
+           'https://boards.greenhouse.io/d' || doc_id || '/' || t.slot AS url,
+           strptime('2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                    || 'T09:30:00', '%Y-%m-%dT%H:%M:%S') AS posted_dt
+    FROM documents
+    CROSS JOIN (VALUES ('Engineer ', '1'), ('Manager ', '2'))
+        AS t(title_prefix, slot)
+    WHERE doc_id % 10 <> 0
+    """,
+    survey_ops="S4 Greenhouse JSON source (detect_ats.py:120-138) + F14 failure path",
+)
+def q_ats_greenhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    iso = F.concat(
+        F.lit("2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T09:30:00Z"),
+    )
+    job = lambda prefix, slot: F.concat(  # noqa: E731
+        F.lit('{"title":"' + prefix),
+        F.col("doc_id"),
+        F.lit('","location":{"name":"City'),
+        F.col("doc_id") % 7,
+        F.lit('"},"absolute_url":"https://boards.greenhouse.io/d'),
+        F.col("doc_id"),
+        F.lit(f'/{slot}","created_at":"'),
+        iso,
+        F.lit('"}'),
+    )
+    payload = F.concat(
+        F.lit('{"jobs":['), job("Engineer ", "1"), F.lit(","), job("Manager ", "2"),
+        F.lit("]}"),
+    )
+    # ~10% hard-corrupt (no braces at all): repair yields null → zero rows,
+    # the reference's swallow-to-empty contract (detect_ats.py:286-287)
+    payload = F.when(F.col("doc_id") % 10 == 0, F.lit("ERROR PAGE <html>")).otherwise(
+        payload
+    )
+    src = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("board"),
+        payload.alias("payload"),
+    )
+    return ats.normalize_greenhouse(src, "board", "payload")
+
+
+# ---------------------------------------------------------------------------
+# S5: Lever (epoch-ms dates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ats_lever",
+    oracle="""
+    SELECT 'd' || doc_id AS domain,
+           'Backend Dev ' || doc_id AS title,
+           'Remote' AS location,
+           'https://jobs.lever.co/d' || doc_id AS url,
+           epoch_ms(1704067200000 + doc_id * 3600000) AS posted_dt
+    FROM documents
+    WHERE doc_id % 10 <> 0
+    """,
+    survey_ops="S5 Lever JSON source, timestamp_millis (detect_ats.py:140-158)",
+)
+def q_ats_lever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ms = F.lit(1704067200000).cast("long") + F.col("doc_id") * 3600000
+    payload = F.concat(
+        F.lit('[{"text":"Backend Dev '),
+        F.col("doc_id"),
+        F.lit('","categories":{"location":"Remote"},"hostedUrl":"https://jobs.lever.co/d'),
+        F.col("doc_id"),
+        F.lit('","createdAt":'),
+        ms,
+        F.lit("}]"),
+    )
+    payload = F.when(F.col("doc_id") % 10 == 0, F.lit("<html>oops</html>")).otherwise(
+        payload
+    )
+    src = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("board"),
+        payload.alias("payload"),
+    )
+    return ats.normalize_lever(src, "board", "payload")
+
+
+# ---------------------------------------------------------------------------
+# S6/S9: JSON-LD with anchor-scrape fallback union
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ats_jsonld_fallback",
+    oracle="""
+    SELECT 'd' || doc_id AS domain,
+           'ML Engineer ' || doc_id AS title,
+           CAST(NULL AS VARCHAR) AS location,
+           'https://d' || doc_id || '/apply' AS url,
+           strptime('2024-01-02T00:00:00', '%Y-%m-%dT%H:%M:%S') AS posted_dt
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'd' || doc_id, 'Frontend Engineer ' || doc_id,
+           CAST(NULL AS VARCHAR),
+           'https://d' || doc_id || '/j/1',
+           CAST(NULL AS TIMESTAMP)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    survey_ops="S6/S9 JSON-LD + anchors fallback union (detect_ats.py:160-198,230-262), S7 scrape, P4",
+)
+def q_ats_jsonld_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("domain_id"),
+        F.col("doc_id"),
+    )
+    ld_payload = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('{"@type":"JobPosting","title":"ML Engineer '),
+            F.col("doc_id"),
+            F.lit('","datePosted":"2024-01-02T00:00:00Z","url":"https://d'),
+            F.col("doc_id"),
+            F.lit('/apply"}'),
+        ),
+    ).otherwise(F.lit("no structured data"))
+    html = F.concat(
+        F.lit('<a href="https://d'),
+        F.col("doc_id"),
+        F.lit('/j/1">Frontend Engineer '),
+        F.col("doc_id"),
+        F.lit('</a><a href="https://d'),
+        F.col("doc_id"),
+        F.lit('/about">About us</a>'),
+    )
+    src = docs.withColumn("ld", ld_payload).withColumn("html", html)
+    ld_jobs = ats.normalize_jsonld(src, "domain_id", "ld")
+    anchor_jobs = ats.scrape_anchor_jobs(
+        src, "domain_id", "html", tech_title_predicate(F.col("title"))
+    )
+    return ats.jsonld_with_anchor_fallback(ld_jobs, anchor_jobs)
+
+
+# ---------------------------------------------------------------------------
+# W2: prioritized careers-link first-match
+# ---------------------------------------------------------------------------
+
+_W2_PRIORITY_SQL = """
+    CASE WHEN contains(href, 'greenhouse') OR contains(href, 'lever.co')
+              OR contains(href, 'ashbyhq') OR contains(href, 'workable')
+              OR contains(href, 'bamboohr') THEN 1
+         WHEN contains(href, '/careers') OR contains(href, '/jobs') THEN 2
+         WHEN regexp_matches(lower(txt), 'careers|jobs|join us|open roles')
+              THEN 3
+    END
+"""
+
+
+@register(
+    "q_careers_link",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT s_suppkey, 1 AS pos,
+               'https://' || slug || '.com/about' AS href, 'About' AS txt
+        FROM (SELECT s_suppkey, translate(lower(s_name), ' .,', '') AS slug
+              FROM supplier)
+        UNION ALL
+        SELECT s_suppkey, 2,
+               CASE WHEN s_suppkey % 3 = 0
+                    THEN 'https://boards.greenhouse.io/' || slug
+                    ELSE 'https://' || slug || '.com/blog' END,
+               CASE WHEN s_suppkey % 3 = 0 THEN 'Open roles' ELSE 'Blog' END
+        FROM (SELECT s_suppkey, translate(lower(s_name), ' .,', '') AS slug
+              FROM supplier)
+        UNION ALL
+        SELECT s_suppkey, 3,
+               CASE WHEN s_suppkey % 3 <= 1
+                    THEN 'https://' || slug || '.com/careers'
+                    ELSE 'https://' || slug || '.com/team' END,
+               CASE WHEN s_suppkey % 3 <= 1 THEN 'Work with us' ELSE 'Careers' END
+        FROM (SELECT s_suppkey, translate(lower(s_name), ' .,', '') AS slug
+              FROM supplier)
+    )
+    SELECT s_suppkey, href AS careers_url,
+           CAST(priority AS INTEGER) AS priority
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY s_suppkey ORDER BY priority ASC, pos ASC
+               ) AS rn
+        FROM (SELECT *, {_W2_PRIORITY_SQL} AS priority FROM anchors)
+        WHERE priority IS NOT NULL
+    )
+    WHERE rn = 1
+    """,
+    survey_ops="W2 prioritized first-match careers link (detect_ats.py:89-116)",
+)
+def q_careers_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resolve import first_success
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", slugify(F.col("s_name")).alias("slug")
+    )
+    site = lambda path: F.concat(  # noqa: E731
+        F.lit("https://"), F.col("slug"), F.lit(".com" + path)
+    )
+    anchors = sup.select(
+        "s_suppkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("pos"), site("/about").alias("href"),
+                         F.lit("About").alias("txt")),
+                F.struct(
+                    F.lit(2).alias("pos"),
+                    F.when(
+                        F.col("s_suppkey") % 3 == 0,
+                        F.concat(F.lit("https://boards.greenhouse.io/"), F.col("slug")),
+                    ).otherwise(site("/blog")).alias("href"),
+                    F.when(F.col("s_suppkey") % 3 == 0, "Open roles")
+                    .otherwise("Blog").alias("txt"),
+                ),
+                F.struct(
+                    F.lit(3).alias("pos"),
+                    F.when(F.col("s_suppkey") % 3 <= 1, site("/careers"))
+                    .otherwise(site("/team")).alias("href"),
+                    F.when(F.col("s_suppkey") % 3 <= 1, "Work with us")
+                    .otherwise(F.lit("Careers")).alias("txt"),
+                ),
+            )
+        ).alias("a"),
+    ).select("s_suppkey", "a.pos", "a.href", "a.txt")
+    priority = (
+        F.when(any_keyword(F.col("href"), list(ATS_PATTERNS)), 1)
+        .when(
+            F.col("href").contains("/careers") | F.col("href").contains("/jobs"), 2
+        )
+        .when(F.lower(F.col("txt")).rlike("careers|jobs|join us|open roles"), 3)
+    )
+    scored = anchors.withColumn("priority", priority)
+    best = first_success(
+        scored, "s_suppkey", F.col("priority").isNotNull(), ["priority", "pos"]
+    )
+    return best.select(
+        "s_suppkey", F.col("href").alias("careers_url"), "priority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/P8: blocklist + self-link anti-filters
+# ---------------------------------------------------------------------------
+
+_BLOCK_TERMS = " OR ".join(
+    f"contains(cand_host, '{b}')" for b in PARKED_BLOCKLIST + SOCIAL_HOSTS
+)
+
+
+@register(
+    "q_blocklist_filter",
+    oracle=f"""
+    SELECT c_custkey, cand_host
+    FROM (
+        SELECT c_custkey,
+               CASE CAST(c_custkey % 5 AS INTEGER)
+                   WHEN 0 THEN 'parking.godaddy.com'
+                   WHEN 1 THEN 'www.linkedin.com'
+                   WHEN 2 THEN 'acme' || c_custkey || '.com'
+                   WHEN 3 THEN 'news' || c_custkey || '.com'
+                   ELSE 'beta' || c_custkey || '.io' END AS cand_host,
+               'news' || c_custkey || '.com' AS article_host
+        FROM customer
+    )
+    WHERE NOT ({_BLOCK_TERMS})
+      AND cand_host <> article_host
+    """,
+    survey_ops="P7 blocklist/social anti-filter + P8 self-link (domain_resolver.py:58,72-98,127)",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cand = (
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("parking.godaddy.com"))
+        .when(F.col("c_custkey") % 5 == 1, F.lit("www.linkedin.com"))
+        .when(F.col("c_custkey") % 5 == 2,
+              F.concat(F.lit("acme"), F.col("c_custkey"), F.lit(".com")))
+        .when(F.col("c_custkey") % 5 == 3,
+              F.concat(F.lit("news"), F.col("c_custkey"), F.lit(".com")))
+        .otherwise(F.concat(F.lit("beta"), F.col("c_custkey"), F.lit(".io")))
+    )
+    art = F.concat(F.lit("news"), F.col("c_custkey"), F.lit(".com"))
+    df = cust.select(
+        "c_custkey", cand.alias("cand_host"), art.alias("article_host")
+    )
+    blocked = any_keyword(F.col("cand_host"), PARKED_BLOCKLIST + SOCIAL_HOSTS)
+    return df.filter(
+        ~blocked & (F.col("cand_host") != F.col("article_host"))
+    ).select("c_custkey", "cand_host")
+
+
+# ---------------------------------------------------------------------------
+# F13: JSON serialize (sink-side investors list)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_json_serialize",
+    oracle="""
+    SELECT c_custkey,
+           to_json(string_split(c_name, '#'))::VARCHAR AS investors_json
+    FROM customer
+    """,
+    survey_ops="F13 array → JSON text at sink (upsert.py:94)",
+)
+def q_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.to_json(F.split(F.col("c_name"), "#")).alias("investors_json"),
+    )

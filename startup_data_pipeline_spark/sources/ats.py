@@ -1,0 +1,172 @@
+"""ATS job-board source normalizers (SURVEY.md §2.1 S4-S9).
+
+Each provider's raw payload (Greenhouse/Lever JSON APIs, Ashby/internal
+JSON-LD, anchor-scrape fallbacks) is normalized to the reference's common
+job shape ``{title, location, url, posted_dt}`` (detect_ats.py:132-137).
+The fetch itself is a connector (sources/connectors.py); everything here
+is engine-side: ``from_json`` with explicit provider schemas (the typed
+version of detect_ats.py's dict plucking), UDTF-style explode, and a
+union for the JSON-LD-else-anchors fallback (detect_ats.py:188-198).
+
+Malformed payloads (fences, prose) flow through the F14 repair chain and
+degrade to zero rows — the reference's swallow-to-empty contract
+(detect_ats.py:286-287).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.jsonops import repair_json
+
+# Greenhouse: GET boards-api.greenhouse.io/v1/boards/{slug}/jobs
+# (detect_ats.py:120-138)
+GREENHOUSE_SCHEMA = StructType(
+    [
+        StructField(
+            "jobs",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("title", StringType()),
+                        StructField(
+                            "location",
+                            StructType([StructField("name", StringType())]),
+                        ),
+                        StructField("absolute_url", StringType()),
+                        StructField("updated_at", StringType()),
+                        StructField("created_at", StringType()),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# Lever: GET api.lever.co/v0/postings/{slug}?mode=json (detect_ats.py:140-158)
+LEVER_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("text", StringType()),
+            StructField(
+                "categories", StructType([StructField("location", StringType())])
+            ),
+            StructField("hostedUrl", StringType()),
+            StructField("createdAt", LongType()),  # epoch millis
+        ]
+    )
+)
+
+# JSON-LD JobPosting blob (Ashby / internal pages, detect_ats.py:169-186)
+JSONLD_SCHEMA = StructType(
+    [
+        StructField("@type", StringType()),
+        StructField("title", StringType()),
+        StructField("datePosted", StringType()),
+        StructField("url", StringType()),
+    ]
+)
+
+
+def _iso_ts(col: Column) -> Column:
+    """ISO-8601 with Z suffix → timestamp (F8, detect_ats.py:69-77)."""
+    fixed = F.regexp_replace(col, "Z$", "+00:00")
+    return F.to_timestamp(F.substring(fixed, 1, 19), "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def normalize_greenhouse(df: DataFrame, domain_col: str, payload_col: str) -> DataFrame:
+    """S4: Greenhouse payload → common job rows."""
+    parsed = F.from_json(repair_json(F.col(payload_col)), GREENHOUSE_SCHEMA)
+    return (
+        df.withColumn("__jobs", parsed["jobs"])
+        .select(F.col(domain_col).alias("domain"), F.explode("__jobs").alias("j"))
+        .select(
+            "domain",
+            F.col("j.title").alias("title"),
+            F.col("j.location.name").alias("location"),
+            F.col("j.absolute_url").alias("url"),
+            _iso_ts(F.col("j.created_at")).alias("posted_dt"),
+        )
+    )
+
+
+def normalize_lever(df: DataFrame, domain_col: str, payload_col: str) -> DataFrame:
+    """S5: Lever payload → common job rows (epoch-ms dates)."""
+    parsed = F.from_json(repair_json(F.col(payload_col)), LEVER_SCHEMA)
+    return (
+        df.withColumn("__jobs", parsed)
+        .select(F.col(domain_col).alias("domain"), F.explode("__jobs").alias("j"))
+        .select(
+            "domain",
+            F.col("j.text").alias("title"),
+            F.col("j.categories.location").alias("location"),
+            F.col("j.hostedUrl").alias("url"),
+            F.timestamp_millis(F.col("j.createdAt")).alias("posted_dt"),
+        )
+    )
+
+
+def normalize_jsonld(df: DataFrame, domain_col: str, payload_col: str) -> DataFrame:
+    """S6/S9 primary branch: JSON-LD JobPosting blob → job rows."""
+    parsed = F.from_json(repair_json(F.col(payload_col)), JSONLD_SCHEMA)
+    out = df.withColumn("__j", parsed).filter(
+        F.col("__j.@type") == "JobPosting"
+    )
+    return out.select(
+        F.col(domain_col).alias("domain"),
+        F.col("__j.title").alias("title"),
+        F.lit(None).cast("string").alias("location"),
+        F.col("__j.url").alias("url"),
+        _iso_ts(F.col("__j.datePosted")).alias("posted_dt"),
+    )
+
+
+def scrape_anchor_jobs(
+    df: DataFrame, domain_col: str, html_col: str, title_filter: Column | None = None
+) -> DataFrame:
+    """S7/S8 + S6/S9 fallback: anchor-scrape ``<a href>`` job cards.
+
+    Undated rows (posted_dt null) are the tier-B path: HTML providers
+    carry no dates (detect_ats.py:196-198).
+    """
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(r'<a href="([^"]+)">'), 1)
+    texts = F.regexp_extract_all(
+        F.col(html_col), F.lit(r'<a href="[^"]+">([^<]+)</a>'), 1
+    )
+    out = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("txt"))).alias(
+                "a"
+            ),
+        )
+        .select(
+            "domain",
+            F.col("a.txt").alias("title"),
+            F.lit(None).cast("string").alias("location"),
+            F.col("a.href").alias("url"),
+            F.lit(None).cast("timestamp").alias("posted_dt"),
+        )
+    )
+    if title_filter is not None:
+        out = out.filter(title_filter)
+    return out
+
+
+def jsonld_with_anchor_fallback(
+    jsonld_jobs: DataFrame, anchor_jobs: DataFrame
+) -> DataFrame:
+    """S6/S9 fallback union: domains with no JSON-LD rows fall back to
+    their anchor-scraped rows (detect_ats.py:188-198) — an anti-join on
+    domain then unionByName."""
+    have = jsonld_jobs.select("domain").dropDuplicates()
+    fallback = anchor_jobs.join(have, "domain", "left_anti")
+    return jsonld_jobs.unionByName(fallback)

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.sources import ats
+from tests.conftest import rows
+
+GH_OK = (
+    '{"jobs":[{"title":"SWE","location":{"name":"NYC"},'
+    '"absolute_url":"u1","created_at":"2024-01-05T10:00:00Z"}]}'
+)
+
+
+def test_greenhouse_normalizer(spark):
+    df = spark.createDataFrame([("d1", GH_OK)], ["board", "payload"])
+    out = ats.normalize_greenhouse(df, "board", "payload").collect()[0]
+    assert out["domain"] == "d1"
+    assert out["title"] == "SWE"
+    assert out["location"] == "NYC"
+    assert str(out["posted_dt"]) == "2024-01-05 10:00:00"
+
+
+def test_malformed_payload_swallowed_to_empty(spark):
+    # detect_ats.py:286-287 — provider errors degrade to zero jobs
+    df = spark.createDataFrame(
+        [("d1", "<html>500</html>"), ("d2", "```json garbage")],
+        ["board", "payload"],
+    )
+    assert ats.normalize_greenhouse(df, "board", "payload").count() == 0
+    assert ats.normalize_lever(df, "board", "payload").count() == 0
+
+
+def test_jsonld_rejects_non_jobposting(spark):
+    df = spark.createDataFrame(
+        [("d1", '{"@type":"Organization","title":"x","datePosted":"2024-01-01T00:00:00Z","url":"u"}')],
+        ["board", "payload"],
+    )
+    assert ats.normalize_jsonld(df, "board", "payload").count() == 0
+
+
+def test_anchor_fallback_union_only_for_missing_domains(spark):
+    ld = spark.createDataFrame(
+        [("d1", '{"@type":"JobPosting","title":"ML","datePosted":"2024-01-01T00:00:00Z","url":"u"}')],
+        ["board", "payload"],
+    )
+    html = '<a href="https://x/j/1">Engineer</a>'
+    anchors_src = spark.createDataFrame(
+        [("d1", html), ("d2", html)], ["board", "html"]
+    )
+    ld_jobs = ats.normalize_jsonld(ld, "board", "payload")
+    anchor_jobs = ats.scrape_anchor_jobs(anchors_src, "board", "html")
+    out = ats.jsonld_with_anchor_fallback(ld_jobs, anchor_jobs)
+    got = rows(out, "domain", "title")
+    # d1 keeps its JSON-LD row; only d2 falls back to the anchor scrape
+    assert got == [("d1", "ML"), ("d2", "Engineer")]
+
+
+def test_write_append_sink(spark, tmp_path):
+    from startup_data_pipeline_spark.operators import publish
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    out = str(tmp_path / "sink")
+    publish.write_append(df, out)
+    publish.write_append(df, out)  # S14 append semantics
+    assert spark.read.parquet(out).count() == 2
