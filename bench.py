@@ -41,6 +41,9 @@ HEADLINE = [
     "q_simhash",
     "q_ann_topk",
     "q_centroid_classify",
+    "q_embedding_near_dup",
+    "q_ats_greenhouse",
+    "q_careers_link",
 ]
 
 

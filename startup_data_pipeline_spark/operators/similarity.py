@@ -192,3 +192,36 @@ def centroid_classify(
             F.col("label").alias("predicted_label"),
         )
     )
+
+
+def near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_score: int,
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (§2.11 dedup family).
+
+    Self-join restricted to the sign-LSH bucket (high-cosine pairs share
+    orthant signs with high probability), then the exact quantized-dot
+    threshold. Cost ∝ bucket collisions, not n²; at warehouse scale the
+    bucketer generalizes to IVF cells with the same join shape.
+    """
+    dims = dims or [0, 1, 2, 3]
+    side = lambda tag: (  # noqa: E731
+        ensure_min_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias(f"id_{tag}"),
+            quantize(F.col(vec_col)).alias(f"v_{tag}"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col(f"v_{tag}"), dims))
+    )
+    a, b = side("a"), side("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", int_dot(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("score") >= min_score)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,72 @@
+"""Incremental micro-batch run with persistent parquet state (S17/§2.9).
+
+The reference's full per-cron-run cycle (main.py:36-136 + run.yml state
+commit-back): ingest a batch → anti-join the persistent seen-set →
+process → MERGE into state → persist. Here state is a parquet table and
+the cycle is idempotent: re-running the same batch produces zero new
+rows and leaves state unchanged — the property the reference gets from
+its SQLite UNIQUE constraint.
+
+At warehouse scale the state table is Delta/Iceberg (ACID MERGE,
+time-travel) partitioned by tier and bucketed on the key; the plan
+below is the plain-parquet equivalent with an atomic
+write-new-then-swap directory protocol left to the orchestrator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.state import anti_join_seen, upsert_merge
+
+STATE_COLS = ["event_id", "user_id", "event_type", "value", "last_seen"]
+
+
+def _empty_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, value double, last_seen timestamp"
+    )
+
+
+def load_state(spark: SparkSession, state_path: str) -> DataFrame:
+    if os.path.exists(state_path):
+        return spark.read.parquet(state_path)
+    return _empty_state(spark)
+
+
+def run_incremental_batch(
+    spark: SparkSession, batch: DataFrame, state_path: str
+) -> tuple[int, int]:
+    """One micro-batch cycle. Returns (n_new_rows, n_state_rows).
+
+    batch columns: event_id, user_id, event_type, value, ts.
+    """
+    state = load_state(spark, state_path)
+
+    incoming = batch.select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").alias("last_seen"),
+    )
+    # J1: pre-flight dedup against persistent state (cheapest first)
+    fresh = anti_join_seen(incoming, state, "event_id", "event_id")
+    n_new = fresh.count()
+
+    merged = upsert_merge(
+        state,
+        fresh,
+        key_cols=["event_id"],
+        coalesce_cols=["value"],
+        overwrite_cols=["event_type", "last_seen"],
+    )
+    # persist state for the next run (reference: DB commit-back step).
+    # Write-to-tmp-then-swap keeps the read path consistent; a table
+    # format (Delta/Iceberg) makes this a real ACID MERGE at scale.
+    tmp = state_path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(state_path)
+    n_state = spark.read.parquet(state_path).count()
+    return n_new, n_state

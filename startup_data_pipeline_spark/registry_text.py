@@ -377,3 +377,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.centroid_classify(emb, "vec_id", "label", "embedding")
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANT} AS v,
+               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, embedding,
+                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
+                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
+                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
+                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
+              FROM embeddings)
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * b.v[i])) AS BIGINT) AS score
+    FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i] * b.v[i])) >= 32000000
+    """,
+    survey_ops="embedding-cosine near-dup pairs, LSH-restricted (§2.11 dedup)",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(
+        emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
+    )

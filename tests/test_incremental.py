@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.plans.incremental_run import (
+    load_state,
+    run_incremental_batch,
+)
+from startup_data_pipeline_spark.sources.tables import load_table
+
+
+def test_incremental_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    state_path = str(tmp_path / "state")
+    events = load_table(spark, sf_dir, "events")
+    batch1 = events.filter(F.col("event_id") < 100)
+
+    n_new, n_state = run_incremental_batch(spark, batch1, state_path)
+    assert n_new == 100 and n_state == 100
+
+    # same batch again: everything already seen (reference main.py:56-58)
+    n_new2, n_state2 = run_incremental_batch(spark, batch1, state_path)
+    assert n_new2 == 0 and n_state2 == 100
+
+    # overlapping batch: only the genuinely-new rows pass the anti-join
+    batch2 = events.filter((F.col("event_id") >= 50) & (F.col("event_id") < 150))
+    n_new3, n_state3 = run_incremental_batch(spark, batch2, state_path)
+    assert n_new3 == 50 and n_state3 == 150
+
+
+def test_state_bootstrap_from_empty(spark, tmp_path):
+    state = load_state(spark, str(tmp_path / "missing"))
+    assert state.count() == 0
+    assert "last_seen" in state.columns

@@ -1,0 +1,94 @@
+"""Property-based tests (SURVEY.md §5.2 stretch goals).
+
+Hypothesis generates small row sets; each property runs a handful of
+Spark jobs (bounded examples, no deadline — JVM latency dominates).
+Invariants pinned:
+- upsert idempotence: applying the same batch twice ≡ once (J7)
+- tier monotonicity: adding a recent tech job never lowers the tier (F18)
+- dedup soundness: exactly one row per key, and it came from the input (A5)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import hiring, state
+from tests.conftest import rows
+
+KEYS = st.sampled_from(["a", "b", "c", "d"])
+AMOUNTS = st.one_of(st.none(), st.integers(0, 10**9))
+
+ROW = st.tuples(KEYS, AMOUNTS, st.sampled_from(["A", "B", "C"]))
+BATCH = st.lists(ROW, min_size=0, max_size=6)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, batch, dedup_keys=True):
+    df = spark.createDataFrame(batch, "k string, amount long, tier string")
+    if dedup_keys:
+        df = state.exact_dedup(df, ["k"], ["amount", "tier"])
+    return df
+
+
+@SLOW
+@given(st_state=BATCH, st_inc=BATCH)
+def test_upsert_idempotent(spark, st_state, st_inc):
+    s = _df(spark, st_state)
+    i = _df(spark, st_inc)
+    once = state.upsert_merge(s, i, ["k"], ["amount"], ["tier"])
+    twice = state.upsert_merge(once, i, ["k"], ["amount"], ["tier"])
+    assert rows(once) == rows(twice)
+
+
+@SLOW
+@given(jobs=st.lists(
+    st.tuples(st.sampled_from(["d1", "d2"]),
+              st.sampled_from(["Engineer", "Manager"]),
+              st.sampled_from(["2024-01-25", "2023-06-01", None])),
+    min_size=0, max_size=8,
+))
+def test_tier_monotonic_under_added_recent_job(spark, jobs):
+    def tiers(job_rows):
+        if not job_rows:
+            return {}
+        df = spark.createDataFrame(
+            job_rows, "domain string, title string, posted string"
+        ).withColumn("posted", F.col("posted").cast("timestamp"))
+        aggs = hiring.job_aggregates(
+            df, "domain", F.col("title") == "Engineer", "posted",
+            F.lit("2024-01-17").cast("timestamp"),
+            F.lit("2024-01-31").cast("date"),
+        )
+        return {r["domain"]: r["hiring_tier"]
+                for r in hiring.assign_tier(aggs).collect()}
+
+    base = tiers(jobs)
+    boosted = tiers(jobs + [("d1", "Engineer", "2024-01-30")])
+    order = {"A": 0, "B": 1, "C": 2}
+    if "d1" in base:
+        assert order[boosted["d1"]] <= order[base["d1"]]
+    else:
+        assert boosted["d1"] == "A"
+
+
+@SLOW
+@given(batch=st.lists(ROW, min_size=1, max_size=10))
+def test_exact_dedup_sound(spark, batch):
+    df = spark.createDataFrame(batch, "k string, amount long, tier string")
+    out = state.exact_dedup(df, ["k"], ["amount", "tier"])
+    got = rows(out)
+    assert len(got) == len({r[0] for r in batch})      # one row per key
+    assert set(got) <= {tuple(r) for r in batch}        # rows from input
