@@ -131,27 +131,47 @@ def jaccard_pairs(
     explode → self-join on shingle → intersection counts → |A∪B| by
     inclusion-exclusion. The shingle join is the natural candidate
     restriction (disjoint docs never meet), so cost is proportional to
-    true collisions, not n². Jaccard rounded to 4 for oracle stability.
+    true collisions, not n².
+
+    Plan shape: each doc's shingle-set size rides along with the explode
+    (it is `size(shingles)` at the source — no separate sizes aggregate
+    and no post-hoc re-joins, which previously forced the shingle
+    Generate to be evaluated four times). The join strategy is left to
+    Catalyst/AQE: at test scale the exploded set is broadcast; at 100 TB
+    AQE picks sort-merge on `shingle` with skew-split for hot
+    boilerplate shingles. Jaccard rounded to 4 for oracle stability.
     """
-    sh = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    # Three-step projection so Catalyst keeps the expensive shingle array
+    # below the Generate: (1) materialize the array once, (2) compute its
+    # size in a separate Project (CollapseProject won't inline a
+    # non-cheap expression referenced twice), (3) explode. The Generate
+    # then retains only (id, n_sh) per exploded row — never the array.
+    # explode_outer, not explode: InferFiltersFromGenerate would add
+    # size(sh_arr) > 0 for the inner variant, and predicate pushdown then
+    # re-inlines the whole shingle expression into a Filter below the
+    # repartition — evaluating it twice, once on the unparallelized scan.
+    # Null shingles from empty docs drop at the inner join for free.
+    sh = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("sh_arr"),
+        )
+        .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
+        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .withColumn(
             "jaccard",
             F.round(

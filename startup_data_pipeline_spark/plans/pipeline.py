@@ -51,10 +51,24 @@ def flagship_hiring_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_orderdate", F.lit(ORDERS_CUTOFF).cast("timestamp")
     )
     fresh = anti_join_seen(recent, seen, "o_orderkey", "o_orderkey")
-    capped = cap_newest(fresh, "o_orderdate", CAP, "o_orderkey")
+    # persist: the capped key set drives THREE downstream consumers (the
+    # output spine, the lineitem semi-filter, the dim semi-filter) — at
+    # 100 TB recomputing it means three full orders scans. 1000 rows.
+    capped = cap_newest(fresh, "o_orderdate", CAP, "o_orderkey").persist()
+    capped_keys = capped.select("o_orderkey")
 
-    # per-order "hiring" aggregates from lineitem (A1-A3 analog)
-    li = lineitem.groupBy("l_orderkey").agg(
+    # per-order "hiring" aggregates from lineitem (A1-A3 analog).
+    # Aggregate-pushdown-through-join, done structurally: semi-filter
+    # lineitem to the 1000 capped orders BEFORE the groupBy, so the
+    # aggregate touches ~CAP×7 rows instead of every lineitem row. At
+    # 100 TB this is the difference between a broadcast-filtered scan
+    # and a full-table shuffle; Catalyst cannot hoist a join above an
+    # aggregation on its own.
+    li = lineitem.join(
+        F.broadcast(capped_keys),
+        lineitem.l_orderkey == capped_keys.o_orderkey,
+        "left_semi",
+    ).groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.count(F.when(F.col("l_returnflag") == "N", F.lit(1))).alias(
             "active_lines"
@@ -73,9 +87,20 @@ def flagship_hiring_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("order_value"),
     )
 
-    dim = customer.join(
-        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-    ).select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    # Semi-filter the customer dim to the capped custkeys before the
+    # broadcast: at scale `customer` is a large table, and broadcasting
+    # it unfiltered is exactly the plan that dies at 1000 executors.
+    # Filtered, the dim is ≤ CAP rows — always broadcastable.
+    capped_custkeys = capped.select("o_custkey")
+    dim = (
+        customer.join(
+            F.broadcast(capped_custkeys),
+            customer.c_custkey == capped_custkeys.o_custkey,
+            "left_semi",
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    )
 
     out = (
         capped.join(li, capped.o_orderkey == li.l_orderkey, "left")
