@@ -1,0 +1,128 @@
+"""Temporal join operators: as-of (point-in-time) and banded range joins.
+
+Extension operators (SURVEY.md §2.3 notes the reference has no as-of /
+range / interval joins — "the Spark build gets sort-merge for free"; these
+supply the two temporal shapes a training-data / attribution pipeline
+actually needs over the events fixture).
+
+Scale design:
+- as-of join is implemented as union + ordered carry-forward, NOT as a
+  pairwise join: a join on key with a range predicate explodes on hot
+  keys (every purchase × every prior click), while the union form is one
+  shuffle on (key, ts) and strictly linear in input rows. This is the
+  standard point-in-time-correctness formulation for feature stores.
+- range join is implemented by time-binning: both sides get an
+  equi-joinable (key, bin) pair, the left side probes its ±1 neighbor
+  bins, and the exact band predicate runs on the tiny bin-collision set.
+  Catalyst turns the raw form (equi-key + range predicate) into a
+  sort-merge join with a per-row scan of the full key group; the binned
+  form stays a pure hash join whose cost is bounded by bin width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """For each left row, attach the most recent strictly-prior right row
+    of the same key (left outer: unmatched left rows keep nulls).
+
+    Semantics match ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts > r.ts``.
+    The right payload travels as ONE struct through a single
+    last(ignorenulls) window, so all payload fields always come from the
+    same right row (independent per-column carry-forward could mix rows
+    when payload fields are null).
+    """
+    lpay = [c for c in left.columns if c not in (key_col, ts_col)]
+    l = left.select(
+        key_col,
+        ts_col,
+        F.lit(0).alias("__side"),
+        *lpay,
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload_cols)
+            + ">"
+        )
+        .alias("__rpay"),
+    )
+    r = right.select(
+        key_col,
+        ts_col,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("__rpay"),
+    )
+    # Order (ts, side): at equal ts the left row (side 0) sorts BEFORE the
+    # right row, so a right row at exactly l.ts is outside l's frame —
+    # that is the strict `l.ts > r.ts` of ASOF JOIN.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__m", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__side") == 0).select(
+        key_col,
+        ts_col,
+        *lpay,
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    band_seconds: int,
+    left_id_col: str,
+    right_id_col: str,
+) -> DataFrame:
+    """Count right rows of the same key within ±band_seconds of each left
+    row (inclusive band, left outer: zero-match left rows count 0).
+
+    Binning: bin = floor(epoch_us / band_us); a right row within the band
+    of a left row is always in the left row's bin or an adjacent one, and
+    appears in exactly one bin itself — so probing {bin-1, bin, bin+1}
+    finds every candidate exactly once and no dedup is needed.
+    """
+    band_us = band_seconds * 1_000_000
+    l = left.withColumn(
+        "__lbin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(band_us))
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.array(F.col("__lbin") - 1, F.col("__lbin"), F.col("__lbin") + 1)
+        ),
+    )
+    r = right.select(
+        F.col(key_col).alias("__rkey"),
+        F.col(ts_col).alias("__rts"),
+        F.col(right_id_col).alias("__rid"),
+    ).withColumn("__rbin", F.floor(F.unix_micros(F.col("__rts")) / F.lit(band_us)))
+    joined = l.join(
+        r,
+        (F.col(key_col) == F.col("__rkey"))
+        & (F.col("__bin") == F.col("__rbin"))
+        & (
+            F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__rts")))
+            <= F.lit(band_us)
+        ),
+        "left",
+    )
+    return joined.groupBy(F.col(left_id_col), F.col(key_col)).agg(
+        F.count(F.col("__rid")).alias("n_nearby")
+    )

@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import temporal
+from tests.conftest import rows
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_strictly_prior_and_left_outer(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),   # click at same instant: no match
+            (2, "u1", _ts("2024-01-01T10:00:01")),   # matches the 10:00:00 click
+            (3, "u2", _ts("2024-01-01T09:00:00")),   # user has no clicks at all
+            (4, "u1", _ts("2024-01-01T12:00:00")),   # matches latest prior (11:00)
+        ],
+        "purchase_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", _ts("2024-01-01T10:00:00")),
+            (101, "u1", _ts("2024-01-01T11:00:00")),
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = temporal.asof_join(left, right, "user_id", "ts", ["event_id"])
+    got = {r["purchase_id"]: r["matched_event_id"] for r in out.collect()}
+    assert got == {1: None, 2: 100, 3: None, 4: 101}
+
+
+def test_asof_payload_fields_come_from_same_row(spark):
+    # right row 100 has a null tag; carry-forward must not splice row
+    # 100's id with row 99's tag (struct travels atomically).
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T12:00:00"))],
+        "purchase_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (99, "old", "u", _ts("2024-01-01T10:00:00")),
+            (100, None, "u", _ts("2024-01-01T11:00:00")),
+        ],
+        "event_id long, tag string, user_id string, ts timestamp",
+    )
+    out = temporal.asof_join(left, right, "user_id", "ts", ["event_id", "tag"])
+    r = out.collect()[0]
+    assert r["matched_event_id"] == 100 and r["matched_tag"] is None
+
+
+def test_range_join_band_inclusive_and_zero_counts(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),
+            (2, "u2", _ts("2024-01-01T10:00:00")),  # no clicks for u2
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", _ts("2024-01-01T09:55:00")),  # exactly -band: inclusive
+            (11, "u1", _ts("2024-01-01T10:04:59")),  # inside
+            (12, "u1", _ts("2024-01-01T10:05:01")),  # just outside
+            (13, "u1", _ts("2024-01-01T11:00:00")),  # far outside (different bin)
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = temporal.range_join_count(
+        left, right, "user_id", "ts", 300, "event_id", "event_id"
+    )
+    assert rows(out) == [(1, "u1", 2), (2, "u2", 0)]
+
+
+def test_range_join_cross_bin_neighbors(spark):
+    # left sits at the very start of its bin; a right row in the
+    # PREVIOUS bin is still within the band and must be found.
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T10:00:01"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", _ts("2024-01-01T09:59:59"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    out = temporal.range_join_count(
+        left, right, "user_id", "ts", 300, "event_id", "event_id"
+    )
+    assert rows(out) == [(1, "u", 1)]
+
+
+def test_asof_empty_right(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T10:00:00"))],
+        "purchase_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame([], "event_id long, user_id string, ts timestamp")
+    out = temporal.asof_join(left, right, "user_id", "ts", ["event_id"])
+    assert out.collect()[0]["matched_event_id"] is None
