@@ -1,0 +1,80 @@
+"""OLAP-shape operators: rollup/cube summaries, deterministic sampling,
+exact distribution statistics.
+
+Extension battery (SURVEY.md §2.4 notes the reference has no grouping
+sets; a warehouse-scale pipeline needs them for summary tables, and a
+training-data pipeline needs reproducible sampling and corpus statistics).
+
+Scale notes:
+- rollup/cube are native Catalyst Expand + partial aggregation: one
+  shuffle regardless of the number of grouping sets.
+- sampling is content-addressed (md5 of the key), not positional
+  (``TABLESAMPLE`` / ``rand()``): the sample is stable across runs,
+  re-partitioning, and engines — the property training-data splits need.
+  It pushes no state anywhere: pure map-side filter, scan-parallel.
+- percentiles use exact interpolated ``percentile`` (matches DuckDB
+  ``quantile_cont`` bit-for-bit); at 100 TB swap in
+  ``percentile_approx(…, accuracy)`` per column where exactness isn't
+  contractual — same call shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_agg(
+    df: DataFrame, dims: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Hierarchical subtotals: (d1,d2), (d1), () grouping sets.
+
+    grouping_id disambiguates a subtotal row from a genuinely-null
+    dimension value (bitmask, matches ANSI GROUPING()).
+    """
+    return df.rollup(*dims).agg(F.grouping_id().alias("gid"), *aggs)
+
+
+def cube_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+    """All 2^n dimension combinations in one pass."""
+    return df.cube(*dims).agg(F.grouping_id().alias("gid"), *aggs)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, mod: int, keep: int = 0
+) -> DataFrame:
+    """Content-hash sample: keep rows where md5(key) % mod == keep.
+
+    Reproducible across engines/runs/partitionings (unlike rand() or
+    TABLESAMPLE), which makes train/validation splits auditable. The
+    first 4 hex chars give 16 bits of the digest — uniform, and cheap to
+    reproduce in ANSI SQL for the oracle.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("int") % mod
+    return df.filter(bucket == keep)
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    percentiles: list[float],
+    prefix: str = "p",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value`` per group.
+
+    One shuffle; each output column is ``p25``-style named from the
+    fraction; ``extra_aggs`` (counts, means) ride the same pass. Values
+    rounded to 4 so Spark/DuckDB float formatting can never flap a
+    comparison.
+    """
+    aggs = [
+        F.round(F.percentile(value, F.lit(p)), 4).alias(
+            f"{prefix}{int(p * 100)}"
+        )
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*(extra_aggs or []), *aggs)

@@ -60,6 +60,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     from . import (  # noqa: F401
         registry_ats,
         registry_ext,
+        registry_olap,
         registry_stream,
         registry_text,
     )

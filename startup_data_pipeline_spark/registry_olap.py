@@ -1,0 +1,122 @@
+"""OLAP battery: grouping sets, deterministic sampling, distribution stats.
+
+Registered into the same registry as the core battery (see registry.py
+for the determinism rules every entry follows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import olap
+from .registry import register
+from .sources.tables import load_table
+
+# md5-hex4 → int in portable SQL (same trick as the simhash oracle)
+_HEX4 = (
+    "((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1))"
+)
+
+
+@register(
+    "q_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    survey_ops="rollup grouping sets (§2.4 extension; Expand + one shuffle)",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return olap.rollup_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        ],
+    ).select(
+        "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_value"
+    )
+
+
+@register(
+    "q_cube_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    survey_ops="cube grouping sets (§2.4 extension)",
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return olap.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        ],
+    ).select("l_returnflag", "l_linestatus", "gid", "n_lines", "sum_qty")
+
+
+@register(
+    "q_deterministic_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT *, md5(CAST(o_orderkey AS VARCHAR)) AS m FROM orders
+    )
+    WHERE {_HEX4} % 16 = 0
+    """,
+    survey_ops="content-hash deterministic sampling (train/val splits; "
+    "pure map-side filter, engine/partitioning-stable)",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return olap.deterministic_sample(orders, "o_orderkey", 16, 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q_doc_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(length(text), 0.25), 4) AS p25,
+           round(quantile_cont(length(text), 0.50), 4) AS p50,
+           round(quantile_cont(length(text), 0.75), 4) AS p75,
+           round(quantile_cont(length(text), 0.95), 4) AS p95
+    FROM documents
+    GROUP BY lang
+    """,
+    survey_ops="exact per-group percentiles (corpus length stats; "
+    "percentile_approx at 100 TB)",
+)
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.group_percentiles(
+        docs.withColumn("doc_len", F.length("text")),
+        ["lang"],
+        F.col("doc_len"),
+        [0.25, 0.50, 0.75, 0.95],
+        extra_aggs=[F.count(F.lit(1)).alias("n_docs")],
+    ).select("lang", "n_docs", "p25", "p50", "p75", "p95")
