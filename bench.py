@@ -44,6 +44,9 @@ HEADLINE = [
     "q_embedding_near_dup",
     "q_ats_greenhouse",
     "q_careers_link",
+    "q_asof_join",
+    "q_range_join",
+    "q_rollup_orders",
 ]
 
 

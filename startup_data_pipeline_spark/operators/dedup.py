@@ -238,3 +238,76 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 3) -> Da
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def canonical_ids(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """One-hop dedup canonicalization: each doc adopts its smallest
+    near-dup neighbor's id (pairs carry id_a < id_b).
+
+    The cheap, SQL-expressible 90% answer: for pair-shaped duplicate
+    graphs (the common near-dup case) one hop IS the fixpoint. For long
+    chains use ``connected_components``.
+    """
+    m = pairs.groupBy("id_b").agg(F.min("id_a").alias("__min_a"))
+    return ids.join(m, ids[id_col] == m.id_b, "left").select(
+        ids[id_col],
+        F.least(ids[id_col], F.coalesce("__min_a", ids[id_col])).alias(
+            "canonical_id"
+        ),
+    )
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Exact connected components by iterative min-label propagation.
+
+    Each node's label starts as its own id; every round it adopts the
+    min of its neighbors' labels; fixpoint = min reachable id = the
+    component representative. Rounds needed ≈ graph diameter — small for
+    near-dup clusters. Each round is one join + one groupBy;
+    localCheckpoint truncates the lineage so plans don't grow
+    exponentially (the classic iterative-Spark trap). This is the
+    at-scale shape of GraphFrames' connectedComponents without the
+    dependency.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        # monotone convergence: the label sum strictly decreases until
+        # fixpoint, so one scalar catches "no row changed"
+        if (
+            new_labels.agg(F.sum("label")).collect()[0][0]
+            == labels.agg(F.sum("label")).collect()[0][0]
+        ):
+            labels = new_labels
+            break
+        labels = new_labels
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

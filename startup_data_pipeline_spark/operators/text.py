@@ -106,3 +106,28 @@ def fingerprint(df: DataFrame, text_col: str, out: str = "fingerprint") -> DataF
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return ensure_min_parallelism(df).withColumn(out, F.md5(norm))
+
+
+# PII patterns restricted to syntax RE2 and Java regex interpret
+# identically (character classes, bounded repetition, \b) so the scrub
+# is engine-portable and oracle-checkable.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{7,}[0-9]", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone-shaped digit runs, and IPv4 literals.
+
+    Order matters: emails first (their local part can contain digits a
+    phone pattern would bite into), IPs last (phone redaction never
+    consumes dots, so IPs survive to their own pass). Pure
+    regexp_replace chain — map-side only, no shuffle, whole-stage
+    codegen keeps it JVM-side at 100 TB.
+    """
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

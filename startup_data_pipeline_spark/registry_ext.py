@@ -14,7 +14,16 @@ from pyspark.sql import functions as F
 
 from .config import CONFIDENCE, TLD_CANDIDATES
 from .functions.columns import additive_score, money_display, slugify
-from .operators import dedup, publish, resolve, similarity, state, text, windows
+from .operators import (
+    dedup,
+    publish,
+    resolve,
+    similarity,
+    state,
+    temporal,
+    text,
+    windows,
+)
 from .registry import register
 from .sources.tables import load_table
 
@@ -592,4 +601,74 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal join battery: as-of (point-in-time) + banded range join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_asof_join",
+    oracle="""
+    SELECT a.event_id AS purchase_id,
+           a.user_id,
+           a.ts,
+           a.value,
+           b.event_id AS matched_event_id,
+           CASE WHEN b.event_id IS NOT NULL
+                THEN epoch_us(a.ts) - epoch_us(b.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id AND a.ts > b.ts
+    """,
+    survey_ops="as-of join: purchase→last-prior-click attribution "
+    "(§2.3 extension; union+carry-forward, no pairwise blowup)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = temporal.asof_join(purchases, clicks, "user_id", "ts", ["event_id", "ts"])
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "value",
+        "matched_event_id",
+        F.when(
+            F.col("matched_event_id").isNotNull(),
+            F.unix_micros("ts") - F.unix_micros("matched_ts"),
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+    GROUP BY a.event_id, a.user_id
+    """,
+    survey_ops="banded range join: clicks within ±5 min of each error "
+    "(§2.3 extension; bin-bucketed equi-join, no per-group range scan)",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return temporal.range_join_count(
+        errors, clicks, "user_id", "ts", 300, "event_id", "event_id"
     )

@@ -409,3 +409,93 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs(
         emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
     )
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' Contact user' || doc_id ||
+                 '@mail.example.com or +1 (555) 010-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+             '<IP>', 'g') AS scrubbed
+    FROM documents
+    """,
+    survey_ops="PII scrub: email/phone/IP redaction (§2.11 text analysis; "
+    "map-side regexp chain, engine-portable patterns)",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("seeded"),
+    )
+    return seeded.select(
+        "doc_id", text.scrub_pii(F.col("seeded")).alias("scrubbed")
+    )
+
+
+@register(
+    "q_near_dup_components",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id, {_QUANT} AS v,
+               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, embedding,
+                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
+                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
+                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
+                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
+              FROM embeddings)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                  i -> a.v[i] * b.v[i])) >= 32000000
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    )
+    SELECT v.vec_id,
+           least(v.vec_id, COALESCE(min(r.dst), v.vec_id)) AS component
+    FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+    GROUP BY v.vec_id
+    """,
+    survey_ops="near-dup clustering: exact connected components over the "
+    "embedding near-dup graph (§2.11 dedup; iterative min-label "
+    "propagation, localCheckpoint-bounded lineage)",
+)
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.near_dup_pairs(
+        emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
+    )
+    return dedup.connected_components(emb.select("vec_id"), pairs, "vec_id")

@@ -92,3 +92,48 @@ def test_centroid_classify_separable(spark):
     out = similarity.centroid_classify(_emb(spark), "vec_id", "label", "embedding")
     got = {r["vec_id"]: r["predicted_label"] for r in out.collect()}
     assert got[1] == 0 and got[2] == 0  # aligned with label-0 centroid
+
+
+def test_scrub_pii_all_three_kinds(spark):
+    df = spark.createDataFrame(
+        [("a", "mail bob.smith+x@corp.example.io now"),
+         ("b", "call +1 (555) 010-9999 today"),
+         ("c", "host 192.168.4.250 down"),
+         ("d", "clean text stays clean")],
+        "k string, t string",
+    )
+    got = {r["k"]: r["s"] for r in
+           df.select("k", text.scrub_pii(F.col("t")).alias("s")).collect()}
+    assert got["a"] == "mail <EMAIL> now"
+    assert got["b"] == "call <PHONE> today"
+    assert got["c"] == "host <IP> down"
+    assert got["d"] == "clean text stays clean"
+
+
+def test_canonical_ids_one_hop(spark):
+    ids = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = dedup.canonical_ids(ids, pairs, "id")
+    got = {r["id"]: r["canonical_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_connected_components_chain_beyond_one_hop(spark):
+    # chain 1-2-3-4-5 plus isolated 10: diameter 4 forces real iteration
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10]], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(ids, pairs, "id")
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10}
+
+
+def test_connected_components_two_clusters(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4), (4, 6)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(ids, pairs, "id")
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2}
