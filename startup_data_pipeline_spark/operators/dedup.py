@@ -311,3 +311,46 @@ def connected_components(
         labels = new_labels
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus doc, the count and
+    fraction of its distinct k-gram shingles that appear ANYWHERE in the
+    benchmark set (the standard eval-leakage check before training).
+
+    Corpus shingles carry their per-doc set size (jaccard_pairs plan
+    shape); the benchmark side collapses to a distinct-shingle set
+    before the join, so the join input is as small as the benchmark
+    vocabulary. Only contaminated docs are returned (inner join) — the
+    zero-overlap majority never leaves the map side at 100 TB.
+    """
+    c_sh = (
+        ensure_min_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("sh_arr"),
+        )
+        .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
+        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
+    )
+    b_sh = (
+        ensure_min_parallelism(benchmark)
+        .select(F.explode_outer(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .dropDuplicates(["shingle"])
+    )
+    return (
+        c_sh.join(b_sh, "shingle")
+        .groupBy(F.col("id").alias(id_col), F.col("n_sh").alias("n_shingles"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4),
+        )
+        .select(id_col, "n_shingles", "n_shared", "contamination")
+    )

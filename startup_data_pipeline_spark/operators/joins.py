@@ -1,0 +1,54 @@
+"""Join-strategy operators: skew mitigation by key salting.
+
+AQE's skew-join split handles most skew automatically (SCALE.md); this
+explicit salt is the tool for the cases AQE can't fix — a single hot key
+whose build side also explodes, or a deterministic-layout requirement.
+Result is IDENTICAL to the plain equi-join (the oracle pins that), only
+the physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the left (large/skewed) side salted into ``salts``
+    sub-keys and the right side replicated once per salt value.
+
+    A hot key that would land on one reducer is spread over ``salts``
+    reducers; the right side grows ×salts, so use this when right is the
+    small-to-medium side (dimension against a skewed fact). The salt on
+    the left comes from a per-row hash that is INDEPENDENT of the join
+    key — salting by the key itself would re-create the hotspot.
+
+    Supports 'inner' and 'left' (the salt is never part of the result,
+    so both are exactly result-equivalent to the unsalted join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lcols = [c for c in left.columns]
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)),
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = l.join(
+        r,
+        (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"]),
+        how,
+    )
+    return out.select(
+        *[l[c] for c in lcols],
+        *[r[c] for c in right.columns if c != "__salt"],
+    )

@@ -131,3 +131,64 @@ def scrub_pii(text: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with optional overlap
+    — the standard pre-training / RAG windowing step.
+
+    Pure array ops: tokenize once, generate window starts with
+    ``sequence(1, n, step)``, slice per start, explode. The token array
+    is materialized in its own projection (kept below the Generate, see
+    jaccard_pairs for the Catalyst mechanics) and each output row carries
+    only its chunk — at 100 TB this is a map-side Generate with no
+    shuffle at all. The final (short) chunk is kept, matching the usual
+    trainer contract.
+    """
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+
+    def mk_chunk(tk, n):
+        def chunk(s):
+            return F.struct(
+                ((s - 1) / step).cast("long").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(tk, s, F.lit(chunk_size))).alias(
+                    "chunk_text"
+                ),
+                F.least(F.lit(chunk_size), n - s + 1)
+                .cast("long")
+                .alias("chunk_tokens"),
+            )
+
+        return F.transform(
+            F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+                F.array()
+            ),
+            chunk,
+        )
+
+    # chunks are fully built BEFORE the explode, so the Generate emits
+    # finished rows and never retains the token array per chunk row
+    chunked = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__tk"))
+        .select(F.col(id_col), F.size("__tk").alias("__n"), "__tk")
+        .select(
+            F.col(id_col),
+            mk_chunk(F.col("__tk"), F.col("__n")).alias("__chunks"),
+        )
+        .select(F.col(id_col), F.explode_outer("__chunks").alias("__c"))
+    )
+    return chunked.filter(F.col("__c").isNotNull()).select(
+        F.col(id_col),
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.chunk_tokens").alias("chunk_tokens"),
+    )

@@ -499,3 +499,75 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
     )
     return dedup.connected_components(emb.select("vec_id"), pairs, "vec_id")
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, tk, len(tk) AS n,
+               unnest(generate_series(1, len(tk), 48)) AS s
+        FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(tk, s, s + 63), ' ') AS chunk_text,
+           CAST(least(64, n - s + 1) AS BIGINT) AS chunk_tokens
+    FROM starts
+    """,
+    survey_ops="token-window document chunking, 64/16 overlap "
+    "(§2.11 extension; map-side Generate, shuffle-free)",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16)
+
+
+@register(
+    "q_contamination_check",
+    oracle=f"""
+    WITH m_docs AS (
+        SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
+    ),
+    hex4 AS (
+        SELECT *,
+               ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) AS h
+        FROM m_docs
+    ),
+    bench_sh AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+        FROM (SELECT {_TOKS_LOWER} AS toks FROM hex4 WHERE h % 16 = 0)
+    ),
+    corpus_sh AS (
+        SELECT doc_id, len({_SHINGLES}) AS n_shingles,
+               unnest({_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM hex4
+              WHERE h % 16 <> 0)
+    )
+    SELECT c.doc_id,
+           CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           round(COUNT(*) / CAST(c.n_shingles AS DOUBLE), 4) AS contamination
+    FROM corpus_sh c JOIN bench_sh b ON c.shingle = b.shingle
+    GROUP BY c.doc_id, c.n_shingles
+    """,
+    survey_ops="benchmark-contamination scan: corpus×benchmark shingle "
+    "overlap (§2.11 dedup family; eval-leakage gate)",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = olap.deterministic_sample(docs, "doc_id", 16, 0)
+    corpus = docs.join(
+        bench.select(F.col("doc_id").alias("bid")),
+        F.col("doc_id") == F.col("bid"),
+        "left_anti",
+    )
+    return dedup.contamination_check(corpus, bench, "doc_id", "text")

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from startup_data_pipeline_spark.operators import dedup, similarity, text
@@ -137,3 +138,64 @@ def test_connected_components_two_clusters(spark):
     out = dedup.connected_components(ids, pairs, "id")
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2}
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = text.chunk_tokens(df, "doc_id", "text", chunk_size=4, overlap=2)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_tokens"])
+           for r in out.collect()}
+    # starts at 1, 3, 5, 7 (step 2): full, full, tail-3, tail-1
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("c d e f", 4)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert got[(1, 3)] == ("g", 1)
+    assert got[(2, 0)] == ("x", 1)
+    assert 3 not in {k[0] for k in got}      # empty doc → no chunks
+    assert 4 not in {k[0] for k in got}      # null doc → no chunks
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.chunk_tokens(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0)], "k long, v double"
+    )
+    o = spark.createDataFrame([(1, "A"), (2, "B"), (9, "Z")], "ok long, s string")
+    from startup_data_pipeline_spark.operators import joins
+
+    salted = joins.salted_join(li, o, "k", "ok", salts=4)
+    plain = li.join(o, li.k == o.ok)
+    assert rows(salted, "k", "v", "s") == rows(plain, "k", "v", "s")
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from startup_data_pipeline_spark.operators import joins
+
+    li = spark.createDataFrame([(1, 10.0), (7, 1.0)], "k long, v double")
+    o = spark.createDataFrame([(1, "A")], "ok long, s string")
+    out = joins.salted_join(li, o, "k", "ok", how="left", salts=4)
+    got = {r["k"]: r["s"] for r in out.collect()}
+    assert got == {1: "A", 7: None}
+
+
+def test_contamination_check_counts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # shares 'the quick brown' etc.
+         (2, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox")], "doc_id long, text string"
+    )
+    out = dedup.contamination_check(corpus, bench, "doc_id", "text")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_shared"]) for r in out.collect()}
+    # corpus doc 1: shingles {tqb, qbf, bfj}; bench has {tqb, qbf} → 2 shared
+    assert got == {1: (3, 2)}
