@@ -78,3 +78,29 @@ def group_percentiles(
         for p in percentiles
     ]
     return df.groupBy(*group_cols).agg(*(extra_aggs or []), *aggs)
+
+
+def stratified_sample(
+    df,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, int],
+    mod: int = 16,
+    default_rate: int = 0,
+) -> DataFrame:
+    """Per-group deterministic sampling: keep a row iff
+    md5-bucket(key) % mod < rates[group] (in mod-ths).
+
+    The content-hash split of ``deterministic_sample`` with a per-stratum
+    quota — downsample dominant languages/sources while keeping rare
+    strata whole, reproducibly. Map-side only.
+    """
+    pairs = [x for kv in rates.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    threshold = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(group_col)),
+        F.lit(default_rate),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("int") % mod
+    return df.filter(bucket < threshold)

@@ -131,3 +131,25 @@ def upsert_merge(
             expr = F.when(n_exists & ~o_exists, new_c).otherwise(old_c)
         out_cols.append(expr.alias(c))
     return joined.select(*out_cols)
+
+
+def write_bucketed_state(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 16
+) -> None:
+    """Persist a state table bucketed+sorted on its join key.
+
+    Both sides of the nightly state⋈increment join read bucketed tables
+    → Spark plans a sort-merge join with NO Exchange (the shuffle
+    happened once, at write time, and is amortized over every subsequent
+    run). This is the parquet-era equivalent of the reference's B-tree
+    indexes (schema.sql:29-33); at 100 TB it is the difference between
+    re-shuffling the entire state table every 6 hours and touching only
+    matching buckets.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

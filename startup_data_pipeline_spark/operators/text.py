@@ -192,3 +192,43 @@ def chunk_tokens(
         F.col("__c.chunk_text").alias("chunk_text"),
         F.col("__c.chunk_tokens").alias("chunk_tokens"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln((N+1)/(df+1))).
+
+    Two aggregations + one broadcast top-k window: tf is one shuffle on
+    (doc, term); document frequency is a second, much smaller shuffle on
+    the distinct (doc, term) pairs; N is a scalar. All JVM-side — the
+    standard keyword-extraction pass over a corpus.
+    """
+    n_docs = df.count()
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "__score",
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.col("df").alias("doc_freq"),
+            F.round("__score", 4).alias("tfidf"),
+            "rank",
+        )
+    )

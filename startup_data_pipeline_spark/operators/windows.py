@@ -71,3 +71,64 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("__new")
+
+
+def running_total(
+    events: DataFrame, user_col: str, ts_col: str, value_col: str,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key running sum in event order (decimal accumulation: the
+    result is identical no matter how partitions were scanned)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        user_col,
+        tiebreak,
+        ts_col,
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def moving_avg(
+    events: DataFrame, user_col: str, ts_col: str, value_col: str,
+    n_rows: int, tiebreak: str = "event_id",
+) -> DataFrame:
+    """Trailing n-row moving average per key (decimal sum / exact count,
+    rounded at the boundary so engines can't flap)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    return events.select(
+        user_col,
+        tiebreak,
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("moving_avg"),
+    )
+
+
+def event_gaps(
+    events: DataFrame, user_col: str, ts_col: str, tiebreak: str = "event_id"
+) -> DataFrame:
+    """Per-key gap to the previous event in microseconds (lag); null for
+    each key's first event."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    )
+    return events.select(
+        user_col,
+        tiebreak,
+        ts_col,
+        (F.unix_micros(F.col(ts_col))
+         - F.unix_micros(F.lag(F.col(ts_col)).over(w))).alias("gap_us"),
+    )

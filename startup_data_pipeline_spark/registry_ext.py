@@ -672,3 +672,60 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.range_join_count(
         errors, clicks, "user_id", "ts", 300, "event_id", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-window battery: running totals, moving averages, lag gaps
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_running_total",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    survey_ops="running-sum frame window (§2.5 extension; decimal "
+    "accumulation = partition-order-proof)",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.running_total(ev, "user_id", "ts", "value")
+
+
+@register(
+    "q_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS moving_avg
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    )
+    """,
+    survey_ops="trailing moving-average frame window (§2.5 extension)",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.moving_avg(ev, "user_id", "ts", "value", n_rows=4)
+
+
+@register(
+    "q_event_gaps",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           )) AS gap_us
+    FROM events
+    """,
+    survey_ops="lag window: inter-event gaps (§2.5 extension)",
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.event_gaps(ev, "user_id", "ts")

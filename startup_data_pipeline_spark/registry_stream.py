@@ -333,3 +333,23 @@ def q_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "c_custkey", "raw", (value * mult).alias("amount_usd")
     )
+
+
+@register(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ops="§2.9/§2.10: custom stateful streaming operator "
+    "(applyInPandasWithState, integer-cents state, checkpointed per-key)",
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = incremental.read_events_stream(spark, sf_dir)
+    totals = incremental.stateful_user_totals(stream)
+    return incremental.run_available_now_update(
+        totals, "q_stream_stateful_sink"
+    )

@@ -571,3 +571,61 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return dedup.contamination_check(corpus, bench, "doc_id", "text")
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(dfc AS BIGINT) AS doc_freq,
+           round(tf * ln((n + 1.0) / (dfc + 1.0)), 4) AS tfidf,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT tf.*, dfc, n, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY tf * ln((n + 1.0) / (dfc + 1.0)) DESC, term ASC
+        ) AS rn
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    WHERE rn <= 3
+    """,
+    survey_ops="tf·idf top-terms per document (§2.11 text analysis; "
+    "keyword extraction, two shuffles total)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT *, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents
+    )
+    WHERE ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 16
+        < CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 8 ELSE 4 END
+    """,
+    survey_ops="stratified deterministic sampling: per-language quotas "
+    "(downsample dominant strata reproducibly; map-side filter)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.stratified_sample(
+        docs, "doc_id", "lang", {"en": 2, "zh": 8}, mod=16, default_rate=4
+    ).select("doc_id", "lang")

@@ -91,6 +91,22 @@ def run_available_now_append(
     return df.sparkSession.table(name)
 
 
+def run_available_now_update(
+    df: DataFrame, query_name: str | None = None
+) -> DataFrame:
+    """Update-mode variant (applyInPandasWithState emits updated keys)."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
 def streaming_seen_dedup(
     stream: DataFrame, key_cols: list[str], ts_col: str, watermark: str
 ) -> DataFrame:
@@ -122,3 +138,51 @@ def foreach_batch_alert_sink(df: DataFrame, tiers: list[str], sink) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, total_value) maintained in the state store.
+
+    The shape for operators Spark's built-in streaming aggs can't
+    express (conditional resets, per-key models, cross-batch custom
+    logic). Values accumulate in integer cents inside state so the
+    emitted total is bit-exact regardless of batch/partition order.
+    State is per-key and checkpointed; at scale the state store shards
+    with the shuffle partitioning — no driver memory involved.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(pdf["value"].fillna(0.0).mul(100).sum()))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

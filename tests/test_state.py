@@ -75,3 +75,28 @@ def test_exact_dedup_deterministic(spark):
     )
     out = state.exact_dedup(df, keys=["k"], order_by=["ord"])
     assert rows(out, "k", "v") == [("a", "x"), ("b", "z")]
+
+
+def test_bucketed_state_join_has_no_exchange(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    state.write_bucketed_state(
+        orders.select("o_orderkey", "o_orderstatus"), "state_orders",
+        "o_orderkey", 8,
+    )
+    state.write_bucketed_state(
+        orders.select("o_orderkey", "o_totalprice"), "inc_orders",
+        "o_orderkey", 8,
+    )
+    a = spark.table("state_orders")
+    b = spark.table("inc_orders")
+    joined = a.join(b, "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # bucketed-on-key sides: the join needs no shuffle at all
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == orders.count()
+    spark.sql("DROP TABLE IF EXISTS state_orders")
+    spark.sql("DROP TABLE IF EXISTS inc_orders")

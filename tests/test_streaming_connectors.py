@@ -138,3 +138,40 @@ def test_frame_sampling_explodes_indices(spark):
     out = multimodal.sample_frames(df, every_n=5)
     idx = [r["frame_index"] for r in out.collect()]
     assert idx == list(range(0, 11, 5))  # n_bytes/10 = 10 frames, step 5
+
+
+def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from startup_data_pipeline_spark.streaming import incremental
+
+    src = str(tmp_path / "stream_src")
+    rows1 = [(1, 1_700_000_000_000_000_000, 7, "click", 1.5, None),
+             (2, 1_700_000_001_000_000_000, 7, "view", 2.0, None)]
+    rows2 = [(3, 1_700_000_002_000_000_000, 7, "click", 0.5, None),
+             (4, 1_700_000_003_000_000_000, 9, "click", 4.0, None)]
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(incremental.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = incremental.run_available_now_update(
+        incremental.stateful_user_totals(stream)
+    )
+    # one emission per (user, batch-containing-that-user); the final
+    # (max-n) emission must reflect state carried across batches
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("n_events").collect()
+    }
+    assert final[7] == (3, 4.0)   # 2 rows in batch1 + 1 in batch2
+    assert final[9] == (1, 4.0)
+    # user 7 emitted twice (once per batch) → proves multi-batch run
+    assert out.filter(out.user_id == 7).count() == 2
