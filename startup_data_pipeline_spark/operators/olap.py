@@ -104,3 +104,22 @@ def stratified_sample(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
     ).cast("int") % mod
     return df.filter(bucket < threshold)
+
+
+def approx_distinct_stats(
+    df: DataFrame, group_cols: list[str], key: str, value: Column, rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-based per-group stats: HLL++ distinct count + KLL-style
+    approximate median.
+
+    The 100 TB variants of exact count-distinct / percentile: both are
+    one-pass, mergeable sketches (partial aggregation map-side, fixed
+    memory per group), where the exact forms need a full shuffle of the
+    raw values. Accuracy is a parameter (rsd / accuracy); results are
+    engine-specific → registered rows-only, tolerance-tested against the
+    exact operators in unit tests.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(key, rsd).alias("approx_distinct"),
+        F.percentile_approx(value, 0.5, 10_000).alias("approx_median"),
+    )

@@ -225,3 +225,71 @@ def near_dup_pairs(
         .filter(F.col("score") >= min_score)
         .select("id_a", "id_b", "score")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, n_best: int = 1
+) -> DataFrame:
+    """Assign each quantized vector (id, v) to its ``n_best``
+    highest-dot centroids (cid, cv). Deterministic tie-break by cid."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "__dot", int_dot(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("__dot").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_best)
+        .select("id", "v", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 50,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into centroid cells,
+    probe only the query's ``n_probe`` nearest cells, brute-force inside.
+
+    Exemplar centroids (every ``centroid_mod``-th vector) stand in for
+    trained k-means — same plan shape, fully deterministic and
+    oracle-checkable (integer dots end to end). At 100 TB: centroids are
+    a broadcast table (~sqrt(n) rows), cell assignment is one
+    broadcast-join scan materialized WITH the corpus (the "index
+    build"), and each query touches |cell|·n_probe candidates instead
+    of n. Recall/cost tunes via n_probe exactly as in FAISS-style IVF.
+    """
+    allv = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    )
+    cents = allv.filter(F.col("id") % centroid_mod == 0).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    members = ivf_assign(allv, cents, n_best=1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("cid"),
+    )
+    probes = ivf_assign(
+        allv.filter(F.col("id").isin(query_ids)), cents, n_probe
+    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    scored = (
+        F.broadcast(probes)
+        .join(members, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", int_dot(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
+    )

@@ -266,3 +266,16 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_approx_stats",
+    oracle=None,  # sketch outputs are engine-specific; tolerance-tested in unit tests
+    survey_ops="HLL++ approx distinct + approx percentile per group "
+    "(one-pass mergeable sketches — the 100 TB form of exact stats)",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return olap.approx_distinct_stats(
+        ev, ["event_type"], "user_id", F.col("value")
+    )

@@ -629,3 +629,66 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.stratified_sample(
         docs, "doc_id", "lang", {"en": 2, "zh": 8}, mod=16, default_rate=4
     ).select("doc_id", "lang")
+
+
+_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=f"""
+    WITH allv AS (
+        SELECT vec_id AS id, {_QUANT} AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT id AS cid, v AS cv FROM allv WHERE id % 50 = 0
+    ),
+    assign AS (
+        SELECT id, v, cid FROM (
+            SELECT a.id, a.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY a.id
+                       ORDER BY {_DOT.format(a="a.v", b="c.cv")} DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM allv a CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT id AS query_id, v AS qv, cid FROM (
+            SELECT a.id, a.v, c.cid,
+                   row_number() OVER (
+                       PARTITION BY a.id
+                       ORDER BY {_DOT.format(a="a.v", b="c.cv")} DESC,
+                                c.cid ASC
+                   ) AS rn
+            FROM allv a CROSS JOIN cents c
+            WHERE a.id < 10
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, m.id AS neighbor_id,
+               {_DOT.format(a="p.qv", b="m.v")} AS score
+        FROM probes p JOIN assign m ON p.cid = m.cid
+        WHERE p.query_id <> m.id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """,
+    survey_ops="IVF-cell ANN: probe n nearest centroid cells, brute-force "
+    "inside (§2.11 similarity scale path; FAISS-IVF plan shape)",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5,
+        centroid_mod=50, n_probe=2,
+    )

@@ -17,3 +17,31 @@ def test_flagship_smoke(spark, sf_dir):
 def test_flagship_anti_join_excludes_seen(spark, sf_dir):
     df = flagship_hiring_signal(spark, sf_dir)
     assert df.filter("order_key % 7 = 0").count() == 0
+
+
+def test_approx_stats_within_tolerance(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: (r["approx_distinct"], r["approx_median"])
+        for r in olap.approx_distinct_stats(
+            ev, ["event_type"], "user_id", F.col("value")
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: (r["nd"], r["med"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.percentile("value", F.lit(0.5)).alias("med"),
+        )
+        .collect()
+    }
+    for et, (nd, med) in exact.items():
+        a_nd, a_med = approx[et]
+        assert abs(a_nd - nd) <= max(2, 0.1 * nd)
+        assert abs(a_med - med) <= max(0.5, 0.15 * abs(med))

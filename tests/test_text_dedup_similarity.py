@@ -199,3 +199,31 @@ def test_contamination_check_counts(spark):
     got = {r["doc_id"]: (r["n_shingles"], r["n_shared"]) for r in out.collect()}
     # corpus doc 1: shingles {tqb, qbf, bfj}; bench has {tqb, qbf} → 2 shared
     assert got == {1: (3, 2)}
+
+
+def test_ivf_recall_improves_with_n_probe(spark):
+    emb = None
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(5).collect()]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", qids, k=3
+        ).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, "vec_id", "embedding", qids, k=3,
+                centroid_mod=10, n_probe=n_probe,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r_all = recall(1), recall(1000)
+    assert r1 <= r_all
+    assert r_all == 1.0   # probing every cell == exact search
