@@ -279,3 +279,205 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.approx_distinct_stats(
         ev, ["event_type"], "user_id", F.col("value")
     )
+
+
+@register(
+    "q_small_quantity_revenue",
+    oracle="""
+    WITH avgq AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_revenue
+    FROM lineitem JOIN avgq ON l_partkey = pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+    survey_ops="TPC-H Q17 shape: correlated per-group average re-joined "
+    "to the fact (decorrelated as agg + equi-join)",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avgq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(avgq, li.l_partkey == avgq.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey_ops="pivot: long→wide status counts (Expand-free, one shuffle)",
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+        SELECT o_orderkey, 'totalprice' AS metric,
+               CAST(o_totalprice AS DOUBLE) AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    WHERE o_orderkey < 1000
+    """,
+    survey_ops="unpivot/melt: wide→long metric rows (stack, map-side)",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 1000
+    )
+    return orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    survey_ops="§2.7 set ops: INTERSECT / EXCEPT (distinct semantics)",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return f.intersect(o).exceptAll(big.distinct())
+
+
+@register(
+    "q_ntile_deciles",
+    oracle="""
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+                   AS decile
+        FROM customer
+    )
+    GROUP BY decile
+    """,
+    survey_ops="ntile decile banding (§2.5 extension; balance deciles)",
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_dq_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS null_custkey,
+           CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+               AS nonpositive_price,
+           CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+               AS BIGINT) AS bad_status,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys
+    FROM orders
+    """,
+    survey_ops="data-quality metrics: null rates, domain violations, key "
+    "uniqueness in one pass (expectations gate for pipeline runs)",
+)
+def q_dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "nonpositive_price"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("bad_status"),
+        F.count_distinct(F.col("o_orderkey")).alias("distinct_keys"),
+    )
+
+
+@register(
+    "q_name_fuzzy_match",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    survey_ops="fuzzy name matching: levenshtein under blocking key "
+    "(F5/F2 name-normalization generalized; nation-blocked self-join)",
+)
+def q_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )

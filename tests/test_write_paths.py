@@ -1,0 +1,52 @@
+"""Write-path behaviors: partition pruning, schema evolution.
+
+SURVEY §4.1: the reference's SQLite indexes map to partitioned state
+tables (file skipping); its PRAGMA/ALTER additive migrations map to
+parquet mergeSchema. These tests pin both behaviors on real writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "state_by_tier")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.mode(
+        "overwrite"
+    ).partitionBy("o_orderstatus").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    # the filter is a partition filter (file skipping), not a data filter
+    import re
+
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*o_orderstatus#\d+ = F", plan)
+    assert "DataFilters: []" in plan
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
+
+
+def test_mergeschema_additive_migration(spark, tmp_path):
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "acme")], "company_key long, company_name string"
+    )
+    v1.write.mode("overwrite").parquet(out + "/batch=1")
+    # later run adds a column (upsert.py:21-59's ALTER TABLE ADD COLUMN)
+    v2 = spark.createDataFrame(
+        [(2, "globex", "https://globex.example")],
+        "company_key long, company_name string, linkedin_url string",
+    )
+    v2.write.mode("overwrite").parquet(out + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {
+        "company_key", "company_name", "linkedin_url", "batch",
+    }
+    rows = {r["company_key"]: r["linkedin_url"] for r in merged.collect()}
+    assert rows[1] is None          # old rows null-fill the new column
+    assert rows[2] == "https://globex.example"
