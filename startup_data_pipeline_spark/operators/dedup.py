@@ -28,13 +28,15 @@ from .util import ensure_min_parallelism
 SIMHASH_BITS = 16
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of a case-normalized document.
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a token-array column.
 
-    Lowercasing before shingling is the standard near-dup normalization —
-    "THE quick" and "the quick" must land in the same shingle.
+    MUST be fed an array ATTRIBUTE (a materialized column), not the
+    tokenizer expression: lambda bodies are excluded from common-
+    subexpression elimination, so an inline split/filter expression is
+    re-evaluated per element_at reference (measured 2.4× slower at
+    sf0.1 — SCALE.md "plan-shape lessons").
     """
-    t = tokens(F.lower(text))
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -43,6 +45,31 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a case-normalized document.
+
+    Lowercasing before shingling is the standard near-dup normalization —
+    "THE quick" and "the quick" must land in the same shingle. For hot
+    paths prefer ``_tokenized`` + ``shingles_from_tokens`` (see there).
+    """
+    return shingles_from_tokens(tokens(F.lower(text)), k)
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __tk) with tokenization BELOW the parallelizing exchange.
+
+    The single-pass tokenizer runs scan-side; the expensive shingle
+    transform above the exchange then references a cheap array
+    attribute on 32+ partitions instead of re-running split/filter
+    per lambda reference.
+    """
+    return ensure_min_parallelism(
+        df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk")
+        )
+    )
 
 
 def minhash_signatures(
@@ -55,8 +82,9 @@ def minhash_signatures(
     on a random hash family, and exactly reproducible in ANSI SQL
     (min(md5(i || s))), which keeps this oracle-checkable.
     """
-    sh = ensure_min_parallelism(df).select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    sh = _tokenized(df, id_col, text_col).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__tk"), k)).alias("shingle"),
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
@@ -152,10 +180,10 @@ def jaccard_pairs(
     # repartition — evaluating it twice, once on the unparallelized scan.
     # Null shingles from empty docs drop at the inner join for free.
     sh = (
-        ensure_min_parallelism(df)
+        _tokenized(df, id_col, text_col)
         .select(
             F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), k).alias("sh_arr"),
+            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
         )
         .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
         .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
@@ -199,8 +227,8 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bit set iff the vote is positive. One groupBy, 16 integer sums —
     map-side combinable, exact in any engine.
     """
-    tok = ensure_min_parallelism(df).select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    tok = _tokenized(df, id_col, text_col).select(
+        F.col(id_col), F.explode(F.col("__tk")).alias("tok")
     ).withColumn("h", _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4)))
     votes = [
         F.sum(
@@ -331,17 +359,21 @@ def contamination_check(
     zero-overlap majority never leaves the map side at 100 TB.
     """
     c_sh = (
-        ensure_min_parallelism(corpus)
+        _tokenized(corpus, id_col, text_col)
         .select(
             F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), k).alias("sh_arr"),
+            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
         )
         .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
         .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
     )
     b_sh = (
-        ensure_min_parallelism(benchmark)
-        .select(F.explode_outer(word_shingles(F.col(text_col), k)).alias("shingle"))
+        _tokenized(benchmark, id_col, text_col)
+        .select(
+            F.explode_outer(
+                shingles_from_tokens(F.col("__tk"), k)
+            ).alias("shingle")
+        )
         .dropDuplicates(["shingle"])
     )
     return (
