@@ -123,3 +123,39 @@ def approx_distinct_stats(
         F.approx_count_distinct(key, rsd).alias("approx_distinct"),
         F.percentile_approx(value, 0.5, 10_000).alias("approx_median"),
     )
+
+
+def grouped_mad_outliers(
+    df: DataFrame, key_col: str, value_col: str, z: float = 3.0
+) -> DataFrame:
+    """Per-key robust outlier counts via grouped applyInPandas
+    (median / MAD — order statistics, the natural pandas-side job).
+
+    §2.10 surface: one Arrow batch per key group crosses to Python,
+    returns one summary row — the per-entity-model shape (anomaly
+    scoring, per-group fits) that pure SQL expresses awkwardly. Shuffle
+    on the key, then embarrassingly parallel. Outputs round to 4 so the
+    oracle (quantile_cont-based) can't flap.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    schema = (
+        f"{key_col} long, n long, med double, mad double, n_outliers long"
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].dropna()
+        med = float(v.median())
+        mad = float((v - med).abs().median())
+        cut = z * 1.4826 * mad
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n": [len(v)],
+                "med": [round(med, 4)],
+                "mad": [round(mad, 4)],
+                "n_outliers": [int(((v - med).abs() > cut).sum())],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(stats, schema)

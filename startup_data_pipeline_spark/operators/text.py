@@ -232,3 +232,58 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition metrics, shuffle-free per-doc array math:
+    duplicate-bigram fraction and most-common-token dominance.
+
+    High values flag low-quality/templated text before training. All
+    work happens in one Project over a materialized token array (the
+    lambda-CSE rule — see shingles_from_tokens).
+    """
+    out = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk"))
+        .withColumn(
+            "__bi",
+            F.when(
+                F.size("__tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__tk") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__tk", i), F.element_at("__tk", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array()),
+        )
+        .withColumn(
+            "__top",
+            F.when(
+                F.size("__tk") > 0,
+                F.array_max(
+                    F.transform(
+                        F.array_distinct("__tk"),
+                        lambda x: F.size(F.filter("__tk", lambda y: y == x)),
+                    )
+                ),
+            ),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__tk").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("__bi") > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct("__bi")).cast("double")
+                / F.size("__bi"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_bigram_ratio"),
+        F.when(
+            F.size("__tk") > 0,
+            F.round(F.col("__top").cast("double") / F.size("__tk"), 4),
+        ).otherwise(F.lit(0.0)).alias("top_token_ratio"),
+    )

@@ -481,3 +481,57 @@ def q_name_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+@register(
+    "q_user_trend",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 4)
+               AS slope_per_hour
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ops="per-key linear trend (regr_slope native aggregate; the "
+    "per-entity drift signal, one shuffle)",
+)
+def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.regr_slope(F.col("value"), F.unix_micros("ts") / 3.6e9), 4
+        ).alias("slope_per_hour"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS m,
+               CAST(COUNT(value) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    mad AS (
+        SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT med.user_id, med.n,
+           round(med.m, 4) AS med,
+           round(mad.d, 4) AS mad,
+           CAST(COUNT(CASE WHEN abs(e.value - med.m)
+                                > 3.0 * 1.4826 * mad.d THEN 1 END) AS BIGINT)
+               AS n_outliers
+    FROM events e
+    JOIN med USING (user_id) JOIN mad USING (user_id)
+    GROUP BY med.user_id, med.n, med.m, mad.d
+    """,
+    survey_ops="§2.10 grouped applyInPandas: per-key median/MAD robust "
+    "outlier model (Arrow batch per group, one summary row back)",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return olap.grouped_mad_outliers(ev, "user_id", "value")

@@ -692,3 +692,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", query_ids=list(range(10)), k=5,
         centroid_mod=50, n_probe=2,
     )
+
+
+@register(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
+    b AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(generate_series(1, len(tk) - 1),
+                         i -> tk[i] || ' ' || tk[i+1])
+                    ELSE [] END AS bi
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CASE WHEN len(bi) > 0
+                THEN round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                           / len(bi), 4)
+                ELSE 0.0 END AS dup_bigram_ratio,
+           CASE WHEN len(tk) > 0
+                THEN round(CAST(list_max(list_transform(list_distinct(tk),
+                     x -> len(list_filter(tk, y -> y = x)))) AS DOUBLE)
+                     / len(tk), 4)
+                ELSE 0.0 END AS top_token_ratio
+    FROM b
+    """,
+    survey_ops="Gopher-style repetition metrics: dup-bigram fraction, "
+    "top-token dominance (§2.11 quality; shuffle-free array math)",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
