@@ -535,3 +535,376 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return olap.grouped_mad_outliers(ev, "user_id", "value")
+
+
+def _dec(c: str):
+    """The repo-wide money idiom: accumulate DECIMAL(18,2), cast at edge."""
+    return F.col(c).cast("decimal(18,2)")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+@register(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT round(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN {_REV} ELSE 0 END) AS DOUBLE) * 100.0
+                 / CAST(SUM({_REV}) AS DOUBLE), 4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    survey_ops="TPC-H Q14 shape: ratio of conditional aggregates over a "
+    "broadcast dim join (promo revenue share; date filter pushed to scan)",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )).cast("double")
+                * 100.0
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_disjunctive_part_revenue",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 15 AND 45)
+    """,
+    survey_ops="TPC-H Q19 shape: OR-of-ANDs disjunctive predicate across "
+    "fact+dim; Catalyst extracts the common l_quantity/p_brand legs for "
+    "scan pushdown before the broadcast join",
+)
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    leg = lambda brand, s0, s1, q0, q1: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s0, s1)
+        & F.col("l_quantity").between(q0, q1)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            leg("Brand#12", 1, 15, 5, 30)
+            | leg("Brand#23", 10, 30, 10, 35)
+            | leg("Brand#34", 20, 50, 15, 45)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM({_REV}) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, ship_year
+    """,
+    survey_ops="TPC-H Q7 shape: 6-way join with bidirectional nation-pair "
+    "predicate + per-year volume; nation dims broadcast, pair filter "
+    "applied after the dim attach so only two nations' rows survive early",
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    cn = nat.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("volume"))
+    )
+
+
+@register(
+    "q_value_share",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem GROUP BY l_partkey
+    ), t AS (SELECT SUM(val) AS total, COUNT(*) AS np FROM pv)
+    SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS part_value
+    FROM pv, t
+    WHERE val * np * 10 > 13 * total
+    """,
+    survey_ops="TPC-H Q11 shape: group value filtered against a global "
+    "scalar subquery (>1.3x the mean part share — scale-invariant, so "
+    "the cut is meaningful at every SF); scalar is a 1-row broadcast "
+    "cross join, exact-decimal comparison so the cut never flaps",
+)
+def q_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("val")
+    )
+    total = pv.agg(
+        F.sum("val").alias("total"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * F.col("np") * 10 > 13 * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+    survey_ops="TPC-H Q15 shape: quarterly revenue view, max scalar "
+    "join-back (exact-decimal equality, ties kept — no arbitrary pick)",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("r"))
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("r").cast("double").alias("total_rev")
+        )
+    )
+
+
+@register(
+    "q_customers_no_orders",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey, a
+    WHERE c_acctbal > a.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY n_name
+    """,
+    survey_ops="TPC-H Q22 shape: scalar-average threshold + NOT EXISTS "
+    "anti-join (no orders in the trailing window) + per-nation rollup "
+    "of dormant high-balance customers",
+)
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "q_priority_line_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    survey_ops="TPC-H Q12 shape: fact-fact equi-join + conditional "
+    "(CASE) counts per class, year filter pushed to the lineitem scan",
+)
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type
+    """,
+    survey_ops="TPC-H Q16 shape: NOT IN exclusion (broadcast anti-join) "
+    "+ per-(brand,type) distinct-supplier count through the fact link",
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 10)),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_returned_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    survey_ops="TPC-H Q10 shape: returned-item revenue per customer, "
+    "top-20 by revenue (tie-broken on key so the cut is deterministic)",
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cust.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            cust.c_custkey == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == li.l_orderkey,
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
