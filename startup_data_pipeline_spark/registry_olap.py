@@ -908,3 +908,339 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ops="TPC-H Q6 shape: pure scan-side conjunctive filter + "
+    "single global aggregate; every predicate reaches the parquet scan "
+    "(PushedFilters), no join, no shuffle beyond the final 1-row reduce",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               {_REV} AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN vol ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM v GROUP BY o_year
+    """,
+    survey_ops="TPC-H Q8 shape: 8-way star join (two roles for nation) + "
+    "per-year conditional-share ratio; all dims broadcast so the fact "
+    "table shuffles only for the final year rollup",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cn = (
+        nat.join(
+            reg.filter(F.col("r_name") == "AMERICA"),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("cnk"))
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                      AS DOUBLE)
+                 - 0.8 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                                  * CAST(l_quantity AS DECIMAL(18,2)))
+                              AS DOUBLE), 4) AS profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, o_year
+    """,
+    survey_ops="TPC-H Q9 shape: product-line profit per supplier nation "
+    "per year (retail-price cost proxy: the fixture has no partsupp). "
+    "Revenue and cost accumulate as separate exact DECIMAL sums and only "
+    "combine in double at the edge so the hash never flaps",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(rev).cast("double")
+                - F.lit(0.8) * F.sum(cost).cast("double"),
+                4,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "q_best_supplier_per_part",
+    oracle="""
+    WITH pslink AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eligible AS (
+        SELECT p_partkey, s_name, s_acctbal, n_name
+        FROM part
+        JOIN pslink ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+    )
+    SELECT e.p_partkey AS partkey, e.s_name,
+           CAST(e.s_acctbal AS DOUBLE) AS best_bal, e.n_name
+    FROM eligible e
+    JOIN (SELECT p_partkey, MAX(s_acctbal) AS mx
+          FROM eligible GROUP BY p_partkey) m
+      ON e.p_partkey = m.p_partkey AND e.s_acctbal = m.mx
+    """,
+    survey_ops="TPC-H Q2 shape: correlated-max join-back — best supplier "
+    "per part within a region (acctbal stands in for supply cost; no "
+    "partsupp in the fixture, the distinct lineitem pair link plays its "
+    "role). Spark side uses a rank-over-window instead of the agg+self-"
+    "join: one shuffle on p_partkey, ties kept to match SQL equality",
+)
+def q_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    eligible = pairs.join(
+        F.broadcast(part), pairs.l_partkey == part.p_partkey
+    ).join(F.broadcast(eu_supp), pairs.l_suppkey == eu_supp.s_suppkey)
+    w = Window.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc())
+    return (
+        eligible.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("best_bal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q_excess_shippers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT l_partkey AS tpk, SUM(qty) AS total_qty,
+                   COUNT(*) AS nsupp
+            FROM shipped GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS heavy_parts
+    FROM shipped
+    JOIN tot ON l_partkey = tpk
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE qty * nsupp * 2 > 3 * total_qty
+    GROUP BY s_suppkey, s_name, n_name
+    """,
+    survey_ops="TPC-H Q20 shape: suppliers shipping >1.5x the per-"
+    "supplier average of a part family (availqty threshold re-expressed "
+    "against shipped volume; no partsupp in the fixture). Exact-decimal "
+    "cross-multiplied threshold so the cut never flaps; partial "
+    "aggregation happens map-side before either shuffle",
+)
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tpk")).agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("nsupp")
+    )
+    return (
+        shipped.join(F.broadcast(tot), F.col("l_partkey") == F.col("tpk"))
+        .filter(
+            F.col("qty") * F.col("nsupp") * 2 > 3 * F.col("total_qty")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("heavy_parts"))
+    )
+
+
+@register(
+    "q_waiting_orders",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey AS ok, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    o AS (SELECT ok AS ook, COUNT(*) AS nsupp, SUM(late) AS nlate
+          FROM per GROUP BY ok)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN o ON ok = ook
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE late = 1 AND nsupp > 1 AND nlate = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    survey_ops="TPC-H Q21 shape: the sole late supplier on multi-"
+    "supplier finished orders (ship-lag vs order date stands in for the "
+    "missing receipt/commit dates). The classic EXISTS/NOT-EXISTS double "
+    "correlation is re-expressed as two aggregate levels — per-(order,"
+    "supplier) lateness then per-order counts — which is the shuffle-"
+    "minimal Spark formulation (both aggs share the orderkey exchange)",
+)
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey"))
+        .agg(F.max(late).alias("late"))
+    )
+    o = per.groupBy(F.col("ok").alias("ook")).agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+    )
+    return (
+        per.join(o, F.col("ok") == F.col("ook"))
+        .filter(
+            (F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
