@@ -293,3 +293,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+def _centroid_lit(centroid: list[int]) -> Column:
+    return F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+
+
+def _sq_dist(qv: Column, centroid: list[int]) -> Column:
+    d = F.zip_with(qv, _centroid_lit(centroid), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _assign_clusters(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Attach the nearest-centroid index (ties → lowest index).
+
+    The centroids ride in the plan as literal arrays, so assignment is a
+    shuffle-free map over the vectors — the executor-side cost of one
+    Lloyd iteration is a single scan.
+    """
+    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    return qdf.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def _round_div(s: int, n: int) -> int:
+    """Integer round-half-away-from-zero of s/n (engine-agnostic)."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Distributed Lloyd's k-means over quantized embeddings.
+
+    Fully deterministic (the IVF training step the ivf_* operators
+    assume): vectors quantize to integers, distances are exact integer
+    math, centroid updates are exact long sums rounded back onto the
+    quantized grid, and init takes the k lowest-id vectors. Ties in
+    assignment go to the lowest cluster index. The same arithmetic in
+    any engine (see tests' numpy mirror) reproduces the run bit-for-bit.
+
+    Scale: per iteration, assignment is a shuffle-free scan (centroids
+    are plan literals), and the update is posexplode → partial-agg →
+    one shuffle of ~k·dims·partitions small rows; the driver holds only
+    k·dims longs. Iteration count is fixed, not convergence-polled, so
+    the job graph is static.
+
+    Returns (assignments DataFrame [id, cluster], centroids).
+    """
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+        .cache()
+    )
+    init_rows = qdf.orderBy("vid").limit(k).collect()
+    centroids = [list(r["qv"]) for r in init_rows]
+    dims = len(centroids[0])
+    for _ in range(n_iter):
+        sums = (
+            _assign_clusters(qdf, centroids)
+            .select("cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc = {(r["cluster"], r["pos"]): (r["s"], r["n"]) for r in sums}
+        centroids = [
+            [
+                _round_div(*acc[(j, d)]) if (j, d) in acc else centroids[j][d]
+                for d in range(dims)
+            ]
+            for j in range(k)
+        ]
+    assigned = _assign_clusters(qdf, centroids).select("vid", "cluster")
+    return assigned, centroids

@@ -126,3 +126,44 @@ def range_join_count(
     return joined.groupBy(F.col(left_id_col), F.col(key_col)).agg(
         F.count(F.col("__rid")).alias("n_nearby")
     )
+
+
+def scd2_from_log(
+    log: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build an SCD-type-2 history from an append-only change log.
+
+    Keeps only rows where ``attr_col`` differs from the key's previous
+    value (ordered by ts, tiebreak), then stamps each surviving row with
+    valid_from / valid_to (null = current) and a per-key version number.
+    This is the standard dimension-history build in a warehouse load.
+
+    Scale: two window passes over the same (key, ts) ordering — Catalyst
+    reuses one Exchange+Sort for both (the second window runs on the
+    filtered, much smaller change set but shares the partitioning), so
+    the whole build is a single shuffle of the log.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    changed = (
+        log.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return changed.select(
+        key_col,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

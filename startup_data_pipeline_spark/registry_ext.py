@@ -729,3 +729,142 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return windows.event_gaps(ev, "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# CDC / warehouse-history battery: snapshot diff, SCD2, k-means training
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1
+                              AS DECIMAL(18,2))
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2))
+               END AS price
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS order_key,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+                     OR (old.price IS DISTINCT FROM new.price)
+                THEN 'update'
+                ELSE 'same' END AS change_type,
+           CAST(CASE WHEN old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+                     THEN 0
+                     ELSE (CASE WHEN old.o_orderstatus IS DISTINCT FROM
+                                     new.o_orderstatus THEN 1 ELSE 0 END)
+                        + (CASE WHEN old.price IS DISTINCT FROM new.price
+                                THEN 1 ELSE 0 END)
+                END AS BIGINT) AS n_changed
+    FROM old FULL JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+    survey_ops="CDC snapshot diff (§2.11 extension of J7): full-outer "
+    "key join classifying insert/delete/update/same with a null-safe "
+    "per-column change count — the batch change-feed primitive; "
+    "bucketed snapshots drop the Exchange entirely",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    old = base.filter(F.col("o_orderkey") % 7 != 0)
+    new = base.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.col("price") * F.lit("1.1").cast("decimal(2,1)")).cast(
+                "decimal(18,2)"
+            ),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    return state.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "price"]
+    ).select(
+        F.col("o_orderkey").alias("order_key"), "change_type", "n_changed"
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, event_type, ts, event_id FROM o
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS version
+    FROM c
+    """,
+    survey_ops="SCD-type-2 history build (§2.11 extension of J7/W-class): "
+    "change-log → validity intervals via lag-filter + lead/row_number; "
+    "both window passes share one (user, ts) Exchange+Sort",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return temporal.scd2_from_log(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=None,
+    survey_ops="distributed k-means training (§2.11 similarity: the IVF "
+    "coarse-quantizer trainer). Integer-exact Lloyd iterations — "
+    "assignment is a shuffle-free scan with literal centroids, update "
+    "is one partial-agg shuffle of k*dims rows; deterministic "
+    "bit-for-bit (numpy mirror in tests). Rows-only gate: the "
+    "iterative loop is not expressible in one SQL statement",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.kmeans_fit(
+        emb, "vec_id", "embedding", k=8, n_iter=5
+    )
+    sqnorms = {
+        j: sum(x * x for x in c) for j, c in enumerate(centroids)
+    }
+    norm_col = F.create_map(
+        *[F.lit(v) for kv in sqnorms.items() for v in kv]
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("vid").alias("id_checksum"),
+        )
+        .withColumn("centroid_sqnorm", norm_col[F.col("cluster")])
+        .select("cluster", "n_vecs", "id_checksum", "centroid_sqnorm")
+    )

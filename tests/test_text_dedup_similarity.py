@@ -227,3 +227,52 @@ def test_ivf_recall_improves_with_n_probe(spark):
     r1, r_all = recall(1), recall(1000)
     assert r1 <= r_all
     assert r_all == 1.0   # probing every cell == exact search
+
+
+def test_kmeans_matches_numpy_mirror(spark, sf_dir):
+    """kmeans_fit is integer-exact: a numpy reimplementation of the same
+    arithmetic must reproduce assignments and centroids bit-for-bit."""
+    import numpy as np
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        QUANT_SCALE,
+        _round_div,
+        kmeans_fit,
+    )
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, n_iter = 4, 3
+    assigned, centroids = kmeans_fit(
+        emb, "vec_id", "embedding", k=k, n_iter=n_iter
+    )
+    got = {r["vid"]: r["cluster"] for r in assigned.collect()}
+
+    raw = sorted(
+        (r["vec_id"], r["embedding"]) for r in emb.collect()
+    )
+    ids = np.array([t[0] for t in raw])
+    # Spark's round() is half-away-from-zero; numpy's is half-even.
+    scaled = np.array([t[1] for t in raw], dtype=np.float64) * QUANT_SCALE
+    vecs = np.where(
+        scaled >= 0, np.floor(scaled + 0.5), -np.floor(-scaled + 0.5)
+    ).astype(np.int64)
+
+    def assign(c):
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin takes first min = lowest index
+
+    cents = vecs[:k].copy()
+    for _ in range(n_iter):
+        a = assign(cents)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                s, n = vecs[m].sum(axis=0), int(m.sum())
+                cents[j] = np.array(
+                    [_round_div(int(x), n) for x in s], dtype=np.int64
+                )
+    final = assign(cents)
+
+    assert [list(c) for c in cents] == centroids
+    assert {int(i): int(c) for i, c in zip(ids, final)} == got
