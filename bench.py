@@ -47,6 +47,12 @@ HEADLINE = [
     "q_asof_join",
     "q_range_join",
     "q_rollup_orders",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_waiting_orders",
+    "q_best_supplier_per_part",
+    "q_snapshot_diff",
+    "q_scd2_history",
 ]
 
 

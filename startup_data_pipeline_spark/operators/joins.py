@@ -52,3 +52,41 @@ def salted_join(
         *[l[c] for c in lcols],
         *[r[c] for c in right.columns if c != "__salt"],
     )
+
+
+def bloom_prefilter_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Semi join with a broadcast hash-bucket (Bloom-style) prefilter.
+
+    The dim side collapses to its distinct hash buckets
+    (pmod(xxhash64(key), n_buckets)) — a set that is small even when the
+    dim side itself is too large to broadcast as rows. The fact side is
+    first pruned by a broadcast semi join on the bucket (false positives
+    possible, false negatives impossible), then the exact semi join runs
+    on the survivors. Semantics are identical to a plain semi join; the
+    payoff is at scale: the bucket probe happens BEFORE the fact side's
+    shuffle, so rows that cannot match never enter the exchange — the
+    same idea as Spark's runtime row-level bloom filtering
+    (InjectRuntimeFilter), expressed portably in the DataFrame API.
+    """
+    buckets = (
+        dim_keys.select(
+            F.pmod(F.xxhash64(F.col(dim_key)), F.lit(n_buckets)).alias("__b")
+        )
+        .dropDuplicates()
+    )
+    pruned = fact.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64(F.col(fact_key)), F.lit(n_buckets)) == F.col("__b"),
+        "left_semi",
+    )
+    return pruned.join(
+        dim_keys.select(F.col(dim_key).alias("__k")).dropDuplicates(),
+        F.col(fact_key) == F.col("__k"),
+        "left_semi",
+    )

@@ -210,3 +210,61 @@ def snapshot_diff(
         .cast("long")
         .alias("n_changed"),
     )
+
+
+def incremental_agg_merge(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    agg_specs: dict[str, str],
+) -> DataFrame:
+    """Maintain a per-key aggregate table from a delta batch.
+
+    ``state`` holds the running aggregates (one row per key) and
+    ``agg_specs`` maps each aggregate column to its merge rule:
+    'sum'/'count' merge by addition, 'min'/'max' by least/greatest.
+    The caller reduces the delta batch to the same shape (its groupBy is
+    the map-side partial), then one full-outer key join merges old and
+    new — the materialized-view
+    maintenance primitive: a 100 TB aggregate updates by touching only
+    the delta plus one state-sized join, never rescanning history.
+    Correctness contract (see q_incremental_agg): merging the partial
+    aggregate of any split equals the full recompute.
+
+    Scale: the delta partial-agg combines map-side before its shuffle;
+    with state bucketed on the key (write_bucketed_state) the merge
+    join is exchange-free on the state side.
+    """
+    agg_cols = list(agg_specs)
+    cond = None
+    for c in key_cols:
+        leg = F.col(f"s_{c}").eqNullSafe(F.col(f"d_{c}"))
+        cond = leg if cond is None else cond & leg
+    merged = state.select(
+        *[F.col(c).alias(f"s_{c}") for c in key_cols + agg_cols]
+    ).join(
+        delta.select(
+            *[F.col(c).alias(f"d_{c}") for c in key_cols + agg_cols]
+        ),
+        cond,
+        "full_outer",
+    )
+    out_aggs = []
+    for c, rule in agg_specs.items():
+        s, d = F.col(f"s_{c}"), F.col(f"d_{c}")
+        if rule in ("sum", "count"):
+            merged_col = F.when(s.isNull(), d).when(d.isNull(), s).otherwise(s + d)
+        elif rule == "min":
+            merged_col = F.when(s.isNull(), d).when(d.isNull(), s).otherwise(F.least(s, d))
+        elif rule == "max":
+            merged_col = F.when(s.isNull(), d).when(d.isNull(), s).otherwise(F.greatest(s, d))
+        else:
+            raise ValueError(f"unknown merge rule {rule!r} for {c!r}")
+        out_aggs.append(merged_col.alias(c))
+    return merged.select(
+        *[
+            F.coalesce(F.col(f"s_{c}"), F.col(f"d_{c}")).alias(c)
+            for c in key_cols
+        ],
+        *out_aggs,
+    )

@@ -868,3 +868,84 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("centroid_sqnorm", norm_col[F.col("cluster")])
         .select("cluster", "n_vecs", "id_checksum", "centroid_sqnorm")
     )
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ops="incremental aggregate maintenance (§2.11 extension of "
+    "J7/A-class): per-user state built from 3/4 of the log then merged "
+    "with the remaining quarter's partial aggregate via one full-outer "
+    "key join. The oracle is the FULL recompute — certifying that the "
+    "incremental path is exactly equivalent, which is the property that "
+    "lets a 100 TB aggregate update without rescanning history",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def part_agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    old_state = part_agg(ev.filter(F.col("event_id") % 4 != 0))
+    delta = part_agg(ev.filter(F.col("event_id") % 4 == 0))
+    merged = state.incremental_agg_merge(
+        old_state,
+        delta,
+        ["user_id"],
+        {"n_events": "count", "total_value": "sum", "max_value": "max"},
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "q_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    GROUP BY l_returnflag
+    """,
+    survey_ops="Bloom-style pre-shuffle join pruning (§2.3 scale "
+    "extension of J1/J2): the dim side collapses to broadcast hash "
+    "buckets, the fact side is pruned by a bucket semi-probe BEFORE any "
+    "exchange, then the exact semi join runs on survivors — the "
+    "DataFrame-level equivalent of Spark's runtime row-level bloom "
+    "filter. Oracle is the plain IN-subquery: the prefilter is "
+    "semantics-preserving by construction",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 5000
+    )
+    kept = joins.bloom_prefilter_semi_join(
+        li, supp.select("s_suppkey"), "l_suppkey", "s_suppkey"
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

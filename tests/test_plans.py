@@ -45,3 +45,54 @@ def test_approx_stats_within_tolerance(spark, sf_dir):
         a_nd, a_med = approx[et]
         assert abs(a_nd - nd) <= max(2, 0.1 * nd)
         assert abs(a_med - med) <= max(0.5, 0.15 * abs(med))
+
+
+def test_bloom_prefilter_probe_is_broadcast(spark, sf_dir):
+    """The bucket probe must be a broadcast semi join sitting below any
+    exchange of the fact side — that ordering is the whole point of the
+    operator (prune before shuffle)."""
+    import pyspark.sql.functions as F
+
+    from startup_data_pipeline_spark.operators import joins
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select("s_suppkey")
+    )
+    out = joins.bloom_prefilter_semi_join(li, supp, "l_suppkey", "s_suppkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # bucket probe + exact semi
+    assert "LeftSemi" in plan
+
+    # Semantics: identical to the plain semi join.
+    exact = li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
+    assert out.count() == exact.count()
+
+
+def test_incremental_agg_merge_rules(spark):
+    """Merge rules: sum/count add, min/max take extrema, keys present on
+    only one side pass through unchanged."""
+    from startup_data_pipeline_spark.operators import state
+
+    old = spark.createDataFrame(
+        [("a", 2, 10.0, 7.0), ("b", 1, 5.0, 5.0)],
+        "k string, n long, total double, mx double",
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 4.0, 9.0), ("c", 1, 1.0, 1.0)],
+        "k string, n long, total double, mx double",
+    )
+    got = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in state.incremental_agg_merge(
+            old, delta, ["k"], {"n": "count", "total": "sum", "mx": "max"}
+        ).collect()
+    }
+    assert got == {
+        "a": (5, 14.0, 9.0),
+        "b": (1, 5.0, 5.0),
+        "c": (1, 1.0, 1.0),
+    }
