@@ -353,3 +353,58 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.run_available_now_update(
         totals, "q_stream_stateful_sink"
     )
+
+
+@register(
+    "q_sql_surface",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revd
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_year
+    )
+    SELECT n_name, o_year, CAST(revd AS DOUBLE) AS revenue, rnk
+    FROM (SELECT n_name, o_year, revd,
+                 CAST(RANK() OVER (PARTITION BY o_year
+                                   ORDER BY revd DESC, n_name) AS BIGINT)
+                     AS rnk
+          FROM rev)
+    WHERE rnk <= 3
+    """,
+    survey_ops="SQL entry path (§3 API surface): the engine's tables as "
+    "temp views driven purely by spark.sql ANSI text — same query text "
+    "modulo nothing runs on both engines; certifies a reference user "
+    "can bring raw SQL instead of the DataFrame API",
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revd
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, o_year
+        )
+        SELECT n_name, o_year, CAST(revd AS DOUBLE) AS revenue, rnk
+        FROM (SELECT n_name, o_year, revd,
+                     CAST(RANK() OVER (PARTITION BY o_year
+                                       ORDER BY revd DESC, n_name) AS BIGINT)
+                         AS rnk
+              FROM rev)
+        WHERE rnk <= 3
+        """
+    )

@@ -186,3 +186,39 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_attribution_join(
+    purchases: DataFrame, clicks: DataFrame, max_gap: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchase ← click within a bounded gap.
+
+    Both sides carry watermarks so the join state is bounded: a click is
+    held only until its watermark passes ts + max_gap, then evicted —
+    the continuous analog of the batch as-of/range join (temporal.py).
+    Interval condition: click.ts <= purchase.ts <= click.ts + max_gap.
+    """
+    p = (
+        purchases.withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    c = (
+        clicks.withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    )

@@ -175,3 +175,37 @@ def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
     assert final[9] == (1, 4.0)
     # user 7 emitted twice (once per batch) → proves multi-batch run
     assert out.filter(out.user_id == 7).count() == 2
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream attribution join produces exactly
+    the pairs the equivalent batch interval join produces."""
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    stream = incremental.read_events_stream(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = incremental.stream_stream_attribution_join(
+        purchases, clicks, "1 hour"
+    ).select("purchase_id", "click_id")
+    got = incremental.run_available_now_append(joined, "t_ss_join")
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+    ).select("purchase_id", "click_id")
+    assert rows(got) == rows(want)
+    assert got.count() > 0
