@@ -1244,3 +1244,115 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+    survey_ops="ordered funnel analysis (events analytics): users "
+    "reaching view → click-after-view → purchase-after-click. The "
+    "oracle is the classic min-timestamp join chain (one pass per "
+    "stage); the Spark side is a single-shuffle higher-order fold — "
+    "sort_array(collect_list) per user, then one linear aggregate() "
+    "scan advances the stage machine. Equivalent semantics (greedy "
+    "first-match == min-chain), N-stage funnels stay one shuffle "
+    "instead of N",
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+    )
+    steps = ["view", "click", "purchase"]
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit("1970-01-01").cast("timestamp").alias("t"),
+    )
+
+    def advance(acc, e):
+        cond = None
+        for i, step in enumerate(steps):
+            leg = (acc.stage == i) & (e.event_type == step)
+            if i > 0:
+                leg = leg & (e.ts > acc.t)
+            cond = leg if cond is None else cond | leg
+        return F.when(
+            cond,
+            F.struct((acc.stage + 1).alias("stage"), e.ts.alias("t")),
+        ).otherwise(acc)
+
+    per_user = (
+        ev.filter(F.col("event_type").isin(steps))
+        .groupBy("user_id")
+        .agg(F.aggregate(arr, init, advance).getField("stage").alias("stage"))
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_view_click"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort_week, wk) // 7 AS INTEGER)
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM first JOIN act USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey_ops="cohort retention (events analytics): first-seen week x "
+    "weeks-since-cohort active-user matrix. Two aggregates share the "
+    "user_id exchange, then one equi-join and a (cohort, offset) "
+    "rollup; Monday-truncated weeks make the offset exact integer "
+    "division on both engines",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).dropDuplicates()
+    return (
+        first.join(act, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
