@@ -1,0 +1,40 @@
+"""Python UDTFs — the table-function surface from SURVEY.md §2.10.
+
+The reference's HTML→rows extractors (S6-S9, detect_ats.py:160-262) are
+one-URL-in / many-job-rows-out table functions. The batch normalizers in
+``sources.ats`` cover them with native explode; this module certifies the
+*pluggable* UDTF path (``pyspark.sql.functions.udtf``) a user would reach
+for when the row expansion is genuinely imperative.
+
+Scale notes: a UDTF runs per input row inside the Python worker — an
+Arrow-batched lateral join, map-side only, no shuffle. It is still the
+slow path relative to native ``explode`` (registry queries keep native
+shapes for everything SQL can express); use it only when the expansion
+logic can't be an array expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="chunk_id: bigint, chunk_text: string")
+class CharWindowsUDTF:
+    """Expand text into fixed-width non-overlapping character windows.
+
+    Deliberately SQL-expressible (substr over generate_series) so the
+    DuckDB oracle can verify the UDTF machinery itself — worker
+    round-trip, lateral-join row alignment, null handling — bit-for-bit.
+    """
+
+    def eval(self, text: str, width: int):  # noqa: ANN201
+        if text is None or width is None or width <= 0:
+            return
+        for i, start in enumerate(range(0, len(text), width)):
+            yield i, text[start : start + width]
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Register all engine UDTFs for spark.sql lateral-join use."""
+    spark.udtf.register("char_windows", CharWindowsUDTF)

@@ -159,3 +159,65 @@ def grouped_mad_outliers(
         )
 
     return df.groupBy(key_col).applyInPandas(stats, schema)
+
+
+def heavy_hitters(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int = 1
+) -> DataFrame:
+    """Exact per-key heavy hitters: the k most frequent values per key.
+
+    Two-level shape: the (key, value) count aggregation shuffles first —
+    map-side combine collapses each partition's repeats, so the shuffle
+    carries one row per distinct (key, value), not per event — then the
+    row_number window runs over that much smaller count table. Ties
+    break on the value itself so results are deterministic. At 100 TB
+    with a hot key, the first aggregate absorbs the skew (partial aggs
+    spread over all map tasks); only distinct values per key hit the
+    window sort.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("n").desc(), F.col(value_col).asc()
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-width histogram: one map-side bucket assignment + one tiny
+    shuffle of ``n_buckets`` partial rows per task.
+
+    Out-of-range values clamp into the edge buckets (width_bucket
+    semantics with bounded overflow bins). Money sums accumulate in
+    DECIMAL then cast to DOUBLE at the boundary (registry determinism
+    rule). This is the profile-a-column pass that costs one scan no
+    matter the table size.
+    """
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .withColumn("bucket_lo", (F.lit(lo) + F.col("bucket") * F.lit(width)))
+        .withColumn("bucket_hi", (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)))
+    )

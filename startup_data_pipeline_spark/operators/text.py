@@ -194,6 +194,61 @@ def chunk_tokens(
     )
 
 
+def segment_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 8
+) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (paragraph dedup analog).
+
+    Splits each document into fixed-size non-overlapping token windows,
+    fingerprints each window, and keeps only the first occurrence of each
+    fingerprint corpus-wide (winner = lowest document id). Returns
+    per-document survivor statistics — the bookkeeping a training-data
+    pipeline uses to drop boilerplate repeated across documents.
+
+    Scale shape: the segment rows carry 32-byte digests, not text, so the
+    global group-by shuffles ~fingerprint-width bytes per segment; the
+    two count aggregations are map-side-combined. Winner selection is
+    ``min(doc_id)`` — an agg, not a window — so no per-key sort is paid.
+    """
+    seg = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk"))
+        .select(F.col(id_col), F.size("__tk").alias("__n"), "__tk")
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.when(
+                    F.col("__n") > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n"), F.lit(seg_tokens)),
+                        lambda s: F.md5(
+                            F.concat_ws(
+                                " ", F.slice("__tk", s, F.lit(seg_tokens))
+                            )
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("seg_hash"),
+        )
+        .filter(F.col("seg_hash").isNotNull())
+    )
+    total = seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments")
+    )
+    winners = seg.groupBy("seg_hash").agg(F.min(id_col).alias("__wdoc"))
+    kept = winners.groupBy(F.col("__wdoc").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return total.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

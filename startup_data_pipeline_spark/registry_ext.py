@@ -949,3 +949,33 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_udtf_char_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST((s - 1) // 64 AS BIGINT) AS chunk_id,
+           substr(text, s, 64) AS chunk_text
+    FROM (
+        SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS s
+        FROM documents
+    )
+    """,
+    survey_ops="Python UDTF surface (§2.10; S6-S9 one-row-to-many-rows "
+    "extractor shape): Arrow lateral join through the worker, "
+    "oracle-verified row alignment — the pluggable path for imperative "
+    "expansions that array expressions can't write",
+)
+def q_udtf_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udtfs import register_udtfs
+    from .sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT doc_id, w.chunk_id, w.chunk_text
+        FROM documents, LATERAL char_windows(text, 64) AS w
+        """
+    )

@@ -1356,3 +1356,60 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT user_id, event_type, n, rank
+    FROM (
+        SELECT user_id, event_type, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+        FROM (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+    )
+    WHERE rank <= 2
+    """,
+    survey_ops="exact per-key heavy hitters (mode/top-k-frequent): "
+    "two-level aggregate — map-side-combined (key,value) counts, then a "
+    "window over the distinct-value table only. Hot keys are absorbed "
+    "by partial aggregation, not the window sort",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return olap.heavy_hitters(ev, ["user_id"], "event_type", k=2).select(
+        "user_id", "event_type", "n", "rank"
+    )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           0.0 + bucket * 10000.0 AS bucket_lo,
+           0.0 + (bucket + 1) * 10000.0 AS bucket_hi
+    FROM (
+        SELECT l_extendedprice,
+               CAST(LEAST(GREATEST(
+                   FLOOR((l_extendedprice - 0.0) / 10000.0), 0), 9)
+                   AS BIGINT) AS bucket
+        FROM lineitem
+    )
+    GROUP BY bucket
+    """,
+    survey_ops="equi-width histogram (column profiling): map-side bucket "
+    "assignment + n_buckets-row shuffle; one scan regardless of table "
+    "size, clamped edge buckets (width_bucket semantics)",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return olap.equi_width_histogram(
+        li, "l_extendedprice", lo=0.0, width=10000.0, n_buckets=10
+    ).select("bucket", "n", "total", "bucket_lo", "bucket_hi")

@@ -725,3 +725,76 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, "doc_id", "text")
+
+
+@register(
+    "q_segment_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks), 8),
+                   s -> md5(array_to_string(
+                       list_slice(toks, s, s + 7), ' ')))) AS seg_hash
+        FROM toks WHERE len(toks) > 0
+    ),
+    tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+        FROM seg GROUP BY doc_id
+    ),
+    win AS (
+        SELECT seg_hash, min(doc_id) AS w_doc FROM seg GROUP BY seg_hash
+    ),
+    kept AS (
+        SELECT w_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM win GROUP BY w_doc
+    )
+    SELECT t.doc_id, t.n_segments,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_segments - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    survey_ops="corpus-wide segment-level exact dedup (paragraph dedup "
+    "analog, §2.11): token-window fingerprints, min(doc_id) winner per "
+    "fingerprint — digests shuffle, text never does",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.segment_dedup_stats(docs, "doc_id", "text", seg_tokens=8)
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(round(scale * 1000000) AS BIGINT) AS scale_micro,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_max(list_transform(q, x -> abs(x))) AS BIGINT)
+               AS q_absmax
+    FROM (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q,
+               scale
+        FROM (
+            SELECT vec_id, embedding,
+                   CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings
+            )
+        )
+    )
+    """,
+    survey_ops="symmetric int8 embedding quantization (§2.11 similarity "
+    "at scale): 4x shuffle-byte reduction before ANN; map-side only, "
+    "integer verification stats",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_quantize_stats(emb, "vec_id", "embedding")

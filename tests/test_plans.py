@@ -96,3 +96,48 @@ def test_incremental_agg_merge_rules(spark):
         "b": (1, 5.0, 5.0),
         "c": (1, 1.0, 1.0),
     }
+
+
+def test_heavy_hitters_tie_break(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c")],
+        "k long, v string",
+    )
+    out = olap.heavy_hitters(df, ["k"], "v", k=2).collect()
+    ranked = {r["rank"]: (r["v"], r["n"]) for r in out}
+    assert ranked[1] == ("a", 2)  # tie on n=2 → lexical value order
+    assert ranked[2] == ("b", 2)
+
+
+def test_equi_width_histogram_clamps_edges(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (1.5,), (99.0,)], "x double"
+    )
+    out = {
+        r["bucket"]: r["n"]
+        for r in olap.equi_width_histogram(
+            df, "x", lo=0.0, width=1.0, n_buckets=3
+        ).collect()
+    }
+    assert out[0] == 2  # -5 clamps up into bucket 0
+    assert out[1] == 1
+    assert out[2] == 1  # 99 clamps down into the last bucket
+
+
+def test_udtf_char_windows_skips_nulls(spark):
+    from startup_data_pipeline_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "abcdefgh"), (2, None)], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_probe")
+    out = spark.sql(
+        "SELECT doc_id, w.chunk_id, w.chunk_text "
+        "FROM udtf_probe, LATERAL char_windows(text, 3) AS w"
+    ).collect()
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out)
+    assert got == [(1, 0, "abc"), (1, 1, "def"), (1, 2, "gh")]

@@ -276,3 +276,40 @@ def test_kmeans_matches_numpy_mirror(spark, sf_dir):
 
     assert [list(c) for c in cents] == centroids
     assert {int(i): int(c) for i, c in zip(ids, final)} == got
+
+
+def test_segment_dedup_first_doc_wins(spark):
+    # doc 1 and doc 2 share their first 8-token segment; doc 1 wins it
+    seg_a = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(1, seg_a + " tail one"), (2, seg_a + " tail two"), (3, "x " * 7 + "x")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["n_dropped"])
+        for r in text.segment_dedup_stats(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (2, 2, 0)  # wins shared segment + own tail
+    assert out[2] == (2, 1, 1)  # loses shared segment, keeps tail
+    assert out[3] == (1, 1, 0)
+
+
+def test_int8_quantize_stats_bounds(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.int8_quantize_stats(
+            emb, "vec_id", "embedding"
+        ).collect()
+    }
+    # scale = 1/127; q = [127, -64 (round half up of -63.5), 32, 0]
+    assert out[1]["q_absmax"] == 127
+    assert out[1]["n_dims"] == 4
+    assert out[1]["scale_micro"] == round(1 / 127 * 1e6)
+    # all-zero vector: guard scale=1.0, all q = 0
+    assert out[2]["q_absmax"] == 0
+    assert out[2]["q_l1"] == 0
+    assert out[2]["scale_micro"] == 1_000_000
