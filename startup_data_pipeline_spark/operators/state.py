@@ -27,14 +27,24 @@ def anti_join_seen(
     incoming_key: str,
     state_key: str,
     broadcast_state: bool = True,
+    dedup_keys: bool = False,
 ) -> DataFrame:
     """J1 (main.py:49-58 + upsert.py:62-85): drop already-seen rows.
 
     The reference's SQL ``IN`` probe + Python set-difference becomes a
     broadcast hash LEFT ANTI join — the pre-flight dedup that protects the
     expensive enrichment stage (SURVEY.md §4.1 row 1).
+
+    Anti-join semantics are identical whether the state keys are distinct
+    or not (the hash build is a set), so ``dedup_keys`` defaults off —
+    a state table keyed on the probe column has unique keys already, and
+    the dropDuplicates would cost a full extra Exchange before the
+    broadcast. Turn it on only when state carries real key duplicates
+    (then the dedup pays for itself in broadcast bytes).
     """
-    keys = state.select(F.col(state_key).alias("__seen_key")).dropDuplicates()
+    keys = state.select(F.col(state_key).alias("__seen_key"))
+    if dedup_keys:
+        keys = keys.dropDuplicates()
     if broadcast_state:
         keys = F.broadcast(keys)
     return incoming.join(
@@ -48,9 +58,15 @@ def semi_join_exists(
     incoming_key: str,
     state_key: str,
     broadcast_state: bool = True,
+    dedup_keys: bool = False,
 ) -> DataFrame:
-    """J2 (upsert.py:72-80): keep only rows whose key exists in state."""
-    keys = state.select(F.col(state_key).alias("__seen_key")).dropDuplicates()
+    """J2 (upsert.py:72-80): keep only rows whose key exists in state.
+
+    Same dedup-keys economics as :func:`anti_join_seen`.
+    """
+    keys = state.select(F.col(state_key).alias("__seen_key"))
+    if dedup_keys:
+        keys = keys.dropDuplicates()
     if broadcast_state:
         keys = F.broadcast(keys)
     return incoming.join(

@@ -167,3 +167,59 @@ def scd2_from_log(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Daily resample with last-observation-carried-forward (gap fill).
+
+    For each key: aggregate to daily totals, densify to that key's full
+    [first_day, last_day] calendar via ``sequence`` + explode (no
+    driver-side calendar, no cross join against a global date dim), and
+    carry the last observed total across the silent days — the standard
+    time-series regularization before feature windows or forecasting.
+
+    One exchange total: an explicit repartition on the key feeds the
+    (key, day) aggregate (subset-key, no second shuffle), the per-key
+    bounds window, the grid Generate, the self-equi-join on (key, day)
+    (both sides hash(key) — co-partitioned), and the ordered LOCF
+    window. Grid size is bounded per key by its own active span, so a
+    key dormant for years doesn't inflate other keys' partitions.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .repartition(F.col(key_col))
+        .groupBy(F.col(key_col), day.alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    bounds = daily.groupBy(key_col).agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__d0"), F.col("__d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    filled = grid.join(daily, [key_col, "day"], "left")
+    wl = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_value").isNotNull().alias("active"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        F.last("day_value", ignorenulls=True).over(wl).alias("locf_value"),
+    )

@@ -342,3 +342,47 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.round(F.col("__top").cast("double") / F.size("__tk"), 4),
         ).otherwise(F.lit(0.0)).alias("top_token_ratio"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03).
+
+    Hash every k-gram, slide a window of ``window`` consecutive hashes,
+    select each window's minimum, and emit the distinct selections. The
+    guarantee: any shared substring of length >= k + window - 1 between
+    two documents produces at least one shared fingerprint, with ~2/(w+1)
+    of the grams selected — the local-dedup sampling that detects partial
+    overlap (plagiarism / quote / boilerplate) where whole-doc hashing
+    can't.
+
+    Shape at scale: all selection happens in per-row array expressions
+    (map-side, shuffle-free); only the ~2/(w+1)-sampled digests leave the
+    row, so a downstream group-by-fingerprint join carries a fraction of
+    the shingle volume. Documents shorter than k + window - 1 tokens have
+    no full window and are excluded (both engines agree).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__tk") - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__tk", i, F.lit(k)))),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__g") - (window - 1)),
+            lambda j: F.array_min(F.slice("__g", j, F.lit(window))),
+        )
+    )
+    return (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), toks.alias("__tk"))
+        .filter(F.size("__tk") >= k)
+        .select(F.col(id_col), grams.alias("__g"))
+        .filter(F.size("__g") >= window)
+        .select(F.col(id_col), F.explode(mins).alias("fingerprint"))
+    )

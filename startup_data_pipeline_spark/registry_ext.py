@@ -979,3 +979,44 @@ def q_udtf_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, LATERAL char_windows(text, 64) AS w
         """
     )
+
+
+@register(
+    "q_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           d.day_value IS NOT NULL AS active,
+           COALESCE(d.day_value, 0.0) AS day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    survey_ops="time-series gap fill + LOCF (daily resample): per-key "
+    "calendar densification via sequence+explode (no global date dim, "
+    "no cross join) and carry-forward window — one exchange on the key "
+    "serves the aggregate, bounds, grid, equi-join, and LOCF window "
+    "(subset-key aggregation + co-partitioned join)",
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.gap_fill_locf(ev, "user_id", "ts", "value")

@@ -1095,7 +1095,12 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per part within a region (acctbal stands in for supply cost; no "
     "partsupp in the fixture, the distinct lineitem pair link plays its "
     "role). Spark side uses a rank-over-window instead of the agg+self-"
-    "join: one shuffle on p_partkey, ties kept to match SQL equality",
+    "join: one shuffle on p_partkey, ties kept to match SQL equality. "
+    "Both selective dims semi-filter the pair stream BEFORE the "
+    "distinct, so the dedup shuffle carries only qualifying pairs "
+    "(~4%% of lineitem at this selectivity) — and the explicit "
+    "partkey repartition lets the distinct AND the window share one "
+    "exchange (subset-key aggregation + alias-aware partitioning)",
 )
 def q_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1114,7 +1119,21 @@ def q_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    pairs = li.select("l_partkey", "l_suppkey").dropDuplicates()
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .repartition(F.col("l_partkey"))
+        .dropDuplicates()
+    )
     eligible = pairs.join(
         F.broadcast(part), pairs.l_partkey == part.p_partkey
     ).join(F.broadcast(eu_supp), pairs.l_suppkey == eu_supp.s_suppkey)
@@ -1212,10 +1231,16 @@ def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier finished orders (ship-lag vs order date stands in for the "
     "missing receipt/commit dates). The classic EXISTS/NOT-EXISTS double "
     "correlation is re-expressed as two aggregate levels — per-(order,"
-    "supplier) lateness then per-order counts — which is the shuffle-"
-    "minimal Spark formulation (both aggs share the orderkey exchange)",
+    "supplier) lateness then per-order counts. Spark side: the order "
+    "side broadcasts (AQE), an explicit orderkey repartition feeds the "
+    "(order, supplier) aggregate (subset-key, no second exchange), and "
+    "the per-order counts are WINDOW functions over the same orderkey "
+    "partitioning — one big exchange total, no aggregate self-join, no "
+    "recompute of the lineitem join",
 )
 def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -1227,14 +1252,14 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     per = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .repartition(F.col("l_orderkey"))
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey"))
         .agg(F.max(late).alias("late"))
     )
-    o = per.groupBy(F.col("ok").alias("ook")).agg(
-        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
-    )
+    w = Window.partitionBy("ok")
     return (
-        per.join(o, F.col("ok") == F.col("ook"))
+        per.withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("nlate", F.sum("late").over(w))
         .filter(
             (F.col("late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
         )

@@ -798,3 +798,35 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.int8_quantize_stats(emb, "vec_id", "embedding")
+
+
+@register(
+    "q_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 2),
+                   i -> md5(array_to_string(
+                       list_slice(toks, i, i + 2), ' '))) AS grams
+        FROM toks WHERE len(toks) >= 3
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(grams) - 3),
+                   j -> list_min(list_slice(grams, j, j + 3)))) AS fps
+        FROM g WHERE len(grams) >= 4
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM sel
+    """,
+    survey_ops="winnowing fingerprints (Schleimer et al. SIGMOD'03, "
+    "§2.11 near-dup): windowed-min k-gram sampling — guarantees a "
+    "shared fingerprint for any shared run of k+w-1 tokens while "
+    "emitting ~2/(w+1) of the grams; map-side array math, sampled "
+    "digests are all that shuffle",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, "doc_id", "text", k=3, window=4)

@@ -101,3 +101,31 @@ def test_asof_empty_right(spark):
     right = spark.createDataFrame([], "event_id long, user_id string, ts timestamp")
     out = temporal.asof_join(left, right, "user_id", "ts", ["event_id"])
     assert out.collect()[0]["matched_event_id"] is None
+
+
+def test_gap_fill_locf_densifies_and_carries(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 5), 10.0),
+            (1, datetime(2024, 1, 1, 9), 5.0),
+            (1, datetime(2024, 1, 4, 1), 7.0),
+            (2, datetime(2024, 2, 1, 0), 1.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = temporal.gap_fill_locf(ev, "user_id", "ts", "value")
+    rows = {
+        (r["user_id"], r["day"]): (r["active"], r["day_value"], r["locf_value"])
+        for r in out.collect()
+    }
+    # user 1: 4-day span densified, silent days carry the last total
+    assert rows[(1, "2024-01-01")] == (True, 15.0, 15.0)
+    assert rows[(1, "2024-01-02")] == (False, 0.0, 15.0)
+    assert rows[(1, "2024-01-03")] == (False, 0.0, 15.0)
+    assert rows[(1, "2024-01-04")] == (True, 7.0, 7.0)
+    # user 2: single-day span stays single-day (no global calendar)
+    assert [k for k in rows if k[0] == 2] == [(2, "2024-02-01")]

@@ -313,3 +313,31 @@ def test_int8_quantize_stats_bounds(spark):
     assert out[2]["q_absmax"] == 0
     assert out[2]["q_l1"] == 0
     assert out[2]["scale_micro"] == 1_000_000
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    # two docs share a 6-token run (= k + w - 1 with k=3, w=4): the
+    # winnowing guarantee says they must share >= 1 fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five " + shared),
+            (2, shared + " six seven eight nine ten"),
+            (3, "totally unrelated words only here live now today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = text.winnowing_fingerprints(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnowing_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b")], "doc_id long, text string"
+    )
+    # doc 1: 3 grams < window 4 → excluded; doc 2: < k tokens → excluded
+    assert text.winnowing_fingerprints(docs, "doc_id", "text").count() == 0
