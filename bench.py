@@ -53,6 +53,10 @@ HEADLINE = [
     "q_best_supplier_per_part",
     "q_snapshot_diff",
     "q_scd2_history",
+    "q_segment_dedup",
+    "q_winnow_fingerprints",
+    "q_gap_fill_locf",
+    "q_heavy_hitters",
 ]
 
 
