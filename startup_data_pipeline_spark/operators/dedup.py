@@ -151,8 +151,37 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The guard against hot-shingle quadratic blowup: one boilerplate
+    shingle shared by d documents yields ~d²/2 candidate pairs, which no
+    skew-split can shrink — d must be bounded BEFORE the self-join.
+    A shingle in >max_df docs carries no dedup signal anyway (it is
+    corpus boilerplate, not content). The window count partitions by
+    ``shingle``, the same key the subsequent self-join shuffles on, so
+    Catalyst reuses one Exchange for both (SCALE.md subset-key sharing)
+    — the cap costs a sort within partitions, not an extra shuffle.
+    """
+    if max_df is None:
+        return sh
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.0
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
 
@@ -188,6 +217,10 @@ def jaccard_pairs(
         .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
         .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
     )
+    # df-cap AFTER sizes are fixed: denominators |A|,|B| stay the full
+    # set sizes; only intersection counting skips boilerplate shingles.
+    # Pairs sharing ONLY capped shingles drop entirely (no signal).
+    sh = _df_capped(sh, max_df)
     a = sh.alias("a")
     b = sh.alias("b")
     out = (
@@ -347,6 +380,7 @@ def contamination_check(
     id_col: str,
     text_col: str,
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan: for each corpus doc, the count and
     fraction of its distinct k-gram shingles that appear ANYWHERE in the
@@ -367,6 +401,11 @@ def contamination_check(
         .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
         .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
     )
+    # the benchmark side is already distinct (≤1 row per shingle), so the
+    # join output is linear in corpus rows — the cap here bounds shuffle
+    # SKEW: a boilerplate shingle in every corpus doc lands on one
+    # reducer. Capped shingles leave n_shingles (the denominator) intact.
+    c_sh = _df_capped(c_sh, max_df)
     b_sh = (
         _tokenized(benchmark, id_col, text_col)
         .select(

@@ -377,6 +377,37 @@ def kmeans_fit(
     return assigned, centroids
 
 
+def kmeans_assign_seeded(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Nearest-cluster assignment against frozen seed centroids.
+
+    The IVF cell-routing step in isolation: centroids are the k
+    lowest-id vectors (deterministic seeding, same as ``kmeans_fit``
+    init) and ride in the plan as literal arrays, so assignment is a
+    shuffle-free scan — no join, no exchange. Ties go to the lowest
+    cluster index. The only driver-side data is k quantized vectors.
+
+    Returns [vid, cluster, sq_dist] with exact integer distances.
+    """
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    seeds = qdf.orderBy("vid").limit(k).collect()
+    centroids = [list(r["qv"]) for r in seeds]
+    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    return qdf.select(
+        "vid",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(dists).alias("sq_dist"),
+    )
+
+
 def int8_quantize_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with verification stats.
 

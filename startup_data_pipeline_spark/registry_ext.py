@@ -838,15 +838,96 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
+    """DuckDB oracle for integer-exact Lloyd's k-means.
+
+    ``kmeans_fit`` runs a FIXED number of iterations, so the loop unrolls
+    into chained CTEs — a fully independent re-derivation (no recursion
+    needed, no frozen intermediate state). Each iteration mirrors the
+    engine exactly: squared-integer distance, argmin with lowest-index
+    tie-break, centroid update by round-half-away-from-zero mean, empty
+    clusters keep their previous centroid.
+    """
+    parts = [f"""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= {k}
+    ),
+    c0 AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    )"""]
+    for i in range(n_iter):
+        parts.append(f""",
+    dist{i} AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN c{i} c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assign{i} AS (
+        SELECT vid, cluster FROM dist{i}
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    sums{i} AS (
+        SELECT a.cluster, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+        FROM assign{i} a JOIN qv q USING (vid)
+        GROUP BY a.cluster, q.pos
+    ),
+    c{i + 1} AS (
+        SELECT c.cluster, c.pos,
+               CASE WHEN s.n IS NULL THEN c.c
+                    WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n)
+                    ELSE -((-2 * s.s + s.n) // (2 * s.n))
+               END AS c
+        FROM c{i} c LEFT JOIN sums{i} s
+          ON c.cluster = s.cluster AND c.pos = s.pos
+    )""")
+    parts.append(f""",
+    distF AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN c{n_iter} c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assignF AS (
+        SELECT vid, cluster FROM distF
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    norms AS (
+        SELECT cluster, CAST(SUM(c * c) AS BIGINT) AS centroid_sqnorm
+        FROM c{n_iter} GROUP BY cluster
+    )
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(a.vid) AS BIGINT) AS id_checksum,
+           ANY_VALUE(n.centroid_sqnorm) AS centroid_sqnorm
+    FROM assignF a JOIN norms n USING (cluster)
+    GROUP BY a.cluster""")
+    return "".join(parts)
+
+
 @register(
     "q_kmeans_clusters",
-    oracle=None,
+    oracle=_kmeans_oracle(k=8, n_iter=5),
     survey_ops="distributed k-means training (§2.11 similarity: the IVF "
     "coarse-quantizer trainer). Integer-exact Lloyd iterations — "
     "assignment is a shuffle-free scan with literal centroids, update "
     "is one partial-agg shuffle of k*dims rows; deterministic "
-    "bit-for-bit (numpy mirror in tests). Rows-only gate: the "
-    "iterative loop is not expressible in one SQL statement",
+    "bit-for-bit. Oracle: the fixed-depth loop unrolled as chained "
+    "DuckDB CTEs — an independent full re-derivation of all 5 rounds",
 )
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -857,7 +938,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         j: sum(x * x for x in c) for j, c in enumerate(centroids)
     }
     norm_col = F.create_map(
-        *[F.lit(v) for kv in sqnorms.items() for v in kv]
+        *[F.lit(v).cast("long") for kv in sqnorms.items() for v in kv]
     )
     return (
         assigned.groupBy("cluster")
@@ -865,8 +946,54 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("vid").alias("id_checksum"),
         )
-        .withColumn("centroid_sqnorm", norm_col[F.col("cluster")])
+        .withColumn(
+            "centroid_sqnorm", norm_col[F.col("cluster").cast("long")]
+        )
         .select("cluster", "n_vecs", "id_checksum", "centroid_sqnorm")
+    )
+
+
+@register(
+    "q_kmeans_assign",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= 8
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    )
+    SELECT vid, cluster, CAST(d AS BIGINT) AS sq_dist
+    FROM dist
+    QUALIFY row_number() OVER (
+        PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    """,
+    survey_ops="frozen-centroid nearest-cluster assignment (§2.11 "
+    "similarity: the IVF cell-routing step in isolation). Centroids "
+    "ride as plan literals → shuffle-free scan; argmin ties break to "
+    "the lowest cluster index",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign_seeded(
+        emb, "vec_id", "embedding", k=8
     )
 
 

@@ -187,9 +187,13 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
     sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
     sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    capped AS (
+        SELECT id, shingle FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
     inter AS (
         SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_inter,
@@ -199,11 +203,14 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
     """,
-    survey_ops="exact n-gram Jaccard near-dup (§2.11)",
+    survey_ops="exact n-gram Jaccard near-dup (§2.11) with the hot-shingle "
+    "document-frequency cap (max_df=50) on — the guard that keeps "
+    "boilerplate shingles from going quadratic at scale; the oracle "
+    "mirrors the cap, denominators stay full set sizes",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "doc_id", "text", k=3)
+    return dedup.jaccard_pairs(docs, "doc_id", "text", k=3, max_df=50)
 
 
 def _simhash_oracle() -> str:
@@ -545,10 +552,13 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT {_TOKS_LOWER} AS toks FROM hex4 WHERE h % 16 = 0)
     ),
     corpus_sh AS (
-        SELECT doc_id, len({_SHINGLES}) AS n_shingles,
-               unnest({_SHINGLES}) AS shingle
-        FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM hex4
-              WHERE h % 16 <> 0)
+        SELECT doc_id, n_shingles, shingle FROM (
+            SELECT doc_id, len({_SHINGLES}) AS n_shingles,
+                   unnest({_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM hex4
+                  WHERE h % 16 <> 0)
+        )
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
     )
     SELECT c.doc_id,
            CAST(c.n_shingles AS BIGINT) AS n_shingles,
@@ -558,7 +568,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.doc_id, c.n_shingles
     """,
     survey_ops="benchmark-contamination scan: corpus×benchmark shingle "
-    "overlap (§2.11 dedup family; eval-leakage gate)",
+    "overlap (§2.11 dedup family; eval-leakage gate). Corpus-side "
+    "df-cap (max_df=50) on, mirrored in the oracle — bounds reducer "
+    "skew from boilerplate shingles",
 )
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import olap
@@ -570,7 +582,9 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("bid"),
         "left_anti",
     )
-    return dedup.contamination_check(corpus, bench, "doc_id", "text")
+    return dedup.contamination_check(
+        corpus, bench, "doc_id", "text", max_df=50
+    )
 
 
 @register(

@@ -21,10 +21,46 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memoized DataFrame handles per live session, keyed (sf_dir, name).
+# DataFrames are lazy plans bound to their session; reusing the handle
+# skips repeated footer/schema reads when a harness runs many queries
+# back-to-back.  At the small correctness scales (sf0.001 / sf0.01) the
+# table is additionally persisted so 100+ oracle queries share one scan
+# instead of 100 parquet reads — at bench/production scales we do NOT
+# cache, so plans keep native parquet pushdown/pruning.
+_MEMO: "object" = None  # WeakKeyDictionary[SparkSession, dict] | None
+
+_CACHE_SCALES = ("sf0.001", "sf0.01")
+
+
+def _memo_for(spark: SparkSession) -> dict | None:
+    global _MEMO
+    try:
+        import weakref
+
+        if _MEMO is None:
+            _MEMO = weakref.WeakKeyDictionary()
+        return _MEMO.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable: skip memoization
+        return None
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    memo = _memo_for(spark)
+    key = (os.path.normpath(sf_dir), name)
+    if memo is not None and key in memo:
+        return memo[key]
+    df = _read_table(spark, sf_dir, name)
+    if any(s in os.path.basename(os.path.normpath(sf_dir)) for s in _CACHE_SCALES):
+        df = df.cache()
+    if memo is not None:
+        memo[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized

@@ -47,6 +47,45 @@ def test_jaccard_pairs_scores(spark):
     assert (1, 3) not in got                       # disjoint docs never pair
 
 
+def test_jaccard_max_df_caps_boilerplate_pairs(spark):
+    # 20 docs sharing ONE boilerplate shingle ("terms of service") plus a
+    # unique tail: uncapped, the hot shingle alone yields C(20,2)=190
+    # pairs; with max_df below 20 the boilerplate contributes nothing and
+    # only the two docs sharing a real shingle pair up.
+    docs = spark.createDataFrame(
+        [(i, f"terms of service unique{i} tail{i} word{i}") for i in range(18)]
+        + [(18, "terms of service shared real content here"),
+           (19, "terms of service shared real content here")],
+        ["doc_id", "text"],
+    )
+    uncapped = dedup.jaccard_pairs(docs, "doc_id", "text", k=3)
+    capped = dedup.jaccard_pairs(docs, "doc_id", "text", k=3, max_df=10)
+    assert uncapped.count() == 190          # hot shingle went quadratic
+    got = {(r["id_a"], r["id_b"]): r for r in capped.collect()}
+    assert set(got) == {(18, 19)}           # bounded: only the real dup
+    # denominator unchanged by the cap: both docs have 5 shingles, and
+    # only capped shingles are excluded from the intersection count
+    r = got[(18, 19)]
+    assert r["n_inter"] == 4 and 0.0 < r["jaccard"] < 1.0
+
+
+def test_contamination_max_df_drops_hot_shingle_only(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"terms of service unique{i} b{i} c{i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "terms of service unique3 b3 c3")], ["doc_id", "text"]
+    )
+    capped = dedup.contamination_check(
+        corpus, bench, "doc_id", "text", max_df=5
+    )
+    rows_ = {r["doc_id"]: r for r in capped.collect()}
+    # only doc 3 shares a non-boilerplate shingle with the benchmark
+    assert set(rows_) == {3}
+    assert rows_[3]["n_shingles"] == 4      # denominator is the FULL size
+
+
 def test_simhash_exact_dup_zero_hamming(spark):
     sigs = dedup.simhash16(_docs(spark), "doc_id", "text")
     pairs = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=4)
