@@ -301,6 +301,115 @@ def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 3) -> Da
     )
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens — the at-scale signature width.
+
+    16 bits give only 256 blocking buckets (within-bucket joins go n²/256
+    on a large corpus); 64 bits give 4 × 16-bit bands = 65536 buckets per
+    band. Token hash = first 16 hex chars of md5 split into two 32-bit
+    halves (exactly reproducible in SQL); per-bit ±1 votes accumulate in
+    one groupBy with 64 map-side-combinable integer sums. The signature
+    packs into one signed BIGINT via explicit two's-complement arithmetic
+    (portable — no engine-specific shift-overflow behavior).
+    """
+    tok = (
+        _tokenized(df, id_col, text_col)
+        .select(F.col(id_col), F.explode(F.col("__tk")).alias("tok"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+            F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("lo" if b < 32 else "hi"), b % 32)
+                .bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig_lo = None
+    sig_hi = None
+    for b in range(32):
+        t_lo = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        t_hi = F.when(
+            F.col(f"v_{b + 32}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig_lo = t_lo if sig_lo is None else sig_lo + t_lo
+        sig_hi = t_hi if sig_hi is None else sig_hi + t_hi
+    # two's-complement pack: (hi:32 | lo:32) as signed 64-bit, in plain
+    # arithmetic so Spark and the SQL oracle agree bit-for-bit
+    packed = F.when(
+        sig_hi >= F.lit(2147483648),
+        (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
+    ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
+    return agg.select(F.col(id_col), packed.alias("simhash64"))
+
+
+def simhash64_near_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded multi-probe blocking.
+
+    The signature splits into 4 disjoint 16-bit bands; candidates are
+    pairs agreeing EXACTLY on at least one band (LSH banding, as in
+    ``lsh_candidate_pairs``). By pigeonhole, any pair within hamming
+    distance 3 differs in at most 3 bands, so banding has FULL recall
+    for max_hamming <= 3 — the exact bit_count filter then removes false
+    positives. Per-band bucket count is 65536, so the self-join is
+    bucketed, never all-pairs; the explode carries only (id, sig, band).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash64"), 16 * i)
+                .bitwiseAND(F.lit(65535))
+                .alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("simhash64"), F.explode(bands).alias("b")
+    ).select(
+        F.col(id_col),
+        F.col("simhash64"),
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def canonical_ids(ids: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """One-hop dedup canonicalization: each doc adopts its smallest
     near-dup neighbor's id (pairs carry id_a < id_b).
@@ -345,6 +454,12 @@ def connected_components(
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    # monotone convergence: the label sum strictly decreases until
+    # fixpoint, so one scalar per round catches "no row changed". The
+    # previous round's sum is carried in a driver variable — ONE action
+    # per iteration, not two (the old shape re-aggregated the prior
+    # labels every round, doubling job count for no information).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -361,15 +476,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        # monotone convergence: the label sum strictly decreases until
-        # fixpoint, so one scalar catches "no row changed"
-        if (
-            new_labels.agg(F.sum("label")).collect()[0][0]
-            == labels.agg(F.sum("label")).collect()[0][0]
-        ):
-            labels = new_labels
-            break
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 

@@ -3,10 +3,10 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing — schema, partition-friendly batch
 shapes, Arrow-batched UDF signatures, frame-index explosion — is real
-and tested; the actual codec work is STUBBED: the container has no
-image/audio libraries, so decode attempts either raise
-``NotImplementedError`` (real-codec path) or produce a clearly-marked
-deterministic fake (pipeline-testing path).
+and tested. Image decode is REAL for PPM (P6) via a dependency-free
+parser (``_parse_ppm``), with PIL as an optional fallback for other
+formats; ``extract_features`` remains a clearly-marked deterministic
+fake standing in for a CNN/audio embedding (no ML runtime here).
 
 Scale notes: binary payloads ride the same columnar parquet lane as any
 column (dictionary/off-heap friendly); feature extraction is
@@ -55,19 +55,141 @@ def attach_binary_payload(
     return df.withColumn("payload", payload).withColumn("media_meta", meta)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode binary → pixel array. REAL-CODEC PATH — requires PIL.
+def attach_ppm_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Fixture-image generator: a real PPM (P6) binary per row.
 
-    Raises NotImplementedError in this container; the call signature and
-    output schema are the production contract.
+    Deterministic from the id column alone — width = 4 + id % 5,
+    height = 3 + id % 4, byte j of the raster = (id*7 + j*11) % 256 — so
+    an oracle can derive every expected pixel statistic from the id
+    WITHOUT decoding, certifying the decoder end-to-end. Arrow-batched
+    (one mapInPandas stage); payloads are genuine image files any PPM
+    reader opens.
     """
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL, which is not installed in this "
-            "container; use extract_features (deterministic fake) to test "
-            "the pipeline plumbing"
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(list(df.schema.fields)).add("payload", BinaryType())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                raster = bytes(
+                    (i * 7 + j * 11) % 256 for j in range(3 * w * h)
+                )
+                blobs.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+            pdf["payload"] = blobs
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.mapInPandas(gen, schema)
+
+
+def _parse_ppm(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """Minimal-but-real PPM (P6) parser: magic, whitespace/comment-aware
+    header tokenizer, raw RGB raster. Returns (w, h, maxval, raster)."""
+    if blob is None or not blob.startswith(b"P6"):
+        return None
+    pos, toks = 2, []
+    while len(toks) < 3 and pos < len(blob):
+        c = blob[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):  # comment runs to end of line
+            while pos < len(blob) and blob[pos] not in b"\r\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < len(blob) and blob[pos] not in b" \t\r\n":
+                pos += 1
+            toks.append(int(blob[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw raster
+    w, h, maxval = toks
+    raster = blob[pos : pos + 3 * w * h]
+    if len(raster) != 3 * w * h:
+        return None
+    return w, h, maxval, raster
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode binary image payloads → pixel arrays. REAL codec path.
+
+    PPM (P6) decodes with the dependency-free parser above — actual
+    bytes-to-pixels work, no codec library needed. Other formats (PNG,
+    JPEG) decode via PIL when installed; rows that parse as neither
+    yield NULL width/height/pixels (corrupt-input tolerance, never a
+    task failure). Arrow-batched mapInPandas: one batch of blobs crosses
+    the Python boundary per call; downstream pixel math stays native
+    (see the channel-stats query — F.aggregate over the array).
+    """
+    from pyspark.sql.types import IntegerType
+
+    schema = (
+        StructType(list(df.schema.fields))
+        .add("width", IntegerType())
+        .add("height", IntegerType())
+        .add("pixels", ArrayType(IntegerType()))
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, px = [], [], []
+            for blob in pdf[payload_col]:
+                parsed = _parse_ppm(bytes(blob)) if blob is not None else None
+                if parsed is None and HAVE_PIL and blob is not None:
+                    try:
+                        import io
+
+                        import PIL.Image
+
+                        img = PIL.Image.open(io.BytesIO(bytes(blob)))
+                        img = img.convert("RGB")
+                        parsed = (
+                            img.width,
+                            img.height,
+                            255,
+                            img.tobytes(),
+                        )
+                    except Exception:
+                        parsed = None
+                if parsed is None:
+                    ws.append(None), hs.append(None), px.append(None)
+                else:
+                    w, h, _maxval, raster = parsed
+                    ws.append(w), hs.append(h), px.append(list(raster))
+            pdf["width"], pdf["height"], pdf["pixels"] = ws, hs, px
+            yield pdf
+
+    from ..session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.mapInPandas(decode, schema)
+
+
+def image_channel_stats(decoded: DataFrame, id_col: str) -> DataFrame:
+    """Per-image RGB channel sums over decoded pixel arrays — fully
+    native (zero Python): two-arg lambda ``filter`` selects each
+    channel's bytes by index, ``aggregate`` sums them JVM-side. The
+    decode boundary emits arrays once; everything after is codegen.
+    """
+    def channel_sum(c: int):
+        ch = F.filter("pixels", lambda x, i: i % 3 == F.lit(c))
+        return F.aggregate(
+            ch, F.lit(0).cast("long"), lambda acc, x: acc + x
         )
-    raise NotImplementedError("real decode path intentionally not implemented")
+
+    return decoded.select(
+        F.col(id_col),
+        F.col("width"),
+        F.col("height"),
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+        channel_sum(0).alias("sum_r"),
+        channel_sum(1).alias("sum_g"),
+        channel_sum(2).alias("sum_b"),
+    )
 
 
 def extract_features(

@@ -256,19 +256,27 @@ def tfidf_top_terms(
 
     Two aggregations + one broadcast top-k window: tf is one shuffle on
     (doc, term); document frequency is a second, much smaller shuffle on
-    the distinct (doc, term) pairs; N is a scalar. All JVM-side — the
-    standard keyword-extraction pass over a corpus.
+    the distinct (doc, term) pairs. N rides as a broadcast 1-row
+    aggregate crossJoin — NOT a driver-side ``df.count()`` — so building
+    this DataFrame launches zero jobs and the whole query executes as
+    one plan (the scan is read once, shared via exchange reuse, instead
+    of a separate count job re-scanning the corpus).
     """
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("__n_docs"))
     tok = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").withColumn(
-        "__score",
-        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__score",
+            F.col("tf")
+            * F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
     )
     from pyspark.sql import Window
 

@@ -85,8 +85,21 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    oracle=None,  # Arrow-batched Python feature stage — genuinely non-SQL
-    survey_ops="§2.11 multimodal: binary payload + batched feature extraction",
+    # the "fake CNN" is md5-seeded from the payload bytes (= utf8 text),
+    # so the Arrow-batched Python stage is still fully oracle-checkable:
+    # feature 0 is byte 0 of md5(text) / 256, exact in f32 and f64 alike
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           round((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+                 * 16.0 / 256.0
+               + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                 / 256.0, 6) AS f0
+    FROM documents
+    """,
+    survey_ops="§2.11 multimodal: binary payload + batched feature "
+    "extraction (mapInPandas); md5-seeded fake features keep even the "
+    "Python stage cross-engine-checkable",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -94,9 +107,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_features(wrapped)
     return feats.select(
         "doc_id",
-        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+@register(
+    "q_decode_image",
+    # the PPM fixture is a pure function of doc_id (byte j of the raster
+    # is (doc_id*7 + j*11) % 256), so the oracle derives every pixel
+    # statistic arithmetically WITHOUT a decoder — certifying the real
+    # bytes→pixels parser end-to-end against an independent derivation
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 4 AS INTEGER) AS height,
+           CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS INTEGER) AS n_pixels,
+           CAST(list_sum(list_transform(
+               generate_series(0, CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+                                       AS INTEGER) - 1),
+               i -> (doc_id * 7 + (3 * i) * 11) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(
+               generate_series(0, CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+                                       AS INTEGER) - 1),
+               i -> (doc_id * 7 + (3 * i + 1) * 11) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(
+               generate_series(0, CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+                                       AS INTEGER) - 1),
+               i -> (doc_id * 7 + (3 * i + 2) * 11) % 256)) AS BIGINT) AS sum_b
+    FROM documents
+    """,
+    survey_ops="§2.11 multimodal REAL image decode: PPM(P6) bytes → "
+    "pixel arrays via the dependency-free parser (mapInPandas, Arrow "
+    "batches); channel statistics are computed natively over the array "
+    "(two-arg lambda filter + aggregate, zero Python after decode)",
+)
+def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imaged = multimodal.attach_ppm_payload(docs, "doc_id")
+    decoded = multimodal.decode_image(imaged)
+    return multimodal.image_channel_stats(decoded, "doc_id")
 
 
 @register(

@@ -252,6 +252,72 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash16(docs, "doc_id", "text")
 
 
+def _simhash64_oracle() -> str:
+    votes = ",\n            ".join(
+        f"SUM(CASE WHEN ({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(64)
+    )
+    sig_lo = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    sig_hi = " + ".join(
+        f"CASE WHEN v_{b + 32} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_LOWER}) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+               CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+            {votes}
+        FROM h GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, ({sig_lo}) AS sig_lo, ({sig_hi}) AS sig_hi
+        FROM votes
+    )
+    SELECT doc_id,
+           CASE WHEN sig_hi >= 2147483648
+                THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                ELSE sig_hi * 4294967296 + sig_lo END AS simhash64,
+           sig_lo % 65536 AS b0, sig_lo // 65536 AS b1,
+           sig_hi % 65536 AS b2, sig_hi // 65536 AS b3
+    FROM sig
+    """
+
+
+@register(
+    "q_simhash64_pairs",
+    oracle=f"""
+    WITH sim AS ({_simhash64_oracle()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER)
+               AS hamming
+    FROM sim a JOIN sim b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    """,
+    survey_ops="64-bit SimHash near-dup pairs with 4×16-bit banded "
+    "blocking (§2.11 near-dup, the at-scale signature width): banding "
+    "has provably full recall at hamming<=3 (pigeonhole over 4 disjoint "
+    "bands), 65536 buckets per band bound the self-join",
+)
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash64_near_pairs(sigs, "doc_id", max_hamming=3)
+
+
 @register(
     "q_simhash_pairs",
     oracle=f"""

@@ -141,3 +141,45 @@ def test_udtf_char_windows_skips_nulls(spark):
     ).collect()
     got = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out)
     assert got == [(1, 0, "abc"), (1, 1, "def"), (1, 2, "gh")]
+
+
+def test_tfidf_builds_lazily_no_driver_jobs(spark):
+    # N must ride as a broadcast 1-row aggregate, not a df.count() — so
+    # CONSTRUCTING the query launches zero Spark jobs and the whole
+    # thing runs as one plan at action time.
+    from startup_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    before = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    out = text_ops.tfidf_top_terms(df, "doc_id", "text", k=2)
+    after = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+    assert after == before          # lazy: no job until an action
+    assert out.count() > 0
+
+
+def test_connected_components_one_action_per_iteration(spark, monkeypatch):
+    # convergence uses ONE aggregate per round (prior sum carried in a
+    # driver variable): a no-edge graph converges with exactly 2 collects
+    # (init sum + round-1 sum), where the old shape needed 3.
+    from startup_data_pipeline_spark.operators import dedup
+
+    ids = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides collect, so patching the base facade misses)
+    cls = type(ids)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    out = dedup.connected_components(ids, pairs, "doc_id")
+    monkeypatch.undo()
+    assert calls["n"] == 2
+    assert all(r["component"] == r["doc_id"] for r in out.collect())

@@ -120,15 +120,45 @@ def test_multimodal_payload_and_features(spark):
     assert feat == feat2
 
 
-def test_multimodal_decode_is_gated(spark):
-    import pytest
+def test_ppm_parser_roundtrip_with_comments():
+    # header comments and arbitrary whitespace are legal PPM; the raster
+    # starts exactly one byte after maxval
+    raster = bytes(range(2 * 2 * 3))
+    blob = b"P6\n# a comment\n2 2\n# another\n255\n" + raster
+    w, h, maxval, data = multimodal._parse_ppm(blob)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert data == raster
 
-    df = multimodal.attach_binary_payload(
-        spark.createDataFrame([(1, "x")], ["id", "text"]), "text"
-    )
-    if not multimodal.HAVE_PIL:
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(df)
+
+def test_ppm_parser_rejects_corrupt():
+    assert multimodal._parse_ppm(b"JFIF....not a ppm") is None
+    assert multimodal._parse_ppm(b"P6\n2 2\n255\nshort") is None  # truncated
+
+
+def test_decode_image_real_ppm_and_corrupt_rows(spark):
+    ids = spark.createDataFrame([(3,), (7,)], ["doc_id"])
+    imaged = multimodal.attach_ppm_payload(ids, "doc_id")
+    decoded = {r["doc_id"]: r for r in
+               multimodal.decode_image(imaged).collect()}
+    # doc 3: width 4+3%5=7, height 3+3%4=6; byte j = (21 + 11j) % 256
+    assert (decoded[3]["width"], decoded[3]["height"]) == (7, 6)
+    assert decoded[3]["pixels"][:3] == [21, 32, 43]
+    assert len(decoded[3]["pixels"]) == 3 * 7 * 6
+    # corrupt payload → NULL columns, not a task failure
+    bad = spark.createDataFrame([(1, bytearray(b"nonsense"))],
+                                ["doc_id", "payload"])
+    r = multimodal.decode_image(bad).collect()[0]
+    assert r["width"] is None and r["pixels"] is None
+
+
+def test_image_channel_stats_native_math(spark):
+    ids = spark.createDataFrame([(0,)], ["doc_id"])
+    decoded = multimodal.decode_image(multimodal.attach_ppm_payload(ids, "doc_id"))
+    r = multimodal.image_channel_stats(decoded, "doc_id").collect()[0]
+    w, h = 4, 3
+    expected_r = sum((0 * 7 + (3 * i) * 11) % 256 for i in range(w * h))
+    assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+    assert r["sum_r"] == expected_r
 
 
 def test_frame_sampling_explodes_indices(spark):

@@ -93,6 +93,51 @@ def test_simhash_exact_dup_zero_hamming(spark):
     assert got.get((1, 2)) == 0  # identical token multisets
 
 
+def test_simhash64_banding_full_recall_vs_brute_force(spark):
+    # Pigeonhole guarantee: at hamming<=3, 4-band blocking misses nothing.
+    # Build a corpus with exact dups, near dups, and unrelated docs, then
+    # compare banded pairs against the unblocked all-pairs ground truth.
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i % 4}")
+         for i in range(12)]
+        + [(20, "completely different content about spark shuffles"),
+           (21, "completely different content about spark shuffles")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.simhash64(docs, "doc_id", "text")
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash64_near_pairs(sigs, "doc_id", 3).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("sb"))
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute                 # full recall AND exact distances
+    assert banded[(20, 21)] == 0           # exact dups at distance 0
+
+
+def test_simhash64_is_64_bit_wide(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some distinct words w{i} x{i * 7}")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    vals = [r["simhash64"] for r in
+            dedup.simhash64(docs, "doc_id", "text").collect()]
+    # signatures use the full width: some exceed 32-bit range (or negative)
+    assert any(v < 0 or v >= (1 << 32) for v in vals)
+    assert len(set(vals)) == len(vals)     # distinct docs → distinct sigs
+
+
 def test_word_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
     out = df.select(dedup.word_shingles(F.col("text"), 3).alias("s"))
