@@ -56,6 +56,35 @@ def deterministic_sample(
     return df.filter(bucket == keep)
 
 
+def weighted_reservoir_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sample of k rows without replacement (A-Res scheme).
+
+    Efraimidis–Spirtakis: each row draws u ∈ (0,1] and scores
+    ln(u)/w — the k largest scores ARE a weighted reservoir sample.
+    The draw is md5-derived from the key, not rand(), so the sample is
+    reproducible across engines/runs/partitionings (same auditability
+    property as ``deterministic_sample``, but weighted). orderBy+limit
+    compiles to TakeOrderedAndProject — each partition keeps its local
+    top-k and only k rows per partition reach the driver-side merge;
+    the corpus is never globally sorted (a global row_number window
+    would funnel everything through ONE partition).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    # (h+1)/2^32 ∈ (0, 1]: never ln(0), and u=1 (score 0) sorts first
+    u = (h + F.lit(1).cast("long")) / F.lit(4294967296.0)
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__score", score)
+        .orderBy(F.col("__score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__score")
+    )
+
+
 def group_percentiles(
     df: DataFrame,
     group_cols: list[str],

@@ -297,6 +297,41 @@ def tfidf_top_terms(
     )
 
 
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits).
+
+    The vocabulary-diversity quality signal (low entropy = templated or
+    repetitive text; pairs with ``repetition_stats``). Computed as
+    H = log2(n) − Σ c·log2(c) / n over per-term counts, which needs one
+    shuffle on (doc, term) and a second tiny one on doc — the tfidf
+    shape, map-side combinable all the way. Rounded to 4 at the boundary
+    so cross-engine doubles agree.
+    """
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    counts = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("c") * F.log2("c")).alias("__clog"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log2("n_tokens") - F.col("__clog") / F.col("n_tokens"), 4
+            ).alias("entropy_bits"),
+        )
+    )
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition metrics, shuffle-free per-doc array math:
     duplicate-bigram fraction and most-common-token dominance.

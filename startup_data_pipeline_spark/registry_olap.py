@@ -97,6 +97,34 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_reservoir_sample",
+    # A-Res weighted reservoir: top-50 by ln(u)/weight where u derives
+    # from md5(doc_id) — deterministic, so the oracle replays the draw
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM (
+        SELECT doc_id, n_chars,
+               ln((CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 1) / 4294967296.0) / n_chars AS score
+        FROM documents
+    )
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 50
+    """,
+    survey_ops="weighted reservoir sample without replacement "
+    "(Efraimidis–Spirtakis A-Res; §2.11 sampling family). md5-derived "
+    "draws keep it engine/partitioning-reproducible; TakeOrdered "
+    "top-k — no global sort, no single-partition window",
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.weighted_reservoir_sample(
+        docs, "doc_id", "n_chars", k=50
+    ).select("doc_id", F.col("n_chars").cast("long").alias("weight"))
+
+
+@register(
     "q_doc_length_percentiles",
     oracle="""
     SELECT lang,

@@ -57,6 +57,49 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.run_available_now_append(deduped, "q_stream_dedup_sink")
 
 
+@register(
+    "q_stream_sessionize",
+    # session_window semantics re-derived independently: a new session
+    # starts when the gap from the previous event is >= 30 min (half-open
+    # windows); session_end = last event + gap. Exact epoch-micros
+    # arithmetic avoids date_diff truncation at sub-second boundaries.
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    survey_ops="§2.9 streaming sessionization: native session_window "
+    "with watermark-bounded state (per OPEN session, not per event); "
+    "same expression runs in batch — see the equivalence test",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = incremental.read_events_stream(spark, sf_dir)
+    sess = incremental.streaming_sessionize(
+        stream, "user_id", "ts", gap="30 minutes"
+    )
+    return incremental.run_available_now(sess, "q_stream_sessionize_sink")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal battery (§2.11)
 # ---------------------------------------------------------------------------

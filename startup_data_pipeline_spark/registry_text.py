@@ -654,6 +654,32 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4)
+               AS entropy_bits
+    FROM counts
+    GROUP BY doc_id
+    """,
+    survey_ops="per-document Shannon token entropy (§2.11 text quality: "
+    "vocabulary-diversity signal; tfidf shuffle shape, map-side "
+    "combinable)",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_entropy(docs, "doc_id", "text")
+
+
+@register(
     "q_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (

@@ -119,6 +119,41 @@ def streaming_seen_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window``.
+
+    The continuous twin of ``windows.sessionize`` (lag + cumsum): each
+    event opens/extends a window ending ts + gap; overlapping windows
+    merge in the state store, and the watermark bounds how long an open
+    session can wait for a late event before it is finalized — the
+    at-scale property (state per OPEN session only, not per event).
+    Boundary semantics are half-open: an event exactly ``gap`` after the
+    previous one starts a NEW session (session_window contract).
+
+    The same expression runs unchanged in batch (session_window is a
+    regular grouping expression), which is what the equivalence test and
+    the DuckDB oracle certify.
+    """
+    return (
+        stream.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def foreach_batch_alert_sink(df: DataFrame, tiers: list[str], sink) -> None:
     """S15 streaming shape: per-micro-batch filtered foreach alert.
 

@@ -34,6 +34,71 @@ def test_streaming_dedup_bounded_by_key(spark, sf_dir):
     assert rows(got) == rows(want)
 
 
+def test_streaming_sessionize_matches_batch_twin(spark, sf_dir):
+    # the SAME session_window expression runs as a real streaming query
+    # and as a batch aggregation; both must agree with the lag+cumsum
+    # batch sessionizer at session granularity (>= gap boundary)
+    from pyspark.sql import Window
+
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    stream = incremental.read_events_stream(spark, sf_dir)
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in incremental.run_available_now(
+            incremental.streaming_sessionize(stream, "user_id", "ts"),
+            "t_sessionize_equiv",
+        ).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    batch_native = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert streamed == batch_native
+
+    # independent lag+cumsum derivation (half-open >= gap boundary)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    gap_us = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    )
+    sessions = (
+        ev.withColumn(
+            "__new",
+            F.when(gap_us.isNull() | (gap_us >= 1800 * 1_000_000), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    lagged = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessions.collect()
+    }
+    assert streamed == lagged
+
+
 def test_foreach_batch_alert_sink(spark, sf_dir):
     stream = incremental.read_events_stream(spark, sf_dir)
     tiers = stream.withColumn(

@@ -425,3 +425,33 @@ def test_winnowing_short_docs_excluded(spark):
     )
     # doc 1: 3 grams < window 4 → excluded; doc 2: < k tokens → excluded
     assert text.winnowing_fingerprints(docs, "doc_id", "text").count() == 0
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           text.token_entropy(df, "doc_id", "text").collect()}
+    assert out[1]["entropy_bits"] == 1.0      # two equiprobable tokens
+    assert out[2]["entropy_bits"] == 0.0      # single repeated token
+    assert out[3]["entropy_bits"] == 2.0      # four equiprobable tokens
+    assert out[3]["n_tokens"] == 4 and out[3]["n_distinct"] == 4
+
+
+def test_weighted_reservoir_sample_deterministic_and_weighted(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    # 200 light rows (weight 1) + 20 heavy rows (weight 1000): a k=20
+    # weighted sample must over-represent heavy rows massively
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(200)] + [(1000 + i, 1000) for i in range(20)],
+        ["k", "w"],
+    )
+    s1 = sorted(r["k"] for r in
+                olap.weighted_reservoir_sample(df, "k", "w", 20).collect())
+    s2 = sorted(r["k"] for r in
+                olap.weighted_reservoir_sample(df, "k", "w", 20).collect())
+    assert s1 == s2 and len(s1) == 20          # reproducible, exact k
+    assert sum(1 for k in s1 if k >= 1000) >= 15   # weight-dominated
