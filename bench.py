@@ -40,8 +40,19 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_simhash",
     "q_ann_topk",
+    "q_ann_ivf_topk",
     "q_centroid_classify",
     "q_embedding_near_dup",
+    "q_simhash64_pairs",
+    "q_near_dup_components",
+    "q_contamination_check",
+    "q_token_entropy",
+    "q_tfidf_top_terms",
+    "q_reservoir_sample",
+    "q_decode_image",
+    "q_funnel_stages",
+    "q_cohort_retention",
+    "q_salted_join",
     "q_ats_greenhouse",
     "q_careers_link",
     "q_asof_join",
@@ -84,9 +95,16 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # cold pass: first execution per query (includes per-plan codegen +
+    # AQE setup). warm pass: second execution — steady-state numbers, the
+    # ones regressions should be judged on (a long-running cluster pays
+    # codegen once per plan shape, not per run).
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = run(name)
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        warm[name] = run(name)
 
     print(
         json.dumps(
@@ -95,6 +113,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "warm_total": round(sum(warm.values()), 3),
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""sf0.1 → sf1 scale probe (SCALE.md evidence).
+
+Generates a 10× replica of the sf0.1 fixtures under .scratch/sf1 (key
+ranges shifted per replica so join relationships hold; document text
+perturbed per replica so the corpus is a NEAR-dup stress, not an
+exact-dup one), then times the shuffle-heavy headline queries at both
+scales and prints the per-query ratio.
+
+A query scaling ~linearly (ratio ≈ 10× on 10× data with fixed cores, or
+better where the plan is sublinear) passes; super-linear ratios flag a
+shuffle/join that would not survive 100 TB. Dims (nation, region, part,
+supplier) intentionally stay 1× — that is what "dimension" means at
+scale, and it keeps broadcast-side sizes realistic.
+
+Usage: python scripts/scale_probe.py [--regen] [--only q_a,q_b]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+from startup_data_pipeline_spark.sources.tables import TABLES, load_table
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scratch", "sf1")
+REPLICAS = 10
+KEY_SHIFT = 100_000_000  # beyond any sf0.1 key range
+
+# fact tables scale 10×; dims stay 1× (realistic broadcast sides)
+SCALED = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+PROBE = [
+    "q_pricing_summary",
+    "q_flagship",
+    "q_waiting_orders",
+    "q_best_supplier_per_part",
+    "q_exact_dedup",
+    "q_minhash_signatures",
+    "q_lsh_pairs",
+    "q_ngram_jaccard",
+    "q_simhash64_pairs",
+    "q_near_dup_components",
+    "q_segment_dedup",
+    "q_winnow_fingerprints",
+    "q_contamination_check",
+    "q_token_entropy",
+    "q_ann_ivf_topk",
+    "q_embedding_near_dup",
+    "q_funnel_stages",
+    "q_sessionize",
+]
+
+
+def regen(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for t in TABLES:
+        src = load_table(spark, SF01, t)
+        if t not in SCALED:
+            out = src
+        else:
+            reps = []
+            for i in range(REPLICAS):
+                r = src
+                for kcol in SCALED[t]:
+                    r = r.withColumn(kcol, F.col(kcol) + F.lit(i * KEY_SHIFT))
+                if t == "documents":
+                    # per-replica tail token → replicas are NEAR dups of
+                    # each other (the hard case for the dedup battery)
+                    r = r.withColumn(
+                        "text", F.concat(F.col("text"), F.lit(f" rep{i}"))
+                    )
+                reps.append(r)
+            out = reps[0]
+            for r in reps[1:]:
+                out = out.unionByName(r)
+        path = os.path.join(SF1, f"{t}.parquet")
+        if t == "events":
+            # keep micros timestamps; the loader's nanos shim only
+            # applies to the original fixture files
+            out = out.withColumn("ts", F.col("ts"))
+        out.write.mode("overwrite").parquet(path)
+        print(f"wrote {t}: {out.count()} rows", file=sys.stderr)
+
+
+def main() -> None:
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = a.split("=", 1)[-1].split(",") if "=" in a else None
+    spark = get_spark(app_name="spark-graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv or not os.path.exists(
+        os.path.join(SF1, "lineitem.parquet")
+    ):
+        regen(spark)
+
+    queries = all_queries()
+    names = [n for n in (only or PROBE) if n in queries]
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 2)
+
+    # warm both datasets' file indexes + codegen
+    run("q_pricing_summary", SF01)
+    run("q_pricing_summary", SF1)
+
+    rows = []
+    for n in names:
+        t_small = run(n, SF01)
+        t_big = run(n, SF1)
+        ratio = round(t_big / t_small, 1) if t_small > 0 else None
+        rows.append({"query": n, "sf0.1_s": t_small, "sf1_s": t_big,
+                     "ratio": ratio})
+        print(f"{n:28s} sf0.1={t_small:7.2f}s sf1={t_big:7.2f}s "
+              f"ratio={ratio}", file=sys.stderr)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

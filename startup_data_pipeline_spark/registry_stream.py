@@ -194,8 +194,36 @@ def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_connector_pipeline",
-    oracle=None,  # mapInPandas connector shell — the engine's non-SQL surface
-    survey_ops="§3.3 waterfall-in-one-stage + §2.10 LLM extract (fixture transport)",
+    # every stage of the connector shell is deterministic on fixtures
+    # (fake model = first token titled; transport = pure url function),
+    # so even the mapInPandas surface is oracle-checkable: this SQL
+    # re-derives the fetch → LLM-extract → waterfall short-circuit
+    # (press_release 0.92 → ddg 0.85 → guess 0.60) independently
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')[1] AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           upper(substr(t, 1, 1)) || substr(t, 2) AS company_name,
+           CASE WHEN doc_id % 2 = 0
+                     THEN 'https://press' || CAST(doc_id % 10 AS VARCHAR)
+                          || '.example'
+                WHEN length(t) % 3 = 0 THEN 'https://' || t || '.ai'
+                ELSE 'https://' || t || '.com' END AS domain,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0.92
+                     WHEN length(t) % 3 = 0 THEN 0.85
+                     ELSE 0.60 END AS DOUBLE) AS confidence,
+           CASE WHEN doc_id % 2 = 0 THEN 'press_release'
+                WHEN length(t) % 3 = 0 THEN 'ddg'
+                ELSE 'guess' END AS source_strategy
+    FROM tok
+    """,
+    survey_ops="§3.3 waterfall-in-one-stage + §2.10 LLM extract (fixture "
+    "transport); deterministic fakes make the whole Python connector "
+    "shell cross-engine-checkable",
 )
 def q_connector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference pipeline §3.1 steps 5-6 on fixtures with a deterministic
