@@ -105,12 +105,15 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--only"):
             only = a.split("=", 1)[-1].split(",") if "=" in a else None
-    spark = get_spark(app_name="spark-graft-scale-probe")
+    spark = get_spark(
+        app_name="spark-graft-scale-probe",
+        extra_conf={"spark.driver.memory": "48g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    if "--regen" in sys.argv or not os.path.exists(
-        os.path.join(SF1, "lineitem.parquet")
-    ):
+    done = os.path.join(SF1, "_GEN_DONE")
+    if "--regen" in sys.argv or not os.path.exists(done):
         regen(spark)
+        open(done, "w").write("ok")
 
     queries = all_queries()
     names = [n for n in (only or PROBE) if n in queries]

@@ -268,6 +268,40 @@ def q_connector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_jsonl_source",
+    # the JSONL fixture derives deterministically from documents (every
+    # 17th doc truncated mid-object), so the oracle re-derives each
+    # line's parse outcome from the parquet alone — good path AND
+    # quarantine path of the PERMISSIVE reader
+    oracle="""
+    SELECT CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END
+               AS parsed_doc_id,
+           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang,
+           CASE WHEN doc_id % 17 = 0 THEN NULL
+                ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+           doc_id % 17 = 0 AS is_corrupt,
+           CASE WHEN doc_id % 17 = 0 THEN doc_id ELSE NULL END
+               AS corrupt_doc_id
+    FROM documents
+    """,
+    survey_ops="JSONL source with corrupt-record quarantine (§2 sources "
+    "family): native PERMISSIVE reader, bad lines → _corrupt_record "
+    "with typed columns NULL, dead-letter triage via native regexp — "
+    "parse-what-you-can at 100 TB, never a failed job",
+)
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .sources import jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    return jsonl.jsonl_roundtrip_report(spark, docs, tag)
+
+
 # ---------------------------------------------------------------------------
 # Scalar battery (§2.8 remainder: F2 F3 F5 F6 F7 F8 F10 F12)
 # ---------------------------------------------------------------------------

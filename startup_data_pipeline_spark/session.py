@@ -81,6 +81,13 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.maxResultSize", "4g")
+        # local[n] runs executors inside the driver JVM: the 1g default
+        # heap that is fine for a real cluster's driver starves 32 local
+        # worker threads. Only effective at JVM launch (harmless after).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -1,0 +1,99 @@
+"""JSONL source with corrupt-record tolerance (SURVEY §2 sources family).
+
+Feeds/exports in the wild arrive as newline-delimited JSON with some
+fraction of malformed lines; a 100 TB ingest must parse what it can and
+QUARANTINE the rest — never fail the job, never silently drop. Spark's
+native JSON reader does exactly this in PERMISSIVE mode: bad lines land
+in ``columnNameOfCorruptRecord`` with every typed column NULL.
+
+The fixture writer derives a deterministic JSONL file from the documents
+table (every ``doc_id % corrupt_mod == 0`` line is truncated mid-object),
+so the oracle can re-derive the expected parse outcome per row from the
+parquet alone — certifying the reader's good-path AND quarantine-path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "jsonl",
+)
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def write_jsonl_fixture(
+    docs: DataFrame, out_dir: str, corrupt_mod: int = 17
+) -> str:
+    """documents → JSONL text files; every corrupt_mod-th line truncated.
+
+    Lines are built engine-side with ``to_json`` (no Python in the loop);
+    corruption = dropping the closing brace, the classic
+    truncated-upload failure shape.
+    """
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % corrupt_mod == 0,
+        F.substring(line, 1, F.length(line) - F.lit(1)),
+    ).otherwise(line)
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(out_dir)
+    return out_dir
+
+
+def read_jsonl_permissive(spark: SparkSession, path: str) -> DataFrame:
+    """PERMISSIVE JSONL read: typed columns for good lines, raw line in
+    ``_corrupt_record`` (typed columns NULL) for quarantined ones."""
+    return (
+        spark.read.schema(PARSED_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def jsonl_roundtrip_report(
+    spark: SparkSession, docs: DataFrame, tag: str, corrupt_mod: int = 17
+) -> DataFrame:
+    """End-to-end source exercise: write the JSONL fixture, read it back
+    permissively, and report per-line parse outcome. Corrupt lines keep
+    their identity via a native regexp probe into the quarantined raw
+    text (the triage step a real pipeline runs on its dead-letter set).
+    """
+    out_dir = os.path.join(_SCRATCH, tag)
+    write_jsonl_fixture(docs, out_dir, corrupt_mod)
+    parsed = read_jsonl_permissive(spark, out_dir)
+    return parsed.select(
+        F.col("doc_id").alias("parsed_doc_id"),
+        "lang",
+        "n_chars",
+        F.col("_corrupt_record").isNotNull().cast(BooleanType()).alias(
+            "is_corrupt"
+        ),
+        F.regexp_extract(
+            F.coalesce(F.col("_corrupt_record"), F.lit("")),
+            '"doc_id":(\\d+)',
+            1,
+        )
+        .try_cast("long")
+        .alias("corrupt_doc_id"),
+    )

@@ -67,3 +67,23 @@ def test_cap_newest_keeps_newest_deterministically(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = ingest.cap_newest(df, "ts", 2, "id")
     assert rows(out, "id") == [(2,), (3,)]  # tie broken by id asc
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    from startup_data_pipeline_spark.sources import jsonl
+
+    docs = spark.createDataFrame(
+        [(i, "en", 10 + i) for i in range(40)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = jsonl.write_jsonl_fixture(docs, str(tmp_path / "j"), corrupt_mod=17)
+    parsed = jsonl.read_jsonl_permissive(spark, out)
+    rows_ = parsed.collect()
+    assert len(rows_) == 40                       # nothing dropped
+    corrupt = [r for r in rows_ if r["_corrupt_record"] is not None]
+    good = [r for r in rows_ if r["_corrupt_record"] is None]
+    assert len(corrupt) == 3                      # doc_id 0, 17, 34
+    assert all(r["doc_id"] is None for r in corrupt)   # typed cols NULL
+    assert all(r["doc_id"] is not None for r in good)
+    # quarantined raw keeps the original payload for dead-letter triage
+    assert any('"doc_id":17' in r["_corrupt_record"] for r in corrupt)
