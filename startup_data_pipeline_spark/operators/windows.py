@@ -132,3 +132,50 @@ def event_gaps(
         (F.unix_micros(F.col(ts_col))
          - F.unix_micros(F.lag(F.col(ts_col)).over(w))).alias("gap_us"),
     )
+
+
+def ewma(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lookback: int = 16,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, bounded lookback.
+
+    The trend-smoothing signal for per-entity time series (anomaly
+    baselines, rate estimators). Decay is fixed at 1/2 per step on
+    purpose: multiplying a double by 2^-k is EXACT in IEEE-754, so every
+    term — and therefore the whole sum, evaluated in frame order — is
+    bit-identical across engines, making a float recurrence fully
+    oracle-checkable. Lookback is bounded (default 16 rows: residual
+    weight 2^-16), which is also the scale posture — an unbounded frame
+    would carry whole-history state per key.
+
+    One exchange on the key; collect_list over a bounded ROWS frame keeps
+    at most ``lookback`` values in flight per row.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    m = F.size(vals)
+    # weight of element i (1-based, oldest first) is 2^-(m-i); total
+    # weight is 2 - 2^-(m-1); both exact binary fractions
+    terms = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.element_at(vals, i)
+        * F.pow(F.lit(0.5), (m - i).cast("double")),
+    )
+    s = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    tw = F.lit(2.0) - F.pow(F.lit(0.5), (m - 1).cast("double"))
+    return events.select(
+        F.col(key_col),
+        F.col(tiebreak),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(s / tw, 4).alias("ewma"),
+    )

@@ -433,6 +433,35 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ewma",
+    # float recurrence, fully oracle-checkable: decay 1/2 per step means
+    # every term is an exact power-of-two scaling (IEEE-exact in both
+    # engines), summed in identical frame order
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id, ts, value,
+               list(CAST(value AS DOUBLE)) OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT user_id, event_id, ts, value,
+           round(list_sum(list_transform(generate_series(1, len(vals)),
+                 i -> vals[i] * pow(0.5, len(vals) - i)))
+                 / (2 - pow(0.5, len(vals) - 1)), 4) AS ewma
+    FROM base
+    """,
+    survey_ops="per-key EWMA with bounded lookback (§2.9 extension: "
+    "trend smoothing / anomaly baselines). Halving decay makes the "
+    "float recurrence bit-exact cross-engine; one exchange on the key, "
+    "bounded ROWS frame = bounded state",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return windows.ewma(events, "user_id", "ts", "value", lookback=16)
+
+
+@register(
     "q_sessionize",
     oracle="""
     SELECT user_id, event_id,

@@ -129,3 +129,22 @@ def test_gap_fill_locf_densifies_and_carries(spark):
     assert rows[(1, "2024-01-04")] == (True, 7.0, 7.0)
     # user 2: single-day span stays single-day (no global calendar)
     assert [k for k in rows if k[0] == 2] == [(2, "2024-02-01")]
+
+
+def test_ewma_hand_computed_and_bounded_lookback(spark):
+    from startup_data_pipeline_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 2.0),
+         (1, 2, "2024-01-01 00:01:00", 4.0),
+         (1, 3, "2024-01-01 00:02:00", 7.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["ewma"]
+           for r in windows.ewma(df, "user_id", "ts", "value",
+                                 lookback=2).collect()}
+    # m=1: 2.0 ; m=2: (2*0.5 + 4)/1.5 = 3.3333 ; lookback=2 drops the
+    # first value at row 3: (4*0.5 + 7)/1.5 = 6.0
+    assert out[1] == 2.0
+    assert out[2] == 3.3333
+    assert out[3] == 6.0
