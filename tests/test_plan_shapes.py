@@ -1,0 +1,129 @@
+"""Physical-plan shape assertions (SCALE.md contracts, kept honest).
+
+Each test pins a property the scale design depends on — filter pushdown
+reaching the parquet scan, column pruning, broadcast anti-joins,
+TakeOrderedAndProject for top-k, bounded exchange counts. If a refactor
+silently regresses a plan (the Catalyst traps in SCALE.md §plan-shape
+lessons), these fail before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def plan_sf_dir():
+    # plans must be inspected on UNCACHED tables: the small-scale cache
+    # (sources.tables) wraps scans in InMemoryRelation, which hides
+    # parquet pushdown/pruning details
+    return "/root/testdata/sf0.1"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_flagship_pushdown_pruning_and_broadcast_anti(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.plans.pipeline import (
+        flagship_hiring_signal,
+    )
+
+    plan = _plan(flagship_hiring_signal(spark, plan_sf_dir))
+    # recency filter reaches the orders parquet scan
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+    # seen-set anti join broadcasts (shuffle-free J1)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # lineitem scan is column-pruned: the aggregate needs 4 columns; the
+    # unused money/detail columns must not be read
+    import re
+
+    li_schemas = [
+        m.group(1)
+        for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan)
+        if "l_orderkey" in m.group(1)
+    ]
+    assert li_schemas, "no lineitem ReadSchema found in plan"
+    assert all("l_tax" not in s and "l_discount" not in s
+               for s in li_schemas)
+
+
+def test_cap_newest_and_reservoir_compile_to_take_ordered(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import ingest, olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, plan_sf_dir, "events")
+    p1 = _plan(ingest.cap_newest(events, "ts", 20, "event_id"))
+    assert "TakeOrderedAndProject" in p1          # never a global sort
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    p2 = _plan(olap.weighted_reservoir_sample(docs, "doc_id", "n_chars", 50))
+    assert "TakeOrderedAndProject" in p2
+    assert "Window" not in p2                     # no single-partition window
+
+
+def test_kmeans_assign_is_joinless_scan(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, plan_sf_dir, "embeddings")
+    plan = _plan(similarity.kmeans_assign_seeded(emb, "vec_id", "embedding"))
+    # centroids ride as literals: assignment must not join or aggregate
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_waiting_orders_shares_one_fact_exchange(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()["q_waiting_orders"]
+    plan = _plan(q.fn(spark, plan_sf_dir))
+    # subset-key sharing (SCALE.md): groupBy/window/self-join reuse ONE
+    # lineitem exchange; allow the small dim-side exchanges but cap the
+    # DISTINCT node count (formatted mode prints each node twice) so a
+    # regression to per-consumer shuffles fails loudly
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 4, f"exchange count regressed: {n_exchanges}"
+
+
+def test_jaccard_df_cap_shares_join_exchange(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents").limit(50)
+    capped = _plan(dedup.jaccard_pairs(docs, "doc_id", "text", max_df=50))
+    uncapped = _plan(dedup.jaccard_pairs(docs, "doc_id", "text"))
+    # the window count partitions on the join key — it must not add a
+    # hashpartitioning exchange beyond what the join already needs
+    assert capped.count("hashpartitioning(shingle") <= max(
+        uncapped.count("hashpartitioning(shingle"), 2
+    )
+
+
+def test_tumbling_agg_partial_aggregation(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import windows
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, plan_sf_dir, "events")
+    plan = _plan(windows.tumbling_agg(events, "ts", "10 minutes", ["event_type"]))
+    # map-side combine: two HashAggregate nodes around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("qname", ["q_pricing_summary", "q_exact_dedup"])
+def test_headline_scans_carry_pushed_or_pruned_schema(spark, plan_sf_dir, qname):
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(all_queries()[qname].fn(spark, plan_sf_dir))
+    assert "ReadSchema" in plan               # pruned schema present
+    assert "Scan parquet" in plan
