@@ -69,7 +69,7 @@ _PRIORITY: list[str] = [
     "q_kmeans_assign", "q_kmeans_clusters", "q_decode_image",
     "q_stream_sessionize",
     "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
-    "q_jsonl_source", "q_ewma",
+    "q_jsonl_source", "q_ewma", "q_stream_funnel",
     # rest of the text/similarity battery
     "q_ngram_jaccard", "q_simhash_pairs", "q_simhash",
     "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",

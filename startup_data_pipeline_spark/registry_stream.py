@@ -269,6 +269,46 @@ def q_connector_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_funnel",
+    # identical oracle to the batch q_funnel_stages: the streaming stage
+    # machine must reproduce the min-timestamp join chain exactly
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+    survey_ops="§2.9 streaming ordered funnel: per-user stage machine in "
+    "the state store (applyInPandasWithState, O(users) state — two "
+    "scalars per key, never the event history); equals the batch fold "
+    "and the min-chain oracle on ordered delivery",
+)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = incremental.read_events_stream(spark, sf_dir)
+    staged = incremental.streaming_funnel_stages(
+        stream, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    per_user = incremental.run_available_now_update(
+        staged, "q_stream_funnel_sink"
+    )
+    final = per_user.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    return final.agg(
+        F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") >= 2, 1)).alias("n_view_click"),
+        F.count(F.when(F.col("stage") >= 3, 1)).alias("n_full_funnel"),
+    )
+
+
+@register(
     "q_jsonl_source",
     # the JSONL fixture derives deterministically from documents (every
     # 17th doc truncated mid-object), so the oracle re-derives each

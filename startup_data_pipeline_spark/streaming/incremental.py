@@ -223,6 +223,72 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_funnel_stages(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Streaming ordered-funnel: per-user stage machine carried across
+    micro-batches in the state store (applyInPandasWithState).
+
+    The continuous twin of the batch fold in ``q_funnel_stages``: state
+    is (stage, last_advance_ts) — two scalars per user, NOT the event
+    history — so state size is O(users), bounded regardless of event
+    volume. Events are folded in (ts, type) order within each batch with
+    the same greedy strict-ordering rule as the batch machine, so on
+    per-key-ordered delivery (one batch, or batches that respect event
+    time per key) the result is exactly the batch answer — the
+    equivalence the registered query's oracle certifies. Out-of-order
+    delivery ACROSS batches follows the standard stateful-streaming
+    contract: pair with a watermark-sorted buffer upstream if the
+    source reorders.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("stage", LongType()), StructField("t_us", LongType())]
+    )
+    n_steps = len(steps)
+
+    def update(key, pdf_iter, state: GroupState):
+        stage, t_us = state.get if state.exists else (0, -(2**62))
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values([ts_col, type_col])
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                us = ts.value // 1000  # pandas ns → micros
+                if (
+                    stage < n_steps
+                    and et == steps[stage]
+                    and (stage == 0 or us > t_us)
+                ):
+                    stage += 1
+                    t_us = us
+        state.update((stage, t_us))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        stream.filter(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_stream_attribution_join(
     purchases: DataFrame, clicks: DataFrame, max_gap: str = "1 hour"
 ) -> DataFrame:

@@ -304,3 +304,48 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     ).select("purchase_id", "click_id")
     assert rows(got) == rows(want)
     assert got.count() > 0
+
+
+def test_streaming_funnel_matches_batch_fold(spark, sf_dir):
+    # the state-store stage machine must agree with the batch
+    # sort_array+aggregate fold per user, including strict-ordering rules
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    stream = incremental.read_events_stream(spark, sf_dir)
+    staged = incremental.run_available_now_update(
+        incremental.streaming_funnel_stages(
+            stream, "user_id", "ts", "event_type", steps
+        ),
+        "t_funnel_equiv",
+    )
+    streamed = {r["user_id"]: r["stage"]
+                for r in staged.groupBy("user_id")
+                .agg(F.max("stage").alias("stage")).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit("1970-01-01").cast("timestamp").alias("t"),
+    )
+
+    def advance(acc, e):
+        cond = None
+        for i, step in enumerate(steps):
+            leg = (acc.stage == i) & (e.event_type == step)
+            if i > 0:
+                leg = leg & (e.ts > acc.t)
+            cond = leg if cond is None else cond | leg
+        return F.when(
+            cond, F.struct((acc.stage + 1).alias("stage"), e.ts.alias("t"))
+        ).otherwise(acc)
+
+    batch = {r["user_id"]: r["stage"]
+             for r in ev.filter(F.col("event_type").isin(steps))
+             .groupBy("user_id")
+             .agg(F.aggregate(arr, init, advance)
+                  .getField("stage").alias("stage")).collect()}
+    assert streamed == batch
