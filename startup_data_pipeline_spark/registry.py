@@ -65,23 +65,24 @@ _PRIORITY: list[str] = [
     # §2.11 dedup / similarity (judge-named first)
     "q_minhash_signatures", "q_lsh_pairs", "q_ann_ivf_topk",
     "q_near_dup_components", "q_funnel_stages", "q_stream_dedup",
-    # new this round
-    "q_kmeans_assign", "q_kmeans_clusters", "q_decode_image",
-    "q_stream_sessionize",
+    # fast representatives of every remaining family next, so even a
+    # tight TIME-budgeted sample spans the full operator surface; the
+    # slow multi-job queries (k-means fit, streaming sinks, decode)
+    # close out the prefix
     "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
-    "q_jsonl_source", "q_ewma", "q_stream_funnel",
-    # rest of the text/similarity battery
+    "q_kmeans_assign", "q_ewma", "q_jsonl_source",
     "q_ngram_jaccard", "q_simhash_pairs", "q_simhash",
     "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",
     "q_fingerprint", "q_token_stats", "q_quality_score", "q_lang_id",
     "q_pii_scrub", "q_chunk_documents", "q_tfidf_top_terms",
     "q_repetition_stats", "q_stratified_sample", "q_ann_topk",
     "q_ann_lsh_topk", "q_centroid_classify", "q_embedding_near_dup",
-    "q_embedding_quantize",
-    # streaming / multimodal / scalar-function batteries
-    "q_stream_tumbling", "q_stream_stateful_totals", "q_frame_sample",
-    "q_multimodal_features", "q_connector_pipeline", "q_name_normalize",
+    "q_embedding_quantize", "q_frame_sample", "q_name_normalize",
     "q_url_parse", "q_time_parse", "q_currency_parse", "q_sql_surface",
+    # slower multi-job members of the new families
+    "q_multimodal_features", "q_decode_image", "q_connector_pipeline",
+    "q_stream_sessionize", "q_stream_funnel", "q_stream_tumbling",
+    "q_stream_stateful_totals", "q_kmeans_clusters",
     # OLAP shapes round 1 never sampled
     "q_waiting_orders", "q_best_supplier_per_part", "q_salted_join",
     "q_cohort_retention", "q_heavy_hitters", "q_value_histogram",
