@@ -169,6 +169,43 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(decode, schema)
 
 
+def resize_image_native(
+    decoded: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor image resize with ZERO Python — pure native
+    array index arithmetic over decoded pixel arrays.
+
+    Resampling is just indexing: target pixel (x', y') reads source
+    pixel (floor(x'·w/W'), floor(y'·h/H')), so the whole op is one
+    ``transform`` over a flat index sequence inside codegen — the
+    decode boundary stays the only Python touchpoint in the image
+    pipeline. Replaces width/height/pixels so downstream stages
+    (``image_channel_stats``, feature extraction) compose unchanged.
+    """
+    w, h = F.col("width"), F.col("height")
+
+    def src_index(i):
+        c = i % 3
+        p = (i / 3).cast("int")
+        ty = (p / out_w).cast("int")
+        tx = p % out_w
+        sy = (ty * h / out_h).cast("int")
+        sx = (tx * w / out_w).cast("int")
+        return (sy * w + sx) * 3 + c
+
+    resized = F.transform(
+        F.sequence(F.lit(0), F.lit(out_w * out_h * 3 - 1)),
+        lambda i: F.element_at(F.col("pixels"), src_index(i) + 1),
+    )
+    return decoded.withColumn(
+        "pixels", F.when(F.col("pixels").isNotNull(), resized)
+    ).withColumn(
+        "width", F.when(F.col("width").isNotNull(), F.lit(out_w))
+    ).withColumn(
+        "height", F.when(F.col("height").isNotNull(), F.lit(out_h))
+    )
+
+
 def image_channel_stats(decoded: DataFrame, id_col: str) -> DataFrame:
     """Per-image RGB channel sums over decoded pixel arrays — fully
     native (zero Python): two-arg lambda ``filter`` selects each

@@ -70,7 +70,7 @@ _PRIORITY: list[str] = [
     # slow multi-job queries (k-means fit, streaming sinks, decode)
     # close out the prefix
     "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
-    "q_kmeans_assign", "q_ewma", "q_jsonl_source",
+    "q_kmeans_assign", "q_ewma", "q_jsonl_source", "q_variant_json",
     "q_ngram_jaccard", "q_simhash_pairs", "q_simhash",
     "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",
     "q_fingerprint", "q_token_stats", "q_quality_score", "q_lang_id",
@@ -80,7 +80,8 @@ _PRIORITY: list[str] = [
     "q_embedding_quantize", "q_frame_sample", "q_name_normalize",
     "q_url_parse", "q_time_parse", "q_currency_parse", "q_sql_surface",
     # slower multi-job members of the new families
-    "q_multimodal_features", "q_decode_image", "q_connector_pipeline",
+    "q_multimodal_features", "q_decode_image", "q_resize_image",
+    "q_connector_pipeline",
     "q_stream_sessionize", "q_stream_funnel", "q_stream_tumbling",
     "q_stream_stateful_totals", "q_kmeans_clusters",
     # OLAP shapes round 1 never sampled

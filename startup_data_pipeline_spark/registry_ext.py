@@ -433,6 +433,50 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_variant_json",
+    # schema-LESS semi-structured access (Spark VariantType): one column
+    # holds objects, arrays, and scalars row-by-row; path extraction
+    # type-coerces per row with try semantics. The oracle mirrors with
+    # DuckDB JSON path functions over the same constructed column
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN props
+                    WHEN event_id % 3 = 1
+                        THEN '[' || CAST(user_id AS VARCHAR) || ',2]'
+                    ELSE '"e"' END AS doc
+        FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(doc, '$.k') AS BIGINT) AS obj_k,
+           CAST(json_extract_string(doc, '$[0]') AS BIGINT) AS arr_0
+    FROM j
+    """,
+    survey_ops="VariantType semi-structured JSON (§2.8 F14 extension): "
+    "parse_json → binary variant, try_variant_get path access over "
+    "heterogeneous rows (object/array/scalar in ONE column) — the "
+    "shredding-friendly encoding for schema-drift ingest at scale, no "
+    "per-row schema inference",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    doc = (
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit("["), F.col("user_id").cast("string"), F.lit(",2]")),
+        )
+        .otherwise(F.lit('"e"'))
+    )
+    v = F.parse_json(doc)
+    return events.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("obj_k"),
+        F.try_variant_get(v, "$[0]", "long").alias("arr_0"),
+    )
+
+
+@register(
     "q_ewma",
     # float recurrence, fully oracle-checkable: decay 1/2 per step means
     # every term is an exact power-of-two scaling (IEEE-exact in both

@@ -192,6 +192,45 @@ def q_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_channel_stats(decoded, "doc_id")
 
 
+def _resize_oracle() -> str:
+    # nearest-neighbor 3×2 resize of the PPM fixture, re-derived purely
+    # arithmetically: target pixel p reads source byte
+    # ((ty*h)//2 * w + (tx*w)//3)*3 + c with w=4+id%5, h=3+id%4
+    w, h = "(4 + doc_id % 5)", "(3 + doc_id % 4)"
+    sums = ",\n           ".join(
+        f"""CAST(list_sum(list_transform(generate_series(0, 5),
+               p -> (doc_id * 7 +
+                     ((((p // 3) * {h}) // 2) * {w}
+                      + ((p % 3) * {w}) // 3) * 33 + {c * 11}) % 256))
+               AS BIGINT) AS sum_{ch}"""
+        for c, ch in [(0, "r"), (1, "g"), (2, "b")]
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(6 AS INTEGER) AS n_pixels,
+           {sums}
+    FROM documents
+    """
+
+
+@register(
+    "q_resize_image",
+    oracle=_resize_oracle(),
+    survey_ops="§2.11 multimodal resize: nearest-neighbor resample as "
+    "PURE native array index arithmetic (one transform in codegen — "
+    "decode remains the only Python touchpoint); composes with "
+    "channel-stats unchanged. Oracle re-derives every resized byte "
+    "arithmetically from doc_id",
+)
+def q_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_image(multimodal.attach_ppm_payload(docs, "doc_id"))
+    resized = multimodal.resize_image_native(decoded, out_w=3, out_h=2)
+    return multimodal.image_channel_stats(resized, "doc_id")
+
+
 @register(
     "q_connector_pipeline",
     # every stage of the connector shell is deterministic on fixtures

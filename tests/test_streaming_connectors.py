@@ -349,3 +349,28 @@ def test_streaming_funnel_matches_batch_fold(spark, sf_dir):
              .agg(F.aggregate(arr, init, advance)
                   .getField("stage").alias("stage")).collect()}
     assert streamed == batch
+
+
+def test_resize_image_native_nearest_neighbor(spark):
+    # doc 0: 4x3 source → 3x2 target; verify exact nearest-neighbor
+    # byte selection against a hand computation of the fixture formula
+    ids = spark.createDataFrame([(0,)], ["doc_id"])
+    decoded = multimodal.decode_image(multimodal.attach_ppm_payload(ids, "doc_id"))
+    r = multimodal.resize_image_native(decoded, out_w=3, out_h=2).collect()[0]
+    assert (r["width"], r["height"]) == (3, 2)
+    assert len(r["pixels"]) == 3 * 2 * 3
+    w, h = 4, 3
+    src = lambda j: (0 * 7 + j * 11) % 256
+    expect = []
+    for p in range(6):
+        ty, tx = p // 3, p % 3
+        sy, sx = (ty * h) // 2, (tx * w) // 3
+        for c in range(3):
+            expect.append(src((sy * w + sx) * 3 + c))
+    assert list(r["pixels"]) == expect
+    # corrupt rows stay NULL through resize
+    bad = spark.createDataFrame([(1, bytearray(b"junk"))], ["doc_id", "payload"])
+    rb = multimodal.resize_image_native(
+        multimodal.decode_image(bad), 3, 2
+    ).collect()[0]
+    assert rb["pixels"] is None and rb["width"] is None
