@@ -298,14 +298,40 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_stats",
-    oracle=None,  # sketch outputs are engine-specific; tolerance-tested in unit tests
+    # raw sketch estimates are engine-specific, so the CERTIFIED form is
+    # compared instead: each engine asserts its own HLL/quantile sketch
+    # lands within tolerance of its own exact computation. The emitted
+    # rows (exact counts + tolerance booleans) are engine-invariant,
+    # and the check still fails if either engine's sketch drifts
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           abs(approx_count_distinct(user_id)
+               - COUNT(DISTINCT user_id))
+               <= 0.10 * COUNT(DISTINCT user_id) AS sketch_ok,
+           abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+               <= 0.10 * abs(quantile_cont(value, 0.5)) AS median_ok
+    FROM events GROUP BY event_type
+    """,
     survey_ops="HLL++ approx distinct + approx percentile per group "
-    "(one-pass mergeable sketches — the 100 TB form of exact stats)",
+    "(one-pass mergeable sketches — the 100 TB form of exact stats). "
+    "Certified cross-engine via per-engine tolerance assertions "
+    "against the exact operators",
 )
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return olap.approx_distinct_stats(
-        ev, ["event_type"], "user_id", F.col("value")
+    exact_d = F.count_distinct("user_id")
+    exact_med = F.percentile("value", F.lit(0.5))
+    return ev.groupBy("event_type").agg(
+        exact_d.cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.05) - exact_d)
+            <= 0.10 * exact_d
+        ).alias("sketch_ok"),
+        (
+            F.abs(F.percentile_approx("value", 0.5, 10_000) - exact_med)
+            <= 0.10 * F.abs(exact_med)
+        ).alias("median_ok"),
     )
 
 
