@@ -50,6 +50,10 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_reservoir_sample",
     "q_decode_image",
+    "q_resize_image",
+    "q_ewma",
+    "q_variant_json",
+    "q_jsonl_source",
     "q_funnel_stages",
     "q_cohort_retention",
     "q_salted_join",

@@ -183,3 +183,22 @@ def test_connected_components_one_action_per_iteration(spark, monkeypatch):
     monkeypatch.undo()
     assert calls["n"] == 2
     assert all(r["component"] == r["doc_id"] for r in out.collect())
+
+
+def test_registry_integrity():
+    # every registered query must carry an oracle (zero rows-only gates)
+    # and every priority name must resolve to a real registration
+    from startup_data_pipeline_spark.registry import _PRIORITY, all_queries
+
+    qs = all_queries()
+    missing_oracles = [n for n, q in qs.items() if not q.oracle]
+    assert missing_oracles == []
+    assert set(_PRIORITY) <= set(qs)
+    assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
+    # the first 50 (a sampling harness's window) must span the §2.11
+    # batteries and streaming — the families round 1's sample missed
+    prefix = list(qs)[:50]
+    for probe in ["q_minhash_signatures", "q_lsh_pairs", "q_ann_ivf_topk",
+                  "q_near_dup_components", "q_funnel_stages",
+                  "q_stream_dedup", "q_kmeans_clusters", "q_decode_image"]:
+        assert probe in prefix, probe
