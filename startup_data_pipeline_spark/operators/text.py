@@ -297,6 +297,34 @@ def tfidf_top_terms(
     )
 
 
+# GPT-2-style pre-tokenizer approximation. Alternatives are first-char
+# disjoint (apostrophe / letter / digit / other) so greedy leftmost
+# matching is identical in Java regex (Spark) and RE2 (DuckDB): no
+# engine-dependent alternation preference can change the token count.
+BPE_ISH_PATTERN = r"'[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting the way an LLM-data pipeline bills it: whitespace
+    words AND a BPE-ish regex pre-tokenization (contractions, letter
+    runs, digit runs capped at 3, punctuation singles — the GPT-2
+    pre-tokenizer shape). chars-per-BPE-token is the classic
+    cost/quality signal (prose ≈ 4-5; far lower means code, tables, or
+    noise). Map-side only — two regexp passes, no shuffle.
+    """
+    lowered = F.lower(F.col(text_col))
+    bpe = F.size(F.regexp_extract_all(lowered, F.lit(BPE_ISH_PATTERN), 0))
+    ws = F.size(tokens(lowered))
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.when(
+            bpe > 0, F.round(F.length(lowered) / bpe, 4)
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution (bits).
 

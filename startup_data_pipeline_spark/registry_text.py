@@ -653,6 +653,34 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_SQL = text.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "q_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_LOWER}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN len(regexp_extract_all(lower(text),
+                     '{_BPE_SQL}')) > 0
+                THEN round(CAST(length(lower(text)) AS DOUBLE)
+                     / len(regexp_extract_all(lower(text),
+                           '{_BPE_SQL}')), 4)
+           END AS chars_per_bpe_token
+    FROM documents
+    """,
+    survey_ops="BPE-ish regex token counting (§2.11 text analysis: the "
+    "LLM-billing token estimate — contractions / letter runs / capped "
+    "digit runs / punct, GPT-2 pre-tokenizer shape; first-char-disjoint "
+    "alternation keeps Java and RE2 counts identical). Map-side only",
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_stats(docs, "doc_id", "text")
+
+
 @register(
     "q_token_entropy",
     oracle=f"""

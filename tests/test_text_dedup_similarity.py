@@ -455,3 +455,19 @@ def test_weighted_reservoir_sample_deterministic_and_weighted(spark):
                 olap.weighted_reservoir_sample(df, "k", "w", 20).collect())
     assert s1 == s2 and len(s1) == 20          # reproducible, exact k
     assert sum(1 for k in s1 if k >= 1000) >= 15   # weight-dominated
+
+
+def test_bpe_token_stats_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "don't panic"),            # contraction splits: don 't panic
+         (2, "abc1234 x-y"),            # digit run caps at 3: abc 123 4 x - y
+         (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           text.bpe_token_stats(df, "doc_id", "text").collect()}
+    assert out[1]["n_ws_tokens"] == 2
+    assert out[1]["n_bpe_tokens"] == 3          # don | 't | panic
+    assert out[2]["n_bpe_tokens"] == 6          # abc|123|4|x|-|y
+    assert out[3]["n_bpe_tokens"] == 0
+    assert out[3]["chars_per_bpe_token"] is None
