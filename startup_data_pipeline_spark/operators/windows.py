@@ -179,3 +179,31 @@ def ewma(
         F.col(value_col),
         F.round(s / tw, 4).alias("ewma"),
     )
+
+
+def moving_median(
+    events: DataFrame, user_col: str, ts_col: str, value_col: str,
+    n_rows: int, tiebreak: str = "event_id",
+) -> DataFrame:
+    """Trailing n-row exact median per key — an aggregate used AS a
+    window function (percentile over a bounded ROWS frame).
+
+    The robust-baseline companion to ``moving_avg``/``ewma``: medians
+    shrug off the value spikes that drag a mean, which is what anomaly
+    baselines want. Interpolating percentile ≡ DuckDB quantile_cont, so
+    it oracles exactly (rounded at the boundary). Bounded frame = at
+    most n values buffered per row; one exchange on the key, shared with
+    any other window on the same ordering.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(-(n_rows - 1), Window.currentRow)
+    )
+    return events.select(
+        user_col,
+        tiebreak,
+        F.round(
+            F.percentile(F.col(value_col), F.lit(0.5)).over(w), 4
+        ).alias("moving_median"),
+    )

@@ -433,6 +433,26 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 4)
+               AS moving_median
+    FROM events
+    """,
+    survey_ops="trailing exact median per key (aggregate-as-window over "
+    "a bounded ROWS frame; robust anomaly baseline — medians shrug off "
+    "the spikes that drag moving averages). Interpolating percentile ≡ "
+    "quantile_cont, oracle-exact",
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return windows.moving_median(events, "user_id", "ts", "value", 16)
+
+
+@register(
     "q_variant_json",
     # schema-LESS semi-structured access (Spark VariantType): one column
     # holds objects, arrays, and scalars row-by-row; path extraction
