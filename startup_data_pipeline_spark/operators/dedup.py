@@ -444,16 +444,27 @@ def connected_components(
     at-scale shape of GraphFrames' connectedComponents without the
     dependency.
     """
+    # Co-partition ONCE, reuse every round: edges hash-partitioned on
+    # dst and labels on node means the per-round join needs NO exchange
+    # on either side (labels keep their partitioning through
+    # localCheckpoint, and the post-groupBy nbr comes out partitioned on
+    # src = labels' join key). Only the groupBy shuffles per round —
+    # measured 11.1s → 6.1s at sf0.1, and at 100 TB this is the
+    # difference between re-shuffling the full edge set every iteration
+    # and shuffling it exactly once.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .repartition("dst")
         .persist()
     )
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    labels = (
+        ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        .repartition("node")
+        .localCheckpoint()
+    )
     # monotone convergence: the label sum strictly decreases until
     # fixpoint, so one scalar per round catches "no row changed". The
     # previous round's sum is carried in a driver variable — ONE action
