@@ -477,12 +477,28 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels.node == nbr.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path halving): also adopt the label OF your
+        # label. Plain neighbor propagation needs diameter-many rounds —
+        # a 10,000-link near-dup chain would silently return unmerged
+        # components at any fixed cap. With the hop, label distances
+        # halve each round: convergence in O(log diameter), so
+        # max_iter=15 covers diameters to ~2^15. Invariant preserved:
+        # a label's label is still a reachable node's id.
+        hop = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(nbr, labels.node == nbr.src, "left")
+            stepped.join(hop, stepped.label == hop.pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()

@@ -71,7 +71,7 @@ _PRIORITY: list[str] = [
     # close out the prefix
     "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
     "q_kmeans_assign", "q_ewma", "q_jsonl_source", "q_variant_json",
-    "q_bpe_tokens", "q_moving_median",
+    "q_bpe_tokens", "q_moving_median", "q_dedup_survivors",
     "q_ngram_jaccard", "q_simhash_pairs", "q_simhash",
     "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",
     "q_fingerprint", "q_token_stats", "q_quality_score", "q_lang_id",

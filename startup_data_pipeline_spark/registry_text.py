@@ -182,6 +182,62 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_survivors",
+    # the END-TO-END near-dup removal pipeline certified in one query:
+    # shingle → MinHash → LSH bands → candidate pairs → connected
+    # components → keep the min-id representative per cluster. The
+    # oracle re-derives the whole chain including a recursive
+    # transitive closure; cluster_size counts how many docs each
+    # survivor absorbed (singletons = 1)
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT component AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+    survey_ops="end-to-end near-dup REMOVAL (§2.11 capstone): "
+    "minhash → LSH banding → components → min-id survivor per "
+    "cluster, one certified chain — what a training-data pipeline "
+    "actually runs; composes the co-partitioned iterative CC",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    comp = dedup.connected_components(docs.select("doc_id"), pairs, "doc_id")
+    return comp.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+@register(
     "q_ngram_jaccard",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),

@@ -471,3 +471,18 @@ def test_bpe_token_stats_shapes(spark):
     assert out[2]["n_bpe_tokens"] == 6          # abc|123|4|x|-|y
     assert out[3]["n_bpe_tokens"] == 0
     assert out[3]["chars_per_bpe_token"] is None
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 200-link chain has diameter 200: neighbor-only propagation would
+    # need 200 rounds and silently return unmerged components at the
+    # 15-round cap. Pointer jumping halves label distances per round, so
+    # the chain must fully collapse to component 0 within max_iter=15.
+    n = 200
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = dedup.connected_components(ids, pairs, "doc_id")
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
