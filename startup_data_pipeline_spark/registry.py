@@ -71,8 +71,8 @@ _PRIORITY: list[str] = [
     # close out the prefix
     "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
     "q_kmeans_assign", "q_ewma", "q_jsonl_source", "q_variant_json",
-    "q_bpe_tokens", "q_moving_median", "q_dedup_survivors",
-    "q_ngram_jaccard", "q_simhash_pairs", "q_simhash",
+    "q_bpe_tokens", "q_moving_median",
+    "q_ngram_jaccard", "q_simhash_pairs",
     "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",
     "q_fingerprint", "q_token_stats", "q_quality_score", "q_lang_id",
     "q_pii_scrub", "q_chunk_documents", "q_tfidf_top_terms",
@@ -85,8 +85,9 @@ _PRIORITY: list[str] = [
     "q_connector_pipeline",
     "q_stream_sessionize", "q_stream_funnel", "q_stream_tumbling",
     "q_stream_stateful_totals", "q_kmeans_clusters",
-    # OLAP shapes round 1 never sampled
-    "q_waiting_orders", "q_best_supplier_per_part", "q_salted_join",
+    # OLAP shapes round 1 never sampled (waiting_orders was already
+    # judge-verified in round 1, so the dedup capstone outranks it)
+    "q_dedup_survivors", "q_simhash", "q_waiting_orders", "q_best_supplier_per_part", "q_salted_join",
     "q_cohort_retention", "q_heavy_hitters", "q_value_histogram",
     "q_market_share", "q_product_profit", "q_top_supplier",
     "q_customers_no_orders", "q_priority_line_counts", "q_supplier_variety",
