@@ -297,6 +297,54 @@ def tfidf_top_terms(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Fixed-stride sequence packing: assign documents to training bins.
+
+    The pre-training batching step — documents concatenate into
+    fixed-capacity sequences. A global greedy pack is inherently serial,
+    so this is the scale-sane variant every real pipeline uses: shard by
+    hash (parallel, deterministic), then stride-pack within each shard —
+    bin = floor(exclusive-prefix-sum / capacity) in stable id order. A
+    document straddling a boundary counts toward its starting bin
+    (overflow-tolerant, exactly how fixed-stride packing behaves).
+    One window per shard; shards bound both skew and state.
+
+    Returns one row per bin: docs packed, payload weight, fill ratio.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    prefix = F.coalesce(
+        F.sum(F.col(weight_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    assigned = df.withColumn("shard", shard).withColumn(
+        "bin_id",
+        (F.col("shard") * F.lit(1_000_000)
+         + F.floor(prefix / F.lit(capacity))).cast("long"),
+    )
+    return (
+        assigned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(weight_col)).cast("long").alias("total_weight"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("total_weight") / F.lit(capacity), 4),
+        )
+    )
+
+
 # GPT-2-style pre-tokenizer approximation. Alternatives are first-char
 # disjoint (apostrophe / letter / digit / other) so greedy leftmost
 # matching is identical in Java regex (Spark) and RE2 (DuckDB): no

@@ -71,15 +71,16 @@ _PRIORITY: list[str] = [
     # close out the prefix
     "q_simhash64_pairs", "q_token_entropy", "q_reservoir_sample",
     "q_kmeans_assign", "q_ewma", "q_jsonl_source", "q_variant_json",
-    "q_bpe_tokens", "q_moving_median",
+    "q_bpe_tokens", "q_moving_median", "q_sequence_pack",
+    "q_quality_gate",
     "q_ngram_jaccard", "q_simhash_pairs",
     "q_contamination_check", "q_segment_dedup", "q_winnow_fingerprints",
     "q_fingerprint", "q_token_stats", "q_quality_score", "q_lang_id",
     "q_pii_scrub", "q_chunk_documents", "q_tfidf_top_terms",
     "q_repetition_stats", "q_stratified_sample", "q_ann_topk",
-    "q_ann_lsh_topk", "q_centroid_classify", "q_embedding_near_dup",
+    "q_centroid_classify", "q_embedding_near_dup",
     "q_embedding_quantize", "q_frame_sample", "q_name_normalize",
-    "q_url_parse", "q_time_parse", "q_currency_parse", "q_sql_surface",
+    "q_url_parse", "q_currency_parse", "q_sql_surface",
     # slower multi-job members of the new families
     "q_multimodal_features", "q_decode_image", "q_resize_image",
     "q_connector_pipeline",
@@ -87,7 +88,8 @@ _PRIORITY: list[str] = [
     "q_stream_stateful_totals", "q_kmeans_clusters",
     # OLAP shapes round 1 never sampled (waiting_orders was already
     # judge-verified in round 1, so the dedup capstone outranks it)
-    "q_dedup_survivors", "q_simhash", "q_waiting_orders", "q_best_supplier_per_part", "q_salted_join",
+    "q_dedup_survivors", "q_ann_lsh_topk", "q_time_parse", "q_simhash",
+    "q_waiting_orders", "q_best_supplier_per_part", "q_salted_join",
     "q_cohort_retention", "q_heavy_hitters", "q_value_histogram",
     "q_market_share", "q_product_profit", "q_top_supplier",
     "q_customers_no_orders", "q_priority_line_counts", "q_supplier_variety",

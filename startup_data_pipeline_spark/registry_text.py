@@ -738,6 +738,130 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_gate",
+    # the full C4/Gopher-style KEEP/DROP decision in one certified
+    # query: basic quality band + repetition + entropy, with the first
+    # failing rule named per document (the triage a curation pipeline
+    # logs). Composes three already-certified signal oracles
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               (n_tok >= 10
+                AND round(CAST(length(text) AS DOUBLE) / n_tok, 4) <= 12.0
+                AND round(CAST(n_stop AS DOUBLE) / n_tok, 4) <= 0.5)
+                   AS quality_ok
+        FROM (
+            SELECT doc_id, text, len(toks) AS n_tok,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','a','of','and','to','in'], t))) AS n_stop
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        )
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN len(bi) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)
+                               / len(bi), 4)
+                    ELSE 0.0 END AS dup_bigram_ratio
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i+1])
+                        ELSE [] END AS bi
+            FROM (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents)
+        )
+    ),
+    e AS (
+        SELECT doc_id,
+               round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4)
+                   AS entropy_bits
+        FROM (
+            SELECT doc_id, term, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest({_TOKS_LOWER}) AS term
+                  FROM documents)
+            GROUP BY 1, 2
+        )
+        GROUP BY doc_id
+    )
+    SELECT q.doc_id,
+           quality_ok, dup_bigram_ratio, entropy_bits,
+           (quality_ok AND dup_bigram_ratio <= 0.2
+            AND entropy_bits >= 3.0) AS keep,
+           CASE WHEN NOT quality_ok THEN 'basic_quality'
+                WHEN dup_bigram_ratio > 0.2 THEN 'repetition'
+                WHEN entropy_bits < 3.0 THEN 'low_entropy'
+                ELSE 'kept' END AS reason
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    JOIN e ON q.doc_id = e.doc_id
+    """,
+    survey_ops="composite curation gate (§2.11 quality capstone): "
+    "C4/Gopher-style keep/drop with named first-failing rule; the "
+    "map-side signals share one cached scan, entropy joins in on the "
+    "id — the filter step a training-data pipeline actually applies",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs, "text", "n_chars").select(
+        "doc_id", "quality_ok"
+    )
+    r = text.repetition_stats(docs, "doc_id", "text").select(
+        "doc_id", "dup_bigram_ratio"
+    )
+    e = text.token_entropy(docs, "doc_id", "text").select(
+        "doc_id", "entropy_bits"
+    )
+    keep = (
+        F.col("quality_ok")
+        & (F.col("dup_bigram_ratio") <= 0.2)
+        & (F.col("entropy_bits") >= 3.0)
+    )
+    reason = (
+        F.when(~F.col("quality_ok"), "basic_quality")
+        .when(F.col("dup_bigram_ratio") > 0.2, "repetition")
+        .when(F.col("entropy_bits") < 3.0, "low_entropy")
+        .otherwise("kept")
+    )
+    return (
+        q.join(r, "doc_id")
+        .join(e, "doc_id")
+        .select(
+            "doc_id", "quality_ok", "dup_bigram_ratio", "entropy_bits",
+            keep.alias("keep"), reason.alias("reason"),
+        )
+    )
+
+
+@register(
+    "q_sequence_pack",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               doc_id % 32 AS shard,
+               CAST(doc_id % 32 AS BIGINT) * 1000000
+               + CAST(floor(COALESCE(SUM(n_chars) OVER (
+                     PARTITION BY doc_id % 32 ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 4096.0) AS BIGINT) AS bin_id
+        FROM documents
+    )
+    SELECT bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+           round(SUM(n_chars) / 4096.0, 4) AS fill_ratio
+    FROM assigned GROUP BY bin_id
+    """,
+    survey_ops="sequence packing for training batches (§2.11: the "
+    "pre-training binning step). Shard-parallel fixed-stride packing — "
+    "bin = floor(exclusive prefix / capacity) per hash shard; global "
+    "greedy would be serial, this is the shape real pipelines run",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.sequence_pack(docs, "doc_id", "n_chars", capacity=4096)
+
+
+@register(
     "q_token_entropy",
     oracle=f"""
     WITH tok AS (

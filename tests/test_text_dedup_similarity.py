@@ -486,3 +486,30 @@ def test_connected_components_long_chain_converges(spark):
     out = dedup.connected_components(ids, pairs, "doc_id")
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_sequence_pack_respects_capacity_stride(spark):
+    # 6 docs of weight 300 in one shard (ids 0,32,64,...): capacity 1000
+    # → prefix sums 0,300,...,1500 → bins 0,0,0,0 (prefix<1000) wait:
+    # floor(0/1000)=0 floor(300)=0 floor(600)=0 floor(900)=0
+    # floor(1200)=1 floor(1500)=1 → bin0 holds 4 docs, bin1 holds 2
+    df = spark.createDataFrame(
+        [(i * 32, 300) for i in range(6)], ["doc_id", "n_chars"]
+    )
+    out = {r["bin_id"]: r for r in
+           text.sequence_pack(df, "doc_id", "n_chars", 1000).collect()}
+    assert out[0]["n_docs"] == 4 and out[0]["total_weight"] == 1200
+    assert out[1]["n_docs"] == 2 and out[1]["total_weight"] == 600
+    assert out[0]["fill_ratio"] == 1.2   # overflow-tolerant stride
+
+
+def test_quality_gate_names_first_failing_rule(spark):
+    from startup_data_pipeline_spark.registry import all_queries
+    # exercised end-to-end at fixture scale via the registry fn
+    out = all_queries()["q_quality_gate"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    reasons = {r["reason"] for r in out}
+    assert reasons <= {"basic_quality", "repetition", "low_entropy", "kept"}
+    kept = [r for r in out if r["keep"]]
+    assert all(r["reason"] == "kept" for r in kept)
