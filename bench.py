@@ -78,7 +78,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="spark-graft-bench")
+    # Console progress bars write \r-frames to stdout and can interleave
+    # with (and truncate) the one JSON result line when the caller
+    # captures a bounded tail — keep stdout clean for the JSON contract.
+    spark = get_spark(
+        app_name="spark-graft-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -110,19 +116,27 @@ def main() -> None:
     for name in HEADLINE:
         warm[name] = run(name)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_runtime",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total_runtime",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "warm_total": round(sum(warm.values()), 3),
+            "queries_warm": warm,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Mirror the result to a file so the JSON survives even if the
+    # caller's stdout capture truncates (SPARK_GRAFT_BENCH_OUT overrides).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
