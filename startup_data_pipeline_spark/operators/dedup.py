@@ -465,12 +465,13 @@ def connected_components(
         .repartition("node")
         .localCheckpoint()
     )
-    # monotone convergence: the label sum strictly decreases until
-    # fixpoint, so one scalar per round catches "no row changed". The
-    # previous round's sum is carried in a driver variable — ONE action
-    # per iteration, not two (the old shape re-aggregated the prior
-    # labels every round, doubling job count for no information).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence = "no row changed its label this round", counted
+    # directly: the step carries the pre-round label alongside the new
+    # one and ONE aggregation action per iteration counts inequalities.
+    # (A label-sum comparison was cheaper-looking but type-fragile: with
+    # a non-numeric id column F.sum() is NULL, NULL == NULL in Python,
+    # and the loop would exit after one round with unmerged components.
+    # count_if works for any orderable id type — least() already does.)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -479,6 +480,7 @@ def connected_components(
         )
         stepped = labels.join(nbr, labels.node == nbr.src, "left").select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
@@ -497,17 +499,19 @@ def connected_components(
             stepped.join(hop, stepped.label == hop.pnode, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
+        n_changed = new_labels.agg(
+            F.count_if(F.col("label") != F.col("old_label"))
+        ).collect()[0][0]
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
 

@@ -105,9 +105,16 @@ def _parse_ppm(blob: bytes) -> tuple[int, int, int, bytes] | None:
             start = pos
             while pos < len(blob) and blob[pos] not in b" \t\r\n":
                 pos += 1
-            toks.append(int(blob[start:pos]))
+            tok = blob[start:pos]
+            if not tok.isdigit():
+                return None  # malformed header → NULL row, never a failure
+            toks.append(int(tok))
+    if len(toks) < 3:
+        return None  # truncated header (blob ended mid-header)
     pos += 1  # single whitespace byte after maxval, then raw raster
     w, h, maxval = toks
+    if w <= 0 or h <= 0:
+        return None
     raster = blob[pos : pos + 3 * w * h]
     if len(raster) != 3 * w * h:
         return None

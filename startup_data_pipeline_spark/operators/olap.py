@@ -70,6 +70,11 @@ def weighted_reservoir_sample(
     top-k and only k rows per partition reach the driver-side merge;
     the corpus is never globally sorted (a global row_number window
     would funnel everything through ONE partition).
+
+    Rows with weight <= 0 are excluded up front: ln(u)/0 is ±Inf/NaN
+    with engine-dependent sort placement, and a negative weight flips
+    the score sign so the row would win regardless of its draw. A-Res is
+    only defined for positive weights, so the filter IS the semantics.
     """
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
@@ -78,7 +83,8 @@ def weighted_reservoir_sample(
     u = (h + F.lit(1).cast("long")) / F.lit(4294967296.0)
     score = F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("__score", score)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__score", score)
         .orderBy(F.col("__score").desc(), F.col(key_col).asc())
         .limit(k)
         .drop("__score")

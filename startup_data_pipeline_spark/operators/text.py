@@ -315,6 +315,12 @@ def sequence_pack(
     (overflow-tolerant, exactly how fixed-stride packing behaves).
     One window per shard; shards bound both skew and state.
 
+    Bin ids interleave shards — ``bin_id = local_bin * n_shards + shard``
+    — so the encoding is collision-free by construction for any shard
+    weight (a fixed per-shard stride would silently merge unrelated bins
+    once a shard's total weight exceeded stride * capacity, which at
+    100 TB it would).
+
     Returns one row per bin: docs packed, payload weight, fill ratio.
     """
     from pyspark.sql import Window
@@ -329,8 +335,8 @@ def sequence_pack(
     )
     assigned = df.withColumn("shard", shard).withColumn(
         "bin_id",
-        (F.col("shard") * F.lit(1_000_000)
-         + F.floor(prefix / F.lit(capacity))).cast("long"),
+        (F.floor(prefix / F.lit(capacity)) * F.lit(n_shards)
+         + F.col("shard")).cast("long"),
     )
     return (
         assigned.groupBy("bin_id")

@@ -108,6 +108,7 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                    AS BIGINT) + 1) / 4294967296.0) / n_chars AS score
         FROM documents
+        WHERE n_chars > 0
     )
     ORDER BY score DESC, doc_id ASC
     LIMIT 50

@@ -838,11 +838,11 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH assigned AS (
         SELECT doc_id, n_chars,
                doc_id % 32 AS shard,
-               CAST(doc_id % 32 AS BIGINT) * 1000000
-               + CAST(floor(COALESCE(SUM(n_chars) OVER (
+               CAST(floor(COALESCE(SUM(n_chars) OVER (
                      PARTITION BY doc_id % 32 ORDER BY doc_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                     / 4096.0) AS BIGINT) AS bin_id
+                     / 4096.0) AS BIGINT) * 32
+               + CAST(doc_id % 32 AS BIGINT) AS bin_id
         FROM documents
     )
     SELECT bin_id,

@@ -488,19 +488,53 @@ def test_connected_components_long_chain_converges(spark):
     assert comps == {0}
 
 
+def test_connected_components_string_ids(spark):
+    # convergence is detected by counting changed labels, not summing
+    # them — a label sum over string ids is NULL and NULL == NULL would
+    # have ended the loop after one round with unmerged components.
+    ids = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("z",)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["component"] for r in
+           dedup.connected_components(ids, pairs, "doc_id").collect()}
+    assert {out[k] for k in "abcde"} == {"a"}
+    assert out["z"] == "z"
+
+
 def test_sequence_pack_respects_capacity_stride(spark):
     # 6 docs of weight 300 in one shard (ids 0,32,64,...): capacity 1000
-    # → prefix sums 0,300,...,1500 → bins 0,0,0,0 (prefix<1000) wait:
-    # floor(0/1000)=0 floor(300)=0 floor(600)=0 floor(900)=0
-    # floor(1200)=1 floor(1500)=1 → bin0 holds 4 docs, bin1 holds 2
+    # → prefix sums 0,300,600,900,1200,1500 → local bins 0,0,0,0,1,1;
+    # interleaved encoding: bin_id = local_bin * 32 + shard → 0 and 32.
     df = spark.createDataFrame(
         [(i * 32, 300) for i in range(6)], ["doc_id", "n_chars"]
     )
     out = {r["bin_id"]: r for r in
            text.sequence_pack(df, "doc_id", "n_chars", 1000).collect()}
     assert out[0]["n_docs"] == 4 and out[0]["total_weight"] == 1200
-    assert out[1]["n_docs"] == 2 and out[1]["total_weight"] == 600
+    assert out[32]["n_docs"] == 2 and out[32]["total_weight"] == 600
     assert out[0]["fill_ratio"] == 1.2   # overflow-tolerant stride
+
+
+def test_sequence_pack_bin_ids_never_collide_across_shards(spark):
+    # The interleaved encoding bin_id = local_bin * n_shards + shard is
+    # collision-free for unbounded shard weight: shard is recoverable as
+    # bin_id % n_shards, so two shards can never share a bin id no
+    # matter how many bins a shard fills (the old fixed-stride encoding
+    # collided once a shard exceeded stride*capacity total weight).
+    # Deep shards at toy capacity: 400 docs/shard of weight 1, capacity 1
+    # → 400 bins per shard, local bins far past a tiny stride.
+    rows = [(s + 32 * i, 1) for s in (0, 1, 2) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    out = text.sequence_pack(df, "doc_id", "n_chars", 1).collect()
+    assert len(out) == 1200  # one doc per bin, no merged bins
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["bin_id"] % 32, set()).add(r["bin_id"])
+    assert set(by_shard) == {0, 1, 2}
+    assert not (by_shard[0] & by_shard[1] & by_shard[2])
 
 
 def test_quality_gate_names_first_failing_rule(spark):
