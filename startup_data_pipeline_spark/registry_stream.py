@@ -126,32 +126,76 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _features_oracle() -> str:
+    # the pooled descriptor re-derived arithmetically from the PPM
+    # fixture formula (byte j of image doc_id = (doc_id*7 + j*11) % 256):
+    # per-channel mean + second moment + horizontal/vertical gradient
+    # energy — same integer sums, same single double division
+    def byte(j: str) -> str:
+        return f"((doc_id * 7 + ({j}) * 11) % 256)"
+
+    cols = []
+    for c in range(3):
+        cols.append(
+            f"""round(CAST(list_sum(list_transform(
+               generate_series(0, w * h - 1),
+               p -> {byte(f"3 * p + {c}")})) AS DOUBLE)
+               / (w * h * 255.0), 6) AS f{c}"""
+        )
+    for c in range(3):
+        cols.append(
+            f"""round(CAST(list_sum(list_transform(
+               generate_series(0, w * h - 1),
+               p -> {byte(f"3 * p + {c}")} * {byte(f"3 * p + {c}")}))
+               AS DOUBLE) / (w * h * 65025.0), 6) AS f{c + 3}"""
+        )
+    cols.append(
+        f"""round(CAST(list_sum(list_transform(
+           generate_series(0, 3 * w * h - 1),
+           j -> CASE WHEN (j // 3) % w < w - 1
+                THEN abs({byte("j + 3")} - {byte("j")}) ELSE 0 END))
+           AS DOUBLE) / ((w - 1) * h * 3 * 255.0), 6) AS f6"""
+    )
+    cols.append(
+        f"""round(CAST(list_sum(list_transform(
+           generate_series(0, 3 * w * h - 1),
+           j -> CASE WHEN (j // 3) // w < h - 1
+                THEN abs({byte("j + 3 * w")} - {byte("j")}) ELSE 0 END))
+           AS DOUBLE) / (w * (h - 1) * 3 * 255.0), 6) AS f7"""
+    )
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT doc_id,
+           {sel}
+    FROM (
+        SELECT doc_id,
+               CAST(4 + doc_id % 5 AS INTEGER) AS w,
+               CAST(3 + doc_id % 4 AS INTEGER) AS h
+        FROM documents
+    )
+    """
+
+
 @register(
     "q_multimodal_features",
-    # the "fake CNN" is md5-seeded from the payload bytes (= utf8 text),
-    # so the Arrow-batched Python stage is still fully oracle-checkable:
-    # feature 0 is byte 0 of md5(text) / 256, exact in f32 and f64 alike
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           round((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
-                 * 16.0 / 256.0
-               + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
-                 / 256.0, 6) AS f0
-    FROM documents
-    """,
-    survey_ops="§2.11 multimodal: binary payload + batched feature "
-    "extraction (mapInPandas); md5-seeded fake features keep even the "
-    "Python stage cross-engine-checkable",
+    oracle=_features_oracle(),
+    survey_ops="§2.11 multimodal: REAL pooled image descriptor "
+    "(channel moments + gradient energy) computed natively over decoded "
+    "pixel arrays — zero Python after decode; every feature "
+    "re-derivable arithmetically from the fixture formula",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    wrapped = multimodal.attach_binary_payload(docs, "text")
-    feats = multimodal.extract_features(wrapped)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(docs, "doc_id")
+    )
+    feats = multimodal.extract_features(decoded)
     return feats.select(
         "doc_id",
-        F.col("media_meta.n_bytes").cast("long").alias("n_bytes"),
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        *[
+            F.round(F.element_at("features", k + 1), 6).alias(f"f{k}")
+            for k in range(8)
+        ],
     )
 
 

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -170,19 +171,50 @@ def test_offline_transport_degrades_to_null(spark):
 
 # --- multimodal plumbing ---------------------------------------------------
 
-def test_multimodal_payload_and_features(spark):
+def test_multimodal_payload_wrap(spark):
     df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
     wrapped = multimodal.attach_binary_payload(df, "text")
     r = wrapped.collect()[0]
     assert bytes(r["payload"]) == b"hello world"
     assert r["media_meta"]["n_bytes"] == 11
 
-    feat = multimodal.extract_features(wrapped).collect()[0]["features"]
+
+def test_extract_features_from_pixels(spark):
+    # expected descriptor recomputed independently in Python from the
+    # fixture formula (byte j of image i = (i*7 + j*11) % 256)
+    ids = spark.createDataFrame([(3,)], ["doc_id"])
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(ids, "doc_id")
+    )
+    feat = multimodal.extract_features(decoded).collect()[0]["features"]
     assert len(feat) == multimodal.FEATURE_DIM
-    assert all(0.0 <= v < 1.0 for v in feat)
-    # deterministic: same payload → same features
-    feat2 = multimodal.extract_features(wrapped).collect()[0]["features"]
-    assert feat == feat2
+
+    i = 3
+    w, h = 4 + i % 5, 3 + i % 4
+    n = w * h
+    px = [(i * 7 + j * 11) % 256 for j in range(3 * n)]
+    exp = [sum(px[c::3]) / (n * 255.0) for c in range(3)]
+    exp += [sum(v * v for v in px[c::3]) / (n * 65025.0) for c in range(3)]
+    gh = sum(
+        abs(px[j + 3] - px[j])
+        for j in range(3 * n)
+        if (j // 3) % w < w - 1
+    )
+    gv = sum(
+        abs(px[j + 3 * w] - px[j])
+        for j in range(3 * n)
+        if (j // 3) // w < h - 1
+    )
+    exp.append(gh / ((w - 1) * h * 3 * 255.0))
+    exp.append(gv / (w * (h - 1) * 3 * 255.0))
+    assert feat == pytest.approx(exp, abs=1e-12)
+
+
+def test_extract_features_null_pixels_yield_null(spark):
+    df = spark.createDataFrame([(1, b"not an image")], ["doc_id", "payload"])
+    decoded = multimodal.decode_image(df)
+    row = multimodal.extract_features(decoded).collect()[0]
+    assert row["features"] is None
 
 
 def test_ppm_parser_roundtrip_with_comments():
