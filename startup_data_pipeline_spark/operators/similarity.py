@@ -295,6 +295,80 @@ def ivf_topk(
     )
 
 
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN over TRAINED k-means centroids — the full index-build +
+    query path a production vector pipeline runs (replaces the exemplar
+    centroids that ``ivf_topk`` uses as a stand-in).
+
+    ``kmeans_fit`` trains the coarse quantizer; the learned centroids
+    then ride in the plan as literal arrays, so BOTH the corpus cell
+    assignment (the "index build") and the query probe routing are
+    shuffle-free scans — no centroid join at all. Cell routing uses
+    squared distance (identical to training); inside the probed cells
+    ranking is the exact integer dot product. At 100 TB the member
+    assignment materializes with the corpus, probes broadcast
+    |queries|·n_probe rows, and each query touches |cell|·n_probe
+    candidates instead of n — the FAISS-IVF cost model with a trained
+    index. Integer-exact end to end, so the DuckDB oracle re-derives
+    training AND search.
+    """
+    _assigned, centroids = kmeans_fit(
+        embeddings, id_col, vec_col, k=n_clusters, n_iter=n_iter
+    )
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    # (distance, cell) structs sort lexicographically → nearest cells
+    # first, ties to the lowest cell index, all inside codegen
+    ranked = F.array_sort(
+        F.transform(
+            dists,
+            lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid")),
+        )
+    )
+    members = qdf.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("qv").alias("nv"),
+        F.element_at(ranked, 1)["cid"].alias("cid"),
+    )
+    probes = qdf.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("qv").alias("pv"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+        ).alias("cid"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(members, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", int_dot(F.col("pv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score",
+        )
+    )
+
+
 def _centroid_lit(centroid: list[int]) -> Column:
     return F.array(*[F.lit(int(x)).cast("long") for x in centroid])
 

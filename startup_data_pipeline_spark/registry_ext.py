@@ -931,15 +931,16 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
-    """DuckDB oracle for integer-exact Lloyd's k-means.
+def _lloyd_cte_chain(k: int = 8, n_iter: int = 5) -> str:
+    """Unrolled-Lloyd CTE chain shared by the k-means oracles.
 
     ``kmeans_fit`` runs a FIXED number of iterations, so the loop unrolls
     into chained CTEs — a fully independent re-derivation (no recursion
     needed, no frozen intermediate state). Each iteration mirrors the
     engine exactly: squared-integer distance, argmin with lowest-index
     tie-break, centroid update by round-half-away-from-zero mean, empty
-    clusters keep their previous centroid.
+    clusters keep their previous centroid. Ends with ``distF`` (every
+    vector × final centroid distance) and ``assignF`` (the argmin cell).
     """
     parts = [f"""
     WITH qv AS (
@@ -998,7 +999,13 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
         SELECT vid, cluster FROM distF
         QUALIFY row_number() OVER (
             PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
+    """Cluster-summary tail over the shared unrolled-Lloyd chain."""
+    return _lloyd_cte_chain(k, n_iter) + f""",
     norms AS (
         SELECT cluster, CAST(SUM(c * c) AS BIGINT) AS centroid_sqnorm
         FROM c{n_iter} GROUP BY cluster
@@ -1008,8 +1015,41 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
            CAST(SUM(a.vid) AS BIGINT) AS id_checksum,
            ANY_VALUE(n.centroid_sqnorm) AS centroid_sqnorm
     FROM assignF a JOIN norms n USING (cluster)
-    GROUP BY a.cluster""")
-    return "".join(parts)
+    GROUP BY a.cluster"""
+
+
+def _ivf_trained_oracle(
+    n_queries: int = 10, n_probe: int = 2, ann_k: int = 5
+) -> str:
+    """IVF search tail over the shared unrolled-Lloyd chain: probe the
+    ``n_probe`` nearest trained cells per query (same squared-distance
+    routing as training), exact dot-product top-k inside. Each member
+    lives in exactly one cell (assignF is an argmin), so (query,
+    neighbor) pairs are join-unique."""
+    return _lloyd_cte_chain() + f""",
+    probeq AS (
+        SELECT vid AS query_id, cluster FROM distF
+        WHERE vid < {n_queries}
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_id, m.vid AS neighbor_id,
+               CAST(SUM(q.x * n.x) AS BIGINT) AS score
+        FROM probeq p
+        JOIN assignF m ON p.cluster = m.cluster
+        JOIN qv q ON q.vid = p.query_id
+        JOIN qv n ON n.vid = m.vid AND n.pos = q.pos
+        WHERE p.query_id <> m.vid
+        GROUP BY p.query_id, m.vid
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn <= {ann_k}"""
 
 
 @register(
@@ -1087,6 +1127,24 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_assign_seeded(
         emb, "vec_id", "embedding", k=8
+    )
+
+
+@register(
+    "q_ann_ivf_trained",
+    oracle=_ivf_trained_oracle(n_queries=10, n_probe=2, ann_k=5),
+    survey_ops="IVF ANN over TRAINED k-means centroids (§2.11 "
+    "similarity: the full index-build + query path — kmeans_fit trains "
+    "the coarse quantizer, learned centroids ride as plan literals so "
+    "corpus assignment and probe routing are shuffle-free scans, exact "
+    "integer dot-product top-k inside the probed cells). Oracle "
+    "re-derives training AND search via the unrolled-Lloyd chain",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_trained(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5,
+        n_clusters=8, n_iter=5, n_probe=2,
     )
 
 

@@ -313,6 +313,29 @@ def test_ivf_recall_improves_with_n_probe(spark):
     assert r_all == 1.0   # probing every cell == exact search
 
 
+def test_ivf_trained_probe_all_matches_exact(spark):
+    """Probing every trained cell degenerates to exact search — same
+    pairs, ranks, and scores as the brute-force baseline."""
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(5).collect()]
+    exact = {
+        tuple(r)
+        for r in similarity.brute_force_topk(
+            emb, "vec_id", "embedding", qids, k=3
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in similarity.ivf_topk_trained(
+            emb, "vec_id", "embedding", qids, k=3,
+            n_clusters=4, n_iter=2, n_probe=1000,
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_kmeans_matches_numpy_mirror(spark, sf_dir):
     """kmeans_fit is integer-exact: a numpy reimplementation of the same
     arithmetic must reproduce assignments and centroids bit-for-bit."""
