@@ -13,11 +13,19 @@ def ensure_min_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
     serializes the whole stage (observed 7× slowdown at sf0.1). On a real
     100 TB table the scan already has thousands of splits and this is a
     no-op — the guard keeps us from paying a gratuitous shuffle there.
+
+    The probe counts the files backing the plan — pure metadata, no job
+    and no DataFrame→RDD conversion. The under-parallelized case this
+    guards against is precisely the few-file local scan; at warehouse
+    scale the file count dwarfs ``n`` and the guard short-circuits.
+    DataFrames with no file lineage (in-memory test fixtures)
+    conservatively repartition — they are tiny by construction. Callers
+    apply this to freshly-loaded base tables only, never post-shuffle.
     """
     if n is None:
         n = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    if df.rdd.getNumPartitions() < n:
+    if len(df.inputFiles()) < n:
         return df.repartition(n)
     return df
