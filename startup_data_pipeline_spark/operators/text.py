@@ -491,6 +491,15 @@ def winnowing_fingerprints(
     row, so a downstream group-by-fingerprint join carries a fraction of
     the shingle volume. Documents shorter than k + window - 1 tokens have
     no full window and are excluded (both engines agree).
+
+    Plan-shape note (SCALE.md trap 1, measured): the admission filter
+    must reference ONLY the token count. An earlier variant also
+    filtered on ``size(grams) >= window``; predicate pushdown re-inlined
+    the whole md5-per-gram transform into a Filter BELOW the
+    repartition, hashing every gram twice — once nearly single-threaded
+    on the scan partitions. One cheap count predicate (>= k + window - 1
+    implies both old conditions) keeps the heavy projections above the
+    exchange and cut the warm sf0.1 time ~3×.
     """
     toks = tokens(F.lower(F.col(text_col)))
     grams = F.transform(
@@ -506,8 +515,7 @@ def winnowing_fingerprints(
     return (
         ensure_min_parallelism(df)
         .select(F.col(id_col), toks.alias("__tk"))
-        .filter(F.size("__tk") >= k)
+        .filter(F.size("__tk") >= k + window - 1)
         .select(F.col(id_col), grams.alias("__g"))
-        .filter(F.size("__g") >= window)
         .select(F.col(id_col), F.explode(mins).alias("fingerprint"))
     )
