@@ -52,6 +52,11 @@ PROBE = [
     "q_flagship",
     "q_waiting_orders",
     "q_best_supplier_per_part",
+    "q_rollup_orders",
+    "q_pivot_status",
+    "q_salted_join",
+    "q_market_share",
+    "q_cohort_retention",
     "q_exact_dedup",
     "q_minhash_signatures",
     "q_lsh_pairs",

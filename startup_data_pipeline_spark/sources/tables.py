@@ -63,10 +63,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
-        # parquet reader rejects; read nanos as long and convert to a
-        # microsecond TimestampType (lossless here: fixture nanos are
-        # microsecond-aligned, and DuckDB compares at micro precision).
+        # Fixture generations have shipped ts as TIMESTAMP(NANOS) —
+        # which the vectorized parquet reader rejects, hence the
+        # nanos-as-long read + integer div (epoch-nanos exceed double
+        # precision) — and as TIMESTAMP(MICROS), which Spark reads as
+        # TIMESTAMP_NTZ. Normalize both to a microsecond TimestampType
+        # (session tz is pinned UTC, so the NTZ→LTZ cast is the same
+        # instant, and functions like unix_micros/session_window that
+        # require TIMESTAMP keep working across generations).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(path)
@@ -74,9 +78,11 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer division — epoch-nanos exceed double precision
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

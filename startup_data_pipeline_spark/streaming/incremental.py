@@ -31,8 +31,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet stores TIMESTAMP(NANOS); streaming reads need the same
-# long-nanos workaround as sources/tables.py.
+# events.parquet has shipped ts as TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+# depending on fixture generation; stream reads take the raw int64 and
+# scale by the footer-detected unit (events_ts_unit), mirroring
+# sources/tables.py.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -45,15 +47,40 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
+    """Detect the events fixture's physical ts unit ('ns' or 'us').
+
+    Fixture generations have shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS); a streaming read with a LongType schema yields the
+    raw int64 either way, so the divisor must come from the footer. A
+    batch schema probe (no data read) with nanosAsLong on maps NANOS →
+    bigint and MICROS → timestamp, which is exactly the signal needed.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return "ns" if dict(probe.dtypes).get("ts") == "bigint" else "us"
+
+
+def long_ts_to_timestamp(col, unit: str):
+    """Raw int64 event time → microsecond TimestampType column."""
+    if unit == "ns":
+        # integer division — epoch-nanos exceed double precision
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.timestamp_micros(F.col(col))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture as a file stream (stand-in for kafka/feed source)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    unit = events_ts_unit(spark, sf_dir)
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", long_ts_to_timestamp("ts", unit))
 
 
 def run_available_now(df: DataFrame, query_name: str | None = None) -> DataFrame:

@@ -160,9 +160,9 @@ def test_tfidf_builds_lazily_no_driver_jobs(spark):
 
 
 def test_connected_components_one_action_per_iteration(spark, monkeypatch):
-    # convergence uses ONE aggregate per round (prior sum carried in a
-    # driver variable): a no-edge graph converges with exactly 2 collects
-    # (init sum + round-1 sum), where the old shape needed 3.
+    # convergence is ONE aggregate action per round (count of changed
+    # labels, no separate init pass): a no-edge graph converges after
+    # round 1, so exactly 1 collect total.
     from startup_data_pipeline_spark.operators import dedup
 
     ids = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
@@ -181,7 +181,7 @@ def test_connected_components_one_action_per_iteration(spark, monkeypatch):
     monkeypatch.setattr(cls, "collect", counting)
     out = dedup.connected_components(ids, pairs, "doc_id")
     monkeypatch.undo()
-    assert calls["n"] == 2
+    assert calls["n"] == 1
     assert all(r["component"] == r["doc_id"] for r in out.collect())
 
 
@@ -195,10 +195,15 @@ def test_registry_integrity():
     assert missing_oracles == []
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
-    # the first 50 (a sampling harness's window) must span the §2.11
-    # batteries and streaming — the families round 1's sample missed
+    # the first 50 (a sampling harness's window) is round-rotated; the
+    # round-3 window must front-load the 33 never-driver-sampled OLAP
+    # tail AND keep one canary per §2.11/streaming family so a
+    # time-budgeted sample still spans the surface
     prefix = list(qs)[:50]
-    for probe in ["q_minhash_signatures", "q_lsh_pairs", "q_ann_ivf_topk",
-                  "q_near_dup_components", "q_funnel_stages",
-                  "q_stream_dedup", "q_kmeans_clusters", "q_decode_image"]:
+    for probe in ["q_waiting_orders", "q_best_supplier_per_part",
+                  "q_cohort_retention", "q_salted_join",
+                  "q_multimodal_features", "q_sequence_pack",
+                  "q_ann_ivf_trained", "q_near_dup_components",
+                  "q_minhash_signatures", "q_lsh_pairs",
+                  "q_stream_dedup", "q_flagship"]:
         assert probe in prefix, probe
