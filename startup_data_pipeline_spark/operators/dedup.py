@@ -307,44 +307,61 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     16 bits give only 256 blocking buckets (within-bucket joins go n²/256
     on a large corpus); 64 bits give 4 × 16-bit bands = 65536 buckets per
     band. Token hash = first 16 hex chars of md5 split into two 32-bit
-    halves (exactly reproducible in SQL); per-bit ±1 votes accumulate in
-    one groupBy with 64 map-side-combinable integer sums. The signature
-    packs into one signed BIGINT via explicit two's-complement arithmetic
-    (portable — no engine-specific shift-overflow behavior).
+    halves (exactly reproducible in SQL). The signature packs into one
+    signed BIGINT via explicit two's-complement arithmetic (portable —
+    no engine-specific shift-overflow behavior).
+
+    Computed entirely MAP-SIDE: per-bit set-counts fold over the token
+    array with ``F.aggregate``/``zip_with`` (state = 64 longs per row),
+    and bit b is set iff 2·count_b > n_tokens — identical to the
+    ±1-votes-positive rule since votes_b = 2·count_b − n. The earlier
+    shape (explode + groupBy with 64 conditional sums) shuffled a row
+    per document through a hash aggregate; signatures are a pure
+    projection, so at 100 TB this version costs ZERO exchanges and the
+    banded self-join is the only shuffle in the near-dup chain.
+    Documents with no tokens have no signature (explode semantics kept).
     """
-    tok = (
-        _tokenized(df, id_col, text_col)
-        .select(F.col(id_col), F.explode(F.col("__tk")).alias("tok"))
-        .select(
-            F.col(id_col),
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+    tokd = _tokenized(df, id_col, text_col).filter(F.size("__tk") >= 1)
+    halves = F.transform(
+        F.col("__tk"),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
             .cast("long")
             .alias("hi"),
-            F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10)
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
             .cast("long")
             .alias("lo"),
-        )
+        ),
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("lo" if b < 32 else "hi"), b % 32)
-                .bitwiseAND(1)
-                == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(64)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    counts = F.aggregate(
+        halves,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h["lo" if b < 32 else "hi"], b % 32)
+                    .bitwiseAND(1)
+                    .cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    n = F.size("__tk").cast("long")
+    staged = tokd.select(
+        F.col(id_col), counts.alias("__c"), n.alias("__n")
+    )
     sig_lo = None
     sig_hi = None
     for b in range(32):
-        t_lo = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        t_lo = F.when(
+            F.get("__c", b) * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         t_hi = F.when(
-            F.col(f"v_{b + 32}") > 0, F.lit(1 << b).cast("long")
+            F.get("__c", b + 32) * 2 > F.col("__n"),
+            F.lit(1 << b).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         sig_lo = t_lo if sig_lo is None else sig_lo + t_lo
         sig_hi = t_hi if sig_hi is None else sig_hi + t_hi
@@ -354,7 +371,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sig_hi >= F.lit(2147483648),
         (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
     ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
-    return agg.select(F.col(id_col), packed.alias("simhash64"))
+    return staged.select(F.col(id_col), packed.alias("simhash64"))
 
 
 def simhash64_near_pairs(

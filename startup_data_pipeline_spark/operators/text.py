@@ -519,3 +519,42 @@ def winnowing_fingerprints(
         .select(F.col(id_col), grams.alias("__g"))
         .select(F.col(id_col), F.explode(mins).alias("fingerprint"))
     )
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    mod: int = 100,
+) -> DataFrame:
+    """Deterministic multi-way train/val/test assignment by content hash.
+
+    The export step of a training-data pipeline: every document gets a
+    stable split label from md5(id) alone, so the assignment is
+    reproducible across runs, engines, and cluster sizes — no RNG state,
+    no global sort, no shuffle (a pure map-side projection; the split
+    column then prunes downstream scans if the export is written
+    partitioned by it). Weights are integer mod-ths assigned by
+    cumulative threshold in declaration order, the same first-4-hex-
+    digits bucket as ``olap.stratified_sample`` so DuckDB reproduces it
+    bit-for-bit.
+
+    Reference scope: the reference exports one flat sheet
+    (to_gsheet.py); the split/shard machinery is the 100 TB-side
+    extension a training pipeline needs on top.
+    """
+    splits = splits or [("train", 90), ("val", 5), ("test", 5)]
+    assert sum(w for _, w in splits) == mod, "split weights must sum to mod"
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % mod
+    )
+    expr = None
+    cum = 0
+    for name, weight in splits:
+        cum += weight
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -945,6 +945,44 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@register(
+    "q_train_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT text,
+               ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                   AS bucket
+        FROM (SELECT text, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1
+    """,
+    survey_ops="deterministic train/val/test split (training-data "
+    "export): content-hash bucket to cumulative-weight label, map-side "
+    "only — reproducible across runs/engines/cluster sizes, no RNG, no "
+    "shuffle; per-split doc and token totals",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.train_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(text.tokens(F.col("text"))))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 _DOT = (
     "CAST(list_sum(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i] * {b}[i])) AS BIGINT)"

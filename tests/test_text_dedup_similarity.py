@@ -570,3 +570,31 @@ def test_quality_gate_names_first_failing_rule(spark):
     assert reasons <= {"basic_quality", "repetition", "low_entropy", "kept"}
     kept = [r for r in out if r["keep"]]
     assert all(r["reason"] == "kept" for r in kept)
+
+
+def test_train_split_deterministic_exhaustive_and_mapside(spark):
+    df = spark.createDataFrame([(i, "w " * 5) for i in range(500)],
+                               ["doc_id", "text"])
+    out = text.train_split(df, "doc_id")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    # every row labeled, labels from the declared set only
+    assert len(got) == 500
+    assert set(got.values()) <= {"train", "val", "test"}
+    # deterministic across invocations (content hash, no RNG state)
+    again = {r["doc_id"]: r["split"] for r in
+             text.train_split(df, "doc_id").collect()}
+    assert got == again
+    # ~90/5/5 by construction of the bucket thresholds
+    from collections import Counter
+    c = Counter(got.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    # map-side only: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_train_split_weights_must_cover_mod(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        text.train_split(df, "doc_id", [("train", 10)], mod=100)
