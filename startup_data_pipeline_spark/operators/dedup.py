@@ -484,11 +484,16 @@ def connected_components(
     )
     # convergence = "no row changed its label this round", counted
     # directly: the step carries the pre-round label alongside the new
-    # one and ONE aggregation action per iteration counts inequalities.
+    # one and a count_if over the inequality decides the exit.
     # (A label-sum comparison was cheaper-looking but type-fragile: with
     # a non-numeric id column F.sum() is NULL, NULL == NULL in Python,
     # and the loop would exit after one round with unmerged components.
     # count_if works for any orderable id type — least() already does.)
+    # The count rides the per-round checkpoint materialization as an
+    # Observation metric, so each iteration costs exactly ONE job —
+    # no separate aggregation action over the labels at all.
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -512,6 +517,7 @@ def connected_components(
         hop = stepped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
+        obs = Observation()
         new_labels = (
             stepped.join(hop, stepped.label == hop.pnode, "left")
             .select(
@@ -521,13 +527,16 @@ def connected_components(
                     F.col("label"), F.coalesce("plabel", F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.count_if(F.col("label") != F.col("old_label")).alias(
+                    "n_changed"
+                ),
+            )
             .localCheckpoint()
         )
-        n_changed = new_labels.agg(
-            F.count_if(F.col("label") != F.col("old_label"))
-        ).collect()[0][0]
         labels = new_labels.select("node", "label")
-        if n_changed == 0:
+        if obs.get["n_changed"] == 0:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

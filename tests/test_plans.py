@@ -160,9 +160,9 @@ def test_tfidf_builds_lazily_no_driver_jobs(spark):
 
 
 def test_connected_components_one_action_per_iteration(spark, monkeypatch):
-    # convergence is ONE aggregate action per round (count of changed
-    # labels, no separate init pass): a no-edge graph converges after
-    # round 1, so exactly 1 collect total.
+    # convergence rides the per-round checkpoint job as an Observation
+    # metric: ZERO driver collect() actions regardless of round count
+    # (each iteration costs exactly one job — the materialization).
     from startup_data_pipeline_spark.operators import dedup
 
     ids = spark.createDataFrame([(1,), (2,), (3,)], ["doc_id"])
@@ -181,7 +181,7 @@ def test_connected_components_one_action_per_iteration(spark, monkeypatch):
     monkeypatch.setattr(cls, "collect", counting)
     out = dedup.connected_components(ids, pairs, "doc_id")
     monkeypatch.undo()
-    assert calls["n"] == 1
+    assert calls["n"] == 0
     assert all(r["component"] == r["doc_id"] for r in out.collect())
 
 
