@@ -151,6 +151,90 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def incremental_near_dup_gate(
+    index_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Online ingestion dedup: probe a NEW batch's MinHash signatures
+    against the LSH index of the already-ingested corpus.
+
+    The steady-state dedup shape at 100 TB: a pipeline does not re-run
+    corpus × corpus LSH per arrival — it maintains the signature/band
+    index incrementally (exactly what ``minhash_signatures`` emits,
+    persisted) and probes it with the arrival batch. The probe is
+    band-bucketed like ``lsh_candidate_pairs``, but the arrival side is
+    broadcast-sized by construction, so the collision join and the
+    candidate re-join against index signatures never shuffle the corpus
+    — the index stays partitioned where it lives.
+
+    Returns one row per colliding candidate: ``new_id``, ``match_id``,
+    ``n_agree`` (agreeing signature lanes of ``num_hashes`` — the
+    MinHash Jaccard estimate; downstream admission gates threshold it).
+    Mirrors the reference's seen-set pre-flight (upsert.py anti-join)
+    upgraded from exact URL identity to near-dup text identity.
+    """
+    n_bands = num_hashes // band_size
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(out_id), F.explode(bands).alias("b")
+        ).select(out_id, F.col("b.band_id").alias("band_id"),
+                 F.col("b.band_key").alias("band_key"))
+
+    cands = (
+        banded(index_sigs, "match_id")
+        .join(
+            F.broadcast(banded(new_sigs, "new_id")),
+            ["band_id", "band_key"],
+        )
+        .select("new_id", "match_id")
+        .dropDuplicates()
+    )
+    agree = None
+    for i in range(num_hashes):
+        t = F.when(
+            F.col(f"n.mh_{i}") == F.col(f"x.mh_{i}"), 1
+        ).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        index_sigs.alias("x")
+        .join(
+            F.broadcast(
+                cands.join(
+                    new_sigs.alias("n"),
+                    F.col("new_id") == F.col(f"n.{id_col}"),
+                )
+            ),
+            F.col("match_id") == F.col(f"x.{id_col}"),
+        )
+        .select(
+            F.col("new_id"),
+            F.col("match_id"),
+            agree.cast("long").alias("n_agree"),
+        )
+    )
+
+
 def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 

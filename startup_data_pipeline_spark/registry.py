@@ -87,12 +87,13 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_trained",       # new: IVF over trained k-means centroids
     "q_dedup_survivors",       # end-to-end dedup capstone
     "q_minhash_signatures", "q_lsh_pairs", "q_winnow_fingerprints",
-    "q_token_stats", "q_quality_gate", "q_ann_topk", "q_kmeans_assign",
+    "q_token_stats", "q_quality_gate", "q_ann_topk",
     "q_stream_dedup", "q_frame_sample",
     "q_train_split",           # new this round: hash split + shard stats
+    "q_incremental_dedup_gate",  # new this round: online LSH probe
     "q_flagship",
     # remaining driver-certified battery (stay registered; sampled last)
-    "q_name_normalize",
+    "q_name_normalize", "q_kmeans_assign",
     "q_ann_ivf_topk", "q_funnel_stages",
     "q_simhash64_pairs", "q_token_entropy",
     "q_ewma", "q_jsonl_source", "q_variant_json",

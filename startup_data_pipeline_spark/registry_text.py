@@ -182,6 +182,75 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_dedup_gate",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    nb AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+            WHERE doc_id % 20 = 0
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig WHERE doc_id % 20 = 0
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig WHERE doc_id % 20 = 0
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig WHERE doc_id % 20 = 0
+    ),
+    ob AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+            WHERE doc_id % 20 <> 0
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig WHERE doc_id % 20 <> 0
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig WHERE doc_id % 20 <> 0
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig WHERE doc_id % 20 <> 0
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS match_id
+        FROM nb n JOIN ob o
+          ON n.band_id = o.band_id AND n.band_key = o.band_key
+    ),
+    scored AS (
+        SELECT c.new_id, c.match_id,
+               CAST((CASE WHEN ns.mh_0 = os.mh_0 THEN 1 ELSE 0 END
+                   + CASE WHEN ns.mh_1 = os.mh_1 THEN 1 ELSE 0 END
+                   + CASE WHEN ns.mh_2 = os.mh_2 THEN 1 ELSE 0 END
+                   + CASE WHEN ns.mh_3 = os.mh_3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+        FROM cand c
+        JOIN sig ns ON ns.doc_id = c.new_id
+        JOIN sig os ON os.doc_id = c.match_id
+    )
+    SELECT new_id, match_id, n_agree FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY new_id ORDER BY n_agree DESC, match_id
+    ) = 1
+    """,
+    survey_ops="incremental near-dup ingestion gate (§2.11 dedup, "
+    "online shape): arrival batch (5% of docs) probes the persisted "
+    "corpus LSH index — band-bucketed broadcast join, corpus never "
+    "reshuffles; best existing match per new doc by agreeing MinHash "
+    "lanes. The steady-state form of dedup a 100 TB pipeline runs per "
+    "ingest instead of corpus x corpus",
+)
+def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    existing = docs.filter(F.col("doc_id") % 20 != 0)
+    index_sigs = dedup.minhash_signatures(
+        existing, "doc_id", "text", num_hashes=4, k=3
+    )
+    new_sigs = dedup.minhash_signatures(new, "doc_id", "text", num_hashes=4, k=3)
+    cands = dedup.incremental_near_dup_gate(
+        index_sigs, new_sigs, "doc_id", num_hashes=4, band_size=1
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("n_agree").desc(), F.col("match_id").asc()
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", "match_id", "n_agree")
+    )
+
+
+@register(
     "q_dedup_survivors",
     # the END-TO-END near-dup removal pipeline certified in one query:
     # shingle → MinHash → LSH bands → candidate pairs → connected

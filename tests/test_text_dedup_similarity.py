@@ -598,3 +598,36 @@ def test_train_split_weights_must_cover_mod(spark):
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         text.train_split(df, "doc_id", [("train", 10)], mod=100)
+
+
+def test_incremental_gate_finds_planted_near_dup(spark):
+    # corpus of distinct docs + one arrival that is a near-copy of doc 3:
+    # the gate must surface exactly that collision with high agreement,
+    # and an unrelated arrival must not collide at all
+    base = [(i, f"alpha beta gamma delta epsilon zeta{i} eta theta")
+            for i in range(10)]
+    corpus = spark.createDataFrame(base, ["doc_id", "text"])
+    arrivals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta3 eta theta"),  # ≈ doc 3
+         (101, "totally unrelated words nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    idx = dedup.minhash_signatures(corpus, "doc_id", "text",
+                                   num_hashes=4, k=3)
+    new = dedup.minhash_signatures(arrivals, "doc_id", "text",
+                                   num_hashes=4, k=3)
+    got = dedup.incremental_near_dup_gate(idx, new, "doc_id",
+                                          num_hashes=4, band_size=1)
+    rows_ = got.collect()
+    by_new = {}
+    for r in rows_:
+        by_new.setdefault(r["new_id"], []).append(r)
+    assert 101 not in by_new
+    best = max(by_new[100], key=lambda r: (r["n_agree"], -r["match_id"]))
+    assert best["match_id"] == 3
+    assert best["n_agree"] == 4  # identical shingle set → all lanes agree
+
+    # the probe join must broadcast the arrival side (index never
+    # reshuffles for the probe)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
