@@ -350,3 +350,90 @@ def stream_stream_attribution_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
         "inner",
     )
+
+
+def streaming_dedup_gate(
+    doc_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 1,
+    n_agree_dup: int = 3,
+):
+    """Continuous near-dup admission: each arrival micro-batch probes a
+    persisted MinHash/LSH index, emits its admission verdicts, and
+    appends its own signatures to the index for the NEXT batch.
+
+    The streaming form of ``dedup.incremental_near_dup_gate`` — the
+    reference's cron loop (seen-set anti-join, upsert.py:62-85) upgraded
+    from exact URL identity to near-dup text identity. State is the
+    signature table itself, persisted as parquet at ``index_path``
+    (partitionable, restart-safe, shared across queries) rather than in
+    the state store: signatures must outlive any one streaming query and
+    be probe-joinable, which store state is not.
+
+    foreachBatch is the right harness: the probe is a batch broadcast
+    join per micro-batch, and the index append is transactional per
+    epoch. Batches are processed serially by the engine, so
+    probe-then-append is race-free. Returns (query, verdicts) where
+    ``verdicts`` is an appendable list of per-batch DataFrames collected
+    as dicts: new_id, match_id (nullable), n_agree, admitted.
+    """
+    from ..operators import dedup as dedup_ops
+
+    spark = doc_stream.sparkSession
+    verdicts: list[dict] = []
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        sigs = dedup_ops.minhash_signatures(
+            batch_df, id_col, text_col, num_hashes=num_hashes
+        ).localCheckpoint()
+        try:
+            index = spark.read.parquet(index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            from pyspark.sql import Window
+
+            cands = dedup_ops.incremental_near_dup_gate(
+                index, sigs, id_col,
+                num_hashes=num_hashes, band_size=band_size,
+            )
+            w = Window.partitionBy("new_id").orderBy(
+                F.col("n_agree").desc(), F.col("match_id").asc()
+            )
+            best = (
+                cands.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            out = (
+                sigs.select(F.col(id_col).alias("new_id"))
+                .join(best, "new_id", "left")
+                .select(
+                    "new_id", "match_id",
+                    F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+                    (F.coalesce("n_agree", F.lit(0)) < n_agree_dup)
+                    .alias("admitted"),
+                )
+            )
+        else:
+            out = sigs.select(
+                F.col(id_col).alias("new_id"),
+                F.lit(None).cast("long").alias("match_id"),
+                F.lit(0).cast("long").alias("n_agree"),
+                F.lit(True).alias("admitted"),
+            )
+        out = out.localCheckpoint()
+        verdicts.extend(r.asDict() for r in out.collect())
+        # admitted docs join the index; duplicates are NOT indexed (the
+        # canonical copy is already there — matches the reference's
+        # "seen items are not re-processed" semantics)
+        keep = out.filter(F.col("admitted")).select(
+            F.col("new_id").alias(id_col)
+        )
+        sigs.join(keep, id_col).write.mode("append").parquet(index_path)
+
+    return doc_stream.writeStream.foreachBatch(handle), verdicts

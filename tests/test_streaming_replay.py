@@ -337,3 +337,59 @@ def test_sessionize_finalizes_exactly_once_across_triggers(
         .collect()
     )
     assert got == want
+
+
+def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
+    """The parquet-backed LSH index is the cross-batch state: batch 1
+    seeds it, a near-copy arriving in batch 2 is rejected against it,
+    and only admitted docs extend it for batch 3."""
+    in_dir = str(tmp_path / "gate_in")
+    idx = str(tmp_path / "gate_idx")
+    ck = str(tmp_path / "gate_ck")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "doc_id long, text string"
+    b1 = [(i, f"alpha beta gamma delta epsilon zeta{i} eta theta")
+          for i in range(10)]
+    b2 = [(100, "alpha beta gamma delta epsilon zeta3 eta theta"),  # ≈ doc 3
+          (101, "totally unrelated words nothing shared here at all")]
+    b3 = [(200, "totally unrelated words nothing shared here at all")]  # ≈ 101
+
+    from startup_data_pipeline_spark.streaming.incremental import (
+        streaming_dedup_gate,
+    )
+
+    n_before = 0
+    for i, batch in enumerate([b1, b2, b3]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"gate_stage_{i}"))
+        _arrive(str(tmp_path / f"gate_stage_{i}"), in_dir, i)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        writer, verdicts = streaming_dedup_gate(stream, idx)
+        q = (
+            writer.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batch_verdicts = verdicts[n_before:]
+        n_before = 0  # verdicts list is fresh per streaming_dedup_gate call
+
+        got = {r["new_id"]: r for r in batch_verdicts}
+        if i == 0:
+            assert len(got) == 10 and all(
+                r["admitted"] for r in got.values()
+            )
+        elif i == 1:
+            assert got[100]["admitted"] is False
+            assert got[100]["match_id"] == 3 and got[100]["n_agree"] == 4
+            assert got[101]["admitted"] is True
+        else:
+            # 200 duplicates 101, which WAS admitted and indexed
+            assert got[200]["admitted"] is False
+            assert got[200]["match_id"] == 101
+
+    index = spark.read.parquet(idx)
+    assert sorted(r["doc_id"] for r in index.collect()) == sorted(
+        list(range(10)) + [101]
+    )
