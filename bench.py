@@ -72,6 +72,11 @@ HEADLINE = [
     "q_winnow_fingerprints",
     "q_gap_fill_locf",
     "q_heavy_hitters",
+    "q_train_split",
+    "q_incremental_dedup_gate",
+    "q_ann_ivf_trained",
+    "q_multimodal_features",
+    "q_sequence_pack",
 ]
 
 

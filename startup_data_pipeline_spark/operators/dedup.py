@@ -340,25 +340,44 @@ def _hex4_to_int(h4: Column) -> Column:
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens (md5-derived token hashes).
 
-    For each bit b: sum +/-1 votes across tokens (weighted by occurrence);
-    bit set iff the vote is positive. One groupBy, 16 integer sums —
-    map-side combinable, exact in any engine.
+    For each bit b: count tokens with the bit set (occurrence-weighted);
+    bit set iff 2·count_b > n_tokens — the votes-positive rule with
+    votes_b = 2·count_b − n. Map-side like ``simhash64``: the per-bit
+    counts fold over the token array (aggregate/zip_with), so the
+    signature is a pure projection with zero exchanges. Documents with
+    no tokens have no signature (explode semantics kept).
     """
-    tok = _tokenized(df, id_col, text_col).select(
-        F.col(id_col), F.explode(F.col("__tk")).alias("tok")
-    ).withColumn("h", _hex4_to_int(F.substring(F.md5(F.col("tok")), 1, 4)))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    tokd = _tokenized(df, id_col, text_col).filter(F.size("__tk") >= 1)
+    hashes = F.transform(
+        F.col("__tk"),
+        lambda t: _hex4_to_int(F.substring(F.md5(t), 1, 4)),
+    )
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, b).bitwiseAND(1).cast("long")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    staged = tokd.select(
+        F.col(id_col),
+        counts.alias("__c"),
+        F.size("__tk").cast("long").alias("__n"),
+    )
     sig = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.get("__c", b) * 2 > F.col("__n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return staged.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(sigs: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
