@@ -374,10 +374,13 @@ def streaming_dedup_gate(
     be probe-joinable, which store state is not.
 
     foreachBatch is the right harness: the probe is a batch broadcast
-    join per micro-batch, and the index append is transactional per
-    epoch. Batches are processed serially by the engine, so
+    join per micro-batch, and the index grows by one ``epoch=<id>``
+    partition directory per batch written with overwrite — a RETRIED
+    epoch rewrites its own partition instead of double-appending, so
+    the index stays exactly-once under foreachBatch's at-least-once
+    contract. Batches are processed serially by the engine, so
     probe-then-append is race-free. Returns (query, verdicts) where
-    ``verdicts`` is an appendable list of per-batch DataFrames collected
+    ``verdicts`` is an appendable list of per-batch rows collected
     as dicts: new_id, match_id (nullable), n_agree, admitted.
     """
     from ..operators import dedup as dedup_ops
@@ -434,6 +437,10 @@ def streaming_dedup_gate(
         keep = out.filter(F.col("admitted")).select(
             F.col("new_id").alias(id_col)
         )
-        sigs.join(keep, id_col).write.mode("append").parquet(index_path)
+        import os  # noqa: PLC0415
+
+        sigs.join(keep, id_col).write.mode("overwrite").parquet(
+            os.path.join(index_path, f"epoch={epoch_id}")
+        )
 
     return doc_stream.writeStream.foreachBatch(handle), verdicts
