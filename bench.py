@@ -74,7 +74,9 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_train_split",
     "q_incremental_dedup_gate",
-    "q_ann_ivf_trained",
+    # q_ann_ivf_trained intentionally NOT here: it trains k-means inside
+    # the query (cold ~2 min at sf0.1) — correctness-certified via the
+    # sample window; q_ann_ivf_topk benches the search shape.
     "q_multimodal_features",
     "q_sequence_pack",
 ]

@@ -127,3 +127,24 @@ def test_headline_scans_carry_pushed_or_pruned_schema(spark, plan_sf_dir, qname)
     plan = _plan(all_queries()[qname].fn(spark, plan_sf_dir))
     assert "ReadSchema" in plan               # pruned schema present
     assert "Scan parquet" in plan
+
+
+def test_simhash_signatures_are_zero_exchange(spark):
+    # both SimHash widths must compile to pure projections: no Exchange
+    # anywhere in the signature plan (the banded self-join downstream is
+    # the only shuffle in the near-dup chain)
+    from startup_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    for fn, col in ((dedup.simhash16, "simhash"),
+                    (dedup.simhash64, "simhash64")):
+        plan = fn(df, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        # ensure_min_parallelism's RoundRobin repartition (local-fixture
+        # parallelizer, a no-op on well-split tables) is allowed; what
+        # must NOT appear is a key shuffle or an aggregate
+        assert "hashpartitioning" not in plan, f"{col} shuffles:\n{plan}"
+        assert "HashAggregate" not in plan, f"{col} aggregates:\n{plan}"

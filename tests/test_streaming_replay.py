@@ -358,13 +358,14 @@ def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
         streaming_dedup_gate,
     )
 
-    n_before = 0
     for i, batch in enumerate([b1, b2, b3]):
         spark.createDataFrame(batch, schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(tmp_path / f"gate_stage_{i}"))
         _arrive(str(tmp_path / f"gate_stage_{i}"), in_dir, i)
         stream = spark.readStream.schema(schema).parquet(in_dir)
+        # fresh writer + verdict list per arrival; the shared checkpoint
+        # means each run processes only its new files
         writer, verdicts = streaming_dedup_gate(stream, idx)
         q = (
             writer.option("checkpointLocation", ck)
@@ -372,10 +373,8 @@ def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
-        batch_verdicts = verdicts[n_before:]
-        n_before = 0  # verdicts list is fresh per streaming_dedup_gate call
 
-        got = {r["new_id"]: r for r in batch_verdicts}
+        got = {r["new_id"]: r for r in verdicts}
         if i == 0:
             assert len(got) == 10 and all(
                 r["admitted"] for r in got.values()
@@ -393,3 +392,38 @@ def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
     assert sorted(r["doc_id"] for r in index.collect()) == sorted(
         list(range(10)) + [101]
     )
+
+
+def test_events_ts_unit_detects_both_generations(spark, sf_dir, tmp_path):
+    # the shipped fixture (whatever this generation is) must round-trip
+    # through read_events_stream to the same instants load_table yields
+    got_unit = incremental.events_ts_unit(spark, sf_dir)
+    assert got_unit in ("ns", "us")
+    streamed = incremental.read_events_stream(spark, sf_dir)
+    # materialize a few rows through a real trigger
+    out = incremental.run_available_now_append(
+        streamed.select("event_id", "ts"), "t_unit_check"
+    )
+    want = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "ts").collect()
+    }
+    got = {r["event_id"]: r["ts"] for r in out.collect()}
+    assert got == want
+
+    # synthetic micros generation: a plain timestamp parquet must be
+    # detected as 'us' (reads as TIMESTAMP_NTZ, not bigint). The fixture
+    # layout is a FILE named events.parquet, so stage one part file.
+    us_dir = str(tmp_path / "us_gen")
+    staging = str(tmp_path / "us_stage")
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS event_id,"
+        " TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts"
+    ).coalesce(1).write.parquet(staging)
+    os.makedirs(us_dir, exist_ok=True)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.copyfile(
+        os.path.join(staging, part), os.path.join(us_dir, "events.parquet")
+    )
+    assert incremental.events_ts_unit(spark, us_dir) == "us"
