@@ -57,11 +57,14 @@ def events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
     bigint and MICROS → timestamp, which is exactly the signal needed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return "ns" if dict(probe.dtypes).get("ts") == "bigint" else "us"
+    try:
+        probe = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return "ns" if dict(probe.dtypes).get("ts") == "bigint" else "us"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
 
 
 def long_ts_to_timestamp(col, unit: str):
@@ -75,6 +78,10 @@ def long_ts_to_timestamp(col, unit: str):
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture as a file stream (stand-in for kafka/feed source)."""
     unit = events_ts_unit(spark, sf_dir)
+    if unit == "ns":
+        # must REMAIN set while the stream runs (micro-batch scans read
+        # the nanos column as long lazily) — intentionally not restored
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
