@@ -78,6 +78,41 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    survey_ops="arbitrary GROUPING SETS (§2.4 extension; rollup/cube "
+    "are special cases — this is the general form: per-status totals, "
+    "per-priority totals, and the grand total in ONE Expand + one "
+    "shuffle instead of three scans unioned)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id("o_orderstatus", "o_orderpriority")
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_value"
+    )
+
+
+@register(
     "q_deterministic_sample",
     oracle=f"""
     SELECT o_orderkey, o_orderstatus, o_totalprice
