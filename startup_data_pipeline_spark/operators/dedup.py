@@ -580,8 +580,15 @@ def connected_components(
         .repartition("dst")
         .persist()
     )
+    # Iterate ONLY over edge-incident nodes: isolated docs (the vast
+    # majority of a real corpus — near-dup incidence is typically
+    # 10-30%) keep their own id by definition and never need to ride
+    # the per-round joins. They rejoin via one left join at the end.
+    # The symmetric union means `src` alone covers every endpoint.
     labels = (
-        ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        edges.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .select("node", F.col("node").alias("label"))
         .repartition("node")
         .localCheckpoint()
     )
@@ -642,7 +649,12 @@ def connected_components(
         if obs.get["n_changed"] == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    return ids.select(F.col(id_col)).join(
+        labels, ids[id_col] == labels.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("component"),
+    )
 
 
 def contamination_check(
