@@ -427,3 +427,75 @@ def test_events_ts_unit_detects_both_generations(spark, sf_dir, tmp_path):
         os.path.join(staging, part), os.path.join(us_dir, "events.parquet")
     )
     assert incremental.events_ts_unit(spark, us_dir) == "us"
+
+
+def test_stream_stream_join_state_survives_across_triggers(
+    spark, sf_dir, tmp_path
+):
+    """A purchase arriving in a LATER batch must still join a click that
+    arrived in an EARLIER batch: the click lives in watermark-bounded
+    join state across triggers. Inner stream-stream joins emit eagerly
+    on match, so the union of per-trigger emissions must equal the batch
+    interval join."""
+    batches = _stage_batches(spark, sf_dir, tmp_path)
+    input_dir = str(tmp_path / "ssj_in")
+    ckpt = str(tmp_path / "ssj_ckpt")
+    per_run: list[list[dict]] = []
+
+    for i, bp in enumerate(batches):
+        _arrive(bp, input_dir, i)
+        emitted: list[dict] = []
+
+        def handle(batch_df, epoch_id, sink=emitted):
+            sink.extend(r.asDict() for r in batch_df.collect())
+
+        stream = _read_arrivals(spark, input_dir)
+        joined = incremental.stream_stream_attribution_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+            "1 hour",
+        ).select("purchase_id", "click_id")
+        q = (
+            joined.writeStream.foreachBatch(handle)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        per_run.append(emitted)
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for run in per_run for r in run
+    )
+    assert len(got) == len(set(got)), "a pair emitted twice"
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == want
+
+    # the cross-batch pairs specifically: some pair emitted in run >= 1
+    # whose click arrived in an earlier batch (click ts below that
+    # batch's staged upper bound). Without retained join state these
+    # would be missing.
+    later_pairs = {pr for run in per_run[1:] for pr in
+                   ((r["purchase_id"], r["click_id"]) for r in run)}
+    assert later_pairs, "no pairs emitted after the first trigger"
