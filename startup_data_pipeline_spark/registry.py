@@ -62,54 +62,55 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-3 window: the 33 queries that have never received a driver
-    # CORRECTNESS row (r1 ∪ r2 certified 99/132; these are the remainder).
-    # They fill the front of the 50-slot prefix so cumulative driver
-    # certification reaches 132/132 this round.
+    # Round-4 window. Slot 1: the single registry query without a driver
+    # CORRECTNESS row (added late in r3, judge-verified green locally) —
+    # certifying it brings cumulative driver certification to 136/136.
+    "q_grouping_sets",
+    # Canaries for every operator changed this round (they re-certify):
+    "q_incremental_dedup_gate",  # gate: short-doc verdicts + intra-batch dedup
+    "q_stream_dedup",            # streaming battery shares gate plumbing
+    "q_near_dup_components",     # CC: early-terminate refinement
+    "q_ann_ivf_trained",         # k-means training: early-exit on fixpoint
+    "q_kmeans_clusters", "q_kmeans_assign", "q_centroid_classify",
+    "q_salted_join",             # salt default re-justified vs AQE skew
+    # New queries registered this round go here (front of the window so
+    # their first driver sample is this round):
+    "q_asof_join_nearest", "q_range_join_bins", "q_domain_mix",
+    "q_dedup_fuzzy_prefix", "q_quantile_bucket_stats", "q_skyline_pareto",
+    "q_bloom_prefilter_join", "q_sessionize_gap_keyed", "q_rare_token_docs",
+    "q_curriculum_order", "q_length_histogram", "q_cross_shard_leakage",
+    # Family-spanning canaries fill the remainder of the 50-slot prefix —
+    # a time-budgeted sample still spans the whole surface.
+    "q_flagship",
+    "q_dedup_survivors", "q_minhash_signatures", "q_lsh_pairs",
+    "q_winnow_fingerprints", "q_simhash64_pairs", "q_ngram_jaccard",
+    "q_contamination_check", "q_segment_dedup",
+    "q_ann_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
+    "q_embedding_near_dup", "q_embedding_quantize",
+    "q_token_stats", "q_quality_gate", "q_train_split",
+    "q_sequence_pack", "q_multimodal_features", "q_frame_sample",
+    "q_reservoir_sample", "q_tfidf_top_terms", "q_pii_scrub",
+    "q_time_parse", "q_heavy_hitters", "q_cohort_retention",
+    "q_pivot_status", "q_unpivot_metrics", "q_set_ops",
+    "q_mad_outliers", "q_name_fuzzy_match",
+    # remaining driver-certified battery (stay registered; sampled last)
     "q_waiting_orders", "q_best_supplier_per_part", "q_market_share",
-    "q_pivot_status", "q_unpivot_metrics", "q_ntile_deciles",
-    "q_mad_outliers", "q_name_fuzzy_match", "q_cohort_retention",
-    "q_salted_join", "q_simhash", "q_ann_lsh_topk", "q_time_parse",
-    "q_heavy_hitters", "q_value_histogram", "q_product_profit",
-    "q_top_supplier", "q_customers_no_orders", "q_priority_line_counts",
-    "q_supplier_variety", "q_returned_revenue", "q_forecast_revenue",
-    "q_excess_shippers", "q_large_orders", "q_approx_stats",
-    "q_small_quantity_revenue", "q_set_ops", "q_dq_metrics",
+    "q_ntile_deciles", "q_simhash", "q_value_histogram",
+    "q_product_profit", "q_top_supplier", "q_customers_no_orders",
+    "q_priority_line_counts", "q_supplier_variety", "q_returned_revenue",
+    "q_forecast_revenue", "q_excess_shippers", "q_large_orders",
+    "q_approx_stats", "q_small_quantity_revenue", "q_dq_metrics",
     "q_user_trend", "q_promo_revenue", "q_disjunctive_part_revenue",
     "q_nation_volume", "q_value_share",
-    # Pad the 50-slot prefix with fast, already-certified canaries — one
-    # per operator family — so a time-budgeted sample still spans the
-    # whole surface (and new/changed operators re-certify this round).
-    "q_multimodal_features",   # real pixel features replace the md5 fake
-    "q_sequence_pack",         # bin-id encoding changed this round
-    "q_reservoir_sample",      # weight guard added this round
-    "q_near_dup_components",   # CC convergence check changed this round
-    "q_ann_ivf_trained",       # new: IVF over trained k-means centroids
-    "q_dedup_survivors",       # end-to-end dedup capstone
-    "q_minhash_signatures", "q_lsh_pairs", "q_winnow_fingerprints",
-    "q_token_stats", "q_quality_gate", "q_ann_topk",
-    "q_stream_dedup", "q_frame_sample",
-    "q_train_split",           # new this round: hash split + shard stats
-    "q_incremental_dedup_gate",  # new this round: online LSH probe
-    "q_flagship",
-    # remaining driver-certified battery (stay registered; sampled last)
-    "q_name_normalize", "q_kmeans_assign",
-    "q_ann_ivf_topk", "q_funnel_stages",
-    "q_simhash64_pairs", "q_token_entropy",
+    "q_name_normalize", "q_funnel_stages", "q_token_entropy",
     "q_ewma", "q_jsonl_source", "q_variant_json",
-    "q_bpe_tokens", "q_moving_median",
-    "q_ngram_jaccard", "q_simhash_pairs",
-    "q_contamination_check", "q_segment_dedup",
+    "q_bpe_tokens", "q_moving_median", "q_simhash_pairs",
     "q_fingerprint", "q_quality_score", "q_lang_id",
-    "q_pii_scrub", "q_chunk_documents", "q_tfidf_top_terms",
-    "q_repetition_stats", "q_stratified_sample",
-    "q_centroid_classify", "q_embedding_near_dup",
-    "q_embedding_quantize",
+    "q_chunk_documents", "q_repetition_stats", "q_stratified_sample",
     "q_url_parse", "q_currency_parse", "q_sql_surface",
-    "q_decode_image", "q_resize_image",
-    "q_connector_pipeline",
+    "q_decode_image", "q_resize_image", "q_connector_pipeline",
     "q_stream_sessionize", "q_stream_funnel", "q_stream_tumbling",
-    "q_stream_stateful_totals", "q_kmeans_clusters",
+    "q_stream_stateful_totals",
 ]
 
 
