@@ -79,7 +79,13 @@ HEADLINE = [
     # sample window; q_ann_ivf_topk benches the search shape.
     "q_multimodal_features",
     "q_sequence_pack",
+    # trained-IVF path: k-means training + search. In the suite since the
+    # centroid-literal rewrite (one nested-array Literal node instead of
+    # k*dims expression nodes) cut cold training ~2min → ~16s at sf0.1.
+    "q_ann_ivf_trained",
 ]
+
+WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
 
 
 def main() -> None:
@@ -113,33 +119,61 @@ def main() -> None:
         ).save()
 
     # cold pass: first execution per query (includes per-plan codegen +
-    # AQE setup). warm pass: second execution — steady-state numbers, the
-    # ones regressions should be judged on (a long-running cluster pays
-    # codegen once per plan shape, not per run).
-    times: dict[str, float] = {}
+    # AQE setup). Then WARM_PASSES further executions — steady-state
+    # numbers, judged on the per-query MEDIAN (single warm passes made
+    # 0.1-s-class regressions indistinguishable from run noise; a
+    # long-running cluster pays codegen once per plan shape, not per run).
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        times[name] = run(name)
-    warm: dict[str, float] = {}
-    for name in HEADLINE:
-        warm[name] = run(name)
+        cold[name] = run(name)
+    passes: list[dict[str, float]] = []
+    for _ in range(WARM_PASSES):
+        passes.append({name: run(name) for name in HEADLINE})
 
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        n = len(s)
+        m = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+        return round(m, 3)
+
+    warm_med = {n: med([p[n] for p in passes]) for n in HEADLINE}
+    warm_min = {n: round(min(p[n] for p in passes), 3) for n in HEADLINE}
+
+    # The ONE-line contract: keep the primary line compact (per-query
+    # warm medians only) so a caller capturing a bounded stdout tail
+    # still gets parseable JSON; full per-pass detail goes to the
+    # mirror file below.
     line = json.dumps(
         {
-            "metric": "headline_suite_total_runtime",
-            "value": round(sum(times.values()), 3),
+            "metric": "headline_suite_warm_median_runtime",
+            "value": round(sum(warm_med.values()), 3),
             "unit": "sec",
-            "queries": times,
-            "warm_total": round(sum(warm.values()), 3),
-            "queries_warm": warm,
+            "queries": warm_med,
+            "cold_total": round(sum(cold.values()), 3),
+            "warm_passes": WARM_PASSES,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+    detail = json.dumps(
+        {
+            "metric": "headline_suite_warm_median_runtime",
+            "value": round(sum(warm_med.values()), 3),
+            "unit": "sec",
+            "queries": warm_med,
+            "queries_warm_min": warm_min,
+            "queries_cold": cold,
+            "warm_passes_detail": passes,
+            "cold_total": round(sum(cold.values()), 3),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
-    # Mirror the result to a file so the JSON survives even if the
+    # Mirror full detail to a file so everything survives even if the
     # caller's stdout capture truncates (SPARK_GRAFT_BENCH_OUT overrides).
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try:
         with open(out_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(detail + "\n")
     except OSError:
         pass
     sys.stderr.flush()

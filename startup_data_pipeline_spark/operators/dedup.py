@@ -235,6 +235,45 @@ def incremental_near_dup_gate(
     )
 
 
+def intra_batch_scored_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs WITHIN one signature set, scored by agreeing
+    MinHash lanes and oriented newer→older.
+
+    Companion to ``incremental_near_dup_gate``: the gate probes an
+    arrival batch against the already-ingested corpus, but two
+    near-identical documents arriving in the SAME batch collide with
+    each other, not with the index. This emits those collisions as
+    ``(new_id, match_id, n_agree)`` rows with ``match_id < new_id`` —
+    the min-id side is the would-be survivor, mirroring a serial
+    seen-set where the earlier arrival is admitted first. Arrival
+    batches are small by construction, so the self-join is
+    broadcast-scale; the corpus is never touched.
+    """
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    agree = None
+    for i in range(num_hashes):
+        t = F.when(F.col(f"n.mh_{i}") == F.col(f"x.mh_{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        pairs.join(
+            sigs.alias("n"), F.col("id_b") == F.col(f"n.{id_col}")
+        )
+        .join(sigs.alias("x"), F.col("id_a") == F.col(f"x.{id_col}"))
+        .select(
+            F.col("id_b").alias("new_id"),
+            F.col("id_a").alias("match_id"),
+            agree.cast("long").alias("n_agree"),
+        )
+    )
+
+
 def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 

@@ -327,7 +327,7 @@ def ivf_topk_trained(
     qdf = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
-    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    dists = _sq_dists_all(F.col("qv"), centroids)
     # (distance, cell) structs sort lexicographically → nearest cells
     # first, ties to the lowest cell index, all inside codegen
     ranked = F.array_sort(
@@ -369,23 +369,44 @@ def ivf_topk_trained(
     )
 
 
-def _centroid_lit(centroid: list[int]) -> Column:
-    return F.array(*[F.lit(int(x)).cast("long") for x in centroid])
+def _centroids_lit(centroids: list[list[int]]) -> Column:
+    """The WHOLE centroid table as one nested-array literal.
+
+    One Literal node instead of k·dims expression nodes: building the
+    distance array as k separate zip_with(qv, array(lit, lit, …))
+    branches puts ~k·dims·2 nodes in the plan, and Catalyst analysis +
+    whole-stage codegen pay for every node ON EVERY ITERATION (the
+    literals change each Lloyd round, so nothing is cached). A single
+    array<array<bigint>> literal keeps the plan O(1) in k and dims —
+    the executor-side work is identical integer math either way.
+    """
+    return F.lit([[int(x) for x in c] for c in centroids]).cast(
+        "array<array<bigint>>"
+    )
 
 
-def _sq_dist(qv: Column, centroid: list[int]) -> Column:
-    d = F.zip_with(qv, _centroid_lit(centroid), lambda x, y: (x - y) * (x - y))
-    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, v: acc + v)
+def _sq_dists_all(qv: Column, centroids: list[list[int]]) -> Column:
+    """Array of exact squared distances from ``qv`` to every centroid,
+    index-aligned with ``centroids`` — one transform over the single
+    nested literal, entirely inside codegen."""
+    return F.transform(
+        _centroids_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
 
 
 def _assign_clusters(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Attach the nearest-centroid index (ties → lowest index).
 
-    The centroids ride in the plan as literal arrays, so assignment is a
-    shuffle-free map over the vectors — the executor-side cost of one
-    Lloyd iteration is a single scan.
+    The centroids ride in the plan as one literal table, so assignment
+    is a shuffle-free map over the vectors — the executor-side cost of
+    one Lloyd iteration is a single scan.
     """
-    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    dists = _sq_dists_all(F.col("qv"), centroids)
     return qdf.withColumn(
         "cluster",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
@@ -416,10 +437,13 @@ def kmeans_fit(
     any engine (see tests' numpy mirror) reproduces the run bit-for-bit.
 
     Scale: per iteration, assignment is a shuffle-free scan (centroids
-    are plan literals), and the update is posexplode → partial-agg →
-    one shuffle of ~k·dims·partitions small rows; the driver holds only
-    k·dims longs. Iteration count is fixed, not convergence-polled, so
-    the job graph is static.
+    ride as ONE nested-array plan literal), and the update is posexplode
+    → partial-agg → one shuffle of ~k·dims·partitions small rows; the
+    driver holds only k·dims longs. ``n_iter`` is an upper bound:
+    training stops at a Lloyd fixpoint (an update that changes no
+    centroid), which is oracle-safe — further unrolled iterations in a
+    fixed-depth oracle are the identity on a fixpoint, so the result is
+    bit-identical at any depth ≥ the stopping round.
 
     Returns (assignments DataFrame [id, cluster], centroids).
     """
@@ -440,13 +464,16 @@ def kmeans_fit(
             .collect()
         )
         acc = {(r["cluster"], r["pos"]): (r["s"], r["n"]) for r in sums}
-        centroids = [
+        updated = [
             [
                 _round_div(*acc[(j, d)]) if (j, d) in acc else centroids[j][d]
                 for d in range(dims)
             ]
             for j in range(k)
         ]
+        if updated == centroids:
+            break  # fixpoint: remaining iterations would be identity
+        centroids = updated
     assigned = _assign_clusters(qdf, centroids).select("vid", "cluster")
     return assigned, centroids
 
@@ -472,7 +499,7 @@ def kmeans_assign_seeded(
     )
     seeds = qdf.orderBy("vid").limit(k).collect()
     centroids = [list(r["qv"]) for r in seeds]
-    dists = F.array(*[_sq_dist(F.col("qv"), c) for c in centroids])
+    dists = _sq_dists_all(F.col("qv"), centroids)
     return qdf.select(
         "vid",
         (F.array_position(dists, F.array_min(dists)) - 1)

@@ -73,12 +73,8 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_trained",         # k-means training: early-exit on fixpoint
     "q_kmeans_clusters", "q_kmeans_assign", "q_centroid_classify",
     "q_salted_join",             # salt default re-justified vs AQE skew
-    # New queries registered this round go here (front of the window so
-    # their first driver sample is this round):
-    "q_asof_join_nearest", "q_range_join_bins", "q_domain_mix",
-    "q_dedup_fuzzy_prefix", "q_quantile_bucket_stats", "q_skyline_pareto",
-    "q_bloom_prefilter_join", "q_sessionize_gap_keyed", "q_rare_token_docs",
-    "q_curriculum_order", "q_length_histogram", "q_cross_shard_leakage",
+    # (new queries registered this round are inserted here as they land,
+    # so their first driver sample is this round)
     # Family-spanning canaries fill the remainder of the 50-slot prefix —
     # a time-budgeted sample still spans the whole surface.
     "q_flagship",

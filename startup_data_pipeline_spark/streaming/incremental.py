@@ -359,6 +359,44 @@ def stream_stream_attribution_join(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop client — works
+    for any scheme the cluster knows (file://, hdfs://, s3a://), so the
+    gate's generation bookkeeping is one LIST/DELETE per batch on the
+    object store, not a local-FS assumption."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _gate_generations(spark: SparkSession, index_path: str) -> list[int]:
+    """Generation numbers present under ``index_path``, newest-valid
+    semantics: gen 0 is always valid (grown epoch-by-epoch, each epoch
+    dir individually committed); gen G>0 is valid only once its
+    compacted history dir carries a ``_SUCCESS`` marker — a compaction
+    that crashed mid-write is invisible and gets redone."""
+    fs, jpath = _hadoop_fs(spark, index_path)
+    if not fs.exists(jpath):
+        return []
+    gens = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("gen="):
+            continue
+        try:
+            g = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if g == 0 or fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_path}/gen={g}/epoch=-1/_SUCCESS"
+            )
+        ):
+            gens.append(g)
+    return sorted(gens)
+
+
 def streaming_dedup_gate(
     doc_stream: DataFrame,
     index_path: str,
@@ -367,9 +405,11 @@ def streaming_dedup_gate(
     num_hashes: int = 4,
     band_size: int = 1,
     n_agree_dup: int = 3,
+    verdict_path: str | None = None,
+    compact_every: int = 16,
 ):
     """Continuous near-dup admission: each arrival micro-batch probes a
-    persisted MinHash/LSH index, emits its admission verdicts, and
+    persisted MinHash/LSH index, sinks its admission verdicts, and
     appends its own signatures to the index for the NEXT batch.
 
     The streaming form of ``dedup.incremental_near_dup_gate`` — the
@@ -380,74 +420,134 @@ def streaming_dedup_gate(
     the state store: signatures must outlive any one streaming query and
     be probe-joinable, which store state is not.
 
-    foreachBatch is the right harness: the probe is a batch broadcast
-    join per micro-batch, and the index grows by one ``epoch=<id>``
-    partition directory per batch written with overwrite — a RETRIED
-    epoch rewrites its own partition instead of double-appending, so
-    the index stays exactly-once under foreachBatch's at-least-once
-    contract. Batches are processed serially by the engine, so
-    probe-then-append is race-free. Returns (query, verdicts) where
-    ``verdicts`` is an appendable list of per-batch rows collected
-    as dicts: new_id, match_id (nullable), n_agree, admitted.
+    Admission semantics (deterministic, arrival-order-free):
+    - a doc is REJECTED when its best match — across the persisted index
+      and same-batch peers with a smaller id — agrees on ≥ n_agree_dup
+      MinHash lanes. Within a batch, near-dup chains therefore collapse
+      to the min-id representative (standard batch-LSH survivor
+      semantics; marginally stricter than a serial seen-set, which would
+      re-admit the far end of an a~b~c chain when a≁c).
+    - a doc too short to shingle (< k tokens) has no signature: it is
+      admitted with an EXPLICIT ``n_agree=0`` verdict but not indexed —
+      there is nothing to probe it by. Route short docs through exact
+      dedup (``text.fingerprint``) if they matter.
+
+    Layout & exactly-once: the index lives as
+    ``index_path/gen=<G>/epoch=<e>`` parquet. Per batch, one epoch dir
+    is written with overwrite — a RETRIED epoch rewrites its own
+    partition, and reads always EXCLUDE the current epoch, so a retry
+    never probes its own half-written output. Every ``compact_every``
+    epochs the generation is rewritten into ``gen=<G+1>``: history →
+    ``epoch=-1`` (sentinel, never a live epoch, so retry exclusion still
+    works), the current batch → ``epoch=<e>``, then ``gen=<G>`` is
+    deleted. A crash anywhere leaves either a complete new generation or
+    an invisible partial one (validity = ``_SUCCESS`` on the sentinel
+    dir); stale generations are swept at the next batch. Index reads
+    stay O(compact_every) directories instead of growing with trigger
+    count.
+
+    Verdicts go to ``verdict_path`` (default ``<index_path>_verdicts``)
+    as one overwrite-idempotent ``epoch=<e>`` parquet dir per batch —
+    rows (new_id, match_id, n_agree, admitted); no driver-side state.
+    Returns ``(writer, verdict_path)``.
     """
+    from pyspark.sql import Window
+
     from ..operators import dedup as dedup_ops
 
     spark = doc_stream.sparkSession
-    verdicts: list[dict] = []
+    if verdict_path is None:
+        verdict_path = index_path.rstrip("/") + "_verdicts"
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         sigs = dedup_ops.minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes
         ).localCheckpoint()
-        try:
-            index = spark.read.parquet(index_path)
-            have_index = True
-        except Exception:
-            have_index = False
-        if have_index:
-            from pyspark.sql import Window
 
-            cands = dedup_ops.incremental_near_dup_gate(
-                index, sigs, id_col,
-                num_hashes=num_hashes, band_size=band_size,
+        gens = _gate_generations(spark, index_path)
+        gen = gens[-1] if gens else 0
+        fs, _ = _hadoop_fs(spark, index_path)
+        jp = spark._jvm.org.apache.hadoop.fs.Path
+        # sweep stale generations (crash between compact and delete)
+        for g in gens[:-1]:
+            fs.delete(jp(f"{index_path}/gen={g}"), True)
+
+        index = None
+        n_epochs = 0
+        if gens:
+            gen_dir = f"{index_path}/gen={gen}"
+            n_epochs = sum(
+                1
+                for s in fs.listStatus(jp(gen_dir))
+                if s.getPath().getName().startswith("epoch=")
+                and s.getPath().getName() != f"epoch={epoch_id}"
             )
-            w = Window.partitionBy("new_id").orderBy(
-                F.col("n_agree").desc(), F.col("match_id").asc()
-            )
-            best = (
-                cands.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-            out = (
-                sigs.select(F.col(id_col).alias("new_id"))
-                .join(best, "new_id", "left")
-                .select(
-                    "new_id", "match_id",
-                    F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
-                    (F.coalesce("n_agree", F.lit(0)) < n_agree_dup)
-                    .alias("admitted"),
+            try:
+                index = (
+                    spark.read.parquet(gen_dir)
+                    .filter(F.col("epoch") != epoch_id)
+                    .drop("epoch")
+                    )
+            except Exception:
+                index = None  # empty/partial first generation
+
+        # candidates: persisted index ∪ same-batch smaller-id peers
+        scored = dedup_ops.intra_batch_scored_pairs(
+            sigs, id_col, num_hashes=num_hashes, band_size=band_size
+        )
+        if index is not None:
+            scored = scored.unionByName(
+                dedup_ops.incremental_near_dup_gate(
+                    index, sigs, id_col,
+                    num_hashes=num_hashes, band_size=band_size,
                 )
             )
-        else:
-            out = sigs.select(
-                F.col(id_col).alias("new_id"),
-                F.lit(None).cast("long").alias("match_id"),
-                F.lit(0).cast("long").alias("n_agree"),
-                F.lit(True).alias("admitted"),
+        w = Window.partitionBy("new_id").orderBy(
+            F.col("n_agree").desc(), F.col("match_id").asc()
+        )
+        best = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # every arrival gets a verdict — including signature-less short
+        # docs, which never appear in sigs (left side is the raw batch)
+        out = (
+            batch_df.select(F.col(id_col).alias("new_id"))
+            .join(best, "new_id", "left")
+            .select(
+                "new_id", "match_id",
+                F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+                (F.coalesce("n_agree", F.lit(0)) < n_agree_dup)
+                .alias("admitted"),
             )
-        out = out.localCheckpoint()
-        verdicts.extend(r.asDict() for r in out.collect())
+            .localCheckpoint()
+        )
+        out.write.mode("overwrite").parquet(
+            f"{verdict_path}/epoch={epoch_id}"
+        )
         # admitted docs join the index; duplicates are NOT indexed (the
         # canonical copy is already there — matches the reference's
         # "seen items are not re-processed" semantics)
-        keep = out.filter(F.col("admitted")).select(
-            F.col("new_id").alias(id_col)
+        keep = sigs.join(
+            out.filter(F.col("admitted")).select(
+                F.col("new_id").alias(id_col)
+            ),
+            id_col,
         )
-        import os  # noqa: PLC0415
+        if index is not None and n_epochs >= compact_every:
+            # roll the generation: history (already excludes this epoch)
+            # → sentinel dir, this batch → its own epoch dir, then drop
+            # the old generation. Validity marker lands with _SUCCESS.
+            nxt = f"{index_path}/gen={gen + 1}"
+            index.write.mode("overwrite").parquet(f"{nxt}/epoch=-1")
+            keep.write.mode("overwrite").parquet(
+                f"{nxt}/epoch={epoch_id}"
+            )
+            fs.delete(jp(f"{index_path}/gen={gen}"), True)
+        else:
+            keep.write.mode("overwrite").parquet(
+                f"{index_path}/gen={gen}/epoch={epoch_id}"
+            )
 
-        sigs.join(keep, id_col).write.mode("overwrite").parquet(
-            os.path.join(index_path, f"epoch={epoch_id}")
-        )
-
-    return doc_stream.writeStream.foreachBatch(handle), verdicts
+    return doc_stream.writeStream.foreachBatch(handle), verdict_path

@@ -196,14 +196,15 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-3 window must front-load the 33 never-driver-sampled OLAP
-    # tail AND keep one canary per §2.11/streaming family so a
-    # time-budgeted sample still spans the surface
+    # round-4 window must lead with the one never-driver-sampled query,
+    # re-certify every operator changed this round, and keep one canary
+    # per family so a time-budgeted sample still spans the surface
     prefix = list(qs)[:50]
-    for probe in ["q_waiting_orders", "q_best_supplier_per_part",
-                  "q_cohort_retention", "q_salted_join",
+    assert prefix[0] == "q_grouping_sets"
+    for probe in ["q_incremental_dedup_gate", "q_stream_dedup",
+                  "q_near_dup_components", "q_ann_ivf_trained",
+                  "q_kmeans_clusters", "q_salted_join",
                   "q_multimodal_features", "q_sequence_pack",
-                  "q_ann_ivf_trained", "q_near_dup_components",
                   "q_minhash_signatures", "q_lsh_pairs",
-                  "q_stream_dedup", "q_flagship"]:
+                  "q_flagship"]:
         assert probe in prefix, probe

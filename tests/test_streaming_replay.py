@@ -339,59 +339,97 @@ def test_sessionize_finalizes_exactly_once_across_triggers(
     assert got == want
 
 
-def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
-    """The parquet-backed LSH index is the cross-batch state: batch 1
-    seeds it, a near-copy arriving in batch 2 is rejected against it,
-    and only admitted docs extend it for batch 3."""
-    in_dir = str(tmp_path / "gate_in")
-    idx = str(tmp_path / "gate_idx")
-    ck = str(tmp_path / "gate_ck")
-    os.makedirs(in_dir, exist_ok=True)
-    schema = "doc_id long, text string"
-    b1 = [(i, f"alpha beta gamma delta epsilon zeta{i} eta theta")
-          for i in range(10)]
-    b2 = [(100, "alpha beta gamma delta epsilon zeta3 eta theta"),  # ≈ doc 3
-          (101, "totally unrelated words nothing shared here at all")]
-    b3 = [(200, "totally unrelated words nothing shared here at all")]  # ≈ 101
-
+def _run_gate_batches(spark, tmp_path, batches, tag, **gate_kwargs):
+    """Feed ``batches`` through streaming_dedup_gate one arrival at a
+    time (shared checkpoint → each run processes only its new files).
+    Returns (index_path, verdict_path)."""
     from startup_data_pipeline_spark.streaming.incremental import (
         streaming_dedup_gate,
     )
 
-    for i, batch in enumerate([b1, b2, b3]):
+    in_dir = str(tmp_path / f"{tag}_in")
+    idx = str(tmp_path / f"{tag}_idx")
+    ck = str(tmp_path / f"{tag}_ck")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "doc_id long, text string"
+    vp = None
+    for i, batch in enumerate(batches):
         spark.createDataFrame(batch, schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(str(tmp_path / f"gate_stage_{i}"))
-        _arrive(str(tmp_path / f"gate_stage_{i}"), in_dir, i)
+        ).parquet(str(tmp_path / f"{tag}_stage_{i}"))
+        _arrive(str(tmp_path / f"{tag}_stage_{i}"), in_dir, i)
         stream = spark.readStream.schema(schema).parquet(in_dir)
-        # fresh writer + verdict list per arrival; the shared checkpoint
-        # means each run processes only its new files
-        writer, verdicts = streaming_dedup_gate(stream, idx)
+        writer, vp = streaming_dedup_gate(stream, idx, **gate_kwargs)
         q = (
             writer.option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+    return idx, vp
 
-        got = {r["new_id"]: r for r in verdicts}
-        if i == 0:
-            assert len(got) == 10 and all(
-                r["admitted"] for r in got.values()
-            )
-        elif i == 1:
-            assert got[100]["admitted"] is False
-            assert got[100]["match_id"] == 3 and got[100]["n_agree"] == 4
-            assert got[101]["admitted"] is True
-        else:
-            # 200 duplicates 101, which WAS admitted and indexed
-            assert got[200]["admitted"] is False
-            assert got[200]["match_id"] == 101
+
+def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
+    """The parquet-backed LSH index is the cross-batch state: batch 1
+    seeds it, a near-copy arriving in batch 2 is rejected against it,
+    and only admitted docs extend it for batch 3. Short docs get an
+    explicit verdict; same-batch near-dups collapse to the min id."""
+    b1 = [(i, f"alpha beta gamma delta epsilon zeta{i} eta theta")
+          for i in range(10)]
+    b2 = [(100, "alpha beta gamma delta epsilon zeta3 eta theta"),  # ≈ doc 3
+          (101, "totally unrelated words nothing shared here at all"),
+          (102, "too short")]                   # < k tokens: no signature
+    b3 = [(200, "totally unrelated words nothing shared here at all"),  # ≈ 101
+          (300, "fresh corpus material aaa bbb ccc ddd eee fff"),
+          (301, "fresh corpus material aaa bbb ccc ddd eee zzz")]  # ≈ 300, same batch
+
+    idx, vp = _run_gate_batches(spark, tmp_path, [b1, b2, b3], "gate")
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+
+    assert all(got[i]["admitted"] for i in range(10))  # batch 1 all new
+    assert got[100]["admitted"] is False
+    assert got[100]["match_id"] == 3 and got[100]["n_agree"] == 4
+    assert got[101]["admitted"] is True
+    # signature-less short doc: explicit admit verdict, nothing indexed
+    assert got[102]["admitted"] is True and got[102]["n_agree"] == 0
+    # cross-batch near-dup of an ADMITTED doc is rejected against it
+    assert got[200]["admitted"] is False and got[200]["match_id"] == 101
+    # same-batch near-dup pair: min id survives, peer rejected against it
+    assert got[300]["admitted"] is True
+    assert got[301]["admitted"] is False and got[301]["match_id"] == 300
 
     index = spark.read.parquet(idx)
     assert sorted(r["doc_id"] for r in index.collect()) == sorted(
-        list(range(10)) + [101]
+        list(range(10)) + [101, 300]
     )
+
+
+def test_streaming_dedup_gate_compacts_generations(spark, tmp_path):
+    """With compact_every=2 the epoch dirs roll into a new generation:
+    exactly one gen dir survives, the index read stays O(compact_every)
+    dirs, and verdicts across the compaction boundary are unchanged."""
+    batches = [
+        [(10, "one stable corpus document alpha beta gamma delta")],
+        [(20, "another quite different document epsilon zeta eta theta")],
+        [(30, "third unique text iota kappa lambda mu nu xi omicron")],
+        # probes history that now lives in a COMPACTED generation
+        [(40, "one stable corpus document alpha beta gamma delta"),  # ≈ 10
+         (41, "brand new closing document pi rho sigma tau upsilon")],
+    ]
+    idx, vp = _run_gate_batches(
+        spark, tmp_path, batches, "compact", compact_every=2
+    )
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert got[10]["admitted"] and got[20]["admitted"] and got[30]["admitted"]
+    assert got[40]["admitted"] is False and got[40]["match_id"] == 10
+    assert got[41]["admitted"] is True
+
+    gen_dirs = [d for d in os.listdir(idx) if d.startswith("gen=")]
+    assert len(gen_dirs) == 1, gen_dirs
+    # compacted history lives under the sentinel epoch inside the live gen
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(idx).collect()
+    ) == [10, 20, 30, 41]
 
 
 def test_events_ts_unit_detects_both_generations(spark, sf_dir, tmp_path):
