@@ -603,6 +603,17 @@ def connected_components(
     at-scale shape of GraphFrames' connectedComponents without the
     dependency.
     """
+    # Size the iteration's partitioning to the EDGE SET, not the session
+    # default: every round pays per-partition fixed costs (task launch,
+    # checkpoint files), and the near-dup edge set is typically a tiny
+    # fraction of the corpus — 32 near-empty partitions per round is
+    # pure scheduler/checkpoint floor (measured ~30% of the query at
+    # sf0.1), while at 10^11 edges the same formula yields thousands of
+    # partitions. One count against the persisted pairs buys the sizing;
+    # the scan is reused by the first materialization of edges.
+    pairs_p = pairs.persist()
+    n_edges = 2 * pairs_p.count()
+    npart = max(4, n_edges // 2_000_000 + 1)
     # Co-partition ONCE, reuse every round: edges hash-partitioned on
     # dst and labels on node means the per-round join needs NO exchange
     # on either side (labels keep their partitioning through
@@ -612,11 +623,11 @@ def connected_components(
     # difference between re-shuffling the full edge set every iteration
     # and shuffling it exactly once.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs_p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            pairs_p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .repartition("dst")
+        .repartition(npart, "dst")
         .persist()
     )
     # Iterate ONLY over edge-incident nodes: isolated docs (the vast
@@ -628,7 +639,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .dropDuplicates()
         .select("node", F.col("node").alias("label"))
-        .repartition("node")
+        .repartition(npart, "node")
         .localCheckpoint()
     )
     # convergence = "no row changed its label this round", counted
@@ -688,6 +699,7 @@ def connected_components(
         if obs.get["n_changed"] == 0:
             break
     edges.unpersist()
+    pairs_p.unpersist()
     return ids.select(F.col(id_col)).join(
         labels, ids[id_col] == labels.node, "left"
     ).select(
