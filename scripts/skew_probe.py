@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Salted join vs AQE-native skew handling (SCALE.md evidence).
+
+Answers two questions the salted-join default should rest on:
+1. PREMIUM — on uniform keys (real sf0.1/sf1 lineitem⋈orders, no hot
+   key), how much does salting cost over a plain join that AQE would
+   optimize anyway? This is the price of using the salt "just in case".
+2. PAYOFF — on a genuinely hot key (30% of the fact side collapsed to
+   one orderkey), does the salt beat plain+AQE-skew-join, and by how
+   much? AQE's skew split only fires when a post-shuffle partition
+   exceeds skewedPartitionThresholdInBytes AND the median-based factor,
+   so small-scale hot keys can sail under it while still serializing
+   one reducer.
+
+Both variants compute the identical aggregate; timings are per-variant
+medians of 3 warm runs after a cold pass.
+
+Usage: python scripts/skew_probe.py [--sf1]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import joins
+from startup_data_pipeline_spark.session import get_spark
+from startup_data_pipeline_spark.sources.tables import load_table
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch", "sf1",
+)
+
+
+def agg(joined):
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def variants(li, orders, salts: int):
+    plain = agg(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    salted = agg(
+        joins.salted_join(
+            li.select("l_orderkey", "l_extendedprice"),
+            orders.select("o_orderkey", "o_orderstatus"),
+            "l_orderkey",
+            "o_orderkey",
+            salts=salts,
+        )
+    )
+    return {"plain_aqe": plain, f"salted_{salts}": salted}
+
+
+def time_df(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def med3(df) -> float:
+    time_df(df)  # cold
+    runs = sorted(time_df(df) for _ in range(3))
+    return round(runs[1], 2)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="spark-graft-skew-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = SF1 if "--sf1" in sys.argv and os.path.exists(SF1) else SF01
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    hot_key = orders.select(F.min("o_orderkey")).first()[0]
+    # hot-key variant: 30% of fact rows collapse onto one order
+    li_hot = li.withColumn(
+        "l_orderkey",
+        F.when(F.pmod(F.xxhash64("l_extendedprice"), F.lit(10)) < 3,
+               F.lit(hot_key)).otherwise(F.col("l_orderkey")),
+    )
+
+    out = {"sf_dir": sf_dir}
+    for label, fact in (("uniform", li), ("hot30pct", li_hot)):
+        for name, df in variants(fact, orders, salts=8).items():
+            out[f"{label}.{name}"] = med3(df)
+            print(f"{label:9s} {name:10s} {out[f'{label}.{name}']:.2f}s",
+                  file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

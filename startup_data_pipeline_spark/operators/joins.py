@@ -1,10 +1,14 @@
 """Join-strategy operators: skew mitigation by key salting.
 
-AQE's skew-join split handles most skew automatically (SCALE.md); this
-explicit salt is the tool for the cases AQE can't fix — a single hot key
-whose build side also explodes, or a deterministic-layout requirement.
-Result is IDENTICAL to the plain equi-join (the oracle pins that), only
-the physical distribution changes.
+AQE's skew-join split handles most skew automatically, and MEASURED it
+wins: at sf1 a plain join with AQE absorbs a 30%-hot key at no cost
+(1.96 s vs 1.85 s uniform) while salting pays 4-5× for the ×salts dim
+replication (scripts/skew_probe.py, SCALE.md round-4 note). Reach for
+``salted_join`` only where AQE can't operate — stream-static joins
+(no runtime re-plan), a hot key whose BUILD side also explodes past the
+skew-split's reach, or a deterministic-layout requirement. Result is
+IDENTICAL to the plain equi-join (the oracle pins that), only the
+physical distribution changes.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ def salted_join(
     left_key: str,
     right_key: str,
     how: str = "inner",
-    salts: int = 8,
+    salts: int = 4,
 ) -> DataFrame:
     """Equi-join with the left (large/skewed) side salted into ``salts``
     sub-keys and the right side replicated once per salt value.
@@ -29,6 +33,13 @@ def salted_join(
     small-to-medium side (dimension against a skewed fact). The salt on
     the left comes from a per-row hash that is INDEPENDENT of the join
     key — salting by the key itself would re-create the hotspot.
+
+    The default is 4, not higher: the replication premium is linear in
+    ``salts`` while the hotspot relief saturates at the executor count
+    actually starved, and the measured premium already exceeds AQE's
+    native skew handling wherever AQE applies (module docstring) — when
+    this operator is the right tool at all, prefer the smallest salt
+    that spreads the hot key.
 
     Supports 'inner' and 'left' (the salt is never part of the result,
     so both are exactly result-equivalent to the unsalted join).

@@ -322,7 +322,6 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderstatus"),
         "l_orderkey",
         "o_orderkey",
-        salts=8,
     )
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
