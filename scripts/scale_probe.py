@@ -71,6 +71,13 @@ PROBE = [
     "q_embedding_near_dup",
     "q_funnel_stages",
     "q_sessionize",
+    # round-3/4 additions
+    "q_incremental_dedup_gate",
+    "q_train_split",
+    "q_multimodal_features",
+    "q_sequence_pack",
+    "q_grouping_sets",
+    "q_ann_ivf_trained",
 ]
 
 
