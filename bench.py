@@ -83,6 +83,11 @@ HEADLINE = [
     # centroid-literal rewrite (one nested-array Literal node instead of
     # k*dims expression nodes) cut cold training ~2min → ~16s at sf0.1.
     "q_ann_ivf_trained",
+    # round-4 additions (the shuffle-bearing ones)
+    "q_cross_split_leakage",
+    "q_rare_token_docs",
+    "q_curriculum_order",
+    "q_skyline_pareto",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

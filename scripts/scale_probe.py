@@ -78,6 +78,12 @@ PROBE = [
     "q_sequence_pack",
     "q_grouping_sets",
     "q_ann_ivf_trained",
+    "q_cross_split_leakage",
+    "q_rare_token_docs",
+    "q_curriculum_order",
+    "q_skyline_pareto",
+    "q_domain_mix",
+    "q_vocab_coverage",
 ]
 
 

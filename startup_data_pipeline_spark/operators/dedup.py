@@ -274,6 +274,58 @@ def intra_batch_scored_pairs(
     )
 
 
+def cross_split_leakage(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    n_agree_min: int = 3,
+) -> DataFrame:
+    """Train/eval decontamination audit: near-dup pairs that STRADDLE a
+    deterministic train/val/test split.
+
+    A held-out set only measures generalization if its documents are
+    not near-copies of training documents; hash-based splitting (which
+    is what any reproducible pipeline uses) assigns near-dups
+    independently, so leakage is expected and must be measured. This
+    composes the split assignment (``text.train_split``, map-side) with
+    the banded MinHash self-join (``lsh_candidate_pairs`` bounds), then
+    keeps pairs whose sides land in different splits with ≥
+    ``n_agree_min`` agreeing signature lanes. Output rows are the
+    evidence (id_a < id_b, their splits, lane agreement) — the fix-up
+    (e.g. evict the eval side) is one anti-join downstream.
+    """
+    from .text import train_split
+
+    assigned = train_split(docs.select(F.col(id_col)), id_col, splits)
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes
+    )
+    scored = intra_batch_scored_pairs(
+        sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    ).filter(F.col("n_agree") >= n_agree_min)
+    a = assigned.select(
+        F.col(id_col).alias("match_id"), F.col("split").alias("split_a")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("new_id"), F.col("split").alias("split_b")
+    )
+    return (
+        scored.join(a, "match_id")
+        .join(b, "new_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.col("match_id").alias("id_a"),
+            F.col("new_id").alias("id_b"),
+            "split_a",
+            "split_b",
+            "n_agree",
+        )
+    )
+
+
 def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 

@@ -56,6 +56,111 @@ def deterministic_sample(
     return df.filter(bucket == keep)
 
 
+def domain_mix_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    targets: dict[str, int],
+) -> DataFrame:
+    """Resample a multi-domain corpus to an exact target mixture —
+    the largest subset achieving the given integer weight ratios.
+
+    The mixture step of training-data assembly (e.g. 5:3:2 web : code :
+    reference): with per-domain weights ``w_d`` summing to W, the
+    feasible scale is ``unit = min_d floor(n_d / w_d)``; each domain
+    keeps exactly ``w_d · unit`` documents, so the output mixture is
+    exact and maximal. KEPT docs are the md5-ordered prefix per domain
+    — content-addressed, so the sample is stable across runs, engines,
+    and repartitioning (no RNG). All integer math, so the oracle
+    reproduces it bit-for-bit.
+
+    Plan: one small per-domain count agg → scalar `unit` broadcast; the
+    keep-prefix is a row_number window per domain (exchange on domain —
+    bounded by the largest domain; for corpora where one domain is a
+    shuffle hotspot, pre-filter with a hash-threshold approximation of
+    the same prefix and rank only the boundary stratum).
+    """
+    from pyspark.sql import Window
+
+    assert targets, "targets must be non-empty"
+    wmap = F.create_map(
+        *[F.lit(v) for kv in targets.items() for v in kv]
+    )
+    tagged = df.filter(
+        F.col(domain_col).isin(list(targets))
+    ).withColumn("__w", wmap[F.col(domain_col)].cast("long"))
+    unit = (
+        tagged.groupBy(domain_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.min(F.floor(F.col("__n") / F.col("__w"))).alias("__unit")
+        )
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col).asc()
+    )
+    return (
+        tagged.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(unit))
+        .filter(F.col("__rk") <= F.col("__w") * F.col("__unit"))
+        .drop("__w", "__rk", "__unit")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    id_col: str,
+    prefilter_buckets: int = 32,
+) -> DataFrame:
+    """Exact 2-D skyline (Pareto frontier): rows where no other row is
+    ≤ on ``min_col`` AND ≥ on ``max_col`` with strict inequality in one.
+
+    The "best tradeoff" operator (cheapest part per size class, fastest
+    run per cost tier) that SQL engines lack natively. The naive form is
+    a quadratic NOT EXISTS self-join; in 2-D a sort kills it: order by
+    (min_col asc, max_col desc, id) and a row survives iff the running
+    max of ``max_col`` over all PRIOR rows is < its own value — prior
+    rows are exactly its potential dominators. A single global window
+    would serialize the corpus into one task, so it runs as the classic
+    two-phase distributed skyline: hash-bucketed LOCAL skylines in
+    parallel first (dominance within a bucket is global dominance, so
+    pruning is sound), then the global pass over local survivors — tiny
+    for realistic distributions (~log n per bucket), O(output) worst
+    case on anti-correlated dims, which is the skyline's inherent
+    output bound, not a plan defect. Duplicate (min,max) points keep
+    the lowest id.
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(min_col).asc(), F.col(max_col).desc(), F.col(id_col).asc()
+    ]
+    wloc = (
+        Window.partitionBy("__b")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        df.withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(prefilter_buckets)),
+        )
+        .withColumn("__m", F.max(max_col).over(wloc))
+        .filter(F.col("__m").isNull() | (F.col("__m") < F.col(max_col)))
+        .drop("__b", "__m")
+    )
+    wglob = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        local.withColumn("__m", F.max(max_col).over(wglob))
+        .filter(F.col("__m").isNull() | (F.col("__m") < F.col(max_col)))
+        .drop("__m")
+    )
+
+
 def weighted_reservoir_sample(
     df: DataFrame, key_col: str, weight_col: str, k: int
 ) -> DataFrame:

@@ -558,3 +558,162 @@ def train_split(
         cond = bucket < F.lit(cum)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def rare_token_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 2,
+    min_rare: int = 1,
+) -> DataFrame:
+    """Docs carrying corpus-rare vocabulary: per-doc count and share of
+    distinct tokens whose document frequency is ≤ ``max_df``.
+
+    The inverse of the hot-shingle df-cap: OCR garbage, mojibake, and
+    hallucinated strings surface as tokens almost no other document
+    uses, so a high rare-token share is a standard data-quality flag
+    (and a cheap novelty signal). Distinct-token explode → one exchange
+    on token (the window df count rides it, `_df_capped` pattern) → one
+    groupBy on the doc id. Both shuffles carry (id, token) pairs only.
+    """
+    from pyspark.sql import Window
+
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    exploded = ensure_min_parallelism(
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("__n_distinct"),
+            F.explode(toks).alias("token"),
+        )
+    )
+    w = Window.partitionBy("token")
+    flagged = exploded.withColumn(
+        "__df", F.count(F.lit(1)).over(w)
+    )
+    out = (
+        flagged.groupBy(id_col, "__n_distinct")
+        .agg(
+            F.count_if(F.col("__df") <= max_df)
+            .cast("long")
+            .alias("n_rare_tokens")
+        )
+        .filter(F.col("n_rare_tokens") >= min_rare)
+        .select(
+            F.col(id_col),
+            "n_rare_tokens",
+            F.col("__n_distinct").alias("n_distinct_tokens"),
+            F.round(
+                F.col("n_rare_tokens").cast("double") / F.col("__n_distinct"),
+                4,
+            ).alias("rare_ratio"),
+        )
+    )
+    return out
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_stages: int = 4,
+) -> DataFrame:
+    """Curriculum export order: quality-ranked ntile stages plus a
+    deterministic in-stage shuffle key.
+
+    Curriculum training consumes data cleanest-first; exporting that
+    order needs (a) a stage per document from a GLOBAL quality ranking
+    and (b) a reproducible shuffle within each stage so batches are not
+    correlated with corpus position. A naive ``ntile() OVER (ORDER BY
+    …)`` is a single-partition window — one task owns the corpus — so
+    the global rank is computed the MPP way instead: per-score counts
+    (one small agg), a cumulative base over the tiny distinct-score
+    table, a broadcast join back, and an in-score row_number
+    (partitioned window, parallel). The exact ntile tile formula
+    (leading tiles take the remainder) is then pure arithmetic on the
+    rank, matching the SQL ``ntile`` bit-for-bit. The shuffle key is
+    md5(id) — RNG-free, so any engine and any rerun produces the same
+    batch order; exports sort by (stage, shuffle_key), a
+    range-partitioned sort that scales.
+
+    Fluency proxy = stopword share (same signal as ``quality_score``),
+    null-proofed to -1 for token-less docs so cross-engine null
+    ordering never matters.
+    """
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    scored = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.coalesce(
+            F.round(n_stop.cast("double") / n_tok, 4), F.lit(-1.0)
+        ).alias("fluency"),
+    )
+    # distinct fluency values are bounded by the 4-digit rounding, so
+    # the cumulative window runs over a tiny table and broadcasts back
+    grp = scored.groupBy("fluency").agg(F.count(F.lit(1)).alias("__cnt"))
+    wcum = Window.orderBy(F.col("fluency").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = grp.select(
+        "fluency",
+        F.coalesce(F.sum("__cnt").over(wcum), F.lit(0)).alias("__base"),
+    )
+    win_in = Window.partitionBy("fluency").orderBy(F.col(id_col).asc())
+    ranked = (
+        scored.join(F.broadcast(base), "fluency")
+        .withColumn(
+            "__rank", F.col("__base") + F.row_number().over(win_in)
+        )
+    )
+    total = scored.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.crossJoin(F.broadcast(total))
+    q = F.floor(F.col("__n") / n_stages)
+    r = F.col("__n") % n_stages
+    head = r * (q + 1)  # rows living in the (q+1)-sized leading tiles
+    stage = (
+        F.when(
+            F.col("__rank") <= head,
+            F.floor((F.col("__rank") - 1) / (q + 1)),
+        )
+        .otherwise(r + F.floor((F.col("__rank") - head - 1) / q))
+        + 1
+    )
+    return ranked.select(
+        F.col(id_col),
+        "fluency",
+        stage.cast("int").alias("stage"),
+        F.md5(F.col(id_col).cast("string")).alias("shuffle_key"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[str],
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-doc token count, out-of-vocab
+    count, and OOV rate against a fixed vocabulary.
+
+    The pre-flight check before committing a corpus to a tokenizer: a
+    high OOV rate means the text will fragment into byte-fallback
+    pieces (token budget blowup) or the vocab was trained on the wrong
+    distribution. Pure map-side scan — the vocab rides the plan as one
+    array literal, no shuffle, no join — so it runs at scan speed on
+    100 TB.
+    """
+    vlit = F.lit(sorted(set(vocab)))
+    toks = tokens(F.lower(F.col(text_col)))
+    n_tok = F.size(toks)
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(vlit, t))
+    )
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov.cast("double") / n_tok, 4).alias("oov_rate"),
+    )

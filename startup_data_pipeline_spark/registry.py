@@ -73,8 +73,10 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_trained",         # k-means training: early-exit on fixpoint
     "q_kmeans_clusters", "q_kmeans_assign", "q_centroid_classify",
     "q_salted_join",             # salt default re-justified vs AQE skew
-    # (new queries registered this round are inserted here as they land,
-    # so their first driver sample is this round)
+    # New queries registered this round (front of the window so their
+    # first driver sample is this round):
+    "q_domain_mix", "q_cross_split_leakage", "q_rare_token_docs",
+    "q_curriculum_order", "q_skyline_pareto", "q_vocab_coverage",
     # Family-spanning canaries fill the remainder of the 50-slot prefix —
     # a time-budgeted sample still spans the whole surface.
     "q_flagship",

@@ -1527,3 +1527,74 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.equi_width_histogram(
         li, "l_extendedprice", lo=0.0, width=10000.0, n_buckets=10
     ).select("bucket", "n", "total", "bucket_lo", "bucket_hi")
+
+
+# Round-4 additions --------------------------------------------------------
+
+@register(
+    "q_domain_mix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                           WHEN 'src2' THEN 2 END AS w
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    u AS (
+        SELECT MIN(CAST(floor(n / w) AS BIGINT)) AS unit
+        FROM (SELECT source, w, COUNT(*) AS n FROM t GROUP BY source, w)
+    ),
+    r AS (
+        SELECT t.*, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+        FROM t
+    )
+    SELECT doc_id, lang, source FROM r, u WHERE rk <= w * unit
+    """,
+    survey_ops="domain mixture resampling (training-data assembly): "
+    "exact integer-ratio mixture (5:3:2 here), maximal given per-domain "
+    "counts, md5-prefix kept docs — content-addressed, RNG-free, "
+    "engine-reproducible; one small count agg + scalar broadcast + one "
+    "domain-partitioned rank window",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.domain_mix_resample(
+        docs, "source", "doc_id", {"src0": 5, "src1": 3, "src2": 2}
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_skyline_pareto",
+    oracle="""
+    WITH sk AS (
+        SELECT p_partkey, p_retailprice, p_size,
+               max(p_size) OVER (
+                   ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS m
+        FROM part
+    )
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) AS price,
+           CAST(p_size AS INTEGER) AS size
+    FROM sk WHERE m IS NULL OR m < p_size
+    """,
+    survey_ops="2-D skyline / Pareto frontier (§2.4 OLAP extension): "
+    "cheapest-part-per-size frontier with no quadratic NOT EXISTS "
+    "self-join — two-phase distributed running-max (parallel "
+    "hash-bucketed local skylines, then the global pass over the tiny "
+    "survivor set)",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return olap.skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size", "p_partkey",
+    ).select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )

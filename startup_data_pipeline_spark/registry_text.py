@@ -1251,3 +1251,161 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.winnowing_fingerprints(docs, "doc_id", "text", k=3, window=4)
+
+
+# Round-4 additions: corpus quality / export-order / decontamination ----
+
+@register(
+    "q_rare_token_docs",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, len(tk) AS n_distinct, unnest(tk) AS token
+        FROM (SELECT doc_id, list_distinct({_TOKS_LOWER}) AS tk
+              FROM documents)
+    ),
+    dfc AS (
+        SELECT doc_id, n_distinct, token,
+               COUNT(*) OVER (PARTITION BY token) AS dfreq
+        FROM ex
+    )
+    SELECT doc_id,
+           CAST(COUNT(CASE WHEN dfreq <= 2 THEN 1 END) AS BIGINT)
+               AS n_rare_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
+           round(CAST(COUNT(CASE WHEN dfreq <= 2 THEN 1 END) AS DOUBLE)
+                 / n_distinct, 4) AS rare_ratio
+    FROM dfc
+    GROUP BY doc_id, n_distinct
+    HAVING COUNT(CASE WHEN dfreq <= 2 THEN 1 END) >= 1
+    """,
+    survey_ops="rare-vocabulary scan (§2.11 text analysis, data-quality "
+    "flag): per-doc count/share of distinct tokens with corpus df <= "
+    "max_df — OCR garbage and mojibake surface here; one token-keyed "
+    "exchange (window df count rides it) + one doc-keyed agg",
+)
+def q_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rare_token_docs(docs, "doc_id", "text", max_df=2)
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               COALESCE(round(CAST(len(list_filter(toks, t ->
+                   list_contains(['the','a','of','and','to','in'], t)))
+                   AS DOUBLE) / len(toks), 4), -1.0) AS fluency
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, fluency,
+           CAST(ntile(4) OVER (ORDER BY fluency DESC, doc_id)
+               AS INTEGER) AS stage,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM s
+    """,
+    survey_ops="curriculum export order (training-data assembly): "
+    "global quality-ranked ntile stages computed the MPP way (per-score "
+    "histogram + cumulative base + partitioned rank — no single-task "
+    "global window) + an RNG-free md5 in-stage shuffle key; exports "
+    "sort by (stage, shuffle_key), a range-partitioned scalable sort",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.curriculum_order(docs, "doc_id", "text", n_stages=4)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> NOT list_contains(
+               ['a','agg','and','batch','column','customer','data',
+                'filter','group','hash','in','join','key','of','row',
+                'scan','slow','small','spark','stream','table','the',
+                'to','value','window'], t))) AS BIGINT) AS n_oov,
+           round(CAST(len(list_filter(toks, t -> NOT list_contains(
+               ['a','agg','and','batch','column','customer','data',
+                'filter','group','hash','in','join','key','of','row',
+                'scan','slow','small','spark','stream','table','the',
+                'to','value','window'], t))) AS DOUBLE) / len(toks), 4)
+               AS oov_rate
+    FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+    """,
+    survey_ops="tokenizer-vocab coverage (§2.11 text analysis): per-doc "
+    "OOV count/rate against a fixed vocabulary riding the plan as one "
+    "array literal — map-side scan, no shuffle; the pre-flight check "
+    "before committing a corpus to a tokenizer",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    demo_vocab = [
+        "a", "agg", "and", "batch", "column", "customer", "data",
+        "filter", "group", "hash", "in", "join", "key", "of", "row",
+        "scan", "slow", "small", "spark", "stream", "table", "the",
+        "to", "value", "window",
+    ]
+    return text.vocab_coverage(docs, "doc_id", "text", demo_vocab)
+
+
+@register(
+    "q_cross_split_leakage",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    prs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT p.id_a, p.id_b,
+               CAST((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+        FROM prs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+    ),
+    spl AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                       AS bucket
+            FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m
+                  FROM documents)
+        )
+    )
+    SELECT s.id_a, s.id_b,
+           pa.split AS split_a, pb.split AS split_b, s.n_agree
+    FROM scored s
+    JOIN spl pa ON pa.doc_id = s.id_a
+    JOIN spl pb ON pb.doc_id = s.id_b
+    WHERE s.n_agree >= 3 AND pa.split <> pb.split
+    """,
+    survey_ops="train/eval decontamination audit (§2.11 dedup x split): "
+    "near-dup pairs straddling the hash split — banded MinHash "
+    "self-join bounds + map-side split labels; the leakage evidence a "
+    "held-out set's validity rests on",
+)
+def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_split_leakage(
+        docs, "doc_id", "text", num_hashes=4, band_size=1, n_agree_min=3
+    )

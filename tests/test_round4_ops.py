@@ -1,0 +1,167 @@
+"""Round-4 operators: skyline, domain mix, curriculum order, rare
+tokens, vocab coverage, cross-split leakage."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import dedup, olap, text
+
+
+def test_skyline_2d_exact_frontier(spark):
+    # (price, size): frontier = cheapest-for-each-better-size
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate of 1 → only lowest id kept
+        (3, 12.0, 5),   # dominated by 1 (same size, pricier)
+        (4, 15.0, 9),   # frontier (bigger size, pricier)
+        (5, 14.0, 9),   # dominates 4? no: frontier (cheaper, same size)
+        (6, 20.0, 9),   # dominated by 5
+        (7, 9.0, 1),    # frontier (cheapest overall)
+        (8, 25.0, 12),  # frontier (biggest)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(
+        r["id"]
+        for r in olap.skyline_2d(df, "price", "size", "id").collect()
+    )
+    # 5 beats 4 (same size, cheaper); 1 beats 2 (dup, lower id) and 3
+    assert got == [1, 5, 7, 8]
+
+
+def test_skyline_matches_naive_not_exists(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randint(1, 30)), rng.randint(1, 20))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    fast = {
+        r["id"] for r in olap.skyline_2d(df, "price", "size", "id").collect()
+    }
+    # naive: p dominated if q with price<=, size>=, strict somewhere;
+    # duplicates: keep lowest id only (operator's documented policy)
+    pts = {i: (p, s) for i, p, s in rows}
+    naive = set()
+    for i, (p, s) in pts.items():
+        dominated = any(
+            (q[0] <= p and q[1] >= s and (q[0] < p or q[1] > s))
+            or (q == (p, s) and j < i)
+            for j, q in pts.items()
+            if j != i
+        )
+        if not dominated:
+            naive.add(i)
+    assert fast == naive
+
+
+def test_domain_mix_exact_ratios_and_determinism(spark):
+    rows = [(i, f"d{i % 4}") for i in range(200)]  # 50 docs per domain
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = olap.domain_mix_resample(
+        df, "source", "doc_id", {"d0": 5, "d1": 3, "d2": 2}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # unit = min(50//5, 50//3, 50//2) = 10 → keeps 50/30/20, d3 dropped
+    assert counts == {"d0": 50, "d1": 30, "d2": 20}
+    # content-addressed: repartitioning must not change the kept set
+    again = olap.domain_mix_resample(
+        df.repartition(7), "source", "doc_id", {"d0": 5, "d1": 3, "d2": 2}
+    )
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+
+
+def test_curriculum_order_matches_sql_ntile(spark):
+    rows = [
+        (i, ("the and of to " * (i % 5 + 1)) + "xyzzy" + str(i))
+        for i in range(97)  # non-divisible by 4 → remainder tiles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["stage"], r["fluency"])
+        for r in text.curriculum_order(df, "doc_id", "text", n_stages=4)
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (r["stage"], r["fluency"])
+        for r in df.selectExpr(
+            "doc_id",
+            "coalesce(round(size(filter(split(text, '\\\\s+'), "
+            "t -> t in ('the','a','of','and','to','in'))) / "
+            "size(filter(split(text, '\\\\s+'), t -> t != '')), 4), -1.0)"
+            " AS fluency",
+        )
+        .selectExpr(
+            "doc_id",
+            "fluency",
+            "ntile(4) OVER (ORDER BY fluency DESC, doc_id) AS stage",
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_rare_token_docs_flags_unique_vocab(spark):
+    rows = [
+        (1, "common words here plus qwertyuiop"),
+        (2, "common words here plus asdfghjkl"),
+        (3, "common words here plus"),  # nothing rare
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_rare_tokens"]
+        for r in text.rare_token_docs(
+            df, "doc_id", "text", max_df=1
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1}  # doc 3 filtered (no rare tokens)
+
+
+def test_vocab_coverage_oov_rate(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa aa aa aa")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_oov"], r["oov_rate"])
+        for r in text.vocab_coverage(
+            df, "doc_id", "text", ["aa", "bb"]
+        ).collect()
+    }
+    assert got == {1: (2, 0.5), 2: (0, 0.0)}
+
+
+def _split_of(doc_id: int) -> str:
+    bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+    return "train" if bucket < 90 else ("val" if bucket < 95 else "test")
+
+
+def test_cross_split_leakage_reports_straddling_pairs(spark):
+    # find one id per split so the near-dup pair provably straddles
+    train_id = next(i for i in range(1000) if _split_of(i) == "train")
+    test_id = next(i for i in range(1000) if _split_of(i) == "test")
+    same_a = train_id
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (train_id, base),
+        (test_id, base + " tail"),        # near-dup across splits
+        (same_a + 2000, "totally different content nothing shared xx yy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.cross_split_leakage(
+        df, "doc_id", "text", num_hashes=4, band_size=1, n_agree_min=3
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert {r["id_a"], r["id_b"]} == {train_id, test_id}
+    assert {r["split_a"], r["split_b"]} == {"train", "test"}
+    assert r["n_agree"] >= 3
