@@ -88,6 +88,8 @@ HEADLINE = [
     "q_rare_token_docs",
     "q_curriculum_order",
     "q_skyline_pareto",
+    "q_pagerank",
+    "q_topk_other",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

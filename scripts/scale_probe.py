@@ -84,6 +84,8 @@ PROBE = [
     "q_skyline_pareto",
     "q_domain_mix",
     "q_vocab_coverage",
+    "q_pagerank",
+    "q_topk_other",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Graph operators beyond connected components: deterministic PageRank.
+
+Companion to ``dedup.connected_components`` (the other iterative graph
+op in the engine): where CC propagates min labels to a fixpoint,
+PageRank propagates rank mass for a FIXED number of rounds — the shape
+MLlib/GraphX run, re-expressed as DataFrame joins so Catalyst owns the
+physical plan.
+
+Determinism contract (registry.py rules): ranks are integer-scaled
+(micro-units) and every division is integer division, so each iteration
+is exact on any engine and any partitioning — no float summation-order
+drift — and a fixed-depth unrolled SQL CTE reproduces the run
+bit-for-bit. The floor() mass leak this introduces is bounded by
+|E| micro-units per round and irrelevant to ranking use cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed_iters(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PageRank over a directed edge list, fixed iteration count,
+    integer-scaled exact arithmetic.
+
+    Per round: each node splits ``rank div out_degree`` to its
+    out-neighbors; new rank = base + damping · inbound  (all integer
+    division on micro-unit longs). Nodes = src ∪ dst; pass a
+    symmetrized edge list for undirected semantics (also removes
+    dangling-mass handling, since every node then has out-degree ≥ 1).
+
+    Scale: edges are hash-partitioned on ``src`` once and reused every
+    round (the contribution join needs no edge re-shuffle; only the
+    dst-side groupBy exchanges per round, same loop shape as
+    ``connected_components``); ranks are (node, long) pairs;
+    localCheckpoint truncates lineage per round. Iteration count is
+    fixed — the standard production choice for ranking (convergence
+    polling buys little and costs a job per round).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .dropDuplicates()
+        .repartition("src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, "src")  # shares the src partitioning, no exchange
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.select(
+        "node", F.lit(scale).cast("long").alias("rank")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                "dst",
+                F.expr("rank div __deg").alias("__c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__in, 0)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks

@@ -161,6 +161,50 @@ def skyline_2d(
     )
 
 
+def topk_with_other(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    metric: Column,
+    k: int = 2,
+    other_label: str = "OTHER",
+) -> DataFrame:
+    """Top-k keys per group by a metric, plus one rolled-up OTHER row
+    per group holding everything below the cut.
+
+    The standard reporting contraction ("top 2 suppliers per nation,
+    rest as Other") that keeps dashboard cardinality bounded while
+    conserving totals. One (group,key) aggregation, one rank window on
+    the group key (shares the same exchange), and the below-cut rows
+    partial-aggregate AGAIN on group only — so the second pass shuffles
+    one row per group, not the tail. Ties beyond the metric break on
+    the key for determinism.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(group_col, key_col).agg(metric.alias("__m"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__m").desc(), F.col(key_col).asc()
+    )
+    ranked = agg.withColumn("__rk", F.row_number().over(w))
+    top = ranked.filter(F.col("__rk") <= k).select(
+        F.col(group_col),
+        F.col(key_col).cast("string").alias("member"),
+        F.col("__m").alias("metric"),
+    )
+    other = (
+        ranked.filter(F.col("__rk") > k)
+        .groupBy(group_col)
+        .agg(F.sum("__m").alias("metric"))
+        .select(
+            F.col(group_col),
+            F.lit(other_label).alias("member"),
+            "metric",
+        )
+    )
+    return top.unionByName(other)
+
+
 def weighted_reservoir_sample(
     df: DataFrame, key_col: str, weight_col: str, k: int
 ) -> DataFrame:

@@ -1598,3 +1598,115 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("price"),
         F.col("p_size").cast("int").alias("size"),
     )
+
+
+@register(
+    "q_topk_other",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name, s_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS m
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, s_suppkey
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY n_name ORDER BY m DESC, s_suppkey
+        ) AS rk FROM rev
+    )
+    SELECT n_name, CAST(s_suppkey AS VARCHAR) AS member,
+           CAST(m AS DOUBLE) AS metric
+    FROM ranked WHERE rk <= 2
+    UNION ALL
+    SELECT n_name, 'OTHER', CAST(SUM(m) AS DOUBLE)
+    FROM ranked WHERE rk > 2 GROUP BY n_name
+    """,
+    survey_ops="top-k per group + OTHER rollup (§2.4/§2.6 reporting "
+    "contraction): bounded dashboard cardinality, conserved totals — "
+    "rank window shares the (group,key) agg exchange, the tail "
+    "re-aggregates to one row per group",
+)
+def q_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+    )
+    out = olap.topk_with_other(
+        joined,
+        "n_name",
+        "s_suppkey",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")),
+        k=2,
+    )
+    return out.select(
+        "n_name", "member", F.col("metric").cast("double").alias("metric")
+    )
+
+
+_PR_EDGES = """
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        UNION
+        SELECT l_suppkey * 2 + 1, o_custkey * 2
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+@register(
+    "q_pagerank",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES}),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS node, SUM(r.rank // d.d) AS c
+           FROM edges e JOIN r0 r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+    c2 AS (SELECT e.dst AS node, SUM(r.rank // d.d) AS c
+           FROM edges e JOIN r1 r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+    c3 AS (SELECT e.dst AS node, SUM(r.rank // d.d) AS c
+           FROM edges e JOIN r2 r ON e.src = r.node
+           JOIN deg d ON e.src = d.src GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  CAST(150000 + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+    SELECT node, rank FROM r3
+    """,
+    survey_ops="deterministic PageRank, 3 fixed iterations (iterative "
+    "graph battery beside connected components): customer-supplier "
+    "bipartite graph symmetrized, integer-scaled exact arithmetic — "
+    "reproducible on any engine/partitioning; edges partitioned once "
+    "and reused every round. Oracle = fully unrolled 3-round CTE chain",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_fixed_iters
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .dropDuplicates()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return pagerank_fixed_iters(edges, "a", "b", n_iter=3)

@@ -165,3 +165,45 @@ def test_cross_split_leakage_reports_straddling_pairs(spark):
     assert {r["id_a"], r["id_b"]} == {train_id, test_id}
     assert {r["split_a"], r["split_b"]} == {"train", "test"}
     assert r["n_agree"] >= 3
+
+
+def test_pagerank_integer_exact_tiny_graph(spark):
+    from startup_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_iters,
+    )
+
+    # star: 1↔2, 1↔3 (symmetrized). deg: 1→2, 2→1, 3→1
+    pairs = [(1, 2), (1, 3), (2, 1), (3, 1)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_iters(df, "a", "b", n_iter=2).collect()
+    }
+    # hand-run the integer recurrence
+    scale, base = 1_000_000, 150_000
+    rank = {1: scale, 2: scale, 3: scale}
+    deg = {1: 2, 2: 1, 3: 1}
+    for _ in range(2):
+        contrib = {1: 0, 2: 0, 3: 0}
+        for s, d in pairs:
+            contrib[d] += rank[s] // deg[s]
+        rank = {n: base + (85 * contrib[n]) // 100 for n in rank}
+    assert got == rank
+    # hub 1 outranks leaves, leaves tie by symmetry
+    assert got[1] > got[2] == got[3]
+
+
+def test_topk_with_other_conserves_totals(spark):
+    rows = [
+        ("g1", "a", 10.0), ("g1", "b", 8.0), ("g1", "c", 5.0),
+        ("g1", "d", 1.0), ("g2", "x", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    out = olap.topk_with_other(
+        df, "g", "k", F.sum("v"), k=2
+    ).collect()
+    got = {(r["g"], r["member"]): r["metric"] for r in out}
+    assert got == {
+        ("g1", "a"): 10.0, ("g1", "b"): 8.0, ("g1", "OTHER"): 6.0,
+        ("g2", "x"): 3.0,  # no OTHER row when nothing is below the cut
+    }
