@@ -148,3 +148,61 @@ def test_simhash_signatures_are_zero_exchange(spark):
         # must NOT appear is a key shuffle or an aggregate
         assert "hashpartitioning" not in plan, f"{col} shuffles:\n{plan}"
         assert "HashAggregate" not in plan, f"{col} aggregates:\n{plan}"
+
+
+def test_vocab_coverage_is_shuffle_free_scan(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    plan = _plan(
+        text.vocab_coverage(docs, "doc_id", "text", ["the", "a"])
+    )
+    # map-side contract: the vocab rides as a literal, no join and no
+    # aggregation exchange anywhere in the plan (the only exchange
+    # allowed is the ensure_min_parallelism round-robin repartition)
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    # only text + id are read
+    assert "n_chars" not in plan.split("ReadSchema:")[-1]
+
+
+def test_rare_token_docs_df_window_shares_token_exchange(
+    spark, plan_sf_dir
+):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    plan = _plan(text.rare_token_docs(docs, "doc_id", "text"))
+    # one exchange for the token window, one for the doc-id agg, plus
+    # the parallelism repartition — the df-count window must NOT add
+    # its own exchange on top of the token hash partitioning
+    assert plan.count("hashpartitioning(token") == 1
+
+
+def test_skyline_global_pass_sees_only_local_survivors(spark, plan_sf_dir):
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    part = load_table(spark, plan_sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    sky = olap.skyline_2d(part, "p_retailprice", "p_size", "p_partkey")
+    plan = _plan(sky)
+    # two window phases: bucketed local pass (partitioned) + global pass
+    assert plan.count("Window") >= 2
+    assert "hashpartitioning(__b" in plan
+    # the local pass prunes before the single-partition global pass:
+    # survivors must be a small fraction of the input
+    n_in = part.count()
+    n_local = (
+        part.withColumn(
+            "__b", F.pmod(F.xxhash64(F.col("p_partkey")), F.lit(32))
+        ).count()
+    )
+    assert n_local == n_in  # sanity: bucketing drops nothing
+    n_out = sky.count()
+    assert n_out < n_in * 0.05
