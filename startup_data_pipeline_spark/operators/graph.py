@@ -45,14 +45,19 @@ def pagerank_fixed_iters(
     fixed — the standard production choice for ranking (convergence
     polling buys little and costs a job per round).
     """
-    e = (
+    raw = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
         .dropDuplicates()
-        .repartition("src")
         .persist()
     )
+    # size the iteration's partitioning to the edge set (same rationale
+    # as connected_components): per-round fixed costs are paid per
+    # partition, and the formula is data-proportional in both directions
+    n_edges = raw.count()
+    npart = max(4, n_edges // 2_000_000 + 1)
+    e = raw.repartition(npart, "src").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ed = e.join(deg, "src")  # shares the src partitioning, no exchange
     nodes = (
@@ -91,4 +96,5 @@ def pagerank_fixed_iters(
             .localCheckpoint()
         )
     e.unpersist()
+    raw.unpersist()
     return ranks
