@@ -451,13 +451,36 @@ def streaming_dedup_gate(
     rows (new_id, match_id, n_agree, admitted); no driver-side state.
     Returns ``(writer, verdict_path)``.
     """
-    from pyspark.sql import Window
-
-    from ..operators import dedup as dedup_ops
-
     spark = doc_stream.sparkSession
     if verdict_path is None:
         verdict_path = index_path.rstrip("/") + "_verdicts"
+    handle = make_dedup_gate_handler(
+        spark, index_path, verdict_path,
+        id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        band_size=band_size, n_agree_dup=n_agree_dup,
+        compact_every=compact_every,
+    )
+    return doc_stream.writeStream.foreachBatch(handle), verdict_path
+
+
+def make_dedup_gate_handler(
+    spark: SparkSession,
+    index_path: str,
+    verdict_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 4,
+    band_size: int = 1,
+    n_agree_dup: int = 3,
+    compact_every: int = 16,
+):
+    """The gate's per-batch handler, exposed so tests can drive epochs
+    directly — including RE-DELIVERING an epoch, which is how
+    foreachBatch's at-least-once contract is exercised without forcing
+    a real streaming-query crash."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup as dedup_ops
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         sigs = dedup_ops.minhash_signatures(
@@ -550,4 +573,4 @@ def streaming_dedup_gate(
                 f"{index_path}/gen={gen}/epoch={epoch_id}"
             )
 
-    return doc_stream.writeStream.foreachBatch(handle), verdict_path
+    return handle
