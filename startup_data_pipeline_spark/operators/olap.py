@@ -161,6 +161,63 @@ def skyline_2d(
     )
 
 
+def sketch_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    rel_tol: float = 0.05,
+    all_label: str = "ALL",
+) -> DataFrame:
+    """Per-group distinct counts via HLL sketches PLUS the grand total
+    from merging those sketches — the mergeable-sketch rollup.
+
+    This is the property that makes sketches the 100 TB distinct-count
+    tool: partials built once per group (or per partition, per day, per
+    shard) merge into any coarser rollup WITHOUT rescanning the data —
+    `hll_union_agg` over stored sketch bytes replaces a second full
+    scan. Certified the engine-invariant way (q_approx_stats pattern):
+    raw estimates are engine-specific, so the emitted rows carry the
+    EXACT counts plus a boolean asserting this engine's estimate lands
+    within ``rel_tol`` of its own exact answer — rows any engine must
+    reproduce identically.
+    """
+    sk = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col).alias("__sk"),
+        F.count_distinct(F.col(key_col)).alias("exact_distinct"),
+    )
+    ok = (
+        F.abs(
+            F.hll_sketch_estimate("__sk") - F.col("exact_distinct")
+        )
+        <= F.col("exact_distinct") * rel_tol
+    )
+    per = sk.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        ok.alias("est_ok"),
+    )
+    # grand total: merge the per-group sketches (no rescan); exact side
+    # recomputed for the certificate only
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est")
+    )
+    exact_all = df.agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    all_row = (
+        exact_all.crossJoin(F.broadcast(merged))
+        .select(
+            F.lit(all_label).alias("grp"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * rel_tol
+            ).alias("est_ok"),
+        )
+    )
+    return per.unionByName(all_row)
+
+
 def topk_with_other(
     df: DataFrame,
     group_col: str,

@@ -1710,3 +1710,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     return pagerank_fixed_iters(edges, "a", "b", n_iter=3)
+
+
+@register(
+    "q_sketch_rollup",
+    # raw HLL estimates are engine-specific; the CERTIFIED rows are
+    # engine-invariant (q_approx_stats pattern): exact distincts + a
+    # boolean that THIS engine's estimate is within tolerance of its
+    # own exact answer — incl. for the ALL row, whose estimate comes
+    # from MERGING the per-group sketches, not from a rescan
+    oracle="""
+    SELECT CAST(event_type AS VARCHAR) AS grp,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           true
+    FROM events
+    """,
+    survey_ops="mergeable-sketch distinct rollup (§2.4 ext / A5 at "
+    "scale): per-group HLL sketches + hll_union_agg grand total — "
+    "partials merge into any coarser rollup without rescanning, the "
+    "100 TB distinct-count pattern; certified via engine-invariant "
+    "tolerance rows",
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return olap.sketch_distinct_rollup(events, "event_type", "user_id")

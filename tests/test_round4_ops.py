@@ -207,3 +207,18 @@ def test_topk_with_other_conserves_totals(spark):
         ("g1", "a"): 10.0, ("g1", "b"): 8.0, ("g1", "OTHER"): 6.0,
         ("g2", "x"): 3.0,  # no OTHER row when nothing is below the cut
     }
+
+
+def test_sketch_rollup_merge_equals_no_rescan(spark):
+    # per-group sketches must MERGE to the global estimate: the ALL row
+    # is certified within tolerance of the true global distinct, which
+    # only works if union-of-sketches ≈ sketch-of-union
+    rows = [(i % 7, f"u{i % 400}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, u string")
+    out = {
+        r["grp"]: (r["exact_distinct"], r["est_ok"])
+        for r in olap.sketch_distinct_rollup(df, "g", "u").collect()
+    }
+    assert out["ALL"] == (400, True)
+    assert all(ok for _, ok in out.values())
+    assert len(out) == 8  # 7 groups + ALL
