@@ -1,5 +1,10 @@
 """Graph operators beyond connected components: deterministic PageRank.
 
+Extension battery (same position as SURVEY.md §2.11: capabilities a
+100 TB pipeline needs on top of the reference's operator set — the
+reference has no graph analytics; its nearest shape is the seen-set
+transitive chain that dedup.connected_components generalizes).
+
 Companion to ``dedup.connected_components`` (the other iterative graph
 op in the engine): where CC propagates min labels to a fixpoint,
 PageRank propagates rank mass for a FIXED number of rounds — the shape

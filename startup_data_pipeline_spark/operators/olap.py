@@ -231,11 +231,13 @@ def topk_with_other(
 
     The standard reporting contraction ("top 2 suppliers per nation,
     rest as Other") that keeps dashboard cardinality bounded while
-    conserving totals. One (group,key) aggregation, one rank window on
-    the group key (shares the same exchange), and the below-cut rows
-    partial-aggregate AGAIN on group only — so the second pass shuffles
-    one row per group, not the tail. Ties beyond the metric break on
-    the key for determinism.
+    conserving totals. Single-pass: rank rows within the group, rewrite
+    below-cut keys to the OTHER label, re-aggregate — NOT a
+    top/other-branch union, which would compute the whole agg+window
+    twice (measured in the plan: two full exchange chains). The final
+    re-aggregation needs no exchange at all: the window's
+    group-partitioning already co-locates every (group, member) pair.
+    Ties beyond the metric break on the key for determinism.
     """
     from pyspark.sql import Window
 
@@ -244,22 +246,14 @@ def topk_with_other(
         F.col("__m").desc(), F.col(key_col).asc()
     )
     ranked = agg.withColumn("__rk", F.row_number().over(w))
-    top = ranked.filter(F.col("__rk") <= k).select(
-        F.col(group_col),
-        F.col(key_col).cast("string").alias("member"),
-        F.col("__m").alias("metric"),
+    member = (
+        F.when(F.col("__rk") <= k, F.col(key_col).cast("string"))
+        .otherwise(F.lit(other_label))
     )
-    other = (
-        ranked.filter(F.col("__rk") > k)
-        .groupBy(group_col)
+    return (
+        ranked.groupBy(F.col(group_col), member.alias("member"))
         .agg(F.sum("__m").alias("metric"))
-        .select(
-            F.col(group_col),
-            F.lit(other_label).alias("member"),
-            "metric",
-        )
     )
-    return top.unionByName(other)
 
 
 def weighted_reservoir_sample(
