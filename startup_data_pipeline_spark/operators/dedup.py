@@ -300,9 +300,15 @@ def cross_split_leakage(
     from .text import train_split
 
     assigned = train_split(docs.select(F.col(id_col)), id_col, splits)
+    # materialize signatures once: they feed the banded self-join AND
+    # two score joins (4 consumers), and Catalyst's exchange reuse does
+    # not fire across the differently-aliased branches — measured 7
+    # document scans without this. Persisting the (tiny, fixed-width)
+    # signature table is also exactly what the production pipeline does
+    # with its LSH index.
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes=num_hashes
-    )
+    ).localCheckpoint()
     scored = intra_batch_scored_pairs(
         sigs, id_col, num_hashes=num_hashes, band_size=band_size
     ).filter(F.col("n_agree") >= n_agree_min)
