@@ -181,10 +181,13 @@ def sketch_distinct_rollup(
     within ``rel_tol`` of its own exact answer — rows any engine must
     reproduce identically.
     """
+    # one row per group — materialize so the per-group branch and the
+    # sketch merge don't each recompute the full aggregation (the same
+    # duplicated-subtree trap topk_with_other had)
     sk = df.groupBy(group_col).agg(
         F.hll_sketch_agg(key_col).alias("__sk"),
         F.count_distinct(F.col(key_col)).alias("exact_distinct"),
-    )
+    ).localCheckpoint()
     ok = (
         F.abs(
             F.hll_sketch_estimate("__sk") - F.col("exact_distinct")

@@ -645,12 +645,17 @@ def curriculum_order(
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     n_stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    # materialize the (id, fluency) projection once: it feeds the
+    # per-score histogram, the rank join, AND the total count, and the
+    # tokenize+stopword expression is the expensive part (A/B: warm
+    # median 1.46 → 1.23 s at sf0.1). 12 bytes/row — far smaller than
+    # the corpus it replaces in the downstream scans.
     scored = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.coalesce(
             F.round(n_stop.cast("double") / n_tok, 4), F.lit(-1.0)
         ).alias("fluency"),
-    )
+    ).localCheckpoint()
     # distinct fluency values are bounded by the 4-digit rounding, so
     # the cumulative window runs over a tiny table and broadcasts back
     grp = scored.groupBy("fluency").agg(F.count(F.lit(1)).alias("__cnt"))
