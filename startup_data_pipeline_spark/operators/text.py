@@ -694,6 +694,63 @@ def curriculum_order(
     )
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-bigram language-model fluency score per document.
+
+    The KenLM-shaped quality filter of pretraining pipelines, reduced
+    to its engine-shaped core: estimate MLE transition probabilities
+    P(w2|w1) = c(w1 w2) / c(w1 ·) from the corpus itself, then score
+    each document by the mean scaled probability of its bigrams — text
+    whose transitions the corpus has never seen (OCR noise, shuffled
+    words, wrong-language spans) scores near zero, boilerplate scores
+    high. Probabilities are integer-scaled with integer division
+    (``scale · c2 div c1``), so the whole statistic is exact and
+    engine-reproducible; the only float is the final mean, a single
+    division of two exact longs.
+
+    Plan: one bigram explode (counts matter — NOT distinct), a bigram
+    count and a prefix count (each one exchange; the join back reuses
+    the bigram key), and a final per-doc aggregation. Everything
+    shuffled is (hash, count) pairs — document text never moves.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    ex = ensure_min_parallelism(
+        df.select(
+            F.col(id_col),
+            F.explode(F.when(F.size(t) >= 2, bigrams).otherwise(F.array()))
+            .alias("bigram"),
+        )
+    ).withColumn("prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    c2 = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = ex.groupBy("prefix").agg(F.count(F.lit(1)).alias("__c1"))
+    scored = (
+        ex.join(c2, "bigram")
+        .join(c1, "prefix")
+        .select(
+            F.col(id_col),
+            F.expr(f"({scale}L * __c2) div __c1").alias("__p"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__p").cast("long").alias("sum_scaled_prob"),
+        (F.sum("__p") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("mean_scaled_prob"),
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     id_col: str,

@@ -77,7 +77,7 @@ _PRIORITY: list[str] = [
     # first driver sample is this round):
     "q_domain_mix", "q_cross_split_leakage", "q_rare_token_docs",
     "q_curriculum_order", "q_skyline_pareto", "q_vocab_coverage",
-    "q_topk_other", "q_pagerank", "q_sketch_rollup",
+    "q_topk_other", "q_pagerank", "q_sketch_rollup", "q_lm_score",
     # Family-spanning canaries fill the remainder of the 50-slot prefix —
     # a time-budgeted sample still spans the whole surface.
     "q_flagship",

@@ -1409,3 +1409,43 @@ def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_split_leakage(
         docs, "doc_id", "text", num_hashes=4, band_size=1, n_agree_min=3
     )
+
+
+@register(
+    "q_lm_score",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(bgs) AS bigram
+        FROM (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bgs
+            FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+            WHERE len(toks) >= 2
+        )
+    ),
+    wp AS (
+        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS prefix
+        FROM ex
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM wp GROUP BY bigram),
+    c1 AS (SELECT prefix, COUNT(*) AS c1 FROM wp GROUP BY prefix)
+    SELECT wp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM((1000000 * c2.c2) // c1.c1) AS BIGINT)
+               AS sum_scaled_prob,
+           CAST(CAST(SUM((1000000 * c2.c2) // c1.c1) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS mean_scaled_prob
+    FROM wp
+    JOIN c2 ON wp.bigram = c2.bigram
+    JOIN c1 ON wp.prefix = c1.prefix
+    GROUP BY wp.doc_id
+    """,
+    survey_ops="corpus-bigram LM fluency score (§2.11 text analysis, "
+    "KenLM-shaped quality filter): integer-scaled MLE transition "
+    "probabilities from the corpus itself, mean per doc — only (hash, "
+    "count) pairs shuffle, document text never moves",
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_lm_score(docs, "doc_id", "text")

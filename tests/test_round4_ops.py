@@ -222,3 +222,15 @@ def test_sketch_rollup_merge_equals_no_rescan(spark):
     assert out["ALL"] == (400, True)
     assert all(ok for _, ok in out.values())
     assert len(out) == 8  # 7 groups + ALL
+
+
+def test_ngram_lm_score_integer_exact(spark):
+    # corpus: "x a" twice, "x b" once → P(a|x)=2/3, P(b|x)=1/3
+    df = spark.createDataFrame(
+        [(1, "x a"), (2, "x b"), (3, "x a")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_scaled_prob"])
+        for r in text.ngram_lm_score(df, "doc_id", "text").collect()
+    }
+    assert got == {1: (1, 666666), 2: (1, 333333), 3: (1, 666666)}
