@@ -90,6 +90,7 @@ HEADLINE = [
     "q_skyline_pareto",
     "q_pagerank",
     "q_topk_other",
+    "q_lm_score",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -86,6 +86,7 @@ PROBE = [
     "q_vocab_coverage",
     "q_pagerank",
     "q_topk_other",
+    "q_lm_score",
 ]
 
 
