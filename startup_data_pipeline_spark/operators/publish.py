@@ -35,6 +35,28 @@ def write_append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def write_partitioned_export(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> str:
+    """Hive-partitioned corpus export: the directory layout IS the index.
+
+    The export step ``text.train_split`` / ``domain_mix_resample``
+    promise their consumers: writing partitioned by low-cardinality
+    routing columns (split, source, lang) turns every downstream
+    ``WHERE split = 'train'`` into partition PRUNING — files of other
+    partitions are never listed into the scan, which at 100 TB is the
+    difference between reading 90% and 100% of the corpus to train.
+    Choose partition columns with few distinct values; high-cardinality
+    keys belong in ``state.write_bucketed_state`` (bucketing) instead —
+    partitioning by them melts the filesystem with tiny files.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
 def foreach_alert(df: DataFrame, send) -> None:
     """S15 (telegram_alerts.py, main.py:124-129): per-row side-effect sink.
 

@@ -206,3 +206,28 @@ def test_skyline_global_pass_sees_only_local_survivors(spark, plan_sf_dir):
     assert n_local == n_in  # sanity: bucketing drops nothing
     n_out = sky.count()
     assert n_out < n_in * 0.05
+
+
+def test_partitioned_export_prunes_split_scans(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import publish, text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = str(tmp_path / "corpus_export")
+    publish.write_partitioned_export(
+        text.train_split(docs, "doc_id"), out, ["split"]
+    )
+    back = spark.read.parquet(out).filter(F.col("split") == "test")
+    plan = _plan(back)
+    # the split predicate must land in PartitionFilters (pruned file
+    # listing), NOT PushedFilters (row-group filtering after listing)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "split" in pf and "test" in pf
+    # and the pruned read returns exactly the test split
+    want = text.train_split(docs, "doc_id").filter(
+        F.col("split") == "test"
+    )
+    assert back.count() == want.count() > 0
