@@ -89,11 +89,25 @@ def domain_mix_resample(
     tagged = df.filter(
         F.col(domain_col).isin(list(targets))
     ).withColumn("__w", wmap[F.col(domain_col)].cast("long"))
+    # `unit` is min over the TARGET domains, not the observed ones: a
+    # target domain with zero rows must drive unit to 0 (no feasible
+    # mixture → empty output), not silently drop out of the min. The
+    # target list rides as a tiny literal DataFrame left-joined onto the
+    # observed counts; missing domain → n=0 → floor(0/w)=0.
+    tgt = df.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in sorted(targets.items())],
+        schema=f"`{domain_col}` string, __tw long",
+    )
     unit = (
-        tagged.groupBy(domain_col, "__w")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        tgt.join(
+            tagged.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n")),
+            domain_col,
+            "left",
+        )
         .agg(
-            F.min(F.floor(F.col("__n") / F.col("__w"))).alias("__unit")
+            F.min(
+                F.floor(F.coalesce(F.col("__n"), F.lit(0)) / F.col("__tw"))
+            ).alias("__unit")
         )
     )
     w = Window.partitionBy(domain_col).orderBy(

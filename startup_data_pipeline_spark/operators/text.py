@@ -777,9 +777,19 @@ def vocab_coverage(
     n_oov = F.size(
         F.filter(toks, lambda t: ~F.array_contains(vlit, t))
     )
+    # zero-token docs: the ratio is undefined — emit the -1.0 sentinel
+    # (same null-proofing as curriculum_order) instead of engine-varying
+    # NULL-vs-inf division results.
     return ensure_min_parallelism(df).select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         n_oov.cast("long").alias("n_oov"),
-        F.round(n_oov.cast("double") / n_tok, 4).alias("oov_rate"),
+        F.coalesce(
+            F.round(
+                n_oov.cast("double")
+                / F.when(n_tok > 0, n_tok.cast("double")),
+                4,
+            ),
+            F.lit(-1.0),
+        ).alias("oov_rate"),
     )

@@ -1325,11 +1325,13 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'filter','group','hash','in','join','key','of','row',
                 'scan','slow','small','spark','stream','table','the',
                 'to','value','window'], t))) AS BIGINT) AS n_oov,
-           round(CAST(len(list_filter(toks, t -> NOT list_contains(
+           COALESCE(round(CAST(len(list_filter(toks, t -> NOT list_contains(
                ['a','agg','and','batch','column','customer','data',
                 'filter','group','hash','in','join','key','of','row',
                 'scan','slow','small','spark','stream','table','the',
-                'to','value','window'], t))) AS DOUBLE) / len(toks), 4)
+                'to','value','window'], t))) AS DOUBLE)
+               / CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE)
+                      END, 4), -1.0)
                AS oov_rate
     FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
     """,

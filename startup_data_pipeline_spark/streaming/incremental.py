@@ -359,11 +359,34 @@ def stream_stream_attribution_join(
     )
 
 
+_GATE_FS_FACTORY = None
+
+
+def set_gate_fs_factory(factory) -> None:
+    """Install a pluggable filesystem factory for the dedup gate's
+    generation bookkeeping: ``factory(spark, path) -> (fs, jpath)`` where
+    ``fs`` answers ``exists/listStatus/delete`` and ``jpath`` behaves
+    like an ``org.apache.hadoop.fs.Path``. Lets Spark Connect sessions
+    (no py4j gateway) supply a client-side implementation. Pass ``None``
+    to restore the default JVM-Hadoop route."""
+    global _GATE_FS_FACTORY
+    _GATE_FS_FACTORY = factory
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for ``path`` via the JVM Hadoop client — works
     for any scheme the cluster knows (file://, hdfs://, s3a://), so the
     gate's generation bookkeeping is one LIST/DELETE per batch on the
-    object store, not a local-FS assumption."""
+    object store, not a local-FS assumption.
+
+    Classic-deployment only: this goes through the py4j gateway
+    (``spark._jvm`` / ``spark._jsc``), which does not exist under Spark
+    Connect. Connect callers must install a replacement via
+    ``set_gate_fs_factory`` (same (fs, path) contract backed by whatever
+    client reaches their store); everything else in the gate is public
+    DataFrame API and runs under Connect unchanged."""
+    if _GATE_FS_FACTORY is not None:
+        return _GATE_FS_FACTORY(spark, path)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -389,9 +412,7 @@ def _gate_generations(spark: SparkSession, index_path: str) -> list[int]:
         except ValueError:
             continue
         if g == 0 or fs.exists(
-            spark._jvm.org.apache.hadoop.fs.Path(
-                f"{index_path}/gen={g}/epoch=-1/_SUCCESS"
-            )
+            _hadoop_fs(spark, f"{index_path}/gen={g}/epoch=-1/_SUCCESS")[1]
         ):
             gens.append(g)
     return sorted(gens)
@@ -490,7 +511,10 @@ def make_dedup_gate_handler(
         gens = _gate_generations(spark, index_path)
         gen = gens[-1] if gens else 0
         fs, _ = _hadoop_fs(spark, index_path)
-        jp = spark._jvm.org.apache.hadoop.fs.Path
+
+        def jp(p: str):
+            return _hadoop_fs(spark, p)[1]
+
         # sweep stale generations (crash between compact and delete)
         for g in gens[:-1]:
             fs.delete(jp(f"{index_path}/gen={g}"), True)
@@ -505,14 +529,18 @@ def make_dedup_gate_handler(
                 if s.getPath().getName().startswith("epoch=")
                 and s.getPath().getName() != f"epoch={epoch_id}"
             )
-            try:
+            # Read the index ONLY when committed epochs exist (n_epochs
+            # counts dirs other than the current epoch — a retried first
+            # epoch legitimately sees zero). Any read failure with
+            # committed epochs present must PROPAGATE and fail the batch
+            # (foreachBatch retries): swallowing it would silently admit
+            # and index every arrival, permanently polluting the index.
+            if n_epochs > 0:
                 index = (
                     spark.read.parquet(gen_dir)
                     .filter(F.col("epoch") != epoch_id)
                     .drop("epoch")
-                    )
-            except Exception:
-                index = None  # empty/partial first generation
+                )
 
         # candidates: persisted index ∪ same-batch smaller-id peers
         scored = dedup_ops.intra_batch_scored_pairs(
