@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Isolated per-query timer: bench.py's measurement protocol (warmup,
+noop-write materialization, cold + 3 warm passes, medians) for a named
+subset of registry queries, OUTSIDE the suite — for A/B experiments and
+for checking whether a suite-context regression reproduces in isolation.
+
+Usage: python scripts/qtime.py q_lm_score[,q_other...] [--passes N]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    passes_n = 3
+    if "--passes" in sys.argv:
+        passes_n = int(sys.argv[sys.argv.index("--passes") + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="spark-graft-qtime",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    run("q_pricing_summary")  # JVM/codegen warmup, same as bench.py
+    from startup_data_pipeline_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    cold = {n: run(n) for n in names}
+    passes = [{n: run(n) for n in names} for _ in range(passes_n)]
+
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        k = len(s)
+        m = s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
+        return round(m, 3)
+
+    out = {
+        n: {
+            "cold": cold[n],
+            "warm_median": med([p[n] for p in passes]),
+            "warm_all": [p[n] for p in passes],
+        }
+        for n in names
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

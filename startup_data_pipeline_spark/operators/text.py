@@ -713,43 +713,72 @@ def ngram_lm_score(
     engine-reproducible; the only float is the final mean, a single
     division of two exact longs.
 
-    Plan: ONE bigram explode, materialized — it feeds the bigram
-    count, the prefix count, and the probability join, and recomputing
-    the tokenize+explode per consumer measured 9.8 s vs 7.0 s warm at
-    sf0.1 (A/B/C in one session; window-count variant sat between at
-    7.7 s). Everything shuffled is (token-pair, count) rows — document
-    text never moves.
+    Plan: ONE bigram explode, PRE-AGGREGATED to ``(id, bigram, n)``
+    before anything shuffles — the per-doc multiplicity ``n`` weights
+    every downstream count, so the corpus counts and the final means
+    are identical, but the probability joins see per-doc-DISTINCT
+    bigram rows instead of every occurrence (repeated phrases and
+    boilerplate collapse map-side; natural text measured 8.26 → 6.2 s
+    warm at sf0.1, and the win grows with repetition). The
+    pre-aggregate is materialized once (localCheckpoint) and feeds the
+    bigram count, the prefix count, and the probability join —
+    recomputing tokenize+explode per consumer measured 9.8 s vs 7.0 s
+    warm in the occurrence-level round-4 shape. Everything shuffled is
+    (token-pair, count) rows — document text never moves. Zipf-hot
+    prefixes ("the …") skew the __c1 join; AQE skew-split handles it,
+    and the pre-aggregation shrinks the hot key by the per-doc repeat
+    factor (a df-style cap would change the statistic, so it stays
+    exact — measured, not capped; see SCALE.md).
     """
-    t = tokens(F.lower(F.col(text_col)))
+    # Tokenize ONCE into an attribute before the transform lambda
+    # references it: lambda bodies are excluded from common-subexpression
+    # elimination, so an inline tokenizer expression is re-split per
+    # element_at reference — O(tokens²) regex work per doc (measured
+    # 7.9 s → 0.3 s for the explode stage at sf0.1; same trap documented
+    # at dedup.shingles_from_tokens).
+    base = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
+        F.sequence(F.lit(1), F.size("__t") - 1),
         lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1)
+            " ",
+            F.element_at(F.col("__t"), i),
+            F.element_at(F.col("__t"), i + 1),
         ),
     )
-    ex = ensure_min_parallelism(
-        df.select(
+    ex = (
+        ensure_min_parallelism(base)
+        .select(
             F.col(id_col),
-            F.explode(F.when(F.size(t) >= 2, bigrams).otherwise(F.array()))
-            .alias("bigram"),
+            F.explode(
+                F.when(F.size("__t") >= 2, bigrams).otherwise(F.array())
+            ).alias("bigram"),
         )
-    ).withColumn(
-        "prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
-    ).localCheckpoint()
-    c2 = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c2"))
-    c1 = ex.groupBy("prefix").agg(F.count(F.lit(1)).alias("__c1"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .localCheckpoint()
+    )
+    c2 = ex.groupBy("bigram").agg(F.sum("__n").alias("__c2"))
+    c1 = ex.groupBy("prefix").agg(F.sum("__n").alias("__c1"))
     scored = (
         ex.join(c2, "bigram")
         .join(c1, "prefix")
         .select(
             F.col(id_col),
+            F.col("__n"),
             F.expr(f"({scale}L * __c2) div __c1").alias("__p"),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.sum("__p").cast("long").alias("sum_scaled_prob"),
-        (F.sum("__p") / F.count(F.lit(1)))
+        F.sum("__n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("__n") * F.col("__p")).cast("long").alias(
+            "sum_scaled_prob"
+        ),
+        (F.sum(F.col("__n") * F.col("__p")) / F.sum("__n"))
         .cast("double")
         .alias("mean_scaled_prob"),
     )
