@@ -32,15 +32,27 @@ def pagerank_fixed_iters(
     n_iter: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    handle_dangling: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed iteration count,
     integer-scaled exact arithmetic.
 
     Per round: each node splits ``rank div out_degree`` to its
-    out-neighbors; new rank = base + damping · inbound  (all integer
-    division on micro-unit longs). Nodes = src ∪ dst; pass a
-    symmetrized edge list for undirected semantics (also removes
-    dangling-mass handling, since every node then has out-degree ≥ 1).
+    out-neighbors; new rank = base + damping · (inbound + dangling
+    share)  (all integer division on micro-unit longs). Nodes =
+    src ∪ dst.
+
+    Dangling nodes (no out-edges) are handled with the standard mass
+    redistribution: their summed rank — ONE scalar per round, an
+    aggregate over the (node, rank) table filtered to the precomputed
+    dangling set — is split ``div n_nodes`` and added to every node's
+    inbound before damping, so a directed-graph caller can't silently
+    lose rank mass into sinks. The dangling set is computed once; when
+    it is EMPTY (e.g. a symmetrized edge list, where every node has
+    out-degree ≥ 1) the per-round scalar job is skipped entirely and
+    results are bit-identical to the no-handling form — which is also
+    what ``handle_dangling=False`` forces for callers who want the
+    pure sink-absorbing variant.
 
     Scale: edges are hash-partitioned on ``src`` once and reused every
     round (the contribution join needs no edge re-shuffle; only the
@@ -72,10 +84,26 @@ def pagerank_fixed_iters(
         .localCheckpoint()
     )
     base = (scale * (100 - damping_pct)) // 100
+    # dangling set: nodes with no out-edges. Computed once; empty for
+    # symmetrized inputs, so the per-round scalar job below is skipped.
+    dang = nodes.join(
+        deg, nodes.node == deg.src, "left_anti"
+    ).localCheckpoint()
+    has_dangling = handle_dangling and bool(dang.head(1))
+    n_nodes = nodes.count() if has_dangling else 0
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank")
     ).localCheckpoint()
     for _ in range(n_iter):
+        d_share = 0
+        if has_dangling:
+            d_mass = (
+                ranks.join(dang, "node")
+                .agg(F.sum("rank").alias("__m"))
+                .first()[0]
+                or 0
+            )
+            d_share = int(d_mass) // n_nodes
         contrib = (
             ed.join(ranks, ed.src == ranks.node)
             .select(
@@ -92,7 +120,8 @@ def pagerank_fixed_iters(
                 (
                     F.lit(base)
                     + F.expr(
-                        f"({damping_pct} * coalesce(__in, 0)) div 100"
+                        f"({damping_pct} * (coalesce(__in, 0)"
+                        f" + {d_share})) div 100"
                     )
                 )
                 .cast("long")

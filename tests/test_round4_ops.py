@@ -193,6 +193,46 @@ def test_pagerank_integer_exact_tiny_graph(spark):
     assert got[1] > got[2] == got[3]
 
 
+def test_pagerank_dangling_mass_conserved(spark):
+    from startup_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_iters,
+    )
+
+    # directed chain 1→2→3: node 3 is a sink (no out-edges). Without
+    # redistribution its inbound mass is absorbed; with it, total rank
+    # stays ≈ n_nodes·scale (floor drift only).
+    pairs = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_iters(df, "a", "b", n_iter=3).collect()
+    }
+    # hand-run the integer recurrence with dangling redistribution
+    scale, base, n = 1_000_000, 150_000, 3
+    rank = {1: scale, 2: scale, 3: scale}
+    deg = {1: 1, 2: 1}
+    for _ in range(3):
+        d_share = rank[3] // n
+        contrib = {1: 0, 2: 0, 3: 0}
+        for s, d in pairs:
+            contrib[d] += rank[s] // deg[s]
+        rank = {
+            m: base + (85 * (contrib[m] + d_share)) // 100 for m in rank
+        }
+    assert got == rank
+    # mass conserved to within integer-floor drift (< 0.01% of total)
+    total = sum(got.values())
+    assert abs(total - n * scale) < n * scale * 1e-4
+    # the sink-absorbing variant loses measurably more mass
+    got_off = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_iters(
+            df, "a", "b", n_iter=3, handle_dangling=False
+        ).collect()
+    }
+    assert sum(got_off.values()) < total
+
+
 def test_topk_with_other_conserves_totals(spark):
     rows = [
         ("g1", "a", 10.0), ("g1", "b", 8.0), ("g1", "c", 5.0),
