@@ -432,6 +432,67 @@ def test_streaming_dedup_gate_compacts_generations(spark, tmp_path):
     ) == [10, 20, 30, 41]
 
 
+def test_dedup_gate_mid_compaction_crash_recovery(spark, tmp_path):
+    """The layout claim under test: a crash ANYWHERE inside the
+    compaction leaves either a complete new generation or an invisible
+    partial one, and the next batch sweeps the leftovers and probes
+    correctly. Two crash points are simulated with real directory
+    states: (a) between gen-write and old-gen-delete — both
+    generations on disk, newest valid; (b) mid-write of the sentinel
+    history dir — no _SUCCESS, so the partial generation must be
+    invisible to reads and to the generation listing."""
+    import shutil
+
+    from startup_data_pipeline_spark.streaming.incremental import (
+        _gate_generations,
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "cr_idx")
+    vp = str(tmp_path / "cr_verdicts")
+    handle = make_dedup_gate_handler(spark, idx, vp, compact_every=2)
+    schema = "doc_id long, text string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+
+    handle(mk([(10, "one stable corpus document alpha beta gamma")]), 0)
+    handle(mk([(20, "second unrelated document epsilon zeta eta")]), 1)
+    # snapshot gen=0 as it exists right before the compacting epoch
+    snap = str(tmp_path / "cr_gen0_snapshot")
+    shutil.copytree(f"{idx}/gen=0", snap)
+    # epoch 2 compacts into gen=1 and deletes gen=0 …
+    handle(mk([(30, "third unique text iota kappa lambda mu nu")]), 2)
+    assert sorted(os.listdir(idx)) == ["gen=1"]
+    # … (a) undo the delete: crash happened between gen-write and
+    # gen-delete, so BOTH generations are on disk, gen=1 valid
+    shutil.copytree(snap, f"{idx}/gen=0")
+    assert _gate_generations(spark, idx) == [0, 1]
+    # next batch must sweep gen=0 and probe the compacted history
+    handle(mk([(40, "one stable corpus document alpha beta gamma"),
+               (41, "brand new closing document pi rho sigma tau")]), 3)
+    got = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    assert got[40] == (False, 10)  # matched via gen=1 history
+    assert got[41][0] is True
+    # gen=0 swept; epoch 3 then legitimately compacted gen=1 → gen=2
+    # (gen=1 already carried compact_every committed dirs), so exactly
+    # one generation survives either way
+    assert sorted(os.listdir(idx)) == ["gen=2"], "stale gen not swept"
+
+    # (b) a compaction that died mid-write of the sentinel dir: history
+    # parquet present but no _SUCCESS → generation invisible
+    shutil.copytree(f"{idx}/gen=2/epoch=-1", f"{idx}/gen=3/epoch=-1")
+    os.remove(f"{idx}/gen=3/epoch=-1/_SUCCESS")
+    assert _gate_generations(spark, idx) == [2]
+    handle(mk([(50, "second unrelated document epsilon zeta eta")]), 4)
+    got = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    assert got[50] == (False, 20)  # probed gen=2, not the partial gen=3
+
+
 def test_events_ts_unit_detects_both_generations(spark, sf_dir, tmp_path):
     # the shipped fixture (whatever this generation is) must round-trip
     # through read_events_stream to the same instants load_table yields
