@@ -87,6 +87,10 @@ PROBE = [
     "q_pagerank",
     "q_topk_other",
     "q_lm_score",
+    "q_sketch_rollup",
+    "q_kmeans_clusters",
+    "q_kmeans_assign",
+    "q_stream_dedup",
 ]
 
 
@@ -128,7 +132,13 @@ def main() -> None:
             only = a.split("=", 1)[-1].split(",") if "=" in a else None
     spark = get_spark(
         app_name="spark-graft-scale-probe",
-        extra_conf={"spark.driver.memory": "48g"},
+        # TIMESTAMP_MICROS matches the shipped fixture generation (and is
+        # int64-backed, which the raw-long streaming schema can read);
+        # the session default INT96 cannot be read as bigint
+        extra_conf={
+            "spark.driver.memory": "48g",
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     done = os.path.join(SF1, "_GEN_DONE")

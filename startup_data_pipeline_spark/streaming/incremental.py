@@ -19,6 +19,7 @@ supplies the per-run backpressure cap (reference: 20 articles/run).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,13 +59,25 @@ def events_ts_unit(spark: SparkSession, sf_dir: str) -> str:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
-        probe = (
-            spark.read.option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        path, glob = _events_source(sf_dir)
+        reader = spark.read
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        probe = reader.parquet(path)
         return "ns" if dict(probe.dtypes).get("ts") == "bigint" else "us"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+
+def _events_source(sf_dir: str) -> tuple[str, str | None]:
+    """(path, pathGlobFilter) for the events fixture: generated fixtures
+    ship ``events.parquet`` as a single FILE (stream reads need the
+    parent dir + a glob to it), while engine-written replicas (e.g. the
+    sf1 scale corpus) have it as a part-file DIRECTORY the reader can
+    point at directly — a glob naming the directory would match no leaf
+    file and read nothing."""
+    p = os.path.join(sf_dir, "events.parquet")
+    return (p, None) if os.path.isdir(p) else (sf_dir, "events.parquet")
 
 
 def long_ts_to_timestamp(col, unit: str):
@@ -82,11 +95,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # must REMAIN set while the stream runs (micro-batch scans read
         # the nanos column as long lazily) — intentionally not restored
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path, glob = _events_source(sf_dir)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", long_ts_to_timestamp("ts", unit))
 
 
