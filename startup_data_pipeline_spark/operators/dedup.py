@@ -356,6 +356,95 @@ def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
     )
 
 
+def _pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared core of ``jaccard_pairs`` / ``containment_pairs``:
+    (id_a, id_b, n_a, n_b, n_inter) for all doc pairs sharing ≥ 1
+    (un-capped) shingle.
+
+    Three-step projection so Catalyst keeps the expensive shingle array
+    below the Generate: (1) materialize the array once, (2) compute its
+    size in a separate Project (CollapseProject won't inline a
+    non-cheap expression referenced twice), (3) explode. The Generate
+    then retains only (id, n_sh) per exploded row — never the array.
+    explode_outer, not explode: InferFiltersFromGenerate would add
+    size(sh_arr) > 0 for the inner variant, and predicate pushdown then
+    re-inlines the whole shingle expression into a Filter below the
+    repartition — evaluating it twice, once on the unparallelized scan.
+    Null shingles from empty docs drop at the inner join for free.
+
+    df-cap AFTER sizes are fixed: denominators |A|,|B| stay the full
+    set sizes; only intersection counting skips boilerplate shingles.
+    Pairs sharing ONLY capped shingles drop entirely (no signal).
+    """
+    sh = (
+        _tokenized(df, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
+        )
+        .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
+        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
+    )
+    sh = _df_capped(sh, max_df)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_containment: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| (and / |B|) for all
+    pairs sharing ≥ 1 shingle — the subset-duplication detector.
+
+    Jaccard misses the case a dedup pipeline most wants: a short doc
+    wholly quoted inside a long one scores low Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1 on the short side.
+    Standard companion to near-dup scoring (Broder's containment);
+    filter on ``max(containment_a, containment_b)``. Same bounded
+    shingle-join shape and df-cap as ``jaccard_pairs`` — cost tracks
+    true collisions, never n².
+    """
+    out = _pair_intersections(df, id_col, text_col, k, max_df).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_a"), 4
+        ).alias("containment_a"),
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_b"), 4
+        ).alias("containment_b"),
+    )
+    if min_containment > 0.0:
+        out = out.filter(
+            F.greatest("containment_a", "containment_b")
+            >= min_containment
+        )
+    return out
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -379,41 +468,8 @@ def jaccard_pairs(
     AQE picks sort-merge on `shingle` with skew-split for hot
     boilerplate shingles. Jaccard rounded to 4 for oracle stability.
     """
-    # Three-step projection so Catalyst keeps the expensive shingle array
-    # below the Generate: (1) materialize the array once, (2) compute its
-    # size in a separate Project (CollapseProject won't inline a
-    # non-cheap expression referenced twice), (3) explode. The Generate
-    # then retains only (id, n_sh) per exploded row — never the array.
-    # explode_outer, not explode: InferFiltersFromGenerate would add
-    # size(sh_arr) > 0 for the inner variant, and predicate pushdown then
-    # re-inlines the whole shingle expression into a Filter below the
-    # repartition — evaluating it twice, once on the unparallelized scan.
-    # Null shingles from empty docs drop at the inner join for free.
-    sh = (
-        _tokenized(df, id_col, text_col)
-        .select(
-            F.col(id_col).alias("id"),
-            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
-        )
-        .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
-        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
-    )
-    # df-cap AFTER sizes are fixed: denominators |A|,|B| stay the full
-    # set sizes; only intersection counting skips boilerplate shingles.
-    # Pairs sharing ONLY capped shingles drop entirely (no signal).
-    sh = _df_capped(sh, max_df)
-    a = sh.alias("a")
-    b = sh.alias("b")
     out = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        _pair_intersections(df, id_col, text_col, k, max_df)
         .withColumn(
             "jaccard",
             F.round(

@@ -25,6 +25,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_count(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Exact global triangle census over an undirected pair list: one
+    row with ``n_edges``, ``n_wedges`` (open two-paths, Σ C(deg,2)),
+    and ``n_triangles``.
+
+    The standard cohesion/clustering-coefficient input for the near-dup
+    candidate graph: a high triangle density inside LSH candidates
+    means tight duplicate cliques (safe to collapse), while a
+    wedge-heavy triangle-poor graph signals chained false positives —
+    exactly the diagnostic run before trusting transitive dedup.
+
+    Scale shape: the naive wedge enumeration is quadratic in the max
+    degree, so edges are ORIENTED from the (degree, id)-smaller
+    endpoint to the larger (the classic degree-ordered trick): every
+    node's effective out-degree is O(√|E|), wedge output is bounded by
+    Σ C(outdeg,2) ≤ O(|E|^1.5) worst-case and near-linear on real
+    graphs, and each triangle is enumerated exactly once. Two shuffling
+    joins (wedge build on the oriented source, closure probe on the
+    canonical edge key); the reported wedge count is a tiny degree agg.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("(__d * (__d - 1)) div 2"))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    # orient each edge from the (deg, id)-smaller endpoint
+    da = deg.select(
+        F.col("node").alias("u"), F.col("__d").alias("__da")
+    )
+    db = deg.select(
+        F.col("node").alias("v"), F.col("__d").alias("__db")
+    )
+    lesser_first = F.expr(
+        "__da < __db OR (__da = __db AND u < v)"
+    )
+    o = (
+        e.join(da, "u")
+        .join(db, "v")
+        .select(
+            F.when(lesser_first, F.col("u")).otherwise(F.col("v"))
+            .alias("src"),
+            F.when(lesser_first, F.col("v")).otherwise(F.col("u"))
+            .alias("dst"),
+        )
+    ).localCheckpoint()
+    o2 = o.select(
+        F.col("src"), F.col("dst").alias("dst2")
+    )
+    wedges = (
+        o.join(o2, "src")
+        .filter(F.col("dst") < F.col("dst2"))
+        .select(F.col("dst").alias("u"), F.col("dst2").alias("v"))
+    )
+    n_tri = wedges.join(e, ["u", "v"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    # three single-row scalars → one row (broadcast-safe crossJoins)
+    return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(
+        F.broadcast(n_tri)
+    )
+
+
 def pagerank_fixed_iters(
     edges: DataFrame,
     src_col: str,

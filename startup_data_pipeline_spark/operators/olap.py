@@ -121,6 +121,36 @@ def domain_mix_resample(
     )
 
 
+def upsample_epochs(
+    df: DataFrame,
+    domain_col: str,
+    factors: dict[str, int],
+) -> DataFrame:
+    """Deterministic per-domain repetition: emit each row ``factor``
+    times with an ``epoch`` column 1..factor; unlisted domains keep one
+    copy (factor 1).
+
+    The other half of mixture control next to ``domain_mix_resample``:
+    resampling can only shrink a domain, upsampling repeats scarce
+    high-quality domains (the "N epochs of wiki per epoch of web"
+    recipe). The epoch column keeps repeats distinguishable downstream
+    (shard assignment, dedup exemption) and the expansion is RNG-free —
+    exact integer multiplicities, reproducible on any engine.
+
+    Plan: the factor map rides the plan as one literal; explode of a
+    ``sequence(1, factor)`` is map-side — zero shuffle, scan speed at
+    100 TB, output size = Σ factor_d · n_d by construction.
+    """
+    assert all(v >= 1 for v in factors.values()), "factors must be >= 1"
+    fmap = F.create_map(
+        *[F.lit(v) for kv in sorted(factors.items()) for v in kv]
+    )
+    factor = F.coalesce(fmap[F.col(domain_col)], F.lit(1)).cast("int")
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), factor))
+    ).withColumn("epoch", F.col("epoch").cast("long"))
+
+
 def skyline_2d(
     df: DataFrame,
     min_col: str,

@@ -784,6 +784,124 @@ def ngram_lm_score(
     )
 
 
+def doc_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-novelty score per document: the share of its DISTINCT
+    bigrams that appear in no other document (corpus df == 1).
+
+    The complement of the LM fluency score: ``ngram_lm_score`` rewards
+    transitions the corpus has seen, this measures what the corpus has
+    NOT seen — high novelty marks genuinely fresh material worth
+    keeping through aggressive dedup (or, at the extreme, OCR noise;
+    combine with ``rare_token_docs``). Same engine shape as
+    ``rare_token_docs``: per-doc-distinct explode (array_distinct is
+    map-side, so a bigram's df counts documents), one exchange on
+    bigram with the df window riding it, one doc-keyed agg. Docs with
+    < 2 tokens have no bigrams and drop out, mirroring explode
+    semantics.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("__t"), i),
+            F.element_at(F.col("__t"), i + 1),
+        ),
+    )
+    ex = ensure_min_parallelism(base).select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size("__t") >= 2, F.array_distinct(bigrams)).otherwise(
+                F.array()
+            )
+        ).alias("bigram"),
+    )
+    w = Window.partitionBy("bigram")
+    flagged = ex.withColumn("__df", F.count(F.lit(1)).over(w))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.count_if(F.col("__df") == 1).cast("long").alias("n_novel"),
+        F.round(
+            F.count_if(F.col("__df") == 1).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("novelty_rate"),
+    )
+
+
+def split_balance(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    mod: int = 100,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Split-composition audit: per (split, domain) doc/token counts and
+    the integer-ppm token-share delta vs the corpus-wide domain share.
+
+    The check that a hash split didn't skew the mixture: each split
+    should hold domains in the same proportion as the whole corpus, and
+    a large ``delta_ppm`` flags correlation between the id hash and a
+    domain (e.g. ids assigned per-source in ranges). Shares are
+    integer-scaled parts-per-million with integer division, so the
+    audit is exact and engine-reproducible.
+
+    Plan: tokens counted map-side, ONE (split, domain) groupBy on the
+    corpus, then window sums over the tiny aggregate (≤ splits ×
+    domains rows) — corpus-scale cost is the single agg exchange.
+    """
+    from pyspark.sql import Window
+
+    labeled = train_split(df, id_col, splits=splits, mod=mod)
+    per = (
+        ensure_min_parallelism(labeled)
+        .select(
+            "split",
+            F.col(domain_col).alias("domain"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+        )
+        .groupBy("split", "domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+    )
+    w_split = Window.partitionBy("split")
+    w_domain = Window.partitionBy("domain")
+    w_all = Window.partitionBy()
+    return per.select(
+        "split",
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"({ppm}L * n_tokens)").alias("__num"),
+        F.sum("n_tokens").over(w_split).alias("__split_tot"),
+        F.sum("n_tokens").over(w_domain).alias("__dom_tot"),
+        F.sum("n_tokens").over(w_all).alias("__all_tot"),
+    ).select(
+        "split",
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.expr("__num div __split_tot").alias("share_ppm"),
+        F.expr(f"({ppm}L * __dom_tot) div __all_tot").alias("corpus_ppm"),
+        (
+            F.expr("__num div __split_tot")
+            - F.expr(f"({ppm}L * __dom_tot) div __all_tot")
+        ).alias("delta_ppm"),
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     id_col: str,

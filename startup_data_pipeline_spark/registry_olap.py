@@ -1739,3 +1739,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return olap.sketch_distinct_rollup(events, "event_type", "user_id")
+
+
+@register(
+    "q_upsample_epochs",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(unnest(range(1, CASE source WHEN 'src0' THEN 3
+                                            WHEN 'src1' THEN 2
+                                            ELSE 1 END + 1)) AS BIGINT)
+               AS epoch
+    FROM documents
+    """,
+    survey_ops="deterministic domain upsampling (training-data mixture "
+    "temperature): each doc repeated factor_d times with an epoch "
+    "column, unlisted domains once — RNG-free exact multiplicities; "
+    "factor map is one plan literal, sequence-explode map-side, zero "
+    "shuffle (scan speed at 100 TB)",
+)
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.upsample_epochs(
+        docs, "source", {"src0": 3, "src1": 2}
+    ).select("doc_id", "source", "epoch")

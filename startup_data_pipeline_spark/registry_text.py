@@ -1451,3 +1451,226 @@ def q_cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.ngram_lm_score(docs, "doc_id", "text")
+
+
+# Round-5 additions --------------------------------------------------------
+
+@register(
+    "q_doc_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    b AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1]))) AS bigram
+        FROM t
+    ),
+    f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY bigram) AS df FROM b)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) FILTER (df = 1) AS BIGINT) AS n_novel,
+           round(CAST(COUNT(*) FILTER (df = 1) AS DOUBLE) / COUNT(*), 4)
+               AS novelty_rate
+    FROM f GROUP BY doc_id
+    """,
+    survey_ops="corpus-novelty score (§2.11 text analysis): share of a "
+    "doc's distinct bigrams with corpus df=1 — the keep-through-dedup "
+    "signal; per-doc-distinct explode, df window rides the one bigram "
+    "exchange (rare_token_docs shape)",
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.doc_novelty(docs, "doc_id", "text")
+
+
+@register(
+    "q_split_balance",
+    oracle=f"""
+    WITH b AS (
+        SELECT source AS domain,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len({_TOKS}) AS BIGINT) AS nt
+        FROM (
+            SELECT source, text,
+                   ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                       AS bucket
+            FROM (SELECT source, text, md5(CAST(doc_id AS VARCHAR)) AS m
+                  FROM documents)
+        )
+    ),
+    per AS (
+        SELECT split, domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1, 2
+    )
+    SELECT split, domain, n_docs, n_tokens,
+           CAST((1000000 * n_tokens)
+               // SUM(n_tokens) OVER (PARTITION BY split) AS BIGINT)
+               AS share_ppm,
+           CAST((1000000 * SUM(n_tokens) OVER (PARTITION BY domain))
+               // SUM(n_tokens) OVER () AS BIGINT) AS corpus_ppm,
+           CAST((1000000 * n_tokens)
+               // SUM(n_tokens) OVER (PARTITION BY split)
+             - (1000000 * SUM(n_tokens) OVER (PARTITION BY domain))
+               // SUM(n_tokens) OVER () AS BIGINT) AS delta_ppm
+    FROM per
+    """,
+    survey_ops="split-composition audit (training-data export QA): per "
+    "(split, domain) token shares vs the corpus mix in exact integer "
+    "ppm — flags id-hash/domain correlation; one corpus agg + window "
+    "sums over the tiny aggregate",
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.split_balance(docs, "doc_id", "source", "text")
+
+
+@register(
+    "q_shingle_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    capped AS (
+        SELECT id, shingle FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_inter,
+           round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS containment_a,
+           round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE greatest(round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4),
+                   round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4)) >= 0.8
+    """,
+    survey_ops="asymmetric shingle containment |A∩B|/|A| (§2.11 near-dup, "
+    "Broder containment): catches short-doc-quoted-in-long-doc that "
+    "Jaccard misses; shares the bounded shingle join + df-cap with "
+    "q_ngram_jaccard",
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", k=3, min_containment=0.8, max_df=50
+    )
+
+
+@register(
+    "q_dup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS docs_removed
+    FROM sizes GROUP BY cluster_size
+    """,
+    survey_ops="dedup yield report (§2.11 capstone companion): cluster-"
+    "size histogram over the near-dup components — n_clusters/n_docs/"
+    "docs_removed per size, the number a pipeline owner actually reads "
+    "after a dedup run; two tiny aggs over the CC output",
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    comp = dedup.connected_components(docs.select("doc_id"), pairs, "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("docs_removed"),
+    )
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    e AS (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        GROUP BY n
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+    survey_ops="triangle census of the near-dup candidate graph "
+    "(dedup QA): degree-ordered oriented wedge join — O(|E|^1.5) "
+    "bound, each triangle once — vs the oracle's canonical 3-way "
+    "join; triangle-poor wedge-heavy graphs flag chained LSH false "
+    "positives before transitive collapse",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    return graph.triangle_count(pairs, "id_a", "id_b")

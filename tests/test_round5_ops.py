@@ -1,0 +1,104 @@
+"""Round-5 operator battery: novelty, split balance, containment,
+triangle census, upsampling. Oracle equivalence is driver-gated via the
+registry; these tests pin the operator-level semantics on corpora tiny
+enough to hand-check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import dedup, graph, olap, text
+
+
+def test_doc_novelty_flags_unshared_bigrams(spark):
+    rows = [
+        (1, "alpha beta gamma"),        # bigrams: alpha beta, beta gamma
+        (2, "alpha beta delta"),        # shares "alpha beta" with doc 1
+        (3, "zz yy"),                   # fully novel single bigram
+        (4, "solo"),                    # < 2 tokens: no bigrams, dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text.doc_novelty(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_bigrams"] == 2 and got[1]["n_novel"] == 1
+    assert got[1]["novelty_rate"] == 0.5
+    assert got[2]["n_bigrams"] == 2 and got[2]["n_novel"] == 1
+    assert got[3]["n_bigrams"] == 1 and got[3]["n_novel"] == 1
+    assert got[3]["novelty_rate"] == 1.0
+
+
+def test_split_balance_exact_integer_shares(spark):
+    rows = [
+        (i, "web" if i % 2 else "code", "tok " * (i % 5 + 1))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text.split_balance(df, "doc_id", "source", "text").collect()
+    # every (split, domain) row's share is an exact integer div and the
+    # delta is share - corpus share, bit-for-bit
+    by_split: dict[str, int] = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_tokens"]
+    all_tot = sum(r["n_tokens"] for r in out)
+    dom_tot: dict[str, int] = {}
+    for r in out:
+        dom_tot[r["domain"]] = dom_tot.get(r["domain"], 0) + r["n_tokens"]
+    for r in out:
+        assert r["share_ppm"] == (10**6 * r["n_tokens"]) // by_split[r["split"]]
+        corpus = (10**6 * dom_tot[r["domain"]]) // all_tot
+        assert r["corpus_ppm"] == corpus
+        assert r["delta_ppm"] == r["share_ppm"] - corpus
+    # shares within a split sum to ~1e6 (floor drift < n_domains)
+    for s in by_split:
+        ssum = sum(r["share_ppm"] for r in out if r["split"] == s)
+        assert 10**6 - 2 <= ssum <= 10**6
+
+
+def test_containment_catches_quoted_subset(spark):
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " and then continues with a great deal of extra " \
+        "unrelated narrative material told at considerable length"
+    rows = [(1, short), (2, long), (3, "completely different text here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.containment_pairs(
+        df, "doc_id", "text", k=3, min_containment=0.9
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == 1.0          # short fully inside long
+    assert r["containment_b"] < 0.6           # but not vice versa
+    # jaccard on the same pair is well below the containment signal
+    j = {
+        (x["id_a"], x["id_b"]): x["jaccard"]
+        for x in dedup.jaccard_pairs(df, "doc_id", "text", k=3).collect()
+    }
+    assert j[(1, 2)] < 0.6
+
+
+def test_triangle_count_tiny_graph(spark):
+    # triangle a-b-c plus pendant c-d: 4 edges, wedges sum C(deg,2)
+    # = 1 + 1 + 3 + 0 = 5, exactly one triangle. Pair list arrives
+    # unordered and with duplicates - canonicalization must absorb both.
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    r = graph.triangle_count(df, "id_a", "id_b").collect()[0]
+    assert r["n_edges"] == 4
+    assert r["n_wedges"] == 5
+    assert r["n_triangles"] == 1
+
+
+def test_upsample_epochs_exact_multiplicities(spark):
+    rows = [(1, "wiki"), (2, "web"), (3, "wiki"), (4, "books")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = olap.upsample_epochs(df, "source", {"wiki": 3, "books": 2}).collect()
+    per_doc: dict[int, list[int]] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert sorted(per_doc[1]) == [1, 2, 3]
+    assert sorted(per_doc[3]) == [1, 2, 3]
+    assert sorted(per_doc[4]) == [1, 2]
+    assert sorted(per_doc[2]) == [1]  # unlisted domain: one copy
