@@ -62,45 +62,46 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-4 window. Slot 1: the single registry query without a driver
-    # CORRECTNESS row (added late in r3, judge-verified green locally) —
-    # certifying it brings cumulative driver certification to 136/136.
-    "q_grouping_sets",
-    # Canaries for every operator changed this round (they re-certify):
-    "q_incremental_dedup_gate",  # gate: short-doc verdicts + intra-batch dedup
-    "q_stream_dedup",            # streaming battery shares gate plumbing
-    "q_near_dup_components",     # CC: early-terminate refinement
-    "q_ann_ivf_trained",         # k-means training: early-exit on fixpoint
-    "q_kmeans_clusters", "q_kmeans_assign", "q_centroid_classify",
-    "q_salted_join",             # salt default re-justified vs AQE skew
-    # New queries registered this round (front of the window so their
-    # first driver sample is this round):
-    "q_domain_mix", "q_cross_split_leakage", "q_rare_token_docs",
-    "q_curriculum_order", "q_skyline_pareto", "q_vocab_coverage",
-    "q_topk_other", "q_pagerank", "q_sketch_rollup", "q_lm_score",
-    # Family-spanning canaries fill the remainder of the 50-slot prefix —
-    # a time-budgeted sample still spans the whole surface.
-    "q_flagship",
-    "q_dedup_survivors", "q_minhash_signatures", "q_lsh_pairs",
-    "q_winnow_fingerprints", "q_simhash64_pairs", "q_ngram_jaccard",
-    "q_contamination_check", "q_segment_dedup",
-    "q_ann_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
-    "q_embedding_near_dup", "q_embedding_quantize",
-    "q_token_stats", "q_quality_gate", "q_train_split",
-    "q_sequence_pack", "q_multimodal_features", "q_frame_sample",
-    "q_reservoir_sample", "q_tfidf_top_terms", "q_pii_scrub",
-    "q_time_parse", "q_heavy_hitters", "q_cohort_retention",
-    "q_pivot_status", "q_unpivot_metrics", "q_set_ops",
-    "q_mad_outliers", "q_name_fuzzy_match",
-    # remaining driver-certified battery (stay registered; sampled last)
-    "q_waiting_orders", "q_best_supplier_per_part", "q_market_share",
-    "q_ntile_deciles", "q_simhash", "q_value_histogram",
-    "q_product_profit", "q_top_supplier", "q_customers_no_orders",
-    "q_priority_line_counts", "q_supplier_variety", "q_returned_revenue",
-    "q_forecast_revenue", "q_excess_shippers", "q_large_orders",
-    "q_approx_stats", "q_small_quantity_revenue", "q_dq_metrics",
-    "q_user_trend", "q_promo_revenue", "q_disjunctive_part_revenue",
-    "q_nation_volume", "q_value_share",
+    # Round-5 window. Certification debt is zero (146/146 after r4), so
+    # the window leads with (a) the six queries registered this round —
+    # their FIRST driver sample — then (b) one canary per operator
+    # changed this round, then (c) stale rotation: 37 of the 48 queries
+    # whose latest green row is still round 1 (the 11 deferred to round
+    # 6 are either judge-re-verified this cycle or pure column-function
+    # projections with no moving parts underneath).
+    "q_doc_novelty", "q_split_balance", "q_shingle_containment",
+    "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
+    # (b) canaries for round-5 changes:
+    "q_lm_score",               # ngram_lm_score: tokenize-once + pre-agg
+    "q_vocab_coverage",         # zero-token sentinel (both sides)
+    "q_domain_mix",             # zero-row target domains -> unit 0
+    "q_pagerank",               # dangling-mass redistribution
+    "q_ngram_jaccard",          # refactored through _pair_intersections
+    "q_stream_dedup",           # events source file-vs-dir detection
+    "q_incremental_dedup_gate", # gate: fail-fast index read, FS factory
+    # (c) round-1-certified rotation (oldest first priority):
+    "q_pricing_summary", "q_exact_dedup", "q_job_aggs",
+    "q_anti_join_seen", "q_semi_join_exists",
+    "q_alert_filter", "q_asof_join", "q_range_join",
+    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
+    "q_bloom_semi_join", "q_cap_newest", "q_careers_link",
+    "q_cube_lineitem", "q_customer_distribution",
+    "q_deterministic_sample", "q_doc_length_percentiles",
+    "q_event_gaps", "q_gap_fill_locf", "q_incremental_agg",
+    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
+    "q_recency_filter", "q_rollup_orders", "q_running_total",
+    "q_scd2_history", "q_score_topk", "q_sessionize",
+    "q_sheet_projection", "q_shipping_priority", "q_sliding_window",
+    "q_snapshot_diff", "q_tumbling_window", "q_union_sources",
+    "q_window_topk",
+    # --- 50-slot window boundary ---
+    # round-1 certified, deferred to the round-6 window:
+    "q_upsert_merge", "q_tld_explode", "q_waterfall_coalesce",
+    "q_udtf_char_windows",      # judge re-verified green this cycle
+    "q_json_serialize", "q_json_repair", "q_json_extract",
+    "q_keyword_filter", "q_provider_map", "q_tier_case",
+    "q_blocklist_filter",       # stateless column projections
+    # round-2 certified (next-oldest; round-6 rotation pulls from here):
     "q_name_normalize", "q_funnel_stages", "q_token_entropy",
     "q_ewma", "q_jsonl_source", "q_variant_json",
     "q_bpe_tokens", "q_moving_median", "q_simhash_pairs",
@@ -110,6 +111,32 @@ _PRIORITY: list[str] = [
     "q_decode_image", "q_resize_image", "q_connector_pipeline",
     "q_stream_sessionize", "q_stream_funnel", "q_stream_tumbling",
     "q_stream_stateful_totals",
+    # round-3 certified:
+    "q_waiting_orders", "q_best_supplier_per_part", "q_market_share",
+    "q_ntile_deciles", "q_simhash", "q_value_histogram",
+    "q_product_profit", "q_top_supplier", "q_customers_no_orders",
+    "q_priority_line_counts", "q_supplier_variety", "q_returned_revenue",
+    "q_forecast_revenue", "q_excess_shippers", "q_large_orders",
+    "q_approx_stats", "q_small_quantity_revenue", "q_dq_metrics",
+    "q_user_trend", "q_promo_revenue", "q_disjunctive_part_revenue",
+    "q_nation_volume", "q_value_share",
+    # round-4 certified (freshest; family canaries remain registered):
+    "q_flagship", "q_grouping_sets", "q_near_dup_components",
+    "q_ann_ivf_trained", "q_kmeans_clusters", "q_kmeans_assign",
+    "q_centroid_classify", "q_salted_join", "q_cross_split_leakage",
+    "q_rare_token_docs", "q_curriculum_order", "q_skyline_pareto",
+    "q_topk_other", "q_sketch_rollup",
+    "q_dedup_survivors", "q_minhash_signatures", "q_lsh_pairs",
+    "q_winnow_fingerprints", "q_simhash64_pairs",
+    "q_contamination_check", "q_segment_dedup",
+    "q_ann_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
+    "q_embedding_near_dup", "q_embedding_quantize",
+    "q_token_stats", "q_quality_gate", "q_train_split",
+    "q_sequence_pack", "q_multimodal_features", "q_frame_sample",
+    "q_reservoir_sample", "q_tfidf_top_terms", "q_pii_scrub",
+    "q_time_parse", "q_heavy_hitters", "q_cohort_retention",
+    "q_pivot_status", "q_unpivot_metrics", "q_set_ops",
+    "q_mad_outliers", "q_name_fuzzy_match",
 ]
 
 

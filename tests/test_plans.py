@@ -196,15 +196,18 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-4 window must lead with the one never-driver-sampled query,
-    # re-certify every operator changed this round, and keep one canary
-    # per family so a time-budgeted sample still spans the surface
+    # round-5 window must lead with the six queries getting their FIRST
+    # driver sample, re-certify every operator changed this round, and
+    # spend the remainder on the round-1-certified stale rotation
     prefix = list(qs)[:50]
-    assert prefix[0] == "q_grouping_sets"
-    for probe in ["q_incremental_dedup_gate", "q_stream_dedup",
-                  "q_near_dup_components", "q_ann_ivf_trained",
-                  "q_kmeans_clusters", "q_salted_join",
-                  "q_multimodal_features", "q_sequence_pack",
-                  "q_minhash_signatures", "q_lsh_pairs",
-                  "q_flagship"]:
+    assert prefix[:6] == [
+        "q_doc_novelty", "q_split_balance", "q_shingle_containment",
+        "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
+    ]
+    for probe in ["q_lm_score", "q_vocab_coverage", "q_domain_mix",
+                  "q_pagerank", "q_ngram_jaccard", "q_stream_dedup",
+                  "q_incremental_dedup_gate",
+                  # stale-rotation spot checks (certified r1, sampled now)
+                  "q_pricing_summary", "q_exact_dedup", "q_asof_join",
+                  "q_sessionize", "q_window_topk"]:
         assert probe in prefix, probe
