@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Steady-state probe for the streaming dedup gate (VERDICT r4 item 7).
+
+The gate's production claim is that generation compaction keeps the
+per-trigger index read at O(compact_every) directories instead of
+growing with trigger count. One-batch benchmarks (q_incremental_dedup_gate)
+can't certify that; this drives ``make_dedup_gate_handler`` directly for
+N epochs over equal slices of the sf documents table and reports
+per-batch wall times, so first-vs-last flatness (through at least one
+compaction boundary) is measurable.
+
+Usage: python scripts/gate_steady_state.py [--epochs 32] [--compact-every 8]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+Output: one JSON line {"epochs": N, "compact_every": K,
+"batch_s": [...], "first4_mean": x, "last4_mean": y, "ratio": y/x}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.session import get_spark
+from startup_data_pipeline_spark.sources.tables import load_table
+from startup_data_pipeline_spark.streaming.incremental import (
+    make_dedup_gate_handler,
+)
+
+
+def main() -> None:
+    epochs = 32
+    compact_every = 8
+    if "--epochs" in sys.argv:
+        epochs = int(sys.argv[sys.argv.index("--epochs") + 1])
+    if "--compact-every" in sys.argv:
+        compact_every = int(sys.argv[sys.argv.index("--compact-every") + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    spark = get_spark(
+        app_name="spark-graft-gate-steady",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic equal slices standing in for arrival micro-batches
+    sliced = docs.withColumn(
+        "__slice", F.pmod(F.xxhash64("doc_id"), F.lit(epochs))
+    ).localCheckpoint()
+
+    work = tempfile.mkdtemp(prefix="gate_steady_")
+    index_path = os.path.join(work, "index")
+    verdict_path = os.path.join(work, "verdicts")
+    handle = make_dedup_gate_handler(
+        spark, index_path, verdict_path, compact_every=compact_every
+    )
+
+    batch_s = []
+    try:
+        for e in range(epochs):
+            batch = sliced.filter(F.col("__slice") == e).drop("__slice")
+            t0 = time.time()
+            handle(batch, e)
+            batch_s.append(round(time.time() - t0, 3))
+        n_admit = spark.read.parquet(verdict_path).filter(
+            F.col("admitted")
+        ).count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    first4 = sum(batch_s[:4]) / 4
+    last4 = sum(batch_s[-4:]) / 4
+    print(
+        json.dumps(
+            {
+                "epochs": epochs,
+                "compact_every": compact_every,
+                "admitted": n_admit,
+                "batch_s": batch_s,
+                "first4_mean": round(first4, 3),
+                "last4_mean": round(last4, 3),
+                "ratio": round(last4 / first4, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
