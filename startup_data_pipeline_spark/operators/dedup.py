@@ -822,6 +822,45 @@ def connected_components(
     )
 
 
+def soft_dedup_weights(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, weight
+    every document by the inverse of its duplicate-cluster size —
+    ``weight_ppm = scale div cluster_size`` — so a training sampler can
+    keep all copies but down-sample each cluster to unit total mass
+    (the SoftDeDup idea: hard removal loses the distributional signal
+    that popular content IS popular; inverse weighting keeps it while
+    killing the over-representation).
+
+    Output: one row per id — (id, component, cluster_size, weight_ppm),
+    integer-exact (ppm units, integer division) so any engine
+    reproduces it bit-for-bit.
+
+    Scale shape: rides ``connected_components`` (edges co-partitioned
+    once, O(log diameter) rounds), then ONE count aggregation over the
+    (id, component) labels and ONE join back keyed on component — both
+    share the component hash partitioning, and rows are two longs wide.
+    Isolated docs (no near-dup edges) form singleton clusters and get
+    full weight without ever entering the iteration.
+    """
+    comp = connected_components(ids, pairs, id_col)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col(id_col),
+        "component",
+        "cluster_size",
+        F.expr(f"CAST({scale} div cluster_size AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,

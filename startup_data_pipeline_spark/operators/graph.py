@@ -107,6 +107,80 @@ def triangle_count(
     )
 
 
+def bfs_hops(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    seeds: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS hop distance over an undirected pair list:
+    every node gets the minimum number of hops from the nearest seed,
+    or -1 if unreachable within ``max_hops``.
+
+    The graph-proximity primitive the dedup/contamination stack needs
+    next to components and PageRank: "how far is this document from a
+    known-bad cluster" (2 hops from a flagged near-dup = review queue),
+    seed-set expansion for curation, and blast-radius sizing before a
+    takedown. The reference's nearest shape is the seen-set transitive
+    chain (``upsert.py:62-85``) that CC generalizes; BFS adds the
+    distance dimension.
+
+    Scale shape: level-synchronous frontier expansion — per hop, ONE
+    join of the frontier against edges hash-partitioned once on ``src``
+    and reused every round, one anti-join against the settled set
+    (digests-width rows, never text), and a localCheckpoint to truncate
+    lineage. The frontier is the only per-round shuffle input, so cost
+    tracks the reachable set, not the corpus; rounds are bounded by
+    ``max_hops``, the production choice for proximity queries (exact
+    eccentricity polling buys nothing at 100 TB). Early-exits when a
+    frontier comes back empty via the same Observation-on-checkpoint
+    trick as ``dedup.connected_components`` — zero extra jobs.
+    """
+    from pyspark.sql import Observation
+
+    e = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    n_edges = e.count()
+    npart = max(4, n_edges // 2_000_000 + 1)
+    e = e.repartition(npart, "src").persist()
+    settled = (
+        seeds.select(F.col(id_col).alias("node"))
+        .dropDuplicates()
+        .select("node", F.lit(0).cast("int").alias("hop"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        obs = Observation()
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hop"))
+            .observe(obs, F.count(F.lit(1)).alias("n_new"))
+            .localCheckpoint()
+        )
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        if obs.get["n_new"] == 0:
+            break
+    e.unpersist()
+    return ids.select(F.col(id_col)).join(
+        settled, ids[id_col] == settled.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("hop", F.lit(-1)).cast("int").alias("hop"),
+    )
+
+
 def pagerank_fixed_iters(
     edges: DataFrame,
     src_col: str,

@@ -223,3 +223,139 @@ def gap_fill_locf(
         F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
         F.last("day_value", ignorenulls=True).over(wl).alias("locf_value"),
     )
+
+
+def interval_max_concurrency(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    dur_s_col: Column,
+) -> DataFrame:
+    """Peak concurrency per (group, day): the maximum number of
+    half-open intervals ``[ts, ts + dur)`` simultaneously active, by
+    the classic sweep line — +1 at each start, -1 at each end, running
+    sum, max. The capacity-planning / sessions-in-flight query that a
+    naive formulation writes as an interval self-join (quadratic on hot
+    groups).
+
+    Scale shape: intervals are first SPLIT at day boundaries (one
+    map-side Generate per interval, pieces = days spanned, bounded by
+    duration), so the sweep's sort window is partitioned by
+    (group, day) — bounded state per partition regardless of corpus
+    size, the same trick that keeps curriculum_order off a
+    single-partition global window. Ends sort before starts at equal
+    timestamps (delta ascending), so touching intervals never
+    double-count. One shuffle total (the window partition), then a
+    map-side-combinable max.
+    """
+    iv = df.select(
+        F.col(group_col),
+        F.col(ts_col).alias("__s"),
+        (
+            F.col(ts_col)
+            + F.make_dt_interval(secs=dur_s_col.cast("double"))
+        ).alias("__e"),
+    )
+    pieces = (
+        iv.select(
+            group_col,
+            "__s",
+            "__e",
+            F.explode(
+                F.sequence(
+                    F.to_date("__s"),
+                    F.to_date(F.col("__e") - F.expr("INTERVAL 1 MICROSECOND")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+        .select(
+            group_col,
+            "day",
+            F.greatest(F.col("__s"), F.col("day").cast("timestamp")).alias(
+                "piece_s"
+            ),
+            F.least(
+                F.col("__e"),
+                F.date_add(F.col("day"), 1).cast("timestamp"),
+            ).alias("piece_e"),
+        )
+        .filter(F.col("piece_s") < F.col("piece_e"))
+    )
+    points = pieces.select(
+        group_col,
+        "day",
+        F.col("piece_s").alias("pt"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        pieces.select(
+            group_col,
+            "day",
+            F.col("piece_e").alias("pt"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col, "day")
+        .orderBy("pt", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = points.select(
+        group_col,
+        "day",
+        F.sum("delta").over(w).alias("__running"),
+    )
+    return swept.groupBy(group_col, "day").agg(
+        F.max("__running").cast("int").alias("max_concurrent")
+    ).select(
+        F.col(group_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "max_concurrent",
+    )
+
+
+def sliding_distinct_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact trailing-N-day distinct users per day (rolling WAU/MAU).
+
+    ``COUNT(DISTINCT ...) OVER (RANGE N DAYS)`` is unsupported in every
+    MPP engine for a reason — distinct state can't merge across frames.
+    The scalable exact formulation: each (day, user) contributes to the
+    ``window_days`` window-end days it falls inside — a map-side
+    Generate of N day-offsets — then one distinct + count per
+    window day. Row inflation is exactly N× the per-day-distinct rows
+    (already a fraction of raw events), all shuffles carry (date, id)
+    pairs, and both aggregations are partial-agg friendly. Windows are
+    emitted for every day reachable from an event (including trailing
+    ones past the last event day), which mirrors the SQL formulation
+    exactly.
+    """
+    per_day = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(user_col).alias("user"),
+        )
+        .dropDuplicates()
+    )
+    contrib = per_day.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda o: F.date_add(F.col("day"), o),
+            )
+        ).alias("window_day"),
+        "user",
+    )
+    return (
+        contrib.dropDuplicates()
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("distinct_users"))
+        .select(
+            F.date_format("window_day", "yyyy-MM-dd").alias("window_day"),
+            "distinct_users",
+        )
+    )

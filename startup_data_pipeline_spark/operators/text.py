@@ -249,6 +249,97 @@ def segment_dedup_stats(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every text
+    segment that occurs in MORE than ``max_df`` distinct documents
+    (headers, footers, cookie banners, licence blurbs — content whose
+    document frequency, not its first occurrence, marks it as
+    boilerplate) and rebuild each document from its surviving segments
+    in order.
+
+    Differs from ``segment_dedup_stats`` (keep the FIRST copy of every
+    segment) in both semantics and output: here a high-df segment is
+    removed from ALL documents including the first, and the cleaned
+    text itself is reconstructed — the transform a curation pipeline
+    actually applies before tokenization.
+
+    Output: (id, n_segments, n_kept, clean_text) with clean_text the
+    space-joined surviving segments in original order ('' when
+    everything was boilerplate or the doc was empty).
+
+    Scale shape: one Generate (posexplode) per doc; the df count
+    shuffles 32-byte digests after an (id, hash) distinct whose
+    partial aggregation is map-side; the verdict joins back on the
+    digest and shares that exchange. Reassembly is one groupBy(id) of
+    (pos, segment-text) pairs with an array_sort — the only stage that
+    moves text, and it moves each surviving segment exactly once.
+    """
+    seg = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__tk"))
+        .select(F.col(id_col), F.size("__tk").alias("__n"), "__tk")
+        .select(
+            F.col(id_col),
+            F.posexplode_outer(
+                F.when(
+                    F.col("__n") > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n"), F.lit(seg_tokens)),
+                        lambda s: F.concat_ws(
+                            " ", F.slice("__tk", s, F.lit(seg_tokens))
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("pos", "seg_text"),
+        )
+        .withColumn("seg_hash", F.md5("seg_text"))
+    )
+    dfc = (
+        seg.filter(F.col("seg_hash").isNotNull())
+        .select(F.col(id_col), "seg_hash")
+        .dropDuplicates()
+        .groupBy("seg_hash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    marked = seg.join(dfc, "seg_hash", "left").select(
+        F.col(id_col),
+        "pos",
+        "seg_text",
+        (F.col("seg_hash").isNotNull() & (F.col("__df") <= max_df)).alias(
+            "__keep"
+        ),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count_if(F.col("seg_text").isNotNull())
+        .cast("long")
+        .alias("n_segments"),
+        F.count_if(F.col("__keep")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(
+                                F.col("pos").alias("p"),
+                                F.col("seg_text").alias("s"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

@@ -1298,3 +1298,86 @@ def q_udtf_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return temporal.gap_fill_locf(ev, "user_id", "ts", "value")
+
+
+@register(
+    "q_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_type,
+               ts AS s,
+               ts + (CAST(floor(value) AS BIGINT) % 900 + 60)
+                    * INTERVAL 1 SECOND AS e
+        FROM events
+    ),
+    pieces AS (
+        SELECT event_type,
+               CAST(day AS DATE) AS day,
+               greatest(s, CAST(CAST(day AS DATE) AS TIMESTAMP)) AS ps,
+               least(e, CAST(CAST(day AS DATE) + 1 AS TIMESTAMP)) AS pe
+        FROM (
+            SELECT event_type, s, e,
+                   unnest(generate_series(
+                       CAST(s AS DATE),
+                       CAST(e - INTERVAL 1 MICROSECOND AS DATE),
+                       INTERVAL 1 DAY)) AS day
+            FROM iv
+        )
+        WHERE greatest(s, CAST(CAST(day AS DATE) AS TIMESTAMP))
+            < least(e, CAST(CAST(day AS DATE) + 1 AS TIMESTAMP))
+    ),
+    points AS (
+        SELECT event_type, day, ps AS pt, 1 AS delta FROM pieces
+        UNION ALL
+        SELECT event_type, day, pe AS pt, -1 AS delta FROM pieces
+    ),
+    swept AS (
+        SELECT event_type, day,
+               SUM(delta) OVER (
+                   PARTITION BY event_type, day ORDER BY pt, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running
+        FROM points
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(MAX(running) AS INTEGER) AS max_concurrent
+    FROM swept GROUP BY event_type, day
+    """,
+    survey_ops="interval peak concurrency (§2.5/§2.8 extension): "
+    "sweep-line max of simultaneously-active [ts, ts+dur) intervals "
+    "per (event_type, day) — intervals split at day boundaries so the "
+    "sort window is (group, day)-partitioned with bounded state, never "
+    "the quadratic interval self-join and never a single-partition "
+    "global sort",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dur = F.floor(F.col("value")).cast("long") % 900 + 60
+    return temporal.interval_max_concurrency(ev, "event_type", "ts", dur)
+
+
+@register(
+    "q_sliding_distinct",
+    oracle="""
+    WITH per_day AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT day + o AS window_day, user_id
+        FROM per_day
+        CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(o)
+    )
+    SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+           CAST(COUNT(*) AS BIGINT) AS distinct_users
+    FROM contrib GROUP BY window_day
+    """,
+    survey_ops="exact trailing-7-day distinct users per day (§2.5 "
+    "extension; rolling WAU): COUNT(DISTINCT) OVER RANGE is "
+    "unsupported in every MPP engine, so each (day, user) fans out to "
+    "its 7 window-end days map-side and one distinct+count per window "
+    "day finishes it — bounded inflation, partial-agg-friendly, no "
+    "per-day full rescans",
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.sliding_distinct_users(ev, "user_id", "ts", window_days=7)

@@ -1674,3 +1674,166 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
     return graph.triangle_count(pairs, "id_a", "id_b")
+
+
+@register(
+    "q_soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.component, s.cluster_size,
+           CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+    FROM comp c JOIN sizes s USING (component)
+    """,
+    survey_ops="soft deduplication (\u00a72.11 dedup): keep every near-dup "
+    "copy but weight it 1/cluster_size (integer ppm) so a training "
+    "sampler preserves popularity signal without over-representation "
+    "- SoftDeDup; rides the co-partitioned CC iteration plus one "
+    "count agg and one component-keyed join",
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    return dedup.soft_dedup_weights(docs.select("doc_id"), pairs, "doc_id")
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
+    seg AS (
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS pos,
+               segs[i] AS seg_text
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, len(tk), 8),
+                       s -> array_to_string(list_slice(tk, s, s + 7), ' ')
+                   ) AS segs
+            FROM t
+        )
+        CROSS JOIN unnest(generate_series(1, len(segs))) AS u(i)
+    ),
+    dfc AS (
+        SELECT seg_text, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1
+    ),
+    marked AS (
+        SELECT seg.doc_id, seg.pos, seg.seg_text, dfc.df <= 2 AS keep
+        FROM seg JOIN dfc USING (seg_text)
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(seg_text, ' ' ORDER BY pos)
+                            FILTER (keep), '') AS clean_text
+        FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.n_segments, 0) AS n_segments,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    survey_ops="boilerplate removal (\u00a72.11 text curation, "
+    "CCNet/RefinedWeb line-dedup analog): drop every 8-token segment "
+    "occurring in >2 distinct documents and REBUILD the cleaned text "
+    "in order; df counts shuffle 32-byte digests, the verdict join "
+    "shares the digest exchange, and reassembly moves each surviving "
+    "segment exactly once",
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_strip(
+        docs, "doc_id", "text", seg_tokens=8, max_df=2
+    )
+
+
+@register(
+    "q_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+        SELECT vec_id, {_QUANT} AS v,
+               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, embedding,
+                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
+                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
+                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
+                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
+              FROM embeddings)
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                  i -> a.v[i] * b.v[i])) >= 32000000
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+        SELECT vec_id AS node, 0 AS hop FROM embeddings WHERE vec_id < 10
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hop < 6
+    )
+    SELECT v.vec_id,
+           CAST(COALESCE(MIN(w.hop), -1) AS INTEGER) AS hop
+    FROM embeddings v LEFT JOIN walk w ON w.node = v.vec_id
+    GROUP BY v.vec_id
+    """,
+    survey_ops="multi-source BFS hop distance (graph battery, with CC/"
+    "PageRank/triangles): how far is each vector from the nearest "
+    "seed across the near-dup graph, capped at 6 hops (-1 "
+    "unreachable) - blast-radius sizing / review-queue triage; "
+    "level-synchronous frontier joins against once-partitioned edges, "
+    "cost tracks the reachable set",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.near_dup_pairs(
+        emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
+    )
+    seeds = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    return graph.bfs_hops(emb.select("vec_id"), pairs, "vec_id", seeds, max_hops=6)

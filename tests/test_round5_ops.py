@@ -102,3 +102,144 @@ def test_upsample_epochs_exact_multiplicities(spark):
     assert sorted(per_doc[3]) == [1, 2, 3]
     assert sorted(per_doc[4]) == [1, 2]
     assert sorted(per_doc[2]) == [1]  # unlisted domain: one copy
+
+
+def test_soft_dedup_weights_inverse_cluster_size(spark):
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    # components: {1,2,3} via chain, {4,5}, {6} singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.soft_dedup_weights(ids, pairs, "doc_id").collect()
+    }
+    assert got[1]["cluster_size"] == 3 and got[1]["weight_ppm"] == 333333
+    assert got[2]["component"] == 1 and got[3]["component"] == 1
+    assert got[4]["cluster_size"] == 2 and got[4]["weight_ppm"] == 500000
+    assert got[6]["cluster_size"] == 1 and got[6]["weight_ppm"] == 1000000
+    # total soft mass ≈ number of clusters (floor drift only)
+    assert sum(r["weight_ppm"] for r in got.values()) == 3 * 10**6 - 1
+
+
+def test_boilerplate_strip_drops_high_df_segments(spark):
+    # 8-token boilerplate segment shared by three docs + unique tails
+    bp = "one two three four five six seven eight"
+    rows = [
+        (1, bp + " unique alpha tail"),
+        (2, bp + " unique beta tail"),
+        (3, bp + " unique gamma tail"),
+        (4, "completely different text here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text.boilerplate_strip(
+            df, "doc_id", "text", seg_tokens=8, max_df=2
+        ).collect()
+    }
+    # docs 1-3: 2 segments (8 bp tokens + 3-token tail); bp dropped in ALL
+    for d in (1, 2, 3):
+        assert got[d]["n_segments"] == 2
+        assert got[d]["n_kept"] == 1
+        assert got[d]["clean_text"].startswith("unique")
+        assert "one two" not in got[d]["clean_text"]
+    assert got[4]["n_kept"] == 1
+    assert got[4]["clean_text"] == "completely different text here"
+    assert got[5]["n_segments"] == 0 and got[5]["clean_text"] == ""
+
+
+def test_boilerplate_strip_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    out = text.boilerplate_strip(
+        df, "doc_id", "text", seg_tokens=8, max_df=2
+    ).collect()[0]
+    assert out["n_segments"] == 3
+    assert out["clean_text"] == " ".join(f"w{i}" for i in range(20))
+
+
+def test_bfs_hops_levels_and_unreachable(spark):
+    ids = spark.createDataFrame([(i,) for i in range(7)], "vec_id long")
+    # path 0-1-2-3, edge 4-5 (unreachable from seed 0), 6 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(0,)], "vec_id long")
+    got = {
+        r["vec_id"]: r["hop"]
+        for r in graph.bfs_hops(ids, pairs, "vec_id", seeds, max_hops=6).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1, 6: -1}
+
+
+def test_bfs_hops_cap_and_multi_seed(spark):
+    ids = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    chain = [(i, i + 1) for i in range(9)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    seeds = spark.createDataFrame([(0,), (9,)], "vec_id long")
+    got = {
+        r["vec_id"]: r["hop"]
+        for r in graph.bfs_hops(ids, pairs, "vec_id", seeds, max_hops=2).collect()
+    }
+    # distance to NEAREST seed, capped at 2 hops
+    assert got[0] == 0 and got[9] == 0
+    assert got[1] == 1 and got[8] == 1
+    assert got[2] == 2 and got[7] == 2
+    assert got[3] == -1 and got[6] == -1
+
+
+def test_interval_max_concurrency_sweep(spark):
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = [
+        # three overlapping at 00:02 on one day
+        (1, "a", "2024-01-01 00:00:00", 300),
+        (2, "a", "2024-01-01 00:01:00", 300),
+        (3, "a", "2024-01-01 00:02:00", 300),
+        # touching intervals never overlap (half-open)
+        (4, "b", "2024-01-02 10:00:00", 60),
+        (5, "b", "2024-01-02 10:01:00", 60),
+        # crosses midnight: one piece per day
+        (6, "c", "2024-01-03 23:59:30", 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, dur long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["event_type"], r["day"]): r["max_concurrent"]
+        for r in temporal.interval_max_concurrency(
+            df, "event_type", "ts", F.col("dur")
+        ).collect()
+    }
+    assert out[("a", "2024-01-01")] == 3
+    assert out[("b", "2024-01-02")] == 1
+    assert out[("c", "2024-01-03")] == 1
+    assert out[("c", "2024-01-04")] == 1
+
+
+def test_sliding_distinct_users_window(spark):
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = [
+        (1, "2024-01-01 05:00:00"),
+        (2, "2024-01-01 06:00:00"),
+        (1, "2024-01-05 05:00:00"),
+        (3, "2024-01-09 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["window_day"]: r["distinct_users"]
+        for r in temporal.sliding_distinct_users(df, "user_id", "ts", 7).collect()
+    }
+    # window ending Jan 7 covers Jan 1-7: users {1, 2}
+    assert got["2024-01-07"] == 2
+    # window ending Jan 11 covers Jan 5-11: users {1, 3}
+    assert got["2024-01-11"] == 2
+    # window ending Jan 1 covers only Jan 1
+    assert got["2024-01-01"] == 2
