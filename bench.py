@@ -91,6 +91,21 @@ HEADLINE = [
     "q_pagerank",
     "q_topk_other",
     "q_lm_score",
+    # round-5 additions (the shuffle-bearing ones; upsample_epochs and
+    # vocab_coverage stay out as pure map-side scans)
+    "q_doc_novelty",
+    "q_split_balance",
+    "q_shingle_containment",
+    "q_dup_cluster_stats",
+    "q_triangle_count",
+    "q_soft_dedup_weights",
+    "q_boilerplate_strip",
+    "q_bfs_hops",
+    "q_max_concurrency",
+    "q_sliding_distinct",
+    "q_bpe_merge_pairs",
+    "q_pq_ann",
+    "q_knn_graph",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -91,6 +91,21 @@ PROBE = [
     "q_kmeans_clusters",
     "q_kmeans_assign",
     "q_stream_dedup",
+    # round-5 additions
+    "q_doc_novelty",
+    "q_split_balance",
+    "q_shingle_containment",
+    "q_dup_cluster_stats",
+    "q_triangle_count",
+    "q_soft_dedup_weights",
+    "q_boilerplate_strip",
+    "q_bfs_hops",
+    "q_max_concurrency",
+    "q_sliding_distinct",
+    "q_bpe_merge_pairs",
+    "q_pq_ann",
+    "q_knn_graph",
+    "q_zorder_key",
 ]
 
 

@@ -509,6 +509,205 @@ def kmeans_assign_seeded(
     )
 
 
+def _pq_codebooks(
+    qdf: DataFrame, m: int, k: int
+) -> list[list[list[int]]]:
+    """Seeded PQ codebooks: subspace ``j``'s codewords are the j-th
+    subvectors of the k lowest-id vectors (the same deterministic
+    seeding contract as ``kmeans_assign_seeded`` — no RNG, any engine
+    re-derives them)."""
+    seeds = qdf.orderBy("vid").limit(k).collect()
+    dims = len(seeds[0]["qv"])
+    sub = dims // m
+    return [
+        [list(r["qv"][j * sub : (j + 1) * sub]) for r in seeds]
+        for j in range(m)
+    ]
+
+
+def _pq_sub_dists(subv: Column, book: list[list[int]]) -> Column:
+    """Exact squared distances from one subvector to every codeword of
+    one codebook — index-aligned array, one nested literal.
+
+    (A dedicated factory, not an inline ``lambda c, sv=subv``: PySpark
+    treats a two-parameter lambda as an (element, index) function and
+    would bind the INT index where the subvector belongs.)
+    """
+    return F.transform(
+        _centroids_lit(book),
+        lambda c: F.aggregate(
+            F.zip_with(subv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into ``m``
+    subspaces, snap each subvector to its nearest of ``k`` codewords,
+    and emit the code tuple plus the exact reconstruction error.
+
+    The memory side of ANN at 100 TB: a 64-dim float vector (256 B)
+    becomes m=4 one-byte codes — a 64× compression that turns a
+    network-bound candidate join into a CPU-bound table lookup
+    (FAISS-IVFPQ's storage layout, re-expressed as a Spark scan).
+
+    Determinism: quantized integer math throughout, seeded codebooks
+    (k lowest-id vectors), ties to the lowest codeword index — an
+    oracle re-derives codes and errors bit-for-bit.
+
+    Scale shape: codebooks ride the plan as m nested-array literals
+    (O(1) plan size in k·dims, same rationale as ``_centroids_lit``),
+    so encoding is a SHUFFLE-FREE scan: no join, no aggregation, no
+    exchange. Output rows are m small ints + one long per vector.
+    """
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    books = _pq_codebooks(qdf, m, k)
+    sub = len(books[0][0])
+    cols = [F.col("vid")]
+    err = F.lit(0).cast("long")
+    for j in range(m):
+        dists = _pq_sub_dists(F.slice("qv", j * sub + 1, sub), books[j])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code_{j}")
+        )
+        err = err + F.array_min(dists)
+    cols.append(err.alias("recon_err"))
+    return qdf.select(*cols)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    topk: int = 5,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search: database vectors are
+    PQ codes; each query pre-computes an m×k lookup table of exact
+    subspace distances to every codeword, and a candidate's distance is
+    m table lookups summed — never a full-dimension dot product.
+
+    Scale shape: the database side is the shuffle-free ``pq_encode``
+    scan (m bytes/vector in flight, not dims·4); queries broadcast with
+    their lookup tables attached (|Q|·m·k longs); scoring is a
+    broadcast join + per-row ``element_at`` lookups; per-query top-k is
+    a rank window partitioned by query. The asymmetric trick keeps
+    full-precision queries against compressed candidates — recall close
+    to exact at 1/64 the candidate bytes.
+    """
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    books = _pq_codebooks(qdf, m, k)
+    sub = len(books[0][0])
+    db = pq_encode(embeddings, id_col, vec_col, m=m, k=k).withColumn(
+        "codes", F.array(*[F.col(f"code_{j}") for j in range(m)])
+    )
+    # per-query lookup tables: tables[j][c] = d(q_sub_j, codeword_c)
+    tables = F.array(
+        *[
+            _pq_sub_dists(F.slice("qv", j * sub + 1, sub), books[j])
+            for j in range(m)
+        ]
+    )
+    queries = (
+        qdf.filter(F.col("vid").isin(query_ids))
+        .select(F.col("vid").alias("query_id"), tables.alias("__t"))
+    )
+    scored = F.broadcast(queries).join(
+        db.select(F.col("vid").alias("neighbor_id"), "codes"),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at("__t", j + 1),
+            F.element_at("codes", j + 1) + 1,
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """LSH-bucketed k-nearest-neighbor GRAPH: every vector's top-k
+    highest-dot-product neighbors within its sign-LSH bucket — the
+    input structure for HNSW/NN-Descent index builds, graph-based
+    diversity sampling, and relabel-by-neighborhood QA (vs the *_topk
+    operators, which search for a handful of query vectors, this ranks
+    neighbors for ALL of them).
+
+    Scale shape: the all-pairs score space is cut to per-bucket blocks
+    by the equi-join on the bucket key (quadratic only within a bucket,
+    bucket count grows with the hyperplane set), the rank window rides
+    the same bucket exchange keyed by the source vector, and emitted
+    rows are capped at k per vector. Ties go to the lower neighbor id.
+    """
+    if dims is None:
+        dims = [0, 1, 2, 3]
+    q = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"),
+        quantize(F.col(vec_col)).alias("qv"),
+        sign_lsh_bucket(quantize(F.col(vec_col)), dims).alias("bucket"),
+    )
+    a = q.select(
+        F.col("vid").alias("vec_id"),
+        F.col("qv").alias("va"),
+        "bucket",
+    )
+    b = q.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("qv").alias("vb"),
+        F.col("bucket").alias("__bb"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("__bb"))
+               & (F.col("vec_id") != F.col("neighbor_id")))
+        .select("vec_id", "neighbor_id", int_dot(F.col("va"), F.col("vb")).alias("score"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "score")
+    )
+
+
 def int8_quantize_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with verification stats.
 

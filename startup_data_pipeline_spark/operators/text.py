@@ -470,6 +470,59 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str, k: int = 20
+) -> DataFrame:
+    """Top-k adjacent character-pair counts within words — the argmax
+    of the FIRST BPE merge iteration, i.e. the statistic a tokenizer
+    TRAINER computes over the corpus (bpe_token_stats only counts with
+    a frozen tokenizer; this is the data-prep side of training one).
+
+    Output: (pair, n_occurrences, rank), rank 1 = the pair the first
+    merge would create, ties broken lexicographically — deterministic
+    across engines and partitionings.
+
+    Scale shape: two map-side Generates (words, then in-word pairs),
+    ONE count shuffle of (2-char key, partial count) rows — map-side
+    combining collapses each partition to its distinct pair set, which
+    for character pairs is bounded by the alphabet squared, so the
+    exchange carries at most ~|Σ|² rows per partition regardless of
+    corpus size — then a TakeOrdered top-k instead of a global sort.
+    This is why BPE training scales: the candidate statistics are tiny
+    even when the corpus is 100 TB.
+    """
+    words = ensure_min_parallelism(df).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.substr(F.col("w"), i, F.lit(1)),
+                    F.substr(F.col("w"), i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    from pyspark.sql import Window
+
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    ).limit(k)
+    # the rank window runs AFTER the TakeOrdered limit — k rows, not the
+    # corpus — so the unpartitioned window is a formality, not a bottleneck
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return topk.select(
+        "pair",
+        "n_occurrences",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution (bits).
 

@@ -1762,3 +1762,56 @@ def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return olap.upsample_epochs(
         docs, "source", {"src0": 3, "src1": 2}
     ).select("doc_id", "source", "epoch")
+
+
+@register(
+    "q_zorder_key",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey,
+               CAST(o_custkey AS BIGINT) AS a,
+               CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+                    AS BIGINT) AS b
+        FROM orders
+    ),
+    bounds AS (
+        SELECT min(a) AS amin, max(a) AS amax,
+               min(b) AS bmin, max(b) AS bmax
+        FROM d
+    ),
+    s AS (
+        SELECT o_orderkey,
+               CASE WHEN amax > amin
+                    THEN CAST(floor(((a - amin) * 65535) / (amax - amin))
+                              AS BIGINT)
+                    ELSE 0 END AS sa,
+               CASE WHEN bmax > bmin
+                    THEN CAST(floor(((b - bmin) * 65535) / (bmax - bmin))
+                              AS BIGINT)
+                    ELSE 0 END AS sb
+        FROM d CROSS JOIN bounds
+    )
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(generate_series(0, 15), i ->
+               (sa & (1::BIGINT << i)) * (1::BIGINT << i)
+             + (sb & (1::BIGINT << i)) * (1::BIGINT << (i + 1))
+           )) AS BIGINT) AS zval
+    FROM s
+    """,
+    survey_ops="Morton/Z-order layout key over (customer, order-day) "
+    "(data-layout battery): both dimensions min-max scaled to the full "
+    "16-bit range (unscaled interleave lets the wider-range column "
+    "dominate every bit), then shift-free bit interleave — the "
+    "Delta/Iceberg OPTIMIZE ZORDER shape; sorting a write by this key "
+    "clusters BOTH dimensions so parquet row-group stats prune scans "
+    "for predicates on either; per-file envelope asserted in "
+    "test_write_paths",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return olap.with_zorder_scaled(
+        orders.select("o_orderkey", "o_custkey", day.alias("__day")),
+        F.col("o_custkey"),
+        F.col("__day"),
+    ).select("o_orderkey", "zval")

@@ -1837,3 +1837,160 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = emb.filter(F.col("vec_id") < 10).select("vec_id")
     return graph.bfs_hops(emb.select("vec_id"), pairs, "vec_id", seeds, max_hops=6)
+
+
+@register(
+    "q_bpe_merge_pairs",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOKS_LOWER}) AS w FROM documents),
+    p AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+               i -> substr(w, i, 2))) AS pair
+        FROM w WHERE length(w) >= 2
+    ),
+    c AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY pair
+    )
+    SELECT pair, n_occurrences,
+           CAST(row_number() OVER (
+               ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank
+    FROM c
+    QUALIFY row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) <= 20
+    """,
+    survey_ops="BPE merge-pair mining (\u00a72.11 text, tokenizer "
+    "TRAINING side): top-20 adjacent character pairs within words - "
+    "the argmax of the first BPE merge; map-side Generates, one "
+    "alphabet-squared-bounded count shuffle, TakeOrdered top-k",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merge_pairs(docs, "text", k=20)
+
+
+_PQ_CORE = f"""
+    v AS (SELECT vec_id, {_QUANT} AS v FROM embeddings),
+    cw AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+    d AS (
+        SELECT a.vec_id, m.m, c.cid,
+               CAST(list_sum(list_transform(generate_series(1, 16),
+                   i -> (a.v[m.m * 16 + i] - c.cv[m.m * 16 + i])
+                      * (a.v[m.m * 16 + i] - c.cv[m.m * 16 + i])))
+                   AS BIGINT) AS d
+        FROM v a
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) m
+        CROSS JOIN cw c
+    ),
+    best AS (
+        SELECT vec_id, m, cid, d,
+               row_number() OVER (
+                   PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+        FROM d
+    )
+"""
+
+
+@register(
+    "q_pq_encode",
+    oracle=f"""
+    WITH {_PQ_CORE}
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INTEGER) AS code_0,
+           CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INTEGER) AS code_1,
+           CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INTEGER) AS code_2,
+           CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INTEGER) AS code_3,
+           CAST(SUM(d) AS BIGINT) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+    survey_ops="product-quantization encode (\u00a72.11 similarity, the "
+    "ANN memory story): 4 subspaces x 16 seeded codewords, nearest "
+    "codeword per subspace + exact integer reconstruction error; "
+    "codebooks ride as nested plan literals so encoding is a "
+    "shuffle-free scan - 64x vector compression before any candidate "
+    "join at 100 TB",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.pq_encode(emb, "vec_id", "embedding", m=4, k=16)
+    return out.select(
+        F.col("vid").alias("vec_id"),
+        "code_0", "code_1", "code_2", "code_3", "recon_err",
+    )
+
+
+@register(
+    "q_pq_ann",
+    oracle=f"""
+    WITH {_PQ_CORE},
+    codes AS (SELECT vec_id, m, cid FROM best WHERE rn = 1),
+    qtab AS (
+        SELECT vec_id AS query_id, m, cid, d FROM d WHERE vec_id < 10
+    ),
+    adc AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        FROM codes c JOIN qtab t USING (m, cid)
+        WHERE t.query_id <> c.vec_id
+        GROUP BY t.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank, adc_dist
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+        ) AS rn FROM adc
+    )
+    WHERE rn <= 5
+    """,
+    survey_ops="PQ asymmetric-distance top-k search (\u00a72.11 "
+    "similarity scale path): full-precision queries broadcast with "
+    "m x k distance lookup tables; candidate distance = m table "
+    "lookups over the compressed codes, never a full-dim product - "
+    "the FAISS-IVFPQ search shape on DataFrames",
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), topk=5,
+        m=4, k=16,
+    )
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANT} AS v,
+               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM (SELECT vec_id, embedding,
+                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
+                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
+                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
+                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
+              FROM embeddings)
+    ),
+    scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])) AS BIGINT) AS score
+        FROM q a JOIN q b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rn AS INTEGER) AS rank, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, neighbor_id ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    survey_ops="LSH-bucketed kNN GRAPH build (\u00a72.11 similarity): "
+    "top-3 neighbors for EVERY vector (the HNSW/NN-Descent input "
+    "structure), quadratic only within a bucket, rank window rides "
+    "the bucket exchange",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, "vec_id", "embedding", k=3)

@@ -88,6 +88,16 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
         )
+        # A long session compiling many distinct whole-stage-codegen
+        # plans (the 70-query bench suite × cold+warm passes) fills the
+        # JVM's default 240m JIT code cache; once full, HotSpot stops
+        # compiling and EVERY query degrades to interpreted bytecode —
+        # a uniform ~20% suite-wide slowdown with no plan change. Size
+        # the cache to the workload. Only effective at JVM launch.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -231,3 +231,50 @@ def test_partitioned_export_prunes_split_scans(spark, tmp_path):
         F.col("split") == "test"
     )
     assert back.count() == want.count() > 0
+
+
+def test_max_concurrency_window_is_day_partitioned(spark, plan_sf_dir):
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import temporal
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, plan_sf_dir, "events")
+    dur = F.floor(F.col("value")).cast("long") % 900 + 60
+    plan = _plan(temporal.interval_max_concurrency(ev, "event_type", "ts", dur))
+    # the sweep's sort window partitions on (group, day) — NEVER a
+    # single-partition global sort (the trap a naive running-sum
+    # formulation falls into)
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(event_type" in plan
+    # day splitting is a map-side Generate, not a join against a calendar
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_sliding_distinct_fans_out_map_side(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import temporal
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, plan_sf_dir, "events")
+    plan = _plan(temporal.sliding_distinct_users(ev, "user_id", "ts", 7))
+    # offset fan-out is a Generate (explode), both aggregations carry
+    # map-side partials, and nothing collapses to one partition
+    assert "Generate" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct + count, partial+final
+
+
+def test_boilerplate_strip_shuffles_digests_not_text(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    plan = _plan(text.boilerplate_strip(docs, "doc_id", "text"))
+    # the df count and verdict join both key on the md5 digest — the
+    # exchange carrying segment TEXT happens exactly once (reassembly);
+    # no broadcast-nested-loop / cartesian anywhere
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "seg_hash" in plan
+    # distinct-(id,hash) + df-count keep partial aggregation map-side
+    assert plan.count("HashAggregate") >= 4

@@ -243,3 +243,109 @@ def test_sliding_distinct_users_window(spark):
     assert got["2024-01-11"] == 2
     # window ending Jan 1 covers only Jan 1
     assert got["2024-01-01"] == 2
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    df = spark.createDataFrame(
+        [(5, 3), (0, 0), (65535, 65535), (1, 0), (0, 1)], "a long, b long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            olap.zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    ]
+    # a=0b101 -> bits at even positions (1+16)=17; b=0b011 -> odd (2+8)=10
+    assert got[0] == 27
+    assert got[1] == 0
+    assert got[2] == (1 << 32) - 1   # all 32 low bits set
+    assert got[3] == 1               # a bit 0 -> z bit 0
+    assert got[4] == 2               # b bit 0 -> z bit 1
+
+
+def test_bpe_merge_pairs_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "aba x")], "doc_id long, text string"
+    )
+    from startup_data_pipeline_spark.operators import text as t
+
+    got = {r["pair"]: r for r in t.bpe_merge_pairs(df, "text", k=10).collect()}
+    # 'ab': abab gives 2 ('ab' at 1, 'ab' at 3), aba gives 1 -> 3
+    assert got["ab"]["n_occurrences"] == 3 and got["ab"]["rank"] == 1
+    # 'ba': abab 1, aba 1 -> 2
+    assert got["ba"]["n_occurrences"] == 2 and got["ba"]["rank"] == 2
+    assert got["cd"]["n_occurrences"] == 1
+    assert "x" not in got  # single-char words contribute nothing
+
+
+def test_pq_encode_tiny_codebook(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    # dim 4, m=2 subspaces of 2, k=2 codewords (vectors 0 and 1)
+    rows = [
+        (0, [0.0001, 0.0, 0.0001, 0.0]),    # quantized [1,0,1,0]
+        (1, [0.001, 0.001, 0.001, 0.001]),  # quantized [10,10,10,10]
+        (2, [0.0002, 0.0, 0.0009, 0.0009]), # q [2,0,9,9]: sub0->cw0, sub1->cw1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vid"]: r
+        for r in sim.pq_encode(df, "vec_id", "embedding", m=2, k=2).collect()
+    }
+    assert got[0]["code_0"] == 0 and got[0]["code_1"] == 0
+    assert got[0]["recon_err"] == 0
+    assert got[1]["code_0"] == 1 and got[1]["code_1"] == 1
+    assert got[1]["recon_err"] == 0
+    # vec 2 sub0 [2,0]: d(cw0=[1,0])=1, d(cw1=[10,10])=164 -> code 0, err 1
+    # sub1 [9,9]: d(cw0=[1,0])=145, d(cw1=[10,10])=2 -> code 1, err 2
+    assert got[2]["code_0"] == 0 and got[2]["code_1"] == 1
+    assert got[2]["recon_err"] == 3
+
+
+def test_pq_adc_ranks_by_code_distance(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        (0, [0.0001, 0.0, 0.0, 0.0]),
+        (1, [0.001, 0.001, 0.0, 0.0]),
+        (2, [0.00011, 0.0, 0.0, 0.0]),   # same codes as vec 0
+        (3, [0.00099, 0.001, 0.0, 0.0]), # same codes as vec 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["rank"]): r
+        for r in sim.pq_adc_topk(
+            df, "vec_id", "embedding", query_ids=[0], topk=3, m=2, k=2
+        ).collect()
+    }
+    # query 0 (codes cw0): vec 2 encodes to cw0 -> ADC = d(q, cw0) = 0;
+    # vecs 1 and 3 encode to cw1 -> ADC = d(q, cw1) > 0, tie broken by id
+    assert got[(0, 1)]["neighbor_id"] == 2
+    assert got[(0, 1)]["adc_dist"] == 0
+    assert got[(0, 2)]["neighbor_id"] == 1
+    assert got[(0, 3)]["neighbor_id"] == 3
+    assert got[(0, 2)]["adc_dist"] == got[(0, 3)]["adc_dist"]
+
+
+def test_knn_graph_ranks_within_bucket(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    # all-positive first 4 dims -> one bucket; vec 3 negative -> another
+    rows = [
+        (0, [0.001, 0.001, 0.001, 0.001]),
+        (1, [0.001, 0.001, 0.001, 0.0009]),
+        (2, [0.0002, 0.0002, 0.0002, 0.0002]),
+        (3, [-0.001, -0.001, -0.001, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.knn_graph(df, "vec_id", "embedding", k=2).collect()
+    }
+    # vec 0's nearest (highest dot) in its bucket is vec 1, then vec 2
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    assert got[(1, 1)] == 0
+    # vec 3 is alone in its bucket: no rows
+    assert not any(v == 3 for (v, _r) in got)

@@ -50,3 +50,48 @@ def test_mergeschema_additive_migration(spark, tmp_path):
     rows = {r["company_key"]: r["linkedin_url"] for r in merged.collect()}
     assert rows[1] is None          # old rows null-fill the new column
     assert rows[2] == "https://globex.example"
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Writing orders range-partitioned + sorted by the Morton key must
+    give every FILE a narrow min-max envelope on BOTH constituent
+    dimensions — that envelope is exactly what parquet row-group stats
+    expose, so narrow envelopes = scans pruned for predicates on either
+    column. A single-column sort clusters one dimension and scrambles
+    the other; the z-key bounds both."""
+    from startup_data_pipeline_spark.operators import olap
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    out = str(tmp_path / "orders_z")
+    (
+        olap.with_zorder_scaled(
+            orders.select("o_orderkey", "o_custkey", day.alias("day")),
+            F.col("o_custkey"),
+            F.col("day"),
+        )
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), "o_custkey", "day"
+    )
+    spans = back.groupBy("f").agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck_span"),
+        (F.max("day") - F.min("day")).alias("day_span"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    glob = back.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("day") - F.min("day")).alias("dy"),
+    ).collect()[0]
+    # average per-file envelope must be well under the global range on
+    # BOTH dimensions (z-curve guarantee); a plain custkey sort would
+    # pass ck but leave day_span ≈ global
+    n_files = len(spans)
+    assert n_files >= 4
+    avg_ck = sum(r["ck_span"] for r in spans) / n_files
+    avg_day = sum(r["day_span"] for r in spans) / n_files
+    assert avg_ck < glob["ck"] * 0.7
+    assert avg_day < glob["dy"] * 0.7
