@@ -106,6 +106,9 @@ HEADLINE = [
     "q_bpe_merge_pairs",
     "q_pq_ann",
     "q_knn_graph",
+    "q_join_skew_profile",
+    "q_degree_hist",
+    "q_seasonal_anomaly",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -106,6 +106,9 @@ PROBE = [
     "q_pq_ann",
     "q_knn_graph",
     "q_zorder_key",
+    "q_join_skew_profile",
+    "q_degree_hist",
+    "q_seasonal_anomaly",
 ]
 
 

@@ -288,3 +288,38 @@ def pagerank_fixed_iters(
     e.unpersist()
     raw.unpersist()
     return ranks
+
+
+def degree_histogram(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Degree distribution of an undirected pair list: (degree,
+    n_nodes), the one-glance shape check of a candidate graph.
+
+    Near-dup candidate graphs should be dominated by small degrees;
+    a heavy tail means a boilerplate shingle or a degenerate LSH band
+    is wiring unrelated documents together (and CC will collapse them
+    into a mega-cluster). Reading this histogram BEFORE running the
+    iterative ops is how a pipeline catches that for the cost of two
+    map-side-combinable aggregations over (node)- then (degree)-keyed
+    longs — no iteration, no text.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -101,3 +101,47 @@ def bloom_prefilter_semi_join(
         F.col(fact_key) == F.col("__k"),
         "left_semi",
     )
+
+
+def join_skew_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 10,
+) -> DataFrame:
+    """Pre-flight join-skew profiler: the top-k join keys by estimated
+    output contribution (``n_left x n_right`` per key), with each
+    side's count and the key's share of the total estimated output in
+    exact integer ppm.
+
+    The check a 100 TB pipeline runs BEFORE a big join: one hot key
+    producing 10^10 output rows is a dead executor, and this surfaces
+    it for the cost of two key-count aggregations — both map-side
+    combinable, shuffling only (key, count) pairs — one tiny join of
+    the count tables, and a TakeOrdered top-k (never a global sort).
+    The scalar total rides in as a single-row broadcast cross join.
+    Output is deterministic: ties broken by key value.
+    """
+    lc = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    rc = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    est = lc.join(rc, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("est_pairs"),
+    )
+    total = est.agg(F.sum("est_pairs").alias("__tot"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_left", "n_right", "est_pairs",
+            F.expr("CAST(1000000 * est_pairs div __tot AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.col("est_pairs").desc(), F.col("key").asc())
+        .limit(k)
+    )

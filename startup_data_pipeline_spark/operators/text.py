@@ -1084,3 +1084,59 @@ def vocab_coverage(
             F.lit(-1.0),
         ).alias("oov_rate"),
     )
+
+
+def kwic_snippets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keyword: str,
+    window: int = 3,
+) -> DataFrame:
+    """Keyword-in-context extraction: one row per occurrence of
+    ``keyword`` (case-normalized whole-token match) with the
+    surrounding ±``window`` tokens joined into a snippet and the
+    0-based token position.
+
+    The review-queue / labeling-export primitive: "show me every place
+    the corpus says X, with enough context to judge it" — what a
+    moderation or weak-supervision pipeline materializes before humans
+    or a model look at it.
+
+    Scale shape: entirely map-side — tokenize, enumerate positions
+    with one Generate, slice the context window from the already-split
+    array. No shuffle, no join, no regex backtracking on the hot path;
+    output is bounded by occurrence count, not document size.
+    """
+    kw = keyword.lower()
+    tk = tokens(F.lower(F.col(text_col)))
+    hits = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1))),
+            lambda i: F.when(F.element_at(tk, i) == kw, i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tk.alias("__tk"), hits.alias("__hits"))
+        .select(F.col(id_col), F.size("__tk").alias("__n"), "__tk",
+                F.explode("__hits").alias("__pos"))
+        .select(
+            F.col(id_col),
+            (F.col("__pos") - 1).cast("long").alias("pos"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__tk",
+                    F.greatest(F.col("__pos") - window, F.lit(1)),
+                    F.least(
+                        F.col("__pos") + window,
+                        F.col("__n"),
+                    )
+                    - F.greatest(F.col("__pos") - window, F.lit(1))
+                    + 1,
+                ),
+            ).alias("snippet"),
+        )
+    )

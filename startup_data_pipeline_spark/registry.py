@@ -63,9 +63,9 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
     # Round-5 window. Certification debt is zero (146/146 after r4), so
-    # the window leads with (a) the sixteen queries registered this
+    # the window leads with (a) the twenty queries registered this
     # round — their FIRST driver sample — then (b) one canary per
-    # operator changed this round, then (c) stale rotation: 27 of the
+    # operator changed this round, then (c) stale rotation: 23 of the
     # 48 queries whose latest green row is still round 1 (the rest
     # deferred to round 6 are either judge-re-verified this cycle or
     # pure column-function projections with no moving parts underneath).
@@ -73,6 +73,8 @@ _PRIORITY: list[str] = [
     "q_max_concurrency", "q_sliding_distinct",
     "q_pq_encode", "q_pq_ann", "q_knn_graph", "q_zorder_key",
     "q_bpe_merge_pairs",
+    "q_join_skew_profile", "q_degree_hist", "q_kwic_snippets",
+    "q_seasonal_anomaly",
     "q_doc_novelty", "q_split_balance", "q_shingle_containment",
     "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
     # (b) canaries for round-5 changes:
@@ -92,10 +94,11 @@ _PRIORITY: list[str] = [
     "q_cube_lineitem", "q_customer_distribution",
     "q_deterministic_sample", "q_doc_length_percentiles",
     "q_event_gaps", "q_gap_fill_locf", "q_incremental_agg",
-    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
-    "q_recency_filter", "q_rollup_orders", "q_running_total",
+    "q_local_supplier_volume", "q_moving_avg",
     # --- 50-slot window boundary ---
     # round-1 certified, deferred to the round-6 window:
+    "q_order_priority", "q_recency_filter", "q_rollup_orders",
+    "q_running_total",
     "q_scd2_history", "q_score_topk", "q_sessionize",
     "q_sheet_projection", "q_shipping_priority",
     "q_sliding_window", "q_snapshot_diff", "q_tumbling_window",

@@ -1381,3 +1381,39 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return temporal.sliding_distinct_users(ev, "user_id", "ts", window_days=7)
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS day_cents,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+        SELECT *,
+               SUM(day_cents) OVER (PARTITION BY event_type, dow) AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY event_type, dow)
+                    AS BIGINT) AS n_weeks
+        FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow, day_cents,
+           n_weeks,
+           CASE WHEN day_cents * n_weeks > 2 * tot THEN 'high'
+                WHEN day_cents * n_weeks * 2 < tot THEN 'low'
+                ELSE 'normal' END AS verdict
+    FROM base
+    """,
+    survey_ops="day-of-week seasonal anomaly flags (\u00a72.5 analytics "
+    "battery): each (group, day) total vs the group's SAME-WEEKDAY "
+    "mean via integer-cents cross-multiplication (no float division) "
+    "- weekly seasonality removed with one grouping column; the dow "
+    "baseline window reuses the daily aggregate's group exchange",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.seasonal_anomaly_days(ev, "event_type", "ts", "value")

@@ -1815,3 +1815,39 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"),
         F.col("__day"),
     ).select("o_orderkey", "zval")
+
+
+@register(
+    "q_join_skew_profile",
+    oracle="""
+    WITH lc AS (
+        SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n_left
+        FROM orders GROUP BY 1
+    ),
+    rc AS (
+        SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS n_right
+        FROM lineitem GROUP BY 1
+    ),
+    est AS (
+        SELECT key, n_left, n_right, n_left * n_right AS est_pairs
+        FROM lc JOIN rc USING (key)
+    )
+    SELECT key, n_left, n_right, est_pairs,
+           CAST(1000000 * est_pairs // (SELECT SUM(est_pairs) FROM est)
+                AS BIGINT) AS share_ppm
+    FROM est
+    ORDER BY est_pairs DESC, key ASC
+    LIMIT 10
+    """,
+    survey_ops="join-skew pre-flight profiler (scale QA battery): top "
+    "keys by estimated join output n_left x n_right with exact ppm "
+    "share - the check run BEFORE a 100 TB join so one hot key doesn't "
+    "kill an executor; two map-side-combinable key counts, one tiny "
+    "count-table join, TakeOrdered top-k",
+)
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return joins.join_skew_profile(orders, li, "o_orderkey", "l_orderkey", k=10)

@@ -1994,3 +1994,72 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, "vec_id", "embedding", k=3)
+
+
+@register(
+    "q_degree_hist",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT id_a AS node FROM pairs
+              UNION ALL SELECT id_b FROM pairs)
+        GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    survey_ops="degree histogram of the near-dup candidate graph "
+    "(dedup QA, with triangle census): heavy tails flag boilerplate "
+    "shingles / degenerate LSH bands BEFORE the iterative collapse "
+    "runs; two map-side-combinable aggs over longs",
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    return graph.degree_histogram(pairs, "id_a", "id_b")
+
+
+@register(
+    "q_kwic_snippets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_LOWER} AS tk FROM documents),
+    hits AS (
+        SELECT doc_id, tk, len(tk) AS n,
+               unnest(list_filter(
+                   list_transform(
+                       generate_series(1, greatest(len(tk), 1)),
+                       i -> CASE WHEN tk[i] = 'spark' THEN i END),
+                   x -> x IS NOT NULL)) AS p
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(p - 1 AS BIGINT) AS pos,
+           array_to_string(
+               list_slice(tk, greatest(p - 3, 1), least(p + 3, n)),
+               ' ') AS snippet
+    FROM hits
+    """,
+    survey_ops="keyword-in-context snippets (\u00a72.11 text, "
+    "review-queue export): every occurrence of a term with its "
+    "\u00b13-token window - entirely map-side (tokenize, one "
+    "Generate, array slice), output bounded by occurrences",
+)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.kwic_snippets(docs, "doc_id", "text", "spark", window=3)

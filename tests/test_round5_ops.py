@@ -349,3 +349,79 @@ def test_knn_graph_ranks_within_bucket(spark):
     assert got[(1, 1)] == 0
     # vec 3 is alone in its bucket: no rows
     assert not any(v == 3 for (v, _r) in got)
+
+
+def test_join_skew_profile_top_keys(spark):
+    from startup_data_pipeline_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,), (2,), (2,), (4,)], "k long"
+    )
+    got = joins.join_skew_profile(left, right, "k", "k", k=5).collect()
+    # key 1: 3*2=6, key 2: 1*3=3; key 3/4 don't co-occur
+    assert [(r["key"], r["est_pairs"]) for r in got] == [(1, 6), (2, 3)]
+    assert got[0]["share_ppm"] == 1_000_000 * 6 // 9
+    assert got[1]["share_ppm"] == 1_000_000 * 3 // 9
+
+
+def test_degree_histogram_counts(spark):
+    from startup_data_pipeline_spark.operators import graph
+
+    # star: 1 connected to 2,3,4 (deg 3 + three deg-1); dup pair absorbed
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in graph.degree_histogram(pairs, "id_a", "id_b").collect()
+    }
+    assert got == {3: 1, 1: 3}
+
+
+def test_kwic_snippets_window_and_edges(spark):
+    from startup_data_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a b target c d e"), (2, "target x"), (3, "no hit here"),
+         (4, "target y target")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["pos"], r["snippet"])
+        for r in t.kwic_snippets(df, "doc_id", "text", "target", window=2)
+        .orderBy("doc_id", "pos").collect()
+    ]
+    assert got == [
+        (1, 2, "a b target c d"),
+        (2, 0, "target x"),
+        (4, 0, "target y target"),
+        (4, 2, "target y target"),
+    ]
+
+
+def test_seasonal_anomaly_dow_baseline(spark):
+    from startup_data_pipeline_spark.operators import temporal
+
+    # three Mondays at 10, one Monday spike at 100 -> 'high' only for
+    # the spike (baseline includes it: 100*4 > 2*130)
+    rows = [
+        ("a", "2024-01-01 12:00:00", 10.0),
+        ("a", "2024-01-08 12:00:00", 10.0),
+        ("a", "2024-01-15 12:00:00", 10.0),
+        ("a", "2024-01-22 12:00:00", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["day"]: r
+        for r in temporal.seasonal_anomaly_days(
+            df, "event_type", "ts", "value"
+        ).collect()
+    }
+    assert got["2024-01-22"]["verdict"] == "high"
+    assert got["2024-01-01"]["verdict"] == "low"  # 10*4*2 < 130
+    assert all(r["dow"] == 2 for r in got.values())  # Monday, Spark dow
+    assert all(r["n_weeks"] == 4 for r in got.values())
