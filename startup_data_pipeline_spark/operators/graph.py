@@ -29,6 +29,7 @@ def triangle_count(
     pairs: DataFrame,
     a_col: str,
     b_col: str,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Exact global triangle census over an undirected pair list: one
     row with ``n_edges``, ``n_wedges`` (open two-paths, Σ C(deg,2)),
@@ -48,6 +49,17 @@ def triangle_count(
     graphs, and each triangle is enumerated exactly once. Two shuffling
     joins (wedge build on the oriented source, closure probe on the
     canonical edge key); the reported wedge count is a tiny degree agg.
+
+    The census is EXACT and therefore output-bound: a graph of k-node
+    near-dup cliques has Θ(Σ C(k,3)) triangles, and no plan makes
+    counting them cheaper than their number (measured: an sf1 corpus
+    where every doc has ~10 exact replicas multiplies edges ~100× and
+    the census ~cubically). ``max_degree`` is the production guard for
+    that regime: nodes above the cap — super-nodes that dedup QA
+    should treat via the degree histogram, not wedge enumeration — are
+    EXCLUDED from the census entirely (standard practice in
+    approximate triangle pipelines), bounding wedge output by
+    ``|E|·max_degree``. Default None = exact.
     """
     e = (
         pairs.select(
@@ -64,6 +76,20 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__d"))
     )
+    if max_degree is not None:
+        keep = deg.filter(F.col("__d") <= max_degree).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_wedges = deg.agg(
         F.sum(F.expr("(__d * (__d - 1)) div 2"))
@@ -148,7 +174,13 @@ def bfs_hops(
         .persist()
     )
     n_edges = e.count()
-    npart = max(4, n_edges // 2_000_000 + 1)
+    # Denser sizing than CC/PageRank (500k edge rows per partition, not
+    # 2M): BFS's per-round work is a join PLUS a distinct PLUS an
+    # anti-join against the growing settled set, so a partition carries
+    # ~3× the operator passes per row — measured at sf1 on a
+    # quadratically-densified near-dup graph, 4 partitions left 28
+    # cores idle through every round.
+    npart = max(8, n_edges // 500_000 + 1)
     e = e.repartition(npart, "src").persist()
     settled = (
         seeds.select(F.col(id_col).alias("node"))

@@ -43,6 +43,84 @@ def fixture_transport(pages: dict[str, str]) -> Transport:
     return lambda url: pages.get(url)
 
 
+def retrying_transport(
+    base: Transport,
+    max_attempts: int = 3,
+    backoff_s: tuple[float, ...] = (0.5, 2.0),
+    sleeper: Callable[[float], None] | None = None,
+) -> Transport:
+    """Wrap a transport with bounded retry + fixed backoff schedule.
+
+    Contract split (matches the reference's resilience-as-null
+    behavior, llm_parse.py:31-34): a transport RETURNING None is a
+    permanent miss (404-class) and is never retried; a transport
+    RAISING is transient (timeout/reset/5xx-class) and is retried up
+    to ``max_attempts`` with the deterministic ``backoff_s`` schedule
+    between attempts, degrading to None when attempts are exhausted —
+    so downstream stages always see the null-flows-on contract and a
+    flaky page can't fail a 100 TB stage.
+
+    ``sleeper`` is injectable (tests pass a recorder; production
+    defaults to ``time.sleep``). The schedule is deterministic — no
+    jitter RNG — because per-partition task starts are already
+    de-synchronized by the scheduler; determinism keeps retry behavior
+    reproducible and oracle-friendly.
+    """
+    if sleeper is None:  # pragma: no cover - exercised via injection
+        import time
+
+        sleeper = time.sleep
+
+    def fetch(url: str) -> str | None:
+        for attempt in range(max_attempts):
+            try:
+                return base(url)
+            except Exception:
+                if attempt == max_attempts - 1:
+                    return None
+                sleeper(backoff_s[min(attempt, len(backoff_s) - 1)])
+        return None
+
+    return fetch
+
+
+def throttled_transport(
+    base: Transport,
+    min_interval_s: float,
+    clock: Callable[[], float] | None = None,
+    sleeper: Callable[[float], None] | None = None,
+) -> Transport:
+    """Wrap a transport with a per-worker minimum call interval.
+
+    The worker-local half of quota politeness: with
+    ``rate_limited_repartition(df, N)`` bounding concurrent tasks to N
+    and this bounding each task to 1/min_interval_s calls/s, total
+    cluster QPS ≤ N / min_interval_s by construction — the
+    1000-executor version of the reference's single-threaded 1 s sleep
+    (domain_resolver.py:110), stated as an invariant instead of an
+    accident of being single-threaded.
+
+    Clock and sleeper are injectable so tests verify pacing without
+    wall-clock time. State is per-transport-instance (per task thread),
+    which is exactly the granularity the concurrency bound needs.
+    """
+    if clock is None or sleeper is None:  # pragma: no cover
+        import time
+
+        clock = clock or time.monotonic
+        sleeper = sleeper or time.sleep
+    last_call = [float("-inf")]
+
+    def fetch(url: str) -> str | None:
+        wait = last_call[0] + min_interval_s - clock()
+        if wait > 0:
+            sleeper(wait)
+        last_call[0] = clock()
+        return base(url)
+
+    return fetch
+
+
 def rate_limited_repartition(df: DataFrame, max_concurrency: int) -> DataFrame:
     """Bound connector-stage parallelism so cluster QPS ≤ API quota.
 

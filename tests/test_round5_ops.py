@@ -425,3 +425,20 @@ def test_seasonal_anomaly_dow_baseline(spark):
     assert got["2024-01-01"]["verdict"] == "low"  # 10*4*2 < 130
     assert all(r["dow"] == 2 for r in got.values())  # Monday, Spark dow
     assert all(r["n_weeks"] == 4 for r in got.values())
+
+
+def test_triangle_count_max_degree_excludes_super_nodes(spark):
+    from startup_data_pipeline_spark.operators import graph
+
+    # triangle 1-2-3 plus a hub (9) wired to everything
+    pairs = [(1, 2), (2, 3), (3, 1), (9, 1), (9, 2), (9, 3), (9, 4)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    exact = graph.triangle_count(df, "id_a", "id_b").collect()[0]
+    assert exact["n_triangles"] == 4  # 1-2-3 + three hub triangles
+    capped = graph.triangle_count(
+        df, "id_a", "id_b", max_degree=3
+    ).collect()[0]
+    # hub (deg 4) excluded: only the 1-2-3 triangle remains, and its
+    # edges/wedges are recomputed on the capped graph
+    assert capped["n_triangles"] == 1
+    assert capped["n_edges"] == 3

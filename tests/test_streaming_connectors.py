@@ -406,3 +406,68 @@ def test_resize_image_native_nearest_neighbor(spark):
         multimodal.decode_image(bad), 3, 2
     ).collect()[0]
     assert rb["pixels"] is None and rb["width"] is None
+
+
+def test_retrying_transport_retries_raises_not_nones():
+    from startup_data_pipeline_spark.sources.connectors import (
+        retrying_transport,
+    )
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("transient")
+        return "page!"
+
+    t = retrying_transport(flaky, max_attempts=3, backoff_s=(0.5, 2.0),
+                           sleeper=sleeps.append)
+    assert t("u") == "page!"
+    assert calls["n"] == 3
+    assert sleeps == [0.5, 2.0]          # deterministic schedule
+
+    # permanent miss (None) is NEVER retried
+    calls["n"] = 0
+
+    def miss(url):
+        calls["n"] += 1
+        return None
+
+    t2 = retrying_transport(miss, sleeper=sleeps.append)
+    assert t2("u") is None
+    assert calls["n"] == 1
+
+    # attempts exhausted -> degrade to None (null flows on)
+    def always_raises(url):
+        raise ConnectionError()
+
+    t3 = retrying_transport(always_raises, max_attempts=2,
+                            sleeper=sleeps.append)
+    assert t3("u") is None
+
+
+def test_throttled_transport_enforces_interval():
+    from startup_data_pipeline_spark.sources.connectors import (
+        throttled_transport,
+    )
+
+    now = [0.0]
+    sleeps: list[float] = []
+
+    def sleeper(s):
+        sleeps.append(s)
+        now[0] += s
+
+    t = throttled_transport(
+        lambda u: u.upper(), min_interval_s=1.0,
+        clock=lambda: now[0], sleeper=sleeper,
+    )
+    assert t("a") == "A"          # first call: no wait
+    assert sleeps == []
+    assert t("b") == "B"          # immediate second call: waits 1s
+    assert sleeps == [1.0]
+    now[0] += 5.0                 # long gap: no wait needed
+    assert t("c") == "C"
+    assert sleeps == [1.0]
