@@ -196,11 +196,17 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the six queries getting their FIRST
-    # driver sample, re-certify every operator changed this round, and
-    # spend the remainder on the round-1-certified stale rotation
+    # round-5 window must lead with the twenty queries getting their
+    # FIRST driver sample, re-certify every operator changed this round,
+    # and spend the remainder on the round-1-certified stale rotation
     prefix = list(qs)[:50]
-    assert prefix[:6] == [
+    assert prefix[:20] == [
+        "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
+        "q_max_concurrency", "q_sliding_distinct",
+        "q_pq_encode", "q_pq_ann", "q_knn_graph", "q_zorder_key",
+        "q_bpe_merge_pairs",
+        "q_join_skew_profile", "q_degree_hist", "q_kwic_snippets",
+        "q_seasonal_anomaly",
         "q_doc_novelty", "q_split_balance", "q_shingle_containment",
         "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
     ]
@@ -209,5 +215,5 @@ def test_registry_integrity():
                   "q_incremental_dedup_gate",
                   # stale-rotation spot checks (certified r1, sampled now)
                   "q_pricing_summary", "q_exact_dedup", "q_asof_join",
-                  "q_sessionize", "q_window_topk"]:
+                  "q_range_join", "q_moving_avg"]:
         assert probe in prefix, probe
