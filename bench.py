@@ -109,6 +109,12 @@ HEADLINE = [
     "q_join_skew_profile",
     "q_degree_hist",
     "q_seasonal_anomaly",
+    "q_cooccur_lift",
+    "q_domain_signature",
+    "q_rrf_fusion",
+    "q_markov_transitions",
+    "q_cusum_shift",
+    "q_winsorize",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

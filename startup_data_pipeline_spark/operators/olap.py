@@ -591,3 +591,65 @@ def with_zorder_scaled(
     return scaled.withColumn(
         out, zorder_key(F.col("__sa"), F.col("__sb"), bits)
     ).drop("__sa", "__sb")
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp each value into its group's
+    [p_lo, p_hi] exact interpolated percentile band — the standard
+    outlier treatment before averaging quality scores or fitting
+    reward/curriculum weights, where a single corrupt measurement
+    would otherwise drag the whole group statistic.
+
+    Values are handled in integer cents; the percentile bounds are
+    exact interpolated percentiles of those cents (the established
+    ``percentile`` ↔ ``quantile_cont`` engine-matching pattern, rounded
+    to 4), and the clamped value is emitted alongside a boolean
+    clip marker so downstream aggregates can report the trim rate.
+
+    Scale shape: ONE group-keyed percentile aggregate (tiny: |groups|
+    rows) broadcast-joined back onto the row stream — the row side
+    never shuffles; at 100 TB this is a scan plus one small-side
+    broadcast, the same two-pass shape as ``grouped_mad_outliers``.
+    """
+    cents = F.col(value_col).cast("decimal(18,2)") * 100
+    rows = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        cents.cast("long").alias("cents"),
+    )
+    bounds = group_percentiles(
+        rows,
+        [group_col],
+        F.col("cents"),
+        [p_lo, p_hi],
+        prefix="__p",
+    ).select(
+        group_col,
+        F.col(f"__p{int(p_lo * 100)}").alias("lo"),
+        F.col(f"__p{int(p_hi * 100)}").alias("hi"),
+    )
+    clamped = F.greatest(
+        F.col("lo"), F.least(F.col("hi"), F.col("cents").cast("double"))
+    )
+    return (
+        rows.join(F.broadcast(bounds), group_col)
+        .select(
+            id_col,
+            group_col,
+            "cents",
+            "lo",
+            "hi",
+            F.round(clamped, 4).alias("clamped"),
+            (
+                (F.col("cents") < F.col("lo"))
+                | (F.col("cents") > F.col("hi"))
+            ).alias("is_clipped"),
+        )
+    )

@@ -735,3 +735,65 @@ def int8_quantize_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         ).alias("q_l1"),
         F.array_max(F.transform(q, lambda x: F.abs(x))).alias("q_absmax"),
     )
+
+
+def rrf_fuse_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k_each: int = 10,
+    topk: int = 5,
+    rrf_k: int = 60,
+    m: int = 4,
+    pq_k: int = 16,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ANN rankings — the exact
+    brute-force cosine list and the PQ asymmetric-distance list — into
+    one fused top-k per query.
+
+    RRF (`score = Σ_lists 1/(rrf_k + rank)`) is the standard
+    zero-tuning ensemble for hybrid retrieval; here it is kept
+    engine-exact by integer-scaling each contribution to
+    ``1_000_000 div (rrf_k + rank)`` so the fused ordering never
+    depends on float summation order. Ties break by list count then
+    neighbor id. A neighbor surfaced by both rankers outranks one
+    ranked highly by a single list — the robustness that makes fusion
+    beat either list alone when the compressed index misranks.
+
+    Scale shape: both input rankings are the existing broadcast-query
+    shapes (`brute_force_topk`, `pq_adc_topk`) producing |Q|·k_each
+    rows each; the fusion itself is a union of two tiny streams, one
+    (query, neighbor) aggregate, and a rank window partitioned by
+    query — cost is dominated entirely by the underlying searches.
+    """
+    a = brute_force_topk(
+        embeddings, id_col, vec_col, query_ids=query_ids, k=k_each
+    ).select("query_id", "neighbor_id", "rank")
+    b = pq_adc_topk(
+        embeddings, id_col, vec_col, query_ids=query_ids, topk=k_each,
+        m=m, k=pq_k,
+    ).select("query_id", "neighbor_id", "rank")
+    contrib = F.expr(f"1000000 div ({rrf_k} + rank)")
+    fused = (
+        a.unionByName(b)
+        .select("query_id", "neighbor_id", contrib.alias("__c"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("__c").cast("long").alias("rrf_scaled"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(),
+        F.col("n_lists").desc(),
+        F.col("neighbor_id").asc(),
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= topk)
+        .select(
+            "query_id", "fused_rank", "neighbor_id", "rrf_scaled",
+            "n_lists",
+        )
+    )

@@ -428,3 +428,137 @@ def seasonal_anomaly_days(
         "n_weeks",
         verdict.alias("verdict"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every ordered (from_state, to_state) pair of
+    CONSECUTIVE events of the same key, the transition count, the
+    from-state's outgoing total, and the transition probability in
+    exact integer ppm (``ppm * n div n_from``, integer division — no
+    float anywhere, so the matrix is engine-reproducible).
+
+    The behavioral-analytics staple (what do users do AFTER a
+    'signup'?) and the generative model behind session simulation;
+    deterministic ordering uses ``tiebreak_col`` for equal timestamps.
+
+    Scale shape: ONE exchange on the key for the lead() window; the
+    (from, to) count is a second, matrix-sized exchange; the from-state
+    total is a window on a PREFIX of the group key, so it rides the
+    count's exchange. Null timestamps are excluded (no order), final
+    events of each key emit nothing (no successor) — standard Markov
+    estimation semantics.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(state_col).alias("from_state"),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    w_from = Window.partitionBy("from_state")
+    return (
+        counts.withColumn(
+            "n_from", F.sum("n_trans").over(w_from).cast("long")
+        )
+        .select(
+            "from_state",
+            "to_state",
+            "n_trans",
+            "n_from",
+            F.expr(f"({ppm}L * n_trans) div n_from").alias("p_ppm"),
+        )
+    )
+
+
+def cusum_level_shift(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    thr_ppm: int = 300_000,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """CUSUM level-shift detection over daily totals, integer-exact.
+
+    Classic two-pass CUSUM: per group, the running sum of deviations
+    from the group mean peaks at the day the level shifted. Computed
+    without any float: with daily cents ``x_i``, ``n`` days and total
+    ``T``, the scaled cumulative deviation ``n*Σ_{j<=i} x_j - i*T``
+    equals ``n * Σ (x_j - mean)`` exactly. A day is flagged when
+    ``|cum_dev| / (n*|T|)`` exceeds ``thr_ppm`` (cross-multiplied), and
+    the single argmax-|cum_dev| day per group is marked as the
+    estimated changepoint (ties to the earliest day).
+
+    Scale shape: one (group, day) aggregate; every window — group
+    totals, the ordered cumsum, the argmax rank — partitions by the
+    group key and rides that aggregate's exchange. Day count per group
+    is bounded by the calendar, so ordered windows never see row-scaled
+    partitions.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), day.alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__dec")
+        )
+        .select(
+            group_col,
+            "day",
+            (F.col("__dec") * 100).cast("long").alias("day_cents"),
+        )
+    )
+    w_g = Window.partitionBy(group_col)
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_i = Window.partitionBy(group_col).orderBy("day")
+    base = daily.select(
+        group_col,
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(w_g).alias("__tot"),
+        F.count(F.lit(1)).over(w_g).cast("long").alias("n_days"),
+        F.sum("day_cents").over(w_cum).alias("__cum"),
+        F.row_number().over(w_i).cast("long").alias("__i"),
+    ).withColumn(
+        "cum_dev_scaled",
+        F.col("n_days") * F.col("__cum") - F.col("__i") * F.col("__tot"),
+    )
+    w_peak = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("cum_dev_scaled")).desc(), F.col("day").asc()
+    )
+    return (
+        base.withColumn("__pk", F.row_number().over(w_peak))
+        .select(
+            group_col,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_cents",
+            "cum_dev_scaled",
+            (
+                F.abs(F.col("cum_dev_scaled")) * ppm
+                > F.lit(thr_ppm) * F.col("n_days") * F.abs(F.col("__tot"))
+            ).alias("is_shift"),
+            (F.col("__pk") == 1).alias("is_changepoint"),
+        )
+    )

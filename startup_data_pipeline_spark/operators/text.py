@@ -1140,3 +1140,169 @@ def kwic_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def cooccur_lift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df_ppm: int = 800_000,
+    min_pair: int = 2,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Token co-occurrence lift over the corpus — the sufficient
+    statistic of PMI (``PMI = ln(lift)``), kept in exact integer ppm so
+    the collocation table is engine-reproducible with no float log.
+
+    For every unordered pair of vocabulary tokens appearing together in
+    ``min_pair``+ documents: the number of co-occurring docs, each
+    token's document frequency, and ``lift_ppm = ppm * n_pair * N div
+    (df_a * df_b)`` — >ppm means the pair co-occurs more than
+    independence predicts (a collocation / topic signal a curation
+    pipeline uses for phrase mining and near-duplicate topic audits).
+
+    Vocabulary is banded before any pair is formed: tokens in fewer
+    than ``min_df`` docs (noise) or more than ``max_df_ppm`` of the
+    corpus (stopwords) are excluded — the band is what bounds the
+    per-doc pair fan-out, exactly as in PMI collocation practice.
+
+    Scale shape: one explode of per-doc DISTINCT tokens, the df count
+    as a window riding the token exchange, then pairs are generated
+    MAP-SIDE from each doc's sorted (token, df) array — no within-doc
+    self-join, so the only remaining exchange is the final (a, b)
+    count. Each (token, df) travels with the pair, so no df re-join is
+    needed. N rides as a single-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    # corpus size off the RAW rows — counting through `base` would
+    # tokenize the whole corpus a second time just to count it
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("__n_docs"))
+    ex = base.select(
+        F.col(id_col), F.explode("__t").alias("tok")
+    )
+    w = Window.partitionBy("tok")
+    kept = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(w).cast("long"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("__df") >= min_df)
+            & (F.col("__df") * ppm <= F.lit(max_df_ppm) * F.col("__n_docs"))
+        )
+    )
+    # per-doc sorted (tok, df) structs -> map-side pair generation
+    arr = kept.groupBy(id_col, "__n_docs").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("tok"), F.col("__df")))
+        ).alias("__v")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__v") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("__v")),
+                lambda j: F.struct(
+                    F.element_at("__v", i).getField("tok").alias("tok_a"),
+                    F.element_at("__v", i).getField("__df").alias("df_a"),
+                    F.element_at("__v", j).getField("tok").alias("tok_b"),
+                    F.element_at("__v", j).getField("__df").alias("df_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        arr.filter(F.size("__v") >= 2)
+        .select("__n_docs", F.explode(pairs).alias("__p"))
+        .groupBy(
+            F.col("__p.tok_a").alias("tok_a"),
+            F.col("__p.tok_b").alias("tok_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pair"),
+            F.max("__p.df_a").alias("df_a"),
+            F.max("__p.df_b").alias("df_b"),
+            F.max("__n_docs").alias("__n"),
+        )
+        .filter(F.col("n_pair") >= min_pair)
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            "df_a",
+            "df_b",
+            F.expr(f"({ppm}L * n_pair * __n) div (df_a * df_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+def domain_signature(
+    df: DataFrame,
+    domain_col: str,
+    text_col: str,
+    top: int = 10,
+    min_dt: int = 2,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Per-domain distinctive-token signature: the ``top`` tokens most
+    over-represented in each domain vs the corpus, by exact integer
+    lift (``ppm * n_dt * N div (n_t * D)`` — how many times more of the
+    domain's docs contain the token than the corpus base rate
+    predicts).
+
+    The domain-mixture QA companion to ``split_balance``: where that
+    audits token VOLUME shares, this names WHAT each domain
+    over-contributes — the fastest way to spot a source whose content
+    drifted (spam tokens, boilerplate, a language shift) before it
+    pollutes a training mix. Integer cross-multiplied throughout.
+
+    Scale shape: per-doc-distinct explode, ONE (domain, token) count,
+    the token total as a window riding a token exchange, per-domain doc
+    counts as a broadcast join (|domains| rows), top-k as a rank window
+    partitioned by domain. No row-scaled join anywhere.
+    """
+    from pyspark.sql import Window
+
+    base = ensure_min_parallelism(df).select(
+        F.col(domain_col).alias("domain"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    )
+    # scalar + per-domain doc counts off the RAW rows, not `base` —
+    # counting docs must not pay for tokenizing them
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    per_domain = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("domain_docs")
+    )
+    dt = (
+        base.select("domain", F.explode("__t").alias("token"))
+        .groupBy("domain", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dt"))
+    )
+    w_tok = Window.partitionBy("token")
+    scored = (
+        dt.withColumn("n_t", F.sum("n_dt").over(w_tok).cast("long"))
+        .filter(F.col("n_dt") >= min_dt)
+        .join(F.broadcast(per_domain), "domain")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "lift_ppm",
+            F.expr(f"({ppm}L * n_dt * __n) div (n_t * domain_docs)"),
+        )
+    )
+    w_rank = Window.partitionBy("domain").orderBy(
+        F.col("lift_ppm").desc(), F.col("n_dt").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select(
+            "domain", "rank", "token", "n_dt", "n_t", "domain_docs",
+            "lift_ppm",
+        )
+    )

@@ -16,6 +16,7 @@ from .config import CONFIDENCE, TLD_CANDIDATES
 from .functions.columns import additive_score, money_display, slugify
 from .operators import (
     dedup,
+    olap,
     publish,
     resolve,
     similarity,
@@ -1417,3 +1418,119 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return temporal.seasonal_anomaly_days(ev, "event_type", "ts", "value")
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS to_state
+        FROM events WHERE ts IS NOT NULL
+    ),
+    cnt AS (
+        SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+               AS n_from,
+           CAST((1000000 * n_trans)
+               // SUM(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+               AS p_ppm
+    FROM cnt
+    """,
+    survey_ops="first-order Markov transition matrix (§2.5 behavioral "
+    "analytics): consecutive per-user event-type transitions with "
+    "exact integer-ppm probabilities; one key exchange for lead(), "
+    "from-state totals ride the matrix aggregate's exchange",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.markov_transitions(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+@register(
+    "q_cusum_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS day_cents
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, day, day_cents,
+               CAST(SUM(day_cents) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days,
+               CAST(SUM(day_cents) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY day) AS BIGINT) AS i
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, day, day_cents,
+               n_days * cum - i * tot AS cum_dev_scaled, n_days, tot,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(n_days * cum - i * tot) DESC, day ASC
+               ) AS pk
+        FROM base
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_cents,
+           CAST(cum_dev_scaled AS BIGINT) AS cum_dev_scaled,
+           abs(cum_dev_scaled) * 1000000 > 300000 * n_days * abs(tot)
+               AS is_shift,
+           pk = 1 AS is_changepoint
+    FROM scored
+    """,
+    survey_ops="CUSUM level-shift detection (§2.5 analytics battery): "
+    "integer-exact scaled cumulative deviations (n·Σx − i·T) over "
+    "daily cents flag sustained mean shifts and mark the argmax day "
+    "as the estimated changepoint; every window rides the one "
+    "group-keyed daily aggregate",
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.cusum_level_shift(ev, "event_type", "ts", "value")
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH rows_ AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               round(quantile_cont(cents, 0.05), 4) AS lo,
+               round(quantile_cont(cents, 0.95), 4) AS hi
+        FROM rows_ GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.cents, b.lo, b.hi,
+           round(greatest(b.lo, least(b.hi, CAST(r.cents AS DOUBLE))), 4)
+               AS clamped,
+           (CAST(r.cents AS DOUBLE) < b.lo
+            OR CAST(r.cents AS DOUBLE) > b.hi) AS is_clipped
+    FROM rows_ r JOIN bounds b USING (event_type)
+    """,
+    survey_ops="per-group winsorization (§2.5 robust statistics): "
+    "values clamped into the group's exact [p5, p95] percentile band "
+    "before averaging — two-pass, percentile aggregate broadcast back "
+    "so the row stream never shuffles",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return olap.winsorize_by_group(ev, "event_type", "event_id", "value")

@@ -2063,3 +2063,166 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.kwic_snippets(docs, "doc_id", "text", "spark", window=3)
+
+
+@register(
+    "q_cooccur_lift",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, list_distinct({_TOKS_LOWER}) AS toks FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    dfs AS (
+        SELECT doc_id, tok,
+               CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+        FROM ex
+    ),
+    kept AS (
+        SELECT doc_id, tok, df FROM dfs, n
+        WHERE df >= 2 AND df * 1000000 <= 800000 * n_docs
+    ),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair,
+               MAX(a.df) AS df_a, MAX(b.df) AS df_b
+        FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT tok_a, tok_b, n_pair, df_a, df_b,
+           CAST((1000000 * n_pair * n_docs) // (df_a * df_b) AS BIGINT)
+               AS lift_ppm
+    FROM pairs, n
+    WHERE n_pair >= 2
+    """,
+    survey_ops="token co-occurrence lift / PMI collocation table "
+    "(§2.11 text analysis): df-banded vocabulary, map-side pair "
+    "generation from per-doc sorted (token, df) arrays — no within-doc "
+    "self-join — and exact integer-ppm lift (PMI's sufficient "
+    "statistic) so phrase mining is engine-reproducible",
+)
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.cooccur_lift(docs, "doc_id", "text")
+
+
+@register(
+    "q_domain_signature",
+    oracle=f"""
+    WITH base AS (
+        SELECT source AS domain, list_distinct({_TOKS_LOWER}) AS toks
+        FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base),
+    pd AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS domain_docs
+        FROM base GROUP BY domain
+    ),
+    cnt AS (
+        SELECT domain, token, CAST(COUNT(*) AS BIGINT) AS n_dt
+        FROM (SELECT domain, unnest(toks) AS token FROM base)
+        GROUP BY domain, token
+    ),
+    scored AS (
+        SELECT c.domain, c.token, c.n_dt,
+               CAST(SUM(c.n_dt) OVER (PARTITION BY c.token) AS BIGINT)
+                   AS n_t,
+               p.domain_docs
+        FROM cnt c JOIN pd p USING (domain)
+    )
+    SELECT domain, CAST(rn AS INTEGER) AS rank, token, n_dt, n_t,
+           domain_docs,
+           CAST((1000000 * n_dt * n_docs) // (n_t * domain_docs)
+                AS BIGINT) AS lift_ppm
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY domain ORDER BY
+                (1000000 * n_dt * n_docs) // (n_t * domain_docs) DESC,
+                n_dt DESC, token ASC
+        ) AS rn
+        FROM scored, n
+        WHERE n_dt >= 2
+    )
+    WHERE rn <= 10
+    """,
+    survey_ops="per-domain distinctive-token signature (§2.11 "
+    "text / mixture QA): integer-lift top-k tokens each source "
+    "over-contributes vs the corpus base rate — drift detection for "
+    "training mixes; token totals ride one token exchange, domain "
+    "sizes broadcast",
+)
+def q_domain_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.domain_signature(docs, "source", "text")
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_PQ_CORE},
+    codes AS (SELECT vec_id, m, cid FROM best WHERE rn = 1),
+    qtab AS (
+        SELECT vec_id AS query_id, m, cid, d FROM d WHERE vec_id < 10
+    ),
+    adc AS (
+        SELECT t.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(t.d) AS BIGINT) AS adc_dist
+        FROM codes c JOIN qtab t USING (m, cid)
+        WHERE t.query_id <> c.vec_id
+        GROUP BY t.query_id, c.vec_id
+    ),
+    pq_list AS (
+        SELECT query_id, neighbor_id, rn AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+            FROM adc
+        ) WHERE rn <= 10
+    ),
+    bq AS (
+        SELECT vec_id AS query_id, {_QUANT} AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    bc AS (SELECT vec_id AS neighbor_id, {_QUANT} AS cv FROM embeddings),
+    bscored AS (
+        SELECT query_id, neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(qv)),
+                   i -> qv[i] * cv[i])) AS BIGINT) AS score
+        FROM bq, bc WHERE query_id <> neighbor_id
+    ),
+    brute_list AS (
+        SELECT query_id, neighbor_id, rn AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rn
+            FROM bscored
+        ) WHERE rn <= 10
+    ),
+    fused AS (
+        SELECT query_id, neighbor_id,
+               CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_scaled,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM (SELECT * FROM brute_list UNION ALL SELECT * FROM pq_list)
+        GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS fused_rank, neighbor_id,
+           rrf_scaled, n_lists
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_scaled DESC, n_lists DESC, neighbor_id ASC
+        ) AS rn FROM fused
+    ) WHERE rn <= 5
+    """,
+    survey_ops="reciprocal-rank fusion of exact-cosine and PQ-ADC "
+    "rankings (§2.11 similarity): the zero-tuning hybrid-retrieval "
+    "ensemble, integer-scaled (1e6 div (60+rank)) so fused order never "
+    "depends on float summation; fusion cost is two tiny |Q|*k streams "
+    "over the existing broadcast search shapes",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rrf_fuse_topk(
+        emb, "vec_id", "embedding", query_ids=list(range(10)),
+        k_each=10, topk=5,
+    )

@@ -196,11 +196,13 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the twenty queries getting their
+    # round-5 window must lead with the twenty-six queries getting their
     # FIRST driver sample, re-certify every operator changed this round,
     # and spend the remainder on the round-1-certified stale rotation
     prefix = list(qs)[:50]
-    assert prefix[:20] == [
+    assert prefix[:26] == [
+        "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
+        "q_markov_transitions", "q_cusum_shift", "q_winsorize",
         "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
         "q_max_concurrency", "q_sliding_distinct",
         "q_pq_encode", "q_pq_ann", "q_knn_graph", "q_zorder_key",
@@ -215,5 +217,5 @@ def test_registry_integrity():
                   "q_incremental_dedup_gate",
                   # stale-rotation spot checks (certified r1, sampled now)
                   "q_pricing_summary", "q_exact_dedup", "q_asof_join",
-                  "q_range_join", "q_moving_avg"]:
+                  "q_range_join", "q_ats_lever"]:
         assert probe in prefix, probe

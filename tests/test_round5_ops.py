@@ -442,3 +442,182 @@ def test_triangle_count_max_degree_excludes_super_nodes(spark):
     # edges/wedges are recomputed on the capped graph
     assert capped["n_triangles"] == 1
     assert capped["n_edges"] == 3
+
+
+def test_cooccur_lift_bands_and_exact_ppm(spark):
+    rows = [
+        (1, "a b x"),
+        (2, "a b y"),
+        (3, "a c"),
+        (4, "b c"),
+        (5, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # dfs: a=3 b=3 c=2, x/y/z=1 (excluded by min_df); N=5, 80% cap
+    # keeps everything with df<=4
+    got = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in text.cooccur_lift(df, "doc_id", "text", min_pair=1).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert ab["n_pair"] == 2 and ab["df_a"] == 3 and ab["df_b"] == 3
+    assert ab["lift_ppm"] == (10**6 * 2 * 5) // 9
+    assert got[("a", "c")]["lift_ppm"] == (10**6 * 1 * 5) // 6
+    # default min_pair=2 keeps only the true collocation
+    only = text.cooccur_lift(df, "doc_id", "text").collect()
+    assert [(r["tok_a"], r["tok_b"]) for r in only] == [("a", "b")]
+
+
+def test_cooccur_lift_max_df_band_drops_stopword(spark):
+    rows = [(i, f"the w{i % 2} filler{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "the" df=10 = 100% of docs > 80% cap -> never in any pair
+    out = text.cooccur_lift(df, "doc_id", "text", min_pair=1).collect()
+    assert all("the" not in (r["tok_a"], r["tok_b"]) for r in out)
+
+
+def test_domain_signature_lift_and_rank(spark):
+    rows = [
+        (1, "A", "a b"),
+        (2, "A", "a c"),
+        (3, "B", "b"),
+        (4, "B", "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["domain"], r["token"]): r
+        for r in text.domain_signature(df, "source", "text", min_dt=1).collect()
+    }
+    # N=4, domain_docs=2 each; lift = 1e6 * n_dt * 4 // (n_t * 2)
+    assert got[("A", "a")]["lift_ppm"] == (10**6 * 2 * 4) // (2 * 2)
+    assert got[("A", "b")]["lift_ppm"] == (10**6 * 1 * 4) // (2 * 2)
+    assert got[("B", "d")]["lift_ppm"] == (10**6 * 1 * 4) // (1 * 2)
+    # rank: lift desc, n_dt desc, token asc
+    a_rank = {r["rank"]: r["token"] for (d, _t), r in got.items() if d == "A"}
+    assert a_rank == {1: "a", 2: "c", 3: "b"}
+    b_rank = {r["rank"]: r["token"] for (d, _t), r in got.items() if d == "B"}
+    assert b_rank == {1: "d", 2: "b"}
+
+
+def test_rrf_fusion_matches_recomputed_ensemble(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        (i, [0.0001 * (i + 1), 0.0001 * ((i * 3) % 7), 0.0001, 0.0])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(query_ids=[0, 1], k_each=3, m=2, pq_k=2)
+    a = sim.brute_force_topk(df, "vec_id", "embedding",
+                             query_ids=kw["query_ids"], k=3).collect()
+    b = sim.pq_adc_topk(df, "vec_id", "embedding",
+                        query_ids=kw["query_ids"], topk=3, m=2, k=2).collect()
+    expect: dict[tuple[int, int], list[int]] = {}
+    for r in [*a, *b]:
+        expect.setdefault((r["query_id"], r["neighbor_id"]), []).append(
+            10**6 // (60 + r["rank"])
+        )
+    got = sim.rrf_fuse_topk(
+        df, "vec_id", "embedding", query_ids=[0, 1], k_each=3, topk=5,
+        m=2, pq_k=2,
+    ).collect()
+    for r in got:
+        contribs = expect[(r["query_id"], r["neighbor_id"])]
+        assert r["rrf_scaled"] == sum(contribs)
+        assert r["n_lists"] == len(contribs)
+    # ranks are 1..n and rrf non-increasing within a query
+    for q in (0, 1):
+        qs = sorted([r for r in got if r["query_id"] == q],
+                    key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in qs] == list(range(1, len(qs) + 1))
+        vals = [r["rrf_scaled"] for r in qs]
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_markov_transitions_order_ties_and_ppm(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    t = datetime(2024, 1, 1)
+
+    def ts(h):
+        return t.replace(hour=h)
+
+    rows = [
+        (1, ts(1), 10, "A"),
+        (2, ts(2), 10, "B"),
+        (3, ts(2), 10, "A"),   # tie at h=2: B (id 2) precedes A (id 3)
+        (4, ts(3), 10, "C"),
+        (5, ts(1), 20, "B"),
+        (6, ts(2), 20, "A"),
+        (7, None, 20, "Z"),    # null ts: excluded entirely
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["from_state"], r["to_state"]): r
+        for r in temporal.markov_transitions(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # user 10: A->B, B->A, A->C ; user 20: B->A
+    assert set(got) == {("A", "B"), ("B", "A"), ("A", "C")}
+    assert got[("A", "B")]["n_trans"] == 1
+    assert got[("B", "A")]["n_trans"] == 2
+    assert got[("A", "B")]["n_from"] == 2
+    assert got[("A", "B")]["p_ppm"] == 500_000
+    assert got[("B", "A")]["p_ppm"] == 1_000_000
+    assert not any("Z" in k for k in got)
+
+
+def test_cusum_level_shift_exact_deviations(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = [
+        (1, datetime(2024, 1, 1), "g", 1.0),
+        (2, datetime(2024, 1, 2), "g", 1.0),
+        (3, datetime(2024, 1, 3), "g", 2.0),
+        (4, datetime(2024, 1, 4), "g", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["day"]: r
+        for r in temporal.cusum_level_shift(
+            df, "event_type", "ts", "value", thr_ppm=100_000
+        ).collect()
+    }
+    # cents [100,100,200,200]; T=600, n=4; dev_i = 4*cum_i - i*600
+    assert got["2024-01-01"]["cum_dev_scaled"] == -200
+    assert got["2024-01-02"]["cum_dev_scaled"] == -400
+    assert got["2024-01-03"]["cum_dev_scaled"] == -200
+    assert got["2024-01-04"]["cum_dev_scaled"] == 0
+    # threshold: |dev| > 0.1 * n * |T| = 240 -> only day 2
+    assert [d for d, r in got.items() if r["is_shift"]] == ["2024-01-02"]
+    # changepoint = argmax |dev| = end of the low regime
+    assert [d for d, r in got.items() if r["is_changepoint"]] == ["2024-01-02"]
+
+
+def test_winsorize_clamps_to_exact_percentile_band(spark):
+    rows = [(i, "g", i / 10.0) for i in range(11)]  # cents 0,10,...,100
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {
+        r["event_id"]: r
+        for r in olap.winsorize_by_group(
+            df, "event_type", "event_id", "value"
+        ).collect()
+    }
+    # exact interpolated p5 = 5.0, p95 = 95.0 over 0..100 step 10
+    assert got[0]["lo"] == 5.0 and got[0]["hi"] == 95.0
+    assert got[0]["clamped"] == 5.0 and got[0]["is_clipped"]
+    assert got[10]["clamped"] == 95.0 and got[10]["is_clipped"]
+    assert got[5]["clamped"] == 50.0 and not got[5]["is_clipped"]
+    assert sum(bool(r["is_clipped"]) for r in got.values()) == 2
