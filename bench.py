@@ -115,6 +115,7 @@ HEADLINE = [
     "q_markov_transitions",
     "q_cusum_shift",
     "q_winsorize",
+    "q_image_dhash_pairs",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -631,7 +631,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash64_near_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3
+    sigs: DataFrame, id_col: str, max_hamming: int = 3,
+    sig_col: str = "simhash64",
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash with banded multi-probe blocking.
 
@@ -647,7 +648,7 @@ def simhash64_near_pairs(
         *[
             F.struct(
                 F.lit(i).alias("band_id"),
-                F.shiftrightunsigned(F.col("simhash64"), 16 * i)
+                F.shiftrightunsigned(F.col(sig_col), 16 * i)
                 .bitwiseAND(F.lit(65535))
                 .alias("band_val"),
             )
@@ -655,10 +656,10 @@ def simhash64_near_pairs(
         ]
     )
     exploded = sigs.select(
-        F.col(id_col), F.col("simhash64"), F.explode(bands).alias("b")
+        F.col(id_col), F.col(sig_col).alias("__sig"), F.explode(bands).alias("b")
     ).select(
         F.col(id_col),
-        F.col("simhash64"),
+        F.col("__sig"),
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_val").alias("band_val"),
     )
@@ -675,7 +676,7 @@ def simhash64_near_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+                F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -326,3 +326,68 @@ def sample_frames(
     )
     idx = F.sequence(F.lit(0), n_frames, F.lit(every_n))
     return df.withColumn("frame_index", F.explode(idx))
+
+
+def image_dhash(decoded: DataFrame, id_col: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) over decoded pixel arrays —
+    the image analog of SimHash, and the standard cheap near-duplicate
+    image signature (resize to 9×8 grayscale, one bit per
+    brighter-than-left-neighbor comparison, 64 bits total).
+
+    Entirely native after the decode boundary: the 9×8 resample is
+    ``resize_image_native`` (pure index arithmetic), grayscale is one
+    ``transform`` over the 72 target pixels (integer ``floor((r+g+b)/
+    3)``), and the 64 comparisons fold into two unsigned 32-bit halves
+    packed to a signed BIGINT with the same two's-complement arithmetic
+    as ``dedup.simhash64`` — so ``dedup.simhash64_near_pairs(...,
+    sig_col='dhash64')`` gives banded near-dup image pairs with full
+    recall at hamming<=3, unchanged.
+
+    The grayscale array is aliased in its own projection before the 64
+    bit terms reference it (and the resized pixel array before the 72
+    gray terms) — the z-order lesson: a multiply-referenced non-cheap
+    expression must live behind a projection boundary or plan
+    construction substitutes it into every term.
+
+    Rows that failed to decode (NULL pixels) drop out, mirroring the
+    no-signature semantics of the text hashes.
+    """
+    r = resize_image_native(decoded, 9, 8)
+    gray = F.transform(
+        F.sequence(F.lit(0), F.lit(71)),
+        lambda p: F.floor(
+            (
+                F.element_at("pixels", p * 3 + 1)
+                + F.element_at("pixels", p * 3 + 2)
+                + F.element_at("pixels", p * 3 + 3)
+            )
+            / F.lit(3)
+        ).cast("long"),
+    )
+    staged = (
+        r.filter(F.col("pixels").isNotNull())
+        .select(F.col(id_col), gray.alias("__g"))
+    )
+
+    def g(p: int):
+        return F.element_at("__g", p + 1)
+
+    sig_lo = None
+    sig_hi = None
+    for i in range(64):
+        y, x = divmod(i, 8)
+        bit = (
+            F.when(
+                g(y * 9 + x + 1) > g(y * 9 + x),
+                F.lit(1 << (i % 32)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        if i < 32:
+            sig_lo = bit if sig_lo is None else sig_lo + bit
+        else:
+            sig_hi = bit if sig_hi is None else sig_hi + bit
+    packed = F.when(
+        sig_hi >= F.lit(2147483648),
+        (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
+    ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
+    return staged.select(F.col(id_col), packed.alias("dhash64"))

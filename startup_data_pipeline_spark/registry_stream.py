@@ -686,3 +686,74 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= 3
         """
     )
+
+
+def _dhash_oracle() -> str:
+    # dHash of the PPM fixture re-derived PURELY arithmetically (byte j
+    # of image id is (id*7 + j*11) % 256; see attach_ppm_payload):
+    # nearest-neighbor 9x8 resample, integer grayscale, 64 comparisons,
+    # two's-complement pack — certifying decode -> resize -> hash
+    # end-to-end against an independent derivation, like q_decode_image.
+    w, h = "(4 + doc_id % 5)", "(3 + doc_id % 4)"
+    sp = f"(((((p // 9) * {h}) // 8) * {w}) + (((p % 9) * {w}) // 9))"
+    gray = (
+        f"((doc_id * 7 + (3 * {sp}) * 11) % 256"
+        f" + (doc_id * 7 + (3 * {sp} + 1) * 11) % 256"
+        f" + (doc_id * 7 + (3 * {sp} + 2) * 11) % 256) // 3"
+    )
+    def half(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN gray[{(i // 8) * 9 + (i % 8) + 2}]"
+            f" > gray[{(i // 8) * 9 + (i % 8) + 1}]"
+            f" THEN CAST({1 << (i % 32)} AS BIGINT) ELSE 0 END)"
+            for i in range(lo, lo + 32)
+        )
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 71), p -> {gray}) AS gray
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, ({half(0)}) AS sig_lo, ({half(32)}) AS sig_hi
+        FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN sig_hi >= 2147483648
+                THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                ELSE sig_hi * 4294967296 + sig_lo END AS dhash64,
+           sig_lo % 65536 AS b0, sig_lo // 65536 AS b1,
+           sig_hi % 65536 AS b2, sig_hi // 65536 AS b3
+    FROM sig
+    """
+
+
+@register(
+    "q_image_dhash_pairs",
+    oracle=f"""
+    WITH dh AS ({_dhash_oracle()})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash64, b.dhash64)) AS INTEGER)
+               AS hamming
+    FROM dh a JOIN dh b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 3
+    """,
+    survey_ops="§2.11 multimodal near-dup: perceptual dHash over the "
+    "REAL decode->resize pixel path (9x8 grayscale difference bits, "
+    "zero Python after decode) + the same 4x16-bit banded blocking as "
+    "simhash64 — full recall at hamming<=3, 65536 buckets/band bound "
+    "the self-join; the image analog of the text near-dup battery",
+)
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(docs, "doc_id")
+    )
+    sigs = multimodal.image_dhash(decoded, "doc_id")
+    return dedup.simhash64_near_pairs(
+        sigs, "doc_id", max_hamming=3, sig_col="dhash64"
+    )

@@ -196,11 +196,12 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the twenty-six queries getting their
-    # FIRST driver sample, re-certify every operator changed this round,
-    # and spend the remainder on the round-1-certified stale rotation
+    # round-5 window must lead with the twenty-seven queries getting
+    # their FIRST driver sample, re-certify every operator changed this
+    # round, and spend the remainder on the round-1-certified rotation
     prefix = list(qs)[:50]
-    assert prefix[:26] == [
+    assert prefix[:27] == [
+        "q_image_dhash_pairs",
         "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
         "q_markov_transitions", "q_cusum_shift", "q_winsorize",
         "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",

@@ -621,3 +621,63 @@ def test_winsorize_clamps_to_exact_percentile_band(spark):
     assert got[10]["clamped"] == 95.0 and got[10]["is_clipped"]
     assert got[5]["clamped"] == 50.0 and not got[5]["is_clipped"]
     assert sum(bool(r["is_clipped"]) for r in got.values()) == 2
+
+
+def _py_dhash(i: int) -> int:
+    # independent reference: fixture byte j = (id*7 + j*11) % 256,
+    # nearest-neighbor 9x8 resample, integer gray, difference bits
+    w, h = 4 + i % 5, 3 + i % 4
+
+    def byte(j):
+        return (i * 7 + j * 11) % 256
+
+    def gray(p):
+        ty, tx = divmod(p, 9)
+        sp = ((ty * h) // 8) * w + (tx * w) // 9
+        return (byte(3 * sp) + byte(3 * sp + 1) + byte(3 * sp + 2)) // 3
+
+    bits = 0
+    for idx in range(64):
+        y, x = divmod(idx, 8)
+        if gray(y * 9 + x + 1) > gray(y * 9 + x):
+            bits |= 1 << idx
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def test_image_dhash_matches_reference_derivation(spark):
+    from startup_data_pipeline_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(i,) for i in range(25)], "doc_id long")
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(ids, "doc_id")
+    )
+    got = {
+        r["doc_id"]: r["dhash64"]
+        for r in multimodal.image_dhash(decoded, "doc_id").collect()
+    }
+    assert got == {i: _py_dhash(i) for i in range(25)}
+
+
+def test_image_dhash_pairs_exact_hamming(spark):
+    from startup_data_pipeline_spark.operators import dedup, multimodal
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(ids, "doc_id")
+    )
+    sigs = multimodal.image_dhash(decoded, "doc_id")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash64_near_pairs(
+            sigs, "doc_id", max_hamming=3, sig_col="dhash64"
+        ).collect()
+    }
+    # reference: all pairs within hamming<=3 (banding is full-recall)
+    ref = {}
+    sig = {i: _py_dhash(i) & ((1 << 64) - 1) for i in range(60)}
+    for a in range(60):
+        for b in range(a + 1, 60):
+            hd = bin(sig[a] ^ sig[b]).count("1")
+            if hd <= 3:
+                ref[(a, b)] = hd
+    assert got == ref
