@@ -116,6 +116,9 @@ HEADLINE = [
     "q_cusum_shift",
     "q_winsorize",
     "q_image_dhash_pairs",
+    "q_vocab_growth",
+    "q_lsh_precision",
+    "q_conversion_latency",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -109,6 +109,17 @@ PROBE = [
     "q_join_skew_profile",
     "q_degree_hist",
     "q_seasonal_anomaly",
+    # round-5 second wave
+    "q_cooccur_lift",
+    "q_domain_signature",
+    "q_rrf_fusion",
+    "q_markov_transitions",
+    "q_cusum_shift",
+    "q_winsorize",
+    "q_image_dhash_pairs",
+    "q_vocab_growth",
+    "q_lsh_precision",
+    "q_conversion_latency",
 ]
 
 

@@ -913,3 +913,94 @@ def contamination_check(
         )
         .select(id_col, "n_shingles", "n_shared", "contamination")
     )
+
+
+def lsh_band_precision(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Per-band LSH candidate precision audit: for each band, how many
+    candidate pairs it proposes and what fraction are TRUE near-dups by
+    exact shingle Jaccard — the measurement that tells an operator
+    whether a band (i.e. a signature slice) has degenerated into a
+    boilerplate-driven bucket flooding the downstream join.
+
+    The dedup-QA companion to ``degree_histogram``: the histogram says
+    the graph is heavy-tailed, this says WHICH blocking decision is
+    responsible. Precision is exact integer ppm; the truth set is
+    ``jaccard_pairs`` on the same shingle parameters.
+
+    Scale shape: the banded self-join is the existing bucketed shape
+    with band_id kept (one extra tiny key column); the exact-Jaccard
+    side is the bounded shingle join; the final audit joins two
+    pair-keyed streams and aggregates to |bands| rows.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, k=k)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        F.col(id_col),
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.band_id").alias("band_id"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["band_id", "id_a", "id_b"])
+    )
+    truth = (
+        jaccard_pairs(df, id_col, text_col, k=k)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.lit(1).alias("__true"))
+    )
+    return (
+        cand.join(truth, ["id_a", "id_b"], "left")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__true"), F.lit(0)))
+            .cast("long")
+            .alias("n_true"),
+        )
+        .select(
+            "band_id",
+            "n_candidates",
+            "n_true",
+            F.expr(f"({ppm}L * n_true) div n_candidates").alias(
+                "precision_ppm"
+            ),
+        )
+    )

@@ -653,3 +653,33 @@ def winsorize_by_group(
             ).alias("is_clipped"),
         )
     )
+
+
+def score_percentile_norm(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Cross-group score normalization: each row's exact percent-rank of
+    ``score_col`` WITHIN its group — the standard move before mixing
+    quality scores from different domains into one curriculum or
+    sampling weight (a "good" web doc and a "good" code file sit on
+    incomparable raw scales; their within-domain ranks are comparable).
+
+    percent_rank is (rank-1)/(n-1) with a deterministic (score, id)
+    ordering, so the output is engine-exact; rounded to 4 per the
+    oracle float rule. One window exchange on the group key — the same
+    shape as any per-group ranking, no global window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.round(F.percent_rank().over(w), 4).alias("pctl"),
+    )

@@ -562,3 +562,66 @@ def cusum_level_shift(
             (F.col("__pk") == 1).alias("is_changepoint"),
         )
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_event: str,
+    to_event: str,
+) -> DataFrame:
+    """Funnel conversion-latency summary: seconds from each user's FIRST
+    ``from_event`` to their first ``to_event`` at-or-after it, rolled up
+    to one row of exact percentiles and an integer-ppm conversion rate.
+
+    The time-to-convert read behind activation dashboards and honest
+    A/B conclusions (means lie under heavy tails; medians and p90 over
+    exact integer seconds do not).
+
+    Scale shape: ONE exchange on the user key — the first-``from``
+    timestamp is a window over it, the qualifying-``to`` aggregate
+    rides the same partitioning, and the final summary is a single
+    all-reduce to one row (percentile partials merge map-side).
+    """
+    w = Window.partitionBy(user_col)
+    first_from = F.min(
+        F.when(F.col(type_col) == from_event, F.col(ts_col))
+    ).over(w)
+    per_user = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("__first_from", first_from)
+        .filter(F.col("__first_from").isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col(type_col) == to_event)
+                    & (F.col(ts_col) >= F.col("__first_from")),
+                    F.col(ts_col),
+                )
+            ).alias("__first_to"),
+            F.first("__first_from").alias("__from"),
+        )
+        .select(
+            F.col(user_col),
+            # microsecond-exact difference floored to whole seconds —
+            # unix_timestamp() would floor EACH side first, which
+            # disagrees with any epoch-subtraction on sub-second data
+            F.expr(
+                "(unix_micros(__first_to) - unix_micros(__from))"
+                " div 1000000L"
+            ).alias("latency_s"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("latency_s").cast("long").alias("n_converted"),
+        F.expr(
+            "(1000000L * count(latency_s)) div count(1)"
+        ).alias("conversion_ppm"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )

@@ -1306,3 +1306,68 @@ def domain_signature(
             "lift_ppm",
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_width: int = 50,
+    n: int = 2,
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law audit): per ordered bucket of
+    ``bucket_width`` ids, how many distinct ``n``-gram units make their
+    corpus FIRST appearance there, plus the cumulative vocabulary size.
+
+    The curve a curation pipeline reads before committing to a
+    tokenizer budget: sublinear growth = healthy natural text; a late
+    linear tail = an injected source minting novel junk units (OCR
+    noise, ids, hashes). First appearance is attributed by MIN id per
+    unit — deterministic, order-free. Default unit is the bigram
+    (unigram vocabularies saturate in the first bucket on any corpus
+    with a bounded word list; transitions keep growing).
+
+    Scale shape: per-doc-distinct explode, ONE unit-keyed min-agg,
+    map-side bucket relabel, one tiny (|buckets|) aggregate; the
+    cumulative sum is a window over those bucket rows — bounded by
+    id-range/bucket_width, never row-scaled (the same tiny-aggregate
+    window exemption as ``split_balance``).
+    """
+    from pyspark.sql import Window
+
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("__t"), i + j) for j in range(n)],
+        ),
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__t") >= n, F.array_distinct(grams)
+            ).otherwise(F.array())
+        ).alias("tok"),
+    )
+    first = ex.groupBy("tok").agg(F.min(id_col).alias("__first_id"))
+    per_bucket = (
+        first.select(
+            (F.col("__first_id") - (F.col("__first_id") % bucket_width))
+            .cast("long")
+            .alias("bucket_start")
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket_start",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -1534,3 +1534,64 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return olap.winsorize_by_group(ev, "event_type", "event_id", "value")
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_type FROM events WHERE ts IS NOT NULL
+    ),
+    ff AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_from
+        FROM base GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id,
+               (epoch_us(MIN(CASE WHEN b.event_type = 'purchase'
+                                   AND b.ts >= f.first_from
+                                  THEN b.ts END))
+                - epoch_us(f.first_from)) // 1000000 AS latency_s
+        FROM ff f JOIN base b USING (user_id)
+        WHERE f.first_from IS NOT NULL
+        GROUP BY f.user_id, f.first_from
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(latency_s) AS BIGINT) AS n_converted,
+           CAST((1000000 * COUNT(latency_s)) // COUNT(*) AS BIGINT)
+               AS conversion_ppm,
+           round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+    survey_ops="funnel conversion latency (§2.5 behavioral analytics): "
+    "first-view to first-purchase-after, microsecond-exact integer "
+    "seconds, exact percentiles + integer-ppm conversion rate; one "
+    "user-key exchange, summary merges map-side",
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.conversion_latency(
+        ev, "user_id", "ts", "event_type", "view", "purchase"
+    )
+
+
+@register(
+    "q_score_percentile_norm",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+           ), 4) AS pctl
+    FROM documents
+    """,
+    survey_ops="within-domain percentile normalization (§2.11 mixture "
+    "prep): exact percent_rank of a quality signal per source — the "
+    "move that makes cross-domain scores comparable before curriculum "
+    "or sampling weights; one group-keyed window, no global window",
+)
+def q_score_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.score_percentile_norm(docs, "source", "doc_id", "n_chars")

@@ -2226,3 +2226,97 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", query_ids=list(range(10)),
         k_each=10, topk=5,
     )
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    ex AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1]))) AS tok
+        FROM toks
+    ),
+    first AS (
+        SELECT tok, MIN(doc_id) AS first_id FROM ex GROUP BY tok
+    ),
+    pb AS (
+        SELECT CAST(first_id - (first_id % 50) AS BIGINT) AS bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+        FROM first GROUP BY 1
+    )
+    SELECT bucket_start, n_new_tokens,
+           CAST(SUM(n_new_tokens) OVER (
+               ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_vocab
+    FROM pb
+    """,
+    survey_ops="vocabulary growth curve / Heaps-law audit (§2.11 text "
+    "analysis): distinct-bigram first appearances by MIN doc id, "
+    "bucketed so the cumulative window runs over |buckets| rows, never "
+    "row-scaled — the tokenizer-budget read before committing a vocab",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_growth(docs, "doc_id", "text", bucket_width=50)
+
+
+@register(
+    "q_lsh_precision",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.band_id, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    )
+    SELECT band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST((1000000 * SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0
+                               END)) // COUNT(*) AS BIGINT)
+               AS precision_ppm
+    FROM cand c
+    LEFT JOIN truth t USING (id_a, id_b)
+    GROUP BY band_id
+    """,
+    survey_ops="per-band LSH precision audit (§2.11 dedup QA): each "
+    "band's candidate pairs scored against exact shingle Jaccard "
+    "truth, integer-ppm precision — names WHICH blocking decision "
+    "floods the join when the degree histogram shows a heavy tail",
+)
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_band_precision(
+        docs, "doc_id", "text", num_hashes=4, band_size=1, k=3,
+        min_jaccard=0.5,
+    )

@@ -196,11 +196,13 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the twenty-seven queries getting
+    # round-5 window must lead with the thirty-one queries getting
     # their FIRST driver sample, re-certify every operator changed this
     # round, and spend the remainder on the round-1-certified rotation
     prefix = list(qs)[:50]
-    assert prefix[:27] == [
+    assert prefix[:31] == [
+        "q_vocab_growth", "q_lsh_precision", "q_conversion_latency",
+        "q_score_percentile_norm",
         "q_image_dhash_pairs",
         "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
         "q_markov_transitions", "q_cusum_shift", "q_winsorize",

@@ -681,3 +681,94 @@ def test_image_dhash_pairs_exact_hamming(spark):
             if hd <= 3:
                 ref[(a, b)] = hd
     assert got == ref
+
+
+def test_vocab_growth_bigram_first_appearance(spark):
+    rows = [
+        (0, "a b c"),       # bigrams: "a b", "b c"  (bucket 0)
+        (1, "a b d"),       # new: "a b"? no (seen) -> "a b d": "a b" old, "b d" new
+        (60, "a b x y"),    # bucket 50: "a b" old; "b x", "x y" new
+        (120, "a b"),       # bucket 100: nothing new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket_start"]: r
+        for r in __import__(
+            "startup_data_pipeline_spark.operators.text", fromlist=["text"]
+        ).vocab_growth(df, "doc_id", "text", bucket_width=50).collect()
+    }
+    # bucket 0: "a b","b c","b d" first-appear (docs 0 and 1)
+    assert got[0]["n_new_tokens"] == 3 and got[0]["cum_vocab"] == 3
+    assert got[50]["n_new_tokens"] == 2 and got[50]["cum_vocab"] == 5
+    assert 100 not in got  # no first appearances there
+    assert set(got) == {0, 50}
+
+
+def test_lsh_band_precision_counts(spark):
+    # two exact duplicates (true pair, all bands agree) + one unrelated
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["band_id"]: r
+        for r in dedup.lsh_band_precision(
+            df, "doc_id", "text", num_hashes=4, band_size=1, k=3,
+            min_jaccard=0.5,
+        ).collect()
+    }
+    # identical docs collide in EVERY band and are a true dup each time
+    assert set(got) == {0, 1, 2, 3}
+    for b, r in got.items():
+        assert r["n_candidates"] == 1 and r["n_true"] == 1
+        assert r["precision_ppm"] == 1_000_000
+
+
+def test_conversion_latency_exact(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, 0).replace(minute=s // 60,
+                                                     second=s % 60)
+
+    rows = [
+        # user 1: view at 10s, purchase at 70s -> latency 60
+        (1, 1, at(10), "view"), (2, 1, at(70), "purchase"),
+        # user 2: purchase BEFORE view -> not converted (no purchase after)
+        (3, 2, at(5), "purchase"), (4, 2, at(30), "view"),
+        # user 3: view only
+        (5, 3, at(1), "view"),
+        # user 4: no view at all -> excluded from n_users
+        (6, 4, at(2), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    [r] = temporal.conversion_latency(
+        df, "user_id", "ts", "event_type", "view", "purchase"
+    ).collect()
+    assert r["n_users"] == 3
+    assert r["n_converted"] == 1
+    assert r["conversion_ppm"] == 333_333
+    assert r["p50_s"] == 60.0 and r["p90_s"] == 60.0 and r["max_s"] == 60
+
+
+def test_score_percentile_norm_rank_math(spark):
+    rows = [(i, "g", float(i * 10)) for i in range(5)] + [
+        (10, "h", 7.0), (11, "h", 3.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r["doc_id"]: r["pctl"]
+        for r in olap.score_percentile_norm(
+            df, "source", "doc_id", "score"
+        ).collect()
+    }
+    assert got[0] == 0.0 and got[4] == 1.0 and got[2] == 0.5
+    assert got[11] == 0.0 and got[10] == 1.0
