@@ -156,9 +156,13 @@ def regen(spark) -> None:
 
 def main() -> None:
     only = None
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--only"):
-            only = a.split("=", 1)[-1].split(",") if "=" in a else None
+            if "=" in a:
+                only = a.split("=", 1)[-1].split(",")
+            elif i + 1 < len(argv):  # space-separated form
+                only = argv[i + 1].split(",")
     spark = get_spark(
         app_name="spark-graft-scale-probe",
         # TIMESTAMP_MICROS matches the shipped fixture generation (and is

@@ -449,12 +449,12 @@ def markov_transitions(
     'signup'?) and the generative model behind session simulation;
     deterministic ordering uses ``tiebreak_col`` for equal timestamps.
 
-    Scale shape: ONE exchange on the key for the lead() window; the
-    (from, to) count is a second, matrix-sized exchange; the from-state
-    total is a window on a PREFIX of the group key, so it rides the
-    count's exchange. Null timestamps are excluded (no order), final
-    events of each key emit nothing (no successor) — standard Markov
-    estimation semantics.
+    Scale shape: ONE row-scaled exchange on the key for the lead()
+    window; everything after operates on matrix-sized data (≤ |states|²
+    rows) — the (from, to) count and the from-state window each
+    exchange that tiny aggregate, never event rows. Null timestamps are
+    excluded (no order), final events of each key emit nothing (no
+    successor) — standard Markov estimation semantics.
     """
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()

@@ -278,3 +278,73 @@ def test_boilerplate_strip_shuffles_digests_not_text(spark, plan_sf_dir):
     assert "seg_hash" in plan
     # distinct-(id,hash) + df-count keep partial aggregation map-side
     assert plan.count("HashAggregate") >= 4
+
+
+def test_winsorize_row_stream_never_shuffles(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, plan_sf_dir, "events")
+    plan = _plan(
+        olap.winsorize_by_group(ev, "event_type", "event_id", "value"),
+        "simple",
+    )
+    # bounds broadcast back onto the scan: the row side must reach the
+    # join with no hash-partition exchange (only the tiny percentile
+    # aggregate exchanges + its BroadcastExchange)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # bounds agg only
+    assert "SortMergeJoin" not in plan
+
+
+def test_cooccur_pairs_generated_map_side(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    plan = _plan(text.cooccur_lift(docs, "doc_id", "text"), "simple")
+    # the within-doc pair fan-out must be a Generate over the per-doc
+    # array, never a row-scaled self-join; the only joins in the plan
+    # are the single-row corpus-count broadcasts
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_markov_single_row_scaled_exchange(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import temporal
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, plan_sf_dir, "events")
+    plan = _plan(
+        temporal.markov_transitions(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ),
+        "simple",
+    )
+    # exactly one exchange sees event-scaled rows (the user window);
+    # the rest run on the <= |states|^2 transition matrix
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_image_dhash_join_is_banded_not_cartesian(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import dedup, multimodal
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(docs, "doc_id")
+    )
+    sigs = multimodal.image_dhash(decoded, "doc_id")
+    plan = _plan(
+        dedup.simhash64_near_pairs(
+            sigs, "doc_id", max_hamming=3, sig_col="dhash64"
+        ),
+        "simple",
+    )
+    # candidates come from an equi-join on (band_id, band_val) — never
+    # a cartesian/nested-loop pass over signatures
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan
