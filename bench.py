@@ -119,6 +119,8 @@ HEADLINE = [
     "q_vocab_growth",
     "q_lsh_precision",
     "q_conversion_latency",
+    "q_quant_calibration",
+    "q_dedup_agreement",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -120,6 +120,8 @@ PROBE = [
     "q_vocab_growth",
     "q_lsh_precision",
     "q_conversion_latency",
+    "q_quant_calibration",
+    "q_dedup_agreement",
 ]
 
 

@@ -1004,3 +1004,57 @@ def lsh_band_precision(
             ),
         )
     )
+
+
+def dedup_method_agreement(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df: int = 50,
+    min_jaccard: float = 0.5,
+    max_hamming: int = 3,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Cross-method near-dup agreement audit: the pair sets found by
+    exact n-gram Jaccard and by banded 64-bit SimHash, their overlap,
+    and integer-ppm agreement (|A∩B| / |A∪B|) — one row.
+
+    The ensemble-QA read before trusting any single dedup method at
+    scale: high agreement says the cheap signature is a faithful proxy
+    for the expensive exact measure on THIS corpus; low agreement says
+    the corpus has a structure (short docs, templated text) where one
+    method under-recalls and the thresholds need retuning. Both methods
+    run their existing bounded shapes; the audit itself is a full-outer
+    join of two pair-keyed streams and a single all-reduce.
+    """
+    jac = (
+        jaccard_pairs(df, id_col, text_col, k=k, max_df=max_df)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.lit(1).alias("__in_jac"))
+    )
+    sim = (
+        simhash64_near_pairs(
+            simhash64(df, id_col, text_col), id_col,
+            max_hamming=max_hamming,
+        )
+        .select("id_a", "id_b", F.lit(1).alias("__in_sim"))
+    )
+    both = jac.join(sim, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.coalesce("__in_jac", F.lit(0))).cast("long").alias(
+            "n_jaccard"
+        ),
+        F.sum(F.coalesce("__in_sim", F.lit(0))).cast("long").alias(
+            "n_simhash"
+        ),
+        F.sum(
+            F.coalesce("__in_jac", F.lit(0))
+            * F.coalesce("__in_sim", F.lit(0))
+        ).cast("long").alias("n_both"),
+        F.expr(
+            f"({ppm}L * sum(coalesce(__in_jac, 0) * coalesce(__in_sim, 0)))"
+            " div count(1)"
+        ).alias("agreement_ppm"),
+    )

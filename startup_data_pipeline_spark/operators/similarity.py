@@ -797,3 +797,38 @@ def rrf_fuse_topk(
             "n_lists",
         )
     )
+
+
+def quant_calibration(
+    df: DataFrame,
+    vec_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-DIMENSION quantization calibration table: exact percentile
+    cut points of each embedding dimension over the whole dataset — the
+    per-channel complement to ``int8_quantize_stats``'s per-vector
+    scaling, and the table a production quantizer (symmetric or affine)
+    is actually fit from. Clipping at [p_lo, p_hi] instead of the raw
+    min/max is what keeps one outlier coordinate from wasting the whole
+    int8 range.
+
+    Values ride as the established 1e4-quantized integers, so the
+    percentiles are exact interpolations over longs (the
+    ``percentile`` ↔ ``quantile_cont`` engine-matching pattern).
+
+    Scale shape: one posexplode (dims × rows, map-side) and ONE
+    dim-keyed aggregate whose percentile partials combine map-side —
+    at 100 TB the exchange carries |dims| rows per map partition, not
+    data. Output: |dims| rows.
+    """
+    ex = ensure_min_parallelism(df).select(
+        F.posexplode(quantize(F.col(vec_col))).alias("dim", "q")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("q", F.lit(p_lo)), 4).alias("q_lo"),
+        F.round(F.percentile("q", F.lit(p_hi)), 4).alias("q_hi"),
+        F.min("q").cast("long").alias("q_min"),
+        F.max("q").cast("long").alias("q_max"),
+    )

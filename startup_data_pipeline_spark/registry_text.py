@@ -2320,3 +2320,82 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_hashes=4, band_size=1, k=3,
         min_jaccard=0.5,
     )
+
+
+@register(
+    "q_quant_calibration",
+    oracle=f"""
+    WITH v AS (SELECT {_QUANT} AS qv FROM embeddings),
+    ex AS (
+        SELECT i - 1 AS dim, qv[i] AS q
+        FROM v, generate_series(1, 64) t(i)
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(q, 0.01), 4) AS q_lo,
+           round(quantile_cont(q, 0.99), 4) AS q_hi,
+           CAST(MIN(q) AS BIGINT) AS q_min,
+           CAST(MAX(q) AS BIGINT) AS q_max
+    FROM ex GROUP BY dim
+    """,
+    survey_ops="per-dimension quantization calibration (§2.11 "
+    "similarity, the int8 scale path): exact [p1, p99] cut points per "
+    "embedding channel — the table an affine/symmetric quantizer is "
+    "fit from; one posexplode + one dim-keyed agg with map-side "
+    "percentile partials",
+)
+def q_quant_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quant_calibration(emb, "embedding")
+
+
+@register(
+    "q_dedup_agreement",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id
+    ),
+    capped AS (
+        SELECT id, shingle FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    jac AS (
+        SELECT id_a, id_b, 1 AS in_jac
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE round(CAST(n_inter AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+    ),
+    simt AS ({_simhash64_oracle()}),
+    sim AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS in_sim
+        FROM simt a JOIN simt b
+          ON a.doc_id < b.doc_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+        WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(SUM(COALESCE(in_jac, 0)) AS BIGINT) AS n_jaccard,
+           CAST(SUM(COALESCE(in_sim, 0)) AS BIGINT) AS n_simhash,
+           CAST(SUM(COALESCE(in_jac, 0) * COALESCE(in_sim, 0)) AS BIGINT)
+               AS n_both,
+           CAST((1000000 * SUM(COALESCE(in_jac, 0) * COALESCE(in_sim, 0)))
+                // COUNT(*) AS BIGINT) AS agreement_ppm
+    FROM jac FULL OUTER JOIN sim USING (id_a, id_b)
+    """,
+    survey_ops="cross-method dedup agreement audit (§2.11 dedup QA): "
+    "exact-Jaccard vs banded SimHash pair sets, integer-ppm overlap — "
+    "the ensemble read that validates a cheap signature as a proxy for "
+    "the exact measure on this corpus before trusting it at 100 TB",
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_method_agreement(docs, "doc_id", "text")

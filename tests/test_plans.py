@@ -196,11 +196,12 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the thirty-one queries getting
+    # round-5 window must lead with the thirty-three queries getting
     # their FIRST driver sample, re-certify every operator changed this
     # round, and spend the remainder on the round-1-certified rotation
     prefix = list(qs)[:50]
-    assert prefix[:31] == [
+    assert prefix[:33] == [
+        "q_quant_calibration", "q_dedup_agreement",
         "q_vocab_growth", "q_lsh_precision", "q_conversion_latency",
         "q_score_percentile_norm",
         "q_image_dhash_pairs",
@@ -220,5 +221,5 @@ def test_registry_integrity():
                   "q_incremental_dedup_gate",
                   # stale-rotation spot checks (certified r1, sampled now)
                   "q_pricing_summary", "q_exact_dedup", "q_asof_join",
-                  "q_range_join", "q_ats_lever"]:
+                  "q_range_join", "q_ats_greenhouse"]:
         assert probe in prefix, probe

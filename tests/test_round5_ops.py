@@ -772,3 +772,31 @@ def test_score_percentile_norm_rank_math(spark):
     }
     assert got[0] == 0.0 and got[4] == 1.0 and got[2] == 0.5
     assert got[11] == 0.0 and got[10] == 1.0
+
+
+def test_quant_calibration_exact_percentiles(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    # dim 0: values 0.0000..0.0010 step 1e-4 -> quantized 0..10
+    rows = [(i, [i / 10000.0, -0.0005]) for i in range(11)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in sim.quant_calibration(df, "embedding").collect()}
+    assert got[0]["n"] == 11
+    # quantile_cont over 0..10: p01 -> 0.1, p99 -> 9.9
+    assert got[0]["q_lo"] == 0.1 and got[0]["q_hi"] == 9.9
+    assert got[0]["q_min"] == 0 and got[0]["q_max"] == 10
+    assert got[1]["q_min"] == got[1]["q_max"] == -5
+
+
+def test_dedup_agreement_counts(spark):
+    # docs 1/2 exact dups (both methods agree); 3 unrelated
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = dedup.dedup_method_agreement(df, "doc_id", "text").collect()
+    assert r["n_union"] == 1
+    assert r["n_jaccard"] == 1 and r["n_simhash"] == 1 and r["n_both"] == 1
+    assert r["agreement_ppm"] == 1_000_000
