@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Compare two bench JSON files (per-query warm medians).
+
+Usage: python scripts/bench_diff.py OLD.json NEW.json [--thresh 0.15]
+
+Prints shared-query totals, the round-over-round ratio, and every query
+whose median moved more than ``thresh`` relative (and >0.1 s absolute —
+sub-0.1 s jitter is below the harness's resolution).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        text = fh.read()
+    # driver BENCH_r files wrap the parsed line under "parsed" (itself a
+    # dict or a JSON string depending on driver version)
+    obj = json.loads(text)
+    if "parsed" in obj:
+        parsed = obj["parsed"]
+        if isinstance(parsed, str):
+            parsed = json.loads(parsed)
+        if parsed is None:
+            # pre-fix driver rounds truncated the tail mid-line; salvage
+            # the metric line from the raw tail text if one survived
+            for ln in str(obj.get("tail", "")).splitlines():
+                ln = ln.strip()
+                if ln.startswith('{"metric"'):
+                    parsed = json.loads(ln)
+                    break
+        if parsed is None:
+            raise SystemExit(f"{path}: no parseable bench line")
+        obj = parsed
+    return obj["queries"]
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    thresh = 0.15
+    if "--thresh" in sys.argv:
+        thresh = float(sys.argv[sys.argv.index("--thresh") + 1])
+    old, new = load(old_path), load(new_path)
+    shared = sorted(set(old) & set(new))
+    t_old = sum(old[q] for q in shared)
+    t_new = sum(new[q] for q in shared)
+    print(f"shared queries: {len(shared)}")
+    print(f"old total {t_old:.1f}s  new total {t_new:.1f}s  "
+          f"ratio {t_new / t_old:.2f}x")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        add = sum(new[q] for q in only_new)
+        print(f"new-only: {len(only_new)} queries, {add:.1f}s")
+    moved = [
+        (q, old[q], new[q])
+        for q in shared
+        if abs(new[q] - old[q]) > max(thresh * old[q], 0.1)
+    ]
+    for q, a, b in sorted(moved, key=lambda r: r[2] - r[1]):
+        sign = "improved" if b < a else "REGRESSED"
+        print(f"  {q:32s} {a:7.2f} -> {b:7.2f}  {sign}")
+
+
+if __name__ == "__main__":
+    main()
