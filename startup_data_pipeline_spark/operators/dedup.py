@@ -923,6 +923,7 @@ def lsh_band_precision(
     band_size: int = 1,
     k: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = 50,
     ppm: int = 1_000_000,
 ) -> DataFrame:
     """Per-band LSH candidate precision audit: for each band, how many
@@ -938,8 +939,11 @@ def lsh_band_precision(
 
     Scale shape: the banded self-join is the existing bucketed shape
     with band_id kept (one extra tiny key column); the exact-Jaccard
-    side is the bounded shingle join; the final audit joins two
-    pair-keyed streams and aggregates to |bands| rows.
+    side carries the hot-shingle ``max_df`` cap (without it the truth
+    join goes quadratic on duplicate-heavy corpora — measured 11×
+    super-linear on the sf1 near-dup replica before the cap); the
+    final audit joins two pair-keyed streams and aggregates to |bands|
+    rows.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, k=k)
     n_bands = num_hashes // band_size
@@ -982,7 +986,7 @@ def lsh_band_precision(
         .dropDuplicates(["band_id", "id_a", "id_b"])
     )
     truth = (
-        jaccard_pairs(df, id_col, text_col, k=k)
+        jaccard_pairs(df, id_col, text_col, k=k, max_df=max_df)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", F.lit(1).alias("__true"))
     )

@@ -1149,6 +1149,7 @@ def cooccur_lift(
     min_df: int = 2,
     max_df_ppm: int = 800_000,
     min_pair: int = 2,
+    max_doc_tokens: int = 200,
     ppm: int = 1_000_000,
 ) -> DataFrame:
     """Token co-occurrence lift over the corpus — the sufficient
@@ -1165,7 +1166,12 @@ def cooccur_lift(
     Vocabulary is banded before any pair is formed: tokens in fewer
     than ``min_df`` docs (noise) or more than ``max_df_ppm`` of the
     corpus (stopwords) are excluded — the band is what bounds the
-    per-doc pair fan-out, exactly as in PMI collocation practice.
+    per-doc pair fan-out, exactly as in PMI collocation practice. A
+    second, per-DOC guard caps the kept vocabulary at
+    ``max_doc_tokens`` (deterministically: the lexicographically
+    smallest survive), so one pathological doc with thousands of
+    distinct banded tokens can never mint O(T²) pairs — the fan-out is
+    bounded by C(max_doc_tokens, 2) per document at any corpus size.
 
     Scale shape: one explode of per-doc DISTINCT tokens, the df count
     as a window riding the token exchange, then pairs are generated
@@ -1195,10 +1201,16 @@ def cooccur_lift(
             & (F.col("__df") * ppm <= F.lit(max_df_ppm) * F.col("__n_docs"))
         )
     )
-    # per-doc sorted (tok, df) structs -> map-side pair generation
+    # per-doc sorted (tok, df) structs -> map-side pair generation;
+    # tokens are unique per doc, so the struct sort is a token sort and
+    # the slice keeps a deterministic per-doc vocabulary cap
     arr = kept.groupBy(id_col, "__n_docs").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("tok"), F.col("__df")))
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok"), F.col("__df")))
+            ),
+            1,
+            max_doc_tokens,
         ).alias("__v")
     )
     pairs = F.flatten(

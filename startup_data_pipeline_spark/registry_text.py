@@ -2081,6 +2081,8 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept AS (
         SELECT doc_id, tok, df FROM dfs, n
         WHERE df >= 2 AND df * 1000000 <= 800000 * n_docs
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+            <= 200
     ),
     pairs AS (
         SELECT a.tok AS tok_a, b.tok AS tok_b,
@@ -2285,9 +2287,13 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (
         SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id
     ),
+    capped AS (
+        SELECT id, shingle FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
     inter AS (
         SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY a.id, b.id
     ),
     truth AS (

@@ -800,3 +800,21 @@ def test_dedup_agreement_counts(spark):
     assert r["n_union"] == 1
     assert r["n_jaccard"] == 1 and r["n_simhash"] == 1 and r["n_both"] == 1
     assert r["agreement_ppm"] == 1_000_000
+
+
+def test_cooccur_lift_per_doc_token_cap(spark):
+    # one doc with 6 banded tokens, cap 3 -> pairs only among the 3
+    # lexicographically smallest; df band satisfied via a twin doc and
+    # a third doc keeping every df under the 80% stopword cap
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),
+        (3, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.cooccur_lift(
+        df, "doc_id", "text", min_pair=1, max_doc_tokens=3
+    ).collect()
+    toks = {t for r in out for t in (r["tok_a"], r["tok_b"])}
+    assert toks == {"a", "b", "c"}
+    assert len(out) == 3  # C(3,2)
