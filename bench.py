@@ -121,6 +121,8 @@ HEADLINE = [
     "q_conversion_latency",
     "q_quant_calibration",
     "q_dedup_agreement",
+    "q_sample_allocation",
+    "q_stl_decompose",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

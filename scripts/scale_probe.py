@@ -122,6 +122,8 @@ PROBE = [
     "q_conversion_latency",
     "q_quant_calibration",
     "q_dedup_agreement",
+    "q_sample_allocation",
+    "q_stl_decompose",
 ]
 
 

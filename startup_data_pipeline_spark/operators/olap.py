@@ -683,3 +683,56 @@ def score_percentile_norm(
         F.col(score_col),
         F.round(F.percent_rank().over(w), 4).alias("pctl"),
     )
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    group_col: str,
+    total_slots: int,
+) -> DataFrame:
+    """Exact proportional sample allocation by the largest-remainder
+    (Hare quota) method: split ``total_slots`` across groups in
+    proportion to their row counts such that the allocations are
+    integers and sum EXACTLY to ``total_slots`` — the apportionment a
+    stratified sampler or eval-set builder needs before drawing.
+
+    Naive rounding of quotas drifts (sums to total±k); largest
+    remainder gives every group floor(quota) and hands the leftover
+    slots to the largest fractional remainders, ties broken by group
+    name — fully deterministic, integer-only arithmetic (remainders
+    compared as ``total*n mod N``, never floats).
+
+    Scale shape: one count aggregate (|groups| rows) and tiny-aggregate
+    windows for the leftover rank — corpus-scale cost is the single
+    count exchange.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(
+        F.col("rem_scaled").desc(), F.col("grp").asc()
+    )
+    base = (
+        counts.withColumn("__n", F.sum("n_rows").over(w_all))
+        .withColumn(
+            "base", F.expr(f"({total_slots}L * n_rows) div __n")
+        )
+        .withColumn(
+            "rem_scaled", F.expr(f"({total_slots}L * n_rows) % __n")
+        )
+    )
+    return (
+        base.withColumn("__left", F.lit(total_slots) - F.sum("base").over(w_all))
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "base",
+            "rem_scaled",
+            (F.col("base") + (F.col("__rk") <= F.col("__left")).cast("long"))
+            .alias("alloc"),
+        )
+    )

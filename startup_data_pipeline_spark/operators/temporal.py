@@ -625,3 +625,88 @@ def conversion_latency(
         F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
         F.max("latency_s").cast("long").alias("max_s"),
     )
+
+
+def stl_decompose_daily(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    trend_window: int = 3,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """STL-lite decomposition of daily totals: trend (centered
+    ``2*trend_window+1``-day moving average), day-of-week seasonal
+    component (mean detrended value per weekday), and residual — in
+    exact integer ppm-cents, engine-reproducible with zero floats.
+
+    The additive little sibling of STL/Prophet decompositions, and the
+    read behind ``seasonal_anomaly_days``'s verdicts: trend isolates
+    drift, seasonal isolates the weekly shape, and the residual is what
+    an alerting rule should actually threshold. Integer division here
+    TRUNCATES toward zero in both engines (Spark ``div`` and DuckDB
+    ``//`` agree: -7 // 2 = -3), verified on negative detrended values
+    — do not "fix" this to floor division; Python's ``//`` floors and
+    WILL disagree one ulp on negatives.
+
+    Scale shape: one (group, day) aggregate; trend frame, seasonal
+    window, and residual all ride windows partitioned by the group key
+    over calendar-bounded rows.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), day.alias("day"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__dec"))
+        .select(
+            group_col,
+            "day",
+            (F.col("__dec") * 100).cast("long").alias("day_cents"),
+            F.dayofweek("day").cast("int").alias("dow"),
+        )
+    )
+    w_trend = (
+        Window.partitionBy(group_col)
+        .orderBy("day")
+        .rowsBetween(-trend_window, trend_window)
+    )
+    with_trend = (
+        daily.select(
+            group_col,
+            "day",
+            "dow",
+            "day_cents",
+            (F.lit(ppm).cast("long") * F.sum("day_cents").over(w_trend))
+            .alias("__tn"),
+            F.count(F.lit(1)).over(w_trend).cast("long").alias("__td"),
+        )
+        .withColumn(
+            # integer `div` truncates toward zero in BOTH engines
+            # (DuckDB's `//` is trunc-div too: -7 // 2 = -3), so the
+            # plain operator is already engine-exact on negatives
+            "trend_ppm", F.expr("__tn div __td")
+        )
+        .drop("__tn", "__td")
+        .withColumn(
+            "det_ppm",
+            F.lit(ppm).cast("long") * F.col("day_cents")
+            - F.col("trend_ppm"),
+        )
+    )
+    w_dow = Window.partitionBy(group_col, "dow")
+    return (
+        with_trend.withColumn(
+            "__sn", F.sum("det_ppm").over(w_dow)
+        )
+        .withColumn("__sd", F.count(F.lit(1)).over(w_dow).cast("long"))
+        .withColumn("seasonal_ppm", F.expr("__sn div __sd"))
+        .select(
+            group_col,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "day_cents",
+            "trend_ppm",
+            "seasonal_ppm",
+            (F.col("det_ppm") - F.col("seasonal_ppm")).alias("resid_ppm"),
+        )
+    )

@@ -1595,3 +1595,81 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_score_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return olap.score_percentile_norm(docs, "source", "doc_id", "n_chars")
+
+
+@register(
+    "q_sample_allocation",
+    oracle="""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY source
+    ),
+    base AS (
+        SELECT source, n_rows,
+               CAST(SUM(n_rows) OVER () AS BIGINT) AS n,
+               (100 * n_rows) // SUM(n_rows) OVER () AS base,
+               (100 * n_rows) % SUM(n_rows) OVER () AS rem_scaled
+        FROM counts
+    )
+    SELECT source, n_rows, CAST(base AS BIGINT) AS base,
+           CAST(rem_scaled AS BIGINT) AS rem_scaled,
+           CAST(base + CASE WHEN rk <= 100 - base_sum THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   ORDER BY rem_scaled DESC, source ASC) AS rk,
+               SUM(base) OVER () AS base_sum
+        FROM base
+    )
+    """,
+    survey_ops="largest-remainder (Hare quota) sample allocation "
+    "(§2.11 mixture prep): integer apportionment of a slot budget "
+    "proportional to group sizes, allocations sum EXACTLY to the "
+    "budget — the stratified-sampler precursor; one count exchange, "
+    "tiny-aggregate windows",
+)
+def q_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.largest_remainder_allocation(docs, "source", 100)
+
+
+@register(
+    "q_stl_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS day_cents,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    tr AS (
+        SELECT event_type, day, dow, day_cents,
+               (1000000 * SUM(day_cents) OVER w)
+                   // COUNT(*) OVER w AS trend_ppm
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT *, 1000000 * day_cents - trend_ppm AS det_ppm FROM tr
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow, day_cents,
+           CAST(trend_ppm AS BIGINT) AS trend_ppm,
+           CAST(SUM(det_ppm) OVER wd // COUNT(*) OVER wd AS BIGINT)
+               AS seasonal_ppm,
+           CAST(det_ppm - SUM(det_ppm) OVER wd // COUNT(*) OVER wd
+                AS BIGINT) AS resid_ppm
+    FROM det
+    WINDOW wd AS (PARTITION BY event_type, dow)
+    """,
+    survey_ops="STL-lite additive decomposition (§2.5 time-series "
+    "battery): centered 7-day trend, day-of-week seasonal, residual — "
+    "exact integer ppm-cents with FLOOR division built from integer "
+    "ops on both engines; the read behind seasonal anomaly thresholds",
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.stl_decompose_daily(ev, "event_type", "ts", "value")

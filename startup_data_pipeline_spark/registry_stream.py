@@ -757,3 +757,58 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64_near_pairs(
         sigs, "doc_id", max_hamming=3, sig_col="dhash64"
     )
+
+
+@register(
+    "q_stream_markov",
+    # identical oracle to batch q_markov_transitions: the stateful
+    # streaming extraction must reproduce the lead()-window transition
+    # multiset exactly on ordered delivery
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS to_state
+        FROM events WHERE ts IS NOT NULL
+    ),
+    cnt AS (
+        SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+               AS n_from,
+           CAST((1000000 * n_trans)
+               // SUM(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+               AS p_ppm
+    FROM cnt
+    """,
+    survey_ops="§2.9 streaming Markov transition extraction: per-user "
+    "last state in the state store (applyInPandasWithState, three "
+    "scalars per key), transitions emitted append-mode per batch — "
+    "equals the batch lead()-window matrix on ordered delivery",
+)
+def q_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stream = incremental.read_events_stream(spark, sf_dir)
+    pairs = incremental.streaming_markov_transitions(
+        stream, "user_id", "ts", "event_type", "event_id"
+    )
+    collected = incremental.run_available_now_append(
+        pairs, "q_stream_markov_sink"
+    )
+    counts = collected.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "n_from", F.sum("n_trans").over(w_from).cast("long")
+    ).select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        "n_from",
+        F.expr("(1000000L * n_trans) div n_from").alias("p_ppm"),
+    )

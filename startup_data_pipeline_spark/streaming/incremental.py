@@ -615,3 +615,72 @@ def make_dedup_gate_handler(
             )
 
     return handle
+
+
+def streaming_markov_transitions(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Streaming first-order Markov transition extraction: per-user last
+    state carried across micro-batches in the state store, emitting one
+    (from_state, to_state) row per observed consecutive transition.
+
+    The continuous twin of ``temporal.markov_transitions``: state is
+    (last_type, t_us, last_id) — three scalars per user, never the
+    event history — so state size is O(users). Events fold in
+    (ts, tiebreak) order within each batch; on per-key-ordered delivery
+    the emitted transition multiset equals the batch lead()-window
+    answer exactly (the equivalence the registered query's oracle
+    certifies). Downstream the caller aggregates to the matrix with
+    the same integer-ppm formula as the batch operator.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("from_state", StringType()),
+            StructField("to_state", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_type", StringType()),
+            StructField("t_us", LongType()),
+            StructField("last_id", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        last_type, t_us, last_id = (
+            state.get if state.exists else (None, -(2**62), -1)
+        )
+        froms, tos = [], []
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values([ts_col, tiebreak_col])
+            for ts, et, eid in zip(
+                pdf[ts_col], pdf[type_col], pdf[tiebreak_col]
+            ):
+                us = ts.value // 1000  # pandas ns → micros
+                if last_type is not None:
+                    froms.append(last_type)
+                    tos.append(et)
+                last_type, t_us, last_id = et, us, int(eid)
+        state.update((last_type, t_us, last_id))
+        yield pd.DataFrame({"from_state": froms, "to_state": tos})
+
+    return (
+        stream.filter(F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

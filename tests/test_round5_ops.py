@@ -818,3 +818,152 @@ def test_cooccur_lift_per_doc_token_cap(spark):
     toks = {t for r in out for t in (r["tok_a"], r["tok_b"])}
     assert toks == {"a", "b", "c"}
     assert len(out) == 3  # C(3,2)
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    rows = (
+        [(i, "a") for i in range(5)]
+        + [(i, "b") for i in range(5, 12)]
+        + [(i, "c") for i in range(12, 15)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: r
+        for r in olap.largest_remainder_allocation(df, "source", 10).collect()
+    }
+    # quotas: a 10*5/15=3.33, b 10*7/15=4.67, c 10*3/15=2.0
+    # bases: 3, 4, 2 (sum 9); one leftover -> largest remainder is b
+    assert got["a"]["base"] == 3 and got["b"]["base"] == 4
+    assert got["c"]["base"] == 2
+    assert got["b"]["alloc"] == 5
+    assert sum(r["alloc"] for r in got.values()) == 10
+
+
+def test_largest_remainder_tie_breaks_by_name(spark):
+    # two groups with identical remainders: the alphabetically first wins
+    rows = [(1, "x"), (2, "y"), (3, "z"), (4, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: r["alloc"]
+        for r in olap.largest_remainder_allocation(df, "source", 3).collect()
+    }
+    # quotas: x .75, y .75, z 1.5 -> bases 0,0,1; two leftovers; z rem
+    # .5 scaled=2, x/y rem .75 scaled=3 -> x and y get them
+    assert got == {"x": 1, "y": 1, "z": 1}
+
+
+def test_stl_decompose_identities_hold(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 21), "g", float(1 + (i % 7)))
+        for i in range(210)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = temporal.stl_decompose_daily(df, "event_type", "ts", "value").collect()
+    assert len(out) == 21
+    for r in out:
+        # additive identity: 1e6*cents == trend + seasonal + resid
+        assert (
+            10**6 * r["day_cents"]
+            == r["trend_ppm"] + r["seasonal_ppm"] + r["resid_ppm"]
+        )
+    # a perfectly weekly-periodic series: trend is flat at the overall
+    # level away from the edges, and residuals stay far below the
+    # seasonal swing (edge frames contaminate the dow means slightly,
+    # so exact zero is not expected)
+    interior = [r for r in out if "2024-01-04" <= r["day"] <= "2024-01-18"]
+    assert interior
+    level = 10**6 * sum(r["day_cents"] for r in out) // len(out)
+    assert all(r["trend_ppm"] == level for r in interior)
+    swing = max(abs(r["seasonal_ppm"]) for r in out)
+    assert all(abs(r["resid_ppm"]) < swing // 2 for r in interior)
+
+
+def test_stl_trunc_division_on_negatives(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    def tdiv(a, b):
+        # trunc-toward-zero division: what Spark `div` AND DuckDB `//`
+        # both do (python's // floors and disagrees on negatives)
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    # negative detrended values exercise the trunc-vs-floor edge;
+    # recompute seasonal_ppm in python with trunc-div and compare
+    rows = [
+        (i, datetime(2024, 1, 1 + i), "g", v)
+        for i, v in enumerate([10.0, 1.0, 10.0, 1.0, 10.0, 1.0, 10.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["day"]: r for r in temporal.stl_decompose_daily(
+        df, "event_type", "ts", "value").collect()}
+    cents = {r["day"]: r["day_cents"] for r in out.values()}
+    days = sorted(cents)
+    trend = {}
+    for i, d in enumerate(days):
+        lo, hi = max(0, i - 3), min(len(days), i + 4)
+        frame = [cents[days[j]] for j in range(lo, hi)]
+        trend[d] = tdiv(10**6 * sum(frame), len(frame))
+    det = {d: 10**6 * cents[d] - trend[d] for d in days}
+    import collections
+    by_dow = collections.defaultdict(list)
+    for r in out.values():
+        by_dow[r["dow"]].append(det[r["day"]])
+    negs = [v for vs in by_dow.values() for v in vs if v < 0]
+    assert negs, "fixture must produce negative detrended values"
+    for r in out.values():
+        assert r["trend_ppm"] == trend[r["day"]]
+        vals = by_dow[r["dow"]]
+        assert r["seasonal_ppm"] == tdiv(sum(vals), len(vals))
+
+
+def test_streaming_markov_equals_batch(spark, tmp_path):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+    from startup_data_pipeline_spark.streaming import incremental
+
+    rows = [
+        (i, datetime(2024, 1, 1, i % 24, (i * 7) % 60),
+         i % 5, ["view", "click", "purchase"][i % 3])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    src = str(tmp_path / "events.parquet")
+    # the stream reader expects int64 micros ts (not the INT96 default)
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df.write.parquet(src)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    batch = {
+        (r["from_state"], r["to_state"]): r["n_trans"]
+        for r in temporal.markov_transitions(
+            df, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    stream = incremental.read_events_stream(spark, str(tmp_path))
+    pairs = incremental.streaming_markov_transitions(
+        stream, "user_id", "ts", "event_type", "event_id"
+    )
+    collected = incremental.run_available_now_append(pairs)
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in collected.groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
