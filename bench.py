@@ -123,6 +123,9 @@ HEADLINE = [
     "q_dedup_agreement",
     "q_sample_allocation",
     "q_stl_decompose",
+    "q_audio_features",
+    "q_activity_streaks",
+    "q_session_paths",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -124,6 +124,9 @@ PROBE = [
     "q_dedup_agreement",
     "q_sample_allocation",
     "q_stl_decompose",
+    "q_audio_features",
+    "q_activity_streaks",
+    "q_session_paths",
 ]
 
 

@@ -207,3 +207,110 @@ def moving_median(
             F.percentile(F.col(value_col), F.lit(0.5)).over(w), 4
         ).alias("moving_median"),
     )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Longest consecutive-active-day streak per key — the classic
+    gaps-and-islands computation, exactly (engagement/retention's
+    "current streak" read, and a data-quality probe for silently dying
+    feeds).
+
+    Islands by the textbook trick: over each key's DISTINCT active
+    days in order, ``day − row_number()`` is constant within a
+    consecutive run; grouping on that anchor yields the streaks, all
+    in integer day arithmetic. Output per key: active-day count,
+    streak count, longest streak length, and that streak's start
+    (ties: earliest start).
+
+    Scale shape: one exchange on the key feeds the distinct, the
+    numbering window, the island aggregate, and the final per-key
+    rollup — calendar-bounded rows per key throughout.
+    """
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(F.col(key_col), F.to_date(F.col(ts_col)).alias("__day"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("__day")
+    islands = days.withColumn(
+        "__anchor",
+        F.datediff("__day", F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy(key_col, "__anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("__day").alias("start"),
+    )
+    return streaks.groupBy(key_col).agg(
+        F.sum("len").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.date_format(
+            F.min_by("start", F.struct(
+                (-F.col("len")).alias("a"), F.col("start").alias("b")
+            )),
+            "yyyy-MM-dd",
+        ).alias("longest_start"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_minutes: int,
+    top: int = 20,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-k most common session paths: each session's ordered
+    event-type sequence collapsed to one ``a>b>c`` string, counted
+    across all sessions — the "what do journeys actually look like"
+    read on top of sessionization.
+
+    Reuses ``sessionize`` (lag + cumsum session ids), then builds each
+    path MAP-SIDE from a sorted (ts, tiebreak, type) struct array —
+    the per-session collect rides the same key exchange the session
+    window already required. Ranking is deterministic (count desc,
+    path asc).
+
+    Scale shape: one exchange on the key for sessionization; the
+    (key, session) aggregate rides it (subset key); the path count is
+    a path-keyed aggregate whose partials combine map-side.
+    """
+    sess = sessionize(df, key_col, ts_col, gap_minutes, tiebreak=tiebreak)
+    paths = (
+        sess.groupBy(F.col(key_col), F.col("session_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(tiebreak).alias("i"),
+                        F.col(type_col).alias("e"),
+                    )
+                )
+            ).alias("__seq")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("__seq"), lambda s: s["e"])
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    # top-k via TakeOrderedAndProject (never a global rank window over
+    # all distinct paths); the rank label attaches on the <= top rows
+    cut = counts.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return cut.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select("rank", "path", "n_sessions")

@@ -1673,3 +1673,103 @@ def q_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return temporal.stl_decompose_daily(ev, "event_type", "ts", "value")
+
+
+@register(
+    "q_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL
+    ),
+    islands AS (
+        SELECT user_id, day,
+               date_diff('day', DATE '1970-01-01', day)
+               - row_number() OVER (
+                     PARTITION BY user_id ORDER BY day) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(day) AS start
+        FROM islands GROUP BY user_id, anchor
+    ),
+    ranked AS (
+        SELECT user_id, len, start,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY len DESC, start ASC
+               ) AS rk,
+               SUM(len) OVER (PARTITION BY user_id) AS n_days,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks,
+           CAST(len AS BIGINT) AS longest_streak,
+           strftime(start, '%Y-%m-%d') AS longest_start
+    FROM ranked WHERE rk = 1
+    """,
+    survey_ops="gaps-and-islands activity streaks (§2.5 analytics "
+    "battery): longest consecutive-active-day run per key via the "
+    "day − row_number anchor, integer day arithmetic; one key "
+    "exchange end to end",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.activity_streaks(ev, "user_id", "ts")
+
+
+@register(
+    "q_session_paths",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC
+                        ) IS NULL
+                        OR date_diff('second',
+                            lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                            ), ts) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    ),
+    paths AS (
+        SELECT array_to_string(
+                   list(event_type ORDER BY ts ASC, event_id ASC), '>'
+               ) AS path
+        FROM sess GROUP BY user_id, session_id
+    ),
+    counts AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+    )
+    SELECT CAST(rn AS INTEGER) AS rank, path, n_sessions
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY n_sessions DESC, path ASC) AS rn
+        FROM counts
+    )
+    WHERE rn <= 20
+    """,
+    survey_ops="session path mining (§2.5 behavioral analytics): each "
+    "session's ordered event-type sequence as one path string, top-k "
+    "by frequency — paths built map-side from sorted struct arrays on "
+    "the sessionization exchange; top-k is TakeOrdered, never a "
+    "global rank window",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.session_paths(
+        ev, "user_id", "ts", "event_type", gap_minutes=30, top=20
+    )

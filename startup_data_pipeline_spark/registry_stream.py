@@ -812,3 +812,48 @@ def q_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         F.expr("(1000000L * n_trans) div n_from").alias("p_ppm"),
     )
+
+
+@register(
+    "q_audio_features",
+    # the WAV fixture is a pure function of doc_id (data byte j of the
+    # PCM region is (doc_id*7 + j*11) % 256, int16 little-endian), so
+    # the oracle derives every sample statistic arithmetically WITHOUT
+    # a decoder — certifying the real RIFF chunk-walk + int16 parse
+    # end-to-end, exactly like q_decode_image does for PPM
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, CAST(64 + doc_id % 32 AS INTEGER) AS n,
+               list_transform(
+                   generate_series(0, CAST(64 + doc_id % 32 AS INTEGER) - 1),
+                   j -> (((doc_id*7 + (2*j+1)*11) % 256) * 256
+                         + ((doc_id*7 + (2*j)*11) % 256))
+                        - CASE WHEN ((doc_id*7 + (2*j+1)*11) % 256) >= 128
+                               THEN 65536 ELSE 0 END
+               ) AS sm
+        FROM documents
+    )
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT)
+               AS energy,
+           CAST(len(list_filter(generate_series(1, n - 1),
+                                j -> sm[j] * sm[j+1] < 0)) AS BIGINT)
+               AS zero_crossings,
+           CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT)
+               AS peak_abs,
+           CAST(list_sum(sm) AS BIGINT) AS dc_sum
+    FROM s
+    """,
+    survey_ops="§2.11 multimodal REAL audio decode: RIFF/WAV chunk "
+    "walker + int16 LE PCM parse (mapInPandas, Arrow batches); energy "
+    "/ zero-crossing / peak / DC computed natively over the sample "
+    "array — zero Python after decode, the audio twin of the image "
+    "battery",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_wav(
+        multimodal.attach_wav_payload(docs, "doc_id")
+    )
+    return multimodal.audio_features(decoded, "doc_id")

@@ -196,11 +196,12 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the thirty-six queries getting
+    # round-5 window must lead with the thirty-nine queries getting
     # their FIRST driver sample, re-certify every operator changed this
     # round, and spend the remainder on the round-1-certified rotation
     prefix = list(qs)[:50]
-    assert prefix[:36] == [
+    assert prefix[:39] == [
+        "q_audio_features", "q_activity_streaks", "q_session_paths",
         "q_sample_allocation", "q_stl_decompose", "q_stream_markov",
         "q_quant_calibration", "q_dedup_agreement",
         "q_vocab_growth", "q_lsh_precision", "q_conversion_latency",
@@ -221,6 +222,6 @@ def test_registry_integrity():
                   "q_pagerank", "q_ngram_jaccard", "q_stream_dedup",
                   "q_incremental_dedup_gate",
                   # stale-rotation spot checks (certified r1, sampled now)
-                  "q_pricing_summary", "q_exact_dedup", "q_asof_join",
-                  "q_alert_filter", "q_semi_join_exists"]:
+                  "q_pricing_summary", "q_exact_dedup", "q_job_aggs",
+                  "q_anti_join_seen"]:
         assert probe in prefix, probe

@@ -967,3 +967,104 @@ def test_streaming_markov_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_wav_decode_roundtrip_and_malformed(spark):
+    from startup_data_pipeline_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    decoded = multimodal.decode_wav(
+        multimodal.attach_wav_payload(ids, "doc_id")
+    ).collect()
+    for r in decoded:
+        i = r["doc_id"]
+        n = 64 + i % 32
+        assert r["sample_rate"] == 8000
+        assert len(r["samples"]) == n
+        # independent re-derivation of sample 0 and the last sample
+        def sample(j):
+            lo = (i * 7 + (2 * j) * 11) % 256
+            hi = (i * 7 + (2 * j + 1) * 11) % 256
+            u = hi * 256 + lo
+            return u - 65536 if u >= 32768 else u
+        assert r["samples"][0] == sample(0)
+        assert r["samples"][n - 1] == sample(n - 1)
+    # malformed payloads decode to NULL, never fail
+    bad = spark.createDataFrame(
+        [(1, b"RIFFxxxxWAVE"), (2, b"nope"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r["samples"]
+           for r in multimodal.decode_wav(bad).collect()}
+    assert out == {1: None, 2: None, 3: None}
+
+
+def test_audio_features_exact_values(spark):
+    import struct
+
+    from startup_data_pipeline_spark.operators import multimodal
+
+    def wav(samples):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    rows = [(1, wav([3, -4, 0, 5, -1]))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    [r] = multimodal.audio_features(
+        multimodal.decode_wav(df), "doc_id"
+    ).collect()
+    assert r["n_samples"] == 5
+    assert r["energy"] == 9 + 16 + 0 + 25 + 1
+    # sign changes: 3/-4 yes, -4/0 no (product 0), 0/5 no, 5/-1 yes
+    assert r["zero_crossings"] == 2
+    assert r["peak_abs"] == 5
+    assert r["dc_sum"] == 3
+
+
+def test_activity_streaks_islands(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import windows as W
+
+    def d(day):
+        return datetime(2024, 1, day)
+
+    rows = [
+        # user 1: days 1,2,3 then 7,8 -> streaks 3 and 2
+        (1, 1, d(1)), (2, 1, d(1)), (3, 1, d(2)), (4, 1, d(3)),
+        (5, 1, d(7)), (6, 1, d(8)),
+        # user 2: single day
+        (7, 2, d(5)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in W.activity_streaks(df, "user_id", "ts").collect()}
+    assert got[1]["n_days"] == 5 and got[1]["n_streaks"] == 2
+    assert got[1]["longest_streak"] == 3
+    assert got[1]["longest_start"] == "2024-01-01"
+    assert got[2]["longest_streak"] == 1 and got[2]["n_streaks"] == 1
+
+
+def test_session_paths_order_and_topk(spark):
+    from datetime import datetime, timedelta
+
+    from startup_data_pipeline_spark.operators import windows as W
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1 session: view>click ; then (2h later) purchase alone
+        (1, 1, t0, "view"), (2, 1, t0 + timedelta(minutes=5), "click"),
+        (3, 1, t0 + timedelta(hours=3), "purchase"),
+        # user 2 session: view>click (same path as user 1's first)
+        (4, 2, t0, "view"), (5, 2, t0 + timedelta(minutes=1), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["path"]: r for r in W.session_paths(
+        df, "user_id", "ts", "event_type", gap_minutes=30, top=10
+    ).collect()}
+    assert got["view>click"]["n_sessions"] == 2
+    assert got["view>click"]["rank"] == 1
+    assert got["purchase"]["n_sessions"] == 1
