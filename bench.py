@@ -126,6 +126,10 @@ HEADLINE = [
     "q_audio_features",
     "q_activity_streaks",
     "q_session_paths",
+    "q_cdc_compact",
+    "q_ri_audit",
+    "q_wow_growth",
+    "q_distance_histogram",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

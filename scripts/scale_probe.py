@@ -127,6 +127,10 @@ PROBE = [
     "q_audio_features",
     "q_activity_streaks",
     "q_session_paths",
+    "q_cdc_compact",
+    "q_ri_audit",
+    "q_wow_growth",
+    "q_distance_histogram",
 ]
 
 

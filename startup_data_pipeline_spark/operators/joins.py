@@ -145,3 +145,48 @@ def join_skew_profile(
         .orderBy(F.col("est_pairs").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def referential_integrity_audit(
+    edges: list[tuple["DataFrame", str, "DataFrame", str, str]],
+) -> "DataFrame":
+    """Cross-table referential-integrity audit: for each (child,
+    fk_col, parent, pk_col, label) edge, the child row count and how
+    many child rows reference a missing parent — one output row per
+    edge, exact counts.
+
+    The warehouse-load smoke test (orphan facts are how silent partial
+    loads surface); the sibling of ``dq_metrics``'s single-table
+    null/domain checks. NULL foreign keys are counted separately from
+    orphans (a null FK is a modeling choice, a dangling one is a bug).
+
+    Scale shape: per edge, one LEFT ANTI join on the key — parent key
+    sets are dimension-sized, so Catalyst broadcasts them; the counts
+    are single all-reduces. Edges union into one tiny result.
+    """
+    outs = []
+    for child, fk, parent, pk, label in edges:
+        keys = parent.select(F.col(pk).alias("__pk")).distinct()
+        non_null = child.filter(F.col(fk).isNotNull())
+        orphans = non_null.join(
+            F.broadcast(keys), non_null[fk] == F.col("__pk"), "left_anti"
+        )
+        outs.append(
+            child.agg(
+                F.lit(label).alias("edge"),
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.count_if(F.col(fk).isNull()).cast("long").alias(
+                    "n_null_fk"
+                ),
+            ).crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

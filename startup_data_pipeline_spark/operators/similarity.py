@@ -832,3 +832,77 @@ def quant_calibration(
         F.min("q").cast("long").alias("q_min"),
         F.max("q").cast("long").alias("q_max"),
     )
+
+
+def pair_distance_histogram(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pairs_per_vector: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Distribution of pairwise similarity over a DETERMINISTIC pair
+    sample: md5-bucketed pairing (~``pairs_per_vector`` partners per
+    vector, buckets sized to the dataset so the sample stays linear at
+    any scale), exact integer dot products, equi-width histogram over
+    the observed score range — the calibration read for choosing LSH /
+    near-dup thresholds before running the expensive candidate joins.
+
+    Bucket count scales with n (``B = max(n div pairs_per_vector, 1)``
+    via a broadcast scalar), so expected within-bucket pair work is
+    ``n * pairs_per_vector / 2`` — linear, never the n² of exhaustive
+    pair sampling. Histogram edges are exact integers; bucket index is
+    integer cross-multiplication, so the whole table is
+    engine-reproducible.
+
+    Scale shape: one bucket-keyed self-join (bounded buckets), one
+    histogram aggregate; min/max ride a single-row broadcast.
+    """
+    q = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    n_b = q.agg(
+        F.greatest(
+            F.expr(f"count(1) div {pairs_per_vector}"), F.lit(1).cast("long")
+        ).alias("__nb")
+    )
+    bucketed = q.crossJoin(F.broadcast(n_b)).withColumn(
+        "__bkt",
+        F.expr("conv(substring(md5(cast(vid AS string)), 1, 8), 16, 10)")
+        .cast("long")
+        % F.col("__nb"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.__bkt") == F.col("b.__bkt"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(int_dot(F.col("a.qv"), F.col("b.qv")).alias("score"))
+    )
+    stats = scored.agg(
+        F.min("score").alias("__lo"),
+        F.max("score").alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    binned = scored.crossJoin(F.broadcast(stats)).select(
+        "score",
+        "__lo",
+        "__hi",
+        "__n",
+        F.least(
+            F.lit(n_buckets - 1).cast("long"),
+            F.expr(
+                f"(({n_buckets}L * (score - __lo)))"
+                " div greatest(__hi - __lo + 1, 1)"
+            ),
+        ).alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("score").cast("long").alias("bucket_min"),
+        F.max("score").cast("long").alias("bucket_max"),
+        F.max("__n").alias("n_total"),
+    )

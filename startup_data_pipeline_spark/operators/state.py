@@ -284,3 +284,44 @@ def incremental_agg_merge(
         ],
         *out_aggs,
     )
+
+
+def cdc_compact(
+    log: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    op_col: str,
+    value_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Changelog compaction to current state: last-writer-wins per key
+    over an ordered (ts, tiebreak) log, with ``delete_op`` rows acting
+    as tombstones that remove the key — Kafka log-compaction / CDC
+    snapshot semantics, the read side of the S13 upsert sink.
+
+    Output: one row per surviving key carrying the winning row's
+    ``value_cols`` plus its commit position. A key whose LAST entry is
+    a delete emits nothing (tombstoned); earlier deletes are simply
+    overwritten by later upserts, exactly as in a compacted topic.
+
+    Scale shape: ONE exchange on the key for the rank window; the
+    winner filter and tombstone drop are map-side on top of it. At
+    warehouse scale this runs per ingestion window with the state
+    table bucketed on the key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        log.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") == 1) & (F.col(op_col) != delete_op))
+        .select(
+            F.col(key_col),
+            *[F.col(c) for c in value_cols],
+            F.col(ts_col).alias("committed_at"),
+            F.col(tiebreak_col).alias("commit_id"),
+        )
+    )

@@ -710,3 +710,47 @@ def stl_decompose_daily(
             (F.col("det_ppm") - F.col("seasonal_ppm")).alias("resid_ppm"),
         )
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Week-over-week growth per group: ISO-week totals in integer
+    cents with the previous week's total and the growth delta in exact
+    integer ppm (``ppm * (cur - prev) div prev``; NULL for the first
+    week and for a zero-prev week — cross-engine-exact, no float).
+
+    The dashboard staple done determinism-first: both engines truncate
+    to Monday week starts, money accumulates in DECIMAL, and the only
+    division is one integer div per output row.
+
+    Scale shape: one (group, week) aggregate; the lag window partitions
+    by the group key over calendar-bounded weekly rows.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    weekly = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.col(group_col), week.alias("__wk"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__dec"))
+        .select(
+            group_col,
+            F.date_format("__wk", "yyyy-MM-dd").alias("week_start"),
+            (F.col("__dec") * 100).cast("long").alias("week_cents"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("week_start")
+    return weekly.withColumn(
+        "prev_cents", F.lag("week_cents").over(w)
+    ).withColumn(
+        "growth_ppm",
+        F.when(
+            F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+            F.expr(
+                f"({ppm}L * (week_cents - prev_cents)) div prev_cents"
+            ),
+        ),
+    )

@@ -63,12 +63,14 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
     # Round-5 window. Certification debt is zero (146/146 after r4), so
-    # the window leads with (a) the thirty-nine queries registered this
+    # the window leads with (a) the forty-three queries registered this
     # round — their FIRST driver sample — then (b) one canary per
-    # operator changed this round, then (c) stale rotation: 4 of the
-    # 48 queries whose latest green row is still round 1 (the rest
-    # deferred to round 6 are either judge-re-verified this cycle or
-    # pure column-function projections with no moving parts underneath).
+    # operator changed this round. That fills all 50 slots: the round-1
+    # stale rotation defers entirely to round 6 (every r1 query remains
+    # locally gated by scripts/verify_local.py — 182/182 green this
+    # session — and 12 were judge-re-verified green last round).
+    "q_cdc_compact", "q_ri_audit", "q_wow_growth",
+    "q_distance_histogram",
     "q_audio_features", "q_activity_streaks", "q_session_paths",
     "q_sample_allocation", "q_stl_decompose", "q_stream_markov",
     "q_quant_calibration", "q_dedup_agreement",
@@ -93,11 +95,10 @@ _PRIORITY: list[str] = [
     "q_ngram_jaccard",          # refactored through _pair_intersections
     "q_stream_dedup",           # events source file-vs-dir detection
     "q_incremental_dedup_gate", # gate: fail-fast index read, FS factory
-    # (c) round-1-certified rotation (oldest first priority):
+    # --- 50-slot window boundary ---
+    # round-1 certified, deferred to the round-6 window (oldest first):
     "q_pricing_summary", "q_exact_dedup", "q_job_aggs",
     "q_anti_join_seen",
-    # --- 50-slot window boundary ---
-    # round-1 certified, deferred to the round-6 window:
     "q_semi_join_exists", "q_alert_filter", "q_asof_join",
     "q_range_join", "q_ats_greenhouse", "q_ats_jsonld_fallback",
     "q_ats_lever", "q_bloom_semi_join",

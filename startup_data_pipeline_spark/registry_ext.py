@@ -1773,3 +1773,130 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_paths(
         ev, "user_id", "ts", "event_type", gap_minutes=30, top=20
     )
+
+
+@register(
+    "q_cdc_compact",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rk
+        FROM log
+    )
+    SELECT user_id, cents, ts AS committed_at, event_id AS commit_id
+    FROM ranked WHERE rk = 1 AND op <> 'D'
+    """,
+    survey_ops="CDC changelog compaction (§2.4 state maintenance, the "
+    "read side of the S13 upsert sink): last-writer-wins per key with "
+    "delete tombstones — Kafka-log-compaction semantics; one key "
+    "exchange for the rank window",
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.filter(F.col("ts").isNotNull()).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias(
+            "op"
+        ),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return state.cdc_compact(
+        log, "user_id", "ts", "event_id", "op", ["cents"]
+    )
+
+
+@register(
+    "q_ri_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+                AS BIGINT) AS n_null_fk,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey IS NOT NULL)) AS BIGINT)
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                       (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL)
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_nationkey IS NOT NULL AND c_nationkey NOT IN
+                       (SELECT n_nationkey FROM nation
+                        WHERE n_nationkey IS NOT NULL)) AS BIGINT)
+    """,
+    survey_ops="referential-integrity audit (§2.5 data-quality "
+    "battery, the cross-table sibling of dq_metrics): orphan and "
+    "null-FK counts per foreign-key edge via broadcast anti-joins — "
+    "the warehouse-load smoke test",
+)
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return joins.referential_integrity_audit([
+        (li, "l_orderkey", od, "o_orderkey", "lineitem->orders"),
+        (od, "o_custkey", cu, "c_custkey", "orders->customer"),
+        (cu, "c_nationkey", na, "n_nationkey", "customer->nation"),
+    ])
+
+
+@register(
+    "q_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS week_cents
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, week_cents,
+           lag(week_cents) OVER (
+               PARTITION BY event_type ORDER BY week_start
+           ) AS prev_cents,
+           CASE WHEN lag(week_cents) OVER (
+                    PARTITION BY event_type ORDER BY week_start
+                ) IS NOT NULL
+                AND lag(week_cents) OVER (
+                    PARTITION BY event_type ORDER BY week_start) <> 0
+                THEN CAST((1000000 * (week_cents - lag(week_cents) OVER (
+                         PARTITION BY event_type ORDER BY week_start)))
+                     // lag(week_cents) OVER (
+                         PARTITION BY event_type ORDER BY week_start)
+                     AS BIGINT) END AS growth_ppm
+    FROM weekly
+    """,
+    survey_ops="week-over-week growth (§2.5 analytics battery): "
+    "ISO-week cents with lag + exact integer-ppm deltas; one weekly "
+    "aggregate, calendar-bounded lag window",
+)
+def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.period_over_period(ev, "event_type", "ts", "value")

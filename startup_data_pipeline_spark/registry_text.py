@@ -2405,3 +2405,50 @@ def q_quant_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_method_agreement(docs, "doc_id", "text")
+
+
+@register(
+    "q_distance_histogram",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS vid, {_QUANT} AS qv FROM embeddings),
+    nb AS (
+        SELECT greatest(COUNT(*) // 8, 1) AS nbk FROM q
+    ),
+    bk AS (
+        SELECT vid, qv,
+               CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR)), 1, 8))
+                    AS BIGINT) % nbk AS bkt
+        FROM q, nb
+    ),
+    scored AS (
+        SELECT CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) AS score
+        FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vid < b.vid
+    ),
+    st AS (
+        SELECT MIN(score) AS lo, MAX(score) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM scored
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(score) AS BIGINT) AS bucket_min,
+           CAST(MAX(score) AS BIGINT) AS bucket_max,
+           CAST(MAX(n) AS BIGINT) AS n_total
+    FROM (
+        SELECT score, n,
+               least(15, (16 * (score - lo))
+                         // greatest(hi - lo + 1, 1)) AS bucket
+        FROM scored, st
+    )
+    GROUP BY bucket
+    """,
+    survey_ops="pairwise-similarity histogram over a deterministic "
+    "md5-bucketed pair sample (§2.11 similarity calibration): linear "
+    "pair budget at any scale (buckets sized to n), exact integer "
+    "dots and bucket edges — the threshold-calibration read before "
+    "LSH/near-dup runs",
+)
+def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pair_distance_histogram(emb, "vec_id", "embedding")

@@ -196,11 +196,13 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the thirty-nine queries getting
-    # their FIRST driver sample, re-certify every operator changed this
-    # round, and spend the remainder on the round-1-certified rotation
+    # round-5 window must lead with the forty-three queries getting
+    # their FIRST driver sample, then re-certify every operator changed
+    # this round — exactly filling the 50 slots
     prefix = list(qs)[:50]
-    assert prefix[:39] == [
+    assert prefix[:43] == [
+        "q_cdc_compact", "q_ri_audit", "q_wow_growth",
+        "q_distance_histogram",
         "q_audio_features", "q_activity_streaks", "q_session_paths",
         "q_sample_allocation", "q_stl_decompose", "q_stream_markov",
         "q_quant_calibration", "q_dedup_agreement",
@@ -220,8 +222,5 @@ def test_registry_integrity():
     ]
     for probe in ["q_lm_score", "q_vocab_coverage", "q_domain_mix",
                   "q_pagerank", "q_ngram_jaccard", "q_stream_dedup",
-                  "q_incremental_dedup_gate",
-                  # stale-rotation spot checks (certified r1, sampled now)
-                  "q_pricing_summary", "q_exact_dedup", "q_job_aggs",
-                  "q_anti_join_seen"]:
+                  "q_incremental_dedup_gate"]:
         assert probe in prefix, probe

@@ -1068,3 +1068,91 @@ def test_session_paths_order_and_topk(spark):
     assert got["view>click"]["n_sessions"] == 2
     assert got["view>click"]["rank"] == 1
     assert got["purchase"]["n_sessions"] == 1
+
+
+def test_cdc_compact_tombstones_and_lww(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import state
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # key 1: U then D -> tombstoned
+        (1, t(1), 1, "U", 10), (2, t(2), 1, "D", 0),
+        # key 2: D then U -> survives with the later value
+        (3, t(1), 2, "D", 0), (4, t(2), 2, "U", 20),
+        # key 3: two U, same ts -> higher tiebreak wins
+        (5, t(1), 3, "U", 30), (6, t(1), 3, "U", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, op string, cents long"
+    )
+    got = {
+        r["user_id"]: r
+        for r in state.cdc_compact(
+            df, "user_id", "ts", "event_id", "op", ["cents"]
+        ).collect()
+    }
+    assert 1 not in got                      # tombstoned
+    assert got[2]["cents"] == 20             # later upsert wins over D
+    assert got[3]["cents"] == 31             # tiebreak: higher event_id
+    assert got[3]["commit_id"] == 6
+
+
+def test_ri_audit_counts_orphans_and_null_fks(spark):
+    from startup_data_pipeline_spark.operators import joins
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    [r] = joins.referential_integrity_audit(
+        [(child, "fk", parent, "pk", "child->parent")]
+    ).collect()
+    assert r["edge"] == "child->parent"
+    assert r["n_child"] == 4
+    assert r["n_null_fk"] == 1
+    assert r["n_orphans"] == 1               # fk=99
+
+
+def test_period_over_period_exact_ppm(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = [
+        # week of Mon 2024-01-01: 100.00 ; week of 2024-01-08: 150.00
+        (1, datetime(2024, 1, 2), "g", 100.0),
+        (2, datetime(2024, 1, 9), "g", 150.0),
+        # zero-prev guard: next week prev=150 -> -100%
+        (3, datetime(2024, 1, 16), "g", 0.0),
+        (4, datetime(2024, 1, 23), "g", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r["week_start"]: r for r in temporal.period_over_period(
+        df, "event_type", "ts", "value").collect()}
+    assert got["2024-01-01"]["growth_ppm"] is None
+    assert got["2024-01-08"]["growth_ppm"] == 500_000
+    assert got["2024-01-15"]["growth_ppm"] == -1_000_000
+    assert got["2024-01-22"]["growth_ppm"] is None   # prev week was 0
+
+
+def test_pair_distance_histogram_partitions_all_pairs(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    rows = [(i, [0.0001 * (i + 1), 0.0, 0.0, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.pair_distance_histogram(
+        df, "vec_id", "embedding", pairs_per_vector=12, n_buckets=4
+    ).collect()
+    # pairs_per_vector >= n -> ONE bucket -> all C(12,2) pairs sampled
+    assert sum(r["n_pairs"] for r in out) == 66
+    assert all(r["n_total"] == 66 for r in out)
+    lo = min(r["bucket_min"] for r in out)
+    hi = max(r["bucket_max"] for r in out)
+    assert lo == 1 * 2 and hi == 11 * 12     # quantized dot products
+    assert {r["bucket"] for r in out} <= {0, 1, 2, 3}
