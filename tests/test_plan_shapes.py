@@ -348,3 +348,70 @@ def test_image_dhash_join_is_banded_not_cartesian(spark, plan_sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_val" in plan
+
+
+def test_cdc_compact_single_key_exchange_no_join(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import state
+    from startup_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, plan_sf_dir, "events")
+    log = ev.filter(F.col("ts").isNotNull()).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    plan = _plan(
+        state.cdc_compact(log, "user_id", "ts", "event_id", "op",
+                          ["cents"]),
+        "simple",
+    )
+    # compaction is ONE key exchange + rank window; never a join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_ri_audit_edges_are_broadcast_anti(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import joins
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, plan_sf_dir, "lineitem")
+    od = load_table(spark, plan_sf_dir, "orders")
+    plan = _plan(
+        joins.referential_integrity_audit(
+            [(li, "l_orderkey", od, "o_orderkey", "li->od")]
+        ),
+        "simple",
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_paths_topk_is_take_ordered(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import windows as W
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, plan_sf_dir, "events")
+    plan = _plan(
+        W.session_paths(ev, "user_id", "ts", "event_type",
+                        gap_minutes=30, top=20),
+        "simple",
+    )
+    # the path cut is per-partition top-N + tiny merge, NOT a global
+    # rank window over all distinct paths
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_audio_pipeline_two_python_boundaries_only(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import multimodal
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_wav(
+        multimodal.attach_wav_payload(docs, "doc_id")
+    )
+    plan = _plan(multimodal.audio_features(decoded, "doc_id"), "simple")
+    # generator + decoder cross into Python; the feature math must not
+    assert plan.count("MapInPandas") == 2
