@@ -130,6 +130,8 @@ HEADLINE = [
     "q_ri_audit",
     "q_wow_growth",
     "q_distance_histogram",
+    "q_nearest_click",
+    "q_cluster_margin",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

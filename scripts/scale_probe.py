@@ -131,6 +131,8 @@ PROBE = [
     "q_ri_audit",
     "q_wow_growth",
     "q_distance_histogram",
+    "q_nearest_click",
+    "q_cluster_margin",
 ]
 
 

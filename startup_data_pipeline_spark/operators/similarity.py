@@ -906,3 +906,55 @@ def pair_distance_histogram(
         F.max("score").cast("long").alias("bucket_max"),
         F.max("__n").alias("n_total"),
     )
+
+
+def cluster_margin_seeded(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Per-vector cluster-assignment quality against frozen seed
+    centroids: nearest and SECOND-nearest squared distances plus the
+    exact integer margin between them — the simplified-silhouette read
+    that tells an IVF/clustering operator which vectors sit on cell
+    boundaries (where quantization routing loses recall and a higher
+    ``n_probe`` pays off).
+
+    Same seeding contract as ``kmeans_assign_seeded`` (k lowest-id
+    vectors, plan-literal centroids, shuffle-free scan). ``margin_ppm``
+    is ``ppm * (d2 − d1) div max(d2, 1)`` — 0 means the vector is
+    equidistant to two cells, ppm means it is unambiguous. Argmin ties
+    break to the lowest cluster index; the runner-up then carries the
+    tied distance, so tied vectors report margin 0.
+    """
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    seeds = qdf.orderBy("vid").limit(k).collect()
+    centroids = [list(r["qv"]) for r in seeds]
+    dists = _sq_dists_all(F.col("qv"), centroids)
+    staged = qdf.select("vid", dists.alias("__d"))
+    d1 = F.array_min("__d")
+    idx1 = F.array_position("__d", d1)  # first (lowest-cluster) argmin
+    rest = F.filter("__d", lambda x, i: (i + 1) != idx1)
+    d2 = F.array_min(rest)
+    # d1/d2 aliased in their own projection so the distance-array
+    # min/filter trees evaluate once, not once per referencing term
+    two = staged.select(
+        "vid",
+        (idx1 - 1).cast("int").alias("cluster"),
+        d1.cast("long").alias("d_own"),
+        d2.cast("long").alias("d_second"),
+    )
+    return two.select(
+        "vid",
+        "cluster",
+        "d_own",
+        "d_second",
+        (F.col("d_second") - F.col("d_own")).alias("margin"),
+        F.expr(
+            f"({ppm}L * (d_second - d_own)) div greatest(d_second, 1L)"
+        ).alias("margin_ppm"),
+    )

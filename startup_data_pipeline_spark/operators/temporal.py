@@ -754,3 +754,94 @@ def period_over_period(
             ),
         ),
     )
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_id_col: str,
+    right_id_col: str,
+    tolerance_s: int,
+) -> DataFrame:
+    """Bidirectional nearest-event join: for each left row, the single
+    closest right row of the same key within ±``tolerance_s``, EITHER
+    direction — ties on |Δ| resolve to the earlier (backward) side.
+    The tolerance as-of shape of kdb/QuestDB ``aj``/``asof`` extended
+    both ways — attribution and sensor-alignment's workhorse.
+
+    Like ``asof_join``, this is the UNION formulation, not a pairwise
+    join: one (key, ts)-ordered pass computes the last-prior carry and
+    the first-following carry from the same sort, then picks the
+    nearer — strictly linear in input rows where the naive key join
+    explodes on hot keys. Output: left ids, matched right id (null
+    when nothing lies within tolerance), signed ``delta_us``
+    (negative = click before purchase), and the direction label.
+    Within-timestamp right-row ties are broken by the right id
+    ordering; delivery-grade event streams have unique (key, ts, id).
+
+    Scale shape: ONE exchange on the key; both carries ride the same
+    Sort (two frames over one window ordering); everything after is
+    map-side.
+    """
+    rpay = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("u"),
+        F.col(right_id_col).alias("i"),
+    )
+    l = left.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.col(left_id_col).alias("__lid"),
+        F.lit(None).cast("struct<u:bigint,i:bigint>").alias("__r"),
+    )
+    r = right.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__lid"),
+        rpay.alias("__r"),
+    )
+    # right rows at an equal timestamp sort BEFORE the left row, so an
+    # exact-time match is captured by the backward carry with Δ=0
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__ts").asc(),
+        F.col("__side").asc(),
+        F.coalesce(F.col("__r.i"), F.col("__lid")).asc(),
+    )
+    carried = (
+        l.unionByName(r)
+        .withColumn(
+            "__back",
+            F.last("__r", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "__fwd",
+            F.first("__r", ignorenulls=True).over(
+                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("__side") == 1)
+    )
+    lu = F.unix_micros(F.col("__ts"))
+    tol = F.lit(tolerance_s * 1_000_000).cast("long")
+    db = lu - F.col("__back.u")
+    df_ = F.col("__fwd.u") - lu
+    bok = F.col("__back").isNotNull() & (db <= tol)
+    fok = F.col("__fwd").isNotNull() & (df_ <= tol)
+    pick = F.when(bok & (~fok | (db <= df_)), F.col("__back")).when(
+        fok, F.col("__fwd")
+    )
+    return carried.select(
+        F.col("__lid").alias(left_id_col),
+        F.col(key_col),
+        pick["i"].alias(right_id_col),
+        (pick["u"] - lu).alias("delta_us"),
+        F.when(pick["u"].isNull(), F.lit(None).cast("string"))
+        .when(pick["u"] - lu <= 0, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+    )

@@ -1900,3 +1900,60 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return temporal.period_over_period(ev, "event_type", "ts", "value")
+
+
+@register(
+    "q_nearest_click",
+    oracle="""
+    WITH l AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    r AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+    ),
+    cand AS (
+        SELECT l.purchase_id, r.click_id,
+               epoch_us(r.c_ts) - epoch_us(l.ts) AS delta_us
+        FROM l JOIN r USING (user_id)
+        WHERE abs(epoch_us(r.c_ts) - epoch_us(l.ts)) <= 1800000000
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY purchase_id
+                ORDER BY abs(delta_us) ASC, delta_us ASC, click_id ASC
+            ) AS rk FROM cand
+        ) WHERE rk = 1
+    )
+    SELECT l.purchase_id, l.user_id, b.click_id,
+           CAST(b.delta_us AS BIGINT) AS delta_us,
+           CASE WHEN b.delta_us IS NULL THEN NULL
+                WHEN b.delta_us <= 0 THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM l LEFT JOIN best b USING (purchase_id)
+    """,
+    survey_ops="bidirectional nearest-event join with tolerance (§2.3 "
+    "temporal battery, the tolerance as-of of kdb aj extended both "
+    "ways): union formulation — one (key, ts) sort, backward + forward "
+    "carries from the same window, linear where the naive key join "
+    "explodes; oracle is the quadratic-per-key spec",
+)
+def q_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    return temporal.nearest_event_join(
+        purchases.withColumnRenamed("event_id", "purchase_id"),
+        clicks,
+        "user_id",
+        "ts",
+        "purchase_id",
+        "click_id",
+        tolerance_s=1800,
+    )

@@ -2452,3 +2452,59 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pair_distance_histogram(emb, "vec_id", "embedding")
+
+
+@register(
+    "q_cluster_margin",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= 8
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    ranked AS (
+        SELECT vid, cluster, d, row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) AS rk
+        FROM dist
+    )
+    SELECT vid,
+           CAST(MAX(CASE WHEN rk = 1 THEN cluster END) AS INTEGER)
+               AS cluster,
+           CAST(MAX(CASE WHEN rk = 1 THEN d END) AS BIGINT) AS d_own,
+           CAST(MAX(CASE WHEN rk = 2 THEN d END) AS BIGINT) AS d_second,
+           CAST(MAX(CASE WHEN rk = 2 THEN d END)
+                - MAX(CASE WHEN rk = 1 THEN d END) AS BIGINT) AS margin,
+           CAST((1000000 * (MAX(CASE WHEN rk = 2 THEN d END)
+                            - MAX(CASE WHEN rk = 1 THEN d END)))
+                // greatest(MAX(CASE WHEN rk = 2 THEN d END), 1)
+                AS BIGINT) AS margin_ppm
+    FROM ranked WHERE rk <= 2 GROUP BY vid
+    """,
+    survey_ops="cluster-boundary margin audit (§2.11 similarity QA): "
+    "nearest vs second-nearest cell distance per vector in exact "
+    "integers — the simplified-silhouette read that tells an IVF "
+    "operator where routing loses recall; shuffle-free plan-literal "
+    "centroids, same seeding contract as q_kmeans_assign",
+)
+def q_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cluster_margin_seeded(emb, "vec_id", "embedding", k=8)

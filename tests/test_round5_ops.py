@@ -1156,3 +1156,79 @@ def test_pair_distance_histogram_partitions_all_pairs(spark):
     hi = max(r["bucket_max"] for r in out)
     assert lo == 1 * 2 and hi == 11 * 12     # quantized dot products
     assert {r["bucket"] for r in out} <= {0, 1, 2, 3}
+
+
+def test_nearest_event_join_picks_closer_side(spark):
+    from datetime import datetime, timedelta
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def pur(eid, uid, dt_s):
+        return (eid, uid, t0 + timedelta(seconds=dt_s), "P")
+
+    def clk(eid, uid, dt_s):
+        return (eid, uid, t0 + timedelta(seconds=dt_s), "C")
+
+    rows = [
+        # user 1: clicks at -100s and +40s around the purchase -> forward
+        pur(1, 1, 0), clk(10, 1, -100), clk(11, 1, 40),
+        # user 2: click exactly AT the purchase ts -> backward, delta 0
+        pur(2, 2, 0), clk(12, 2, 0),
+        # user 3: equal |delta| both sides -> backward (earlier) wins
+        pur(3, 3, 0), clk(13, 3, -60), clk(14, 3, 60),
+        # user 4: only a click far outside tolerance -> no match
+        pur(4, 4, 0), clk(15, 4, 10_000),
+        # user 5: click before only -> backward
+        pur(5, 5, 0), clk(16, 5, -500),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    purchases = df.filter("event_type = 'P'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = df.filter("event_type = 'C'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    got = {
+        r["purchase_id"]: r
+        for r in temporal.nearest_event_join(
+            purchases, clicks, "user_id", "ts", "purchase_id", "click_id",
+            tolerance_s=1800,
+        ).collect()
+    }
+    assert got[1]["click_id"] == 11 and got[1]["direction"] == "forward"
+    assert got[1]["delta_us"] == 40_000_000
+    assert got[2]["click_id"] == 12 and got[2]["delta_us"] == 0
+    assert got[2]["direction"] == "backward"
+    assert got[3]["click_id"] == 13 and got[3]["direction"] == "backward"
+    assert got[4]["click_id"] is None and got[4]["direction"] is None
+    assert got[5]["click_id"] == 16 and got[5]["delta_us"] == -500_000_000
+
+
+def test_cluster_margin_boundary_vector(spark):
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),        # seed centroid 0
+        (1, [0.001, 0.0, 0.0, 0.0]),      # seed centroid 1 (q = [10,0,0,0])
+        (2, [0.0005, 0.0, 0.0, 0.0]),     # exactly between 0 and 1
+        (3, [0.0001, 0.0, 0.0, 0.0]),     # near centroid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vid"]: r
+        for r in sim.cluster_margin_seeded(df, "vec_id", "embedding", k=2).collect()
+    }
+    # vec 2: q=[5,...]; d to c0 = 25, to c1 = 25 -> tie, margin 0
+    assert got[2]["cluster"] == 0 and got[2]["margin"] == 0
+    assert got[2]["margin_ppm"] == 0
+    # vec 3: q=[1]; d0 = 1, d1 = 81 -> margin 80
+    assert got[3]["cluster"] == 0
+    assert got[3]["d_own"] == 1 and got[3]["d_second"] == 81
+    assert got[3]["margin"] == 80
+    assert got[3]["margin_ppm"] == (10**6 * 80) // 81
+    # seed vectors are their own centroid at distance 0
+    assert got[0]["d_own"] == 0 and got[1]["d_own"] == 0
