@@ -132,6 +132,8 @@ HEADLINE = [
     "q_distance_histogram",
     "q_nearest_click",
     "q_cluster_margin",
+    "q_group_mode",
+    "q_user_entropy",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -133,6 +133,8 @@ PROBE = [
     "q_distance_histogram",
     "q_nearest_click",
     "q_cluster_margin",
+    "q_group_mode",
+    "q_user_entropy",
 ]
 
 

@@ -736,3 +736,45 @@ def largest_remainder_allocation(
             .alias("alloc"),
         )
     )
+
+
+def group_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: "Column | str",
+    value_name: str = "mode_value",
+) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (highest
+    count, then smallest value) plus the supporting counts — the
+    aggregate SQL never quite ships (MODE() is nondeterministic on
+    ties in most engines) done registry-grade.
+
+    Scale shape: one (group, value) aggregate with map-side partials,
+    then a rank window partitioned by the group key that RIDES the
+    aggregate's exchange (subset key) — no second shuffle.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    counts = df.groupBy(F.col(group_col), v.alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__c").desc(), F.col("__v").asc()
+    )
+    w_g = Window.partitionBy(group_col)
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "n_distinct_values", F.count(F.lit(1)).over(w_g).cast("long")
+        )
+        .withColumn("n_rows", F.sum("__c").over(w_g).cast("long"))
+        .filter(F.col("__rk") == 1)
+        .select(
+            group_col,
+            F.col("__v").alias(value_name),
+            F.col("__c").alias("n_occurrences"),
+            "n_distinct_values",
+            "n_rows",
+        )
+    )

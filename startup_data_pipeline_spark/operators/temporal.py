@@ -845,3 +845,41 @@ def nearest_event_join(
         .otherwise("forward")
         .alias("direction"),
     )
+
+
+def behavioral_entropy(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Per-key Shannon entropy of the categorical activity distribution
+    (bits) — the behavioral-diversity score: 0 = a key that only ever
+    does one thing, log2(k) = uniform over k actions. The user-level
+    twin of ``text.token_entropy`` (same H = log2(n) − Σ c·log2(c)/n
+    identity, same round-4 boundary so cross-engine doubles agree).
+
+    Scale shape: one (key, state) aggregate, one tiny key-level
+    aggregate riding a prefix of the same hash key — map-side
+    combinable end to end.
+    """
+    counts = df.groupBy(F.col(key_col), F.col(state_col)).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        counts.groupBy(key_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_states"),
+            F.sum(F.col("__c") * F.log2("__c")).alias("__clog"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "n_states",
+            F.round(
+                F.log2("n_events")
+                - F.col("__clog") / F.col("n_events"),
+                4,
+            ).alias("entropy_bits"),
+        )
+    )

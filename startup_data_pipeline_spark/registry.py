@@ -63,13 +63,14 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
     # Round-5 window. Certification debt is zero (146/146 after r4), so
-    # the window leads with (a) the forty-five queries registered this
+    # the window leads with (a) the forty-seven queries registered this
     # round — their FIRST driver sample — then (b) canaries for
     # operators changed this round. That fills all 50 slots: the
     # round-1 stale rotation defers entirely to round 6 (every r1 query
     # remains locally gated by scripts/verify_local.py — full-registry
     # sweep green this session — and 12 were judge-re-verified green
     # last round).
+    "q_group_mode", "q_user_entropy",
     "q_nearest_click", "q_cluster_margin",
     "q_cdc_compact", "q_ri_audit", "q_wow_growth",
     "q_distance_histogram",
@@ -95,10 +96,14 @@ _PRIORITY: list[str] = [
     # fixture cannot exercise, so their r4 certs still bind):
     "q_lm_score",               # ngram_lm_score: tokenize-once + pre-agg
     "q_pagerank",               # dangling-mass redistribution
-    "q_ngram_jaccard",          # refactored through _pair_intersections
-    "q_stream_dedup",           # events source file-vs-dir detection
     "q_incremental_dedup_gate", # gate: fail-fast index read, FS factory
     # --- 50-slot window boundary ---
+    # (q_ngram_jaccard / q_stream_dedup ceded their canary slots: the
+    # _pair_intersections refactor is exercised in-window by
+    # q_shingle_containment + q_lsh_precision, and the events-stream
+    # source change by q_stream_markov)
+    "q_ngram_jaccard",          # refactored through _pair_intersections
+    "q_stream_dedup",           # events source file-vs-dir detection
     "q_vocab_coverage",         # zero-token sentinel (both sides)
     "q_domain_mix",             # zero-row target domains -> unit 0
     # round-1 certified, deferred to the round-6 window (oldest first):

@@ -1957,3 +1957,66 @@ def q_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         tolerance_s=1800,
     )
+
+
+@register(
+    "q_group_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY c DESC, v ASC
+               ) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_distinct_values,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_rows
+        FROM counts
+    )
+    SELECT event_type, v AS mode_value, c AS n_occurrences,
+           n_distinct_values, n_rows
+    FROM ranked WHERE rk = 1
+    """,
+    survey_ops="exact deterministic per-group mode (§2.5 aggregate "
+    "battery): highest count, ties to the smallest value — MODE() "
+    "done registry-grade; the rank window rides the aggregate's "
+    "exchange",
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return olap.group_mode(
+        ev,
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+    )
+
+
+@register(
+    "q_user_entropy",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_states,
+           round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4)
+               AS entropy_bits
+    FROM counts GROUP BY user_id
+    """,
+    survey_ops="per-user behavioral entropy (§2.5 behavioral "
+    "analytics): Shannon diversity of each key's action distribution "
+    "— the user-level twin of token_entropy, same identity and "
+    "round-4 boundary; two map-side-combinable aggregates",
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.behavioral_entropy(ev, "user_id", "event_type")

@@ -196,11 +196,12 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the forty-five queries getting
+    # round-5 window must lead with the forty-seven queries getting
     # their FIRST driver sample, then re-certify operators changed
     # this round — exactly filling the 50 slots
     prefix = list(qs)[:50]
-    assert prefix[:45] == [
+    assert prefix[:47] == [
+        "q_group_mode", "q_user_entropy",
         "q_nearest_click", "q_cluster_margin",
         "q_cdc_compact", "q_ri_audit", "q_wow_growth",
         "q_distance_histogram",
@@ -221,6 +222,6 @@ def test_registry_integrity():
         "q_doc_novelty", "q_split_balance", "q_shingle_containment",
         "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
     ]
-    for probe in ["q_lm_score", "q_pagerank", "q_ngram_jaccard",
-                  "q_stream_dedup", "q_incremental_dedup_gate"]:
+    for probe in ["q_lm_score", "q_pagerank",
+                  "q_incremental_dedup_gate"]:
         assert probe in prefix, probe

@@ -1232,3 +1232,29 @@ def test_cluster_margin_boundary_vector(spark):
     assert got[3]["margin_ppm"] == (10**6 * 80) // 81
     # seed vectors are their own centroid at distance 0
     assert got[0]["d_own"] == 0 and got[1]["d_own"] == 0
+
+
+def test_group_mode_tie_breaks_to_smallest(spark):
+    rows = [("g", 5), ("g", 5), ("g", 3), ("g", 3), ("g", 9),
+            ("h", 1)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {r["k"]: r for r in olap.group_mode(df, "k", "v").collect()}
+    # tie between 3 and 5 (two each) -> smallest value wins
+    assert got["g"]["mode_value"] == 3
+    assert got["g"]["n_occurrences"] == 2
+    assert got["g"]["n_distinct_values"] == 3 and got["g"]["n_rows"] == 5
+    assert got["h"]["mode_value"] == 1 and got["h"]["n_rows"] == 1
+
+
+def test_behavioral_entropy_uniform_and_point(spark):
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = (
+        [(1, "a"), (1, "b"), (1, "c"), (1, "d")]   # uniform over 4 -> 2 bits
+        + [(2, "a")] * 5                           # single action -> 0 bits
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r["user_id"]: r for r in temporal.behavioral_entropy(
+        df, "user_id", "event_type").collect()}
+    assert got[1]["entropy_bits"] == 2.0 and got[1]["n_states"] == 4
+    assert got[2]["entropy_bits"] == 0.0 and got[2]["n_events"] == 5
