@@ -92,3 +92,128 @@ def test_exact_dedup_sound(spark, batch):
     got = rows(out)
     assert len(got) == len({r[0] for r in batch})      # one row per key
     assert set(got) <= {tuple(r) for r in batch}        # rows from input
+
+
+EVENT_ROW = st.tuples(
+    st.integers(0, 3),                      # user
+    st.integers(0, 10),                     # hour offset
+    st.sampled_from(["view", "click", "buy"]),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT_ROW, min_size=2, max_size=14))
+def test_markov_probabilities_partition_unit(spark, events):
+    """Per from-state, transition counts sum to n_from and ppm
+    probabilities sum to 1e6 minus only integer-floor drift."""
+    from datetime import datetime, timedelta
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    t0 = datetime(2024, 1, 1)
+    data = [
+        (i, u, t0 + timedelta(hours=h), e)
+        for i, (u, h, e) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = temporal.markov_transitions(
+        df, "user_id", "ts", "event_type", "event_id"
+    ).collect()
+    by_from: dict[str, list] = {}
+    for r in out:
+        by_from.setdefault(r["from_state"], []).append(r)
+    for rows_ in by_from.values():
+        n_from = rows_[0]["n_from"]
+        assert sum(r["n_trans"] for r in rows_) == n_from
+        ppm_sum = sum(r["p_ppm"] for r in rows_)
+        assert 10**6 - len(rows_) < ppm_sum <= 10**6
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=12))
+def test_cusum_final_deviation_is_zero(spark, cents_values):
+    """The scaled cumulative deviation telescopes to exactly zero on
+    the last day of every group — the CUSUM closure invariant."""
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    data = [
+        (i, datetime(2024, 1, 1 + i), "g", v / 100.0)
+        for i, v in enumerate(cents_values)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        temporal.cusum_level_shift(df, "event_type", "ts", "value").collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[-1]["cum_dev_scaled"] == 0
+    assert sum(1 for r in out if r["is_changepoint"]) == 1
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.sampled_from(["x", "y"]),
+                          st.integers(-500, 500)),
+                min_size=1, max_size=14))
+def test_winsorize_bounded_and_order_preserving(spark, pairs):
+    """Clamped values stay inside the group's [lo, hi] band, clamping
+    is monotone (never reorders two values), and unclipped rows pass
+    through bit-identical. (Winsorization is deliberately NOT a
+    fixpoint — clamping shifts the empirical quantiles — so no
+    idempotence claim is made.)"""
+    from startup_data_pipeline_spark.operators import olap
+
+    data = [(i, g, v / 100.0) for i, (g, v) in enumerate(pairs)]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, value double"
+    )
+    once = olap.winsorize_by_group(
+        df, "event_type", "event_id", "value"
+    ).collect()
+    by_group: dict[str, list] = {}
+    for r in once:
+        assert r["lo"] <= r["clamped"] <= r["hi"]
+        if not r["is_clipped"]:
+            assert r["clamped"] == float(r["cents"])
+        by_group.setdefault(r["event_type"], []).append(r)
+    for rows_ in by_group.values():
+        rows_.sort(key=lambda r: (r["cents"], r["event_id"]))
+        clamped = [r["clamped"] for r in rows_]
+        assert clamped == sorted(clamped)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                          st.integers(1, 40)),
+                min_size=1, max_size=10),
+       st.integers(1, 30))
+def test_largest_remainder_always_sums_to_budget(spark, groups, budget):
+    """Allocations are non-negative integers summing EXACTLY to the
+    budget, and no group deviates from its real quota by >= 1 slot
+    beyond the floor/ceil band (the Hare-quota guarantee)."""
+    from startup_data_pipeline_spark.operators import olap
+
+    data = [
+        (i, g)
+        for i, (g, n) in enumerate(
+            (grp, cnt) for grp, cnt in groups
+        )
+        for _ in range(n)
+    ]
+    data = [(i, g) for i, (g, _n) in enumerate(
+        [(g, None) for g, n in groups for _ in range(n)])]
+    df = spark.createDataFrame(data, "doc_id long, source string")
+    out = olap.largest_remainder_allocation(df, "source", budget).collect()
+    total = sum(r["n_rows"] for r in out)
+    assert sum(r["alloc"] for r in out) == budget
+    for r in out:
+        quota = budget * r["n_rows"] / total
+        assert quota - 1 < r["alloc"] < quota + 1
