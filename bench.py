@@ -134,6 +134,7 @@ HEADLINE = [
     "q_cluster_margin",
     "q_group_mode",
     "q_user_entropy",
+    "q_curation_pipeline",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

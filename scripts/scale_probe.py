@@ -135,6 +135,7 @@ PROBE = [
     "q_cluster_margin",
     "q_group_mode",
     "q_user_entropy",
+    "q_curation_pipeline",
 ]
 
 

@@ -98,6 +98,9 @@ _PRIORITY: list[str] = [
     "q_pagerank",               # dangling-mass redistribution
     "q_incremental_dedup_gate", # gate: fail-fast index read, FS factory
     # --- 50-slot window boundary ---
+    # first in line for round 6 (registered r5; composed entirely of
+    # r4-certified operators, so only the composition itself is new):
+    "q_curation_pipeline",
     # (q_ngram_jaccard / q_stream_dedup ceded their canary slots: the
     # _pair_intersections refactor is exercised in-window by
     # q_shingle_containment + q_lsh_precision, and the events-stream

@@ -2508,3 +2508,72 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cluster_margin_seeded(emb, "vec_id", "embedding", k=8)
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, text, len(toks) AS n_tok,
+               len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','to','in'], t))) AS n_stop
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ),
+    keep AS (
+        SELECT doc_id, text FROM q
+        WHERE n_tok >= 10
+          AND round(CAST(length(text) AS DOUBLE) / n_tok, 4) <= 12.0
+          AND round(CAST(n_stop AS DOUBLE) / n_tok, 4) <= 0.5
+    ),
+    surv AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS f
+            FROM keep
+        )
+        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    ),
+    lab AS (
+        SELECT text,
+               ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                   AS bucket
+        FROM (SELECT text, md5(CAST(doc_id AS VARCHAR)) AS m FROM surv)
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+    FROM lab GROUP BY 1
+    """,
+    survey_ops="end-to-end curation pipeline (§2.11 composition "
+    "flagship): quality gate → exact-dedup survivors (fingerprint "
+    "min-id) → content-hash split → per-split token budget, all as "
+    "ONE declarative plan — cheap filters precede the only exchange "
+    "(digest-keyed dedup), the split is map-side, and the final agg "
+    "is tiny; the whole LLM-data pass a user runs nightly",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "text", "n_chars")
+    kept = scored.filter(F.col("quality_ok")).select("doc_id", "text")
+    fp = text.fingerprint(kept, "text")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (
+        fp.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "text")
+    )
+    labeled = text.train_split(surv, "doc_id")
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(text.tokens(F.col("text")))).cast("long").alias(
+            "n_tokens"
+        ),
+    )

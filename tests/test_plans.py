@@ -225,3 +225,4 @@ def test_registry_integrity():
     for probe in ["q_lm_score", "q_pagerank",
                   "q_incremental_dedup_gate"]:
         assert probe in prefix, probe
+    assert list(qs)[50] == "q_curation_pipeline"  # round-6 front
