@@ -48,8 +48,11 @@ def main() -> None:
     t_old = sum(old[q] for q in shared)
     t_new = sum(new[q] for q in shared)
     print(f"shared queries: {len(shared)}")
-    print(f"old total {t_old:.1f}s  new total {t_new:.1f}s  "
-          f"ratio {t_new / t_old:.2f}x")
+    if t_old > 0:
+        print(f"old total {t_old:.1f}s  new total {t_new:.1f}s  "
+              f"ratio {t_new / t_old:.2f}x")
+    else:
+        print("no overlapping queries — nothing to ratio")
     only_new = sorted(set(new) - set(old))
     if only_new:
         add = sum(new[q] for q in only_new)

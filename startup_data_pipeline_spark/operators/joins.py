@@ -160,30 +160,28 @@ def referential_integrity_audit(
     null/domain checks. NULL foreign keys are counted separately from
     orphans (a null FK is a modeling choice, a dangling one is a bug).
 
-    Scale shape: per edge, one LEFT ANTI join on the key — parent key
-    sets are dimension-sized, so Catalyst broadcasts them; the counts
-    are single all-reduces. Edges union into one tiny result.
+    Scale shape: per edge, ONE scan of the child — a left join against
+    the broadcast parent key set yields row count, null-FK count, and
+    orphan count from the same pass (an earlier shape ran a separate
+    anti-join aggregate, scanning each child twice). Edges union into
+    one tiny result.
     """
     outs = []
     for child, fk, parent, pk, label in edges:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
-        non_null = child.filter(F.col(fk).isNotNull())
-        orphans = non_null.join(
-            F.broadcast(keys), non_null[fk] == F.col("__pk"), "left_anti"
+        joined = child.select(F.col(fk).alias("__fk")).join(
+            F.broadcast(keys), F.col("__fk") == F.col("__pk"), "left"
         )
         outs.append(
-            child.agg(
+            joined.agg(
                 F.lit(label).alias("edge"),
                 F.count(F.lit(1)).cast("long").alias("n_child"),
-                F.count_if(F.col(fk).isNull()).cast("long").alias(
+                F.count_if(F.col("__fk").isNull()).cast("long").alias(
                     "n_null_fk"
                 ),
-            ).crossJoin(
-                F.broadcast(
-                    orphans.agg(
-                        F.count(F.lit(1)).cast("long").alias("n_orphans")
-                    )
-                )
+                F.count_if(
+                    F.col("__fk").isNotNull() & F.col("__pk").isNull()
+                ).cast("long").alias("n_orphans"),
             )
         )
     out = outs[0]

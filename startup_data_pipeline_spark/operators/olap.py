@@ -635,8 +635,14 @@ def winsorize_by_group(
         F.col(f"__p{int(p_lo * 100)}").alias("lo"),
         F.col(f"__p{int(p_hi * 100)}").alias("hi"),
     )
-    clamped = F.greatest(
-        F.col("lo"), F.least(F.col("hi"), F.col("cents").cast("double"))
+    # greatest/least skip NULLs, which would silently map a missing
+    # measurement to the hi bound — a NULL input must stay NULL
+    clamped = F.when(
+        F.col("cents").isNotNull(),
+        F.greatest(
+            F.col("lo"),
+            F.least(F.col("hi"), F.col("cents").cast("double")),
+        ),
     )
     return (
         rows.join(F.broadcast(bounds), group_col)
@@ -745,7 +751,8 @@ def group_mode(
     value_name: str = "mode_value",
 ) -> DataFrame:
     """Exact per-group mode with a deterministic tie-break (highest
-    count, then smallest value) plus the supporting counts — the
+    count, then smallest value, NULL losing every tie) plus the
+    supporting counts — the
     aggregate SQL never quite ships (MODE() is nondeterministic on
     ties in most engines) done registry-grade.
 
@@ -759,8 +766,12 @@ def group_mode(
     counts = df.groupBy(F.col(group_col), v.alias("__v")).agg(
         F.count(F.lit(1)).cast("long").alias("__c")
     )
+    # asc_nulls_last: DuckDB's plain ASC puts NULLs last while Spark's
+    # puts them first — on a count tie between a NULL-value group and a
+    # real value the two engines would disagree without the explicit
+    # null ordering
     w = Window.partitionBy(group_col).orderBy(
-        F.col("__c").desc(), F.col("__v").asc()
+        F.col("__c").desc(), F.col("__v").asc_nulls_last()
     )
     w_g = Window.partitionBy(group_col)
     return (

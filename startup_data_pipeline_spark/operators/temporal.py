@@ -778,8 +778,10 @@ def nearest_event_join(
     explodes on hot keys. Output: left ids, matched right id (null
     when nothing lies within tolerance), signed ``delta_us``
     (negative = click before purchase), and the direction label.
-    Within-timestamp right-row ties are broken by the right id
-    ordering; delivery-grade event streams have unique (key, ts, id).
+    Within-timestamp right-row ties resolve to the smallest right id
+    on BOTH sides (mirrored carry orderings), matching the oracle's
+    click_id tie-break exactly even on streams with duplicate
+    (key, ts) rows.
 
     Scale shape: ONE exchange on the key; both carries ride the same
     Sort (two frames over one window ordering); everything after is
@@ -803,25 +805,37 @@ def nearest_event_join(
         F.lit(None).cast("long").alias("__lid"),
         rpay.alias("__r"),
     )
-    # right rows at an equal timestamp sort BEFORE the left row, so an
-    # exact-time match is captured by the backward carry with Δ=0
-    w = Window.partitionBy(key_col).orderBy(
-        F.col("__ts").asc(),
-        F.col("__side").asc(),
-        F.coalesce(F.col("__r.i"), F.col("__lid")).asc(),
+    # Right rows at an equal timestamp sort BEFORE the left row (side
+    # 0 < 1), so an exact-time match is captured by the backward carry
+    # with Δ=0. The two carries use MIRRORED right-id orderings so both
+    # resolve same-timestamp right-row ties to the SMALLEST id (the
+    # oracle's click_id ASC): backward takes the LAST row of its frame,
+    # so rights at a tied ts must sort id-descending there; forward
+    # takes the FIRST, so id-ascending. Both windows share the one
+    # (key)-exchange; only the sort differs.
+    rid = F.coalesce(F.col("__r.i"), F.col("__lid"))
+    w_back = Window.partitionBy(key_col).orderBy(
+        F.col("__ts").asc(), F.col("__side").asc(), rid.desc()
+    )
+    w_fwd = Window.partitionBy(key_col).orderBy(
+        F.col("__ts").asc(), F.col("__side").asc(), rid.asc()
     )
     carried = (
         l.unionByName(r)
         .withColumn(
             "__back",
             F.last("__r", ignorenulls=True).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                w_back.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
             ),
         )
         .withColumn(
             "__fwd",
             F.first("__r", ignorenulls=True).over(
-                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                w_fwd.rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
             ),
         )
         .filter(F.col("__side") == 1)

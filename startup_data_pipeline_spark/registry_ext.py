@@ -1520,8 +1520,10 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rows_ GROUP BY event_type
     )
     SELECT r.event_id, r.event_type, r.cents, b.lo, b.hi,
-           round(greatest(b.lo, least(b.hi, CAST(r.cents AS DOUBLE))), 4)
-               AS clamped,
+           CASE WHEN r.cents IS NULL THEN NULL
+                ELSE round(greatest(b.lo,
+                           least(b.hi, CAST(r.cents AS DOUBLE))), 4)
+           END AS clamped,
            (CAST(r.cents AS DOUBLE) < b.lo
             OR CAST(r.cents AS DOUBLE) > b.hi) AS is_clipped
     FROM rows_ r JOIN bounds b USING (event_type)

@@ -629,13 +629,16 @@ def streaming_markov_transitions(
     (from_state, to_state) row per observed consecutive transition.
 
     The continuous twin of ``temporal.markov_transitions``: state is
-    (last_type, t_us, last_id) — three scalars per user, never the
-    event history — so state size is O(users). Events fold in
+    ONE scalar per user (the last event type), never the event history
+    — so state size is O(users) and minimal. Events fold in
     (ts, tiebreak) order within each batch; on per-key-ordered delivery
     the emitted transition multiset equals the batch lead()-window
     answer exactly (the equivalence the registered query's oracle
-    certifies). Downstream the caller aggregates to the matrix with
-    the same integer-ppm formula as the batch operator.
+    certifies). Cross-batch out-of-order delivery follows the standard
+    stateful-streaming contract (pair with a watermark-sorted buffer
+    upstream if the source reorders — the same note as
+    ``streaming_funnel_stages``). Downstream the caller aggregates to
+    the matrix with the same integer-ppm formula as the batch operator.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -647,30 +650,21 @@ def streaming_markov_transitions(
         ]
     )
     state_schema = StructType(
-        [
-            StructField("last_type", StringType()),
-            StructField("t_us", LongType()),
-            StructField("last_id", LongType()),
-        ]
+        [StructField("last_type", StringType())]
     )
 
     def update(key, pdf_iter, state: GroupState):
-        last_type, t_us, last_id = (
-            state.get if state.exists else (None, -(2**62), -1)
-        )
+        (last_type,) = state.get if state.exists else (None,)
         froms, tos = [], []
         pdfs = [p for p in pdf_iter if len(p)]
         if pdfs:
             pdf = pd.concat(pdfs).sort_values([ts_col, tiebreak_col])
-            for ts, et, eid in zip(
-                pdf[ts_col], pdf[type_col], pdf[tiebreak_col]
-            ):
-                us = ts.value // 1000  # pandas ns → micros
+            for et in pdf[type_col]:
                 if last_type is not None:
                     froms.append(last_type)
                     tos.append(et)
-                last_type, t_us, last_id = et, us, int(eid)
-        state.update((last_type, t_us, last_id))
+                last_type = et
+        state.update((last_type,))
         yield pd.DataFrame({"from_state": froms, "to_state": tos})
 
     return (

@@ -385,8 +385,11 @@ def test_ri_audit_edges_are_broadcast_anti(spark, plan_sf_dir):
         ),
         "simple",
     )
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # single-pass shape: ONE broadcast outer join per edge yields all
+    # three counts — no second child scan via a separate anti join
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 2  # child once, parent once
 
 
 def test_session_paths_topk_is_take_ordered(spark, plan_sf_dir):

@@ -203,13 +203,8 @@ def test_largest_remainder_always_sums_to_budget(spark, groups, budget):
 
     data = [
         (i, g)
-        for i, (g, n) in enumerate(
-            (grp, cnt) for grp, cnt in groups
-        )
-        for _ in range(n)
+        for i, g in enumerate(g for g, n in groups for _ in range(n))
     ]
-    data = [(i, g) for i, (g, _n) in enumerate(
-        [(g, None) for g, n in groups for _ in range(n)])]
     df = spark.createDataFrame(data, "doc_id long, source string")
     out = olap.largest_remainder_allocation(df, "source", budget).collect()
     total = sum(r["n_rows"] for r in out)

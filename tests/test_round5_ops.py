@@ -1258,3 +1258,38 @@ def test_behavioral_entropy_uniform_and_point(spark):
         df, "user_id", "event_type").collect()}
     assert got[1]["entropy_bits"] == 2.0 and got[1]["n_states"] == 4
     assert got[2]["entropy_bits"] == 0.0 and got[2]["n_events"] == 5
+
+
+def test_nearest_event_join_duplicate_ts_ties_to_smallest_id(spark):
+    from datetime import datetime, timedelta
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # two clicks at the SAME past instant -> smallest click_id wins
+        (1, 1, t0, "P"),
+        (9, 1, t0 - timedelta(seconds=30), "C"),
+        (7, 1, t0 - timedelta(seconds=30), "C"),
+        # two clicks at the SAME future instant -> smallest click_id wins
+        (2, 2, t0, "P"),
+        (19, 2, t0 + timedelta(seconds=30), "C"),
+        (17, 2, t0 + timedelta(seconds=30), "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    purchases = df.filter("event_type = 'P'").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = df.filter("event_type = 'C'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    got = {
+        r["purchase_id"]: r["click_id"]
+        for r in temporal.nearest_event_join(
+            purchases, clicks, "user_id", "ts", "purchase_id", "click_id",
+            tolerance_s=1800,
+        ).collect()
+    }
+    assert got == {1: 7, 2: 17}
