@@ -165,7 +165,7 @@ def bfs_hops(
     """
     from pyspark.sql import Observation
 
-    e = (
+    e_raw = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -173,7 +173,7 @@ def bfs_hops(
         .dropDuplicates()
         .persist()
     )
-    n_edges = e.count()
+    n_edges = e_raw.count()
     # Denser sizing than CC/PageRank (500k edge rows per partition, not
     # 2M): BFS's per-round work is a join PLUS a distinct PLUS an
     # anti-join against the growing settled set, so a partition carries
@@ -181,7 +181,7 @@ def bfs_hops(
     # quadratically-densified near-dup graph, 4 partitions left 28
     # cores idle through every round.
     npart = max(8, n_edges // 500_000 + 1)
-    e = e.repartition(npart, "src").persist()
+    e = e_raw.repartition(npart, "src").persist()
     settled = (
         seeds.select(F.col(id_col).alias("node"))
         .dropDuplicates()
@@ -205,6 +205,7 @@ def bfs_hops(
         if obs.get["n_new"] == 0:
             break
     e.unpersist()
+    e_raw.unpersist()
     return ids.select(F.col(id_col)).join(
         settled, ids[id_col] == settled.node, "left"
     ).select(

@@ -549,6 +549,7 @@ def pq_encode(
     vec_col: str,
     m: int = 4,
     k: int = 16,
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: split each vector into ``m``
     subspaces, snap each subvector to its nearest of ``k`` codewords,
@@ -571,7 +572,8 @@ def pq_encode(
     qdf = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
     )
-    books = _pq_codebooks(qdf, m, k)
+    if books is None:  # callers with codebooks in hand skip the re-derive
+        books = _pq_codebooks(qdf, m, k)
     sub = len(books[0][0])
     cols = [F.col("vid")]
     err = F.lit(0).cast("long")
@@ -614,7 +616,12 @@ def pq_adc_topk(
     )
     books = _pq_codebooks(qdf, m, k)
     sub = len(books[0][0])
-    db = pq_encode(embeddings, id_col, vec_col, m=m, k=k).withColumn(
+    # pass the already-derived codebooks through — pq_encode would
+    # otherwise re-run the seed collection (a second driver job and a
+    # second quantize scan of the corpus)
+    db = pq_encode(
+        embeddings, id_col, vec_col, m=m, k=k, books=books
+    ).withColumn(
         "codes", F.array(*[F.col(f"code_{j}") for j in range(m)])
     )
     # per-query lookup tables: tables[j][c] = d(q_sub_j, codeword_c)
@@ -676,10 +683,20 @@ def knn_graph(
     """
     if dims is None:
         dims = [0, 1, 2, 3]
-    q = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"),
-        quantize(F.col(vec_col)).alias("qv"),
-        sign_lsh_bucket(quantize(F.col(vec_col)), dims).alias("bucket"),
+    # quantize ONCE behind a projection boundary, then derive the
+    # bucket from the alias — feeding the raw quantize expression into
+    # sign_lsh_bucket would copy the whole transform into every
+    # hyperplane bit term (the z-order plan-duplication trap); lambda
+    # expressions are excluded from subexpression elimination
+    q = (
+        ensure_min_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("vid"),
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+        .select(
+            "vid", "qv", sign_lsh_bucket(F.col("qv"), dims).alias("bucket")
+        )
     )
     a = q.select(
         F.col("vid").alias("vec_id"),

@@ -248,12 +248,17 @@ def interval_max_concurrency(
     double-count. One shuffle total (the window partition), then a
     map-side-combinable max.
     """
+    # the end is clamped to >= start: a zero/negative duration (bad
+    # clock, malformed row) becomes a degenerate instant interval —
+    # F.sequence with stop < start would otherwise throw and abort the
+    # whole stage on ONE bad row
     iv = df.select(
         F.col(group_col),
         F.col(ts_col).alias("__s"),
-        (
+        F.greatest(
+            F.col(ts_col),
             F.col(ts_col)
-            + F.make_dt_interval(secs=dur_s_col.cast("double"))
+            + F.make_dt_interval(secs=dur_s_col.cast("double")),
         ).alias("__e"),
     )
     pieces = (
@@ -264,7 +269,12 @@ def interval_max_concurrency(
             F.explode(
                 F.sequence(
                     F.to_date("__s"),
-                    F.to_date(F.col("__e") - F.expr("INTERVAL 1 MICROSECOND")),
+                    F.greatest(
+                        F.to_date("__s"),
+                        F.to_date(
+                            F.col("__e") - F.expr("INTERVAL 1 MICROSECOND")
+                        ),
+                    ),
                     F.expr("INTERVAL 1 DAY"),
                 )
             ).alias("day"),

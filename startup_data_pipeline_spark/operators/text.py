@@ -1109,7 +1109,11 @@ def kwic_snippets(
     output is bounded by occurrence count, not document size.
     """
     kw = keyword.lower()
-    tk = tokens(F.lower(F.col(text_col)))
+    # tokenize ONCE behind a projection boundary: the hit scan indexes
+    # the token array per position, and feeding it the raw tokenizer
+    # expression would re-run the regex split for every element_at
+    # (the ngram_lm_score / z-order plan-duplication trap)
+    tk = F.col("__tk")
     hits = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1))),
@@ -1119,7 +1123,11 @@ def kwic_snippets(
     )
     return (
         ensure_min_parallelism(df)
-        .select(F.col(id_col), tk.alias("__tk"), hits.alias("__hits"))
+        .select(
+            F.col(id_col),
+            tokens(F.lower(F.col(text_col))).alias("__tk"),
+        )
+        .select(F.col(id_col), F.col("__tk"), hits.alias("__hits"))
         .select(F.col(id_col), F.size("__tk").alias("__n"), "__tk",
                 F.explode("__hits").alias("__pos"))
         .select(

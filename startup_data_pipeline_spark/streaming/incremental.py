@@ -75,9 +75,17 @@ def _events_source(sf_dir: str) -> tuple[str, str | None]:
     parent dir + a glob to it), while engine-written replicas (e.g. the
     sf1 scale corpus) have it as a part-file DIRECTORY the reader can
     point at directly — a glob naming the directory would match no leaf
-    file and read nothing."""
-    p = os.path.join(sf_dir, "events.parquet")
-    return (p, None) if os.path.isdir(p) else (sf_dir, "events.parquet")
+    file and read nothing.
+
+    Paths with a URI scheme (s3a://, hdfs://, ...) are always treated
+    as directories: engine-written warehouse tables ARE directories,
+    and ``os.path.isdir`` only answers for the driver-local
+    filesystem — falling through to the glob branch there would
+    silently match nothing."""
+    p = f"{sf_dir.rstrip('/')}/events.parquet"
+    if "://" in sf_dir or os.path.isdir(p):
+        return p, None
+    return sf_dir, "events.parquet"
 
 
 def long_ts_to_timestamp(col, unit: str):

@@ -1293,3 +1293,23 @@ def test_nearest_event_join_duplicate_ts_ties_to_smallest_id(spark):
         ).collect()
     }
     assert got == {1: 7, 2: 17}
+
+
+def test_interval_max_concurrency_survives_negative_duration(spark):
+    from datetime import datetime
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10), "g", 600.0),
+        (2, datetime(2024, 1, 1, 10, 5), "g", -3600.0),  # bad clock row
+        (3, datetime(2024, 1, 1, 10, 6), "g", 0.0),      # zero duration
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = temporal.interval_max_concurrency(
+        df, "event_type", "ts", F.col("value")
+    ).collect()
+    # no crash; the real 10-min interval still registers
+    assert out and all(r["max_concurrent"] >= 1 for r in out)
