@@ -62,96 +62,74 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-5 window. Certification debt is zero (146/146 after r4), so
-    # the window leads with (a) the forty-seven queries registered this
-    # round — their FIRST driver sample — then (b) canaries for
-    # operators changed this round. That fills all 50 slots: the
-    # round-1 stale rotation defers entirely to round 6 (every r1 query
-    # remains locally gated by scripts/verify_local.py — full-registry
-    # sweep green this session — and 12 were judge-re-verified green
-    # last round).
-    "q_group_mode", "q_user_entropy",
-    "q_nearest_click", "q_cluster_margin",
-    "q_cdc_compact", "q_ri_audit", "q_wow_growth",
-    "q_distance_histogram",
-    "q_audio_features", "q_activity_streaks", "q_session_paths",
-    "q_sample_allocation", "q_stl_decompose", "q_stream_markov",
-    "q_quant_calibration", "q_dedup_agreement",
-    "q_vocab_growth", "q_lsh_precision", "q_conversion_latency",
-    "q_score_percentile_norm",
-    "q_image_dhash_pairs",
-    "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
-    "q_markov_transitions", "q_cusum_shift", "q_winsorize",
-    "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
-    "q_max_concurrency", "q_sliding_distinct",
-    "q_pq_encode", "q_pq_ann", "q_knn_graph", "q_zorder_key",
-    "q_bpe_merge_pairs",
-    "q_join_skew_profile", "q_degree_hist", "q_kwic_snippets",
-    "q_seasonal_anomaly",
-    "q_doc_novelty", "q_split_balance", "q_shingle_containment",
-    "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
-    # (b) canaries for round-5 changes (q_vocab_coverage and
-    # q_domain_mix yielded their slots to the newest registrations:
-    # their r5 changes are zero-token / zero-row-domain edge fixes the
-    # fixture cannot exercise, so their r4 certs still bind):
-    "q_lm_score",               # ngram_lm_score: tokenize-once + pre-agg
-    "q_pagerank",               # dangling-mass redistribution
-    "q_incremental_dedup_gate", # gate: fail-fast index read, FS factory
-    # --- 50-slot window boundary ---
-    # first in line for round 6 (registered r5; composed entirely of
-    # r4-certified operators, so only the composition itself is new):
+    # Round-6 window: CERTIFICATION BURN-DOWN (VERDICT r5 "Next round"
+    # #1). Registry growth (~48/round) outpaced the driver's 50-query
+    # window, leaving 96 queries whose latest driver-green row is r1-r3
+    # (48 of them r1-only). This round registers (almost) nothing new
+    # and spends the entire window on the backlog, oldest-first:
+    #   slot 1      q_curation_pipeline — registered r5, never
+    #               driver-sampled (judge-verified green last session);
+    #   slots 2-49  the 48 queries whose only driver cert is round 1;
+    #   slot 50     q_knn_graph — canary for this round's ONE operator
+    #               change in the window (auto-sized LSH hyperplanes,
+    #               the r5-measured sf1 9.5x scale fix).
+    # Round 7 takes the remaining r2/r3 names queued directly behind
+    # the boundary. Everything stays locally gated by
+    # scripts/verify_local.py (full-registry sweep green this round).
     "q_curation_pipeline",
-    # (q_ngram_jaccard / q_stream_dedup ceded their canary slots: the
-    # _pair_intersections refactor is exercised in-window by
-    # q_shingle_containment + q_lsh_precision, and the events-stream
-    # source change by q_stream_markov)
-    "q_ngram_jaccard",          # refactored through _pair_intersections
-    "q_stream_dedup",           # events source file-vs-dir detection
-    "q_vocab_coverage",         # zero-token sentinel (both sides)
-    "q_domain_mix",             # zero-row target domains -> unit 0
-    # round-1 certified, deferred to the round-6 window (oldest first):
-    "q_pricing_summary", "q_exact_dedup", "q_job_aggs",
-    "q_anti_join_seen",
-    "q_semi_join_exists", "q_alert_filter", "q_asof_join",
-    "q_range_join", "q_ats_greenhouse", "q_ats_jsonld_fallback",
-    "q_ats_lever", "q_bloom_semi_join",
-    "q_cap_newest", "q_careers_link",
-    "q_cube_lineitem", "q_customer_distribution",
-    "q_deterministic_sample",
-    "q_doc_length_percentiles",
-    "q_event_gaps", "q_gap_fill_locf", "q_incremental_agg",
-    "q_local_supplier_volume", "q_moving_avg",
-    "q_order_priority", "q_recency_filter", "q_rollup_orders",
-    "q_running_total",
-    "q_scd2_history", "q_score_topk", "q_sessionize",
-    "q_sheet_projection", "q_shipping_priority",
-    "q_sliding_window", "q_snapshot_diff", "q_tumbling_window",
-    "q_union_sources", "q_window_topk",
-    "q_upsert_merge", "q_tld_explode", "q_waterfall_coalesce",
-    "q_udtf_char_windows",      # judge re-verified green this cycle
-    "q_json_serialize", "q_json_repair", "q_json_extract",
-    "q_keyword_filter", "q_provider_map", "q_tier_case",
-    "q_blocklist_filter",       # stateless column projections
-    # round-2 certified (next-oldest; round-6 rotation pulls from here):
-    "q_name_normalize", "q_funnel_stages", "q_token_entropy",
-    "q_ewma", "q_jsonl_source", "q_variant_json",
-    "q_bpe_tokens", "q_moving_median", "q_simhash_pairs",
-    "q_fingerprint", "q_quality_score", "q_lang_id",
-    "q_chunk_documents", "q_repetition_stats", "q_stratified_sample",
-    "q_url_parse", "q_currency_parse", "q_sql_surface",
-    "q_decode_image", "q_resize_image", "q_connector_pipeline",
-    "q_stream_sessionize", "q_stream_funnel", "q_stream_tumbling",
-    "q_stream_stateful_totals",
+    # --- 48 round-1-only certifications, alphabetical ---
+    "q_alert_filter", "q_anti_join_seen", "q_asof_join",
+    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
+    "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
+    "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
+    "q_deterministic_sample", "q_doc_length_percentiles",
+    "q_event_gaps", "q_exact_dedup", "q_gap_fill_locf",
+    "q_incremental_agg", "q_job_aggs", "q_json_extract",
+    "q_json_repair", "q_json_serialize", "q_keyword_filter",
+    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
+    "q_pricing_summary", "q_provider_map", "q_range_join",
+    "q_recency_filter", "q_rollup_orders", "q_running_total",
+    "q_scd2_history", "q_score_topk", "q_semi_join_exists",
+    "q_sessionize", "q_sheet_projection", "q_shipping_priority",
+    "q_sliding_window", "q_snapshot_diff", "q_tier_case",
+    "q_tld_explode", "q_tumbling_window", "q_udtf_char_windows",
+    "q_union_sources", "q_upsert_merge", "q_waterfall_coalesce",
+    "q_window_topk",
+    # --- round-6 changed-operator canary ---
+    "q_knn_graph",
+    # --- 50-slot window boundary ---
+    # Round-6 changed operators whose fixture output is UNCHANGED by
+    # the change (verified by scripts/verify_local.py this round), so
+    # they queue behind the backlog rather than spending window slots:
+    # q_lsh_precision (analytic candidate count, same rows),
+    # q_score_percentile_norm (tie-stable ordering, both engines),
+    # q_ri_audit (broadcast hint dropped — plan-only).
+    "q_lsh_precision", "q_score_percentile_norm", "q_ri_audit",
+    # round-2 certified (next-oldest; round-7 window starts here):
+    "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline",
+    "q_currency_parse", "q_decode_image", "q_ewma", "q_fingerprint",
+    "q_funnel_stages", "q_jsonl_source", "q_lang_id",
+    "q_moving_median", "q_name_normalize", "q_quality_score",
+    "q_repetition_stats", "q_resize_image", "q_simhash_pairs",
+    "q_sql_surface", "q_stratified_sample", "q_stream_funnel",
+    "q_stream_sessionize", "q_stream_stateful_totals",
+    "q_stream_tumbling", "q_token_entropy", "q_url_parse",
+    "q_variant_json",
     # round-3 certified:
-    "q_waiting_orders", "q_best_supplier_per_part", "q_market_share",
-    "q_ntile_deciles", "q_simhash", "q_value_histogram",
-    "q_product_profit", "q_top_supplier", "q_customers_no_orders",
-    "q_priority_line_counts", "q_supplier_variety", "q_returned_revenue",
-    "q_forecast_revenue", "q_excess_shippers", "q_large_orders",
-    "q_approx_stats", "q_small_quantity_revenue", "q_dq_metrics",
-    "q_user_trend", "q_promo_revenue", "q_disjunctive_part_revenue",
-    "q_nation_volume", "q_value_share",
-    # round-4 certified (freshest; family canaries remain registered):
+    "q_approx_stats", "q_best_supplier_per_part",
+    "q_customers_no_orders", "q_disjunctive_part_revenue",
+    "q_dq_metrics", "q_excess_shippers", "q_forecast_revenue",
+    "q_large_orders", "q_market_share", "q_nation_volume",
+    "q_ntile_deciles", "q_priority_line_counts", "q_product_profit",
+    "q_promo_revenue", "q_returned_revenue", "q_simhash",
+    "q_small_quantity_revenue", "q_supplier_variety",
+    "q_top_supplier", "q_user_trend", "q_value_histogram",
+    "q_value_share", "q_waiting_orders",
+    # round-4 certified (r5 edge-fix canaries q_vocab_coverage /
+    # q_domain_mix first — their fixed branches are now ALSO exercised
+    # by dedicated tiny-table tests, see tests/test_edge_branches.py):
+    "q_vocab_coverage", "q_domain_mix", "q_ngram_jaccard",
+    "q_stream_dedup",
     "q_flagship", "q_grouping_sets", "q_near_dup_components",
     "q_ann_ivf_trained", "q_kmeans_clusters", "q_kmeans_assign",
     "q_centroid_classify", "q_salted_join", "q_cross_split_leakage",
@@ -168,6 +146,24 @@ _PRIORITY: list[str] = [
     "q_time_parse", "q_heavy_hitters", "q_cohort_retention",
     "q_pivot_status", "q_unpivot_metrics", "q_set_ops",
     "q_mad_outliers", "q_name_fuzzy_match",
+    # round-5 certified (freshest — unprioritized registration order
+    # would also place them last; listed for explicitness):
+    "q_group_mode", "q_user_entropy", "q_nearest_click",
+    "q_cluster_margin", "q_cdc_compact", "q_wow_growth",
+    "q_distance_histogram", "q_audio_features", "q_activity_streaks",
+    "q_session_paths", "q_sample_allocation", "q_stl_decompose",
+    "q_stream_markov", "q_quant_calibration", "q_dedup_agreement",
+    "q_vocab_growth", "q_conversion_latency", "q_image_dhash_pairs",
+    "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
+    "q_markov_transitions", "q_cusum_shift", "q_winsorize",
+    "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
+    "q_max_concurrency", "q_sliding_distinct",
+    "q_pq_encode", "q_pq_ann", "q_zorder_key",
+    "q_bpe_merge_pairs", "q_join_skew_profile", "q_degree_hist",
+    "q_kwic_snippets", "q_seasonal_anomaly", "q_doc_novelty",
+    "q_split_balance", "q_shingle_containment",
+    "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
+    "q_lm_score", "q_pagerank", "q_incremental_dedup_gate",
 ]
 
 
