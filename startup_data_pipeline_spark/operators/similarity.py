@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -667,6 +669,7 @@ def knn_graph(
     vec_col: str,
     k: int = 3,
     dims: list[int] | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """LSH-bucketed k-nearest-neighbor GRAPH: every vector's top-k
     highest-dot-product neighbors within its sign-LSH bucket — the
@@ -676,13 +679,34 @@ def knn_graph(
     neighbors for ALL of them).
 
     Scale shape: the all-pairs score space is cut to per-bucket blocks
-    by the equi-join on the bucket key (quadratic only within a bucket,
-    bucket count grows with the hyperplane set), the rank window rides
-    the same bucket exchange keyed by the source vector, and emitted
-    rows are capped at k per vector. Ties go to the lower neighbor id.
+    by the equi-join on the bucket key (quadratic only within a bucket),
+    and — unless the caller pins ``dims`` — the hyperplane count is
+    AUTO-SIZED to the corpus: ``h = ceil(log2(n / target_bucket))``
+    (clamped to the vector width), so expected bucket occupancy stays
+    ~``target_bucket`` and per-bucket quadratic work stays
+    ~``n * target_bucket`` — linear in the corpus — instead of
+    ``(n / 2^|dims|)²`` growing quadratically under a FIXED hyperplane
+    set (the r5 sf1 probe measured that pathology at 9.5x; this wires
+    the knob the docstring used to punt on). Sizing costs one count
+    aggregate at plan-build time (two scalars to the driver, the
+    k-means-seed precedent). The rank window rides the same bucket
+    exchange keyed by the source vector, and emitted rows are capped at
+    k per vector. Ties go to the lower neighbor id.
     """
     if dims is None:
-        dims = [0, 1, 2, 3]
+        row = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n = row["n"] or 0
+        width = row["d"] or 1
+        h = (
+            1
+            if n <= target_bucket
+            else math.ceil(math.log2(n / target_bucket))
+        )
+        # 62-bit ceiling keeps the packed bucket key inside a BIGINT
+        dims = list(range(max(1, min(h, width, 62))))
     # quantize ONCE behind a projection boundary, then derive the
     # bucket from the alias — feeding the raw quantize expression into
     # sign_lsh_bucket would copy the whole transform into every

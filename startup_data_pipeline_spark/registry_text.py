@@ -1957,25 +1957,38 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_knn_graph",
+    # the hyperplane count mirrors knn_graph's auto-sizing:
+    # h = ceil(log2(n / 32)), clamped to [1, vector_width] \u2014 both
+    # engines compute it from the same corpus count, so bucket keys
+    # (and therefore the approximate neighbor sets) agree exactly at
+    # every scale factor. log2 of a non-power-of-two ratio sits far
+    # (>> 1 ulp) from any integer, and exact powers of two are
+    # representable, so ceil agrees across libms.
     oracle=f"""
-    WITH q AS (
-        SELECT vec_id, {_QUANT} AS v,
-               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
-        FROM (SELECT vec_id, embedding,
-                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
-                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
-                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
-                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
-              FROM embeddings)
+    WITH meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, {_QUANT} AS v FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN v[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM q
     ),
     scored AS (
         SELECT a.vec_id, b.vec_id AS neighbor_id,
                CAST(list_sum(list_transform(generate_series(1, len(a.v)),
                    i -> a.v[i] * b.v[i])) AS BIGINT) AS score
-        FROM q a JOIN q b
+        FROM qb a JOIN qb b
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id, CAST(rn AS INTEGER) AS rank, score
@@ -1988,8 +2001,9 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ops="LSH-bucketed kNN GRAPH build (\u00a72.11 similarity): "
     "top-3 neighbors for EVERY vector (the HNSW/NN-Descent input "
-    "structure), quadratic only within a bucket, rank window rides "
-    "the bucket exchange",
+    "structure), hyperplane count auto-sized to the corpus so bucket "
+    "occupancy \u2014 and the per-bucket quadratic \u2014 stays constant as "
+    "data scales; rank window rides the bucket exchange",
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

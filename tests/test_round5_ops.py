@@ -351,6 +351,42 @@ def test_knn_graph_ranks_within_bucket(spark):
     assert not any(v == 3 for (v, _r) in got)
 
 
+def test_knn_graph_autosizes_hyperplanes_to_corpus(spark):
+    """The round-6 scale fix: with dims unset, the hyperplane count is
+    derived from the corpus count (h = ceil(log2(n / target_bucket)))
+    so expected bucket occupancy stays ~target_bucket as data grows —
+    in-bucket quadratic work stays linear in n overall."""
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    # 256 vectors, target_bucket=4 -> h = log2(64) = 6 hyperplanes.
+    # Sign pattern of dims 0..7 encodes the vector id, so with h=6 the
+    # buckets are the 64 distinct low-6-bit sign patterns, 4 ids each.
+    rows = [
+        (i, [(1.0 if (i >> b) & 1 else -1.0) for b in range(8)])
+        for i in range(256)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.knn_graph(df, "vec_id", "embedding", k=3, target_bucket=4)
+    # every vector shares its 6-bit bucket with exactly 3 others -> all
+    # 3 ranks emitted for all 256 vectors, neighbors differ only in
+    # bits 6-7 (id diff is a multiple of 64)
+    assert got.count() == 256 * 3
+    bad = got.filter(
+        (F.col("vec_id") % 64) != (F.col("neighbor_id") % 64)
+    ).count()
+    assert bad == 0
+    # pinning dims overrides auto-sizing: 1 hyperplane -> 2 buckets of
+    # 128, every vector still gets k neighbors from its half
+    pinned = sim.knn_graph(df, "vec_id", "embedding", k=1, dims=[0])
+    assert pinned.count() == 256
+    bad = pinned.filter(
+        (F.col("vec_id") % 2) != (F.col("neighbor_id") % 2)
+    ).count()
+    assert bad == 0
+
+
 def test_join_skew_profile_top_keys(spark):
     from startup_data_pipeline_spark.operators import joins
 
