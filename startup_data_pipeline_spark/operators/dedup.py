@@ -937,13 +937,24 @@ def lsh_band_precision(
     responsible. Precision is exact integer ppm; the truth set is
     ``jaccard_pairs`` on the same shingle parameters.
 
-    Scale shape: the banded self-join is the existing bucketed shape
-    with band_id kept (one extra tiny key column); the exact-Jaccard
-    side carries the hot-shingle ``max_df`` cap (without it the truth
-    join goes quadratic on duplicate-heavy corpora — measured 11×
-    super-linear on the sf1 near-dup replica before the cap); the
-    final audit joins two pair-keyed streams and aggregates to |bands|
-    rows.
+    Scale shape — NO candidate-pair enumeration anywhere (round-6 fix;
+    previously the band self-join exploded on exactly the degenerate
+    band this audit exists to detect):
+
+    - ``n_candidates`` is computed ANALYTICALLY as Σ C(n_bucket, 2)
+      over each band's bucket sizes — one count aggregation keyed on
+      (band_id, band_key), linear in rows, exact because a doc carries
+      exactly one band_key per band (so per-band candidate pairs are
+      disjoint across buckets and never need dedup).
+    - ``n_true`` joins the bounded TRUTH pairs (exact-Jaccard side,
+      hot-shingle ``max_df``-capped — the r5 11× fix) to the band-key
+      table twice: a truth pair is a band-β candidate iff both
+      endpoints share β's band_key. Work is |truth| × |bands|, never
+      |candidates|.
+
+    A band collapsed to one value (all docs identical boilerplate)
+    therefore costs one bucket-count row and a bounded truth probe —
+    the audit reports C(n,2) without materializing it.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, k=k)
     n_bands = num_hashes // band_size
@@ -969,33 +980,54 @@ def lsh_band_precision(
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_key").alias("band_key"),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # the band-key table feeds THREE branches (bucket sizes, and both
+    # endpoints of the truth probe) — materialize the one linear
+    # signature pass instead of recomputing tokenize+minhash per
+    # branch (digests only: |bands| short rows per doc)
+    exploded = exploded.localCheckpoint(eager=False)
+    n_cand = (
+        exploded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("band_id")
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("long")
+            .alias("n_candidates")
         )
-        .select(
-            F.col("a.band_id").alias("band_id"),
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["band_id", "id_a", "id_b"])
+        .filter(F.col("n_candidates") > 0)
     )
     truth = (
         jaccard_pairs(df, id_col, text_col, k=k, max_df=max_df)
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", F.lit(1).alias("__true"))
+        .select("id_a", "id_b")
+    )
+    ka = exploded.select(
+        F.col(id_col).alias("id_a"),
+        "band_id",
+        F.col("band_key").alias("__ka"),
+    )
+    kb = exploded.select(
+        F.col(id_col).alias("__idb"),
+        F.col("band_id").alias("__bidb"),
+        F.col("band_key").alias("__kb"),
+    )
+    n_true = (
+        truth.join(ka, "id_a")
+        .join(
+            kb,
+            (F.col("band_id") == F.col("__bidb"))
+            & (F.col("id_b") == F.col("__idb"))
+            & (F.col("__ka") == F.col("__kb")),
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     )
     return (
-        cand.join(truth, ["id_a", "id_b"], "left")
-        .groupBy("band_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum(F.coalesce(F.col("__true"), F.lit(0)))
+        n_cand.join(n_true, "band_id", "left")
+        .select(
+            "band_id",
+            "n_candidates",
+            F.coalesce(F.col("n_true"), F.lit(0))
             .cast("long")
             .alias("n_true"),
         )

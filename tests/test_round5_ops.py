@@ -762,6 +762,38 @@ def test_lsh_band_precision_counts(spark):
         assert r["precision_ppm"] == 1_000_000
 
 
+def test_lsh_band_precision_degenerate_band_bounded(spark):
+    """Adversarial fixture for the audit's own pathology: 400 docs of
+    IDENTICAL text collapse every band to a single bucket. The round-6
+    analytic formulation must report C(400,2) candidates per band
+    without ever enumerating the 79,800 pairs (the truth side stays
+    bounded by the max_df cap), and finish fast."""
+    import time as _t
+
+    rows = [(i, "same boilerplate text in every single doc")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = _t.monotonic()
+    got = {
+        r["band_id"]: r
+        for r in dedup.lsh_band_precision(
+            df, "doc_id", "text", num_hashes=4, band_size=1, k=3,
+            min_jaccard=0.5, max_df=50,
+        ).collect()
+    }
+    elapsed = _t.monotonic() - t0
+    assert set(got) == {0, 1, 2, 3}
+    for r in got.values():
+        # analytic candidate count: C(400, 2); every shingle is in all
+        # 400 docs so the df-capped truth side proposes NO pairs ->
+        # precision 0 (exactly what a degenerate boilerplate band
+        # looks like in production — many candidates, no true dups
+        # the exact-Jaccard side will vouch for within the cap)
+        assert r["n_candidates"] == 400 * 399 // 2
+        assert r["n_true"] == 0 and r["precision_ppm"] == 0
+    assert elapsed < 60
+
+
 def test_conversion_latency_exact(spark):
     from datetime import datetime
 
