@@ -41,8 +41,12 @@ def load(path: str) -> dict[str, float]:
 def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     thresh = 0.15
-    if "--thresh" in sys.argv:
-        thresh = float(sys.argv[sys.argv.index("--thresh") + 1])
+    for i, a in enumerate(sys.argv):
+        if a.startswith("--thresh"):
+            if "=" in a:
+                thresh = float(a.split("=", 1)[-1])
+            else:
+                thresh = float(sys.argv[i + 1])
     old, new = load(old_path), load(new_path)
     shared = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in shared)

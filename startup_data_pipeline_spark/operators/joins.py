@@ -161,16 +161,20 @@ def referential_integrity_audit(
     orphans (a null FK is a modeling choice, a dangling one is a bug).
 
     Scale shape: per edge, ONE scan of the child — a left join against
-    the broadcast parent key set yields row count, null-FK count, and
+    the parent's distinct key set yields row count, null-FK count, and
     orphan count from the same pass (an earlier shape ran a separate
-    anti-join aggregate, scanning each child twice). Edges union into
-    one tiny result.
+    anti-join aggregate, scanning each child twice). The join strategy
+    is deliberately left to AQE: a dimension-sized parent broadcasts on
+    its measured size, while a row-scaled parent (orders under
+    lineitem — exactly the q_ri_audit edge) falls back to a shuffled
+    join instead of hard-failing the driver on a forced broadcast of a
+    fact-scaled key set. Edges union into one tiny result.
     """
     outs = []
     for child, fk, parent, pk, label in edges:
         keys = parent.select(F.col(pk).alias("__pk")).distinct()
         joined = child.select(F.col(fk).alias("__fk")).join(
-            F.broadcast(keys), F.col("__fk") == F.col("__pk"), "left"
+            keys, F.col("__fk") == F.col("__pk"), "left"
         )
         outs.append(
             joined.agg(

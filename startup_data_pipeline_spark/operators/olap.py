@@ -673,16 +673,19 @@ def score_percentile_norm(
     sampling weight (a "good" web doc and a "good" code file sit on
     incomparable raw scales; their within-domain ranks are comparable).
 
-    percent_rank is (rank-1)/(n-1) with a deterministic (score, id)
-    ordering, so the output is engine-exact; rounded to 4 per the
-    oracle float rule. One window exchange on the group key — the same
-    shape as any per-group ranking, no global window.
+    percent_rank is (rank-1)/(n-1) ordered by score ALONE: tied scores
+    share a rank and therefore a pctl — the point of the operator is
+    comparable scores, so two rows with the same raw score in the same
+    group must normalize identically (standard percent_rank tie
+    semantics; an id tiebreak would split them arbitrarily). Equal
+    scores producing equal ranks also keeps the output deterministic
+    without any id in the ordering. Rounded to 4 per the oracle float
+    rule. One window exchange on the group key — the same shape as any
+    per-group ranking, no global window.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc()
-    )
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     return df.select(
         F.col(id_col),
         F.col(group_col),

@@ -969,12 +969,26 @@ def cluster_margin_seeded(
     equidistant to two cells, ppm means it is unambiguous. Argmin ties
     break to the lowest cluster index; the runner-up then carries the
     tied distance, so tied vectors report margin 0.
+
+    Requires ``k >= 2`` and at least two seed vectors: a margin is BY
+    DEFINITION the gap to a runner-up, so a single centroid has no
+    d_second and the call raises rather than emitting NULL margins.
     """
+    if k < 2:
+        raise ValueError(
+            f"cluster_margin_seeded needs k >= 2 (got {k}): margin is "
+            "the gap to the second-nearest centroid"
+        )
     qdf = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
     )
     seeds = qdf.orderBy("vid").limit(k).collect()
     centroids = [list(r["qv"]) for r in seeds]
+    if len(centroids) < 2:
+        raise ValueError(
+            "cluster_margin_seeded needs at least two seed vectors "
+            f"(dataset has {len(centroids)})"
+        )
     dists = _sq_dists_all(F.col("qv"), centroids)
     staged = qdf.select("vid", dists.alias("__d"))
     d1 = F.array_min("__d")

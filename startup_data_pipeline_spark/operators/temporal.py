@@ -797,6 +797,12 @@ def nearest_event_join(
     Sort (two frames over one window ordering); everything after is
     map-side.
     """
+    # null-side placeholder types derive from the callers' actual id
+    # columns (a string right id is as legitimate as the fixture's
+    # bigint; hardcoding bigint made unionByName throw on anything
+    # else)
+    lid_type = left.schema[left_id_col].dataType.simpleString()
+    rid_type = right.schema[right_id_col].dataType.simpleString()
     rpay = F.struct(
         F.unix_micros(F.col(ts_col)).alias("u"),
         F.col(right_id_col).alias("i"),
@@ -806,13 +812,15 @@ def nearest_event_join(
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
         F.col(left_id_col).alias("__lid"),
-        F.lit(None).cast("struct<u:bigint,i:bigint>").alias("__r"),
+        F.lit(None)
+        .cast(f"struct<u:bigint,i:{rid_type}>")
+        .alias("__r"),
     )
     r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col),
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__lid"),
+        F.lit(None).cast(lid_type).alias("__lid"),
         rpay.alias("__r"),
     )
     # Right rows at an equal timestamp sort BEFORE the left row (side
@@ -823,7 +831,17 @@ def nearest_event_join(
     # so rights at a tied ts must sort id-descending there; forward
     # takes the FIRST, so id-ascending. Both windows share the one
     # (key)-exchange; only the sort differs.
-    rid = F.coalesce(F.col("__r.i"), F.col("__lid"))
+    # Tiebreak column: rows tied on (ts, side) are all-left or
+    # all-right (side splits them), so only the right-id part ever
+    # disambiguates rows that affect a carry; the left-id part merely
+    # keeps the sort fully deterministic and needs the two id types to
+    # agree — with heterogeneous id types the right id alone is used
+    # (left rows tie completely, and their carried values are
+    # identical, so output is unaffected).
+    if lid_type == rid_type:
+        rid = F.coalesce(F.col("__r.i"), F.col("__lid"))
+    else:
+        rid = F.col("__r.i")
     w_back = Window.partitionBy(key_col).orderBy(
         F.col("__ts").asc(), F.col("__side").asc(), rid.desc()
     )

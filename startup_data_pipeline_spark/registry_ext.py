@@ -1585,7 +1585,7 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, source, n_chars,
            round(percent_rank() OVER (
-               PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+               PARTITION BY source ORDER BY n_chars ASC
            ), 4) AS pctl
     FROM documents
     """,

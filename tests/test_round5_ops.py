@@ -1276,6 +1276,53 @@ def test_nearest_event_join_picks_closer_side(spark):
     assert got[5]["click_id"] == 16 and got[5]["delta_us"] == -500_000_000
 
 
+def test_nearest_event_join_heterogeneous_id_types(spark):
+    """ADVICE r5: the null-side placeholders must derive their types
+    from the callers' id columns — string event ids are legitimate."""
+    from datetime import datetime, timedelta
+
+    from startup_data_pipeline_spark.operators import temporal
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    purchases = spark.createDataFrame(
+        [("p1", 1, t0), ("p2", 2, t0)],
+        "purchase_id string, user_id long, ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [("c1", 1, t0 + timedelta(seconds=30)),
+         ("c2", 2, t0 - timedelta(seconds=10_000))],
+        "click_id string, user_id long, ts timestamp",
+    )
+    got = {
+        r["purchase_id"]: r
+        for r in temporal.nearest_event_join(
+            purchases, clicks, "user_id", "ts", "purchase_id",
+            "click_id", tolerance_s=1800,
+        ).collect()
+    }
+    assert got["p1"]["click_id"] == "c1"
+    assert got["p1"]["direction"] == "forward"
+    assert got["p2"]["click_id"] is None
+
+
+def test_cluster_margin_requires_two_centroids(spark):
+    import pytest as _pytest
+
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [0.001, 0.0]), (1, [0.002, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="k >= 2"):
+        sim.cluster_margin_seeded(df, "vec_id", "embedding", k=1)
+    one = spark.createDataFrame(
+        [(0, [0.001, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="two seed vectors"):
+        sim.cluster_margin_seeded(one, "vec_id", "embedding", k=2)
+
+
 def test_cluster_margin_boundary_vector(spark):
     from startup_data_pipeline_spark.operators import similarity as sim
 
