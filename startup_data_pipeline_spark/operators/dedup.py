@@ -274,6 +274,116 @@ def intra_batch_scored_pairs(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band-exploded signature layout for a PERSISTED probe index:
+    one row per (doc, band) carrying the band key, a 16-way key bucket
+    for partition pruning, and the full signature lanes inline.
+
+    The storage twin of ``incremental_near_dup_gate``'s probe: writing
+    the index ``partitionBy("band_id", "kbucket")`` means an arrival
+    batch's probe read lists only the partitions holding its own band
+    keys — at 100 TB the index scan is bounded by the BATCH's key
+    spread (≤ n_bands × 16 partitions), not the corpus. Carrying the
+    ``mh_*`` lanes inline costs ×n_bands signature bytes but removes
+    the second index join the signature-shaped probe needs to score
+    ``n_agree`` — the index is scanned exactly once per batch.
+
+    ``kbucket`` is the first hex char of the band key with a ``b``
+    prefix (the prefix keeps parquet partition-type inference from
+    flip-flopping int/string on all-digit epochs).
+    """
+    n_bands = num_hashes // band_size
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh_{b * band_size + j}")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), *mh_cols, F.explode(bands).alias("b")
+    ).select(
+        id_col,
+        *mh_cols,
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+        F.concat(
+            F.lit("b"), F.substring(F.col("b.band_key"), 1, 1)
+        ).alias("kbucket"),
+    )
+
+
+def incremental_near_dup_gate_banded(
+    index_banded: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """``incremental_near_dup_gate`` against a band-exploded index (the
+    ``banded_signatures`` layout): same (new_id, match_id, n_agree)
+    output, ONE index scan.
+
+    The arrival side explodes to its band keys and broadcasts; the
+    collision join on (band_id, kbucket, band_key) is the only contact
+    with the index, and because the index rows carry their signature
+    lanes inline, ``n_agree`` scores from the collision output joined
+    with the (broadcast) arrival signatures — the signature-shaped
+    variant's second join back into the corpus never happens. Combined
+    with a ``partitionBy(band_id, kbucket)`` index layout the scan is
+    also partition-PRUNED to the batch's key spread (see
+    ``streaming.incremental.gate_probe_read``, which plan-asserts it).
+    """
+    probe = banded_signatures(
+        new_sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    ).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_key", "kbucket"
+    )
+    cands = (
+        index_banded.join(
+            F.broadcast(probe), ["band_id", "kbucket", "band_key"]
+        )
+        .select(
+            F.col("new_id"),
+            F.col(id_col).alias("match_id"),
+            *[
+                F.col(f"mh_{i}").alias(f"x_mh_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    arrivals = new_sigs.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"n_mh_{i}") for i in range(num_hashes)],
+    )
+    agree = None
+    for i in range(num_hashes):
+        t = F.when(
+            F.col(f"x_mh_{i}") == F.col(f"n_mh_{i}"), 1
+        ).otherwise(0)
+        agree = t if agree is None else agree + t
+    return cands.join(F.broadcast(arrivals), "new_id").select(
+        "new_id", "match_id", agree.cast("long").alias("n_agree")
+    )
+
+
 def cross_split_leakage(
     docs: DataFrame,
     id_col: str,

@@ -475,8 +475,12 @@ def streaming_dedup_gate(
       dedup (``text.fingerprint``) if they matter.
 
     Layout & exactly-once: the index lives as
-    ``index_path/gen=<G>/epoch=<e>`` parquet. Per batch, one epoch dir
-    is written with overwrite — a RETRIED epoch rewrites its own
+    ``index_path/gen=<G>/epoch=<e>/band_id=<b>/kbucket=<k>`` parquet —
+    the band-exploded ``dedup.banded_signatures`` layout, partitioned
+    by band so the per-batch probe read PRUNES to the arrival batch's
+    own band keys (≤ n_bands × 16 partitions; see ``gate_probe_read``)
+    instead of scanning the corpus-scaled index. Per batch, one epoch
+    dir is written with overwrite — a RETRIED epoch rewrites its own
     partition, and reads always EXCLUDE the current epoch, so a retry
     never probes its own half-written output. Every ``compact_every``
     epochs the generation is rewritten into ``gen=<G+1>``: history →
@@ -505,6 +509,36 @@ def streaming_dedup_gate(
     return doc_stream.writeStream.foreachBatch(handle), verdict_path
 
 
+def gate_probe_read(
+    spark: SparkSession,
+    gen_dir: str,
+    epoch_id: int,
+    pairs: list[tuple[int, str]],
+) -> DataFrame:
+    """The gate's pruned index read: the live generation filtered to
+    the arrival batch's (band_id, kbucket) partitions, current epoch
+    excluded (retry safety).
+
+    The index is written ``partitionBy("band_id", "kbucket")``
+    (``dedup.banded_signatures`` layout), so the literal OR-of-ANDs
+    predicate here lands in the scan's PartitionFilters — the file
+    listing itself shrinks to the batch's key spread (≤ n_bands × 16
+    partitions out of the whole index) instead of reading every index
+    file and filtering rows. ``tests/test_plan_shapes.py`` asserts the
+    pruning on this exact read. This is the gate's 100 TB growth story:
+    per-batch probe cost follows the BATCH's band-key footprint, not
+    the corpus's epoch count (compaction) or total size (pruning).
+    """
+    cond = None
+    for b, kb in pairs:
+        t = (F.col("band_id") == b) & (F.col("kbucket") == kb)
+        cond = t if cond is None else cond | t
+    out = spark.read.parquet(gen_dir).filter(F.col("epoch") != epoch_id)
+    if cond is not None:
+        out = out.filter(cond)
+    return out.drop("epoch")
+
+
 def make_dedup_gate_handler(
     spark: SparkSession,
     index_path: str,
@@ -528,6 +562,18 @@ def make_dedup_gate_handler(
         sigs = dedup_ops.minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes
         ).localCheckpoint()
+        # the batch's band-key footprint drives the index read's
+        # partition pruning; distinct (band_id, kbucket) is bounded by
+        # n_bands × 16 rows regardless of batch size
+        probe_pairs = sorted(
+            (r["band_id"], r["kbucket"])
+            for r in dedup_ops.banded_signatures(
+                sigs, id_col, num_hashes=num_hashes, band_size=band_size
+            )
+            .select("band_id", "kbucket")
+            .distinct()
+            .collect()
+        )
 
         gens = _gate_generations(spark, index_path)
         gen = gens[-1] if gens else 0
@@ -540,10 +586,10 @@ def make_dedup_gate_handler(
         for g in gens[:-1]:
             fs.delete(jp(f"{index_path}/gen={g}"), True)
 
-        index = None
+        index_probe = None
         n_epochs = 0
+        gen_dir = f"{index_path}/gen={gen}"
         if gens:
-            gen_dir = f"{index_path}/gen={gen}"
             n_epochs = sum(
                 1
                 for s in fs.listStatus(jp(gen_dir))
@@ -556,21 +602,22 @@ def make_dedup_gate_handler(
             # committed epochs present must PROPAGATE and fail the batch
             # (foreachBatch retries): swallowing it would silently admit
             # and index every arrival, permanently polluting the index.
-            if n_epochs > 0:
-                index = (
-                    spark.read.parquet(gen_dir)
-                    .filter(F.col("epoch") != epoch_id)
-                    .drop("epoch")
+            # The probe read is PARTITION-PRUNED to the batch's band
+            # keys (gate_probe_read); the full-index read happens only
+            # on compaction epochs, below.
+            if n_epochs > 0 and probe_pairs:
+                index_probe = gate_probe_read(
+                    spark, gen_dir, epoch_id, probe_pairs
                 )
 
         # candidates: persisted index ∪ same-batch smaller-id peers
         scored = dedup_ops.intra_batch_scored_pairs(
             sigs, id_col, num_hashes=num_hashes, band_size=band_size
         )
-        if index is not None:
+        if index_probe is not None:
             scored = scored.unionByName(
-                dedup_ops.incremental_near_dup_gate(
-                    index, sigs, id_col,
+                dedup_ops.incremental_near_dup_gate_banded(
+                    index_probe, sigs, id_col,
                     num_hashes=num_hashes, band_size=band_size,
                 )
             )
@@ -598,29 +645,44 @@ def make_dedup_gate_handler(
         out.write.mode("overwrite").parquet(
             f"{verdict_path}/epoch={epoch_id}"
         )
-        # admitted docs join the index; duplicates are NOT indexed (the
-        # canonical copy is already there — matches the reference's
-        # "seen items are not re-processed" semantics)
-        keep = sigs.join(
-            out.filter(F.col("admitted")).select(
-                F.col("new_id").alias(id_col)
+        # admitted docs join the index in the band-exploded layout;
+        # duplicates are NOT indexed (the canonical copy is already
+        # there — matches the reference's "seen items are not
+        # re-processed" semantics)
+        keep = dedup_ops.banded_signatures(
+            sigs.join(
+                out.filter(F.col("admitted")).select(
+                    F.col("new_id").alias(id_col)
+                ),
+                id_col,
             ),
             id_col,
+            num_hashes=num_hashes,
+            band_size=band_size,
         )
-        if index is not None and n_epochs >= compact_every:
+        if n_epochs >= compact_every:
             # roll the generation: history (already excludes this epoch)
             # → sentinel dir, this batch → its own epoch dir, then drop
             # the old generation. Validity marker lands with _SUCCESS.
-            nxt = f"{index_path}/gen={gen + 1}"
-            index.write.mode("overwrite").parquet(f"{nxt}/epoch=-1")
-            keep.write.mode("overwrite").parquet(
-                f"{nxt}/epoch={epoch_id}"
+            # Compaction is the ONE full-index read; the probe above
+            # stays pruned.
+            index_full = (
+                spark.read.parquet(gen_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
             )
+            nxt = f"{index_path}/gen={gen + 1}"
+            index_full.write.mode("overwrite").partitionBy(
+                "band_id", "kbucket"
+            ).parquet(f"{nxt}/epoch=-1")
+            keep.write.mode("overwrite").partitionBy(
+                "band_id", "kbucket"
+            ).parquet(f"{nxt}/epoch={epoch_id}")
             fs.delete(jp(f"{index_path}/gen={gen}"), True)
         else:
-            keep.write.mode("overwrite").parquet(
-                f"{index_path}/gen={gen}/epoch={epoch_id}"
-            )
+            keep.write.mode("overwrite").partitionBy(
+                "band_id", "kbucket"
+            ).parquet(f"{index_path}/gen={gen}/epoch={epoch_id}")
 
     return handle
 

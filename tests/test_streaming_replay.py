@@ -398,7 +398,8 @@ def test_streaming_dedup_gate_probes_and_grows_index(spark, tmp_path):
     assert got[300]["admitted"] is True
     assert got[301]["admitted"] is False and got[301]["match_id"] == 300
 
-    index = spark.read.parquet(idx)
+    # banded layout: one index row per (doc, band) — count docs distinct
+    index = spark.read.parquet(idx).select("doc_id").distinct()
     assert sorted(r["doc_id"] for r in index.collect()) == sorted(
         list(range(10)) + [101, 300]
     )
@@ -428,7 +429,8 @@ def test_streaming_dedup_gate_compacts_generations(spark, tmp_path):
     assert len(gen_dirs) == 1, gen_dirs
     # compacted history lives under the sentinel epoch inside the live gen
     assert sorted(
-        r["doc_id"] for r in spark.read.parquet(idx).collect()
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     ) == [10, 20, 30, 41]
 
 
@@ -630,7 +632,8 @@ def test_dedup_gate_epoch_redelivery_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(vp).collect()
     }
     index_once = sorted(
-        r["doc_id"] for r in spark.read.parquet(idx).collect()
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     )
     assert verdicts_once[3] == (False, 1)
     assert verdicts_once[4][0] is True
@@ -646,7 +649,8 @@ def test_dedup_gate_epoch_redelivery_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(vp).collect()
     }
     index_again = sorted(
-        r["doc_id"] for r in spark.read.parquet(idx).collect()
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
     )
     assert verdicts_again == verdicts_once
     assert index_again == index_once
