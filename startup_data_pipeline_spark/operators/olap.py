@@ -792,3 +792,206 @@ def group_mode(
             "n_rows",
         )
     )
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Distribution-drift monitor between a REFERENCE corpus snapshot
+    and the CURRENT one over a numeric column: equal-width bins sized
+    from the reference's min/max, per-bin shares in exact integer ppm,
+    and a chi-square-style per-bin drift contribution
+    ``(cur_ppm − ref_ppm)² div max(ref_ppm, 1)``.
+
+    The data-QA read a training pipeline runs before every refresh:
+    today's crawl shifting long (or a domain silently vanishing) shows
+    up as mass moving between bins long before a model does. The drift
+    term is kept in pure integer arithmetic (shares first reduced to
+    ppm, then squared-difference — every step exact and overflow-safe
+    at warehouse counts) rather than PSI's ``ln`` ratio, whose libm
+    rounding differs across engines and would break bit-exact oracles;
+    ranking of drifting bins is the same.
+
+    Current-snapshot values outside the reference range clamp into the
+    edge bins BEFORE the bucket division (clamping first also keeps
+    floor-vs-truncate division of negatives out of the formula, so
+    Spark ``div`` and DuckDB ``//`` agree). Scale shape: one min/max
+    aggregate over the reference (a single-row broadcast), one
+    map-side bucket projection per side, one count aggregate keyed on
+    (bin) with conditional partials, and a |bins|-row window for the
+    totals — corpus-scale cost is the two scans plus one tiny
+    exchange.
+    """
+    v = F.col(value_col).cast("long")
+    mm = ref.agg(
+        F.min(v).cast("long").alias("__mn"),
+        F.max(v).cast("long").alias("__mx"),
+    )
+    tagged = ref.select(v.alias("__v"), F.lit(0).alias("__side")).unionByName(
+        cur.select(v.alias("__v"), F.lit(1).alias("__side"))
+    )
+    # clamp BEFORE the division so the dividend is non-negative (Spark
+    # div truncates, DuckDB // floors — they only agree at >= 0) and
+    # keep the bucket math in integer `div` (exact on both engines)
+    bucket = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        F.expr(
+            "(least(__mx, greatest(__mn, __v)) - __mn) "
+            f"* {n_bins} div (__mx - __mn + 1)"
+        ),
+    )
+    counts = (
+        tagged.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bin"), "__side")
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("__side") == 0).cast("long").alias("ref_n"),
+            F.count_if(F.col("__side") == 1).cast("long").alias("cur_n"),
+        )
+    )
+    # the OVER () totals window sees |bins| rows (n_bins <= a constant),
+    # the same justified tiny-aggregate window as sample_allocation
+    shares = counts.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.expr(f"CAST({ppm} * ref_n div sum(ref_n) OVER () AS BIGINT)").alias(
+            "ref_ppm"
+        ),
+        F.expr(f"CAST({ppm} * cur_n div sum(cur_n) OVER () AS BIGINT)").alias(
+            "cur_ppm"
+        ),
+    )
+    return shares.select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        "ref_ppm",
+        "cur_ppm",
+        F.expr(
+            "CAST((cur_ppm - ref_ppm) * (cur_ppm - ref_ppm) "
+            "div greatest(ref_ppm, 1L) AS BIGINT)"
+        ).alias("drift_ppm"),
+    )
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    n_buckets: int = 32,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between two
+    corpora's distributions of a numeric column, in integer ppm:
+    ``max over observed v of |cdf_a(v) − cdf_b(v)|`` computed as
+    ``max |cum_a(v)·n_b − cum_b(v)·n_a|`` with the final ratio taken
+    in DECIMAL(38) — every intermediate exact, no float CDFs.
+
+    The sharper sibling of ``histogram_drift``: KS is binning-free
+    (sensitive to any distributional shift, not just mass moving
+    across fixed edges) and is the standard two-sample acceptance test
+    between a new crawl and the reference corpus.
+
+    Scale shape — the textbook formulation needs a GLOBAL ordered
+    cumulative sum, which is a single-partition window (the
+    scale-killer this repo bans). Here the cumsum is two-level, the
+    ntile-exact trick: values bucket by range (min/max single-row
+    broadcast), the within-bucket cumsum windows partition BY BUCKET
+    and ride one (bucket)-ranged exchange, and the cross-bucket prefix
+    offsets come from a |buckets|-row aggregate — so no window ever
+    sees more than one bucket's distinct values. Output is ONE row:
+    (n_a, n_b, ks_ppm, at_value) with the arg-max value for
+    debuggability (smallest such value on ties).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    both = a.select(v.alias("__v"), F.lit(0).alias("__side")).unionByName(
+        b.select(v.alias("__v"), F.lit(1).alias("__side"))
+    )
+    mm = both.agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    per_value = (
+        both.crossJoin(F.broadcast(mm))
+        .select(
+            "__v",
+            "__side",
+            F.expr(
+                f"(__v - __mn) * {n_buckets} div (__mx - __mn + 1)"
+            ).alias("__bkt"),
+        )
+        .groupBy("__bkt", "__v")
+        .agg(
+            F.count_if(F.col("__side") == 0).cast("long").alias("__na"),
+            F.count_if(F.col("__side") == 1).cast("long").alias("__nb"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = per_value.select(
+        "__bkt",
+        "__v",
+        F.sum("__na").over(w_in).alias("__ca"),
+        F.sum("__nb").over(w_in).alias("__cb"),
+    )
+    bucket_tot = per_value.groupBy("__bkt").agg(
+        F.sum("__na").alias("__ba"), F.sum("__nb").alias("__bb")
+    )
+    w_pfx = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bucket_tot.select(
+        "__bkt",
+        F.coalesce(F.sum("__ba").over(w_pfx), F.lit(0)).alias("__pa"),
+        F.coalesce(F.sum("__bb").over(w_pfx), F.lit(0)).alias("__pb"),
+    )
+    # totals derive from the per-bucket sums (|buckets| rows), not a
+    # third scan of the inputs
+    totals = bucket_tot.agg(
+        F.sum("__ba").cast("long").alias("n_a"),
+        F.sum("__bb").cast("long").alias("n_b"),
+    )
+    diffs = (
+        local.join(prefix, "__bkt")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            "__v",
+            F.abs(
+                (F.col("__ca") + F.col("__pa")) * F.col("n_b")
+                - (F.col("__cb") + F.col("__pb")) * F.col("n_a")
+            ).alias("__d"),
+        )
+    )
+    # arg-max via aggregate + equality filter, NOT a global rank
+    # window (that would serialize every distinct value into one task)
+    dmax = diffs.agg(F.max("__d").alias("__dm"))
+    return (
+        diffs.crossJoin(F.broadcast(dmax))
+        .filter(F.col("__d") == F.col("__dm"))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.min("__v").alias("at_value"),
+            F.max("__d").alias("max_diff_scaled"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "at_value",
+            "max_diff_scaled",
+            F.expr(
+                f"CAST(CAST({ppm} AS DECIMAL(38,0)) * max_diff_scaled "
+                "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )

@@ -164,6 +164,10 @@ _PRIORITY: list[str] = [
     "q_split_balance", "q_shingle_containment",
     "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
     "q_lm_score", "q_pagerank", "q_incremental_dedup_gate",
+    # round-6 registrations (the round's small quota, behind the whole
+    # backlog per the burn-down contract — first driver sample queues
+    # after every stale re-certification):
+    "q_histogram_drift", "q_ks_two_sample",
 ]
 
 

@@ -2022,3 +2022,102 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return temporal.behavioral_entropy(ev, "user_id", "event_type")
+
+
+@register(
+    "q_histogram_drift",
+    oracle="""
+    WITH ref AS (SELECT CAST(n_chars AS BIGINT) AS v
+                 FROM documents WHERE doc_id % 2 = 0),
+    cur AS (SELECT CAST(n_chars AS BIGINT) AS v
+            FROM documents WHERE doc_id % 2 = 1),
+    mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
+    binned AS (
+        SELECT LEAST(9, (LEAST(mx, GREATEST(mn, v)) - mn) * 10
+                        // (mx - mn + 1)) AS bin, 0 AS side
+        FROM ref, mm
+        UNION ALL
+        SELECT LEAST(9, (LEAST(mx, GREATEST(mn, v)) - mn) * 10
+                        // (mx - mn + 1)), 1
+        FROM cur, mm
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ref_n,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cur_n
+        FROM binned GROUP BY bin
+    ),
+    shares AS (
+        SELECT bin, ref_n, cur_n,
+               CAST(1000000 * ref_n // SUM(ref_n) OVER () AS BIGINT)
+                   AS ref_ppm,
+               CAST(1000000 * cur_n // SUM(cur_n) OVER () AS BIGINT)
+                   AS cur_ppm
+        FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, ref_n, cur_n, ref_ppm, cur_ppm,
+           CAST((cur_ppm - ref_ppm) * (cur_ppm - ref_ppm)
+                // GREATEST(ref_ppm, 1) AS BIGINT) AS drift_ppm
+    FROM shares
+    """,
+    survey_ops="snapshot distribution-drift monitor (§2.11 data QA, "
+    "NEW r6): equal-width bins from the reference's range, per-bin "
+    "shares and chi-square-style drift in exact integer ppm — the "
+    "pre-refresh acceptance read; two scans, one tiny bin exchange",
+)
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return olap.histogram_drift(ref, cur, "n_chars", n_bins=10)
+
+
+@register(
+    "q_ks_two_sample",
+    oracle="""
+    WITH pv AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM (
+            SELECT CAST(n_chars AS BIGINT) AS v, doc_id % 2 AS side
+            FROM documents
+        )
+        GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(na) OVER (ORDER BY v) AS ca,
+               SUM(nb) OVER (ORDER BY v) AS cb,
+               SUM(na) OVER () AS n_a,
+               SUM(nb) OVER () AS n_b
+        FROM pv
+    ),
+    diffs AS (
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               v, ABS(ca * n_b - cb * n_a) AS d
+        FROM cum
+    )
+    SELECT n_a, n_b,
+           CAST(MIN(CASE WHEN d = (SELECT MAX(d) FROM diffs)
+                         THEN v END) AS BIGINT) AS at_value,
+           CAST(MAX(d) AS BIGINT) AS max_diff_scaled,
+           CAST(CAST(1000000 AS HUGEINT) * MAX(d)
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
+    FROM diffs GROUP BY n_a, n_b
+    """,
+    survey_ops="exact two-sample Kolmogorov-Smirnov acceptance test "
+    "(§2.11 data QA, NEW r6): binning-free max CDF gap in integer "
+    "ppm; the global cumsum runs as bucket-partitioned windows plus a "
+    "|buckets|-row prefix (ntile-exact trick) — never a "
+    "single-partition window",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aa = docs.filter(F.col("doc_id") % 2 == 0)
+    bb = docs.filter(F.col("doc_id") % 2 == 1)
+    return olap.ks_two_sample(aa, bb, "n_chars", n_buckets=32)

@@ -196,33 +196,35 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-5 window must lead with the forty-seven queries getting
-    # their FIRST driver sample, then re-certify operators changed
-    # this round — exactly filling the 50 slots
+    # round-6 window is the certification BURN-DOWN (VERDICT r5 #1):
+    # q_curation_pipeline (never driver-sampled) leads, the 48 queries
+    # whose only driver cert is round 1 follow, and the one slot left
+    # goes to q_knn_graph — the canary for this round's scale fix
     prefix = list(qs)[:50]
-    assert prefix[:47] == [
-        "q_group_mode", "q_user_entropy",
-        "q_nearest_click", "q_cluster_margin",
-        "q_cdc_compact", "q_ri_audit", "q_wow_growth",
-        "q_distance_histogram",
-        "q_audio_features", "q_activity_streaks", "q_session_paths",
-        "q_sample_allocation", "q_stl_decompose", "q_stream_markov",
-        "q_quant_calibration", "q_dedup_agreement",
-        "q_vocab_growth", "q_lsh_precision", "q_conversion_latency",
-        "q_score_percentile_norm",
-        "q_image_dhash_pairs",
-        "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
-        "q_markov_transitions", "q_cusum_shift", "q_winsorize",
-        "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
-        "q_max_concurrency", "q_sliding_distinct",
-        "q_pq_encode", "q_pq_ann", "q_knn_graph", "q_zorder_key",
-        "q_bpe_merge_pairs",
-        "q_join_skew_profile", "q_degree_hist", "q_kwic_snippets",
-        "q_seasonal_anomaly",
-        "q_doc_novelty", "q_split_balance", "q_shingle_containment",
-        "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
+    assert prefix[0] == "q_curation_pipeline"
+    assert prefix[49] == "q_knn_graph"
+    r1_only = {
+        "q_alert_filter", "q_anti_join_seen", "q_asof_join",
+        "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
+        "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
+        "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
+        "q_deterministic_sample", "q_doc_length_percentiles",
+        "q_event_gaps", "q_exact_dedup", "q_gap_fill_locf",
+        "q_incremental_agg", "q_job_aggs", "q_json_extract",
+        "q_json_repair", "q_json_serialize", "q_keyword_filter",
+        "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
+        "q_pricing_summary", "q_provider_map", "q_range_join",
+        "q_recency_filter", "q_rollup_orders", "q_running_total",
+        "q_scd2_history", "q_score_topk", "q_semi_join_exists",
+        "q_sessionize", "q_sheet_projection", "q_shipping_priority",
+        "q_sliding_window", "q_snapshot_diff", "q_tier_case",
+        "q_tld_explode", "q_tumbling_window", "q_udtf_char_windows",
+        "q_union_sources", "q_upsert_merge", "q_waterfall_coalesce",
+        "q_window_topk",
+    }
+    assert set(prefix[1:49]) == r1_only
+    # changed-but-output-identical operators queue just behind the
+    # boundary for the round-7 window
+    assert list(qs)[50:53] == [
+        "q_lsh_precision", "q_score_percentile_norm", "q_ri_audit"
     ]
-    for probe in ["q_lm_score", "q_pagerank",
-                  "q_incremental_dedup_gate"]:
-        assert probe in prefix, probe
-    assert list(qs)[50] == "q_curation_pipeline"  # round-6 front

@@ -1428,3 +1428,45 @@ def test_interval_max_concurrency_survives_negative_duration(spark):
     ).collect()
     # no crash; the real 10-min interval still registers
     assert out and all(r["max_concurrent"] >= 1 for r in out)
+
+
+def test_histogram_drift_exact_shares(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    # ref range 0..9 -> 10 bins of width 1; cur shifts mass up and
+    # lands one value out of range (clamps into the top bin)
+    ref = spark.createDataFrame([(v,) for v in range(10)], "x long")
+    cur = spark.createDataFrame(
+        [(5,), (5,), (9,), (14,)], "x long"
+    )
+    got = {
+        r["bin"]: r
+        for r in olap.histogram_drift(ref, cur, "x", n_bins=10).collect()
+    }
+    # every ref bin has exactly one row -> ref_ppm 100000 each
+    assert all(got[b]["ref_ppm"] == 100_000 for b in range(10))
+    assert got[5]["cur_n"] == 2 and got[5]["cur_ppm"] == 500_000
+    # value 14 clamps into bin 9 alongside the in-range 9
+    assert got[9]["cur_n"] == 2 and got[9]["cur_ppm"] == 500_000
+    # drift for an emptied bin: (0 - 100000)^2 div 100000 = 100000
+    assert got[0]["cur_n"] == 0 and got[0]["drift_ppm"] == 100_000
+    # drift for bin 5: (500000-100000)^2 div 100000 = 1_600_000
+    assert got[5]["drift_ppm"] == 1_600_000
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    # a = {1,2,3,4}, b = {3,4,5,6}: max |F_a - F_b| is at v=2
+    # (F_a=2/4, F_b=0) -> D = 1/2 -> 500000 ppm; scaled diff
+    # |ca*nb - cb*na| = |2*4 - 0*4| = 8
+    a = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x long")
+    b = spark.createDataFrame([(3,), (4,), (5,), (6,)], "x long")
+    [r] = olap.ks_two_sample(a, b, "x", n_buckets=4).collect()
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["at_value"] == 2 and r["max_diff_scaled"] == 8
+    assert r["ks_ppm"] == 500_000
+    # identical samples -> D = 0, arg-max at the smallest value
+    [r0] = olap.ks_two_sample(a, a, "x", n_buckets=4).collect()
+    assert r0["ks_ppm"] == 0 and r0["max_diff_scaled"] == 0
+    assert r0["at_value"] == 1
