@@ -135,6 +135,9 @@ HEADLINE = [
     "q_group_mode",
     "q_user_entropy",
     "q_curation_pipeline",
+    # round-6 additions
+    "q_histogram_drift",
+    "q_ks_two_sample",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
