@@ -138,6 +138,7 @@ HEADLINE = [
     # round-6 additions
     "q_histogram_drift",
     "q_ks_two_sample",
+    "q_snapshot_novelty",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

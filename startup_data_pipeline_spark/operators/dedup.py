@@ -1025,6 +1025,73 @@ def contamination_check(
     )
 
 
+def snapshot_novelty(
+    ref: DataFrame,
+    cur: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-snapshot novelty scan: for each CURRENT-snapshot document,
+    how many of its distinct k-gram shingles appear NOWHERE in the
+    reference corpus — the per-doc answer to "what did this crawl
+    actually bring that we haven't already trained on".
+
+    The incremental-training triage primitive, and the inverse of
+    ``contamination_check`` (which counts overlap with an eval set;
+    this counts NON-overlap with the training reference): high-novelty
+    docs are the ones worth paying dedup/quality costs on, near-zero
+    novelty marks re-crawls of known content that can short-circuit the
+    rest of the pipeline. ``doc_novelty`` is the within-corpus sibling
+    (df==1 inside one snapshot); this compares two snapshots.
+
+    Scale shape: identical to ``contamination_check`` — the current
+    side explodes per-doc-distinct shingles carrying the set size; the
+    reference collapses to its distinct shingle vocabulary before the
+    join, so join input is reference-vocabulary-sized, not
+    reference-corpus-sized; a LEFT join + count of misses keeps docs
+    with zero overlap (the interesting ones) in the output. ppm
+    integer-exact.
+    """
+    c_sh = (
+        _tokenized(cur, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
+        )
+        .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
+        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
+    )
+    r_sh = (
+        _tokenized(ref, id_col, text_col)
+        .select(
+            F.explode_outer(
+                shingles_from_tokens(F.col("__tk"), k)
+            ).alias("shingle")
+        )
+        .dropDuplicates(["shingle"])
+        .select("shingle", F.lit(1).alias("__seen"))
+    )
+    return (
+        c_sh.join(r_sh, "shingle", "left")
+        .groupBy(F.col("id").alias(id_col), F.col("n_sh").alias("n_shingles"))
+        .agg(
+            F.count_if(F.col("__seen").isNull())
+            .cast("long")
+            .alias("n_novel")
+        )
+        .filter(F.col("n_shingles") > 0)
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_novel",
+            F.expr("CAST(1000000 * n_novel div n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
 def lsh_band_precision(
     df: DataFrame,
     id_col: str,

@@ -167,7 +167,7 @@ _PRIORITY: list[str] = [
     # round-6 registrations (the round's small quota, behind the whole
     # backlog per the burn-down contract — first driver sample queues
     # after every stale re-certification):
-    "q_histogram_drift", "q_ks_two_sample",
+    "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
 ]
 
 

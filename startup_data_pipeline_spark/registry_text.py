@@ -2591,3 +2591,44 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
+
+
+@register(
+    "q_snapshot_novelty",
+    oracle=f"""
+    WITH ref_sh AS (
+        SELECT DISTINCT unnest({_SHINGLES}) AS shingle
+        FROM (SELECT {_TOKS_LOWER} AS toks FROM documents
+              WHERE doc_id % 2 = 0)
+    ),
+    cur_sh AS (
+        SELECT doc_id, n_shingles, shingle FROM (
+            SELECT doc_id, len({_SHINGLES}) AS n_shingles,
+                   unnest({_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+                  WHERE doc_id % 2 = 1)
+        )
+    )
+    SELECT c.doc_id,
+           CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(1000000 * SUM(CASE WHEN r.shingle IS NULL
+                                   THEN 1 ELSE 0 END)
+                // c.n_shingles AS BIGINT) AS novelty_ppm
+    FROM cur_sh c LEFT JOIN ref_sh r ON c.shingle = r.shingle
+    WHERE c.n_shingles > 0
+    GROUP BY c.doc_id, c.n_shingles
+    """,
+    survey_ops="cross-snapshot novelty scan (§2.11 data QA, NEW r6): "
+    "per-doc share of shingles unseen in the reference corpus — the "
+    "crawl-triage read of incremental training (inverse of "
+    "contamination_check; doc_novelty is the within-corpus sibling). "
+    "Reference collapses to its distinct vocabulary before the one "
+    "shingle join; zero-overlap docs survive via the left join",
+)
+def q_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.snapshot_novelty(ref, cur, "doc_id", "text", k=3)

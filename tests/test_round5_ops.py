@@ -1470,3 +1470,35 @@ def test_ks_two_sample_hand_computed(spark):
     [r0] = olap.ks_two_sample(a, a, "x", n_buckets=4).collect()
     assert r0["ks_ppm"] == 0 and r0["max_diff_scaled"] == 0
     assert r0["at_value"] == 1
+
+
+def test_snapshot_novelty_counts_and_zero_overlap(spark):
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [
+            # all shingles present in ref -> novelty 0
+            (10, "alpha beta gamma delta"),
+            # entirely fresh content -> novelty 1000000 (left join keeps it)
+            (11, "one two three four"),
+            # 3 shingles, 1 known ("alpha beta gamma") -> 2/3 novel
+            (12, "alpha beta gamma nine ten"),
+            # too short to shingle (k=3 needs >= 3 tokens) -> dropped
+            (13, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    from startup_data_pipeline_spark.operators import dedup as dd
+
+    got = {
+        r["doc_id"]: r
+        for r in dd.snapshot_novelty(ref, cur, "doc_id", "text", k=3).collect()
+    }
+    assert set(got) == {10, 11, 12}
+    assert got[10]["n_novel"] == 0 and got[10]["novelty_ppm"] == 0
+    assert got[11]["n_novel"] == got[11]["n_shingles"] == 2
+    assert got[11]["novelty_ppm"] == 1_000_000
+    assert got[12]["n_shingles"] == 3 and got[12]["n_novel"] == 2
+    assert got[12]["novelty_ppm"] == (1_000_000 * 2) // 3
