@@ -136,6 +136,10 @@ PROBE = [
     "q_group_mode",
     "q_user_entropy",
     "q_curation_pipeline",
+    # round-6 additions
+    "q_histogram_drift",
+    "q_ks_two_sample",
+    "q_snapshot_novelty",
 ]
 
 
