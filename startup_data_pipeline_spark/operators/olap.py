@@ -854,17 +854,21 @@ def histogram_drift(
         )
     )
     # the OVER () totals window sees |bins| rows (n_bins <= a constant),
-    # the same justified tiny-aggregate window as sample_allocation
+    # the same justified tiny-aggregate window as sample_allocation.
+    # nullif guards the empty-side edge (an empty snapshot has no
+    # shares — NULL ppm, not an ANSI divide-by-zero crash).
     shares = counts.select(
         "bin",
         "ref_n",
         "cur_n",
-        F.expr(f"CAST({ppm} * ref_n div sum(ref_n) OVER () AS BIGINT)").alias(
-            "ref_ppm"
-        ),
-        F.expr(f"CAST({ppm} * cur_n div sum(cur_n) OVER () AS BIGINT)").alias(
-            "cur_ppm"
-        ),
+        F.expr(
+            f"CAST({ppm} * ref_n div nullif(sum(ref_n) OVER (), 0) "
+            "AS BIGINT)"
+        ).alias("ref_ppm"),
+        F.expr(
+            f"CAST({ppm} * cur_n div nullif(sum(cur_n) OVER (), 0) "
+            "AS BIGINT)"
+        ).alias("cur_ppm"),
     )
     return shares.select(
         "bin",

@@ -2051,10 +2051,10 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     shares AS (
         SELECT bin, ref_n, cur_n,
-               CAST(1000000 * ref_n // SUM(ref_n) OVER () AS BIGINT)
-                   AS ref_ppm,
-               CAST(1000000 * cur_n // SUM(cur_n) OVER () AS BIGINT)
-                   AS cur_ppm
+               CAST(1000000 * ref_n // NULLIF(SUM(ref_n) OVER (), 0)
+                    AS BIGINT) AS ref_ppm,
+               CAST(1000000 * cur_n // NULLIF(SUM(cur_n) OVER (), 0)
+                    AS BIGINT) AS cur_ppm
         FROM counts
     )
     SELECT CAST(bin AS BIGINT) AS bin, ref_n, cur_n, ref_ppm, cur_ppm,

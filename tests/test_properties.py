@@ -212,3 +212,50 @@ def test_largest_remainder_always_sums_to_budget(spark, groups, budget):
     for r in out:
         quota = budget * r["n_rows"] / total
         assert quota - 1 < r["alloc"] < quota + 1
+
+
+VALS = st.lists(st.integers(-50, 50), min_size=1, max_size=12)
+
+
+@SLOW
+@given(xs=VALS, ys=VALS)
+def test_ks_two_sample_metric_properties(spark, xs, ys):
+    """KS invariants: D(a,a) = 0; D is symmetric; 0 <= D <= 1; and the
+    scaled max-diff is consistent with ks_ppm."""
+    from startup_data_pipeline_spark.operators import olap
+
+    a = spark.createDataFrame([(v,) for v in xs], "x long")
+    b = spark.createDataFrame([(v,) for v in ys], "x long")
+    [same] = olap.ks_two_sample(a, a, "x", n_buckets=4).collect()
+    assert same["ks_ppm"] == 0 and same["max_diff_scaled"] == 0
+    [ab] = olap.ks_two_sample(a, b, "x", n_buckets=4).collect()
+    [ba] = olap.ks_two_sample(b, a, "x", n_buckets=4).collect()
+    assert ab["max_diff_scaled"] == ba["max_diff_scaled"]
+    assert ab["at_value"] == ba["at_value"]
+    assert 0 <= ab["ks_ppm"] <= 1_000_000
+    assert ab["ks_ppm"] == (
+        1_000_000 * ab["max_diff_scaled"]
+    ) // (ab["n_a"] * ab["n_b"])
+
+
+@SLOW
+@given(ref=VALS, cur=st.lists(st.integers(-80, 80), min_size=0, max_size=12))
+def test_histogram_drift_share_conservation(spark, ref, cur):
+    """Drift invariants: ref shares always cover the whole reference
+    (every ref value lands in a bin, Σ ref_n = |ref|), cur values clamp
+    into range (Σ cur_n = |cur|), shares stay in [0, 1e6], and
+    drift_ppm is exactly (Δppm)² div max(ref_ppm, 1)."""
+    from startup_data_pipeline_spark.operators import olap
+
+    r = spark.createDataFrame([(v,) for v in ref], "x long")
+    c = spark.createDataFrame([(v,) for v in cur], "x long")
+    got = olap.histogram_drift(r, c, "x", n_bins=5).collect()
+    assert sum(x["ref_n"] for x in got) == len(ref)
+    assert sum(x["cur_n"] for x in got) == len(cur)
+    for x in got:
+        assert 0 <= x["bin"] <= 4
+        assert 0 <= x["ref_ppm"] <= 1_000_000
+        assert x["cur_ppm"] is None or 0 <= x["cur_ppm"] <= 1_000_000
+        if x["cur_ppm"] is not None:
+            d = x["cur_ppm"] - x["ref_ppm"]
+            assert x["drift_ppm"] == (d * d) // max(x["ref_ppm"], 1)
