@@ -667,3 +667,30 @@ def test_dedup_gate_epoch_redelivery_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(vp).collect()
     }[9]
     assert v9 == (False, 4)
+
+
+def test_streaming_dedup_gate_multi_hash_bands(spark, tmp_path):
+    """The banded index layout under the NON-default lane geometry
+    (num_hashes=8, band_size=2 -> 4 two-lane bands): probes and
+    admission verdicts work identically, and the index layout carries
+    one row per (doc, band)."""
+    b1 = [(1, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    b2 = [(2, "alpha beta gamma delta epsilon zeta eta theta iota"),  # ≈ 1
+          (3, "completely different content nine ten eleven twelve")]
+    idx, vp = _run_gate_batches(
+        spark, tmp_path, [b1, b2], "mh8",
+        num_hashes=8, band_size=2, n_agree_dup=6,
+    )
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert got[1]["admitted"] is True
+    assert got[2]["admitted"] is False and got[2]["match_id"] == 1
+    assert got[2]["n_agree"] == 8  # exact copy agrees on all lanes
+    assert got[3]["admitted"] is True
+    index = spark.read.parquet(idx)
+    # one row per (doc, band): docs 1 and 3 indexed x 4 bands each
+    assert index.count() == 2 * 4
+    assert sorted(
+        r["doc_id"] for r in index.select("doc_id").distinct().collect()
+    ) == [1, 3]
+    # every row carries its 8 signature lanes inline
+    assert {f"mh_{i}" for i in range(8)} <= set(index.columns)
