@@ -466,3 +466,40 @@ def test_dedup_gate_probe_read_prunes_to_batch_bands(spark, tmp_path):
         (F.col("band_id") == b) & (F.col("kbucket") == kb)
     ).count()
     assert pruned.count() == want > 0
+
+
+def test_histogram_drift_single_tiny_exchange(spark, plan_sf_dir):
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = _plan(olap.histogram_drift(ref, cur, "n_chars"), "simple")
+    # the bin aggregate is the only hash exchange over row-scaled data;
+    # the min/max scalar rides a broadcast, and the totals window runs
+    # over |bins| rows behind the aggregate (single-partition there is
+    # the |bins|-row tiny-aggregate exception, not a corpus window)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ks_two_sample_no_corpus_scale_global_window(spark, plan_sf_dir):
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = _plan(olap.ks_two_sample(a, b, "n_chars"), "formatted")
+    # the per-value cumulative sums must window on (bucket), never on
+    # the full value set: every Window node that sorts by value must
+    # carry the bucket partition key
+    for seg in plan.split("Window")[1:]:
+        head = seg.splitlines()[0]
+        if "__v" in head and "partial" not in head:
+            assert "__bkt" in head, head
