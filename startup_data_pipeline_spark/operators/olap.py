@@ -826,7 +826,11 @@ def histogram_drift(
     totals — corpus-scale cost is the two scans plus one tiny
     exchange.
     """
+    # NULL measurements carry no distributional information and their
+    # ordering/bucketing differs across engines — dropped explicitly
     v = F.col(value_col).cast("long")
+    ref = ref.filter(v.isNotNull())
+    cur = cur.filter(v.isNotNull())
     mm = ref.agg(
         F.min(v).cast("long").alias("__mn"),
         F.max(v).cast("long").alias("__mx"),
@@ -914,9 +918,14 @@ def ks_two_sample(
     """
     from pyspark.sql import Window
 
+    # NULLs drop for the same cross-engine reason as histogram_drift
     v = F.col(value_col).cast("long")
-    both = a.select(v.alias("__v"), F.lit(0).alias("__side")).unionByName(
-        b.select(v.alias("__v"), F.lit(1).alias("__side"))
+    both = a.filter(v.isNotNull()).select(
+        v.alias("__v"), F.lit(0).alias("__side")
+    ).unionByName(
+        b.filter(v.isNotNull()).select(
+            v.alias("__v"), F.lit(1).alias("__side")
+        )
     )
     mm = both.agg(
         F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
