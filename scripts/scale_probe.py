@@ -191,6 +191,18 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": "48g",
             "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+            # A full-list probe session runs ~180 query executions /
+            # several thousand stages; with default UI/listener
+            # retention the driver's listener state grows until GC
+            # pauses break executor heartbeats and the context dies
+            # mid-run (observed at ~query 38). The probe needs no UI —
+            # cap everything that accumulates per-stage.
+            "spark.ui.enabled": "false",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+            "spark.ui.retainedTasks": "1000",
+            "spark.sql.ui.retainedExecutions": "4",
+            "spark.appStateStore.asyncTracking.enable": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
