@@ -110,13 +110,31 @@ def lsh_topk(
     query_ids: list[int],
     k: int = 5,
     dims: list[int] | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     The scale path — the crossJoin shrinks by ~2^|dims|; recall is traded
-    for candidate-set size exactly as in IVF/LSH ANN systems.
+    for candidate-set size exactly as in IVF/LSH ANN systems. Unless the
+    caller pins ``dims``, the hyperplane count auto-sizes to the corpus
+    (``ceil(log2(n / target_bucket))``, the round-6 pattern shared with
+    ``knn_graph`` / ``near_dup_pairs``): with a FIXED hyperplane set the
+    per-query candidate list grows linearly with the corpus — search
+    cost at 100 TB would track corpus size, not ``target_bucket``.
     """
-    dims = dims or [0, 1, 2, 3]
+    if dims is None:
+        row = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n = row["n"] or 0
+        width = row["d"] or 1
+        h = (
+            1
+            if n <= target_bucket
+            else math.ceil(math.log2(n / target_bucket))
+        )
+        dims = list(range(max(1, min(h, width, 62))))
     q = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"))
@@ -202,6 +220,7 @@ def near_dup_pairs(
     vec_col: str,
     min_score: int,
     dims: list[int] | None = None,
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (§2.11 dedup family).
 
@@ -209,8 +228,28 @@ def near_dup_pairs(
     orthant signs with high probability), then the exact quantized-dot
     threshold. Cost ∝ bucket collisions, not n²; at warehouse scale the
     bucketer generalizes to IVF cells with the same join shape.
+
+    Like ``knn_graph`` (round-6 fix), the hyperplane count AUTO-SIZES
+    to the corpus unless the caller pins ``dims``: a fixed hyperplane
+    set makes the per-bucket self-join quadratic in corpus density
+    (measured ≥6.9× on the 10× exact-dup replica before the fix);
+    ``h = ceil(log2(n / target_bucket))`` holds expected occupancy — and
+    therefore per-bucket pair work — ~constant per row. One count agg
+    at plan-build; the oracle mirrors the formula from ``COUNT(*)``.
     """
-    dims = dims or [0, 1, 2, 3]
+    if dims is None:
+        row = embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n = row["n"] or 0
+        width = row["d"] or 1
+        h = (
+            1
+            if n <= target_bucket
+            else math.ceil(math.log2(n / target_bucket))
+        )
+        dims = list(range(max(1, min(h, width, 62))))
     side = lambda tag: (  # noqa: E731
         ensure_min_parallelism(embeddings)
         .select(

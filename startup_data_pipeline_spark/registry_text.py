@@ -501,21 +501,33 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ann_lsh_topk",
+    # bucket mirrors lsh_topk's corpus auto-sizing (round-6; same meta
+    # CTE as q_knn_graph / q_embedding_near_dup)
     oracle=f"""
-    WITH q AS (
+    WITH meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    q AS (
         SELECT vec_id AS query_id, qv,
-               (CASE WHEN qv[1] >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN qv[3] >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN qv[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN qv[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
         FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings WHERE vec_id < 10)
     ),
     c AS (
         SELECT vec_id AS neighbor_id, cv,
-               (CASE WHEN cv[1] >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN cv[2] >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN cv[3] >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN cv[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN cv[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
         FROM (SELECT vec_id, {_QUANT} AS cv FROM embeddings)
     ),
     scored AS (
@@ -538,7 +550,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
-        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5, dims=[0, 1, 2, 3]
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5
     )
 
 
@@ -579,33 +591,44 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_embedding_near_dup",
+    # hyperplane count mirrors near_dup_pairs' corpus auto-sizing,
+    # exactly as q_knn_graph's oracle does (same formula, same
+    # ceil/log2 cross-libm argument)
     oracle=f"""
-    WITH q AS (
-        SELECT vec_id, {_QUANT} AS v,
-               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
-        FROM (SELECT vec_id, embedding,
-                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
-                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
-                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
-                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
-              FROM embeddings)
+    WITH meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, {_QUANT} AS v FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN v[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM q
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(list_sum(list_transform(generate_series(1, len(a.v)),
                i -> a.v[i] * b.v[i])) AS BIGINT) AS score
-    FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(generate_series(1, len(a.v)),
               i -> a.v[i] * b.v[i])) >= 32000000
     """,
-    survey_ops="embedding-cosine near-dup pairs, LSH-restricted (§2.11 dedup)",
+    survey_ops="embedding-cosine near-dup pairs, LSH-restricted (§2.11 "
+    "dedup): hyperplane count auto-sized to the corpus (r6 fix — the "
+    "same fixed-dims per-bucket quadratic knn_graph had)",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
+        emb, "vec_id", "embedding", min_score=32_000_000
     )
 
 
@@ -652,19 +675,27 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_near_dup_components",
+    # bucket definition mirrors near_dup_pairs' corpus auto-sizing
+    # (same meta CTE as q_embedding_near_dup / q_knn_graph)
     oracle=f"""
-    WITH RECURSIVE q AS (
-        SELECT vec_id, {_QUANT} AS v,
-               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
-        FROM (SELECT vec_id, embedding,
-                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
-                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
-                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
-                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
-              FROM embeddings)
+    WITH RECURSIVE meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    q0 AS (
+        SELECT vec_id, {_QUANT} AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN v[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM q0
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -694,7 +725,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
+        emb, "vec_id", "embedding", min_score=32_000_000
     )
     return dedup.connected_components(emb.select("vec_id"), pairs, "vec_id")
 
