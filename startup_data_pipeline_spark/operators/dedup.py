@@ -1166,8 +1166,13 @@ def lsh_band_precision(
         exploded.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("band_id")
+        # n·(n−1) is always even, so integer div 2 is exact — the
+        # float route (/2 → double → sum → cast) silently loses
+        # low-order bits once a band's pair count passes 2⁵³, i.e. a
+        # ~10⁸-doc degenerate bucket, the exact case this audit exists
+        # to quantify
         .agg(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            F.sum(F.expr("n * (n - 1) div 2"))
             .cast("long")
             .alias("n_candidates")
         )

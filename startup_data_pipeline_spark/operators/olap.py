@@ -897,8 +897,15 @@ def ks_two_sample(
     """Exact two-sample Kolmogorov–Smirnov distance between two
     corpora's distributions of a numeric column, in integer ppm:
     ``max over observed v of |cdf_a(v) − cdf_b(v)|`` computed as
-    ``max |cum_a(v)·n_b − cum_b(v)·n_a|`` with the final ratio taken
-    in DECIMAL(38) — every intermediate exact, no float CDFs.
+    ``max |cum_a(v)·n_b − cum_b(v)·n_a|`` — every intermediate exact,
+    no float CDFs. The cross-multiplied products are DECIMAL(38,0)
+    (cum counts × corpus counts pass 2⁶³ once either side exceeds
+    ~3·10⁹ rows — BIGINT would ANSI-fail at exactly the warehouse
+    scale the operator targets); only the final ``max_diff_scaled``
+    display column try_casts back to BIGINT (NULL past 2⁶³ rather
+    than an ANSI crash), and ``ks_ppm`` is computed from the decimal
+    max BEFORE that cast, so the headline stays exact even where the
+    display column nulls out.
 
     The sharper sibling of ``histogram_drift``: KS is binning-free
     (sensitive to any distributional shift, not just mass moving
@@ -981,8 +988,10 @@ def ks_two_sample(
             "n_b",
             "__v",
             F.abs(
-                (F.col("__ca") + F.col("__pa")) * F.col("n_b")
-                - (F.col("__cb") + F.col("__pb")) * F.col("n_a")
+                (F.col("__ca") + F.col("__pa")).cast("decimal(38,0)")
+                * F.col("n_b")
+                - (F.col("__cb") + F.col("__pb")).cast("decimal(38,0)")
+                * F.col("n_a")
             ).alias("__d"),
         )
     )
@@ -995,15 +1004,15 @@ def ks_two_sample(
         .groupBy("n_a", "n_b")
         .agg(
             F.min("__v").alias("at_value"),
-            F.max("__d").alias("max_diff_scaled"),
+            F.max("__d").alias("__dmx"),
         )
         .select(
             "n_a",
             "n_b",
             "at_value",
-            "max_diff_scaled",
+            F.expr("try_cast(__dmx AS BIGINT)").alias("max_diff_scaled"),
             F.expr(
-                f"CAST(CAST({ppm} AS DECIMAL(38,0)) * max_diff_scaled "
+                f"CAST(CAST({ppm} AS DECIMAL(38,0)) * __dmx "
                 "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("ks_ppm"),
         )

@@ -103,6 +103,34 @@ def sign_lsh_bucket(vec_q: Column, dims: list[int]) -> Column:
     return out
 
 
+def auto_lsh_dims(
+    embeddings: DataFrame,
+    vec_col: str,
+    target_bucket: int = 32,
+) -> list[int]:
+    """Corpus-sized sign-LSH hyperplane set (the round-6 scale fix,
+    shared by ``lsh_topk`` / ``near_dup_pairs`` / ``knn_graph``).
+
+    ``h = ceil(log2(n / target_bucket))`` clamped to the vector width
+    (and 62, the bucket key's long-bit budget), so expected bucket
+    occupancy — and therefore per-bucket quadratic work — stays
+    ~``target_bucket`` as the corpus grows, instead of buckets filling
+    linearly under a FIXED hyperplane set (the r5 sf1 probe measured
+    that pathology at 9.5x on ``knn_graph``). Costs one count
+    aggregate at plan-build time: two scalars to the driver, the
+    k-means-seed precedent. Registry oracles mirror the formula from
+    the same ``COUNT(*)``.
+    """
+    row = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    n = row["n"] or 0
+    width = row["d"] or 1
+    h = 1 if n <= target_bucket else math.ceil(math.log2(n / target_bucket))
+    return list(range(max(1, min(h, width, 62))))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -123,18 +151,7 @@ def lsh_topk(
     cost at 100 TB would track corpus size, not ``target_bucket``.
     """
     if dims is None:
-        row = embeddings.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.size(F.col(vec_col))).alias("d"),
-        ).first()
-        n = row["n"] or 0
-        width = row["d"] or 1
-        h = (
-            1
-            if n <= target_bucket
-            else math.ceil(math.log2(n / target_bucket))
-        )
-        dims = list(range(max(1, min(h, width, 62))))
+        dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
     q = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"))
@@ -238,18 +255,7 @@ def near_dup_pairs(
     at plan-build; the oracle mirrors the formula from ``COUNT(*)``.
     """
     if dims is None:
-        row = embeddings.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.size(F.col(vec_col))).alias("d"),
-        ).first()
-        n = row["n"] or 0
-        width = row["d"] or 1
-        h = (
-            1
-            if n <= target_bucket
-            else math.ceil(math.log2(n / target_bucket))
-        )
-        dims = list(range(max(1, min(h, width, 62))))
+        dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
     side = lambda tag: (  # noqa: E731
         ensure_min_parallelism(embeddings)
         .select(
@@ -733,19 +739,7 @@ def knn_graph(
     k per vector. Ties go to the lower neighbor id.
     """
     if dims is None:
-        row = embeddings.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.size(F.col(vec_col))).alias("d"),
-        ).first()
-        n = row["n"] or 0
-        width = row["d"] or 1
-        h = (
-            1
-            if n <= target_bucket
-            else math.ceil(math.log2(n / target_bucket))
-        )
-        # 62-bit ceiling keeps the packed bucket key inside a BIGINT
-        dims = list(range(max(1, min(h, width, 62))))
+        dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
     # quantize ONCE behind a projection boundary, then derive the
     # bucket from the alias — feeding the raw quantize expression into
     # sign_lsh_bucket would copy the whole transform into every
