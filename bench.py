@@ -139,6 +139,8 @@ HEADLINE = [
     "q_histogram_drift",
     "q_ks_two_sample",
     "q_snapshot_novelty",
+    "q_dup_span_rate",
+    "q_hard_negatives",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

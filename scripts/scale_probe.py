@@ -140,6 +140,8 @@ PROBE = [
     "q_histogram_drift",
     "q_ks_two_sample",
     "q_snapshot_novelty",
+    "q_dup_span_rate",
+    "q_hard_negatives",
 ]
 
 

@@ -1092,6 +1092,97 @@ def snapshot_novelty(
     )
 
 
+def dup_span_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-SPAN coverage: the fraction of token
+    positions lying inside an n-token window whose exact content
+    occurs more than once across the corpus (or within the same doc).
+
+    The substring-level dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — public paper): whole-
+    document dedup misses boilerplate headers, license blocks, and
+    templated passages pasted into otherwise-unique docs; a model
+    memorizes those spans anyway. A doc with high ``dup_ppm`` is mostly
+    recycled text even when its MinHash looks unique. §2.11 extension
+    battery (no reference counterpart — the reference dedups whole
+    URLs only, app/ingest/rss_ingest.py).
+
+    Scale shape: the rolling windows reuse the tokenize-once
+    attribute discipline of ``shingles_from_tokens`` (concat of n
+    ``element_at`` references — never the raw tokenizer expression);
+    window rows ≈ token count, hashed map-side. One count aggregate
+    keyed on the window hash finds multiply-occurring spans; the join
+    back is hash-keyed against the AGGREGATED (one row per hash) side,
+    so a universal boilerplate span fans out linearly in its
+    occurrence count, never quadratically — no pair join exists in
+    this plan at all. Coverage then needs the UNION length of the
+    doc's duplicated [start, start+n−1] intervals, not Σn (overlapping
+    windows must not double-count): with starts sorted per doc,
+    ``least(n, start − prev_start)`` telescopes to the exact union
+    length — a per-doc window over only the duplicated starts, riding
+    one doc-keyed exchange. Zero-token docs are excluded (no positions
+    to cover); docs shorter than n tokens report 0 duplicated tokens.
+    """
+    from pyspark.sql import Window
+
+    tk = _tokenized(df, id_col, text_col)
+    base = tk.select(
+        F.col(id_col), F.size("__tk").alias("n_tokens"), "__tk"
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("__tk"), i + j) for j in range(n)]
+            )
+        ),
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("__p", "wh"))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("start"), "wh")
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("wh")
+    )
+    dups = wins.join(dup_hashes, "wh").select(id_col, "start")
+    w = Window.partitionBy(id_col).orderBy("start")
+    covered = dups.select(
+        F.col(id_col),
+        F.least(
+            F.lit(n),
+            F.col("start")
+            - F.coalesce(F.lag("start").over(w), F.col("start") - n),
+        ).alias("__cov"),
+    )
+    per_doc = covered.groupBy(id_col).agg(
+        F.sum("__cov").cast("long").alias("n_dup_tokens")
+    )
+    return (
+        base.filter(F.col("n_tokens") > 0)
+        .select(F.col(id_col), F.col("n_tokens").cast("long"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_tokens"),
+            F.expr(
+                "CAST(1000000 * coalesce(n_dup_tokens, 0L) div n_tokens "
+                "AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 def lsh_band_precision(
     df: DataFrame,
     id_col: str,

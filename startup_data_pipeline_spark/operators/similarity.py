@@ -782,6 +782,95 @@ def knn_graph(
     )
 
 
+def hard_negative_mining(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    dims: list[int] | None = None,
+    target_bucket: int = 32,
+) -> DataFrame:
+    """Per-anchor top-k highest-similarity DIFFERENT-label neighbors —
+    hard-negative candidates for contrastive / embedding-model
+    training (the batch-mining pass behind triplet-loss and InfoNCE
+    data pipelines: the most confusable wrong-label examples are the
+    ones worth training against).
+
+    Reference parity: the reference has no embedding trainer; this is
+    part of the §2.11 LLM-data extension battery (SURVEY.md §2.11),
+    built on the same ANN stack as ``knn_graph``.
+
+    Scale shape is exactly ``knn_graph`` — quantize once behind a
+    projection boundary, corpus-auto-sized sign-LSH bucketing
+    (``auto_lsh_dims``), per-bucket self-join (the label filter rides
+    the same join, it only removes rows), rank window on the bucket
+    exchange keyed by anchor, ≤k rows out per anchor. Vectors whose
+    bucket holds no other label emit nothing (no cross-bucket rescue —
+    same recall contract as every LSH-bucketed operator here). NULL
+    labels never pair (both sides of ``!=`` must be non-NULL), so
+    unlabeled rows are silently excluded rather than treated as
+    "different from everything". Ties go to the lower negative id.
+    """
+    if dims is None:
+        dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
+    q = (
+        ensure_min_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(label_col).alias("lab"),
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+        .select(
+            "vid",
+            "lab",
+            "qv",
+            sign_lsh_bucket(F.col("qv"), dims).alias("bucket"),
+        )
+    )
+    a = q.select(
+        F.col("vid").alias("anchor_id"),
+        F.col("lab").alias("anchor_label"),
+        F.col("qv").alias("va"),
+        "bucket",
+    )
+    b = q.select(
+        F.col("vid").alias("negative_id"),
+        F.col("lab").alias("__nl"),
+        F.col("qv").alias("vb"),
+        F.col("bucket").alias("__bb"),
+    )
+    scored = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("__bb"))
+            & (F.col("anchor_label") != F.col("__nl")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("negative_id"),
+            F.col("__nl").alias("negative_label"),
+            int_dot(F.col("va"), F.col("vb")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "rank",
+            "score",
+        )
+    )
+
+
 def int8_quantize_stats(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with verification stats.
 

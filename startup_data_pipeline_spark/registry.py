@@ -168,6 +168,7 @@ _PRIORITY: list[str] = [
     # backlog per the burn-down contract — first driver sample queues
     # after every stale re-certification):
     "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
+    "q_dup_span_rate", "q_hard_negatives",
 ]
 
 

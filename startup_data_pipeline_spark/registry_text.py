@@ -2663,3 +2663,107 @@ def q_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     cur = docs.filter(F.col("doc_id") % 2 == 1)
     return dedup.snapshot_novelty(ref, cur, "doc_id", "text", k=3)
+
+
+@register(
+    "q_dup_span_rate",
+    # interval-union via least(n, start - prev_start) telescoping —
+    # both engines share the coalesce(lag, start - n) formulation so
+    # the first duplicated window of a doc contributes exactly n
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks FROM toks
+    ),
+    wins AS (
+        SELECT doc_id, u.i AS s,
+               md5(array_to_string(toks[u.i:u.i+7], ' ')) AS wh
+        FROM base, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
+        WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+    starts AS (
+        SELECT w.doc_id, w.s FROM wins w JOIN dup USING (wh)
+    ),
+    cov AS (
+        SELECT doc_id,
+               LEAST(8, s - COALESCE(lag(s) OVER (
+                   PARTITION BY doc_id ORDER BY s), s - 8)) AS c
+        FROM starts
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_dup_tokens
+        FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+           CAST(1000000 * COALESCE(p.n_dup_tokens, 0) // b.n_tokens
+                AS BIGINT) AS dup_ppm
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    WHERE b.n_tokens > 0
+    """,
+    survey_ops="duplicated-span coverage per doc (§2.11 dedup, NEW "
+    "r6): share of token positions inside an 8-token window occurring "
+    ">1 time corpus-wide — the substring-level dedup signal (Lee et "
+    "al.) that whole-doc MinHash misses; count-agg + hash join, no "
+    "pair join anywhere, interval-union by telescoping window",
+)
+def q_dup_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_rate(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "q_hard_negatives",
+    # same corpus-auto-sized bucket meta CTE as q_knn_graph; the label
+    # inequality rides the bucket join
+    oracle=f"""
+    WITH meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, {_QUANT} AS v FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id, label, v,
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN v[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM q
+    ),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               b.vec_id AS negative_id, b.label AS negative_label,
+               CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])) AS BIGINT) AS score
+        FROM qb a JOIN qb b
+          ON a.bucket = b.bucket AND a.label <> b.label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           CAST(rn AS INTEGER) AS rank, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY score DESC, negative_id ASC
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    survey_ops="hard-negative mining for contrastive training (§2.11 "
+    "similarity, NEW r6): per anchor, the top-3 most-similar "
+    "DIFFERENT-label vectors in its corpus-auto-sized LSH bucket — "
+    "the triplet/InfoNCE batch-mining pass; knn_graph's exact plan "
+    "shape with the label filter riding the bucket join",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_mining(
+        emb, "vec_id", "embedding", "label", k=3
+    )

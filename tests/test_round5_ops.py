@@ -1502,3 +1502,67 @@ def test_snapshot_novelty_counts_and_zero_overlap(spark):
     assert got[11]["novelty_ppm"] == 1_000_000
     assert got[12]["n_shingles"] == 3 and got[12]["n_novel"] == 2
     assert got[12]["novelty_ppm"] == (1_000_000 * 2) // 3
+
+
+def test_dup_span_rate_interval_union(spark):
+    """Overlapping duplicated windows must union, not double-count;
+    within-doc repetition counts; short/empty docs behave."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # shares "a b c","b c d" with doc 2
+            (2, "a b c d x y"),
+            (3, "q r s t"),       # unique -> 0 dup tokens
+            (4, "z z z z z"),     # self-repeating -> fully covered
+            (5, ""),              # zero tokens -> excluded
+            (6, "a b"),           # shorter than n -> 0 dup tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.dup_span_rate(docs, "doc_id", "text", n=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 6}
+    # union of [1,3] and [2,4] is 4 tokens, not 3+3
+    for d in (1, 2):
+        assert got[d]["n_dup_tokens"] == 4
+        assert got[d]["dup_ppm"] == (1_000_000 * 4) // 6
+    assert got[3]["n_dup_tokens"] == 0 and got[3]["dup_ppm"] == 0
+    # "z z z" occurs at starts 1,2,3 -> union covers all 5 tokens
+    assert got[4]["n_dup_tokens"] == 5 and got[4]["dup_ppm"] == 1_000_000
+    assert got[6]["n_dup_tokens"] == 0 and got[6]["dup_ppm"] == 0
+
+
+def test_hard_negatives_label_filter_and_rank(spark):
+    """Only different-label in-bucket vectors rank; NULL labels never
+    pair; lone-bucket anchors emit nothing."""
+    from startup_data_pipeline_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.0], 1),
+        (3, [0.8, 0.0], 1),
+        (4, [-1.0, 0.0], 0),    # alone in the negative-sign bucket
+        (5, [0.7, 0.0], 0),
+        (6, [0.95, 0.0], None), # unlabeled: excluded both ways
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = sim.hard_negative_mining(
+        emb, "vec_id", "embedding", "label", k=2, dims=[0]
+    ).collect()
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(by_anchor) == {1, 2, 3, 5}          # 4 lone, 6 unlabeled
+    for rs in by_anchor.values():
+        for r in rs:
+            assert r["anchor_label"] != r["negative_label"]
+            assert r["negative_id"] != 6
+    top1 = {a: min(rs, key=lambda r: r["rank"]) for a, rs in by_anchor.items()}
+    assert top1[1]["negative_id"] == 2            # 10000*9000 beats *8000
+    assert top1[2]["negative_id"] == 1
+    assert top1[3]["negative_id"] == 1
+    assert top1[5]["negative_id"] == 2
+    assert top1[1]["score"] == 10_000 * 9_000
