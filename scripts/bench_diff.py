@@ -6,6 +6,12 @@ Usage: python scripts/bench_diff.py OLD.json NEW.json [--thresh 0.15]
 Prints shared-query totals, the round-over-round ratio, and every query
 whose median moved more than ``thresh`` relative (and >0.1 s absolute —
 sub-0.1 s jitter is below the harness's resolution).
+
+Since round 6 the bench's stdout line truncates its per-query map to
+the slowest-10 (driver-tail size contract) — driver-captured BENCH_r
+files therefore only support a slowest-10 comparison, and this script
+says so loudly. For FULL per-query diffs, compare the untracked
+BENCH_LOCAL.json mirrors, which always carry the complete map.
 """
 
 from __future__ import annotations
@@ -35,6 +41,14 @@ def load(path: str) -> dict[str, float]:
         if parsed is None:
             raise SystemExit(f"{path}: no parseable bench line")
         obj = parsed
+    if "queries_truncated_to" in obj:
+        print(
+            f"WARNING: {path} carries only its {obj['queries_truncated_to']}"
+            f" of {obj.get('queries_total', '?')} queries — the diff below"
+            " covers the shared slowest-set ONLY; use the BENCH_LOCAL.json"
+            " mirrors for a full per-query comparison",
+            file=sys.stderr,
+        )
     return obj["queries"]
 
 
@@ -42,11 +56,12 @@ def main() -> None:
     old_path, new_path = sys.argv[1], sys.argv[2]
     thresh = 0.15
     for i, a in enumerate(sys.argv):
-        if a.startswith("--thresh"):
-            if "=" in a:
-                thresh = float(a.split("=", 1)[-1])
-            else:
-                thresh = float(sys.argv[i + 1])
+        if a == "--thresh":
+            if i + 1 >= len(sys.argv):
+                raise SystemExit("--thresh needs a value (e.g. --thresh 0.2)")
+            thresh = float(sys.argv[i + 1])
+        elif a.startswith("--thresh="):
+            thresh = float(a.split("=", 1)[1])
     old, new = load(old_path), load(new_path)
     shared = sorted(set(old) & set(new))
     t_old = sum(old[q] for q in shared)

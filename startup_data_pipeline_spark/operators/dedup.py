@@ -93,21 +93,18 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a pair.
-
-    shingle→minhash→band→bucket-join. ``max_bucket`` drops degenerate
-    buckets (boilerplate-heavy corpora) before the join — the standard
-    guard against quadratic blowup at scale.
-    """
+def minhash_band_structs(num_hashes: int, band_size: int) -> Column:
+    """THE MinHash band-key derivation — the single definition shared
+    by every producer and consumer of banded signatures (candidate
+    self-join, incremental gate probe, persisted ``banded_signatures``
+    index layout, band-precision audit). Band ``b``'s key is the md5 of
+    its ``|``-joined signature lanes. Keeping one definition is a
+    durability requirement, not taste: the index layout is an on-disk
+    format, and a probe whose key derivation drifts from the writer's
+    (hash fn, separator, lane order) silently stops colliding with the
+    persisted corpus."""
     n_bands = num_hashes // band_size
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -124,6 +121,35 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+
+
+def _lanes_agree(num_hashes: int, left_fmt: str, right_fmt: str) -> Column:
+    """Count of agreeing mh_* signature lanes between two sides
+    (column names via ``left_fmt``/``right_fmt`` with ``{i}``) — the
+    MinHash Jaccard estimate numerator shared by the gate variants."""
+    agree = None
+    for i in range(num_hashes):
+        t = F.when(
+            F.col(left_fmt.format(i=i)) == F.col(right_fmt.format(i=i)), 1
+        ).otherwise(0)
+        agree = t if agree is None else agree + t
+    return agree.cast("long")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a pair.
+
+    shingle→minhash→band→bucket-join. ``max_bucket`` drops degenerate
+    buckets (boilerplate-heavy corpora) before the join — the standard
+    guard against quadratic blowup at scale.
+    """
+    bands = minhash_band_structs(num_hashes, band_size)
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         F.col(id_col), F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
@@ -176,26 +202,8 @@ def incremental_near_dup_gate(
     Mirrors the reference's seen-set pre-flight (upsert.py anti-join)
     upgraded from exact URL identity to near-dup text identity.
     """
-    n_bands = num_hashes // band_size
-
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh_{b * band_size + j}")
-                                for j in range(band_size)
-                            ],
-                        )
-                    ).alias("band_key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
+        bands = minhash_band_structs(num_hashes, band_size)
         return sigs.select(
             F.col(id_col).alias(out_id), F.explode(bands).alias("b")
         ).select(out_id, F.col("b.band_id").alias("band_id"),
@@ -210,12 +218,7 @@ def incremental_near_dup_gate(
         .select("new_id", "match_id")
         .dropDuplicates()
     )
-    agree = None
-    for i in range(num_hashes):
-        t = F.when(
-            F.col(f"n.mh_{i}") == F.col(f"x.mh_{i}"), 1
-        ).otherwise(0)
-        agree = t if agree is None else agree + t
+    agree = _lanes_agree(num_hashes, "n.mh_{i}", "x.mh_{i}")
     return (
         index_sigs.alias("x")
         .join(
@@ -230,7 +233,7 @@ def incremental_near_dup_gate(
         .select(
             F.col("new_id"),
             F.col("match_id"),
-            agree.cast("long").alias("n_agree"),
+            agree.alias("n_agree"),
         )
     )
 
@@ -257,10 +260,7 @@ def intra_batch_scored_pairs(
     pairs = lsh_candidate_pairs(
         sigs, id_col, num_hashes=num_hashes, band_size=band_size
     )
-    agree = None
-    for i in range(num_hashes):
-        t = F.when(F.col(f"n.mh_{i}") == F.col(f"x.mh_{i}"), 1).otherwise(0)
-        agree = t if agree is None else agree + t
+    agree = _lanes_agree(num_hashes, "n.mh_{i}", "x.mh_{i}")
     return (
         pairs.join(
             sigs.alias("n"), F.col("id_b") == F.col(f"n.{id_col}")
@@ -269,7 +269,7 @@ def intra_batch_scored_pairs(
         .select(
             F.col("id_b").alias("new_id"),
             F.col("id_a").alias("match_id"),
-            agree.cast("long").alias("n_agree"),
+            agree.alias("n_agree"),
         )
     )
 
@@ -297,25 +297,8 @@ def banded_signatures(
     prefix (the prefix keeps parquet partition-type inference from
     flip-flopping int/string on all-digit epochs).
     """
-    n_bands = num_hashes // band_size
     mh_cols = [f"mh_{i}" for i in range(num_hashes)]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * band_size + j}")
-                            for j in range(band_size)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = minhash_band_structs(num_hashes, band_size)
     return sigs.select(
         F.col(id_col), *mh_cols, F.explode(bands).alias("b")
     ).select(
@@ -373,14 +356,9 @@ def incremental_near_dup_gate_banded(
         F.col(id_col).alias("new_id"),
         *[F.col(f"mh_{i}").alias(f"n_mh_{i}") for i in range(num_hashes)],
     )
-    agree = None
-    for i in range(num_hashes):
-        t = F.when(
-            F.col(f"x_mh_{i}") == F.col(f"n_mh_{i}"), 1
-        ).otherwise(0)
-        agree = t if agree is None else agree + t
+    agree = _lanes_agree(num_hashes, "x_mh_{i}", "n_mh_{i}")
     return cands.join(F.broadcast(arrivals), "new_id").select(
-        "new_id", "match_id", agree.cast("long").alias("n_agree")
+        "new_id", "match_id", agree.alias("n_agree")
     )
 
 
@@ -1225,24 +1203,7 @@ def lsh_band_precision(
     the audit reports C(n,2) without materializing it.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes=num_hashes, k=k)
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh_{b * band_size + j}")
-                            for j in range(band_size)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    bands = minhash_band_structs(num_hashes, band_size)
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         F.col(id_col),
         F.col("b.band_id").alias("band_id"),

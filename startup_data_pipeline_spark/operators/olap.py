@@ -1011,9 +1011,14 @@ def ks_two_sample(
             "n_b",
             "at_value",
             F.expr("try_cast(__dmx AS BIGINT)").alias("max_diff_scaled"),
+            # nullif: one empty side means KS is undefined (no CDF to
+            # compare against) — NULL ks_ppm, not an ANSI
+            # divide-by-zero crash (same guard as histogram_drift's
+            # shares; the oracle mirrors it)
             F.expr(
                 f"CAST(CAST({ppm} AS DECIMAL(38,0)) * __dmx "
-                "div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+                "div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0) "
+                "AS BIGINT)"
             ).alias("ks_ppm"),
         )
     )

@@ -2107,7 +2107,8 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN v END) AS BIGINT) AS at_value,
            CAST(MAX(d) AS BIGINT) AS max_diff_scaled,
            CAST(CAST(1000000 AS HUGEINT) * MAX(d)
-                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm
+                // NULLIF(CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT)
+               AS ks_ppm
     FROM diffs GROUP BY n_a, n_b
     """,
     survey_ops="exact two-sample Kolmogorov-Smirnov acceptance test "

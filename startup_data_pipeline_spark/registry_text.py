@@ -1815,19 +1815,28 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_bfs_hops",
+    # edge source mirrors near_dup_pairs' corpus auto-sizing (the r6
+    # review caught this as the last fixed-dims call site — same meta
+    # CTE as q_embedding_near_dup / q_near_dup_components)
     oracle=f"""
-    WITH RECURSIVE q AS (
-        SELECT vec_id, {_QUANT} AS v,
-               (CASE WHEN qv1 >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN qv2 >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN qv3 >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN qv4 >= 0 THEN 8 ELSE 0 END) AS bucket
-        FROM (SELECT vec_id, embedding,
-                     CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT) qv1,
-                     CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT) qv2,
-                     CAST(round(CAST(embedding[3] AS DOUBLE) * 10000) AS BIGINT) qv3,
-                     CAST(round(CAST(embedding[4] AS DOUBLE) * 10000) AS BIGINT) qv4
-              FROM embeddings)
+    WITH RECURSIVE meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    q0 AS (
+        SELECT vec_id, {_QUANT} AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN v[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM q0
     ),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1864,7 +1873,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", min_score=32_000_000, dims=[0, 1, 2, 3]
+        emb, "vec_id", "embedding", min_score=32_000_000
     )
     seeds = emb.filter(F.col("vec_id") < 10).select("vec_id")
     return graph.bfs_hops(emb.select("vec_id"), pairs, "vec_id", seeds, max_hops=6)

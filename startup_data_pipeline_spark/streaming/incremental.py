@@ -514,6 +514,7 @@ def gate_probe_read(
     gen_dir: str,
     epoch_id: int,
     pairs: list[tuple[int, str]],
+    schema=None,
 ) -> DataFrame:
     """The gate's pruned index read: the live generation filtered to
     the arrival batch's (band_id, kbucket) partitions, current epoch
@@ -528,12 +529,23 @@ def gate_probe_read(
     pruning on this exact read. This is the gate's 100 TB growth story:
     per-batch probe cost follows the BATCH's band-key footprint, not
     the corpus's epoch count (compaction) or total size (pruning).
+
+    ``schema`` (the banded layout + the ``epoch`` partition column)
+    makes the read robust to a generation whose epoch dirs carry no
+    data files: a ``partitionBy`` write of an EMPTY frame (a batch of
+    only signature-less docs) emits just ``_SUCCESS``, and a
+    schema-less read of such a generation would fail with
+    UNABLE_TO_INFER_SCHEMA on the next batch — permanently, since
+    every foreachBatch retry hits the same error. With the schema
+    pinned, a file-less generation reads as an empty frame and the
+    gate keeps flowing.
     """
     cond = None
     for b, kb in pairs:
         t = (F.col("band_id") == b) & (F.col("kbucket") == kb)
         cond = t if cond is None else cond | t
-    out = spark.read.parquet(gen_dir).filter(F.col("epoch") != epoch_id)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    out = reader.parquet(gen_dir).filter(F.col("epoch") != epoch_id)
     if cond is not None:
         out = out.filter(cond)
     return out.drop("epoch")
@@ -559,20 +571,24 @@ def make_dedup_gate_handler(
     from ..operators import dedup as dedup_ops
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import types as T
+
         sigs = dedup_ops.minhash_signatures(
             batch_df, id_col, text_col, num_hashes=num_hashes
         ).localCheckpoint()
-        # the batch's band-key footprint drives the index read's
-        # partition pruning; distinct (band_id, kbucket) is bounded by
-        # n_bands × 16 rows regardless of batch size
-        probe_pairs = sorted(
-            (r["band_id"], r["kbucket"])
-            for r in dedup_ops.banded_signatures(
-                sigs, id_col, num_hashes=num_hashes, band_size=band_size
-            )
-            .select("band_id", "kbucket")
-            .distinct()
-            .collect()
+        # the ONE banded projection of this batch: probe footprint,
+        # index read schema, and the admitted-rows write all derive
+        # from it (a single definition of the on-disk layout)
+        banded = dedup_ops.banded_signatures(
+            sigs, id_col, num_hashes=num_hashes, band_size=band_size
+        )
+        # the persisted layout's read schema — the epoch partition dir
+        # plus the banded columns. Pinning it keeps the gate alive
+        # across generations whose epoch dirs hold no data files (an
+        # empty partitionBy write emits only _SUCCESS).
+        idx_schema = T.StructType(
+            list(banded.schema.fields)
+            + [T.StructField("epoch", T.IntegerType())]
         )
 
         gens = _gate_generations(spark, index_path)
@@ -604,11 +620,22 @@ def make_dedup_gate_handler(
             # and index every arrival, permanently polluting the index.
             # The probe read is PARTITION-PRUNED to the batch's band
             # keys (gate_probe_read); the full-index read happens only
-            # on compaction epochs, below.
-            if n_epochs > 0 and probe_pairs:
-                index_probe = gate_probe_read(
-                    spark, gen_dir, epoch_id, probe_pairs
+            # on compaction epochs, below. The footprint collect —
+            # bounded by n_bands × 16 rows regardless of batch size —
+            # runs only here, where its sole consumer lives (no index
+            # yet ⇒ nothing to probe ⇒ no job).
+            if n_epochs > 0:
+                probe_pairs = sorted(
+                    (r["band_id"], r["kbucket"])
+                    for r in banded.select("band_id", "kbucket")
+                    .distinct()
+                    .collect()
                 )
+                if probe_pairs:
+                    index_probe = gate_probe_read(
+                        spark, gen_dir, epoch_id, probe_pairs,
+                        schema=idx_schema,
+                    )
 
         # candidates: persisted index ∪ same-batch smaller-id peers
         scored = dedup_ops.intra_batch_scored_pairs(
@@ -649,16 +676,11 @@ def make_dedup_gate_handler(
         # duplicates are NOT indexed (the canonical copy is already
         # there — matches the reference's "seen items are not
         # re-processed" semantics)
-        keep = dedup_ops.banded_signatures(
-            sigs.join(
-                out.filter(F.col("admitted")).select(
-                    F.col("new_id").alias(id_col)
-                ),
-                id_col,
+        keep = banded.join(
+            out.filter(F.col("admitted")).select(
+                F.col("new_id").alias(id_col)
             ),
             id_col,
-            num_hashes=num_hashes,
-            band_size=band_size,
         )
         if n_epochs >= compact_every:
             # roll the generation: history (already excludes this epoch)
@@ -667,7 +689,8 @@ def make_dedup_gate_handler(
             # Compaction is the ONE full-index read; the probe above
             # stays pruned.
             index_full = (
-                spark.read.parquet(gen_dir)
+                spark.read.schema(idx_schema)
+                .parquet(gen_dir)
                 .filter(F.col("epoch") != epoch_id)
                 .drop("epoch")
             )

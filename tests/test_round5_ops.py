@@ -1566,3 +1566,16 @@ def test_hard_negatives_label_filter_and_rank(spark):
     assert top1[3]["negative_id"] == 1
     assert top1[5]["negative_id"] == 2
     assert top1[1]["score"] == 10_000 * 9_000
+
+
+def test_ks_two_sample_empty_side_yields_null_not_crash(spark):
+    """KS against an empty sample is undefined: NULL ks_ppm (nullif
+    guard), never an ANSI DIVIDE_BY_ZERO. Regression for the round-6
+    review finding; histogram_drift got the same guard in-round."""
+    a = spark.createDataFrame([(1,), (2,), (5,)], "x long")
+    b = spark.createDataFrame([], "x long")
+    rows = olap.ks_two_sample(a, b, "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] == 3 and r["n_b"] == 0
+    assert r["ks_ppm"] is None

@@ -694,3 +694,39 @@ def test_streaming_dedup_gate_multi_hash_bands(spark, tmp_path):
     ) == [1, 3]
     # every row carries its 8 signature lanes inline
     assert {f"mh_{i}" for i in range(8)} <= set(index.columns)
+
+
+def test_dedup_gate_survives_signatureless_first_batch(spark, tmp_path):
+    """A first batch of only sub-k-token docs produces an EMPTY keep
+    frame, whose partitionBy write emits just _SUCCESS (no
+    schema-carrying data file). The next batch's index read must see an
+    empty index — not die on UNABLE_TO_INFER_SCHEMA, which (being
+    raised on every foreachBatch retry too) would permanently brick the
+    gate. Regression test for the round-6 banded-layout change; the
+    read schema is pinned from the batch's own banded projection."""
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "sl_idx")
+    vp = str(tmp_path / "sl_verdicts")
+    handle = make_dedup_gate_handler(spark, idx, vp, compact_every=4)
+    schema = "doc_id long, text string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+
+    # every text tokenizes below the k=3 shingle floor -> sigs empty
+    handle(mk([(1, "too short"), (2, "tiny")]), 0)
+    v0 = {
+        r["new_id"]: r["admitted"] for r in spark.read.parquet(vp).collect()
+    }
+    assert v0 == {1: True, 2: True}  # signature-less docs admit
+
+    # next batch reads the file-less generation and must keep working
+    handle(mk([(3, "first real document alpha beta gamma delta")]), 1)
+    handle(mk([(4, "first real document alpha beta gamma delta")]), 2)
+    v = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    assert v[3][0] is True
+    assert v[4] == (False, 3)  # the index grew and probes prune-read
