@@ -708,6 +708,74 @@ def pq_adc_topk(
     )
 
 
+def _bucketed_scored_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: list[int],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The bucketed all-vectors self-join both graph builders share
+    (``knn_graph``, ``hard_negative_mining``): quantize ONCE behind a
+    projection boundary, derive the sign-LSH bucket from the alias
+    (feeding the raw quantize expression into ``sign_lsh_bucket``
+    would copy the whole transform into every hyperplane bit term —
+    the z-order plan-duplication trap; lambda expressions are excluded
+    from subexpression elimination), then equi-join on the bucket key.
+
+    Output: (a_id, b_id, a_<carry>..., b_<carry>..., score) for every
+    in-bucket ordered pair including self-pairs — callers apply their
+    own pair predicate (id inequality, label inequality) and ranking.
+    One definition of the plan shape means a future skew guard or
+    bucket cap lands in every graph builder at once (the
+    minhash_band_structs lesson applied here)."""
+    q = (
+        ensure_min_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("vid"),
+            *[F.col(c).alias(f"__c_{c}") for c in carry],
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+        .select(
+            "vid",
+            *[f"__c_{c}" for c in carry],
+            "qv",
+            sign_lsh_bucket(F.col("qv"), dims).alias("bucket"),
+        )
+    )
+    a = q.select(
+        F.col("vid").alias("a_id"),
+        *[F.col(f"__c_{c}").alias(f"a_{c}") for c in carry],
+        F.col("qv").alias("va"),
+        "bucket",
+    )
+    b = q.select(
+        F.col("vid").alias("b_id"),
+        *[F.col(f"__c_{c}").alias(f"b_{c}") for c in carry],
+        F.col("qv").alias("vb"),
+        F.col("bucket").alias("__bb"),
+    )
+    return a.join(b, F.col("bucket") == F.col("__bb")).select(
+        "a_id",
+        "b_id",
+        *[f"a_{c}" for c in carry],
+        *[f"b_{c}" for c in carry],
+        int_dot(F.col("va"), F.col("vb")).alias("score"),
+    )
+
+
+def _topk_per_anchor(scored: DataFrame, anchor: str, neighbor: str, k: int) -> DataFrame:
+    """row_number top-k per anchor, ties to the lower neighbor id —
+    rides the bucket exchange keyed by the anchor column."""
+    w = Window.partitionBy(anchor).orderBy(
+        F.col("score").desc(), F.col(neighbor).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_graph(
     embeddings: DataFrame,
     id_col: str,
@@ -740,45 +808,17 @@ def knn_graph(
     """
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
-    # quantize ONCE behind a projection boundary, then derive the
-    # bucket from the alias — feeding the raw quantize expression into
-    # sign_lsh_bucket would copy the whole transform into every
-    # hyperplane bit term (the z-order plan-duplication trap); lambda
-    # expressions are excluded from subexpression elimination
-    q = (
-        ensure_min_parallelism(embeddings)
-        .select(
-            F.col(id_col).alias("vid"),
-            quantize(F.col(vec_col)).alias("qv"),
-        )
-        .select(
-            "vid", "qv", sign_lsh_bucket(F.col("qv"), dims).alias("bucket")
-        )
-    )
-    a = q.select(
-        F.col("vid").alias("vec_id"),
-        F.col("qv").alias("va"),
-        "bucket",
-    )
-    b = q.select(
-        F.col("vid").alias("neighbor_id"),
-        F.col("qv").alias("vb"),
-        F.col("bucket").alias("__bb"),
-    )
-    from pyspark.sql import Window
-
     scored = (
-        a.join(b, (F.col("bucket") == F.col("__bb"))
-               & (F.col("vec_id") != F.col("neighbor_id")))
-        .select("vec_id", "neighbor_id", int_dot(F.col("va"), F.col("vb")).alias("score"))
+        _bucketed_scored_pairs(embeddings, id_col, vec_col, dims)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("b_id").alias("neighbor_id"),
+            "score",
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", "score")
+    return _topk_per_anchor(scored, "vec_id", "neighbor_id", k).select(
+        "vec_id", "neighbor_id", "rank", "score"
     )
 
 
@@ -814,60 +854,26 @@ def hard_negative_mining(
     """
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
-    q = (
-        ensure_min_parallelism(embeddings)
-        .select(
-            F.col(id_col).alias("vid"),
-            F.col(label_col).alias("lab"),
-            quantize(F.col(vec_col)).alias("qv"),
-        )
-        .select(
-            "vid",
-            "lab",
-            "qv",
-            sign_lsh_bucket(F.col("qv"), dims).alias("bucket"),
-        )
-    )
-    a = q.select(
-        F.col("vid").alias("anchor_id"),
-        F.col("lab").alias("anchor_label"),
-        F.col("qv").alias("va"),
-        "bucket",
-    )
-    b = q.select(
-        F.col("vid").alias("negative_id"),
-        F.col("lab").alias("__nl"),
-        F.col("qv").alias("vb"),
-        F.col("bucket").alias("__bb"),
-    )
     scored = (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("__bb"))
-            & (F.col("anchor_label") != F.col("__nl")),
+        _bucketed_scored_pairs(
+            embeddings, id_col, vec_col, dims, carry=(label_col,)
         )
+        .filter(F.col(f"a_{label_col}") != F.col(f"b_{label_col}"))
         .select(
-            "anchor_id",
-            "anchor_label",
-            F.col("negative_id"),
-            F.col("__nl").alias("negative_label"),
-            int_dot(F.col("va"), F.col("vb")).alias("score"),
-        )
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("score").desc(), F.col("negative_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "negative_id",
-            "negative_label",
-            "rank",
+            F.col("a_id").alias("anchor_id"),
+            F.col(f"a_{label_col}").alias("anchor_label"),
+            F.col("b_id").alias("negative_id"),
+            F.col(f"b_{label_col}").alias("negative_label"),
             "score",
         )
+    )
+    return _topk_per_anchor(scored, "anchor_id", "negative_id", k).select(
+        "anchor_id",
+        "anchor_label",
+        "negative_id",
+        "negative_label",
+        "rank",
+        "score",
     )
 
 

@@ -598,6 +598,36 @@ def make_dedup_gate_handler(
         def jp(p: str):
             return _hadoop_fs(spark, p)[1]
 
+        # Layout marker: the pinned-schema read (which keeps file-less
+        # generations from bricking the gate) would also MASK a config
+        # drift — an index written under num_hashes=4 probed by a
+        # handler configured num_hashes=8 reads missing lanes as NULL,
+        # scores every true dup below threshold, and silently pollutes
+        # the index forever. An O(1) marker dir records the layout at
+        # index creation; a mismatched handler fails LOUDLY here, every
+        # batch, before touching data. (_gate_generations ignores
+        # non-gen= dirs, so the marker is invisible to generation
+        # logic.)
+        layout = f"layout=nh{num_hashes}-bs{band_size}"
+        if fs.exists(jp(index_path)):
+            on_disk = [
+                s.getPath().getName()
+                for s in fs.listStatus(jp(index_path))
+                if s.getPath().getName().startswith("layout=")
+            ]
+            if on_disk and on_disk != [layout]:
+                raise ValueError(
+                    f"dedup-gate index at {index_path} was written with "
+                    f"{on_disk} but this handler is configured "
+                    f"{layout}; probing across signature layouts would "
+                    "silently admit duplicates — rebuild the index or "
+                    "match the handler config"
+                )
+            if not on_disk:
+                fs.mkdirs(jp(f"{index_path}/{layout}"))
+        else:
+            fs.mkdirs(jp(f"{index_path}/{layout}"))
+
         # sweep stale generations (crash between compact and delete)
         for g in gens[:-1]:
             fs.delete(jp(f"{index_path}/gen={g}"), True)

@@ -730,3 +730,33 @@ def test_dedup_gate_survives_signatureless_first_batch(spark, tmp_path):
     }
     assert v[3][0] is True
     assert v[4] == (False, 3)  # the index grew and probes prune-read
+
+
+def test_dedup_gate_layout_drift_fails_loudly(spark, tmp_path):
+    """A handler whose (num_hashes, band_size) differs from the
+    persisted index's layout must raise before probing: the pinned
+    read schema would otherwise fill the missing lanes with NULL,
+    under-score every true duplicate, and silently pollute the index
+    forever."""
+    import pytest as _pytest
+
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "ld_idx")
+    vp = str(tmp_path / "ld_verdicts")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    h4 = make_dedup_gate_handler(spark, idx, vp, num_hashes=4)
+    h4(mk([(1, "first corpus document alpha beta gamma delta")]), 0)
+
+    h8 = make_dedup_gate_handler(spark, idx, vp, num_hashes=8)
+    with _pytest.raises(ValueError, match="layout"):
+        h8(mk([(2, "second document epsilon zeta eta theta")]), 1)
+
+    # the matching handler keeps working against the same index
+    h4(mk([(3, "first corpus document alpha beta gamma delta")]), 1)
+    v = {
+        r["new_id"]: r["admitted"] for r in spark.read.parquet(vp).collect()
+    }
+    assert v[3] is False
