@@ -1031,15 +1031,20 @@ def snapshot_novelty(
     with zero overlap (the interesting ones) in the output. ppm
     integer-exact.
     """
-    c_sh = (
+    # the current side feeds TWO branches (the doc spine with its
+    # shingle-set size, and the occurrence stream) — materialize the
+    # one tokenize+shingle pass (the lsh_band_precision pattern)
+    # instead of re-running it per branch
+    base = (
         _tokenized(cur, id_col, text_col)
         .select(
             F.col(id_col).alias("id"),
             shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
         )
         .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
-        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
+        .localCheckpoint(eager=False)
     )
+    c_sh = base.select("id", F.explode("sh_arr").alias("shingle"))
     r_sh = (
         _tokenized(ref, id_col, text_col)
         .select(
@@ -1048,24 +1053,31 @@ def snapshot_novelty(
             ).alias("shingle")
         )
         .dropDuplicates(["shingle"])
-        .select("shingle", F.lit(1).alias("__seen"))
+    )
+    # LEFT ANTI instead of left-join-then-count-misses: the doc-keyed
+    # aggregation downstream then carries only the NOVEL occurrences —
+    # on a high-overlap corpus (the common re-crawl case this operator
+    # triages) that exchange shrinks from every occurrence to the few
+    # novel ones; zero-novelty docs re-enter via the doc-sized spine
+    # join below.
+    novel = (
+        c_sh.join(r_sh, "shingle", "left_anti")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
     return (
-        c_sh.join(r_sh, "shingle", "left")
-        .groupBy(F.col("id").alias(id_col), F.col("n_sh").alias("n_shingles"))
-        .agg(
-            F.count_if(F.col("__seen").isNull())
-            .cast("long")
-            .alias("n_novel")
-        )
-        .filter(F.col("n_shingles") > 0)
+        base.select("id", "n_sh")
+        .filter(F.col("n_sh") > 0)
+        .join(novel, "id", "left")
         .select(
-            id_col,
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            "n_novel",
-            F.expr("CAST(1000000 * n_novel div n_shingles AS BIGINT)").alias(
-                "novelty_ppm"
-            ),
+            F.col("id").alias(id_col),
+            F.col("n_sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "CAST(1000000 * coalesce(n_novel, 0L) div n_sh AS BIGINT)"
+            ).alias("novelty_ppm"),
         )
     )
 
