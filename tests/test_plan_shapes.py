@@ -503,3 +503,40 @@ def test_ks_two_sample_no_corpus_scale_global_window(spark, plan_sf_dir):
         head = seg.splitlines()[0]
         if "__v" in head and "partial" not in head:
             assert "__bkt" in head, head
+
+
+def test_dup_span_rate_no_pair_join_anywhere(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    plan = _plan(dedup.dup_span_rate(docs, "doc_id", "text"), "simple")
+    # the duplicated-span detection is count-agg + hash join against
+    # the AGGREGATED (one row per window hash) side — a universal
+    # boilerplate span must fan out linearly in occurrences, never as
+    # a candidate-pair self-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one join carries the window-hash key; the only other
+    # join is the doc-sized spine re-attach
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 2
+
+
+def test_hard_negatives_share_knn_bucket_join_shape(spark, plan_sf_dir):
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, plan_sf_dir, "embeddings")
+    plan = _plan(
+        similarity.hard_negative_mining(
+            emb, "vec_id", "embedding", "label", k=3
+        ),
+        "simple",
+    )
+    # the label filter RIDES the bucket equi-join (shared
+    # _bucketed_scored_pairs core) — no cartesian pass, and the only
+    # row-scaled exchange keys on the bucket
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
