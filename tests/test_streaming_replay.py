@@ -463,7 +463,9 @@ def test_dedup_gate_mid_compaction_crash_recovery(spark, tmp_path):
     shutil.copytree(f"{idx}/gen=0", snap)
     # epoch 2 compacts into gen=1 and deletes gen=0 …
     handle(mk([(30, "third unique text iota kappa lambda mu nu")]), 2)
-    assert sorted(os.listdir(idx)) == ["gen=1"]
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("gen=")
+    ) == ["gen=1"]
     # … (a) undo the delete: crash happened between gen-write and
     # gen-delete, so BOTH generations are on disk, gen=1 valid
     shutil.copytree(snap, f"{idx}/gen=0")
@@ -480,7 +482,9 @@ def test_dedup_gate_mid_compaction_crash_recovery(spark, tmp_path):
     # gen=0 swept; epoch 3 then legitimately compacted gen=1 → gen=2
     # (gen=1 already carried compact_every committed dirs), so exactly
     # one generation survives either way
-    assert sorted(os.listdir(idx)) == ["gen=2"], "stale gen not swept"
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("gen=")
+    ) == ["gen=2"], "stale gen not swept"
 
     # (b) a compaction that died mid-write of the sentinel dir: history
     # parquet present but no _SUCCESS → generation invisible
