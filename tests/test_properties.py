@@ -259,3 +259,37 @@ def test_histogram_drift_share_conservation(spark, ref, cur):
         if x["cur_ppm"] is not None:
             d = x["cur_ppm"] - x["ref_ppm"]
             assert x["drift_ppm"] == (d * d) // max(x["ref_ppm"], 1)
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+DOCTEXT = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@SLOW
+@given(texts=st.lists(DOCTEXT, min_size=1, max_size=5))
+def test_dup_span_rate_bounds_and_duplication_saturates(spark, texts):
+    """Invariants of the duplicated-span coverage: (1) coverage never
+    exceeds the token count and ppm never exceeds 1e6; (2) unioning the
+    corpus with a copy of itself makes EVERY window a duplicate, so
+    every doc long enough to hold one window reports full coverage."""
+    from startup_data_pipeline_spark.operators import dedup as dd
+
+    n = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = dd.dup_span_rate(docs, "doc_id", "text", n=n).collect()
+    for r in got:
+        assert 0 <= r["n_dup_tokens"] <= r["n_tokens"]
+        assert 0 <= r["dup_ppm"] <= 1_000_000
+        if r["n_tokens"] < n:
+            assert r["n_dup_tokens"] == 0
+
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    for r in dd.dup_span_rate(doubled, "doc_id", "text", n=n).collect():
+        if r["n_tokens"] >= n:
+            assert r["dup_ppm"] == 1_000_000, r
+        else:
+            assert r["n_dup_tokens"] == 0
