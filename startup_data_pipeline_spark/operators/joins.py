@@ -129,21 +129,33 @@ def join_skew_profile(
     rc = right.groupBy(F.col(right_key).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_right")
     )
+    # the per-key product is DECIMAL(38,0): two BIGINT counts multiply
+    # past 2^63 exactly on the hot-key pathology this profiler exists
+    # to surface (the ks_two_sample lesson) — BIGINT would ANSI-fail
+    # the pre-flight check right when it matters. Only the display
+    # column try_casts back (NULL past 2^63 — itself an unambiguous
+    # "this key kills the join" reading); ranking and share_ppm use
+    # the exact decimal.
     est = lc.join(rc, "key").select(
         "key", "n_left", "n_right",
-        (F.col("n_left") * F.col("n_right")).alias("est_pairs"),
+        (F.col("n_left").cast("decimal(38,0)") * F.col("n_right")).alias(
+            "__est"
+        ),
     )
-    total = est.agg(F.sum("est_pairs").alias("__tot"))
+    total = est.agg(F.sum("__est").alias("__tot"))
     return (
         est.crossJoin(F.broadcast(total))
         .select(
-            "key", "n_left", "n_right", "est_pairs",
-            F.expr("CAST(1000000 * est_pairs div __tot AS BIGINT)").alias(
-                "share_ppm"
-            ),
+            "key", "n_left", "n_right",
+            F.expr("try_cast(__est AS BIGINT)").alias("est_pairs"),
+            F.expr(
+                "CAST(1000000 * __est div nullif(__tot, 0) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.col("__est"),
         )
-        .orderBy(F.col("est_pairs").desc(), F.col("key").asc())
+        .orderBy(F.col("__est").desc(), F.col("key").asc())
         .limit(k)
+        .drop("__est")
     )
 
 
