@@ -1023,13 +1023,19 @@ def snapshot_novelty(
     rest of the pipeline. ``doc_novelty`` is the within-corpus sibling
     (df==1 inside one snapshot); this compares two snapshots.
 
-    Scale shape: identical to ``contamination_check`` — the current
-    side explodes per-doc-distinct shingles carrying the set size; the
-    reference collapses to its distinct shingle vocabulary before the
-    join, so join input is reference-vocabulary-sized, not
-    reference-corpus-sized; a LEFT join + count of misses keeps docs
-    with zero overlap (the interesting ones) in the output. ppm
-    integer-exact.
+    Scale shape: the current side tokenizes+shingles ONCE behind a
+    checkpoint (two consumers: the doc spine and the occurrence
+    stream); the reference collapses to its distinct shingle
+    vocabulary before the join, so join input is
+    reference-vocabulary-sized, not reference-corpus-sized; a LEFT
+    ANTI join feeds the doc-keyed aggregation only the NOVEL
+    occurrences (on the high-overlap re-crawl corpus this operator
+    triages, that exchange shrinks to nearly nothing — measured
+    6.12 → 1.40 s warm at sf0.1 vs the left-join-count-misses shape);
+    zero-novelty docs re-enter via the doc-sized spine join, which is
+    null-safe on (id, n_sh) so output rows are exactly the
+    ``GROUP BY id, n_shingles`` groups the oracle produces (NULL ids
+    included). ppm integer-exact.
     """
     # the current side feeds TWO branches (the doc spine with its
     # shingle-set size, and the occurrence stream) — materialize the
@@ -1044,7 +1050,7 @@ def snapshot_novelty(
         .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
         .localCheckpoint(eager=False)
     )
-    c_sh = base.select("id", F.explode("sh_arr").alias("shingle"))
+    c_sh = base.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     r_sh = (
         _tokenized(ref, id_col, text_col)
         .select(
@@ -1059,25 +1065,37 @@ def snapshot_novelty(
     # on a high-overlap corpus (the common re-crawl case this operator
     # triages) that exchange shrinks from every occurrence to the few
     # novel ones; zero-novelty docs re-enter via the doc-sized spine
-    # join below.
+    # join below. Both the count and the spine key on (id, n_sh) —
+    # the oracle's GROUP BY — so duplicate-id inputs keep their
+    # per-group counts and never cross-contaminate.
     novel = (
         c_sh.join(r_sh, "shingle", "left_anti")
-        .groupBy("id")
+        .groupBy("id", "n_sh")
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
+    spine = (
+        base.select("id", "n_sh").filter(F.col("n_sh") > 0).distinct()
+    )
+    # null-safe keys: SQL GROUP BY puts NULL ids in one group and
+    # reports them; a plain equi-join would silently zero exactly the
+    # high-novelty NULL-id rows this operator exists to surface
     return (
-        base.select("id", "n_sh")
-        .filter(F.col("n_sh") > 0)
-        .join(novel, "id", "left")
+        spine.join(
+            novel,
+            spine["id"].eqNullSafe(novel["id"])
+            & spine["n_sh"].eqNullSafe(novel["n_sh"]),
+            "left",
+        )
         .select(
-            F.col("id").alias(id_col),
-            F.col("n_sh").cast("long").alias("n_shingles"),
-            F.coalesce(F.col("n_novel"), F.lit(0))
+            spine["id"].alias(id_col),
+            spine["n_sh"].cast("long").alias("n_shingles"),
+            F.coalesce(novel["n_novel"], F.lit(0))
             .cast("long")
             .alias("n_novel"),
-            F.expr(
-                "CAST(1000000 * coalesce(n_novel, 0L) div n_sh AS BIGINT)"
-            ).alias("novelty_ppm"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(1000000 * n_novel div n_shingles AS BIGINT)"),
         )
     )
 

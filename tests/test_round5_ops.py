@@ -1579,3 +1579,38 @@ def test_ks_two_sample_empty_side_yields_null_not_crash(spark):
     r = rows[0]
     assert r["n_a"] == 3 and r["n_b"] == 0
     assert r["ks_ppm"] is None
+
+
+def test_snapshot_novelty_duplicate_and_null_ids(spark):
+    """Output rows are exactly the GROUP BY (id, n_shingles) groups the
+    oracle produces: duplicate-id docs never cross-contaminate counts,
+    and NULL-id docs are reported (null-safe spine join), not zeroed.
+    Regression for the round-6 anti-join reshape."""
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [
+            # same id, different sizes: fully-seen 3-shingle doc and a
+            # fully-novel 2-shingle doc must stay separate groups
+            (7, "alpha beta gamma delta epsilon"),
+            (7, "zeta eta theta iota"),
+            # NULL id, entirely novel: must surface with full novelty
+            (None, "one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    from startup_data_pipeline_spark.operators import dedup as dd
+
+    got = {
+        (r["doc_id"], r["n_shingles"]): r
+        for r in dd.snapshot_novelty(ref, cur, "doc_id", "text", k=3).collect()
+    }
+    assert set(got) == {(7, 3), (7, 2), (None, 2)}
+    assert got[(7, 3)]["n_novel"] == 0
+    assert got[(7, 3)]["novelty_ppm"] == 0
+    assert got[(7, 2)]["n_novel"] == 2
+    assert got[(7, 2)]["novelty_ppm"] == 1_000_000
+    assert got[(None, 2)]["n_novel"] == 2
+    assert got[(None, 2)]["novelty_ppm"] == 1_000_000
