@@ -1036,6 +1036,12 @@ def snapshot_novelty(
     null-safe on (id, n_sh) so output rows are exactly the
     ``GROUP BY id, n_shingles`` groups the oracle produces (NULL ids
     included). ppm integer-exact.
+
+    ``id_col`` is assumed to identify documents uniquely. Inputs that
+    violate that merge per the GROUP BY contract — identically on both
+    engines — with one caveat worth naming: N same-(id, size) docs
+    pool their novel-occurrence counts over the per-doc denominator,
+    so ``novelty_ppm`` ranges up to N·1e6 for such a group, not 1e6.
     """
     # the current side feeds TWO branches (the doc spine with its
     # shingle-set size, and the occurrence stream) — materialize the
@@ -1068,9 +1074,17 @@ def snapshot_novelty(
     # join below. Both the count and the spine key on (id, n_sh) —
     # the oracle's GROUP BY — so duplicate-id inputs keep their
     # per-group counts and never cross-contaminate.
+    # novel's group keys are RENAMED before the join: spine and novel
+    # both derive from the checkpointed `base`, so same-named df["col"]
+    # references form an ambiguous self-join that resolves only through
+    # Spark's dataset-id disambiguation metadata (and warns
+    # "trivially true equals predicate" on every run) — distinct
+    # attribute names make the condition unambiguous outright
     novel = (
         c_sh.join(r_sh, "shingle", "left_anti")
-        .groupBy("id", "n_sh")
+        .groupBy(
+            F.col("id").alias("__nid"), F.col("n_sh").alias("__nsh")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
     )
     spine = (
@@ -1082,14 +1096,14 @@ def snapshot_novelty(
     return (
         spine.join(
             novel,
-            spine["id"].eqNullSafe(novel["id"])
-            & spine["n_sh"].eqNullSafe(novel["n_sh"]),
+            F.col("id").eqNullSafe(F.col("__nid"))
+            & F.col("n_sh").eqNullSafe(F.col("__nsh")),
             "left",
         )
         .select(
-            spine["id"].alias(id_col),
-            spine["n_sh"].cast("long").alias("n_shingles"),
-            F.coalesce(novel["n_novel"], F.lit(0))
+            F.col("id").alias(id_col),
+            F.col("n_sh").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
             .cast("long")
             .alias("n_novel"),
         )

@@ -1603,10 +1603,11 @@ def test_snapshot_novelty_duplicate_and_null_ids(spark):
     )
     from startup_data_pipeline_spark.operators import dedup as dd
 
-    got = {
-        (r["doc_id"], r["n_shingles"]): r
-        for r in dd.snapshot_novelty(ref, cur, "doc_id", "text", k=3).collect()
-    }
+    out = dd.snapshot_novelty(ref, cur, "doc_id", "text", k=3).collect()
+    # exactly one row per (id, n_shingles) group — a list (not a keyed
+    # dict) so a dropped spine.distinct() shows up as duplicate rows
+    assert len(out) == 3
+    got = {(r["doc_id"], r["n_shingles"]): r for r in out}
     assert set(got) == {(7, 3), (7, 2), (None, 2)}
     assert got[(7, 3)]["n_novel"] == 0
     assert got[(7, 3)]["novelty_ppm"] == 0
@@ -1614,3 +1615,25 @@ def test_snapshot_novelty_duplicate_and_null_ids(spark):
     assert got[(7, 2)]["novelty_ppm"] == 1_000_000
     assert got[(None, 2)]["n_novel"] == 2
     assert got[(None, 2)]["novelty_ppm"] == 1_000_000
+
+
+def test_snapshot_novelty_identical_duplicate_docs_one_group_row(spark):
+    """Two byte-identical docs (same id, same text) are ONE GROUP BY
+    group on both engines: one output row, pooled occurrence count
+    (the documented N-docs-per-group caveat: ppm can reach N*1e6)."""
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(9, "zeta eta theta iota"), (9, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    from startup_data_pipeline_spark.operators import dedup as dd
+
+    out = dd.snapshot_novelty(ref, cur, "doc_id", "text", k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_id"], r["n_shingles"]) == (9, 2)
+    assert r["n_novel"] == 4                    # pooled over both docs
+    assert r["novelty_ppm"] == 2_000_000        # documented >1e6 range
