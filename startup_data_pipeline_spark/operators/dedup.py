@@ -718,20 +718,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.select(F.col(id_col), packed.alias("simhash64"))
 
 
-def simhash64_near_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3,
-    sig_col: str = "simhash64",
-) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash with banded multi-probe blocking.
-
-    The signature splits into 4 disjoint 16-bit bands; candidates are
-    pairs agreeing EXACTLY on at least one band (LSH banding, as in
-    ``lsh_candidate_pairs``). By pigeonhole, any pair within hamming
-    distance 3 differs in at most 3 bands, so banding has FULL recall
-    for max_hamming <= 3 — the exact bit_count filter then removes false
-    positives. Per-band bucket count is 65536, so the self-join is
-    bucketed, never all-pairs; the explode carries only (id, sig, band).
-    """
+def simhash64_bands(sigs: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """(id, __sig, band_id, band_val) — THE 4×16-bit band split shared
+    by the pair join and the occupancy report. One definition so the
+    report's bucket keys are exactly the join's bucket keys."""
     bands = F.array(
         *[
             F.struct(
@@ -743,7 +733,7 @@ def simhash64_near_pairs(
             for i in range(4)
         ]
     )
-    exploded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.col(sig_col).alias("__sig"), F.explode(bands).alias("b")
     ).select(
         F.col(id_col),
@@ -751,6 +741,79 @@ def simhash64_near_pairs(
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_val").alias("band_val"),
     )
+
+
+def simhash64_bucket_report(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-band occupancy audit for the 4×16-bit banded blocking:
+    (band_id, n_buckets, max_bucket_size, n_capped_buckets,
+    n_capped_rows) — the observability half of the ``max_bucket``
+    degeneracy cap on ``simhash64_near_pairs`` (same template as the
+    MinHash cap report, ``lsh_band_precision``'s analytic counts).
+    One groupBy over the band split; never enumerates pairs.
+    """
+    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
+    return (
+        simhash64_bands(sigs, id_col, sig_col)
+        .groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("__sz").alias("max_bucket_size"),
+            F.sum(
+                F.when(F.col("__sz") > cap, 1).otherwise(0)
+            ).cast("long").alias("n_capped_buckets"),
+            F.sum(
+                F.when(F.col("__sz") > cap, F.col("__sz")).otherwise(0)
+            ).cast("long").alias("n_capped_rows"),
+        )
+    )
+
+
+def simhash64_near_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3,
+    sig_col: str = "simhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash with banded multi-probe blocking.
+
+    The signature splits into 4 disjoint 16-bit bands; candidates are
+    pairs agreeing EXACTLY on at least one band (LSH banding, as in
+    ``lsh_candidate_pairs``). By pigeonhole, any pair within hamming
+    distance 3 differs in at most 3 bands, so banding has FULL recall
+    for max_hamming <= 3 — the exact bit_count filter then removes false
+    positives. Per-band bucket count is 65536, so the self-join is
+    bucketed, never all-pairs; the explode carries only (id, sig, band).
+
+    ``max_bucket`` is the degeneracy cap: the band-bucket count is FIXED
+    at 65536 (adding bits would break the hamming<=3 pigeonhole
+    guarantee, so this bucket space cannot auto-size the way the
+    sign-LSH family does via ``auto_lsh_dims``), which means occupancy
+    grows linearly with the corpus and in-bucket pair work
+    quadratically. The cap drops rows in buckets holding more than
+    ``max_bucket`` signatures BEFORE the self-join — same window-count
+    template as ``lsh_candidate_pairs``, counted on the join's own
+    (band_id, band_val) shuffle key so Catalyst reuses one Exchange.
+    Recall trade, stated: a pair agreeing ONLY on capped bands is lost;
+    capped buckets are near-constant signature regions (boilerplate /
+    monochrome images) where hamming<=3 "near-dup" is noise anyway.
+    ``simhash64_bucket_report`` is the companion audit.
+    """
+    exploded = simhash64_bands(sigs, id_col, sig_col)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_val")
+        exploded = (
+            exploded.withColumn("__sz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__sz") <= max_bucket)
+            .drop("__sz")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -1151,10 +1214,13 @@ def dup_span_rate(
     """
     from pyspark.sql import Window
 
+    # base feeds TWO branches (the window stream `wins` and the final
+    # doc spine) — materialize the one tokenize pass instead of running
+    # it once per consumer (the snapshot_novelty pattern)
     tk = _tokenized(df, id_col, text_col)
     base = tk.select(
         F.col(id_col), F.size("__tk").alias("n_tokens"), "__tk"
-    )
+    ).localCheckpoint(eager=False)
     grams = F.transform(
         F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
         lambda i: F.md5(
@@ -1329,6 +1395,7 @@ def dedup_method_agreement(
     min_jaccard: float = 0.5,
     max_hamming: int = 3,
     ppm: int = 1_000_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-method near-dup agreement audit: the pair sets found by
     exact n-gram Jaccard and by banded 64-bit SimHash, their overlap,
@@ -1350,7 +1417,7 @@ def dedup_method_agreement(
     sim = (
         simhash64_near_pairs(
             simhash64(df, id_col, text_col), id_col,
-            max_hamming=max_hamming,
+            max_hamming=max_hamming, max_bucket=max_bucket,
         )
         .select("id_a", "id_b", F.lit(1).alias("__in_sim"))
     )

@@ -840,12 +840,19 @@ def histogram_drift(
     )
     # clamp BEFORE the division so the dividend is non-negative (Spark
     # div truncates, DuckDB // floors — they only agree at >= 0) and
-    # keep the bucket math in integer `div` (exact on both engines)
+    # keep the bucket math in exact integer `div`. The range arithmetic
+    # runs in DECIMAL(38,0): (__v - __mn) ANSI-overflows BIGINT when
+    # the column's range passes 2^63 (values near both ±2^62), and
+    # (__v - __mn) * n_bins overflows once the range exceeds
+    # ~2^63/n_bins — the same overflow class the KS cross-products
+    # were moved to decimal for. `div` on decimals stays exact and the
+    # bucket index re-narrows to BIGINT via least().
     bucket = F.least(
         F.lit(n_bins - 1).cast("long"),
         F.expr(
-            "(least(__mx, greatest(__mn, __v)) - __mn) "
-            f"* {n_bins} div (__mx - __mn + 1)"
+            "CAST((CAST(least(__mx, greatest(__mn, __v)) AS DECIMAL(38,0))"
+            f" - __mn) * {n_bins}"
+            " div (CAST(__mx AS DECIMAL(38,0)) - __mn + 1) AS BIGINT)"
         ),
     )
     counts = (
@@ -942,8 +949,12 @@ def ks_two_sample(
         .select(
             "__v",
             "__side",
+            # range math in DECIMAL(38,0) for the same reason as
+            # histogram_drift's bucket expression: (__v - __mn) and its
+            # ×n_buckets product must stay exact past BIGINT range
             F.expr(
-                f"(__v - __mn) * {n_buckets} div (__mx - __mn + 1)"
+                f"CAST((CAST(__v AS DECIMAL(38,0)) - __mn) * {n_buckets}"
+                " div (CAST(__mx AS DECIMAL(38,0)) - __mn + 1) AS BIGINT)"
             ).alias("__bkt"),
         )
         .groupBy("__bkt", "__v")

@@ -139,6 +139,7 @@ def lsh_topk(
     k: int = 5,
     dims: list[int] | None = None,
     target_bucket: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
@@ -157,11 +158,12 @@ def lsh_topk(
         .select(F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv"))
         .withColumn("bucket", sign_lsh_bucket(F.col("qv"), dims))
     )
-    c = (
+    c = _lsh_bucket_capped(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
         )
-        .withColumn("bucket", sign_lsh_bucket(F.col("cv"), dims))
+        .withColumn("bucket", sign_lsh_bucket(F.col("cv"), dims)),
+        max_bucket,
     )
     scored = (
         F.broadcast(q)
@@ -238,6 +240,7 @@ def near_dup_pairs(
     min_score: int,
     dims: list[int] | None = None,
     target_bucket: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (§2.11 dedup family).
 
@@ -256,13 +259,14 @@ def near_dup_pairs(
     """
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
-    side = lambda tag: (  # noqa: E731
+    side = lambda tag: _lsh_bucket_capped(  # noqa: E731
         ensure_min_parallelism(embeddings)
         .select(
             F.col(id_col).alias(f"id_{tag}"),
             quantize(F.col(vec_col)).alias(f"v_{tag}"),
         )
-        .withColumn("bucket", sign_lsh_bucket(F.col(f"v_{tag}"), dims))
+        .withColumn("bucket", sign_lsh_bucket(F.col(f"v_{tag}"), dims)),
+        max_bucket,
     )
     a, b = side("a"), side("b")
     return (
@@ -708,12 +712,36 @@ def pq_adc_topk(
     )
 
 
+def _lsh_bucket_capped(q: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Degeneracy cap for sign-LSH bucketed frames carrying a
+    ``bucket`` column: drop rows in buckets holding more than
+    ``max_bucket`` vectors BEFORE any in-bucket join. ``auto_lsh_dims``
+    holds EXPECTED occupancy constant, but it cannot help when the
+    vectors themselves are (near-)identical — every copy lands in the
+    same orthant no matter how many hyperplanes are drawn, and the
+    in-bucket join goes quadratic (the one adversary auto-sizing can't
+    fix; the simhash64/minhash ``max_bucket`` template applied to the
+    embedding family). The window count partitions by the join's own
+    bucket key, so it rides the same exchange. Recall trade, stated: a
+    capped bucket's vectors emit no pairs/neighbors — at that occupancy
+    they are mutual exact-dups better handled by exact dedup first."""
+    if max_bucket is None:
+        return q
+    w = Window.partitionBy("bucket")
+    return (
+        q.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
+
+
 def _bucketed_scored_pairs(
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
     dims: list[int],
     carry: tuple[str, ...] = (),
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """The bucketed all-vectors self-join both graph builders share
     (``knn_graph``, ``hard_negative_mining``): quantize ONCE behind a
@@ -743,6 +771,7 @@ def _bucketed_scored_pairs(
             sign_lsh_bucket(F.col("qv"), dims).alias("bucket"),
         )
     )
+    q = _lsh_bucket_capped(q, max_bucket)
     a = q.select(
         F.col("vid").alias("a_id"),
         *[F.col(f"__c_{c}").alias(f"a_{c}") for c in carry],
@@ -783,6 +812,7 @@ def knn_graph(
     k: int = 3,
     dims: list[int] | None = None,
     target_bucket: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed k-nearest-neighbor GRAPH: every vector's top-k
     highest-dot-product neighbors within its sign-LSH bucket — the
@@ -809,7 +839,9 @@ def knn_graph(
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
     scored = (
-        _bucketed_scored_pairs(embeddings, id_col, vec_col, dims)
+        _bucketed_scored_pairs(
+            embeddings, id_col, vec_col, dims, max_bucket=max_bucket
+        )
         .filter(F.col("a_id") != F.col("b_id"))
         .select(
             F.col("a_id").alias("vec_id"),
@@ -830,6 +862,7 @@ def hard_negative_mining(
     k: int = 3,
     dims: list[int] | None = None,
     target_bucket: int = 32,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Per-anchor top-k highest-similarity DIFFERENT-label neighbors —
     hard-negative candidates for contrastive / embedding-model
@@ -856,7 +889,8 @@ def hard_negative_mining(
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
     scored = (
         _bucketed_scored_pairs(
-            embeddings, id_col, vec_col, dims, carry=(label_col,)
+            embeddings, id_col, vec_col, dims, carry=(label_col,),
+            max_bucket=max_bucket,
         )
         .filter(F.col(f"a_{label_col}") != F.col(f"b_{label_col}"))
         .select(

@@ -2028,9 +2028,11 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_histogram_drift",
     oracle="""
     WITH ref AS (SELECT CAST(n_chars AS BIGINT) AS v
-                 FROM documents WHERE doc_id % 2 = 0),
+                 FROM documents
+                 WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
     cur AS (SELECT CAST(n_chars AS BIGINT) AS v
-            FROM documents WHERE doc_id % 2 = 1),
+            FROM documents
+            WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
     mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM ref),
     binned AS (
         SELECT LEAST(9, (LEAST(mx, GREATEST(mn, v)) - mn) * 10
@@ -2085,7 +2087,7 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS nb
         FROM (
             SELECT CAST(n_chars AS BIGINT) AS v, doc_id % 2 AS side
-            FROM documents
+            FROM documents WHERE n_chars IS NOT NULL
         )
         GROUP BY v
     ),

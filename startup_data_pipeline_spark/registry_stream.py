@@ -730,21 +730,37 @@ def _dhash_oracle() -> str:
 
 @register(
     "q_image_dhash_pairs",
+    # max_bucket=128 cap mirrored as in q_simhash64_pairs: a band
+    # agreement only counts when that band's bucket holds <= 128 sigs
+    # (monochrome/near-constant images collapse dHash bands — exactly
+    # the degenerate bucket the cap exists for).
     oracle=f"""
-    WITH dh AS ({_dhash_oracle()})
+    WITH dh AS ({_dhash_oracle()}),
+    sz0 AS (SELECT b0, COUNT(*) AS c0 FROM dh GROUP BY b0),
+    sz1 AS (SELECT b1, COUNT(*) AS c1 FROM dh GROUP BY b1),
+    sz2 AS (SELECT b2, COUNT(*) AS c2 FROM dh GROUP BY b2),
+    sz3 AS (SELECT b3, COUNT(*) AS c3 FROM dh GROUP BY b3),
+    dhx AS (
+        SELECT dh.*, c0 <= 128 AS ok0, c1 <= 128 AS ok1,
+               c2 <= 128 AS ok2, c3 <= 128 AS ok3
+        FROM dh JOIN sz0 USING (b0) JOIN sz1 USING (b1)
+                JOIN sz2 USING (b2) JOIN sz3 USING (b3)
+    )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.dhash64, b.dhash64)) AS INTEGER)
                AS hamming
-    FROM dh a JOIN dh b
+    FROM dhx a JOIN dhx b
       ON a.doc_id < b.doc_id
-     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+     AND ((a.b0 = b.b0 AND a.ok0) OR (a.b1 = b.b1 AND a.ok1)
+       OR (a.b2 = b.b2 AND a.ok2) OR (a.b3 = b.b3 AND a.ok3))
     WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 3
     """,
     survey_ops="§2.11 multimodal near-dup: perceptual dHash over the "
     "REAL decode->resize pixel path (9x8 grayscale difference bits, "
     "zero Python after decode) + the same 4x16-bit banded blocking as "
     "simhash64 — full recall at hamming<=3, 65536 buckets/band bound "
-    "the self-join; the image analog of the text near-dup battery",
+    "the self-join, max_bucket degeneracy cap for collapsed bands; "
+    "the image analog of the text near-dup battery",
 )
 def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
@@ -755,7 +771,7 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = multimodal.image_dhash(decoded, "doc_id")
     return dedup.simhash64_near_pairs(
-        sigs, "doc_id", max_hamming=3, sig_col="dhash64"
+        sigs, "doc_id", max_hamming=3, sig_col="dhash64", max_bucket=128
     )
 
 

@@ -422,25 +422,44 @@ def _simhash64_oracle() -> str:
 
 @register(
     "q_simhash64_pairs",
+    # The max_bucket=128 degeneracy cap is mirrored exactly: a band
+    # agreement only counts when that band's bucket holds <= 128
+    # signatures (ok_i flags are per-bucket, so a.ok_i = b.ok_i
+    # whenever a and b agree on band i).
     oracle=f"""
-    WITH sim AS ({_simhash64_oracle()})
+    WITH sim AS ({_simhash64_oracle()}),
+    sz0 AS (SELECT b0, COUNT(*) AS c0 FROM sim GROUP BY b0),
+    sz1 AS (SELECT b1, COUNT(*) AS c1 FROM sim GROUP BY b1),
+    sz2 AS (SELECT b2, COUNT(*) AS c2 FROM sim GROUP BY b2),
+    sz3 AS (SELECT b3, COUNT(*) AS c3 FROM sim GROUP BY b3),
+    simx AS (
+        SELECT sim.*, c0 <= 128 AS ok0, c1 <= 128 AS ok1,
+               c2 <= 128 AS ok2, c3 <= 128 AS ok3
+        FROM sim JOIN sz0 USING (b0) JOIN sz1 USING (b1)
+                 JOIN sz2 USING (b2) JOIN sz3 USING (b3)
+    )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER)
                AS hamming
-    FROM sim a JOIN sim b
+    FROM simx a JOIN simx b
       ON a.doc_id < b.doc_id
-     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+     AND ((a.b0 = b.b0 AND a.ok0) OR (a.b1 = b.b1 AND a.ok1)
+       OR (a.b2 = b.b2 AND a.ok2) OR (a.b3 = b.b3 AND a.ok3))
     WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
     """,
     survey_ops="64-bit SimHash near-dup pairs with 4×16-bit banded "
     "blocking (§2.11 near-dup, the at-scale signature width): banding "
     "has provably full recall at hamming<=3 (pigeonhole over 4 disjoint "
-    "bands), 65536 buckets per band bound the self-join",
+    "bands), 65536 buckets per band bound the self-join; max_bucket "
+    "degeneracy cap (the band-bucket space is recall-constrained and "
+    "cannot auto-size) drops collapsed buckets before the join",
 )
 def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.simhash64(docs, "doc_id", "text")
-    return dedup.simhash64_near_pairs(sigs, "doc_id", max_hamming=3)
+    return dedup.simhash64_near_pairs(
+        sigs, "doc_id", max_hamming=3, max_bucket=128
+    )
 
 
 @register(

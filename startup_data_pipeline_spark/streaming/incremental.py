@@ -449,6 +449,7 @@ def streaming_dedup_gate(
     n_agree_dup: int = 3,
     verdict_path: str | None = None,
     compact_every: int = 16,
+    retain_verdict_epochs: int | None = None,
 ):
     """Continuous near-dup admission: each arrival micro-batch probes a
     persisted MinHash/LSH index, sinks its admission verdicts, and
@@ -495,7 +496,9 @@ def streaming_dedup_gate(
     Verdicts go to ``verdict_path`` (default ``<index_path>_verdicts``)
     as one overwrite-idempotent ``epoch=<e>`` parquet dir per batch —
     rows (new_id, match_id, n_agree, admitted); no driver-side state.
-    Returns ``(writer, verdict_path)``.
+    ``retain_verdict_epochs=K`` bounds the verdict sink to the newest K
+    epoch dirs (opt-in — verdicts are output; the consumer's lag budget
+    decides). Returns ``(writer, verdict_path)``.
     """
     spark = doc_stream.sparkSession
     if verdict_path is None:
@@ -505,6 +508,7 @@ def streaming_dedup_gate(
         id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         band_size=band_size, n_agree_dup=n_agree_dup,
         compact_every=compact_every,
+        retain_verdict_epochs=retain_verdict_epochs,
     )
     return doc_stream.writeStream.foreachBatch(handle), verdict_path
 
@@ -561,6 +565,7 @@ def make_dedup_gate_handler(
     band_size: int = 1,
     n_agree_dup: int = 3,
     compact_every: int = 16,
+    retain_verdict_epochs: int | None = None,
 ):
     """The gate's per-batch handler, exposed so tests can drive epochs
     directly — including RE-DELIVERING an epoch, which is how
@@ -624,13 +629,54 @@ def make_dedup_gate_handler(
                     "match the handler config"
                 )
             if not on_disk:
+                # An UNMARKED index with generations present was written
+                # by a pre-marker handler (the marker dir always lands
+                # before the first data write in this code), so its
+                # layout — signature columns, band count, band_key
+                # derivation — cannot be verified. Adopting it and
+                # reading with this handler's pinned banded schema
+                # would return NULL band_id/kbucket, the probe join
+                # would match nothing, and every arrival would be
+                # admitted — the exact silent-duplicate-admission
+                # failure the marker exists to prevent, triggered by
+                # format drift instead of config drift. Fail loudly;
+                # never adopt-by-mkdirs.
+                if gens:
+                    raise ValueError(
+                        f"dedup-gate index at {index_path} has "
+                        f"generations {gens} but no layout= marker — "
+                        "it predates the banded/marked format (or the "
+                        "marker was removed) and its signature layout "
+                        "cannot be verified; probing it with the "
+                        f"{layout} schema would silently admit "
+                        "duplicates. Rebuild the index (delete "
+                        f"{index_path}), or if it is KNOWN to be the "
+                        f"banded {layout} layout, restore the marker "
+                        f"dir {index_path}/{layout} explicitly"
+                    )
                 fs.mkdirs(jp(f"{index_path}/{layout}"))
         else:
             fs.mkdirs(jp(f"{index_path}/{layout}"))
 
-        # sweep stale generations (crash between compact and delete)
-        for g in gens[:-1]:
-            fs.delete(jp(f"{index_path}/gen={g}"), True)
+        # sweep everything that is not the live generation: stale VALID
+        # generations (crash between compact and old-gen delete) and
+        # INVALID partials (crash mid-compaction, no _SUCCESS — these
+        # are invisible to _gate_generations and would otherwise accrete
+        # as unbounded crash debris; a redone compaction only overwrites
+        # the epoch dirs it writes, not a dead attempt's orphans). The
+        # handler is serial per stream, so at batch start no generation
+        # write is in flight and the delete is safe.
+        live = gens[-1] if gens else None
+        for status in fs.listStatus(jp(index_path)):
+            name = status.getPath().getName()
+            if not name.startswith("gen="):
+                continue
+            try:
+                g = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if g != live:
+                fs.delete(jp(f"{index_path}/gen={g}"), True)
 
         index_probe = None
         n_epochs = 0
@@ -702,6 +748,29 @@ def make_dedup_gate_handler(
         out.write.mode("overwrite").parquet(
             f"{verdict_path}/epoch={epoch_id}"
         )
+        # Verdict retention: the verdict sink otherwise accretes one
+        # epoch dir per trigger FOREVER — the index's storage is bounded
+        # by compaction, but a 100 TB deployment needs the verdict side
+        # bounded too once downstream has consumed it. Opt-in because
+        # verdicts are the gate's OUTPUT: only the operator knows the
+        # consumer's lag budget. Prunes strictly OLDER epochs than the
+        # newest K, so a retried epoch never deletes itself, and the
+        # current epoch's write has already committed when the prune
+        # runs (crash between write and prune just re-prunes next batch).
+        if retain_verdict_epochs is not None:
+            vfs, vroot = _hadoop_fs(spark, verdict_path)
+            eps = []
+            for s in vfs.listStatus(vroot):
+                nm = s.getPath().getName()
+                if nm.startswith("epoch="):
+                    try:
+                        eps.append(int(nm.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+            for e in sorted(eps)[:-retain_verdict_epochs]:
+                vfs.delete(
+                    _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1], True
+                )
         # admitted docs join the index in the band-exploded layout;
         # duplicates are NOT indexed (the canonical copy is already
         # there — matches the reference's "seen items are not

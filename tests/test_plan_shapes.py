@@ -505,6 +505,104 @@ def test_ks_two_sample_no_corpus_scale_global_window(spark, plan_sf_dir):
             assert "__bkt" in head, head
 
 
+def _unpartitioned_window_sum_operands(plan: str) -> list[str]:
+    """Column names summed by Window nodes with NO partition key.
+
+    A windowspecdefinition's pre-frame args are partition cols then
+    order cols (order cols carry ASC/DESC); a spec whose args are all
+    order cols (or absent) is a single-partition window. Returns the
+    sum(...) operands on those nodes so tests can pin that they are
+    AGGREGATE OUTPUTS (tiny frames), never the row stream."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        spec = line.split("windowspecdefinition(", 1)[1].split(
+            "specifiedwindowframe", 1
+        )[0]
+        args = [a.strip() for a in spec.split(",") if a.strip()]
+        if any("ASC" not in a and "DESC" not in a for a in args):
+            continue  # partitioned window — scales by key
+        out.extend(re.findall(r"sum\(([A-Za-z_0-9]+)#", line))
+    return out
+
+
+def test_histogram_drift_global_window_inputs_are_bin_aggregates(
+    spark, plan_sf_dir
+):
+    """The OVER () totals window is justified ONLY because its input is
+    the |bins|-row bin aggregate. Pin the window's operands to the
+    aggregate's output columns so a refactor can't silently move the
+    single-partition window onto the row stream (the WindowExec warning
+    would then be the scale-killer it looks like)."""
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    ops = _unpartitioned_window_sum_operands(
+        _plan(olap.histogram_drift(ref, cur, "n_chars"), "simple")
+    )
+    assert ops and set(ops) <= {"ref_n", "cur_n"}, ops
+
+
+def test_ks_two_sample_global_window_inputs_are_bucket_aggregates(
+    spark, plan_sf_dir
+):
+    """Same pin for KS: the only unpartitioned windows are the
+    |buckets|-row prefix sums over the per-bucket totals (__ba/__bb) —
+    never the per-value stream (__v/__na/__nb)."""
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import olap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ops = _unpartitioned_window_sum_operands(
+        _plan(olap.ks_two_sample(a, b, "n_chars"), "simple")
+    )
+    assert ops and set(ops) <= {"__ba", "__bb"}, ops
+
+
+def test_simhash64_cap_count_rides_the_band_join_exchange(
+    spark, plan_sf_dir
+):
+    """The max_bucket window count partitions by (band_id, band_val) —
+    the self-join's own key — so at sort-merge scale the count rides
+    the join's own hash exchange (exchange reuse), and the join stays a
+    banded equi-join. Pin: every Window in the plan is keyed on the
+    band key; none is a single-partition window over the signatures."""
+    from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    sigs = dedup.simhash64(docs, "doc_id", "text")
+    plan = _plan(
+        dedup.simhash64_near_pairs(sigs, "doc_id", 3, max_bucket=128),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan
+    assert not _unpartitioned_window_sum_operands(plan)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "band_id" in line and "band_val" in line, line
+    # and every exchange introduced by the cap is keyed on the band
+    # key, never a repartition of raw pairs
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "band_val" not in line:
+            # the only non-band exchange is dropDuplicates on (id_a, id_b)
+            assert "id_a" in line and "id_b" in line, line
+
+
 def test_dup_span_rate_no_pair_join_anywhere(spark, plan_sf_dir):
     from startup_data_pipeline_spark.operators import dedup
     from startup_data_pipeline_spark.sources.tables import load_table

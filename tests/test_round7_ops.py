@@ -1,0 +1,288 @@
+"""Round-7 hardening tests: the simhash64 max_bucket degeneracy cap
+(the last uncapped banded self-join), the embedding-family LSH bucket
+cap (the identical-vector adversary auto-sizing can't fix), the
+``auto_lsh_dims`` degeneracy edges (empty / one-bucket corpora), and
+the streaming gate's storage-bounding paths (legacy-layout refusal,
+partial-generation sweep, verdict retention)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import dedup, similarity
+
+
+# ---------------------------------------------------------------------------
+# simhash64 max_bucket degeneracy cap
+# ---------------------------------------------------------------------------
+
+def _collapsed_band_sigs(spark):
+    """Adversarial signature set: bands 0, 2, 3 each collapse to a
+    single 16-bit value across 20 docs (band 0 = 0x1234, bands 2/3 = 0),
+    while band 1 stays distinct per doc. Docs 100/101 are an exact-dup
+    pair whose band-1/band-2 buckets hold only the two of them."""
+    rows = [(i, (i << 16) | 0x1234) for i in range(20)]
+    pair_sig = (0xABCD << 16) | 0x1234 | (1 << 32)
+    rows += [(100, pair_sig), (101, pair_sig)]
+    return spark.createDataFrame(rows, "doc_id long, simhash64 long")
+
+
+def test_simhash64_max_bucket_drops_collapsed_bands_only(spark):
+    sigs = _collapsed_band_sigs(spark)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash64_near_pairs(
+            sigs, "doc_id", max_hamming=3, max_bucket=8
+        ).collect()
+    }
+    # pairs that agreed ONLY on collapsed bands are gone; the true dup
+    # pair survives via its small band-1/band-2 buckets
+    assert capped == {(100, 101)}
+    # without the cap the collapsed bands flood the join with
+    # low-bit-distance neighbors (the quadratic blowup the cap bounds)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash64_near_pairs(
+            sigs, "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) > 100
+
+
+def test_simhash64_cap_is_noop_when_no_bucket_exceeds_it(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} unique words w{i} x{i * 7} y{i * 13} z{i * 31}")
+         for i in range(12)]
+        + [(50, "identical paste alpha beta gamma delta"),
+           (51, "identical paste alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.simhash64(docs, "doc_id", "text")
+    base = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash64_near_pairs(sigs, "doc_id", 3).collect()
+    )
+    capped = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash64_near_pairs(
+            sigs, "doc_id", 3, max_bucket=128
+        ).collect()
+    )
+    assert base == capped and (50, 51, 0) in capped
+
+
+def test_simhash64_bucket_report_counts_capped_buckets(spark):
+    rep = {
+        r["band_id"]: r
+        for r in dedup.simhash64_bucket_report(
+            _collapsed_band_sigs(spark), "doc_id", max_bucket=8
+        ).collect()
+    }
+    # band 0: one bucket (0x1234) holding all 22 sigs — capped
+    assert rep[0]["n_buckets"] == 1
+    assert rep[0]["max_bucket_size"] == 22
+    assert rep[0]["n_capped_buckets"] == 1
+    assert rep[0]["n_capped_rows"] == 22
+    # band 1: 20 singletons + the dup pair's size-2 bucket — none capped
+    assert rep[1]["n_buckets"] == 21
+    assert rep[1]["n_capped_buckets"] == 0
+    assert rep[1]["n_capped_rows"] == 0
+    # band 2: bucket 0 (20 rows, capped) + bucket 1 (the pair)
+    assert rep[2]["n_buckets"] == 2
+    assert rep[2]["n_capped_buckets"] == 1
+    assert rep[2]["n_capped_rows"] == 20
+
+
+# ---------------------------------------------------------------------------
+# auto_lsh_dims degeneracy edges + embedding-family bucket cap
+# ---------------------------------------------------------------------------
+
+def test_auto_lsh_dims_empty_corpus_yields_minimal_dims(spark):
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    assert similarity.auto_lsh_dims(empty, "emb") == [0]
+
+
+def test_lsh_family_empty_corpus_returns_empty(spark):
+    empty = spark.createDataFrame([], "vec_id long, emb array<double>")
+    assert similarity.knn_graph(empty, "vec_id", "emb", k=2).count() == 0
+    assert (
+        similarity.lsh_topk(empty, "vec_id", "emb", query_ids=[1], k=2).count()
+        == 0
+    )
+    assert (
+        similarity.near_dup_pairs(empty, "vec_id", "emb", min_score=0).count()
+        == 0
+    )
+    lab = spark.createDataFrame(
+        [], "vec_id long, emb array<double>, label string"
+    )
+    assert (
+        similarity.hard_negative_mining(
+            lab, "vec_id", "emb", "label", k=2
+        ).count()
+        == 0
+    )
+
+
+def test_identical_vector_adversary_is_bounded_by_max_bucket(spark):
+    # Every vector identical → one sign-LSH bucket NO MATTER how many
+    # hyperplanes auto_lsh_dims draws: auto-sizing cannot help, only the
+    # occupancy cap can. With the cap the collapsed bucket is dropped
+    # (its members are mutual exact-dups — exact dedup's job), so the
+    # in-bucket join never goes quadratic.
+    n = 60
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, emb array<double>",
+    )
+    assert (
+        similarity.knn_graph(emb, "vec_id", "emb", k=2, max_bucket=8).count()
+        == 0
+    )
+    lab = emb.withColumn("label", (F.col("vec_id") % 2).cast("string"))
+    assert (
+        similarity.hard_negative_mining(
+            lab, "vec_id", "emb", "label", k=2, max_bucket=8
+        ).count()
+        == 0
+    )
+    assert (
+        similarity.near_dup_pairs(
+            emb, "vec_id", "emb", min_score=0, max_bucket=8
+        ).count()
+        == 0
+    )
+    # the uncapped default still answers (pinned: the adversary is the
+    # caller's trade — cap opt-in mirrors the registered queries)
+    assert (
+        similarity.knn_graph(emb, "vec_id", "emb", k=2).count() == n * 2
+    )
+
+
+def test_max_bucket_keeps_healthy_buckets_intact(spark):
+    # two orthant-separated clusters, each under the cap: capped output
+    # must equal uncapped output exactly
+    rows = [(i, [1.0 + (i % 3) * 0.01, 1.0, 1.0, 1.0]) for i in range(6)]
+    rows += [(10 + i, [-1.0, -1.0 - (i % 3) * 0.01, -1.0, -1.0])
+             for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    base = sorted(
+        tuple(r) for r in similarity.knn_graph(
+            emb, "vec_id", "emb", k=2, dims=[0, 1]
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r) for r in similarity.knn_graph(
+            emb, "vec_id", "emb", k=2, dims=[0, 1], max_bucket=10
+        ).collect()
+    )
+    assert base == capped and len(base) == 24
+
+
+# ---------------------------------------------------------------------------
+# streaming gate: storage bounding + legacy-layout refusal
+# ---------------------------------------------------------------------------
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_gate_refuses_unmarked_index_with_generations(spark, tmp_path):
+    """An index with gen= data but NO layout= marker predates the
+    banded/marked format (the marker always lands before the first data
+    write): adopting it and reading with the pinned banded schema would
+    NULL out band_id/kbucket, match nothing, and silently admit every
+    arrival. The handler must refuse, not adopt-by-mkdirs."""
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "legacy_idx")
+    vp = str(tmp_path / "legacy_verdicts")
+    # fabricate a pre-marker index: a generation whose epoch dir holds
+    # flat (non-band-partitioned) signature parquet
+    legacy = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb")], "doc_id long, mh_0 string"
+    )
+    legacy.write.parquet(f"{idx}/gen=0/epoch=0")
+    handle = make_dedup_gate_handler(spark, idx, vp)
+    with pytest.raises(ValueError, match="layout"):
+        handle(_mk(spark, [(3, "first corpus document alpha beta")]), 1)
+    # and no marker was created by the failed attempt
+    assert not any(
+        d.startswith("layout=") for d in os.listdir(idx)
+    ), "refusal must not adopt the index"
+
+
+def test_dedup_gate_sweeps_invalid_partial_generation_debris(
+    spark, tmp_path
+):
+    """A compaction that died mid-write leaves a gen dir without the
+    _SUCCESS validity marker. It is invisible to reads — but it must
+    also be DELETED at the next batch, not accrete forever: a redone
+    compaction only overwrites the epoch dirs it writes, so dead
+    attempts' orphans are otherwise unbounded crash debris."""
+    import shutil
+
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "debris_idx")
+    vp = str(tmp_path / "debris_verdicts")
+    handle = make_dedup_gate_handler(spark, idx, vp)
+    handle(_mk(spark, [(10, "one stable corpus document alpha beta gamma")]), 0)
+    # fabricate a crashed compaction: a partial gen=1 without _SUCCESS
+    shutil.copytree(f"{idx}/gen=0", f"{idx}/gen=1")
+    suc = f"{idx}/gen=1/epoch=0"
+    for f in os.listdir(suc):
+        if f == "_SUCCESS":
+            os.remove(os.path.join(suc, f))
+    # next batch: debris swept, live generation still probed correctly
+    handle(_mk(spark, [(20, "one stable corpus document alpha beta gamma"),
+                       (21, "unrelated fresh text aaa bbb ccc ddd eee")]), 1)
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("gen=")
+    ) == ["gen=0"], "partial generation debris not swept"
+    got = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    assert got[20] == (False, 10)
+    assert got[21][0] is True
+
+
+def test_dedup_gate_verdict_retention_bounds_epoch_dirs(spark, tmp_path):
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "ret_idx")
+    vp = str(tmp_path / "ret_verdicts")
+    handle = make_dedup_gate_handler(
+        spark, idx, vp, retain_verdict_epochs=2
+    )
+    texts = [
+        "first unique document alpha beta gamma delta",
+        "second unique document epsilon zeta eta theta",
+        "third unique document iota kappa lambda mu",
+        "fourth unique document nu xi omicron pi rho",
+    ]
+    for e, t in enumerate(texts):
+        handle(_mk(spark, [(e, t)]), e)
+    assert sorted(
+        d for d in os.listdir(vp) if d.startswith("epoch=")
+    ) == ["epoch=2", "epoch=3"]
+    # the surviving verdicts are intact and the index kept EVERY doc
+    # (retention prunes the verdict SINK, never the index state)
+    got = {r["new_id"] for r in spark.read.parquet(vp).collect()}
+    assert got == {2, 3}
+    assert spark.read.parquet(idx).select("doc_id").distinct().count() == 4
+    # a retried newest epoch never deletes itself
+    handle(_mk(spark, [(3, texts[3])]), 3)
+    assert sorted(
+        d for d in os.listdir(vp) if d.startswith("epoch=")
+    ) == ["epoch=2", "epoch=3"]
