@@ -62,22 +62,59 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-6 window: CERTIFICATION BURN-DOWN (VERDICT r5 "Next round"
-    # #1). Registry growth (~48/round) outpaced the driver's 50-query
-    # window, leaving 96 queries whose latest driver-green row is r1-r3
-    # (48 of them r1-only). This round registers (almost) nothing new
-    # and spends the entire window on the backlog, oldest-first:
-    #   slot 1      q_curation_pipeline — registered r5, never
-    #               driver-sampled (judge-verified green last session);
-    #   slots 2-49  the 48 queries whose only driver cert is round 1;
-    #   slot 50     q_knn_graph — canary for this round's ONE operator
-    #               change in the window (auto-sized LSH hyperplanes,
-    #               the r5-measured sf1 9.5x scale fix).
-    # Round 7 takes the remaining r2/r3 names queued directly behind
-    # the boundary. Everything stays locally gated by
-    # scripts/verify_local.py (full-registry sweep green this round).
+    # Round-7 window: certification burn-down, phase 2 (VERDICT r6
+    # "Next round" #1) plus this round's changed-operator canaries.
+    #
+    # WINDOW RULE (standing, per VERDICT r6 #7): whenever a certified
+    # operator's CODE or plan shape changes in a round, a window slot
+    # is reserved for its registered query in the SAME round's driver
+    # rotation — local oracle hash-parity alone does not substitute
+    # for a driver row (the q_knn_graph canary precedent from r6).
+    #
+    # Slot layout (50):
+    #   1-5    the five round-6 registrations the driver has NEVER
+    #          sampled (judge-verified green last session; the contract
+    #          row is still the driver's);
+    #   6-9    round-7 changed-operator canaries: q_simhash64_pairs +
+    #          q_image_dhash_pairs (max_bucket degeneracy cap, plan
+    #          change, oracles mirrored), q_incremental_dedup_gate
+    #          (gate legacy-layout refusal + debris sweep + verdict
+    #          retention), q_dedup_agreement (rides the refactored
+    #          simhash64 band split);
+    #   10-34  all 25 round-2-certified names, alphabetical;
+    #   35-50  the 16 oldest round-3-certified names, alphabetical
+    #          from q_approx_stats.
+    # The 7 remaining r3 names queue directly behind the boundary;
+    # r8's window absorbs them plus the 47 r4 names.
+    "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
+    "q_dup_span_rate", "q_hard_negatives",
+    # --- round-7 changed-operator canaries ---
+    "q_simhash64_pairs", "q_image_dhash_pairs",
+    "q_incremental_dedup_gate", "q_dedup_agreement",
+    # --- 25 round-2-certified, alphabetical ---
+    "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline",
+    "q_currency_parse", "q_decode_image", "q_ewma", "q_fingerprint",
+    "q_funnel_stages", "q_jsonl_source", "q_lang_id",
+    "q_moving_median", "q_name_normalize", "q_quality_score",
+    "q_repetition_stats", "q_resize_image", "q_simhash_pairs",
+    "q_sql_surface", "q_stratified_sample", "q_stream_funnel",
+    "q_stream_sessionize", "q_stream_stateful_totals",
+    "q_stream_tumbling", "q_token_entropy", "q_url_parse",
+    "q_variant_json",
+    # --- 16 oldest round-3-certified, alphabetical ---
+    "q_approx_stats", "q_best_supplier_per_part",
+    "q_customers_no_orders", "q_disjunctive_part_revenue",
+    "q_dq_metrics", "q_excess_shippers", "q_forecast_revenue",
+    "q_large_orders", "q_market_share", "q_nation_volume",
+    "q_ntile_deciles", "q_priority_line_counts", "q_product_profit",
+    "q_promo_revenue", "q_returned_revenue", "q_simhash",
+    # --- 50-slot window boundary ---
+    # remaining round-3 names (r8 window starts here):
+    "q_small_quantity_revenue", "q_supplier_variety",
+    "q_top_supplier", "q_user_trend", "q_value_histogram",
+    "q_value_share", "q_waiting_orders",
+    # round-6-certified (freshest of the pre-r7 backlog):
     "q_curation_pipeline",
-    # --- 48 round-1-only certifications, alphabetical ---
     "q_alert_filter", "q_anti_join_seen", "q_asof_join",
     "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
     "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
@@ -95,36 +132,8 @@ _PRIORITY: list[str] = [
     "q_tld_explode", "q_tumbling_window", "q_udtf_char_windows",
     "q_union_sources", "q_upsert_merge", "q_waterfall_coalesce",
     "q_window_topk",
-    # --- round-6 changed-operator canary ---
     "q_knn_graph",
-    # --- 50-slot window boundary ---
-    # Round-6 changed operators whose fixture output is UNCHANGED by
-    # the change (verified by scripts/verify_local.py this round), so
-    # they queue behind the backlog rather than spending window slots:
-    # q_lsh_precision (analytic candidate count, same rows),
-    # q_score_percentile_norm (tie-stable ordering, both engines),
-    # q_ri_audit (broadcast hint dropped — plan-only).
     "q_lsh_precision", "q_score_percentile_norm", "q_ri_audit",
-    # round-2 certified (next-oldest; round-7 window starts here):
-    "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline",
-    "q_currency_parse", "q_decode_image", "q_ewma", "q_fingerprint",
-    "q_funnel_stages", "q_jsonl_source", "q_lang_id",
-    "q_moving_median", "q_name_normalize", "q_quality_score",
-    "q_repetition_stats", "q_resize_image", "q_simhash_pairs",
-    "q_sql_surface", "q_stratified_sample", "q_stream_funnel",
-    "q_stream_sessionize", "q_stream_stateful_totals",
-    "q_stream_tumbling", "q_token_entropy", "q_url_parse",
-    "q_variant_json",
-    # round-3 certified:
-    "q_approx_stats", "q_best_supplier_per_part",
-    "q_customers_no_orders", "q_disjunctive_part_revenue",
-    "q_dq_metrics", "q_excess_shippers", "q_forecast_revenue",
-    "q_large_orders", "q_market_share", "q_nation_volume",
-    "q_ntile_deciles", "q_priority_line_counts", "q_product_profit",
-    "q_promo_revenue", "q_returned_revenue", "q_simhash",
-    "q_small_quantity_revenue", "q_supplier_variety",
-    "q_top_supplier", "q_user_trend", "q_value_histogram",
-    "q_value_share", "q_waiting_orders",
     # round-4 certified (r5 edge-fix canaries q_vocab_coverage /
     # q_domain_mix first — their fixed branches are now ALSO exercised
     # by dedicated tiny-table tests, see tests/test_edge_branches.py):
@@ -136,7 +145,7 @@ _PRIORITY: list[str] = [
     "q_rare_token_docs", "q_curriculum_order", "q_skyline_pareto",
     "q_topk_other", "q_sketch_rollup",
     "q_dedup_survivors", "q_minhash_signatures", "q_lsh_pairs",
-    "q_winnow_fingerprints", "q_simhash64_pairs",
+    "q_winnow_fingerprints",
     "q_contamination_check", "q_segment_dedup",
     "q_ann_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
     "q_embedding_near_dup", "q_embedding_quantize",
@@ -152,8 +161,8 @@ _PRIORITY: list[str] = [
     "q_cluster_margin", "q_cdc_compact", "q_wow_growth",
     "q_distance_histogram", "q_audio_features", "q_activity_streaks",
     "q_session_paths", "q_sample_allocation", "q_stl_decompose",
-    "q_stream_markov", "q_quant_calibration", "q_dedup_agreement",
-    "q_vocab_growth", "q_conversion_latency", "q_image_dhash_pairs",
+    "q_stream_markov", "q_quant_calibration",
+    "q_vocab_growth", "q_conversion_latency",
     "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
     "q_markov_transitions", "q_cusum_shift", "q_winsorize",
     "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
@@ -163,12 +172,7 @@ _PRIORITY: list[str] = [
     "q_kwic_snippets", "q_seasonal_anomaly", "q_doc_novelty",
     "q_split_balance", "q_shingle_containment",
     "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
-    "q_lm_score", "q_pagerank", "q_incremental_dedup_gate",
-    # round-6 registrations (the round's small quota, behind the whole
-    # backlog per the burn-down contract — first driver sample queues
-    # after every stale re-certification):
-    "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
-    "q_dup_span_rate", "q_hard_negatives",
+    "q_lm_score", "q_pagerank",
 ]
 
 
