@@ -196,35 +196,36 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-6 window is the certification BURN-DOWN (VERDICT r5 #1):
-    # q_curation_pipeline (never driver-sampled) leads, the 48 queries
-    # whose only driver cert is round 1 follow, and the one slot left
-    # goes to q_knn_graph — the canary for this round's scale fix
+    # round-7 window is burn-down phase 2 (VERDICT r6 #1): the five
+    # never-driver-sampled round-6 registrations lead, the four
+    # round-7 changed-operator canaries follow (the standing canary
+    # rule from VERDICT r6 #7), then all 25 r2-certified names and the
+    # 16 oldest r3 names
     prefix = list(qs)[:50]
-    assert prefix[0] == "q_curation_pipeline"
-    assert prefix[49] == "q_knn_graph"
-    r1_only = {
-        "q_alert_filter", "q_anti_join_seen", "q_asof_join",
-        "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
-        "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
-        "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
-        "q_deterministic_sample", "q_doc_length_percentiles",
-        "q_event_gaps", "q_exact_dedup", "q_gap_fill_locf",
-        "q_incremental_agg", "q_job_aggs", "q_json_extract",
-        "q_json_repair", "q_json_serialize", "q_keyword_filter",
-        "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
-        "q_pricing_summary", "q_provider_map", "q_range_join",
-        "q_recency_filter", "q_rollup_orders", "q_running_total",
-        "q_scd2_history", "q_score_topk", "q_semi_join_exists",
-        "q_sessionize", "q_sheet_projection", "q_shipping_priority",
-        "q_sliding_window", "q_snapshot_diff", "q_tier_case",
-        "q_tld_explode", "q_tumbling_window", "q_udtf_char_windows",
-        "q_union_sources", "q_upsert_merge", "q_waterfall_coalesce",
-        "q_window_topk",
+    assert prefix[:5] == [
+        "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
+        "q_dup_span_rate", "q_hard_negatives",
+    ]
+    assert prefix[5:9] == [
+        "q_simhash64_pairs", "q_image_dhash_pairs",
+        "q_incremental_dedup_gate", "q_dedup_agreement",
+    ]
+    r2_certified = {
+        "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline",
+        "q_currency_parse", "q_decode_image", "q_ewma", "q_fingerprint",
+        "q_funnel_stages", "q_jsonl_source", "q_lang_id",
+        "q_moving_median", "q_name_normalize", "q_quality_score",
+        "q_repetition_stats", "q_resize_image", "q_simhash_pairs",
+        "q_sql_surface", "q_stratified_sample", "q_stream_funnel",
+        "q_stream_sessionize", "q_stream_stateful_totals",
+        "q_stream_tumbling", "q_token_entropy", "q_url_parse",
+        "q_variant_json",
     }
-    assert set(prefix[1:49]) == r1_only
-    # changed-but-output-identical operators queue just behind the
-    # boundary for the round-7 window
-    assert list(qs)[50:53] == [
-        "q_lsh_precision", "q_score_percentile_norm", "q_ri_audit"
+    assert set(prefix[9:34]) == r2_certified
+    assert prefix[34] == "q_approx_stats"
+    assert prefix[49] == "q_simhash"
+    # remaining r3 names queue just behind the boundary for the round-8
+    # window
+    assert list(qs)[50:52] == [
+        "q_small_quantity_revenue", "q_supplier_variety"
     ]
