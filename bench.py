@@ -141,6 +141,10 @@ HEADLINE = [
     "q_snapshot_novelty",
     "q_dup_span_rate",
     "q_hard_negatives",
+    # round-7 additions
+    "q_dup_spans",
+    "q_simhash64_band_stats",
+    "q_lsh_occupancy",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -1271,6 +1271,87 @@ def dup_span_rate(
     )
 
 
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document MERGED duplicated spans: the maximal token
+    intervals covered by n-token windows whose exact content occurs
+    more than once across the corpus — (id, span_start, span_end,
+    span_tokens), 1-based inclusive token positions.
+
+    The extraction companion to ``dup_span_rate``: the rate answers
+    "how much of this doc is recycled", this answers "WHICH part" —
+    the input a span-level dedup pass (Lee et al. substring dedup)
+    needs to actually cut or redact the boilerplate instead of
+    dropping whole documents. §2.11 extension battery (no reference
+    counterpart).
+
+    Scale shape: identical to ``dup_span_rate`` up to the duplicated
+    starts (tokenize-once windows, one count aggregate on the window
+    hash, hash join against the AGGREGATED side — no pair join), then
+    gaps-and-islands on the per-doc start stream: a window start opens
+    a NEW span when it is more than n positions past the previous
+    start (the previous window [p, p+n−1] cannot reach it), island ids
+    telescope via a running sum, and one (id, island) aggregate emits
+    the merged interval. Both windows partition by doc and ride one
+    doc-keyed exchange; output is bounded by the duplicated-window
+    count, with adjacent/overlapping windows collapsed.
+    """
+    from pyspark.sql import Window
+
+    tk = _tokenized(df, id_col, text_col)
+    base = tk.select(
+        F.col(id_col), F.size("__tk").alias("n_tokens"), "__tk"
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("__tk"), i + j) for j in range(n)]
+            )
+        ),
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("__p", "wh"))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("start"), "wh")
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("wh")
+    )
+    starts = wins.join(dup_hashes, "wh").select(id_col, "start")
+    w = Window.partitionBy(id_col).orderBy("start")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = starts.select(
+        F.col(id_col),
+        F.col("start"),
+        F.when(
+            F.col("start") - F.lag("start").over(w) <= n, F.lit(0)
+        ).otherwise(F.lit(1)).alias("__new"),
+    ).select(
+        F.col(id_col),
+        F.col("start"),
+        F.sum("__new").over(w_run).alias("__island"),
+    )
+    return (
+        isl.groupBy(id_col, "__island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + (n - 1)).cast("long").alias("span_end"),
+            (F.max("start") + n - F.min("start")).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+        .drop("__island")
+    )
+
+
 def lsh_band_precision(
     df: DataFrame,
     id_col: str,

@@ -131,6 +131,55 @@ def auto_lsh_dims(
     return list(range(max(1, min(h, width, 62))))
 
 
+def lsh_occupancy_report(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    target_bucket: int = 32,
+    max_bucket: int | None = None,
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """One-row sign-LSH occupancy audit for the embedding ANN family:
+    (n_hyperplanes, n_vectors, n_buckets, max_bucket_size,
+    n_capped_buckets, n_capped_rows) under the same ``auto_lsh_dims``
+    sizing and ``max_bucket`` cap as ``lsh_topk`` / ``near_dup_pairs``
+    / ``knn_graph`` / ``hard_negative_mining``.
+
+    The pre-flight read before any bucketed ANN pass at scale: auto
+    -sizing holds EXPECTED occupancy ~``target_bucket``, but a
+    duplicate-heavy corpus (every copy shares an orthant at any
+    hyperplane count) still produces collapsed buckets — this reports
+    how much of the corpus a given ``max_bucket`` would exclude, the
+    embedding analog of ``dedup.simhash64_bucket_report``. One groupBy
+    over the bucket keys; never enumerates pairs.
+    """
+    if dims is None:
+        dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
+    sz = (
+        ensure_min_parallelism(embeddings)
+        .select(quantize(F.col(vec_col)).alias("qv"))
+        .select(sign_lsh_bucket(F.col("qv"), dims).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+    )
+    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(None).cast("int")
+    return sz.agg(
+        F.lit(len(dims)).cast("int").alias("n_hyperplanes"),
+        F.coalesce(F.sum("__sz"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.coalesce(F.max("__sz"), F.lit(0)).cast("long").alias(
+            "max_bucket_size"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__sz") > cap, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sz") > cap, F.col("__sz")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_capped_rows"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     id_col: str,

@@ -173,6 +173,10 @@ _PRIORITY: list[str] = [
     "q_split_balance", "q_shingle_containment",
     "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
     "q_lm_score", "q_pagerank",
+    # round-7 registrations (the round's small quota, behind the whole
+    # backlog per the burn-down contract — they lead the r8 window as
+    # the never-driver-sampled tranche, with any r8 canaries):
+    "q_dup_spans", "q_simhash64_band_stats", "q_lsh_occupancy",
 ]
 
 

@@ -2795,3 +2795,141 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negative_mining(
         emb, "vec_id", "embedding", "label", k=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations (small quota, queued behind the window boundary
+# per the burn-down contract)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dup_spans",
+    # same tokenize/window/dup-hash CTEs as q_dup_span_rate, then
+    # gaps-and-islands: a start opens a new span when it is more than
+    # n=8 past the previous start (lag NULL -> CASE ELSE -> 1, the
+    # first start of a doc always opens), island ids by running sum
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks FROM toks
+    ),
+    wins AS (
+        SELECT doc_id, u.i AS s,
+               md5(array_to_string(toks[u.i:u.i+7], ' ')) AS wh
+        FROM base, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
+        WHERE n_tokens >= 8
+    ),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+    starts AS (
+        SELECT w.doc_id, w.s FROM wins w JOIN dup USING (wh)
+    ),
+    isl AS (
+        SELECT doc_id, s,
+               CASE WHEN s - lag(s) OVER (
+                        PARTITION BY doc_id ORDER BY s) <= 8
+                    THEN 0 ELSE 1 END AS is_new
+        FROM starts
+    ),
+    grp AS (
+        SELECT doc_id, s,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) + 7 AS BIGINT) AS span_end,
+           CAST(MAX(s) + 8 - MIN(s) AS BIGINT) AS span_tokens
+    FROM grp GROUP BY doc_id, island
+    """,
+    survey_ops="merged duplicated-span EXTRACTION per doc (§2.11 "
+    "dedup, NEW r7): the maximal token intervals covered by 8-token "
+    "windows occurring >1 time corpus-wide — what a substring-level "
+    "dedup pass (Lee et al.) cuts/redacts; dup_span_rate's no-pair-"
+    "join shape + doc-keyed gaps-and-islands",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_spans(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "q_simhash64_band_stats",
+    # per-band occupancy from the same signature CTE as
+    # q_simhash64_pairs, cap threshold 128 mirrored
+    oracle=f"""
+    WITH sim AS ({_simhash64_oracle()}),
+    b AS (
+        SELECT 0 AS band_id, b0 AS band_val FROM sim
+        UNION ALL SELECT 1, b1 FROM sim
+        UNION ALL SELECT 2, b2 FROM sim
+        UNION ALL SELECT 3, b3 FROM sim
+    ),
+    sz AS (
+        SELECT band_id, band_val, COUNT(*) AS c
+        FROM b GROUP BY band_id, band_val
+    )
+    SELECT CAST(band_id AS INTEGER) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket_size,
+           CAST(SUM(CASE WHEN c > 128 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_capped_buckets,
+           CAST(SUM(CASE WHEN c > 128 THEN c ELSE 0 END) AS BIGINT)
+               AS n_capped_rows
+    FROM sz GROUP BY band_id
+    """,
+    survey_ops="simhash64 band-occupancy audit (§2.11 dedup QA, NEW "
+    "r7): per-band bucket counts / max occupancy / what the "
+    "max_bucket=128 cap would drop — the observability half of the "
+    "r7 degeneracy cap on the recall-constrained banded join",
+)
+def q_simhash64_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash64_bucket_report(sigs, "doc_id", max_bucket=128)
+
+
+@register(
+    "q_lsh_occupancy",
+    # same auto-sized meta CTE as the ANN family; cap threshold 64
+    # mirrored on both sides
+    oracle=f"""
+    WITH meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    bk AS (
+        SELECT CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN qv[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM (SELECT {_QUANT} AS qv FROM embeddings)
+    ),
+    sz AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket)
+    SELECT CAST((SELECT h FROM meta) AS INTEGER) AS n_hyperplanes,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_bucket_size,
+           CAST(COALESCE(SUM(CASE WHEN c > 64 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_capped_buckets,
+           CAST(COALESCE(SUM(CASE WHEN c > 64 THEN c ELSE 0 END), 0)
+                AS BIGINT) AS n_capped_rows
+    FROM sz
+    """,
+    survey_ops="sign-LSH occupancy audit for the embedding ANN family "
+    "(§2.11 similarity QA, NEW r7): bucket count / max occupancy / "
+    "what a max_bucket=64 cap would exclude under the auto_lsh_dims "
+    "sizing — the pre-flight read before a bucketed ANN pass; the "
+    "embedding analog of q_simhash64_band_stats",
+)
+def q_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_occupancy_report(
+        emb, "vec_id", "embedding", target_bucket=32, max_bucket=64
+    )

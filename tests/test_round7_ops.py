@@ -286,3 +286,72 @@ def test_dedup_gate_verdict_retention_bounds_epoch_dirs(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(vp) if d.startswith("epoch=")
     ) == ["epoch=2", "epoch=3"]
+
+
+# ---------------------------------------------------------------------------
+# dup_spans: merged duplicated-interval extraction
+# ---------------------------------------------------------------------------
+
+def test_dup_spans_merges_overlapping_and_adjacent_windows(spark):
+    # docs 1 and 2 share tokens 1..10 (three overlapping dup windows at
+    # starts 1,2,3 with n=8 -> one merged span [1,10]); doc 3 is unique
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j UNIQ1 one1 two1 three1 four1"),
+         (2, "a b c d e f g h i j UNIQ2 one2 two2 three2 four2"),
+         (3, "totally different words here nothing shared at all ok")],
+        ["doc_id", "text"],
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.dup_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    assert spans == {(1, 1, 10, 10), (2, 1, 10, 10)}
+
+
+def test_dup_spans_splits_on_gaps_and_matches_rate(spark):
+    # two duplicated regions separated by a unique middle: two spans,
+    # and their total length equals dup_span_rate's n_dup_tokens
+    head = "h1 h2 h3 h4 h5 h6 h7 h8"
+    tail = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(1, f"{head} mid1a mid1b mid1c {tail}"),
+         (2, f"{head} mid2a mid2b mid2c {tail}")],
+        ["doc_id", "text"],
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.dup_spans(docs, "doc_id", "text", n=8).collect()
+    )
+    # head span [1,8], tail span [12,19] for both docs
+    assert spans == [(1, 1, 8), (1, 12, 19), (2, 1, 8), (2, 12, 19)]
+    rate = {
+        r["doc_id"]: r["n_dup_tokens"]
+        for r in dedup.dup_span_rate(docs, "doc_id", "text", n=8).collect()
+    }
+    assert rate[1] == 16 and rate[2] == 16
+
+
+def test_dup_spans_empty_on_unique_corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words{i} only{i} here{i} now{i} a{i} b{i} c{i}")
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    assert dedup.dup_spans(docs, "doc_id", "text", n=8).count() == 0
+
+
+def test_lsh_occupancy_report_counts(spark):
+    # 8 identical vectors + 2 orthant-separated ones; dims pinned so the
+    # bucket layout is deterministic
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(8)]
+    rows += [(20, [-1.0, -1.0, -1.0, -1.0]), (21, [-1.0, -0.9, -1.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    rep = similarity.lsh_occupancy_report(
+        emb, "vec_id", "emb", max_bucket=4, dims=[0, 1]
+    ).collect()[0]
+    assert rep["n_hyperplanes"] == 2
+    assert rep["n_vectors"] == 10
+    assert rep["n_buckets"] == 2
+    assert rep["max_bucket_size"] == 8
+    assert rep["n_capped_buckets"] == 1
+    assert rep["n_capped_rows"] == 8
