@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""sf1 → sf10 scale probe for the iterative-floor queries (VERDICT r7 #4).
+
+The 100× design claims for PageRank, connected components, and the
+capped simhash64 banded join extrapolated from 10× probes; this script
+pushes one more decade. It builds a 10× replica of `.scratch/sf1`
+(itself 10× of sf0.1, so sf10-equivalent ≈ 100× the bench fixture)
+under `.scratch/sf10` — ONLY the tables the five probed queries touch —
+then times each query at sf1 and sf10 and prints the per-query ratio.
+
+Replica protocol, second level:
+- orders / lineitem / customer / documents keys shift by 1e9 per outer
+  replica (the sf1 keys top out below 1e9, so ranges stay disjoint and
+  join relationships hold).
+- documents text gets a STRONG perturbation (every 5th token suffixed
+  with a per-replica marker) so outer replicas are NOT near-dups of the
+  inner ones: with k=3 shingles a modified token kills the 3 shingles
+  covering it, pushing cross-outer-replica Jaccard to ~0.25 — below the
+  band-collision regime. That is deliberate: the iterative-floor claim
+  under test is "10× nodes and 10× edges cost ~10×" (CC rounds and
+  PageRank's fixed 3 iterations should not deepen), NOT the quadratic
+  edge blow-up of 100-deep near-dup clusters, which the sf1 probe
+  already characterized (SCALE.md round-5 battery: edge-linear CC
+  floor). Within each outer replica the 10-deep near-dup structure is
+  preserved verbatim.
+- dims (nation/region/part/supplier) stay 1× — broadcast sides do not
+  grow at scale; events/embeddings are not read by these five queries
+  and are copied 1× only so `load_table` resolves.
+
+Pass condition per VERDICT r7 #4: sf10/sf1 ratio <= ~1.5 of linear
+(i.e. <= ~15 on 10× data at fixed cores), else the regression is
+diagnosed in SCALE.md.
+
+Usage: python scripts/scale_probe100.py [--regen] [--only q_a,q_b]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+from startup_data_pipeline_spark.sources.tables import TABLES, load_table
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1 = os.path.join(_ROOT, ".scratch", "sf1")
+SF10 = os.path.join(_ROOT, ".scratch", "sf10")
+REPLICAS = 10
+KEY_SHIFT = 1_000_000_000  # beyond the sf1 key range (sf1 tops < 1e9)
+
+SCALED = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+}
+
+PROBE = [
+    "q_pagerank",
+    "q_dup_cluster_stats",
+    "q_soft_dedup_weights",
+    "q_simhash64_pairs",
+    "q_image_dhash_pairs",
+]
+
+
+def _perturb_every_5th(col: F.Column, marker: str) -> F.Column:
+    """Suffix every 5th whitespace token with a per-replica marker —
+    strong enough that k=3 shingle sets diverge (Jaccard ~0.25) and the
+    outer replicas fall out of the near-dup band-collision regime."""
+    toks = F.split(col, " ")
+    return F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i % 5 == F.lit(0), F.concat(t, F.lit(marker))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+
+
+def regen(spark) -> None:
+    os.makedirs(SF10, exist_ok=True)
+    for t in TABLES:
+        path = os.path.join(SF10, f"{t}.parquet")
+        if t not in SCALED:
+            # dims 1×; unread facts copied 1× so load_table resolves
+            src_path = os.path.join(SF1, f"{t}.parquet")
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            shutil.copytree(src_path, path)
+            print(f"copied {t} 1x", file=sys.stderr)
+            continue
+        src = load_table(spark, SF1, t)
+        reps = []
+        for i in range(REPLICAS):
+            r = src
+            for kcol in SCALED[t]:
+                r = r.withColumn(kcol, F.col(kcol) + F.lit(i * KEY_SHIFT))
+            if t == "documents" and i > 0:
+                r = r.withColumn(
+                    "text", _perturb_every_5th(F.col("text"), f"_d{i}")
+                )
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(path)
+        print(f"wrote {t}: {out.count()} rows", file=sys.stderr)
+
+
+def main() -> None:
+    only = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a.startswith("--only"):
+            if "=" in a:
+                only = a.split("=", 1)[-1].split(",")
+            elif i + 1 < len(argv):
+                only = argv[i + 1].split(",")
+    if not os.path.exists(os.path.join(SF1, "_GEN_DONE")):
+        print("run scripts/scale_probe.py first (needs .scratch/sf1)",
+              file=sys.stderr)
+        sys.exit(2)
+    spark = get_spark(
+        app_name="spark-graft-scale-probe100",
+        extra_conf={
+            "spark.driver.memory": "64g",
+            "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+            "spark.ui.enabled": "false",
+            "spark.ui.retainedJobs": "100",
+            "spark.ui.retainedStages": "100",
+            "spark.ui.retainedTasks": "1000",
+            "spark.sql.ui.retainedExecutions": "4",
+            "spark.appStateStore.asyncTracking.enable": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    done = os.path.join(SF10, "_GEN_DONE")
+    if "--regen" in sys.argv or not os.path.exists(done):
+        regen(spark)
+        open(done, "w").write("ok")
+
+    queries = all_queries()
+    names = [n for n in (only or PROBE) if n in queries]
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 2)
+
+    # warm both datasets' file indexes + codegen
+    run("q_pricing_summary", SF1)
+    run("q_pricing_summary", SF10)
+
+    rows = []
+    for n in names:
+        t_small = run(n, SF1)
+        t_big = run(n, SF10)
+        ratio = round(t_big / t_small, 1) if t_small > 0 else None
+        rows.append({"query": n, "sf1_s": t_small, "sf10_s": t_big,
+                     "ratio": ratio})
+        print(f"{n:28s} sf1={t_small:7.2f}s sf10={t_big:7.2f}s "
+              f"ratio={ratio}", file=sys.stderr)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
-from .util import ensure_min_parallelism
+from .util import bucket_size_cap, ensure_min_parallelism
 
 SIMHASH_BITS = 16
 
@@ -153,13 +153,7 @@ def lsh_candidate_pairs(
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         F.col(id_col), F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_id", "band_key")
-        exploded = exploded.withColumn("__sz", F.count(F.lit(1)).over(w)).filter(
-            F.col("__sz") <= max_bucket
-        ).drop("__sz")
+    exploded = bucket_size_cap(exploded, ("band_id", "band_key"), max_bucket)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -804,16 +798,11 @@ def simhash64_near_pairs(
     monochrome images) where hamming<=3 "near-dup" is noise anyway.
     ``simhash64_bucket_report`` is the companion audit.
     """
-    exploded = simhash64_bands(sigs, id_col, sig_col)
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_id", "band_val")
-        exploded = (
-            exploded.withColumn("__sz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__sz") <= max_bucket)
-            .drop("__sz")
-        )
+    exploded = bucket_size_cap(
+        simhash64_bands(sigs, id_col, sig_col),
+        ("band_id", "band_val"),
+        max_bucket,
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -27,7 +27,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import ensure_min_parallelism
+from .util import bucket_size_cap, ensure_min_parallelism
 
 QUANT_SCALE = 10000
 
@@ -773,15 +773,11 @@ def _lsh_bucket_capped(q: DataFrame, max_bucket: int | None) -> DataFrame:
     embedding family). The window count partitions by the join's own
     bucket key, so it rides the same exchange. Recall trade, stated: a
     capped bucket's vectors emit no pairs/neighbors — at that occupancy
-    they are mutual exact-dups better handled by exact dedup first."""
-    if max_bucket is None:
-        return q
-    w = Window.partitionBy("bucket")
-    return (
-        q.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
-    )
+    they are mutual exact-dups better handled by exact dedup first.
+
+    Delegates to the engine-wide ``util.bucket_size_cap`` template (one
+    implementation for the MinHash, simhash64, and sign-LSH caps)."""
+    return bucket_size_cap(q, ("bucket",), max_bucket)
 
 
 def _bucketed_scored_pairs(

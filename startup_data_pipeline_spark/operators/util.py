@@ -5,6 +5,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def bucket_size_cap(
+    df: DataFrame, keys: tuple[str, ...], max_bucket: int | None
+) -> DataFrame:
+    """The ONE degeneracy-cap template every banded/bucketed self-join
+    in the engine shares: drop rows whose bucket (the join's own key
+    ``keys``) holds more than ``max_bucket`` members, BEFORE the join.
+
+    Why a window count and not a groupBy+join: the window partitions by
+    the self-join's own shuffle key, so at sort-merge scale Catalyst
+    reuses the join's hash exchange for the count — no extra shuffle
+    (pinned by test_simhash64_cap_count_rides_the_band_join_exchange).
+
+    Call sites, each documenting its own recall trade:
+    - ``dedup.lsh_candidate_pairs`` — MinHash bands (band_id, band_key);
+    - ``dedup.simhash64_near_pairs`` — 16-bit simhash bands
+      (band_id, band_val), the recall-constrained space that cannot
+      auto-size past 65536 buckets;
+    - ``similarity._lsh_bucket_capped`` — sign-LSH orthant ``bucket``,
+      the identical-vector adversary ``auto_lsh_dims`` cannot fix.
+
+    ``None`` disables the cap (library default; registered queries pin
+    explicit caps chosen from the occupancy reports)."""
+    if max_bucket is None:
+        return df
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("__bucket_sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_sz") <= max_bucket)
+        .drop("__bucket_sz")
+    )
+
+
 def ensure_min_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition ONLY IF the input is under-parallelized.
 

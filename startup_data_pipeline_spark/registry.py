@@ -62,7 +62,7 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-7 window: certification burn-down, phase 2 (VERDICT r6
+    # Round-8 window: certification burn-down, phase 3 (VERDICT r7
     # "Next round" #1) plus this round's changed-operator canaries.
     #
     # WINDOW RULE (standing, per VERDICT r6 #7): whenever a certified
@@ -72,111 +72,96 @@ _PRIORITY: list[str] = [
     # for a driver row (the q_knn_graph canary precedent from r6).
     #
     # Slot layout (50):
-    #   1-5    the five round-6 registrations the driver has NEVER
+    #   1-3    the three round-7 registrations the driver has NEVER
     #          sampled (judge-verified green last session; the contract
     #          row is still the driver's);
-    #   6-9    round-7 changed-operator canaries: q_simhash64_pairs +
-    #          q_image_dhash_pairs (max_bucket degeneracy cap, plan
-    #          change, oracles mirrored), q_incremental_dedup_gate
-    #          (gate legacy-layout refusal + debris sweep + verdict
-    #          retention), q_dedup_agreement (rides the refactored
-    #          simhash64 band split);
-    #   10-34  all 25 round-2-certified names, alphabetical;
-    #   35-50  the 16 oldest round-3-certified names, alphabetical
-    #          from q_approx_stats.
-    # The 7 remaining r3 names queue directly behind the boundary;
-    # r8's window absorbs them plus the 47 r4 names.
-    "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
-    "q_dup_span_rate", "q_hard_negatives",
-    # --- round-7 changed-operator canaries ---
-    "q_simhash64_pairs", "q_image_dhash_pairs",
-    "q_incremental_dedup_gate", "q_dedup_agreement",
-    # --- 25 round-2-certified, alphabetical ---
-    "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline",
-    "q_currency_parse", "q_decode_image", "q_ewma", "q_fingerprint",
-    "q_funnel_stages", "q_jsonl_source", "q_lang_id",
-    "q_moving_median", "q_name_normalize", "q_quality_score",
-    "q_repetition_stats", "q_resize_image", "q_simhash_pairs",
-    "q_sql_surface", "q_stratified_sample", "q_stream_funnel",
-    "q_stream_sessionize", "q_stream_stateful_totals",
-    "q_stream_tumbling", "q_token_entropy", "q_url_parse",
-    "q_variant_json",
-    # --- 16 oldest round-3-certified, alphabetical ---
-    "q_approx_stats", "q_best_supplier_per_part",
-    "q_customers_no_orders", "q_disjunctive_part_revenue",
-    "q_dq_metrics", "q_excess_shippers", "q_forecast_revenue",
-    "q_large_orders", "q_market_share", "q_nation_volume",
-    "q_ntile_deciles", "q_priority_line_counts", "q_product_profit",
-    "q_promo_revenue", "q_returned_revenue", "q_simhash",
-    # --- 50-slot window boundary ---
-    # remaining round-3 names (r8 window starts here):
-    "q_small_quantity_revenue", "q_supplier_variety",
-    "q_top_supplier", "q_user_trend", "q_value_histogram",
-    "q_value_share", "q_waiting_orders",
-    # round-6-certified (freshest of the pre-r7 backlog):
-    "q_curation_pipeline",
-    "q_alert_filter", "q_anti_join_seen", "q_asof_join",
-    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
-    "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
-    "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
-    "q_deterministic_sample", "q_doc_length_percentiles",
-    "q_event_gaps", "q_exact_dedup", "q_gap_fill_locf",
-    "q_incremental_agg", "q_job_aggs", "q_json_extract",
-    "q_json_repair", "q_json_serialize", "q_keyword_filter",
-    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
-    "q_pricing_summary", "q_provider_map", "q_range_join",
-    "q_recency_filter", "q_rollup_orders", "q_running_total",
-    "q_scd2_history", "q_score_topk", "q_semi_join_exists",
-    "q_sessionize", "q_sheet_projection", "q_shipping_priority",
-    "q_sliding_window", "q_snapshot_diff", "q_tier_case",
-    "q_tld_explode", "q_tumbling_window", "q_udtf_char_windows",
-    "q_union_sources", "q_upsert_merge", "q_waterfall_coalesce",
-    "q_window_topk",
-    "q_knn_graph",
-    "q_lsh_precision", "q_score_percentile_norm", "q_ri_audit",
-    # round-4 certified (r5 edge-fix canaries q_vocab_coverage /
-    # q_domain_mix first — their fixed branches are now ALSO exercised
-    # by dedicated tiny-table tests, see tests/test_edge_branches.py):
-    "q_vocab_coverage", "q_domain_mix", "q_ngram_jaccard",
-    "q_stream_dedup",
-    "q_flagship", "q_grouping_sets", "q_near_dup_components",
-    "q_ann_ivf_trained", "q_kmeans_clusters", "q_kmeans_assign",
-    "q_centroid_classify", "q_salted_join", "q_cross_split_leakage",
-    "q_rare_token_docs", "q_curriculum_order", "q_skyline_pareto",
-    "q_topk_other", "q_sketch_rollup",
-    "q_dedup_survivors", "q_minhash_signatures", "q_lsh_pairs",
-    "q_winnow_fingerprints",
-    "q_contamination_check", "q_segment_dedup",
-    "q_ann_topk", "q_ann_lsh_topk", "q_ann_ivf_topk",
-    "q_embedding_near_dup", "q_embedding_quantize",
-    "q_token_stats", "q_quality_gate", "q_train_split",
-    "q_sequence_pack", "q_multimodal_features", "q_frame_sample",
-    "q_reservoir_sample", "q_tfidf_top_terms", "q_pii_scrub",
-    "q_time_parse", "q_heavy_hitters", "q_cohort_retention",
-    "q_pivot_status", "q_unpivot_metrics", "q_set_ops",
-    "q_mad_outliers", "q_name_fuzzy_match",
-    # round-5 certified (freshest — unprioritized registration order
-    # would also place them last; listed for explicitness):
-    "q_group_mode", "q_user_entropy", "q_nearest_click",
-    "q_cluster_margin", "q_cdc_compact", "q_wow_growth",
-    "q_distance_histogram", "q_audio_features", "q_activity_streaks",
-    "q_session_paths", "q_sample_allocation", "q_stl_decompose",
-    "q_stream_markov", "q_quant_calibration",
-    "q_vocab_growth", "q_conversion_latency",
-    "q_cooccur_lift", "q_domain_signature", "q_rrf_fusion",
-    "q_markov_transitions", "q_cusum_shift", "q_winsorize",
-    "q_soft_dedup_weights", "q_boilerplate_strip", "q_bfs_hops",
-    "q_max_concurrency", "q_sliding_distinct",
-    "q_pq_encode", "q_pq_ann", "q_zorder_key",
-    "q_bpe_merge_pairs", "q_join_skew_profile", "q_degree_hist",
-    "q_kwic_snippets", "q_seasonal_anomaly", "q_doc_novelty",
-    "q_split_balance", "q_shingle_containment",
-    "q_dup_cluster_stats", "q_triangle_count", "q_upsample_epochs",
-    "q_lm_score", "q_pagerank",
-    # round-7 registrations (the round's small quota, behind the whole
-    # backlog per the burn-down contract — they lead the r8 window as
-    # the never-driver-sampled tranche, with any r8 canaries):
+    #   4-11   round-8 changed-operator canaries: the four embedding-ANN
+    #          registrations that now pin max_bucket=256 (code + oracle
+    #          change: q_knn_graph, q_hard_negatives,
+    #          q_embedding_near_dup, q_ann_lsh_topk), the three
+    #          registered consumers of the capped paths unified into
+    #          util.bucket_size_cap (q_simhash64_pairs,
+    #          q_image_dhash_pairs, q_dedup_agreement), and
+    #          q_incremental_dedup_gate (gate handler changed:
+    #          retain_verdict_epochs validation + accretion warning);
+    #   12-18  the 7 remaining round-3-certified names, alphabetical;
+    #   19-50  the 32 oldest round-4-certified names, alphabetical from
+    #          q_ann_ivf_topk (minus the two already in canary slots).
+    # The 12 remaining r4 names queue directly behind the boundary;
+    # r9's window absorbs them plus the oldest r5 names.
+    # --- the three never-driver-sampled round-7 registrations ---
     "q_dup_spans", "q_simhash64_band_stats", "q_lsh_occupancy",
+    # --- round-8 changed-operator canaries ---
+    "q_knn_graph", "q_hard_negatives", "q_embedding_near_dup",
+    "q_ann_lsh_topk", "q_simhash64_pairs", "q_image_dhash_pairs",
+    "q_dedup_agreement", "q_incremental_dedup_gate",
+    # --- 7 remaining round-3-certified, alphabetical ---
+    "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
+    "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
+    # --- 32 oldest round-4-certified, alphabetical ---
+    "q_ann_ivf_topk", "q_ann_ivf_trained", "q_ann_topk",
+    "q_centroid_classify", "q_cohort_retention", "q_contamination_check",
+    "q_cross_split_leakage", "q_curriculum_order", "q_dedup_survivors",
+    "q_domain_mix", "q_embedding_quantize", "q_flagship", "q_frame_sample",
+    "q_grouping_sets", "q_heavy_hitters", "q_kmeans_assign",
+    "q_kmeans_clusters", "q_lsh_pairs", "q_mad_outliers",
+    "q_minhash_signatures", "q_multimodal_features", "q_name_fuzzy_match",
+    "q_near_dup_components", "q_ngram_jaccard", "q_pii_scrub",
+    "q_pivot_status", "q_quality_gate", "q_rare_token_docs",
+    "q_reservoir_sample", "q_salted_join", "q_segment_dedup",
+    "q_sequence_pack",
+    # --- 50-slot window boundary ---
+    # remaining round-4 names (r9 window starts here):
+    "q_set_ops", "q_sketch_rollup", "q_skyline_pareto", "q_stream_dedup",
+    "q_tfidf_top_terms", "q_time_parse", "q_token_stats", "q_topk_other",
+    "q_train_split", "q_unpivot_metrics", "q_vocab_coverage",
+    "q_winnow_fingerprints",
+    # round-5 certified, alphabetical:
+    "q_activity_streaks", "q_audio_features", "q_bfs_hops",
+    "q_boilerplate_strip", "q_bpe_merge_pairs", "q_cdc_compact",
+    "q_cluster_margin", "q_conversion_latency", "q_cooccur_lift",
+    "q_cusum_shift", "q_degree_hist", "q_distance_histogram", "q_doc_novelty",
+    "q_domain_signature", "q_dup_cluster_stats", "q_group_mode",
+    "q_join_skew_profile", "q_kwic_snippets", "q_lm_score", "q_lsh_precision",
+    "q_markov_transitions", "q_max_concurrency", "q_nearest_click",
+    "q_pagerank", "q_pq_ann", "q_pq_encode", "q_quant_calibration",
+    "q_ri_audit", "q_rrf_fusion", "q_sample_allocation",
+    "q_score_percentile_norm", "q_seasonal_anomaly", "q_session_paths",
+    "q_shingle_containment", "q_sliding_distinct", "q_soft_dedup_weights",
+    "q_split_balance", "q_stl_decompose", "q_stream_markov",
+    "q_triangle_count", "q_upsample_epochs", "q_user_entropy",
+    "q_vocab_growth", "q_winsorize", "q_wow_growth", "q_zorder_key",
+    # round-6 certified, alphabetical:
+    "q_alert_filter", "q_anti_join_seen", "q_asof_join", "q_ats_greenhouse",
+    "q_ats_jsonld_fallback", "q_ats_lever", "q_blocklist_filter",
+    "q_bloom_semi_join", "q_cap_newest", "q_careers_link", "q_cube_lineitem",
+    "q_curation_pipeline", "q_customer_distribution",
+    "q_deterministic_sample", "q_doc_length_percentiles", "q_event_gaps",
+    "q_exact_dedup", "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs",
+    "q_json_extract", "q_json_repair", "q_json_serialize", "q_keyword_filter",
+    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
+    "q_pricing_summary", "q_provider_map", "q_range_join", "q_recency_filter",
+    "q_rollup_orders", "q_running_total", "q_scd2_history", "q_score_topk",
+    "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
+    "q_shipping_priority", "q_sliding_window", "q_snapshot_diff",
+    "q_tier_case", "q_tld_explode", "q_tumbling_window",
+    "q_udtf_char_windows", "q_union_sources", "q_upsert_merge",
+    "q_waterfall_coalesce", "q_window_topk",
+    # round-7 certified, alphabetical (freshest):
+    "q_approx_stats", "q_best_supplier_per_part", "q_bpe_tokens",
+    "q_chunk_documents", "q_connector_pipeline", "q_currency_parse",
+    "q_customers_no_orders", "q_decode_image", "q_disjunctive_part_revenue",
+    "q_dq_metrics", "q_dup_span_rate", "q_ewma", "q_excess_shippers",
+    "q_fingerprint", "q_forecast_revenue", "q_funnel_stages",
+    "q_histogram_drift", "q_jsonl_source", "q_ks_two_sample", "q_lang_id",
+    "q_large_orders", "q_market_share", "q_moving_median", "q_name_normalize",
+    "q_nation_volume", "q_ntile_deciles", "q_priority_line_counts",
+    "q_product_profit", "q_promo_revenue", "q_quality_score",
+    "q_repetition_stats", "q_resize_image", "q_returned_revenue", "q_simhash",
+    "q_simhash_pairs", "q_snapshot_novelty", "q_sql_surface",
+    "q_stratified_sample", "q_stream_funnel", "q_stream_sessionize",
+    "q_stream_stateful_totals", "q_stream_tumbling", "q_token_entropy",
+    "q_url_parse", "q_variant_json",
 ]
 
 

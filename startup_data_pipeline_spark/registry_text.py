@@ -521,7 +521,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ann_lsh_topk",
     # bucket mirrors lsh_topk's corpus auto-sizing (round-6; same meta
-    # CTE as q_knn_graph / q_embedding_near_dup)
+    # CTE as q_knn_graph / q_embedding_near_dup). max_bucket=256 cap
+    # (r8) mirrored on the CANDIDATE side only, exactly where
+    # lsh_topk applies _lsh_bucket_capped — a query whose bucket is
+    # capped finds no candidates (the library's recall contract).
     oracle=f"""
     WITH meta AS (
         SELECT GREATEST(1, LEAST(
@@ -539,7 +542,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS bucket
         FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings WHERE vec_id < 10)
     ),
-    c AS (
+    c0 AS (
         SELECT vec_id AS neighbor_id, cv,
                CAST(list_sum(list_transform(
                    generate_series(1, (SELECT h FROM meta)),
@@ -548,6 +551,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
         FROM (SELECT vec_id, {_QUANT} AS cv FROM embeddings)
+    ),
+    bsz AS (SELECT bucket, COUNT(*) AS bc FROM c0 GROUP BY bucket),
+    c AS (
+        SELECT c0.* FROM c0 JOIN bsz USING (bucket) WHERE bc <= 256
     ),
     scored AS (
         SELECT query_id, neighbor_id,
@@ -564,12 +571,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rn <= 5
     """,
-    survey_ops="sign-LSH bucketed ANN (scale path, §2.11)",
+    survey_ops="sign-LSH bucketed ANN (scale path, §2.11); max_bucket "
+    "degeneracy cap pinned on the candidate side (r8)",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
-        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5,
+        max_bucket=256,
     )
 
 
@@ -612,7 +621,9 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_near_dup",
     # hyperplane count mirrors near_dup_pairs' corpus auto-sizing,
     # exactly as q_knn_graph's oracle does (same formula, same
-    # ceil/log2 cross-libm argument)
+    # ceil/log2 cross-libm argument). max_bucket=256 cap mirrored
+    # exactly as in q_knn_graph (r8): both self-join sides keep only
+    # rows whose bucket holds <= 256 vectors.
     oracle=f"""
     WITH meta AS (
         SELECT GREATEST(1, LEAST(
@@ -623,7 +634,7 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT vec_id, {_QUANT} AS v FROM embeddings
     ),
-    qb AS (
+    qb0 AS (
         SELECT vec_id, v,
                CAST(list_sum(list_transform(
                    generate_series(1, (SELECT h FROM meta)),
@@ -632,6 +643,10 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
         FROM q
+    ),
+    bsz AS (SELECT bucket, COUNT(*) AS bc FROM qb0 GROUP BY bucket),
+    qb AS (
+        SELECT qb0.* FROM qb0 JOIN bsz USING (bucket) WHERE bc <= 256
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(list_sum(list_transform(generate_series(1, len(a.v)),
@@ -642,12 +657,13 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ops="embedding-cosine near-dup pairs, LSH-restricted (§2.11 "
     "dedup): hyperplane count auto-sized to the corpus (r6 fix — the "
-    "same fixed-dims per-bucket quadratic knn_graph had)",
+    "same fixed-dims per-bucket quadratic knn_graph had); max_bucket "
+    "degeneracy cap pinned (r8)",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", min_score=32_000_000
+        emb, "vec_id", "embedding", min_score=32_000_000, max_bucket=256
     )
 
 
@@ -2023,6 +2039,12 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every scale factor. log2 of a non-power-of-two ratio sits far
     # (>> 1 ulp) from any integer, and exact powers of two are
     # representable, so ceil agrees across libms.
+    # The max_bucket=256 degeneracy cap (r8, chosen from
+    # lsh_occupancy_report: 8x target occupancy, >3x the worst
+    # observed bucket at any probed SF incl. sf1's 70) is mirrored
+    # exactly: both self-join sides keep only rows whose bucket
+    # holds <= 256 vectors, as _lsh_bucket_capped does before the
+    # bucket join.
     oracle=f"""
     WITH meta AS (
         SELECT GREATEST(1, LEAST(
@@ -2033,7 +2055,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT vec_id, {_QUANT} AS v FROM embeddings
     ),
-    qb AS (
+    qb0 AS (
         SELECT vec_id, v,
                CAST(list_sum(list_transform(
                    generate_series(1, (SELECT h FROM meta)),
@@ -2042,6 +2064,10 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
         FROM q
+    ),
+    bsz AS (SELECT bucket, COUNT(*) AS bc FROM qb0 GROUP BY bucket),
+    qb AS (
+        SELECT qb0.* FROM qb0 JOIN bsz USING (bucket) WHERE bc <= 256
     ),
     scored AS (
         SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -2062,11 +2088,14 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-3 neighbors for EVERY vector (the HNSW/NN-Descent input "
     "structure), hyperplane count auto-sized to the corpus so bucket "
     "occupancy \u2014 and the per-bucket quadratic \u2014 stays constant as "
-    "data scales; rank window rides the bucket exchange",
+    "data scales; rank window rides the bucket exchange; max_bucket "
+    "degeneracy cap pinned (identical-vector adversary, r8)",
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(emb, "vec_id", "embedding", k=3)
+    return similarity.knn_graph(
+        emb, "vec_id", "embedding", k=3, max_bucket=256
+    )
 
 
 @register(
@@ -2746,7 +2775,9 @@ def q_dup_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_hard_negatives",
     # same corpus-auto-sized bucket meta CTE as q_knn_graph; the label
-    # inequality rides the bucket join
+    # inequality rides the bucket join. max_bucket=256 cap mirrored
+    # exactly as in q_knn_graph (r8): both self-join sides keep only
+    # rows whose bucket holds <= 256 vectors.
     oracle=f"""
     WITH meta AS (
         SELECT GREATEST(1, LEAST(
@@ -2757,7 +2788,7 @@ def q_dup_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (
         SELECT vec_id, label, {_QUANT} AS v FROM embeddings
     ),
-    qb AS (
+    qb0 AS (
         SELECT vec_id, label, v,
                CAST(list_sum(list_transform(
                    generate_series(1, (SELECT h FROM meta)),
@@ -2766,6 +2797,10 @@ def q_dup_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
         FROM q
+    ),
+    bsz AS (SELECT bucket, COUNT(*) AS bc FROM qb0 GROUP BY bucket),
+    qb AS (
+        SELECT qb0.* FROM qb0 JOIN bsz USING (bucket) WHERE bc <= 256
     ),
     scored AS (
         SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
@@ -2788,12 +2823,13 @@ def q_dup_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity, NEW r6): per anchor, the top-3 most-similar "
     "DIFFERENT-label vectors in its corpus-auto-sized LSH bucket — "
     "the triplet/InfoNCE batch-mining pass; knn_graph's exact plan "
-    "shape with the label filter riding the bucket join",
+    "shape with the label filter riding the bucket join; max_bucket "
+    "degeneracy cap pinned (r8)",
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negative_mining(
-        emb, "vec_id", "embedding", "label", k=3
+        emb, "vec_id", "embedding", "label", k=3, max_bucket=256
     )
 
 

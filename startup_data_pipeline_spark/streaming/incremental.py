@@ -19,6 +19,7 @@ supplies the per-run backpressure cap (reference: 20 articles/run).
 
 from __future__ import annotations
 
+import logging
 import os
 import uuid
 
@@ -31,6 +32,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+_LOG = logging.getLogger(__name__)
 
 # events.parquet has shipped ts as TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
 # depending on fixture generation; stream reads take the raw int64 and
@@ -496,9 +499,13 @@ def streaming_dedup_gate(
     Verdicts go to ``verdict_path`` (default ``<index_path>_verdicts``)
     as one overwrite-idempotent ``epoch=<e>`` parquet dir per batch —
     rows (new_id, match_id, n_agree, admitted); no driver-side state.
-    ``retain_verdict_epochs=K`` bounds the verdict sink to the newest K
-    epoch dirs (opt-in — verdicts are output; the consumer's lag budget
-    decides). Returns ``(writer, verdict_path)``.
+    ``retain_verdict_epochs=K`` (K >= 1; validated) bounds the verdict
+    sink to the newest K epoch dirs. Opt-in — verdicts are output and
+    only the consumer's lag budget licenses deletion — but NOT silent:
+    when unset and the verdict dir grows past ``4 * compact_every``
+    epochs, the handler logs a WARNING every batch (a deployment that
+    forgot the knob accretes one dir per trigger forever). Returns
+    ``(writer, verdict_path)``.
     """
     spark = doc_stream.sparkSession
     if verdict_path is None:
@@ -574,6 +581,16 @@ def make_dedup_gate_handler(
     from pyspark.sql import Window
 
     from ..operators import dedup as dedup_ops
+
+    # K=0 would make sorted(eps)[:-0] the EMPTY slice — "prune nothing",
+    # the exact opposite of the natural reading — and a negative K would
+    # prune the oldest |K| epochs unconditionally. Both are config bugs;
+    # fail loudly at build time, not silently per batch.
+    if retain_verdict_epochs is not None and retain_verdict_epochs < 1:
+        raise ValueError(
+            "retain_verdict_epochs must be >= 1 (or None to retain all);"
+            f" got {retain_verdict_epochs}"
+        )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import types as T
@@ -757,20 +774,33 @@ def make_dedup_gate_handler(
         # newest K, so a retried epoch never deletes itself, and the
         # current epoch's write has already committed when the prune
         # runs (crash between write and prune just re-prunes next batch).
+        vfs, vroot = _hadoop_fs(spark, verdict_path)
+        eps = []
+        for s in vfs.listStatus(vroot):
+            nm = s.getPath().getName()
+            if nm.startswith("epoch="):
+                try:
+                    eps.append(int(nm.split("=", 1)[1]))
+                except ValueError:
+                    pass
         if retain_verdict_epochs is not None:
-            vfs, vroot = _hadoop_fs(spark, verdict_path)
-            eps = []
-            for s in vfs.listStatus(vroot):
-                nm = s.getPath().getName()
-                if nm.startswith("epoch="):
-                    try:
-                        eps.append(int(nm.split("=", 1)[1]))
-                    except ValueError:
-                        pass
             for e in sorted(eps)[:-retain_verdict_epochs]:
                 vfs.delete(
                     _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1], True
                 )
+        elif len(eps) > 4 * compact_every:
+            # Unbounded-by-default is deliberate (verdicts are OUTPUT;
+            # deleting them needs the consumer's say-so) — but a 100 TB
+            # deployment that forgot the knob must hear about it before
+            # the dir hits millions of entries. Loud, every batch past
+            # the threshold.
+            _LOG.warning(
+                "dedup-gate verdict sink at %s holds %d epoch dirs and "
+                "retain_verdict_epochs is unset — storage grows one dir "
+                "per trigger forever. Set retain_verdict_epochs (e.g. "
+                "%d) once downstream consumers are caught up.",
+                verdict_path, len(eps), 4 * compact_every,
+            )
         # admitted docs join the index in the band-exploded layout;
         # duplicates are NOT indexed (the canonical copy is already
         # there — matches the reference's "seen items are not

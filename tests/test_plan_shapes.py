@@ -638,3 +638,37 @@ def test_hard_negatives_share_knn_bucket_join_shape(spark, plan_sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
+
+
+def test_ann_cap_count_rides_the_bucket_join_exchange(
+    spark, plan_sf_dir
+):
+    """The embedding-ANN max_bucket window count partitions by the
+    sign-LSH ``bucket`` — the self-join's own key — so the count rides
+    the bucket join's hash exchange (the simhash64 cap pin applied to
+    the family whose registrations pin max_bucket=256 as of r8). Pin:
+    no unpartitioned window anywhere; every Window is keyed on bucket
+    or on the per-anchor rank key; the join stays a bucket equi-join."""
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, plan_sf_dir, "embeddings")
+    plan = _plan(
+        similarity.knn_graph(
+            emb, "vec_id", "embedding", k=3, max_bucket=256
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _unpartitioned_window_sum_operands(plan)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert (
+                "bucket" in line or "vec_id" in line or "vid" in line
+            ), line
+    # the cap's count window is present and keyed on the bucket
+    assert any(
+        "windowspecdefinition" in line and "bucket" in line
+        for line in plan.splitlines()
+    )

@@ -196,36 +196,30 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-7 window is burn-down phase 2 (VERDICT r6 #1): the five
-    # never-driver-sampled round-6 registrations lead, the four
-    # round-7 changed-operator canaries follow (the standing canary
-    # rule from VERDICT r6 #7), then all 25 r2-certified names and the
-    # 16 oldest r3 names
+    # round-8 window is burn-down phase 3 (VERDICT r7 #1): the three
+    # never-driver-sampled round-7 registrations lead, the eight
+    # round-8 changed-operator canaries follow (the standing canary
+    # rule from VERDICT r6 #7), then the 7 remaining r3 names and the
+    # 32 oldest r4 names alphabetical from q_ann_ivf_topk
     prefix = list(qs)[:50]
-    assert prefix[:5] == [
-        "q_histogram_drift", "q_ks_two_sample", "q_snapshot_novelty",
-        "q_dup_span_rate", "q_hard_negatives",
+    assert prefix[:3] == [
+        "q_dup_spans", "q_simhash64_band_stats", "q_lsh_occupancy",
     ]
-    assert prefix[5:9] == [
-        "q_simhash64_pairs", "q_image_dhash_pairs",
-        "q_incremental_dedup_gate", "q_dedup_agreement",
+    assert prefix[3:11] == [
+        "q_knn_graph", "q_hard_negatives", "q_embedding_near_dup",
+        "q_ann_lsh_topk", "q_simhash64_pairs", "q_image_dhash_pairs",
+        "q_dedup_agreement", "q_incremental_dedup_gate",
     ]
-    r2_certified = {
-        "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline",
-        "q_currency_parse", "q_decode_image", "q_ewma", "q_fingerprint",
-        "q_funnel_stages", "q_jsonl_source", "q_lang_id",
-        "q_moving_median", "q_name_normalize", "q_quality_score",
-        "q_repetition_stats", "q_resize_image", "q_simhash_pairs",
-        "q_sql_surface", "q_stratified_sample", "q_stream_funnel",
-        "q_stream_sessionize", "q_stream_stateful_totals",
-        "q_stream_tumbling", "q_token_entropy", "q_url_parse",
-        "q_variant_json",
-    }
-    assert set(prefix[9:34]) == r2_certified
-    assert prefix[34] == "q_approx_stats"
-    assert prefix[49] == "q_simhash"
-    # remaining r3 names queue just behind the boundary for the round-8
+    r3_remaining = [
+        "q_small_quantity_revenue", "q_supplier_variety",
+        "q_top_supplier", "q_user_trend", "q_value_histogram",
+        "q_value_share", "q_waiting_orders",
+    ]
+    assert prefix[11:18] == r3_remaining
+    assert prefix[18] == "q_ann_ivf_topk"
+    assert prefix[18:50] == sorted(prefix[18:50])  # r4 tranche is
+    # alphabetical, so the driver's sample order is reproducible
+    assert prefix[49] == "q_sequence_pack"
+    # remaining r4 names queue just behind the boundary for the round-9
     # window
-    assert list(qs)[50:52] == [
-        "q_small_quantity_revenue", "q_supplier_variety"
-    ]
+    assert list(qs)[50:52] == ["q_set_ops", "q_sketch_rollup"]

@@ -1,0 +1,161 @@
+"""Round-8 hardening tests: verdict-retention validation + unbounded-
+accretion warning (ADVICE r7 / VERDICT r7 #6), the DECIMAL(38,0)
+bucket-math overflow regime for histogram_drift / ks_two_sample
+(ADVICE r7 #2), and the shared bucket_size_cap template (VERDICT r7
+#5)."""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+# ---------------------------------------------------------------------------
+# verdict retention: validation + loud unbounded-accretion warning
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bad", [0, -1, -7])
+def test_retain_verdict_epochs_below_one_rejected(spark, tmp_path, bad):
+    # K=0 makes sorted(eps)[:-0] the EMPTY slice (prunes nothing —
+    # silently retain-all, the opposite of the natural reading);
+    # negative K prunes the oldest |K| unconditionally. Both must fail
+    # at build time.
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+        streaming_dedup_gate,
+    )
+
+    with pytest.raises(ValueError, match="retain_verdict_epochs"):
+        make_dedup_gate_handler(
+            spark, str(tmp_path / "i"), str(tmp_path / "v"),
+            retain_verdict_epochs=bad,
+        )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    with pytest.raises(ValueError, match="retain_verdict_epochs"):
+        streaming_dedup_gate(
+            stream, str(tmp_path / "i2"), retain_verdict_epochs=bad
+        )
+
+
+def test_unbounded_verdict_sink_warns_past_threshold(
+    spark, tmp_path, caplog
+):
+    # retention stays opt-in (verdicts are output), but a deployment
+    # that forgot the knob must hear about it: past 4*compact_every
+    # epoch dirs with retain_verdict_epochs unset, every batch logs a
+    # WARNING naming the path and the suggested setting.
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "warn_idx")
+    vp = str(tmp_path / "warn_verdicts")
+    handle = make_dedup_gate_handler(spark, idx, vp, compact_every=1)
+    logger = "startup_data_pipeline_spark.streaming.incremental"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        for e in range(4):
+            handle(_mk(spark, [(e, f"unique doc {e} aa bb cc dd ee")]), e)
+        assert not [
+            r for r in caplog.records if "verdict sink" in r.message
+        ], "warned before the threshold"
+        handle(_mk(spark, [(4, "unique doc four aa bb cc dd ee")]), 4)
+    warns = [r for r in caplog.records if "verdict sink" in r.message]
+    assert warns and vp in warns[-1].message
+    assert "retain_verdict_epochs" in warns[-1].message
+
+
+def test_bounded_verdict_sink_never_warns(spark, tmp_path, caplog):
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "ok_idx")
+    vp = str(tmp_path / "ok_verdicts")
+    handle = make_dedup_gate_handler(
+        spark, idx, vp, compact_every=1, retain_verdict_epochs=2
+    )
+    logger = "startup_data_pipeline_spark.streaming.incremental"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        for e in range(6):
+            handle(_mk(spark, [(e, f"unique doc {e} aa bb cc dd ee")]), e)
+    assert not [r for r in caplog.records if "verdict sink" in r.message]
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL(38,0) bucket math at the BIGINT overflow boundary
+# ---------------------------------------------------------------------------
+
+def test_histogram_drift_survives_2_62_value_range(spark):
+    # min=-2^62, max=2^62 makes the bin numerator (v - min) * n_bins
+    # reach 10 * 2^63 — far past BIGINT — and even (max - min) alone is
+    # 2^63, unrepresentable. The DECIMAL(38,0) path must bin exactly,
+    # no NULLs, no ANSI failure (the regime the r7 rewrite targets).
+    from startup_data_pipeline_spark.operators import olap
+
+    ref = spark.createDataFrame(
+        [(-(2**62),), (0,), (2**62,)], "v: long"
+    )
+    cur = spark.createDataFrame(
+        [(-(2**62),), (0,), (2**62,), (2**62,)], "v: long"
+    )
+    rows = {r["bin"]: r for r in
+            olap.histogram_drift(ref, cur, "v").collect()}
+    assert set(rows) == {0, 4, 9}
+    for r in rows.values():
+        assert all(v is not None for v in r.asDict().values()), r
+    assert rows[9]["ref_n"] == 1 and rows[9]["cur_n"] == 2
+    # exact integer ppm: 1/3 vs 1/2 of each corpus in the top bin
+    assert rows[9]["ref_ppm"] == 333_333
+    assert rows[9]["cur_ppm"] == 500_000
+
+
+def test_ks_two_sample_survives_2_62_value_range(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    a = spark.createDataFrame([(-(2**62),), (0,), (2**62,)], "v: long")
+    b = spark.createDataFrame(
+        [(-(2**62),), (0,), (2**62,), (2**62,)], "v: long"
+    )
+    row = olap.ks_two_sample(a, b, "v").collect()[0]
+    # max |cdf_a - cdf_b| is at v=0: 2/3 - 2/4 = 1/6
+    assert row["ks_ppm"] == 166_666
+    assert row["max_diff_scaled"] == 2
+    assert row["n_a"] == 3 and row["n_b"] == 4
+    # identical corpora at the same extreme range → exactly zero
+    same = olap.ks_two_sample(a, a, "v").collect()[0]
+    assert same["ks_ppm"] == 0
+
+
+# ---------------------------------------------------------------------------
+# shared bucket_size_cap template
+# ---------------------------------------------------------------------------
+
+def test_bucket_size_cap_is_the_single_shared_template(spark):
+    # one helper, three call sites (VERDICT r7 #5): boundary semantics
+    # (== cap survives, > cap drops) pinned once here for all of them.
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators.util import bucket_size_cap
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 5 else "small") for i in range(8)],
+        "id: long, b: string",
+    )
+    kept = bucket_size_cap(df, ("b",), 5)
+    assert kept.count() == 8  # ==cap survives (5 big + 3 small)
+    kept = bucket_size_cap(df, ("b",), 4)
+    got = [r["b"] for r in kept.collect()]
+    assert sorted(got) == ["small"] * 3  # >cap bucket fully dropped
+    assert bucket_size_cap(df, ("b",), None).count() == 8
+    assert "__bucket_sz" not in bucket_size_cap(df, ("b",), 4).columns
+    # composite keys partition independently
+    df2 = df.withColumn("b2", F.col("id") % 2)
+    assert bucket_size_cap(df2, ("b", "b2"), 2).count() == 5
