@@ -12,17 +12,19 @@ Replica protocol, second level:
 - orders / lineitem / customer / documents keys shift by 1e9 per outer
   replica (the sf1 keys top out below 1e9, so ranges stay disjoint and
   join relationships hold).
-- documents text gets a STRONG perturbation (every 5th token suffixed
-  with a per-replica marker) so outer replicas are NOT near-dups of the
-  inner ones: with k=3 shingles a modified token kills the 3 shingles
-  covering it, pushing cross-outer-replica Jaccard to ~0.25 — below the
-  band-collision regime. That is deliberate: the iterative-floor claim
-  under test is "10× nodes and 10× edges cost ~10×" (CC rounds and
-  PageRank's fixed 3 iterations should not deepen), NOT the quadratic
-  edge blow-up of 100-deep near-dup clusters, which the sf1 probe
-  already characterized (SCALE.md round-5 battery: edge-linear CC
-  floor). Within each outer replica the 10-deep near-dup structure is
-  preserved verbatim.
+- documents text gets EVERY token suffixed with a per-replica marker,
+  so outer replicas share ZERO shingles and are fully disjoint in every
+  signature space. That is deliberate: the iterative-floor claim under
+  test is "10× nodes and 10× edges cost ~10×" (CC rounds and PageRank's
+  fixed 3 iterations should not deepen), NOT the quadratic edge blow-up
+  of 100-deep near-dup clusters, which the sf1 probe already
+  characterized (SCALE.md round-5 battery: edge-linear CC floor).
+  A weaker every-5th-token marker was measured first and REJECTED:
+  cross-replica Jaccard ~0.25 against band_size=1 minhash bands gives
+  per-band collision probability ≈ J, so ~68 % of outer-replica pairs
+  still collided — 112 M candidate edges at sf10 (quadratic), which is
+  the near-dup adversary again, not the scale test. Within each outer
+  replica the 10-deep near-dup structure is preserved verbatim.
 - dims (nation/region/part/supplier) stay 1× — broadcast sides do not
   grow at scale; events/embeddings are not read by these five queries
   and are copied 1× only so `load_table` resolves.
@@ -72,26 +74,26 @@ PROBE = [
 ]
 
 
-def _perturb_every_5th(col: F.Column, marker: str) -> F.Column:
-    """Suffix every 5th whitespace token with a per-replica marker —
-    strong enough that k=3 shingle sets diverge (Jaccard ~0.25) and the
-    outer replicas fall out of the near-dup band-collision regime."""
+def _perturb_all_tokens(col: F.Column, marker: str) -> F.Column:
+    """Suffix EVERY whitespace token with a per-replica marker: outer
+    replicas share zero shingles, so candidate edges scale exactly
+    linearly in the replica count (the property the iterative-floor
+    probe needs — see the module docstring for why weaker markers
+    fail against band_size=1 minhash bands)."""
     toks = F.split(col, " ")
     return F.array_join(
-        F.transform(
-            toks,
-            lambda t, i: F.when(
-                i % 5 == F.lit(0), F.concat(t, F.lit(marker))
-            ).otherwise(t),
-        ),
-        " ",
+        F.transform(toks, lambda t: F.concat(t, F.lit(marker))), " "
     )
 
 
-def regen(spark) -> None:
+def regen(spark, force: bool = False) -> None:
     os.makedirs(SF10, exist_ok=True)
     for t in TABLES:
         path = os.path.join(SF10, f"{t}.parquet")
+        if os.path.isdir(path) and not force:
+            # incremental: delete a table dir (and _GEN_DONE) to
+            # regenerate just that table after a protocol change
+            continue
         if t not in SCALED:
             # dims 1×; unread facts copied 1× so load_table resolves
             src_path = os.path.join(SF1, f"{t}.parquet")
@@ -108,7 +110,7 @@ def regen(spark) -> None:
                 r = r.withColumn(kcol, F.col(kcol) + F.lit(i * KEY_SHIFT))
             if t == "documents" and i > 0:
                 r = r.withColumn(
-                    "text", _perturb_every_5th(F.col("text"), f"_d{i}")
+                    "text", _perturb_all_tokens(F.col("text"), f"_d{i}")
                 )
             reps.append(r)
         out = reps[0]
@@ -147,7 +149,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     done = os.path.join(SF10, "_GEN_DONE")
     if "--regen" in sys.argv or not os.path.exists(done):
-        regen(spark)
+        regen(spark, force="--regen" in sys.argv)
         open(done, "w").write("ok")
 
     queries = all_queries()
