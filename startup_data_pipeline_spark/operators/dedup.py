@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
-from .util import bucket_size_cap, ensure_min_parallelism
+from .util import bucket_overflow, bucket_size_cap, ensure_min_parallelism
 
 SIMHASH_BITS = 16
 
@@ -1453,6 +1453,76 @@ def lsh_band_precision(
                 "precision_ppm"
             ),
         )
+    )
+
+
+def capped_exact_recovery(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 3,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """Recall-recovery triage for the ``max_bucket`` degeneracy cap:
+    for every document the cap would drop from the banded MinHash
+    self-join (member of at least one bucket over ``max_bucket``), its
+    exact-dedup disposition — one row per capped-out doc with the
+    content ``fingerprint`` (md5 of whitespace-normalized lowercased
+    text, the same definition as ``text.fingerprint``), the
+    ``canonical_id`` (min id sharing that fingerprint among capped-out
+    docs), and ``n_exact_group`` (that fingerprint's group size).
+
+    This closes the loop the cap docstrings state: an overflowing
+    bucket's members are typically mutual exact-dups "better handled by
+    exact dedup first". Concretely:
+    - ``n_exact_group >= 2`` rows ARE recoverable — assign them to
+      ``canonical_id`` by hash-groupBy, LINEAR in rows (16-byte digest
+      shuffle), no pair enumeration, so the cap costs no recall on
+      them;
+    - ``n_exact_group = 1`` rows are the cap's true recall loss
+      (near-dup-only members of a degenerate bucket) — the number to
+      weigh against the quadratic join the cap prevented (reference
+      parity: the reference's only dedup is exact identity against the
+      seen-set, rss_ingest.py's seen-URL check; the cap+recovery pair
+      is its scale generalization).
+
+    Scale shape: band explode + window count riding the band-key
+    exchange (``util.bucket_overflow``, same template as the cap
+    itself), a distinct over doc ids (bounded by overflow membership),
+    one semi join, and one window keyed on the 16-byte fingerprint.
+    Output is bounded by the number of capped-out docs; no pair join
+    anywhere.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, k=k
+    )
+    bands = minhash_band_structs(num_hashes, band_size)
+    exploded = sigs.select(
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(
+        F.col(id_col),
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    overflow_ids = (
+        bucket_overflow(exploded, ("band_id", "band_key"), max_bucket)
+        .select(id_col)
+        .distinct()
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = df.select(F.col(id_col), F.md5(norm).alias("fingerprint")).join(
+        overflow_ids, id_col, "semi"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        F.col(id_col),
+        "fingerprint",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_exact_group"),
     )
 
 

@@ -40,6 +40,26 @@ def bucket_size_cap(
     )
 
 
+def bucket_overflow(
+    df: DataFrame, keys: tuple[str, ...], max_bucket: int
+) -> DataFrame:
+    """The complement of ``bucket_size_cap``: ONLY the rows in buckets
+    holding more than ``max_bucket`` members — i.e. exactly what the
+    cap drops before a banded self-join. Same window-count template,
+    same no-extra-exchange property (the count partitions by the
+    bucket key). Feeds recovery/triage passes over capped-out rows
+    (``dedup.capped_exact_recovery``)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("__bucket_sz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bucket_sz") > max_bucket)
+        .drop("__bucket_sz")
+    )
+
+
 def ensure_min_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition ONLY IF the input is under-parallelized.
 

@@ -162,6 +162,10 @@ _PRIORITY: list[str] = [
     "q_stratified_sample", "q_stream_funnel", "q_stream_sessionize",
     "q_stream_stateful_totals", "q_stream_tumbling", "q_token_entropy",
     "q_url_parse", "q_variant_json",
+    # round-8 registrations (the round's small quota, behind the whole
+    # backlog per the burn-down contract — they lead the r9 window as
+    # the never-driver-sampled tranche, with any r9 canaries):
+    "q_capped_recovery",
 ]
 
 

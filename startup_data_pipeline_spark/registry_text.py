@@ -2431,6 +2431,55 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_capped_recovery",
+    # max_bucket=3 is deliberately BELOW the sf0.01 max occupancy (4,
+    # measured) so the recovery path is exercised at the driver's SF;
+    # production caps come from the occupancy audits. The fingerprint
+    # normalization mirrors q_fingerprint's oracle exactly.
+    oracle=f"""
+    WITH sig AS ({{MINHASH}}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    bsz AS (
+        SELECT band_id, band_key, COUNT(*) AS bc
+        FROM bands GROUP BY band_id, band_key
+    ),
+    overflow AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN bsz USING (band_id, band_key)
+        WHERE bc > 3
+    ),
+    fp AS (
+        SELECT d.doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents d JOIN overflow o ON d.doc_id = o.doc_id
+    )
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS n_exact_group
+    FROM fp
+    """.replace("{MINHASH}", _MINHASH_SQL),
+    survey_ops="capped-bucket exact-dedup recovery (§2.11 dedup, NEW "
+    "r8): for every doc the max_bucket degeneracy cap drops, its "
+    "linear content-hash disposition — n_exact_group>=2 rows are "
+    "recoverable via hash-groupBy (no recall cost), singletons are "
+    "the cap's true, now-quantified recall loss",
+)
+def q_capped_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.capped_exact_recovery(
+        docs, "doc_id", "text", num_hashes=4, band_size=1, k=3,
+        max_bucket=3,
+    )
+
+
+@register(
     "q_quant_calibration",
     oracle=f"""
     WITH v AS (SELECT {_QUANT} AS qv FROM embeddings),

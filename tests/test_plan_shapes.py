@@ -672,3 +672,28 @@ def test_ann_cap_count_rides_the_bucket_join_exchange(
         "windowspecdefinition" in line and "bucket" in line
         for line in plan.splitlines()
     )
+
+
+def test_capped_recovery_no_pair_join(spark, plan_sf_dir):
+    """capped_exact_recovery never enumerates pairs: the only join is
+    the overflow-id semi join, windows are keyed on the band bucket or
+    the fingerprint (no unpartitioned window), output is bounded by the
+    capped-out doc count."""
+    from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, plan_sf_dir, "documents")
+    plan = _plan(
+        dedup.capped_exact_recovery(
+            docs, "doc_id", "text", num_hashes=4, band_size=1, k=3,
+            max_bucket=3,
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
+    assert "LeftSemi" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "band" in line or "fingerprint" in line, line

@@ -159,3 +159,52 @@ def test_bucket_size_cap_is_the_single_shared_template(spark):
     # composite keys partition independently
     df2 = df.withColumn("b2", F.col("id") % 2)
     assert bucket_size_cap(df2, ("b", "b2"), 2).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# capped-bucket exact-dedup recovery (NEW r8)
+# ---------------------------------------------------------------------------
+
+def test_capped_exact_recovery_semantics(spark):
+    # 4 exact copies (one fingerprint group) + 1 near-dup sharing their
+    # buckets + 1 unrelated doc. cap=3: the copies' buckets hold >= 4
+    # members, so they (and the near-dup, wherever it collides) are
+    # capped out; the unrelated doc's buckets stay under cap.
+    from startup_data_pipeline_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base) for i in range(4)]
+    rows.append((10, base + " iota"))       # near-dup tail token
+    rows.append((99, "totally different words nothing shared here at all"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup.capped_exact_recovery(
+        df, "doc_id", "text", num_hashes=4, band_size=1, k=3, max_bucket=3
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 99 not in got                      # never capped out
+    assert set(got) >= {0, 1, 2, 3}           # the exact group is
+    for i in range(4):
+        assert got[i]["canonical_id"] == 0    # min id of the group
+        assert got[i]["n_exact_group"] == 4
+    if 10 in got:                             # shares >=1 overflowing bucket
+        assert got[10]["n_exact_group"] == 1  # true recall loss, counted
+        assert got[10]["canonical_id"] == 10
+
+
+def test_capped_exact_recovery_whitespace_normalized_fingerprint(spark):
+    # the fingerprint matches text.fingerprint: whitespace runs collapse,
+    # case folds — two "different" byte strings recover to one canonical
+    from startup_data_pipeline_spark.operators import dedup
+
+    base = "Alpha  beta\tgamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base), (2, base.lower().replace("  ", " ").replace("\t", " ")),
+        (3, base), (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup.capped_exact_recovery(
+        df, "doc_id", "text", num_hashes=4, band_size=1, k=3, max_bucket=3
+    ).collect()
+    groups = {r["doc_id"]: (r["canonical_id"], r["n_exact_group"]) for r in out}
+    # all four normalize to one fingerprint -> one group of 4, canonical 1
+    assert groups and all(v == (1, 4) for v in groups.values())
