@@ -214,7 +214,12 @@ def main() -> None:
         open(done, "w").write("ok")
 
     queries = all_queries()
-    names = [n for n in (only or PROBE) if n in queries]
+    unknown = [n for n in (only or PROBE) if n not in queries]
+    if unknown:
+        # a typo'd --only would otherwise run zero queries and exit 0
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        sys.exit(2)
+    names = list(only or PROBE)
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.time()

@@ -1472,7 +1472,9 @@ def capped_exact_recovery(
     content ``fingerprint`` (md5 of whitespace-normalized lowercased
     text, the same definition as ``text.fingerprint``), the
     ``canonical_id`` (min id sharing that fingerprint among capped-out
-    docs), and ``n_exact_group`` (that fingerprint's group size).
+    docs), ``n_exact_group`` (that fingerprint's group size), and
+    ``n_capped_bands`` (in how many of its ``num_hashes // band_size``
+    bands the doc sits in an overflowing bucket).
 
     This closes the loop the cap docstrings state: an overflowing
     bucket's members are typically mutual exact-dups "better handled by
@@ -1481,19 +1483,24 @@ def capped_exact_recovery(
       ``canonical_id`` by hash-groupBy, LINEAR in rows (16-byte digest
       shuffle), no pair enumeration, so the cap costs no recall on
       them;
-    - ``n_exact_group = 1`` rows are the cap's true recall loss
-      (near-dup-only members of a degenerate bucket) — the number to
-      weigh against the quadratic join the cap prevented (reference
-      parity: the reference's only dedup is exact identity against the
-      seen-set, rss_ingest.py's seen-URL check; the cap+recovery pair
-      is its scale generalization).
+    - ``n_exact_group = 1`` rows UPPER-BOUND the cap's recall loss. An
+      upper bound, not the loss itself: a doc capped in some bands
+      still emits candidate pairs through its surviving bands (LSH
+      banding is an OR over bands), so only a singleton capped in
+      EVERY band (``n_capped_bands`` = band count) has lost all its
+      banded pairing — and even then only pairs confined to those
+      degenerate buckets. Weigh that bounded count against the
+      quadratic join the cap prevented before raising a cap.
+      (Reference parity: the reference's only dedup is exact identity
+      against the seen-set, rss_ingest.py's seen-URL check; the
+      cap+recovery pair is its scale generalization.)
 
     Scale shape: band explode + window count riding the band-key
     exchange (``util.bucket_overflow``, same template as the cap
-    itself), a distinct over doc ids (bounded by overflow membership),
-    one semi join, and one window keyed on the 16-byte fingerprint.
-    Output is bounded by the number of capped-out docs; no pair join
-    anywhere.
+    itself), a per-doc band count (bounded by overflow membership),
+    one join against it, and one window keyed on the 16-byte
+    fingerprint. Output is bounded by the number of capped-out docs;
+    no pair join anywhere.
     """
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, k=k
@@ -1506,14 +1513,16 @@ def capped_exact_recovery(
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_key").alias("band_key"),
     )
-    overflow_ids = (
+    overflow = (
         bucket_overflow(exploded, ("band_id", "band_key"), max_bucket)
-        .select(id_col)
-        .distinct()
+        # one (band_id, band_key) per doc per band, so a plain count is
+        # the per-doc capped-band count
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_capped_bands"))
     )
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     fp = df.select(F.col(id_col), F.md5(norm).alias("fingerprint")).join(
-        overflow_ids, id_col, "semi"
+        overflow, id_col
     )
     from pyspark.sql import Window
 
@@ -1523,6 +1532,7 @@ def capped_exact_recovery(
         "fingerprint",
         F.min(id_col).over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_exact_group"),
+        "n_capped_bands",
     )
 
 

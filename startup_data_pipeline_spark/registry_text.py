@@ -2437,7 +2437,7 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production caps come from the occupancy audits. The fingerprint
     # normalization mirrors q_fingerprint's oracle exactly.
     oracle=f"""
-    WITH sig AS ({{MINHASH}}),
+    WITH sig AS ({_MINHASH_SQL}),
     bands AS (
         SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
         UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
@@ -2449,12 +2449,13 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bands GROUP BY band_id, band_key
     ),
     overflow AS (
-        SELECT DISTINCT b.doc_id
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_capped_bands
         FROM bands b JOIN bsz USING (band_id, band_key)
         WHERE bc > 3
+        GROUP BY b.doc_id
     ),
     fp AS (
-        SELECT d.doc_id,
+        SELECT d.doc_id, o.n_capped_bands,
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
                    AS fingerprint
         FROM documents d JOIN overflow o ON d.doc_id = o.doc_id
@@ -2462,14 +2463,16 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, fingerprint,
            MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
            CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
-               AS n_exact_group
+               AS n_exact_group,
+           n_capped_bands
     FROM fp
-    """.replace("{MINHASH}", _MINHASH_SQL),
+    """,
     survey_ops="capped-bucket exact-dedup recovery (§2.11 dedup, NEW "
     "r8): for every doc the max_bucket degeneracy cap drops, its "
     "linear content-hash disposition — n_exact_group>=2 rows are "
-    "recoverable via hash-groupBy (no recall cost), singletons are "
-    "the cap's true, now-quantified recall loss",
+    "recoverable via hash-groupBy (no recall cost); singletons "
+    "upper-bound the cap's recall loss, with n_capped_bands telling "
+    "which of them lost every banded pairing path",
 )
 def q_capped_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

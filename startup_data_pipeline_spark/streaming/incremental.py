@@ -503,8 +503,10 @@ def streaming_dedup_gate(
     sink to the newest K epoch dirs. Opt-in — verdicts are output and
     only the consumer's lag budget licenses deletion — but NOT silent:
     when unset and the verdict dir grows past ``4 * compact_every``
-    epochs, the handler logs a WARNING every batch (a deployment that
-    forgot the knob accretes one dir per trigger forever). Returns
+    epochs, the handler logs a WARNING at every compaction epoch (a
+    deployment that forgot the knob accretes one dir per trigger
+    forever; the check itself is amortized to compaction epochs so the
+    O(#dirs) listing never becomes an every-batch cost). Returns
     ``(writer, verdict_path)``.
     """
     spark = doc_stream.sparkSession
@@ -774,33 +776,44 @@ def make_dedup_gate_handler(
         # newest K, so a retried epoch never deletes itself, and the
         # current epoch's write has already committed when the prune
         # runs (crash between write and prune just re-prunes next batch).
-        vfs, vroot = _hadoop_fs(spark, verdict_path)
-        eps = []
-        for s in vfs.listStatus(vroot):
-            nm = s.getPath().getName()
-            if nm.startswith("epoch="):
-                try:
-                    eps.append(int(nm.split("=", 1)[1]))
-                except ValueError:
-                    pass
-        if retain_verdict_epochs is not None:
-            for e in sorted(eps)[:-retain_verdict_epochs]:
-                vfs.delete(
-                    _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1], True
+        # The listing is O(#epoch dirs). With retention set that is
+        # bounded (<= K+1 dirs) and pruning needs it every batch; with
+        # retention UNSET the dir grows without bound, so an every-batch
+        # listing would itself become the accretion cost it warns about
+        # — amortize it to compaction epochs only.
+        if (
+            retain_verdict_epochs is not None
+            or epoch_id % compact_every == 0
+        ):
+            vfs, vroot = _hadoop_fs(spark, verdict_path)
+            eps = []
+            for s in vfs.listStatus(vroot):
+                nm = s.getPath().getName()
+                if nm.startswith("epoch="):
+                    try:
+                        eps.append(int(nm.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+            if retain_verdict_epochs is not None:
+                for e in sorted(eps)[:-retain_verdict_epochs]:
+                    vfs.delete(
+                        _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
+                        True,
+                    )
+            elif len(eps) > 4 * compact_every:
+                # Unbounded-by-default is deliberate (verdicts are
+                # OUTPUT; deleting them needs the consumer's say-so) —
+                # but a 100 TB deployment that forgot the knob must hear
+                # about it before the dir hits millions of entries.
+                # Loud, every compaction epoch past the threshold.
+                _LOG.warning(
+                    "dedup-gate verdict sink at %s holds %d epoch dirs "
+                    "and retain_verdict_epochs is unset — storage grows "
+                    "one dir per trigger forever. Set "
+                    "retain_verdict_epochs (e.g. %d) once downstream "
+                    "consumers are caught up.",
+                    verdict_path, len(eps), 4 * compact_every,
                 )
-        elif len(eps) > 4 * compact_every:
-            # Unbounded-by-default is deliberate (verdicts are OUTPUT;
-            # deleting them needs the consumer's say-so) — but a 100 TB
-            # deployment that forgot the knob must hear about it before
-            # the dir hits millions of entries. Loud, every batch past
-            # the threshold.
-            _LOG.warning(
-                "dedup-gate verdict sink at %s holds %d epoch dirs and "
-                "retain_verdict_epochs is unset — storage grows one dir "
-                "per trigger forever. Set retain_verdict_epochs (e.g. "
-                "%d) once downstream consumers are caught up.",
-                verdict_path, len(eps), 4 * compact_every,
-            )
         # admitted docs join the index in the band-exploded layout;
         # duplicates are NOT indexed (the canonical copy is already
         # there — matches the reference's "seen items are not

@@ -676,9 +676,9 @@ def test_ann_cap_count_rides_the_bucket_join_exchange(
 
 def test_capped_recovery_no_pair_join(spark, plan_sf_dir):
     """capped_exact_recovery never enumerates pairs: the only join is
-    the overflow-id semi join, windows are keyed on the band bucket or
-    the fingerprint (no unpartitioned window), output is bounded by the
-    capped-out doc count."""
+    the per-doc overflow band-count equi-join on the doc id, windows
+    are keyed on the band bucket or the fingerprint (no unpartitioned
+    window), output is bounded by the capped-out doc count."""
     from startup_data_pipeline_spark.operators import dedup
     from startup_data_pipeline_spark.sources.tables import load_table
 
@@ -693,7 +693,6 @@ def test_capped_recovery_no_pair_join(spark, plan_sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
-    assert "LeftSemi" in plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "band" in line or "fingerprint" in line, line

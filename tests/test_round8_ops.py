@@ -186,9 +186,13 @@ def test_capped_exact_recovery_semantics(spark):
     for i in range(4):
         assert got[i]["canonical_id"] == 0    # min id of the group
         assert got[i]["n_exact_group"] == 4
+        # identical text -> identical signature -> every band's bucket
+        # holds the whole group: capped in ALL 4 bands
+        assert got[i]["n_capped_bands"] == 4
     if 10 in got:                             # shares >=1 overflowing bucket
-        assert got[10]["n_exact_group"] == 1  # true recall loss, counted
+        assert got[10]["n_exact_group"] == 1  # recall-loss upper bound
         assert got[10]["canonical_id"] == 10
+        assert 1 <= got[10]["n_capped_bands"] <= 4
 
 
 def test_capped_exact_recovery_whitespace_normalized_fingerprint(spark):
@@ -208,3 +212,6 @@ def test_capped_exact_recovery_whitespace_normalized_fingerprint(spark):
     groups = {r["doc_id"]: (r["canonical_id"], r["n_exact_group"]) for r in out}
     # all four normalize to one fingerprint -> one group of 4, canonical 1
     assert groups and all(v == (1, 4) for v in groups.values())
+    # whitespace does not reach the tokenizer either: same signatures,
+    # so every doc is capped in all 4 bands
+    assert all(r["n_capped_bands"] == 4 for r in out)
