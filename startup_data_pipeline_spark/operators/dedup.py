@@ -23,7 +23,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
-from .util import bucket_overflow, bucket_size_cap, ensure_min_parallelism
+from .util import (
+    bucket_overflow,
+    bucket_size_cap,
+    ensure_min_parallelism,
+    materialize_for_self_join,
+)
 
 SIMHASH_BITS = 16
 
@@ -798,10 +803,16 @@ def simhash64_near_pairs(
     monochrome images) where hamming<=3 "near-dup" is noise anyway.
     ``simhash64_bucket_report`` is the companion audit.
     """
-    exploded = bucket_size_cap(
-        simhash64_bands(sigs, id_col, sig_col),
-        ("band_id", "band_val"),
-        max_bucket,
+    # materialized ONCE for both join branches: tokenize→64-vote
+    # signature is lambda-bearing (no CSE across branches) and was the
+    # dominant cost of the whole query computed per side (2-4× measured,
+    # SCALE.md r8); the stored table is digests-only
+    exploded = materialize_for_self_join(
+        bucket_size_cap(
+            simhash64_bands(sigs, id_col, sig_col),
+            ("band_id", "band_val"),
+            max_bucket,
+        )
     )
     a = exploded.alias("a")
     b = exploded.alias("b")

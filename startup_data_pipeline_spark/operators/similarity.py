@@ -27,7 +27,11 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import bucket_size_cap, ensure_min_parallelism
+from .util import (
+    bucket_size_cap,
+    ensure_min_parallelism,
+    materialize_for_self_join,
+)
 
 QUANT_SCALE = 10000
 
@@ -308,14 +312,24 @@ def near_dup_pairs(
     """
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
-    side = lambda tag: _lsh_bucket_capped(  # noqa: E731
-        ensure_min_parallelism(embeddings)
-        .select(
-            F.col(id_col).alias(f"id_{tag}"),
-            quantize(F.col(vec_col)).alias(f"v_{tag}"),
+    # one quantize+bucket pass materialized for both branches (was one
+    # full pass PER side — the lambda-CSE exclusion; 2x+ measured,
+    # SCALE.md r8), then per-side renames off the stored digests
+    base = materialize_for_self_join(
+        _lsh_bucket_capped(
+            ensure_min_parallelism(embeddings)
+            .select(
+                F.col(id_col).alias("vid"),
+                quantize(F.col(vec_col)).alias("qv"),
+            )
+            .withColumn("bucket", sign_lsh_bucket(F.col("qv"), dims)),
+            max_bucket,
         )
-        .withColumn("bucket", sign_lsh_bucket(F.col(f"v_{tag}"), dims)),
-        max_bucket,
+    )
+    side = lambda tag: base.select(  # noqa: E731
+        F.col("vid").alias(f"id_{tag}"),
+        F.col("qv").alias(f"v_{tag}"),
+        "bucket",
     )
     a, b = side("a"), side("b")
     return (
@@ -816,7 +830,11 @@ def _bucketed_scored_pairs(
             sign_lsh_bucket(F.col("qv"), dims).alias("bucket"),
         )
     )
-    q = _lsh_bucket_capped(q, max_bucket)
+    # materialized ONCE for both join branches: quantize + hyperplane
+    # bits are lambda-bearing (no CSE across branches) and dominated
+    # the whole build computed per side (3x measured, SCALE.md r8);
+    # the stored table is (id, qv, bucket) only
+    q = materialize_for_self_join(_lsh_bucket_capped(q, max_bucket))
     a = q.select(
         F.col("vid").alias("a_id"),
         *[F.col(f"__c_{c}").alias(f"a_{c}") for c in carry],

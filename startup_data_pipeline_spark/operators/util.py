@@ -40,6 +40,31 @@ def bucket_size_cap(
     )
 
 
+def materialize_for_self_join(df: DataFrame) -> DataFrame:
+    """Persist (MEMORY_AND_DISK) a digests-only table that a self-join
+    reads twice, so its producing expressions run ONCE.
+
+    Why this exists: the expensive producers in the dedup/ANN families
+    (tokenize→signature, quantize→hyperplane bucket) are lambda-bearing
+    higher-order expressions, which Catalyst EXCLUDES from common
+    subexpression elimination — an unmaterialized self-join computes
+    them once per branch (measured 2-4× whole-query cost on the banded
+    simhash64 and bucketed-ANN joins; SCALE.md round 8). Persisting the
+    exploded side stores only digests (id, band/bucket key, signature —
+    tens of bytes per row), which at 100 TB is orders of magnitude
+    cheaper than re-tokenizing the corpus per branch.
+
+    persist over localCheckpoint deliberately: equal measured speed,
+    but persist KEEPS lineage, so a lost executor recomputes lost
+    blocks instead of failing the job (localCheckpoint truncates
+    lineage — acceptable for a derived metric like dup_span_rate's
+    tokenize-once, not for library entry points). Blocks are reclaimed
+    by Spark's ContextCleaner once the DataFrame is unreferenced."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def bucket_overflow(
     df: DataFrame, keys: tuple[str, ...], max_bucket: int
 ) -> DataFrame:

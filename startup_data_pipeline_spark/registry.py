@@ -75,26 +75,31 @@ _PRIORITY: list[str] = [
     #   1-3    the three round-7 registrations the driver has NEVER
     #          sampled (judge-verified green last session; the contract
     #          row is still the driver's);
-    #   4-11   round-8 changed-operator canaries: the four embedding-ANN
+    #   4-12   round-8 changed-operator canaries: the four embedding-ANN
     #          registrations that now pin max_bucket=256 (code + oracle
     #          change: q_knn_graph, q_hard_negatives,
-    #          q_embedding_near_dup, q_ann_lsh_topk), the three
+    #          q_embedding_near_dup, q_ann_lsh_topk — all three
+    #          self-join families also gained the materialize-once
+    #          base, util.materialize_for_self_join), the three
     #          registered consumers of the capped paths unified into
     #          util.bucket_size_cap (q_simhash64_pairs,
-    #          q_image_dhash_pairs, q_dedup_agreement), and
+    #          q_image_dhash_pairs, q_dedup_agreement),
     #          q_incremental_dedup_gate (gate handler changed:
-    #          retain_verdict_epochs validation + accretion warning);
-    #   12-18  the 7 remaining round-3-certified names, alphabetical;
-    #   19-50  the 32 oldest round-4-certified names, alphabetical from
+    #          retain_verdict_epochs validation + accretion warning),
+    #          and q_bfs_hops (its near_dup_pairs edge source was
+    #          rewired to the materialize-once base);
+    #   13-19  the 7 remaining round-3-certified names, alphabetical;
+    #   20-50  the 31 oldest round-4-certified names, alphabetical from
     #          q_ann_ivf_topk (minus the two already in canary slots).
-    # The 12 remaining r4 names queue directly behind the boundary;
-    # r9's window absorbs them plus the oldest r5 names.
+    # The 13 remaining r4 names queue directly behind the boundary
+    # (q_sequence_pack first); r9's window absorbs them plus the oldest
+    # r5 names.
     # --- the three never-driver-sampled round-7 registrations ---
     "q_dup_spans", "q_simhash64_band_stats", "q_lsh_occupancy",
     # --- round-8 changed-operator canaries ---
     "q_knn_graph", "q_hard_negatives", "q_embedding_near_dup",
     "q_ann_lsh_topk", "q_simhash64_pairs", "q_image_dhash_pairs",
-    "q_dedup_agreement", "q_incremental_dedup_gate",
+    "q_dedup_agreement", "q_incremental_dedup_gate", "q_bfs_hops",
     # --- 7 remaining round-3-certified, alphabetical ---
     "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
     "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
@@ -109,15 +114,15 @@ _PRIORITY: list[str] = [
     "q_near_dup_components", "q_ngram_jaccard", "q_pii_scrub",
     "q_pivot_status", "q_quality_gate", "q_rare_token_docs",
     "q_reservoir_sample", "q_salted_join", "q_segment_dedup",
-    "q_sequence_pack",
     # --- 50-slot window boundary ---
     # remaining round-4 names (r9 window starts here):
+    "q_sequence_pack",
     "q_set_ops", "q_sketch_rollup", "q_skyline_pareto", "q_stream_dedup",
     "q_tfidf_top_terms", "q_time_parse", "q_token_stats", "q_topk_other",
     "q_train_split", "q_unpivot_metrics", "q_vocab_coverage",
     "q_winnow_fingerprints",
     # round-5 certified, alphabetical:
-    "q_activity_streaks", "q_audio_features", "q_bfs_hops",
+    "q_activity_streaks", "q_audio_features",
     "q_boilerplate_strip", "q_bpe_merge_pairs", "q_cdc_compact",
     "q_cluster_margin", "q_conversion_latency", "q_cooccur_lift",
     "q_cusum_shift", "q_degree_hist", "q_distance_histogram", "q_doc_novelty",

@@ -197,29 +197,29 @@ def test_registry_integrity():
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
     # round-8 window is burn-down phase 3 (VERDICT r7 #1): the three
-    # never-driver-sampled round-7 registrations lead, the eight
+    # never-driver-sampled round-7 registrations lead, the nine
     # round-8 changed-operator canaries follow (the standing canary
     # rule from VERDICT r6 #7), then the 7 remaining r3 names and the
-    # 32 oldest r4 names alphabetical from q_ann_ivf_topk
+    # 31 oldest r4 names alphabetical from q_ann_ivf_topk
     prefix = list(qs)[:50]
     assert prefix[:3] == [
         "q_dup_spans", "q_simhash64_band_stats", "q_lsh_occupancy",
     ]
-    assert prefix[3:11] == [
+    assert prefix[3:12] == [
         "q_knn_graph", "q_hard_negatives", "q_embedding_near_dup",
         "q_ann_lsh_topk", "q_simhash64_pairs", "q_image_dhash_pairs",
-        "q_dedup_agreement", "q_incremental_dedup_gate",
+        "q_dedup_agreement", "q_incremental_dedup_gate", "q_bfs_hops",
     ]
     r3_remaining = [
         "q_small_quantity_revenue", "q_supplier_variety",
         "q_top_supplier", "q_user_trend", "q_value_histogram",
         "q_value_share", "q_waiting_orders",
     ]
-    assert prefix[11:18] == r3_remaining
-    assert prefix[18] == "q_ann_ivf_topk"
-    assert prefix[18:50] == sorted(prefix[18:50])  # r4 tranche is
+    assert prefix[12:19] == r3_remaining
+    assert prefix[19] == "q_ann_ivf_topk"
+    assert prefix[19:50] == sorted(prefix[19:50])  # r4 tranche is
     # alphabetical, so the driver's sample order is reproducible
-    assert prefix[49] == "q_sequence_pack"
+    assert prefix[49] == "q_segment_dedup"
     # remaining r4 names queue just behind the boundary for the round-9
     # window
-    assert list(qs)[50:52] == ["q_set_ops", "q_sketch_rollup"]
+    assert list(qs)[50:52] == ["q_sequence_pack", "q_set_ops"]
