@@ -145,6 +145,8 @@ HEADLINE = [
     "q_dup_spans",
     "q_simhash64_band_stats",
     "q_lsh_occupancy",
+    # round-8 additions
+    "q_capped_recovery",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
