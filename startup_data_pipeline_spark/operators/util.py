@@ -41,7 +41,7 @@ def bucket_size_cap(
 
 
 def materialize_for_self_join(df: DataFrame) -> DataFrame:
-    """Persist (MEMORY_AND_DISK) a digests-only table that a self-join
+    """Materialize (lazy ``localCheckpoint``) a table that a self-join
     reads twice, so its producing expressions run ONCE.
 
     Why this exists: the expensive producers in the dedup/ANN families
@@ -49,20 +49,31 @@ def materialize_for_self_join(df: DataFrame) -> DataFrame:
     higher-order expressions, which Catalyst EXCLUDES from common
     subexpression elimination — an unmaterialized self-join computes
     them once per branch (measured 2-4× whole-query cost on the banded
-    simhash64 and bucketed-ANN joins; SCALE.md round 8). Persisting the
-    exploded side stores only digests (id, band/bucket key, signature —
-    tens of bytes per row), which at 100 TB is orders of magnitude
-    cheaper than re-tokenizing the corpus per branch.
+    simhash64 and bucketed-ANN joins; SCALE.md round 8).
 
-    persist over localCheckpoint deliberately: equal measured speed,
-    but persist KEEPS lineage, so a lost executor recomputes lost
-    blocks instead of failing the job (localCheckpoint truncates
-    lineage — acceptable for a derived metric like dup_span_rate's
-    tokenize-once, not for library entry points). Blocks are reclaimed
-    by Spark's ContextCleaner once the DataFrame is unreferenced."""
-    from pyspark.storagelevel import StorageLevel
+    What gets stored: the exploded join side only. For the simhash64
+    band table that is digests (id, band, 64-bit signature — tens of
+    bytes/row); the embedding family also carries the QUANTIZED VECTOR
+    both join sides score with (``qv``) — hundreds of bytes to
+    kilobytes per row at real widths. Either way the stored table is
+    the same rows the join must shuffle anyway, and storing it once is
+    strictly cheaper than producing it twice.
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    ``localCheckpoint(eager=False)`` over ``DataFrame.persist``
+    DELIBERATELY, despite the lineage trade (A/B'd at equal speed,
+    SCALE.md r8): persist registers the plan in the session's
+    CacheManager — a strong reference nothing in a library function can
+    ever release (the consumer, not the producer, knows when the result
+    is done), so every invocation would pin its blocks for the session
+    lifetime, and a logically-equal later plan could be served stale
+    cache after its source files changed. localCheckpoint creates NO
+    CacheManager entry; its blocks belong to the RDD and are reclaimed
+    by ContextCleaner as soon as the result DataFrame is unreferenced.
+    The cost: lineage is truncated, so losing an executor mid-query
+    fails the job (a retry, not data loss) instead of recomputing the
+    lost blocks — the same trade ``dup_span_rate``'s tokenize-once
+    already accepted."""
+    return df.localCheckpoint(eager=False)
 
 
 def bucket_overflow(

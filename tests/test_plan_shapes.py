@@ -578,12 +578,32 @@ def test_simhash64_cap_count_rides_the_band_join_exchange(
     the self-join's own key — so at sort-merge scale the count rides
     the join's own hash exchange (exchange reuse), and the join stays a
     banded equi-join. Pin: every Window in the plan is keyed on the
-    band key; none is a single-partition window over the signatures."""
+    band key; none is a single-partition window over the signatures.
+    Since r8 the capped band split is materialized once
+    (util.materialize_for_self_join), so the cap window lives in the
+    pre-checkpoint segment — pin it there explicitly."""
     from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.operators.util import bucket_size_cap
     from startup_data_pipeline_spark.sources.tables import load_table
 
     docs = load_table(spark, plan_sf_dir, "documents")
     sigs = dedup.simhash64(docs, "doc_id", "text")
+    # (1) pre-materialization segment: the cap window keyed on the band
+    pre = _plan(
+        bucket_size_cap(
+            dedup.simhash64_bands(sigs, "doc_id", "simhash64"),
+            ("band_id", "band_val"),
+            128,
+        ),
+        "simple",
+    )
+    cap_windows = [
+        line for line in pre.splitlines() if "windowspecdefinition" in line
+    ]
+    assert cap_windows and all(
+        "band_id" in line and "band_val" in line for line in cap_windows
+    )
+    # (2) the full query's join shape
     plan = _plan(
         dedup.simhash64_near_pairs(sigs, "doc_id", 3, max_bucket=128),
         "simple",
@@ -644,15 +664,38 @@ def test_ann_cap_count_rides_the_bucket_join_exchange(
     spark, plan_sf_dir
 ):
     """The embedding-ANN max_bucket window count partitions by the
-    sign-LSH ``bucket`` — the self-join's own key — so the count rides
-    the bucket join's hash exchange (the simhash64 cap pin applied to
-    the family whose registrations pin max_bucket=256 as of r8). Pin:
-    no unpartitioned window anywhere; every Window is keyed on bucket
-    or on the per-anchor rank key; the join stays a bucket equi-join."""
+    sign-LSH ``bucket`` — the self-join's own key (the simhash64 cap
+    pin applied to the family whose registrations pin max_bucket=256
+    as of r8). Since r8 the capped side is materialized once
+    (util.materialize_for_self_join), so the cap window lives in the
+    pre-checkpoint segment: pin it there, and pin the full query's
+    join shape separately."""
+    from pyspark.sql import functions as F
+
     from startup_data_pipeline_spark.operators import similarity
     from startup_data_pipeline_spark.sources.tables import load_table
 
     emb = load_table(spark, plan_sf_dir, "embeddings")
+    # (1) the pre-materialization segment: cap window keyed on bucket
+    pre = _plan(
+        similarity._lsh_bucket_capped(
+            emb.select(
+                F.col("vec_id").alias("vid"),
+                (F.crc32(F.col("vec_id").cast("string")) % 64).alias(
+                    "bucket"
+                ),
+            ),
+            256,
+        ),
+        "simple",
+    )
+    cap_windows = [
+        line for line in pre.splitlines() if "windowspecdefinition" in line
+    ]
+    assert cap_windows and all("bucket" in line for line in cap_windows)
+    # (2) the full query: bucket equi-join, no cartesian fallback, no
+    # unpartitioned window; every visible window keyed on bucket or
+    # the per-anchor rank key
     plan = _plan(
         similarity.knn_graph(
             emb, "vec_id", "embedding", k=3, max_bucket=256
@@ -667,11 +710,6 @@ def test_ann_cap_count_rides_the_bucket_join_exchange(
             assert (
                 "bucket" in line or "vec_id" in line or "vid" in line
             ), line
-    # the cap's count window is present and keyed on the bucket
-    assert any(
-        "windowspecdefinition" in line and "bucket" in line
-        for line in plan.splitlines()
-    )
 
 
 def test_capped_recovery_no_pair_join(spark, plan_sf_dir):
