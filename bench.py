@@ -147,6 +147,7 @@ HEADLINE = [
     "q_lsh_occupancy",
     # round-8 additions
     "q_capped_recovery",
+    "q_semdedup",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -623,6 +623,92 @@ def kmeans_assign_seeded(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_score: int,
+    k: int | None = None,
+    target_cluster: int = 64,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup: semantic dedup via k-means cells + within-cell cosine
+    prune (Abbas et al. 2023, arXiv:2303.09540 — the curation step the
+    reference pipeline's exact/near-dup battery lacks: drops documents
+    that SAY the same thing in different words).
+
+    Per-document verdict, deterministic end to end:
+    - route every vector to its nearest seeded centroid (the
+      ``kmeans_assign_seeded`` arithmetic: exact integer distances,
+      ties to the lowest cluster index, centroids as ONE nested plan
+      literal → shuffle-free assignment scan);
+    - within each cell, a vector is a semantic duplicate iff some
+      LOWER-id vector in the same cell has quantized dot ≥
+      ``min_score``; survivors are the per-group id minima (the
+      deterministic stand-in for the paper's keep-one-per-group rule).
+
+    Cluster count auto-sizes like ``auto_lsh_dims``: ``k =
+    clamp(ceil(n / target_cluster), 8, 4096)`` from one count agg at
+    plan-build, so expected cell occupancy — and the quadratic
+    within-cell pair work — stays ~``target_cluster`` as the corpus
+    grows. The 4096 clamp bounds the centroid literal (k·dims longs,
+    ~2 MB at 64 dims); past ~4096·target_cluster vectors, swap the
+    literal routing for ``ivf_assign``'s broadcast-join routing and
+    TRAINED centroids (``kmeans_fit``) — same downstream join shape.
+    ``max_cluster`` is the shared ``bucket_size_cap`` degeneracy guard
+    (the identical-embedding adversary floods one cell no matter how
+    k scales); capped-out rows leave the output entirely, exactly the
+    banded families' documented trade, and ``lsh_occupancy_report``'s
+    analogue here is a plain count over ``cluster``.
+
+    Both self-join branches and the verdict side read ONE materialized
+    (vid, cluster, qv) table (``materialize_for_self_join`` — the
+    assignment scan's k·dims distance transform must not run thrice).
+
+    Returns [vid, cluster, is_kept, dup_of] — ``dup_of`` is the lowest
+    similar lower-id cellmate (NULL for survivors).
+    """
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    if k is None:
+        n = qdf.count()
+        k = max(8, min(-(-n // target_cluster), 4096))
+    seeds = qdf.orderBy("vid").limit(k).collect()
+    centroids = [list(r["qv"]) for r in seeds]
+    dists = _sq_dists_all(F.col("qv"), centroids)
+    assigned = qdf.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+    base = materialize_for_self_join(
+        bucket_size_cap(assigned, ("cluster",), max_cluster)
+    )
+    side = lambda tag: base.select(  # noqa: E731
+        F.col("vid").alias(f"id_{tag}"),
+        F.col("qv").alias(f"v_{tag}"),
+        "cluster",
+    )
+    dropped = (
+        side("a")
+        .join(side("b"), "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(int_dot(F.col("v_a"), F.col("v_b")) >= min_score)
+        .groupBy(F.col("id_b").alias("vid"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        base.select("vid", "cluster")
+        .join(dropped, "vid", "left")
+        .select(
+            "vid",
+            "cluster",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+        )
+    )
+
+
 def _pq_codebooks(
     qdf: DataFrame, m: int, k: int
 ) -> list[list[list[int]]]:

@@ -1132,6 +1132,89 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_semdedup",
+    # k auto-sizes from the corpus (ceil(n/64) clamped to [8, 4096]) —
+    # the same one-count-agg-mirrored-in-SQL pattern as q_knn_graph's
+    # hyperplane meta CTE. ceil(n/64.0) is exact in double for any
+    # count below 2^52, so there is no cross-libm risk here at all.
+    # max_cluster=512 degeneracy cap mirrored as per-cluster size
+    # flags, the q_embedding_near_dup template (r8): at target
+    # occupancy 64 a 512-deep cell is ≥8x degenerate — typical-path
+    # untouched at every probed SF.
+    oracle="""
+    WITH meta AS (
+        SELECT GREATEST(8, LEAST(
+            CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= (SELECT k FROM meta)
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assign0 AS (
+        SELECT vid, cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    csz AS (SELECT cluster, COUNT(*) AS cc FROM assign0 GROUP BY cluster),
+    assignF AS (
+        SELECT a.vid, a.cluster FROM assign0 a JOIN csz USING (cluster)
+        WHERE cc <= 512
+    ),
+    pairs AS (
+        SELECT a.vid AS id_a, b.vid AS id_b,
+               CAST(SUM(qa.x * qb.x) AS BIGINT) AS score
+        FROM assignF a
+        JOIN assignF b ON a.cluster = b.cluster AND a.vid < b.vid
+        JOIN qv qa ON qa.vid = a.vid
+        JOIN qv qb ON qb.vid = b.vid AND qb.pos = qa.pos
+        GROUP BY a.vid, b.vid
+    ),
+    dropped AS (
+        SELECT id_b AS vid, CAST(MIN(id_a) AS BIGINT) AS dup_of
+        FROM pairs WHERE score >= 32000000
+        GROUP BY id_b
+    )
+    SELECT a.vid, a.cluster,
+           d.dup_of IS NULL AS is_kept,
+           d.dup_of
+    FROM assignF a LEFT JOIN dropped d USING (vid)
+    """,
+    survey_ops="SemDeDup semantic dedup (§2.11 dedup family, Abbas et "
+    "al. 2023): k-means-cell routing (shuffle-free literal-centroid "
+    "scan, k auto-sized to hold cell occupancy ~64) + within-cell "
+    "cosine prune keeping the lowest id; max_cluster=512 degeneracy "
+    "cap via the shared bucket_size_cap template, oracle-mirrored",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, "vec_id", "embedding", min_score=32_000_000,
+        target_cluster=64, max_cluster=512,
+    )
+
+
+@register(
     "q_ann_ivf_trained",
     oracle=_ivf_trained_oracle(n_queries=10, n_probe=2, ann_k=5),
     survey_ops="IVF ANN over TRAINED k-means centroids (§2.11 "

@@ -734,3 +734,52 @@ def test_capped_recovery_no_pair_join(spark, plan_sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "band" in line or "fingerprint" in line, line
+
+
+def test_semdedup_join_is_cell_keyed_not_cartesian(spark, plan_sf_dir):
+    """semdedup's within-cell prune must be a cluster equi-join over the
+    ONE materialized (vid, cluster, qv) table — never a cartesian
+    fallback — and, like the other capped families since r8, the
+    max_cluster cap window lives in the pre-checkpoint segment keyed on
+    ``cluster`` (the join's own shuffle key; shared bucket_size_cap
+    template, pinned on its own exchange by the simhash64/ANN tests)."""
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.operators.util import bucket_size_cap
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, plan_sf_dir, "embeddings")
+    # (1) pre-materialization segment: cap window keyed on cluster
+    pre = _plan(
+        bucket_size_cap(
+            emb.select(
+                F.col("vec_id").alias("vid"),
+                (F.crc32(F.col("vec_id").cast("string")) % 8)
+                .cast("int")
+                .alias("cluster"),
+            ),
+            ("cluster",),
+            512,
+        ),
+        "simple",
+    )
+    cap_windows = [
+        line for line in pre.splitlines() if "windowspecdefinition" in line
+    ]
+    assert cap_windows and all("cluster" in line for line in cap_windows)
+    # (2) full query: cell equi-join, no cartesian, no unpartitioned
+    # window; the verdict join is keyed on vid
+    plan = _plan(
+        similarity.semdedup(
+            emb, "vec_id", "embedding", min_score=32_000_000,
+            target_cluster=64, max_cluster=512,
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _unpartitioned_window_sum_operands(plan)
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "cluster" in line or "vid" in line, line

@@ -215,3 +215,95 @@ def test_capped_exact_recovery_whitespace_normalized_fingerprint(spark):
     # whitespace does not reach the tokenizer either: same signatures,
     # so every doc is capped in all 4 bands
     assert all(r["n_capped_bands"] == 4 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# semdedup: k-means-cell routing + within-cell cosine prune
+# ---------------------------------------------------------------------------
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_semdedup_semantics(spark):
+    # k=2 seeds (ids 1, 2) give centroids e1/e2. Cell 0 collects the
+    # e1-like vectors, cell 1 the e2-like one; the orthogonal e3 vector
+    # ties on distance to both seeds and breaks to the LOWEST cluster
+    # index (cell 0) but is far from every cellmate, so it survives.
+    from startup_data_pipeline_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.99, 0.0, 0.0, 0.0]),   # dup of 1 (dot 0.99)
+        (4, [1.0, 0.01, 0.0, 0.0]),   # dup of 1 AND 3 -> dup_of = min = 1
+        (5, [0.0, 0.98, 0.1, 0.0]),   # dup of 2
+        (6, [0.0, 0.0, 1.0, 0.0]),    # orthogonal: kept
+    ]
+    out = semdedup(
+        _emb(spark, rows), "vec_id", "embedding",
+        min_score=50_000_000, k=2,
+    ).collect()
+    got = {r["vid"]: r for r in out}
+    assert len(got) == 6
+    assert {v for v, r in got.items() if r["is_kept"]} == {1, 2, 6}
+    assert got[3]["dup_of"] == 1
+    assert got[4]["dup_of"] == 1      # min over similar lower ids {1, 3}
+    assert got[5]["dup_of"] == 2
+    assert got[6]["cluster"] == 0     # distance tie -> lowest index
+    for r in out:
+        assert r["is_kept"] == (r["dup_of"] is None)
+
+
+def test_semdedup_identical_vector_adversary_capped(spark):
+    # Every copy of an identical embedding routes to the SAME cell no
+    # matter how k scales (distance 0 to its own seed) — the adversary
+    # auto-sized k provably cannot fix, same as the sign-LSH orthant
+    # case. max_cluster bounds it through the shared bucket_size_cap
+    # template: the flooded cell is dropped entirely, the distinct
+    # bystander survives untouched.
+    from startup_data_pipeline_spark.operators.similarity import semdedup
+
+    # id 1 is the distinct bystander AND the second seed (k=2 seeds =
+    # two lowest ids), so the flood cannot tie into its cell
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(42) if i != 1]
+    rows.append((1, [0.0, 1.0, 0.0, 0.0]))
+    df = _emb(spark, rows)
+    uncapped = semdedup(
+        df, "vec_id", "embedding", min_score=50_000_000, k=2
+    ).collect()
+    assert len(uncapped) == 42
+    kept = [r["vid"] for r in uncapped if r["is_kept"]]
+    assert sorted(kept) == [0, 1]
+    assert all(
+        r["dup_of"] == 0 for r in uncapped if r["vid"] not in (0, 1)
+    )
+    capped = semdedup(
+        df, "vec_id", "embedding", min_score=50_000_000, k=2,
+        max_cluster=10,
+    ).collect()
+    got = {r["vid"]: r for r in capped}
+    assert set(got) == {1}            # flooded cell capped out wholesale
+    assert got[1]["is_kept"]
+
+
+def test_semdedup_auto_k_bounds(spark):
+    # n=130, target_cluster=16 -> k = ceil(130/16) = 9: every assigned
+    # cell index must stay under 9, and the spread must actually use
+    # multiple cells (the auto-size is doing work, not collapsing).
+    from startup_data_pipeline_spark.operators.similarity import semdedup
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(130)
+    ]
+    out = semdedup(
+        _emb(spark, rows), "vec_id", "embedding",
+        min_score=10**9,              # nothing dropped: routing only
+        target_cluster=16,
+    ).collect()
+    assert len(out) == 130
+    clusters = {r["cluster"] for r in out}
+    assert max(clusters) <= 8
+    assert len(clusters) > 1
+    assert all(r["is_kept"] for r in out)
