@@ -293,3 +293,75 @@ def test_dup_span_rate_bounds_and_duplication_saturates(spark, texts):
             assert r["dup_ppm"] == 1_000_000, r
         else:
             assert r["n_dup_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# semdedup: engine vs an independent pure-Python re-derivation
+# ---------------------------------------------------------------------------
+
+# components are multiples of 0.25 so round(x*10000) is exact in every
+# rounding mode (no HALF_UP-vs-banker's divergence to reason about)
+VEC = st.lists(
+    st.sampled_from([-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 0.75, 1.0]),
+    min_size=4, max_size=4,
+)
+
+
+def _ref_semdedup(vecs, k, min_score, max_cluster):
+    """Spec re-derivation: seeded routing (ties -> lowest cell), cap,
+    keep-lowest-similar-lower-id — no Spark, no shared code."""
+    q = {i: [round(x * 10000) for x in v] for i, v in vecs}
+    ids = sorted(q)
+    cents = [q[s] for s in ids[:k]]
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    cell = {
+        i: min(range(len(cents)), key=lambda j: (sqd(q[i], cents[j]), j))
+        for i in ids
+    }
+    sizes = {}
+    for i in ids:
+        sizes[cell[i]] = sizes.get(cell[i], 0) + 1
+    live = [
+        i for i in ids
+        if max_cluster is None or sizes[cell[i]] <= max_cluster
+    ]
+    out = {}
+    for i in live:
+        sims = [
+            a for a in live
+            if a < i and cell[a] == cell[i]
+            and sum(x * y for x, y in zip(q[a], q[i])) >= min_score
+        ]
+        out[i] = (cell[i], min(sims) if sims else None)
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vs=st.lists(VEC, min_size=3, max_size=9),
+    min_score=st.sampled_from([10_000_000, 50_000_000, 90_000_000]),
+    max_cluster=st.sampled_from([None, 2, 4]),
+)
+def test_semdedup_matches_reference(spark, vs, min_score, max_cluster):
+    from startup_data_pipeline_spark.operators.similarity import semdedup
+
+    vecs = list(enumerate(vs))
+    df = spark.createDataFrame(
+        vecs, "vec_id: long, embedding: array<double>"
+    )
+    got = {
+        r["vid"]: (r["cluster"], r["dup_of"], r["is_kept"])
+        for r in semdedup(
+            df, "vec_id", "embedding", min_score=min_score, k=2,
+            max_cluster=max_cluster,
+        ).collect()
+    }
+    want = _ref_semdedup(vecs, k=2, min_score=min_score,
+                         max_cluster=max_cluster)
+    assert set(got) == set(want)
+    for i, (cell, dup_of) in want.items():
+        assert got[i] == (cell, dup_of, dup_of is None), i
