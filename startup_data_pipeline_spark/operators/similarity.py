@@ -709,6 +709,66 @@ def semdedup(
     )
 
 
+def semdedup_cell_report(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None = None,
+    target_cluster: int = 64,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """One-row cell-occupancy audit for ``semdedup``: (k, n_vectors,
+    n_cells, max_cell_size, n_capped_cells, n_capped_rows) under the
+    SAME auto-sized routing and ``max_cluster`` cap.
+
+    The pre-flight read before a semantic-dedup pass at scale — the
+    third audit in the family (``dedup.simhash64_bucket_report`` for
+    the banded signatures, ``lsh_occupancy_report`` for the ANN
+    orthants): auto-sizing holds EXPECTED cell occupancy
+    ~``target_cluster``, but an identical-embedding corpus still
+    floods one cell; this reports how much a given cap would exclude.
+    One groupBy over ``cluster``; never enumerates pairs.
+    """
+    qdf = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    if k is None:
+        n = qdf.count()
+        k = max(8, min(-(-n // target_cluster), 4096))
+    seeds = qdf.orderBy("vid").limit(k).collect()
+    centroids = [list(r["qv"]) for r in seeds]
+    dists = _sq_dists_all(F.col("qv"), centroids)
+    sz = (
+        qdf.select(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster")
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+    )
+    cap = (
+        F.lit(max_cluster)
+        if max_cluster is not None
+        else F.lit(None).cast("int")
+    )
+    return sz.agg(
+        F.lit(len(centroids)).cast("int").alias("k"),
+        F.coalesce(F.sum("__sz"), F.lit(0)).cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.max("__sz"), F.lit(0)).cast("long").alias(
+            "max_cell_size"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__sz") > cap, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_capped_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("__sz") > cap, F.col("__sz")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_capped_rows"),
+    )
+
+
 def _pq_codebooks(
     qdf: DataFrame, m: int, k: int
 ) -> list[list[list[int]]]:

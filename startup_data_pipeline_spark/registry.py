@@ -170,7 +170,7 @@ _PRIORITY: list[str] = [
     # round-8 registrations (the round's small quota, behind the whole
     # backlog per the burn-down contract — they lead the r9 window as
     # the never-driver-sampled tranche, with any r9 canaries):
-    "q_capped_recovery", "q_semdedup",
+    "q_capped_recovery", "q_semdedup", "q_semdedup_cells",
 ]
 
 

@@ -1215,6 +1215,72 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_semdedup_cells",
+    # same routing CTEs as q_semdedup, one-row occupancy tail — the
+    # third audit of the capped-family trio (simhash64_bucket_report,
+    # lsh_occupancy_report, this). Reports what max_cluster=512 would
+    # exclude under the auto-sized k.
+    oracle="""
+    WITH meta AS (
+        SELECT GREATEST(8, LEAST(
+            CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= (SELECT k FROM meta)
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assign0 AS (
+        SELECT vid, cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    csz AS (
+        SELECT cluster, COUNT(*) AS sz FROM assign0 GROUP BY cluster
+    )
+    SELECT CAST((SELECT k FROM meta) AS INTEGER) AS k,
+           CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cell_size,
+           CAST(COALESCE(SUM(CASE WHEN sz > 512 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_capped_cells,
+           CAST(COALESCE(SUM(CASE WHEN sz > 512 THEN sz ELSE 0 END), 0)
+                AS BIGINT) AS n_capped_rows
+    FROM csz
+    """,
+    survey_ops="semdedup cell-occupancy audit (§2.11 similarity): the "
+    "pre-flight read before a semantic-dedup pass — what would "
+    "max_cluster=512 exclude under auto-sized k. One groupBy over the "
+    "cell key; never enumerates pairs",
+)
+def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_cell_report(
+        emb, "vec_id", "embedding", target_cluster=64, max_cluster=512,
+    )
+
+
+@register(
     "q_ann_ivf_trained",
     oracle=_ivf_trained_oracle(n_queries=10, n_probe=2, ann_k=5),
     survey_ops="IVF ANN over TRAINED k-means centroids (§2.11 "

@@ -307,3 +307,30 @@ def test_semdedup_auto_k_bounds(spark):
     assert max(clusters) <= 8
     assert len(clusters) > 1
     assert all(r["is_kept"] for r in out)
+
+
+def test_semdedup_cell_report_counts_cap_exclusion(spark):
+    # 40 identical vectors flood one cell; 1 distinct bystander (also
+    # the 2nd seed) sits alone. cap=10: report must show exactly one
+    # capped cell carrying the 40 flooded rows.
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup_cell_report,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(42) if i != 1]
+    rows.append((1, [0.0, 1.0, 0.0, 0.0]))
+    r = semdedup_cell_report(
+        _emb(spark, rows), "vec_id", "embedding", k=2, max_cluster=10
+    ).collect()[0]
+    assert r["k"] == 2
+    assert r["n_vectors"] == 42
+    assert r["n_cells"] == 2
+    assert r["max_cell_size"] == 41
+    assert r["n_capped_cells"] == 1
+    assert r["n_capped_rows"] == 41
+    # without a cap the capped counters are zero, occupancy unchanged
+    r0 = semdedup_cell_report(
+        _emb(spark, rows), "vec_id", "embedding", k=2
+    ).collect()[0]
+    assert (r0["n_capped_cells"], r0["n_capped_rows"]) == (0, 0)
+    assert r0["max_cell_size"] == 41
