@@ -148,6 +148,7 @@ HEADLINE = [
     # round-8 additions
     "q_capped_recovery",
     "q_semdedup",
+    "q_semdedup_cells",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
