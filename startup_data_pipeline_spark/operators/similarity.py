@@ -623,6 +623,44 @@ def kmeans_assign_seeded(
     )
 
 
+def _seeded_route(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None,
+    target_cluster: int,
+) -> tuple[int, DataFrame]:
+    """Shared routing prologue for the semdedup family: quantize,
+    auto-size ``k = clamp(ceil(n/target_cluster), 8, 4096)`` when the
+    caller did not pin it, seed centroids from the k lowest-id vectors,
+    attach the nearest cell (``_assign_clusters`` arithmetic: exact
+    integer distances, ties to the lowest index).
+
+    NULL / zero-length vectors are dropped up front — they carry no
+    geometry to route on, they would crash seed collection if among
+    the lowest ids, and the DuckDB oracles' ``unnest(embedding)``
+    produces zero rows for them (absent from the oracle output), so
+    dropping is the parity-correct reading.
+
+    Returns ``(k, routed)`` where ``k`` is the CLAMP value (what the
+    oracles' meta CTE computes — reported even when fewer than k
+    vectors exist to seed from) and ``routed`` is [vid, qv, cluster].
+    """
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
+    )
+    if k is None:
+        n = qdf.count()
+        k = max(8, min(-(-n // target_cluster), 4096))
+    seeds = qdf.orderBy("vid").limit(k).collect()
+    centroids = [list(r["qv"]) for r in seeds]
+    return k, _assign_clusters(qdf, centroids)
+
+
 def semdedup(
     embeddings: DataFrame,
     id_col: str,
@@ -644,8 +682,9 @@ def semdedup(
       literal → shuffle-free assignment scan);
     - within each cell, a vector is a semantic duplicate iff some
       LOWER-id vector in the same cell has quantized dot ≥
-      ``min_score``; survivors are the per-group id minima (the
-      deterministic stand-in for the paper's keep-one-per-group rule).
+      ``min_score`` (the deterministic greedy-by-id stand-in for the
+      paper's keep-one rule — see the return contract below for the
+      non-transitive caveat).
 
     Cluster count auto-sizes like ``auto_lsh_dims``: ``k =
     clamp(ceil(n / target_cluster), 8, 4096)`` from one count agg at
@@ -666,20 +705,15 @@ def semdedup(
     assignment scan's k·dims distance transform must not run thrice).
 
     Returns [vid, cluster, is_kept, dup_of] — ``dup_of`` is the lowest
-    similar lower-id cellmate (NULL for survivors).
+    similar lower-id cellmate (NULL for survivors). A vector is dropped
+    iff ANY lower-id cellmate is similar; within one similarity group
+    more than one vector can survive when similarity is non-transitive
+    (1~3 and 2~3 but 1≁2 keeps both 1 and 2) — the deterministic
+    greedy-by-id reading of the paper's keep-one rule, NOT a
+    connected-components reduction (``dedup.canonical_ids`` is that).
     """
-    qdf = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
-    )
-    if k is None:
-        n = qdf.count()
-        k = max(8, min(-(-n // target_cluster), 4096))
-    seeds = qdf.orderBy("vid").limit(k).collect()
-    centroids = [list(r["qv"]) for r in seeds]
-    dists = _sq_dists_all(F.col("qv"), centroids)
-    assigned = qdf.withColumn(
-        "cluster",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    k, assigned = _seeded_route(
+        embeddings, id_col, vec_col, k, target_cluster
     )
     base = materialize_for_self_join(
         bucket_size_cap(assigned, ("cluster",), max_cluster)
@@ -728,22 +762,16 @@ def semdedup_cell_report(
     ~``target_cluster``, but an identical-embedding corpus still
     floods one cell; this reports how much a given cap would exclude.
     One groupBy over ``cluster``; never enumerates pairs.
+
+    The ``k`` column is the CLAMP value (``_seeded_route``'s return,
+    what the oracle's meta CTE computes) — on a corpus smaller than k
+    it exceeds the number of materialized seeds, matching the oracle.
     """
-    qdf = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    k, routed = _seeded_route(
+        embeddings, id_col, vec_col, k, target_cluster
     )
-    if k is None:
-        n = qdf.count()
-        k = max(8, min(-(-n // target_cluster), 4096))
-    seeds = qdf.orderBy("vid").limit(k).collect()
-    centroids = [list(r["qv"]) for r in seeds]
-    dists = _sq_dists_all(F.col("qv"), centroids)
     sz = (
-        qdf.select(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cluster")
-        )
+        routed.select("cluster")
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("__sz"))
     )
@@ -753,7 +781,7 @@ def semdedup_cell_report(
         else F.lit(None).cast("int")
     )
     return sz.agg(
-        F.lit(len(centroids)).cast("int").alias("k"),
+        F.lit(k).cast("int").alias("k"),
         F.coalesce(F.sum("__sz"), F.lit(0)).cast("long").alias("n_vectors"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.coalesce(F.max("__sz"), F.lit(0)).cast("long").alias(

@@ -334,3 +334,50 @@ def test_semdedup_cell_report_counts_cap_exclusion(spark):
     ).collect()[0]
     assert (r0["n_capped_cells"], r0["n_capped_rows"]) == (0, 0)
     assert r0["max_cell_size"] == 41
+
+
+def test_semdedup_cell_report_k_is_clamp_value_on_tiny_corpus(spark):
+    # n=3 < the clamp floor of 8: the report's k column must be the
+    # CLAMP value (what the oracle's meta CTE computes), not the
+    # number of seeds that could be materialized.
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup_cell_report,
+    )
+
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(3)]
+    r = semdedup_cell_report(
+        _emb(spark, rows), "vec_id", "embedding", target_cluster=64
+    ).collect()[0]
+    assert r["k"] == 8
+    assert r["n_vectors"] == 3
+
+
+def test_semdedup_drops_null_and_empty_embeddings(spark):
+    # NULL / zero-length vectors carry no geometry: they must be
+    # dropped up front (the oracle's unnest(embedding) yields zero
+    # rows for them) — and must NOT crash seed collection even when
+    # they hold the lowest ids.
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup,
+        semdedup_cell_report,
+    )
+
+    rows = [
+        (0, None),                      # lowest id: would be seed 0
+        (1, []),                        # empty: no geometry either
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.99, 0.0, 0.0, 0.0]),     # dup of 2
+    ]
+    out = semdedup(
+        _emb(spark, rows), "vec_id", "embedding",
+        min_score=50_000_000, k=2,
+    ).collect()
+    got = {r["vid"]: r for r in out}
+    assert set(got) == {2, 3, 4}
+    assert got[4]["dup_of"] == 2 and not got[4]["is_kept"]
+    assert got[2]["is_kept"] and got[3]["is_kept"]
+    rep = semdedup_cell_report(
+        _emb(spark, rows), "vec_id", "embedding", k=2
+    ).collect()[0]
+    assert rep["n_vectors"] == 3
