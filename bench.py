@@ -149,6 +149,9 @@ HEADLINE = [
     "q_capped_recovery",
     "q_semdedup",
     "q_semdedup_cells",
+    # round-9 additions: q_ann_lsh_topk completes the cap-pinned ANN
+    # quartet the suite tracks round-over-round (VERDICT r8 #3)
+    "q_ann_lsh_topk",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -153,12 +153,25 @@ def lsh_candidate_pairs(
     shingle→minhash→band→bucket-join. ``max_bucket`` drops degenerate
     buckets (boilerplate-heavy corpora) before the join — the standard
     guard against quadratic blowup at scale.
+
+    The exploded band table is materialized ONCE for both join
+    branches (``materialize_for_self_join``): the upstream
+    shingle→minhash signature chain is lambda-bearing (no CSE across
+    self-join branches), so an unmaterialized plan ran it once per
+    side — 2× the dominant cost of every consumer of this pair
+    generator (measured 0.95→0.32 s sf0.1 / 2.91→2.01 s sf1 on the
+    pair shape, SCALE.md r8; rewire landed r9 with same-round canary
+    certs for all six registered consumers). Stored rows are
+    (id, band_id, band_key digest) — tens of bytes each, the same
+    rows the join shuffles anyway.
     """
     bands = minhash_band_structs(num_hashes, band_size)
     exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
         F.col(id_col), F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
-    exploded = bucket_size_cap(exploded, ("band_id", "band_key"), max_bucket)
+    exploded = materialize_for_self_join(
+        bucket_size_cap(exploded, ("band_id", "band_key"), max_bucket)
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (

@@ -640,7 +640,17 @@ def _seeded_route(
     geometry to route on, they would crash seed collection if among
     the lowest ids, and the DuckDB oracles' ``unnest(embedding)``
     produces zero rows for them (absent from the oracle output), so
-    dropping is the parity-correct reading.
+    dropping is the parity-correct reading. The auto-k count is
+    taken AFTER this drop; the oracles' meta CTE carries the same
+    ``IS NOT NULL AND len > 0`` filter so both sides size k from the
+    identical n.
+
+    PRECONDITION: ``id_col`` must be unique. Seeds are the k
+    lowest-id ROWS; a duplicated id would seed duplicate centroids
+    here while the oracle seeds from ``SELECT DISTINCT vid`` (and a
+    duplicated id's unnested coordinates would double the oracle's
+    centroid/distance sums) — non-unique ids diverge silently on
+    both sides rather than failing loudly, so dedupe upstream.
 
     Returns ``(k, routed)`` where ``k`` is the CLAMP value (what the
     oracles' meta CTE computes — reported even when fewer than k
@@ -711,6 +721,9 @@ def semdedup(
     (1~3 and 2~3 but 1≁2 keeps both 1 and 2) — the deterministic
     greedy-by-id reading of the paper's keep-one rule, NOT a
     connected-components reduction (``dedup.canonical_ids`` is that).
+
+    ``id_col`` must be unique (the ``_seeded_route`` precondition:
+    duplicate ids corrupt the seed centroids silently).
     """
     k, assigned = _seeded_route(
         embeddings, id_col, vec_col, k, target_cluster
@@ -766,6 +779,7 @@ def semdedup_cell_report(
     The ``k`` column is the CLAMP value (``_seeded_route``'s return,
     what the oracle's meta CTE computes) — on a corpus smaller than k
     it exceeds the number of materialized seeds, matching the oracle.
+    ``id_col`` must be unique (the ``_seeded_route`` precondition).
     """
     k, routed = _seeded_route(
         embeddings, id_col, vec_col, k, target_cluster

