@@ -152,6 +152,8 @@ HEADLINE = [
     # round-9 additions: q_ann_lsh_topk completes the cap-pinned ANN
     # quartet the suite tracks round-over-round (VERDICT r8 #3)
     "q_ann_lsh_topk",
+    "q_semdedup_trained",
+    "q_capped_vector_recovery",
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import (
+    bucket_overflow,
     bucket_size_cap,
     ensure_min_parallelism,
     materialize_for_self_join,
@@ -728,6 +729,18 @@ def semdedup(
     k, assigned = _seeded_route(
         embeddings, id_col, vec_col, k, target_cluster
     )
+    return _semdedup_verdict(assigned, min_score, max_cluster)
+
+
+def _semdedup_verdict(
+    assigned: DataFrame, min_score: int, max_cluster: int | None
+) -> DataFrame:
+    """The semdedup verdict tail shared by the seeded and trained
+    routings: cap degenerate cells (``bucket_size_cap`` on the cell
+    key), materialize the (vid, cluster, qv) table ONCE for both
+    self-join branches and the verdict spine, then the within-cell
+    greedy-by-id cosine prune. Returns [vid, cluster, is_kept,
+    dup_of]."""
     base = materialize_for_self_join(
         bucket_size_cap(assigned, ("cluster",), max_cluster)
     )
@@ -754,6 +767,74 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def semdedup_trained(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_score: int,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup over TRAINED k-means cells — the beyond-clamp scale
+    path ``semdedup``'s docstring hands off to: past ~4096·target
+    vectors the seeded literal routing's O(n·k·dims) single-scan floor
+    (and its 4096-centroid plan-literal bound) stops holding, so this
+    variant trains real centroids (``kmeans_fit``) and routes through
+    a BROADCAST CENTROID TABLE instead of a plan literal.
+
+    Routing is the IVF join shape (``ivf_topk_trained``'s member
+    assignment, but distance-based like training): broadcast-join the
+    k-row centroid table, exact integer squared distance per
+    (vector, centroid), then a groupBy-argmin — the struct-min orders
+    (distance, cluster) lexicographically, reproducing training's
+    argmin with ties to the lowest cluster index. Partial aggregation
+    collapses the n·k scored rows map-side, so the one exchange
+    carries n rows; k is bounded by broadcast memory (millions of
+    centroids), not by Catalyst plan size.
+
+    The verdict tail is ``semdedup``'s exactly (shared
+    ``_semdedup_verdict``): ``max_cluster`` cell cap, materialize-once
+    base, within-cell greedy-by-id cosine prune. Integer-exact end to
+    end, so the DuckDB oracle re-derives training (unrolled Lloyd)
+    AND the verdict. NULL/empty vectors are dropped up front (the
+    ``_seeded_route`` parity rule — they also must not reach
+    ``kmeans_fit``'s seed collection). ``id_col`` must be unique.
+
+    Returns [vid, cluster, is_kept, dup_of] — same contract as
+    ``semdedup``.
+    """
+    valid = ensure_min_parallelism(embeddings).filter(
+        F.size(F.col(vec_col)) > 0  # size(NULL) = -1
+    )
+    _assigned, centroids = kmeans_fit(
+        valid, id_col, vec_col, k=n_clusters, n_iter=n_iter
+    )
+    spark = valid.sparkSession
+    cents = spark.createDataFrame(
+        [(j, [int(x) for x in c]) for j, c in enumerate(centroids)],
+        "cluster int, cv array<bigint>",
+    )
+    qdf = valid.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    )
+    sq_d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    routed = (
+        qdf.join(F.broadcast(cents))
+        .groupBy("vid")
+        .agg(
+            F.min(F.struct(sq_d.alias("d"), F.col("cluster"))).alias("__m"),
+            F.any_value("qv").alias("qv"),
+        )
+        .select("vid", "qv", F.col("__m.cluster").alias("cluster"))
+    )
+    return _semdedup_verdict(routed, min_score, max_cluster)
 
 
 def semdedup_cell_report(
@@ -808,6 +889,74 @@ def semdedup_cell_report(
             F.sum(F.when(F.col("__sz") > cap, F.col("__sz")).otherwise(0)),
             F.lit(0),
         ).cast("long").alias("n_capped_rows"),
+    )
+
+
+def capped_vector_recovery(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    target_bucket: int = 32,
+    max_bucket: int = 64,
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Recall-recovery triage for the embedding families' degeneracy
+    caps — the vector analog of ``dedup.capped_exact_recovery``: for
+    every vector the sign-LSH ``max_bucket`` cap would drop from the
+    bucketed ANN joins (member of an orthant over ``max_bucket``), its
+    exact-dedup disposition. One row per capped-out vector with its
+    ``bucket``, the quantized-vector ``fingerprint`` (md5 of the
+    comma-joined quantized coordinates — identical embeddings are
+    exactly as hash-groupable as identical texts), the
+    ``canonical_id`` (min id sharing that fingerprint among capped-out
+    vectors), and ``n_exact_group`` (the fingerprint's group size).
+
+    Closes the loop for the caps at ``similarity.py``'s
+    ``_lsh_bucket_capped`` and the SemDeDup cell cap: the flood that
+    collapses an orthant (or a cell — identical vectors share BOTH
+    keys by definition, so this one fingerprint verdict recovers
+    either cap's exact-dup drops; only the overflow SELECTION is
+    routing-specific) is typically many copies of one embedding.
+    Concretely:
+    - ``n_exact_group >= 2`` rows ARE recoverable — assign them to
+      ``canonical_id`` by hash-groupBy, LINEAR in rows (16-byte digest
+      shuffle), no pair enumeration, so the cap costs no recall on
+      them;
+    - ``n_exact_group = 1`` rows UPPER-BOUND the cap's recall loss —
+      and more tightly than the text analog: a vector has exactly ONE
+      orthant key (no OR-over-bands recovery), so a capped singleton
+      has lost its bucketed pairing entirely, but only to cellmates
+      of the same degenerate orthant.
+
+    Scale shape: one bucket-key window count (``util.bucket_overflow``,
+    riding the same exchange the ANN join would use), one window keyed
+    on the 16-byte fingerprint, output bounded by capped-out rows — no
+    pair join anywhere (plan-pinned like ``capped_exact_recovery``).
+    """
+    if dims is None:
+        dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("qv"), dims))
+    )
+    capped = bucket_overflow(qdf, ("bucket",), max_bucket)
+    fp = capped.select(
+        "vid",
+        "bucket",
+        F.md5(
+            F.concat_ws(",", F.col("qv").cast("array<string>"))
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "vid",
+        "bucket",
+        "fingerprint",
+        F.min("vid").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_exact_group"),
     )
 
 

@@ -175,6 +175,10 @@ _PRIORITY: list[str] = [
     "q_simhash64_band_stats", "q_simhash64_pairs",
     "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
     "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
+    # round-9 registrations (the round's quota, behind the whole
+    # backlog per the burn-down contract — they lead the r10 window as
+    # the never-driver-sampled tranche, with any r10 canaries):
+    "q_semdedup_trained", "q_capped_vector_recovery",
 ]
 
 

@@ -1288,6 +1288,55 @@ def q_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_semdedup_trained",
+    # the beyond-clamp SemDeDup path (VERDICT r8 #5): kmeans_fit-trained
+    # centroids + broadcast-join routing + the same verdict tail as
+    # q_semdedup. Oracle = the shared unrolled-Lloyd chain (training,
+    # exactly q_ann_ivf_trained's) ending in assignF, then q_semdedup's
+    # cap/pairs/dropped tail over the trained cells. min_score and the
+    # max_cluster=512 cap mirror q_semdedup so the two registrations
+    # certify the same semantics under both routings.
+    oracle=_lloyd_cte_chain() + """,
+    csz AS (SELECT cluster, COUNT(*) AS cc FROM assignF GROUP BY cluster),
+    assignC AS (
+        SELECT a.vid, a.cluster FROM assignF a JOIN csz USING (cluster)
+        WHERE cc <= 512
+    ),
+    pairs AS (
+        SELECT a.vid AS id_a, b.vid AS id_b,
+               CAST(SUM(qa.x * qb.x) AS BIGINT) AS score
+        FROM assignC a
+        JOIN assignC b ON a.cluster = b.cluster AND a.vid < b.vid
+        JOIN qv qa ON qa.vid = a.vid
+        JOIN qv qb ON qb.vid = b.vid AND qb.pos = qa.pos
+        GROUP BY a.vid, b.vid
+    ),
+    dropped AS (
+        SELECT id_b AS vid, CAST(MIN(id_a) AS BIGINT) AS dup_of
+        FROM pairs WHERE score >= 32000000
+        GROUP BY id_b
+    )
+    SELECT a.vid, a.cluster,
+           d.dup_of IS NULL AS is_kept,
+           d.dup_of
+    FROM assignC a LEFT JOIN dropped d USING (vid)
+    """,
+    survey_ops="SemDeDup over TRAINED k-means cells (§2.11 dedup "
+    "family, the semdedup scale path): kmeans_fit trains the cell "
+    "structure, routing is a broadcast centroid-table join + "
+    "groupBy-argmin (the IVF join shape — k bounded by broadcast "
+    "memory, not plan-literal size), verdict tail shared with "
+    "q_semdedup. Oracle re-derives training AND verdict",
+)
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_trained(
+        emb, "vec_id", "embedding", min_score=32_000_000,
+        n_clusters=8, n_iter=5, max_cluster=512,
+    )
+
+
+@register(
     "q_ann_ivf_trained",
     oracle=_ivf_trained_oracle(n_queries=10, n_probe=2, ann_k=5),
     survey_ops="IVF ANN over TRAINED k-means centroids (§2.11 "

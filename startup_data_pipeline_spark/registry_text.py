@@ -3021,3 +3021,55 @@ def q_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_occupancy_report(
         emb, "vec_id", "embedding", target_bucket=32, max_bucket=64
     )
+
+
+@register(
+    "q_capped_vector_recovery",
+    # max_bucket=32 is deliberately BELOW the sf0.01 max orthant
+    # occupancy (42, measured via the q_lsh_occupancy probe) so the
+    # recovery path is exercised at the driver's SF; production caps
+    # come from the occupancy audits. Same auto-sized meta CTE as the
+    # ANN family; the fingerprint is md5 over the comma-joined
+    # quantized coordinates on both sides.
+    oracle=f"""
+    WITH meta AS (
+        SELECT GREATEST(1, LEAST(
+            CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
+            CAST(MIN(len(embedding)) AS INTEGER), 62)) AS h
+        FROM embeddings
+    ),
+    bk AS (
+        SELECT vid, qv,
+               CAST(list_sum(list_transform(
+                   generate_series(1, (SELECT h FROM meta)),
+                   i -> CASE WHEN qv[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM (SELECT vec_id AS vid, {_QUANT} AS qv FROM embeddings)
+    ),
+    bsz AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
+    capped AS (
+        SELECT b.vid, b.bucket,
+               md5(array_to_string(b.qv, ',')) AS fingerprint
+        FROM bk b JOIN bsz USING (bucket)
+        WHERE c > 32
+    )
+    SELECT vid, bucket, fingerprint,
+           MIN(vid) OVER (PARTITION BY fingerprint) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS n_exact_group
+    FROM capped
+    """,
+    survey_ops="capped-bucket exact recovery for the embedding "
+    "families (§2.11 similarity QA, NEW r9): the vector analog of "
+    "q_capped_recovery — hash-groupBy recovery of identical-embedding "
+    "members the sign-LSH orthant (or SemDeDup cell) cap drops, plus "
+    "an honest singleton upper bound on the cap's recall loss. No "
+    "pair join (plan-pinned)",
+)
+def q_capped_vector_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.capped_vector_recovery(
+        emb, "vec_id", "embedding", target_bucket=32, max_bucket=32
+    )

@@ -80,3 +80,141 @@ def test_lsh_candidate_pairs_band_table_computed_once(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # no duplicate pairs from the dropDuplicates tail either way
     assert pairs.count() == pairs.dropDuplicates().count()
+
+
+# ---------------------------------------------------------------------------
+# semdedup_trained: trained-centroid routing + shared verdict tail
+# ---------------------------------------------------------------------------
+
+def test_semdedup_trained_matches_seeded_on_fixpoint_corpus(spark):
+    # A corpus whose k lowest-id vectors are already the exact cluster
+    # means is a Lloyd fixpoint: training cannot move the seeds, so the
+    # trained routing must equal the seeded routing and the two
+    # variants must emit identical verdicts.
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup,
+        semdedup_trained,
+    )
+
+    # ids 0/1 are exactly their cells' means (each cell is two copies
+    # of one basis vector), so training is a fixpoint from iteration 0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = _emb(spark, rows)
+    seeded = {
+        r["vid"]: (r["cluster"], r["is_kept"], r["dup_of"])
+        for r in semdedup(
+            df, "vec_id", "embedding", min_score=50_000_000, k=2
+        ).collect()
+    }
+    trained = {
+        r["vid"]: (r["cluster"], r["is_kept"], r["dup_of"])
+        for r in semdedup_trained(
+            df, "vec_id", "embedding", min_score=50_000_000,
+            n_clusters=2, n_iter=3,
+        ).collect()
+    }
+    assert seeded == trained
+    assert not trained[2][1] and trained[2][2] == 0   # dup of 0
+    assert not trained[3][1] and trained[3][2] == 1   # dup of 1
+    assert trained[0][1] and trained[1][1]
+
+
+def test_semdedup_trained_drops_null_and_cap_applies(spark):
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup_trained,
+    )
+
+    # 40 identical vectors flood one trained cell; NULL/empty rows at
+    # the lowest ids must not crash kmeans_fit seed collection
+    rows = [(0, None), (1, [])]
+    rows += [(10 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0])]
+    df = _emb(spark, rows)
+    out = semdedup_trained(
+        df, "vec_id", "embedding", min_score=50_000_000,
+        n_clusters=2, n_iter=2, max_cluster=10,
+    ).collect()
+    got = {r["vid"] for r in out}
+    assert 0 not in got and 1 not in got     # invalid dropped
+    assert 100 in got                        # bystander survives
+    assert len(got) == 1                     # flooded cell capped out
+
+
+def test_semdedup_trained_routing_is_broadcast_join_not_literal(spark):
+    # the scale property the variant exists for: routing goes through a
+    # broadcast join against a centroid TABLE (k bounded by broadcast
+    # memory), not a k*dims plan literal
+    import contextlib
+    import io
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup_trained,
+    )
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semdedup_trained(
+        emb, "vec_id", "embedding", min_score=32_000_000,
+        n_clusters=4, n_iter=2, max_cluster=512,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "BuildRight" in plan
+
+
+# ---------------------------------------------------------------------------
+# capped_vector_recovery: the embedding-family cap recovery
+# ---------------------------------------------------------------------------
+
+def test_capped_vector_recovery_groups_identical_vectors(spark):
+    from startup_data_pipeline_spark.operators.similarity import (
+        capped_vector_recovery,
+    )
+
+    # 20 copies of e1 + 3 copies of -e1 share the positive/negative
+    # orthants; cap=5 catches the e1 flood, leaves the -e1 bucket alone
+    rows = [(i, [1.0, 0.5, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [-1.0, -0.5, 0.0, 0.0]) for i in range(3)]
+    rows += [(200, [1.0, -0.5, 0.0, 0.0])]   # own orthant, uncapped
+    out = capped_vector_recovery(
+        _emb(spark, rows), "vec_id", "embedding",
+        dims=[0, 1], max_bucket=5,
+    ).collect()
+    got = {r["vid"]: r for r in out}
+    assert set(got) == set(range(20))        # only the flooded orthant
+    assert all(r["canonical_id"] == 0 for r in got.values())
+    assert all(r["n_exact_group"] == 20 for r in got.values())
+
+
+def test_capped_vector_recovery_no_pair_join(spark):
+    import contextlib
+    import io
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        capped_vector_recovery,
+    )
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    out = capped_vector_recovery(
+        emb, "vec_id", "embedding", target_bucket=32, max_bucket=32
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    # linear shape: bucket window + fingerprint window, zero joins
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    # the overflow window is keyed on the bucket, the ANN join's key
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "bucket" in line or "fingerprint" in line, line
