@@ -180,15 +180,46 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # One protocol at BOTH scales (VERDICT r8 #4 — the r8 table mixed
+    # single-shot and multi-pass denominators, making sf1 readings vary
+    # 5-8x across sessions): per query per scale, one cold execution
+    # then WARM_PASSES further executions; the reported number is the
+    # WARM MEDIAN, with the cold run disclosed alongside.
+    warm_passes = 3
+
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        return round(s[len(s) // 2], 2)
+
     rows = []
     for n in names:
-        t_small = run(n, SF1)
-        t_big = run(n, SF10)
-        ratio = round(t_big / t_small, 1) if t_small > 0 else None
-        rows.append({"query": n, "sf1_s": t_small, "sf10_s": t_big,
-                     "ratio": ratio})
-        print(f"{n:28s} sf1={t_small:7.2f}s sf10={t_big:7.2f}s "
-              f"ratio={ratio}", file=sys.stderr)
+        stats = {}
+        for tag, sf in (("sf1", SF1), ("sf10", SF10)):
+            cold = run(n, sf)
+            warms = [run(n, sf) for _ in range(warm_passes)]
+            stats[tag] = {"cold": cold, "warm": med(warms),
+                          "warms": warms}
+        ratio = (
+            round(stats["sf10"]["warm"] / stats["sf1"]["warm"], 1)
+            if stats["sf1"]["warm"] > 0 else None
+        )
+        rows.append({
+            "query": n,
+            "sf1_cold_s": stats["sf1"]["cold"],
+            "sf1_warm_med_s": stats["sf1"]["warm"],
+            "sf1_warms": stats["sf1"]["warms"],
+            "sf10_cold_s": stats["sf10"]["cold"],
+            "sf10_warm_med_s": stats["sf10"]["warm"],
+            "sf10_warms": stats["sf10"]["warms"],
+            "ratio_warm": ratio,
+        })
+        print(
+            f"{n:28s} sf1 cold={stats['sf1']['cold']:7.2f}s "
+            f"warm~{stats['sf1']['warm']:7.2f}s | sf10 "
+            f"cold={stats['sf10']['cold']:7.2f}s "
+            f"warm~{stats['sf10']['warm']:7.2f}s ratio={ratio}",
+            file=sys.stderr,
+        )
     print(json.dumps(rows))
 
 
