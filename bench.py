@@ -154,6 +154,9 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_semdedup_trained",
     "q_capped_vector_recovery",
+    "q_incremental_ann_gate",
+    # q_script_profile stays out: pure map-side scan (the
+    # upsample_epochs / vocab_coverage convention)
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

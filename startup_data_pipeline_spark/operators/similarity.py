@@ -892,6 +892,59 @@ def semdedup_cell_report(
     )
 
 
+def incremental_ann_gate(
+    index_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: list[int],
+    min_score: int | None = None,
+) -> DataFrame:
+    """Online ingestion near-dup gate for EMBEDDINGS: probe a new
+    batch's vectors against the sign-LSH orthant index of the
+    already-ingested corpus — the vector-side analog of
+    ``dedup.incremental_near_dup_gate``.
+
+    The steady-state ANN shape at 100 TB: a pipeline does not re-run
+    corpus × corpus bucketing per arrival — it maintains the
+    (id, bucket, qv) index incrementally (exactly what the bucketed
+    ANN operators compute, persisted) and probes it with the arrival
+    batch. The arrival side is broadcast-sized by construction, so the
+    orthant-collision join never shuffles the corpus — the index stays
+    partitioned where it lives.
+
+    ``dims`` is REQUIRED and must be the hyperplane set the index was
+    built with — an index layout is an on-disk format, and a probe
+    whose bucket derivation drifts from the writer's silently stops
+    colliding with the persisted corpus (the ``minhash_band_structs``
+    durability rule, restated for vectors). ``auto_lsh_dims`` sizes it
+    at index BUILD time; rebucketing on growth is an index rebuild,
+    not a per-probe decision.
+
+    Returns one row per colliding candidate: ``new_id``, ``match_id``
+    (corpus side), ``score`` (exact integer dot product — downstream
+    admission gates threshold it; pass ``min_score`` to pre-filter).
+    A vector has exactly ONE orthant key, so candidates are join-unique
+    — no dropDuplicates needed (unlike the OR-over-bands text gate).
+    """
+    idx = ensure_min_parallelism(index_embeddings).select(
+        F.col(id_col).alias("match_id"),
+        quantize(F.col(vec_col)).alias("xv"),
+    ).withColumn("bucket", sign_lsh_bucket(F.col("xv"), dims))
+    new = new_embeddings.select(
+        F.col(id_col).alias("new_id"),
+        quantize(F.col(vec_col)).alias("nv"),
+    ).withColumn("bucket", sign_lsh_bucket(F.col("nv"), dims))
+    scored = (
+        idx.join(F.broadcast(new), "bucket")
+        .withColumn("score", int_dot(F.col("nv"), F.col("xv")))
+        .select("new_id", "match_id", "score")
+    )
+    if min_score is not None:
+        scored = scored.filter(F.col("score") >= min_score)
+    return scored
+
+
 def capped_vector_recovery(
     embeddings: DataFrame,
     id_col: str,

@@ -63,6 +63,54 @@ def quality_score(df: DataFrame, text_col: str, nchars_col: str) -> DataFrame:
     )
 
 
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document character-class profile: counts of Latin letters,
+    digits, whitespace, ASCII punctuation, and everything else, plus a
+    ``non_text_ppm`` ratio — the script/charset quality signal a
+    curation pass reads BEFORE tokenizing (binary-junk, wrong-script,
+    and markup-flood documents show up as an off-distribution "other"
+    share; the classifier-free sibling of ``lang_id_heuristic``).
+
+    Counting is by length-difference (len(text) − len(text with the
+    class removed)) — one regexp_replace per class, entirely map-side,
+    no explode, and the same expression is exact in any engine whose
+    length() counts code points. Classes are disjoint by construction
+    (Latin / digit / ``\\s`` / ASCII punct / rest), so counts sum to
+    ``n_chars``. ``non_text_ppm`` = 1e6 · n_other // n_chars (exact
+    integer ppm, the registry's money-rule analog; 0 for empty text).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def removed(pat: str):
+        return n - F.length(F.regexp_replace(t, pat, ""))
+
+    n_latin = removed("[A-Za-z]")
+    n_digit = removed("[0-9]")
+    n_space = removed(r"\s")
+    n_punct = removed(r"\p{Punct}")
+    out = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        n_latin.cast("long").alias("n_latin"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        n_punct.cast("long").alias("n_punct"),
+        (n - n_latin - n_digit - n_space - n_punct)
+        .cast("long")
+        .alias("n_other"),
+    )
+    return out.withColumn(
+        "non_text_ppm",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(1000000 * n_other) div n_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
 def lang_id_heuristic(df: DataFrame, text_col: str) -> DataFrame:
     """Language-ID by marker-token voting (n-gram heuristic).
 

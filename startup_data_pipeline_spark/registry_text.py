@@ -3073,3 +3073,106 @@ def q_capped_vector_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.capped_vector_recovery(
         emb, "vec_id", "embedding", target_bucket=32, max_bucket=32
     )
+
+
+@register(
+    "q_incremental_ann_gate",
+    # deterministic index/arrival split (vec_id % 5), dims PINNED to
+    # the first 6 coordinates (an index layout is an on-disk format —
+    # the probe must share the writer's derivation, auto-sizing is an
+    # index-BUILD-time decision). min_score=30M on quantized unit-ish
+    # vectors ~ cosine 0.3 at scale 1e4.
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    bk AS (
+        SELECT vec_id AS vid,
+               CAST(list_sum(list_transform(
+                   generate_series(1, 6),
+                   i -> CASE WHEN qv[i] >= 0
+                             THEN CAST(1 AS BIGINT) << (i - 1)
+                             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                   AS bucket
+        FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
+    ),
+    cand AS (
+        SELECT n.vid AS new_id, x.vid AS match_id
+        FROM bk n JOIN bk x USING (bucket)
+        WHERE n.vid % 5 = 0 AND x.vid % 5 <> 0
+    ),
+    scored AS (
+        SELECT c.new_id, c.match_id,
+               CAST(SUM(qn.x * qx.x) AS BIGINT) AS score
+        FROM cand c
+        JOIN qv qn ON qn.vid = c.new_id
+        JOIN qv qx ON qx.vid = c.match_id AND qx.pos = qn.pos
+        GROUP BY c.new_id, c.match_id
+    )
+    SELECT new_id, match_id, score FROM scored
+    WHERE score >= 30000000
+    """,
+    survey_ops="incremental embedding ANN gate (§2.9/§2.11 composition, "
+    "NEW r9): probe an arrival batch's vectors against the persisted "
+    "corpus's sign-LSH orthant index — the vector-side analog of "
+    "q_incremental_dedup_gate's steady-state shape; the broadcast "
+    "arrival join never shuffles the corpus index",
+)
+def q_incremental_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    return similarity.incremental_ann_gate(
+        idx, new, "vec_id", "embedding", dims=list(range(6)),
+        min_score=30_000_000,
+    )
+
+
+@register(
+    "q_script_profile",
+    # length-difference counting: one regexp_replace per class, exact
+    # in any engine whose length() counts code points. Java \p{Punct}
+    # and RE2 [[:punct:]] are the same ASCII punctuation set; \s agrees
+    # across both engines.
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                AS BIGINT) AS n_latin,
+           CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digit,
+           CAST(length(text)
+                - length(regexp_replace(text, '\\s', '', 'g'))
+                AS BIGINT) AS n_space,
+           CAST(length(text)
+                - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                AS BIGINT) AS n_punct,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(text, '[A-Za-z]', '', 'g'),
+                    '[0-9]', '', 'g'), '\\s', '', 'g'),
+                    '[[:punct:]]', '', 'g'))
+                AS BIGINT) AS n_other,
+           CASE WHEN length(text) > 0
+                THEN CAST((1000000 * length(regexp_replace(
+                         regexp_replace(regexp_replace(regexp_replace(
+                         text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'),
+                         '\\s', '', 'g'), '[[:punct:]]', '', 'g')))
+                     // length(text) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS non_text_ppm
+    FROM documents
+    """,
+    survey_ops="per-document script/charset profile (§2.11 text "
+    "analysis, NEW r9): Latin/digit/whitespace/punct/other counts by "
+    "length difference + integer-ppm non-text ratio — the "
+    "classifier-free wrong-script / binary-junk pre-filter; map-side "
+    "scan, no explode",
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.script_profile(docs, "doc_id", "text")

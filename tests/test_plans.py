@@ -196,30 +196,37 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-8 window is burn-down phase 3 (VERDICT r7 #1): the three
-    # never-driver-sampled round-7 registrations lead, the nine
-    # round-8 changed-operator canaries follow (the standing canary
-    # rule from VERDICT r6 #7), then the 7 remaining r3 names and the
-    # 31 oldest r4 names alphabetical from q_ann_ivf_topk
+    # round-9 window is burn-down phase 4 (VERDICT r8 #2): the three
+    # never-driver-sampled round-8 registrations lead, the eight
+    # lsh_candidate_pairs rewire canaries follow (the standing canary
+    # rule from VERDICT r6 #7), then the r8 brief's other four named
+    # lsh-family consumers, then the 11 remaining r4 names and the 24
+    # oldest r5 names, both tranches alphabetical
     prefix = list(qs)[:50]
     assert prefix[:3] == [
-        "q_dup_spans", "q_simhash64_band_stats", "q_lsh_occupancy",
+        "q_semdedup", "q_semdedup_cells", "q_capped_recovery",
     ]
-    assert prefix[3:12] == [
-        "q_knn_graph", "q_hard_negatives", "q_embedding_near_dup",
-        "q_ann_lsh_topk", "q_simhash64_pairs", "q_image_dhash_pairs",
-        "q_dedup_agreement", "q_incremental_dedup_gate", "q_bfs_hops",
+    assert prefix[3:11] == [
+        "q_lsh_pairs", "q_dedup_survivors", "q_dup_cluster_stats",
+        "q_triangle_count", "q_soft_dedup_weights", "q_degree_hist",
+        "q_cross_split_leakage", "q_incremental_dedup_gate",
     ]
-    r3_remaining = [
-        "q_small_quantity_revenue", "q_supplier_variety",
-        "q_top_supplier", "q_user_trend", "q_value_histogram",
-        "q_value_share", "q_waiting_orders",
+    assert prefix[11:15] == [
+        "q_stream_dedup", "q_winnow_fingerprints", "q_lsh_precision",
+        "q_curation_pipeline",
     ]
-    assert prefix[12:19] == r3_remaining
-    assert prefix[19] == "q_ann_ivf_topk"
-    assert prefix[19:50] == sorted(prefix[19:50])  # r4 tranche is
+    assert prefix[15] == "q_sequence_pack"
+    assert prefix[15:26] == sorted(prefix[15:26])  # r4 tranche is
     # alphabetical, so the driver's sample order is reproducible
-    assert prefix[49] == "q_segment_dedup"
-    # remaining r4 names queue just behind the boundary for the round-9
-    # window
-    assert list(qs)[50:52] == ["q_sequence_pack", "q_set_ops"]
+    assert prefix[26] == "q_activity_streaks"
+    assert prefix[26:50] == sorted(prefix[26:50])  # r5 tranche too
+    assert prefix[49] == "q_ri_audit"
+    # remaining r5 names queue just behind the boundary for the
+    # round-10 window
+    assert list(qs)[50:52] == ["q_rrf_fusion", "q_sample_allocation"]
+    # this round's new registrations sit at the very back of the
+    # priority list (never-sampled tranche for the r10 window)
+    assert list(qs)[-4:] == [
+        "q_semdedup_trained", "q_capped_vector_recovery",
+        "q_incremental_ann_gate", "q_script_profile",
+    ]

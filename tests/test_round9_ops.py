@@ -194,6 +194,93 @@ def test_capped_vector_recovery_groups_identical_vectors(spark):
     assert all(r["n_exact_group"] == 20 for r in got.values())
 
 
+def test_incremental_ann_gate_semantics(spark):
+    # index holds e1-ish and e2-ish vectors; the arrival batch has one
+    # near-copy of e1 and one orthogonal vector. With dims=[0,1] the
+    # e1 arrival collides only with the e1 orthant; the e3 arrival's
+    # orthant (both coords negative-free... all-zero signs) matches
+    # nothing above min_score.
+    from startup_data_pipeline_spark.operators.similarity import (
+        incremental_ann_gate,
+    )
+
+    index = _emb(spark, [
+        (1, [1.0, 0.5, 0.0, 0.0]),
+        (2, [0.9, 0.4, 0.1, 0.0]),
+        (3, [-1.0, -0.5, 0.0, 0.0]),
+    ])
+    new = _emb(spark, [
+        (100, [0.95, 0.45, 0.0, 0.0]),   # near-dup of 1 and 2
+        (101, [-0.9, -0.6, 0.0, 0.0]),   # near-dup of 3
+    ])
+    out = incremental_ann_gate(
+        index, new, "vec_id", "embedding", dims=[0, 1],
+        min_score=50_000_000,
+    ).collect()
+    got = {(r["new_id"], r["match_id"]) for r in out}
+    assert got == {(100, 1), (100, 2), (101, 3)}
+    scores = {(r["new_id"], r["match_id"]): r["score"] for r in out}
+    assert scores[(100, 1)] == 9500 * 10000 + 4500 * 5000
+
+
+def test_incremental_ann_gate_broadcasts_arrivals_not_corpus(spark):
+    # the steady-state contract: the corpus index side is never
+    # broadcast and never re-shuffled — the (broadcast) hint sits on
+    # the arrival side
+    import contextlib
+    import io
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        incremental_ann_gate,
+    )
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    out = incremental_ann_gate(
+        emb.filter("vec_id % 5 != 0"), emb.filter("vec_id % 5 = 0"),
+        "vec_id", "embedding", dims=list(range(6)),
+        min_score=30_000_000,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no shuffle exchange anywhere: broadcast join + map-side filter
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_script_profile_classes_partition_the_text(spark):
+    from startup_data_pipeline_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World 42!\nsecond line"),
+            (2, ""),
+            (3, "αβγ δε"),                 # non-Latin: all "other"+space
+            (4, "100% [ok] -- #tag"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df, "doc_id", "text").collect()}
+    r1 = got[1]
+    assert r1["n_chars"] == len("Hello, World 42!\nsecond line")
+    assert r1["n_latin"] == 20
+    assert r1["n_digit"] == 2
+    assert r1["n_space"] == 4
+    assert r1["n_punct"] == 2              # comma + bang
+    # classes are disjoint and complete
+    for r in got.values():
+        assert (
+            r["n_latin"] + r["n_digit"] + r["n_space"]
+            + r["n_punct"] + r["n_other"] == r["n_chars"]
+        )
+    assert got[2]["non_text_ppm"] == 0     # empty text guard
+    assert got[3]["n_other"] == 5          # αβγδε
+    assert got[3]["non_text_ppm"] == 1_000_000 * 5 // 6
+
+
 def test_capped_vector_recovery_no_pair_join(spark):
     import contextlib
     import io
