@@ -155,6 +155,7 @@ HEADLINE = [
     "q_semdedup_trained",
     "q_capped_vector_recovery",
     "q_incremental_ann_gate",
+    "q_token_budget_select",
     # q_script_profile stays out: pure map-side scan (the
     # upsample_epochs / vocab_coverage convention)
 ]

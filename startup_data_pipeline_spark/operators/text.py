@@ -497,6 +497,94 @@ def sequence_pack(
 BPE_ISH_PATTERN = r"'[a-z]{1,2}|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]"
 
 
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact global budget cut: the highest-``score`` documents whose
+    running token total stays under ``budget`` — "give me the best X
+    tokens", the subset-selection step between quality scoring and
+    training (a fixed token budget is how pretraining corpora are
+    actually sized).
+
+    A naive exact implementation is a GLOBAL prefix sum — one window
+    over everything, i.e. a single-partition sort that caps out at one
+    executor's memory. This is the scale-sane EXACT variant (the
+    classic two-level distributed prefix sum):
+
+    1. ``repartitionByRange`` on (score DESC, id ASC) — the selection's
+       own total order (ties impossible: id is unique), so partition i
+       holds strictly better rows than partition i+1;
+    2. per-partition exclusive prefix sums — windows partitioned by
+       ``spark_partition_id()``, parallel, no global sort;
+    3. one bounded driver collect of PER-PARTITION TOTALS (#partitions
+       rows — the k-means-seed contract), prefix-summed into per-
+       partition offsets that ride back as one map literal.
+
+    A row's exact global prefix = its partition's offset + its local
+    exclusive prefix; selected iff that is < ``budget`` (the straddler
+    is admitted — ``sequence_pack``'s overflow-tolerant convention).
+    The ranged table is materialized once (``localCheckpoint``) so the
+    partition ids seen by the totals pass and the window pass are the
+    same physical assignment.
+
+    Returns the selected rows: [id, score, weight, cum_before], where
+    ``cum_before`` is the exact global token count ahead of the row.
+    """
+    from pyspark.sql import Window
+
+    from .util import materialize_for_self_join
+
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), F.col(score_col), F.col(weight_col)
+    )
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = materialize_for_self_join(
+        base.repartitionByRange(
+            n_parts, F.col(score_col).desc(), F.col(id_col).asc()
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    partials = {
+        r["__pid"]: r["w"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(partials):
+        offsets[p] = acc
+        acc += partials[p]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    local_excl = F.coalesce(
+        F.sum(weight_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        ranged.withColumn(
+            "cum_before",
+            (
+                F.coalesce(off_map[F.col("__pid")], F.lit(0)) + local_excl
+            ).cast("long"),
+        )
+        .filter(F.col("cum_before") < budget)
+        .select(id_col, score_col, weight_col, "cum_before")
+    )
+
+
 def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting the way an LLM-data pipeline bills it: whitespace
     words AND a BPE-ish regex pre-tokenization (contractions, letter

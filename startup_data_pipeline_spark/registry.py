@@ -179,7 +179,7 @@ _PRIORITY: list[str] = [
     # backlog per the burn-down contract — they lead the r10 window as
     # the never-driver-sampled tranche, with any r10 canaries):
     "q_semdedup_trained", "q_capped_vector_recovery",
-    "q_incremental_ann_gate", "q_script_profile",
+    "q_incremental_ann_gate", "q_script_profile", "q_token_budget_select",
 ]
 
 

@@ -3176,3 +3176,56 @@ def q_incremental_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.script_profile(docs, "doc_id", "text")
+
+
+@register(
+    "q_token_budget_select",
+    # budget=12000 of the fixture's ~27k total tokens selects ~the top
+    # 2/5 by lexical diversity — both the selected and rejected sides
+    # non-trivial at the driver's SF. Integer-ppm score (exact both
+    # engines), id tie-break, straddler admitted (cum_before < budget,
+    # the sequence_pack convention).
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                    AS BIGINT) AS diversity_ppm
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id, diversity_ppm, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY diversity_ppm DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+    FROM scored
+    QUALIFY cum_before < 12000
+    """,
+    survey_ops="exact global token-budget subset selection (§2.11 "
+    "training-data export, NEW r9): top documents by lexical-diversity "
+    "ppm until a 12k-token budget — two-level distributed prefix sum "
+    "(range partition on the selection order, per-partition windows, "
+    "one bounded partial-totals collect), never a single-partition "
+    "global sort. The oracle IS the naive global window — certifying "
+    "the distributed cut is exactly the serial cut",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = text.tokens(F.col("text"))
+    scored = (
+        docs.select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("__nd"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "diversity_ppm",
+            F.expr("(1000000 * __nd) div n_tokens").cast("long"),
+        )
+        .drop("__nd")
+    )
+    return text.token_budget_select(
+        scored, "doc_id", "diversity_ppm", "n_tokens", budget=12_000
+    )

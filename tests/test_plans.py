@@ -226,7 +226,8 @@ def test_registry_integrity():
     assert list(qs)[50:52] == ["q_rrf_fusion", "q_sample_allocation"]
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r10 window)
-    assert list(qs)[-4:] == [
+    assert list(qs)[-5:] == [
         "q_semdedup_trained", "q_capped_vector_recovery",
         "q_incremental_ann_gate", "q_script_profile",
+        "q_token_budget_select",
     ]

@@ -365,3 +365,36 @@ def test_semdedup_matches_reference(spark, vs, min_score, max_cluster):
     assert set(got) == set(want)
     for i, (cell, dup_of) in want.items():
         assert got[i] == (cell, dup_of, dup_of is None), i
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(0, 500), st.integers(1, 30)),
+    min_size=1, max_size=20, unique_by=lambda t: t[0],
+), st.integers(0, 200))
+def test_token_budget_select_equals_serial_cut(spark, docs, budget):
+    """The two-level distributed prefix sum is EXACTLY the serial
+    greedy cut: same selected set, same per-row exclusive global
+    prefix, for any scores/weights/budget (ids unique by strategy;
+    score ties broken by id on both sides)."""
+    from startup_data_pipeline_spark.operators.text import (
+        token_budget_select,
+    )
+
+    data = [(i, (i * 7) % 5, w) for i, w in docs]  # deliberate score ties
+    df = spark.createDataFrame(
+        data, "doc_id: long, score: long, n_tokens: long"
+    )
+    got = {
+        r["doc_id"]: r["cum_before"]
+        for r in token_budget_select(
+            df, "doc_id", "score", "n_tokens", budget, n_parts=4
+        ).collect()
+    }
+    acc, expect = 0, {}
+    for i, s, w in sorted(data, key=lambda r: (-r[1], r[0])):
+        if acc < budget:
+            expect[i] = acc
+        acc += w
+    assert got == expect

@@ -281,6 +281,50 @@ def test_script_profile_classes_partition_the_text(spark):
     assert got[3]["non_text_ppm"] == 1_000_000 * 5 // 6
 
 
+def test_token_budget_select_matches_serial_cut(spark):
+    # the distributed two-level prefix sum must equal the serial
+    # greedy cut exactly, across multiple range partitions
+    from startup_data_pipeline_spark.operators.text import (
+        token_budget_select,
+    )
+
+    rows = [(i, (i * 37) % 101, 5 + (i * 13) % 20) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, score: long, n_tokens: long"
+    )
+    budget = 1500
+    got = {
+        r["doc_id"]: r["cum_before"]
+        for r in token_budget_select(
+            df, "doc_id", "score", "n_tokens", budget, n_parts=8
+        ).collect()
+    }
+    # serial re-derivation
+    acc, expect = 0, {}
+    for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if acc < budget:
+            expect[i] = acc
+        acc += w
+    assert got == expect
+    # the straddler is admitted: the last selected row's cum_before is
+    # under budget but its weight may cross it
+    last = max(expect.items(), key=lambda kv: kv[1])
+    assert last[1] < budget
+
+
+def test_token_budget_select_zero_budget_selects_nothing(spark):
+    from startup_data_pipeline_spark.operators.text import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 20, 5)], "doc_id: long, score: long, n_tokens: long"
+    )
+    assert token_budget_select(
+        df, "doc_id", "score", "n_tokens", budget=0
+    ).count() == 0
+
+
 def test_capped_vector_recovery_no_pair_join(spark):
     import contextlib
     import io
