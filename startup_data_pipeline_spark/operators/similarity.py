@@ -927,14 +927,27 @@ def incremental_ann_gate(
     A vector has exactly ONE orthant key, so candidates are join-unique
     — no dropDuplicates needed (unlike the OR-over-bands text gate).
     """
-    idx = ensure_min_parallelism(index_embeddings).select(
-        F.col(id_col).alias("match_id"),
-        quantize(F.col(vec_col)).alias("xv"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("xv"), dims))
-    new = new_embeddings.select(
-        F.col(id_col).alias("new_id"),
-        quantize(F.col(vec_col)).alias("nv"),
-    ).withColumn("bucket", sign_lsh_bucket(F.col("nv"), dims))
+    # NULL/empty vectors dropped on BOTH sides (the _seeded_route
+    # parity rule): a NULL vector's sign bits all fall to the
+    # otherwise-branch, which would silently route it to bucket 0 and
+    # emit NULL scores instead of failing loudly
+    idx = (
+        ensure_min_parallelism(index_embeddings)
+        .filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
+        .select(
+            F.col(id_col).alias("match_id"),
+            quantize(F.col(vec_col)).alias("xv"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("xv"), dims))
+    )
+    new = (
+        new_embeddings.filter(F.size(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("new_id"),
+            quantize(F.col(vec_col)).alias("nv"),
+        )
+        .withColumn("bucket", sign_lsh_bucket(F.col("nv"), dims))
+    )
     scored = (
         idx.join(F.broadcast(new), "bucket")
         .withColumn("score", int_dot(F.col("nv"), F.col("xv")))
@@ -988,8 +1001,12 @@ def capped_vector_recovery(
     """
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
+    # NULL/empty vectors dropped (the _seeded_route parity rule): they
+    # would all route to bucket 0 AND share the md5 of an empty string
+    # as their "fingerprint" — a fake exact-dup group
     qdf = (
         ensure_min_parallelism(embeddings)
+        .filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
         .select(
             F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
         )

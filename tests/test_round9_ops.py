@@ -251,6 +251,32 @@ def test_incremental_ann_gate_broadcasts_arrivals_not_corpus(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_gate_and_recovery_drop_null_and_empty_vectors(spark):
+    # the _seeded_route parity rule applies family-wide: a NULL vector
+    # must never route to bucket 0 (gate) or fingerprint-collide on
+    # md5 of empty (recovery)
+    from startup_data_pipeline_spark.operators.similarity import (
+        capped_vector_recovery,
+        incremental_ann_gate,
+    )
+
+    idx = _emb(spark, [(1, [1.0, 1.0]), (2, None), (3, [])])
+    new = _emb(spark, [(10, [1.0, 0.9]), (11, None), (12, [])])
+    out = incremental_ann_gate(
+        idx, new, "vec_id", "embedding", dims=[0, 1]
+    ).collect()
+    assert {(r["new_id"], r["match_id"]) for r in out} == {(10, 1)}
+
+    rows = [(i, [1.0, 1.0]) for i in range(6)]
+    rows += [(100, None), (101, []), (102, None)]
+    rec = capped_vector_recovery(
+        _emb(spark, rows), "vec_id", "embedding", dims=[0, 1],
+        max_bucket=2,
+    ).collect()
+    assert {r["vid"] for r in rec} == set(range(6))
+    assert all(r["n_exact_group"] == 6 for r in rec)
+
+
 def test_script_profile_classes_partition_the_text(spark):
     from startup_data_pipeline_spark.operators.text import script_profile
 
