@@ -809,8 +809,18 @@ def semdedup_trained(
     valid = ensure_min_parallelism(embeddings).filter(
         F.size(F.col(vec_col)) > 0  # size(NULL) = -1
     )
+    # kmeans_fit indexes centroids[j] for j < k, so a corpus smaller
+    # than n_clusters would crash with IndexError inside the update
+    # loop; clamp like the seeded family's limit(k) (one count agg —
+    # the auto-k precedent), and short-circuit the empty corpus to an
+    # empty verdict frame instead of a seed-collection crash.
+    n_valid = valid.count()
+    if n_valid == 0:
+        return valid.sparkSession.createDataFrame(
+            [], "vid long, cluster int, is_kept boolean, dup_of long"
+        )
     _assigned, centroids = kmeans_fit(
-        valid, id_col, vec_col, k=n_clusters, n_iter=n_iter
+        valid, id_col, vec_col, k=min(n_clusters, n_valid), n_iter=n_iter
     )
     spark = valid.sparkSession
     cents = spark.createDataFrame(

@@ -75,9 +75,14 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     class removed)) — one regexp_replace per class, entirely map-side,
     no explode, and the same expression is exact in any engine whose
     length() counts code points. Classes are disjoint by construction
-    (Latin / digit / ``\\s`` / ASCII punct / rest), so counts sum to
-    ``n_chars``. ``non_text_ppm`` = 1e6 · n_other // n_chars (exact
-    integer ppm, the registry's money-rule analog; 0 for empty text).
+    (Latin / digit / whitespace / ASCII punct / rest), so counts sum
+    to ``n_chars``. The whitespace class is the EXPLICIT
+    ``[ \\t\\n\\x0B\\f\\r]`` (what Java's ``\\s`` means), not the
+    ``\\s`` shorthand — RE2 engines (the DuckDB oracle) exclude
+    vertical tab from ``\\s``, so the shorthand silently diverges on
+    text containing U+000B. ``non_text_ppm`` = 1e6 · n_other //
+    n_chars (exact integer ppm, the registry's money-rule analog; 0
+    for empty text).
     """
     t = F.col(text_col)
     n = F.length(t)
@@ -87,7 +92,7 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     n_latin = removed("[A-Za-z]")
     n_digit = removed("[0-9]")
-    n_space = removed(r"\s")
+    n_space = removed("[ \\t\\n\\x0B\\f\\r]")
     n_punct = removed(r"\p{Punct}")
     out = ensure_min_parallelism(df).select(
         F.col(id_col),
@@ -561,9 +566,13 @@ def token_budget_select(
     for p in sorted(partials):
         offsets[p] = acc
         acc += partials[p]
+    # empty input: a zero-arg create_map() is map<void,void> and
+    # CANNOT be indexed by the int __pid column (AnalysisException) —
+    # a NULL map of the right type keeps the empty selection a plain
+    # empty result
     off_map = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.create_map()
+    ) if offsets else F.lit(None).cast("map<int,bigint>")
     w = Window.partitionBy("__pid").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )

@@ -3046,7 +3046,8 @@ def q_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN CAST(1 AS BIGINT) << (i - 1)
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
-        FROM (SELECT vec_id AS vid, {_QUANT} AS qv FROM embeddings)
+        FROM (SELECT vec_id AS vid, {_QUANT} AS qv FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0)
     ),
     bsz AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
     capped AS (
@@ -3098,7 +3099,8 @@ def q_capped_vector_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN CAST(1 AS BIGINT) << (i - 1)
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
-        FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
+        FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0)
     ),
     cand AS (
         SELECT n.vid AS new_id, x.vid AS match_id
@@ -3136,8 +3138,9 @@ def q_incremental_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_script_profile",
     # length-difference counting: one regexp_replace per class, exact
     # in any engine whose length() counts code points. Java \p{Punct}
-    # and RE2 [[:punct:]] are the same ASCII punctuation set; \s agrees
-    # across both engines.
+    # and RE2 [[:punct:]] are the same ASCII punctuation set; the
+    # whitespace class is spelled out as [ \t\n\x0B\f\r] on BOTH
+    # sides because RE2's \s (unlike Java's) excludes vertical tab.
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
@@ -3148,21 +3151,21 @@ def q_incremental_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - length(regexp_replace(text, '[0-9]', '', 'g'))
                 AS BIGINT) AS n_digit,
            CAST(length(text)
-                - length(regexp_replace(text, '\\s', '', 'g'))
+                - length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
                 AS BIGINT) AS n_space,
            CAST(length(text)
                 - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
                 AS BIGINT) AS n_punct,
            CAST(length(regexp_replace(regexp_replace(regexp_replace(
                     regexp_replace(text, '[A-Za-z]', '', 'g'),
-                    '[0-9]', '', 'g'), '\\s', '', 'g'),
+                    '[0-9]', '', 'g'), '[ \\t\\n\\x0B\\f\\r]', '', 'g'),
                     '[[:punct:]]', '', 'g'))
                 AS BIGINT) AS n_other,
            CASE WHEN length(text) > 0
                 THEN CAST((1000000 * length(regexp_replace(
                          regexp_replace(regexp_replace(regexp_replace(
                          text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'),
-                         '\\s', '', 'g'), '[[:punct:]]', '', 'g')))
+                         '[ \\t\\n\\x0B\\f\\r]', '', 'g'), '[[:punct:]]', '', 'g')))
                      // length(text) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS non_text_ppm
     FROM documents

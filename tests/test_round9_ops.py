@@ -351,6 +351,66 @@ def test_token_budget_select_zero_budget_selects_nothing(spark):
     ).count() == 0
 
 
+def test_token_budget_select_empty_input_returns_empty(spark):
+    # review fix: the zero-arg create_map() fallback was map<void,void>
+    # and crashed the __pid lookup with AnalysisException — an upstream
+    # filter dropping every document must yield an empty selection
+    from startup_data_pipeline_spark.operators.text import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [], "doc_id: long, score: long, n_tokens: long"
+    )
+    assert token_budget_select(
+        df, "doc_id", "score", "n_tokens", budget=100
+    ).count() == 0
+
+
+def test_semdedup_trained_small_corpus_clamps_k(spark):
+    # review fix: a corpus smaller than n_clusters crashed kmeans_fit
+    # with IndexError; now k clamps to the valid-vector count (the
+    # seeded family's limit(k) behavior) and an empty corpus returns an
+    # empty verdict frame
+    from startup_data_pipeline_spark.operators.similarity import (
+        semdedup_trained,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    out = semdedup_trained(
+        _emb(spark, rows), "vec_id", "embedding",
+        min_score=50_000_000, n_clusters=8, n_iter=2,
+    ).collect()
+    got = {r["vid"]: r for r in out}
+    assert set(got) == {1, 2, 3}
+    assert not got[3]["is_kept"] and got[3]["dup_of"] == 1
+
+    empty = semdedup_trained(
+        _emb(spark, [(1, None)]), "vec_id", "embedding",
+        min_score=1, n_clusters=4,
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["vid", "cluster", "is_kept", "dup_of"]
+
+
+def test_script_profile_counts_vertical_tab_as_space(spark):
+    # review fix: Java \s includes U+000B but RE2's does not — the
+    # operator (and its oracle) now pin the explicit class, so VT is
+    # whitespace on both sides
+    from startup_data_pipeline_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b\x0bc")], "doc_id: long, text: string"
+    )
+    r = script_profile(df, "doc_id", "text").collect()[0]
+    assert r["n_space"] == 2          # the space AND the VT
+    assert r["n_other"] == 0
+
+
 def test_capped_vector_recovery_no_pair_join(spark):
     import contextlib
     import io
