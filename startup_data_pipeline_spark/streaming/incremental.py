@@ -852,6 +852,306 @@ def make_dedup_gate_handler(
     return handle
 
 
+def streaming_ann_gate(
+    vec_stream: DataFrame,
+    index_path: str,
+    dims: list[int],
+    min_score: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    verdict_path: str | None = None,
+    compact_every: int = 16,
+    retain_verdict_epochs: int | None = None,
+):
+    """Production shape of ``similarity.incremental_ann_gate``: a
+    foreachBatch writer that probes each arrival micro-batch's vectors
+    against a parquet-backed sign-LSH orthant index, emits per-arrival
+    verdicts, and grows the index with the admitted vectors — the
+    vector-side twin of ``streaming_dedup_gate`` (same generation /
+    compaction / layout-marker / retention machinery, restated for the
+    one-bucket-per-vector layout).
+
+    ``dims`` is the index's on-disk layout (the
+    ``incremental_ann_gate`` durability rule): the marker dir records
+    it at index creation and a handler configured differently fails
+    loudly every batch. An arrival is a DUPLICATE iff some indexed (or
+    smaller-id same-batch) vector in its orthant scores
+    ``int_dot >= min_score``; duplicates are not indexed. Verdicts go
+    to ``verdict_path`` (default ``<index_path>_verdicts``) as
+    overwrite-idempotent ``epoch=<e>`` dirs with rows
+    (new_id, match_id, score, admitted). Returns
+    ``(writer, verdict_path)``.
+    """
+    spark = vec_stream.sparkSession
+    if verdict_path is None:
+        verdict_path = index_path.rstrip("/") + "_verdicts"
+    handle = make_ann_gate_handler(
+        spark, index_path, verdict_path, dims=dims, min_score=min_score,
+        id_col=id_col, vec_col=vec_col, compact_every=compact_every,
+        retain_verdict_epochs=retain_verdict_epochs,
+    )
+    return vec_stream.writeStream.foreachBatch(handle), verdict_path
+
+
+def ann_gate_probe_read(
+    spark: SparkSession,
+    gen_dir: str,
+    epoch_id: int,
+    kbuckets: list[int],
+    schema=None,
+) -> DataFrame:
+    """The ANN gate's pruned index read: the live generation filtered
+    to the arrival batch's ``kbucket`` partitions (the index is written
+    ``partitionBy("kbucket")``, so the literal IN-list lands in the
+    scan's PartitionFilters — at most 16 partitions ever), current
+    epoch excluded (retry safety). ``schema`` pins the layout so a
+    file-less generation (an admitted-empty batch's partitionBy write)
+    reads as an empty frame instead of failing schema inference — the
+    same contract as ``gate_probe_read``."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    out = reader.parquet(gen_dir).filter(F.col("epoch") != epoch_id)
+    if kbuckets:
+        out = out.filter(F.col("kbucket").isin(kbuckets))
+    return out.drop("epoch")
+
+
+def make_ann_gate_handler(
+    spark: SparkSession,
+    index_path: str,
+    verdict_path: str,
+    dims: list[int],
+    min_score: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int = 16,
+    retain_verdict_epochs: int | None = None,
+):
+    """Per-batch handler for ``streaming_ann_gate``, exposed so tests
+    can drive and RE-DELIVER epochs directly (the foreachBatch
+    at-least-once contract), mirroring ``make_dedup_gate_handler``."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import int_dot, quantize, sign_lsh_bucket
+
+    if retain_verdict_epochs is not None and retain_verdict_epochs < 1:
+        raise ValueError(
+            "retain_verdict_epochs must be >= 1 (or None to retain all);"
+            f" got {retain_verdict_epochs}"
+        )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import types as T
+
+        # the batch's bucketed projection — NULL/empty vectors carry no
+        # geometry and are excluded here, but still receive an explicit
+        # admit verdict below (and are never indexed), the text gate's
+        # signature-less-doc convention
+        arriv = (
+            batch_df.filter(F.size(F.col(vec_col)) > 0)
+            .select(
+                F.col(id_col).alias("vid"),
+                quantize(F.col(vec_col)).alias("qv"),
+            )
+            .withColumn("bucket", sign_lsh_bucket(F.col("qv"), dims))
+            .withColumn("kbucket", F.pmod(F.col("bucket"), F.lit(16)))
+            .localCheckpoint()
+        )
+        idx_schema = T.StructType(
+            list(arriv.schema.fields)
+            + [T.StructField("epoch", T.IntegerType())]
+        )
+
+        gens = _gate_generations(spark, index_path)
+        gen = gens[-1] if gens else 0
+        fs, _ = _hadoop_fs(spark, index_path)
+
+        def jp(p: str):
+            return _hadoop_fs(spark, p)[1]
+
+        # layout marker: an index probed with a different hyperplane
+        # set silently stops colliding — record dims at creation, fail
+        # loudly on drift (the make_dedup_gate_handler contract)
+        layout = "layout=ann" + "_".join(str(d) for d in dims)
+        if fs.exists(jp(index_path)):
+            on_disk = [
+                s.getPath().getName()
+                for s in fs.listStatus(jp(index_path))
+                if s.getPath().getName().startswith("layout=")
+            ]
+            if on_disk and on_disk != [layout]:
+                raise ValueError(
+                    f"ann-gate index at {index_path} was written with "
+                    f"{on_disk} but this handler is configured "
+                    f"{layout}; probing across hyperplane layouts would "
+                    "silently admit duplicates — rebuild the index or "
+                    "match the handler config"
+                )
+            if not on_disk:
+                if gens:
+                    raise ValueError(
+                        f"ann-gate index at {index_path} has "
+                        f"generations {gens} but no layout= marker — "
+                        "its hyperplane layout cannot be verified; "
+                        "rebuild the index or restore the marker dir "
+                        f"{index_path}/{layout} explicitly"
+                    )
+                fs.mkdirs(jp(f"{index_path}/{layout}"))
+        else:
+            fs.mkdirs(jp(f"{index_path}/{layout}"))
+
+        # sweep stale generations + crash-partial compactions (same
+        # serial-handler safety argument as the text gate)
+        live = gens[-1] if gens else None
+        for status in fs.listStatus(jp(index_path)):
+            name = status.getPath().getName()
+            if not name.startswith("gen="):
+                continue
+            try:
+                g = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if g != live:
+                fs.delete(jp(f"{index_path}/gen={g}"), True)
+
+        index_probe = None
+        n_epochs = 0
+        gen_dir = f"{index_path}/gen={gen}"
+        if gens:
+            n_epochs = sum(
+                1
+                for s in fs.listStatus(jp(gen_dir))
+                if s.getPath().getName().startswith("epoch=")
+                and s.getPath().getName() != f"epoch={epoch_id}"
+            )
+            if n_epochs > 0:
+                kbs = sorted(
+                    r["kbucket"]
+                    for r in arriv.select("kbucket").distinct().collect()
+                )
+                if kbs:
+                    index_probe = ann_gate_probe_read(
+                        spark, gen_dir, epoch_id, kbs, schema=idx_schema
+                    )
+
+        # candidates: persisted index ∪ same-batch smaller-id peers —
+        # arrivals broadcast, the index side never reshuffles
+        peer = arriv.select(
+            F.col("vid").alias("match_id"),
+            F.col("qv").alias("xv"),
+            "bucket",
+        )
+        new_side = F.broadcast(
+            arriv.select(
+                F.col("vid").alias("new_id"),
+                F.col("qv").alias("nv"),
+                "bucket",
+            )
+        )
+        scored = (
+            peer.join(new_side, "bucket")
+            .filter(F.col("match_id") < F.col("new_id"))
+            .select(
+                "new_id",
+                "match_id",
+                int_dot(F.col("nv"), F.col("xv")).alias("score"),
+            )
+        )
+        if index_probe is not None:
+            scored = scored.unionByName(
+                index_probe.select(
+                    F.col("vid").alias("match_id"),
+                    F.col("qv").alias("xv"),
+                    "bucket",
+                )
+                .join(new_side, "bucket")
+                .select(
+                    "new_id",
+                    "match_id",
+                    int_dot(F.col("nv"), F.col("xv")).alias("score"),
+                )
+            )
+        w = Window.partitionBy("new_id").orderBy(
+            F.col("score").desc(), F.col("match_id").asc()
+        )
+        best = (
+            scored.filter(F.col("score") >= min_score)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        out = (
+            batch_df.select(F.col(id_col).alias("new_id"))
+            .join(best, "new_id", "left")
+            .select(
+                "new_id",
+                "match_id",
+                F.coalesce("score", F.lit(0)).alias("score"),
+                F.col("match_id").isNull().alias("admitted"),
+            )
+            .localCheckpoint()
+        )
+        out.write.mode("overwrite").parquet(
+            f"{verdict_path}/epoch={epoch_id}"
+        )
+        # verdict retention / accretion warning — the dedup gate's
+        # amortization argument verbatim
+        if (
+            retain_verdict_epochs is not None
+            or epoch_id % compact_every == 0
+        ):
+            vfs, vroot = _hadoop_fs(spark, verdict_path)
+            eps = []
+            for s in vfs.listStatus(vroot):
+                nm = s.getPath().getName()
+                if nm.startswith("epoch="):
+                    try:
+                        eps.append(int(nm.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+            if retain_verdict_epochs is not None:
+                for e in sorted(eps)[:-retain_verdict_epochs]:
+                    vfs.delete(
+                        _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
+                        True,
+                    )
+            elif len(eps) > 4 * compact_every:
+                _LOG.warning(
+                    "ann-gate verdict sink at %s holds %d epoch dirs "
+                    "and retain_verdict_epochs is unset — storage grows "
+                    "one dir per trigger forever. Set "
+                    "retain_verdict_epochs (e.g. %d) once downstream "
+                    "consumers are caught up.",
+                    verdict_path, len(eps), 4 * compact_every,
+                )
+        keep = arriv.join(
+            out.filter(F.col("admitted")).select(
+                F.col("new_id").alias("vid")
+            ),
+            "vid",
+        )
+        if n_epochs >= compact_every:
+            index_full = (
+                spark.read.schema(idx_schema)
+                .parquet(gen_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
+            )
+            nxt = f"{index_path}/gen={gen + 1}"
+            index_full.write.mode("overwrite").partitionBy(
+                "kbucket"
+            ).parquet(f"{nxt}/epoch=-1")
+            keep.write.mode("overwrite").partitionBy(
+                "kbucket"
+            ).parquet(f"{nxt}/epoch={epoch_id}")
+            fs.delete(jp(f"{index_path}/gen={gen}"), True)
+        else:
+            keep.write.mode("overwrite").partitionBy(
+                "kbucket"
+            ).parquet(f"{index_path}/gen={gen}/epoch={epoch_id}")
+
+    return handle
+
+
 def streaming_markov_transitions(
     stream: DataFrame,
     user_col: str,

@@ -1,0 +1,238 @@
+"""Streaming embedding ANN gate: the parquet-backed orthant index as
+cross-batch state (the vector-side twin of the dedup-gate replay suite).
+
+Same contract battery as the text gate: index seeds/probes/grows across
+epochs, compaction rolls generations without changing verdicts, epoch
+redelivery is idempotent (foreachBatch at-least-once), layout drift
+fails loudly, and geometry-less (NULL/empty) vectors get explicit admit
+verdicts without ever being indexed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+
+
+E1 = [1.0, 0.5, 0.0, 0.0]
+E1B = [0.98, 0.49, 0.0, 0.0]        # near-copy of E1 (same orthant)
+E2 = [-1.0, -0.5, 0.0, 0.0]         # opposite orthant
+E3 = [0.0, 0.0, 1.0, 0.5]           # orthogonal to both (dims [0,1])
+
+DIMS = [0, 1]
+MIN = 50_000_000                     # quantized dot ≈ cosine·1e8
+
+
+def _handler(spark, tmp_path, tag, **kw):
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_ann_gate_handler,
+    )
+
+    idx = str(tmp_path / f"{tag}_idx")
+    vp = str(tmp_path / f"{tag}_verdicts")
+    return (
+        make_ann_gate_handler(
+            spark, idx, vp, dims=DIMS, min_score=MIN, **kw
+        ),
+        idx,
+        vp,
+    )
+
+
+def test_ann_gate_probes_and_grows_index(spark, tmp_path):
+    handle, idx, vp = _handler(spark, tmp_path, "grow")
+    handle(_mk(spark, [(1, E1), (2, E2)]), 0)          # seed
+    handle(_mk(spark, [(10, E1B),                       # ≈ 1 → rejected
+                       (11, E3),                        # new orthant
+                       (12, None), (13, [])]), 1)       # geometry-less
+    # same-batch pair: min id survives, peer rejected against it
+    handle(_mk(spark, [(20, E3), (21, E3)]), 2)         # 20 ≈ indexed 11
+
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert got[1]["admitted"] and got[2]["admitted"]
+    assert got[10]["admitted"] is False and got[10]["match_id"] == 1
+    assert got[11]["admitted"] is True
+    assert got[12]["admitted"] is True and got[12]["score"] == 0
+    assert got[13]["admitted"] is True and got[13]["score"] == 0
+    assert got[20]["admitted"] is False and got[20]["match_id"] == 11
+    assert got[21]["admitted"] is False and got[21]["match_id"] == 11
+
+    index_ids = sorted(
+        r["vid"]
+        for r in spark.read.parquet(idx).select("vid").distinct().collect()
+    )
+    assert index_ids == [1, 2, 11]  # duplicates and NULLs never indexed
+
+
+def test_ann_gate_compacts_generations(spark, tmp_path):
+    handle, idx, vp = _handler(
+        spark, tmp_path, "compact", compact_every=2
+    )
+    handle(_mk(spark, [(1, E1)]), 0)
+    handle(_mk(spark, [(2, E2)]), 1)
+    handle(_mk(spark, [(3, E3)]), 2)                    # triggers roll
+    # probes history that now lives in the COMPACTED generation
+    handle(_mk(spark, [(4, E1B), (5, [0.0, 0.0, 0.9, 0.6])]), 3)
+
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert got[1]["admitted"] and got[2]["admitted"] and got[3]["admitted"]
+    assert got[4]["admitted"] is False and got[4]["match_id"] == 1
+    assert got[5]["admitted"] is False and got[5]["match_id"] == 3
+
+    gen_dirs = [d for d in os.listdir(idx) if d.startswith("gen=")]
+    assert len(gen_dirs) == 1, gen_dirs
+    assert sorted(
+        r["vid"]
+        for r in spark.read.parquet(idx).select("vid").distinct().collect()
+    ) == [1, 2, 3]
+
+
+def test_ann_gate_epoch_redelivery_is_idempotent(spark, tmp_path):
+    handle, idx, vp = _handler(
+        spark, tmp_path, "redeliver", compact_every=2
+    )
+    handle(_mk(spark, [(1, E1)]), 0)
+    handle(_mk(spark, [(2, E2)]), 1)
+    b2 = [(3, E1B), (4, E3)]                            # compaction epoch
+    handle(_mk(spark, b2), 2)
+    once_v = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    once_i = sorted(
+        r["vid"]
+        for r in spark.read.parquet(idx).select("vid").distinct().collect()
+    )
+    assert once_v[3] == (False, 1) and once_v[4][0] is True
+    assert once_i == [1, 2, 4]
+
+    handle(_mk(spark, b2), 2)                           # replay twice
+    handle(_mk(spark, b2), 2)
+    again_v = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    again_i = sorted(
+        r["vid"]
+        for r in spark.read.parquet(idx).select("vid").distinct().collect()
+    )
+    assert again_v == once_v and again_i == once_i
+    assert len([d for d in os.listdir(idx) if d.startswith("gen=")]) == 1
+    # the post-replay index still serves probes
+    handle(_mk(spark, [(9, E3)]), 3)
+    v9 = {
+        r["new_id"]: (r["admitted"], r["match_id"])
+        for r in spark.read.parquet(vp).collect()
+    }[9]
+    assert v9 == (False, 4)
+
+
+def test_ann_gate_layout_drift_fails_loudly(spark, tmp_path):
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_ann_gate_handler,
+    )
+
+    handle, idx, vp = _handler(spark, tmp_path, "drift")
+    handle(_mk(spark, [(1, E1)]), 0)
+    drifted = make_ann_gate_handler(
+        spark, idx, vp, dims=[0, 1, 2], min_score=MIN
+    )
+    with pytest.raises(ValueError, match="hyperplane layouts"):
+        drifted(_mk(spark, [(2, E2)]), 1)
+    # the matching handler keeps working
+    handle(_mk(spark, [(3, E3)]), 1)
+
+
+def test_ann_gate_retention_validation_and_prune(spark, tmp_path):
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_ann_gate_handler,
+    )
+
+    with pytest.raises(ValueError, match="retain_verdict_epochs"):
+        make_ann_gate_handler(
+            spark, str(tmp_path / "i"), str(tmp_path / "v"),
+            dims=DIMS, min_score=MIN, retain_verdict_epochs=0,
+        )
+    handle, idx, vp = _handler(
+        spark, tmp_path, "retain", retain_verdict_epochs=2
+    )
+    for e, vid in enumerate([1, 2, 3, 4]):
+        handle(_mk(spark, [(vid * 100, E3 if vid % 2 else E1)]), e)
+    eps = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(vp)
+        if d.startswith("epoch=")
+    )
+    assert eps == [2, 3]  # only the newest K=2 epochs survive
+
+
+def test_streaming_ann_gate_end_to_end(spark, tmp_path):
+    """The writer wrapper through real AvailableNow triggers with a
+    shared checkpoint: each run processes only its new arrival files,
+    and the cross-batch verdicts match the handler-driven runs."""
+    import shutil
+
+    from startup_data_pipeline_spark.streaming.incremental import (
+        streaming_ann_gate,
+    )
+
+    in_dir = str(tmp_path / "e2e_in")
+    idx = str(tmp_path / "e2e_idx")
+    ck = str(tmp_path / "e2e_ck")
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "vec_id long, embedding array<double>"
+    batches = [
+        [(1, E1), (2, E2)],
+        [(10, E1B), (11, E3)],
+    ]
+    vp = None
+    for i, batch in enumerate(batches):
+        stage = str(tmp_path / f"e2e_stage_{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(stage, f),
+                    os.path.join(in_dir, f"arrival_{i}.parquet"),
+                )
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        writer, vp = streaming_ann_gate(
+            stream, idx, dims=DIMS, min_score=MIN
+        )
+        q = (
+            writer.option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert got[1]["admitted"] and got[2]["admitted"]
+    assert got[10]["admitted"] is False and got[10]["match_id"] == 1
+    assert got[11]["admitted"] is True
+
+
+def test_ann_gate_probe_read_prunes_to_batch_kbuckets(spark, tmp_path):
+    """The probe must partition-prune to the arrival batch's kbucket
+    list, not scan the whole index."""
+    from startup_data_pipeline_spark.streaming.incremental import (
+        ann_gate_probe_read,
+    )
+
+    handle, idx, vp = _handler(spark, tmp_path, "prune")
+    handle(_mk(spark, [(1, E1), (2, E2), (3, E3)]), 0)
+    gen_dir = f"{idx}/gen=0"
+    probe = ann_gate_probe_read(spark, gen_dir, 1, kbuckets=[3])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "kbucket" in plan.split("PartitionFilters", 1)[1][:200]
+    got = probe.collect()
+    assert all(r["kbucket"] == 3 for r in got)
