@@ -397,6 +397,19 @@ def test_semdedup_trained_small_corpus_clamps_k(spark):
     assert empty.columns == ["vid", "cluster", "is_kept", "dup_of"]
 
 
+def test_script_profile_null_text_row(spark):
+    # NULL text: counts are NULL (length(NULL) both engines) and the
+    # ppm guard falls to its 0 branch — no crash, oracle-parity shape
+    from startup_data_pipeline_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ab")], "doc_id: long, text: string"
+    )
+    got = {r["doc_id"]: r for r in script_profile(df, "doc_id", "text").collect()}
+    assert got[1]["n_chars"] is None and got[1]["non_text_ppm"] == 0
+    assert got[2]["n_latin"] == 2
+
+
 def test_script_profile_counts_vertical_tab_as_space(spark):
     # review fix: Java \s includes U+000B but RE2's does not — the
     # operator (and its oracle) now pin the explicit class, so VT is
