@@ -937,13 +937,17 @@ def incremental_ann_gate(
     A vector has exactly ONE orthant key, so candidates are join-unique
     — no dropDuplicates needed (unlike the OR-over-bands text gate).
     """
-    # NULL/empty vectors dropped on BOTH sides (the _seeded_route
-    # parity rule): a NULL vector's sign bits all fall to the
-    # otherwise-branch, which would silently route it to bucket 0 and
-    # emit NULL scores instead of failing loudly
+    # NULL/empty vectors — and vectors CONTAINING a NULL element —
+    # dropped on BOTH sides (the _seeded_route parity rule, extended):
+    # a NULL vector's sign bits all fall to the otherwise-branch
+    # (silent bucket-0 routing), and a NULL element NULLs every
+    # int_dot, so such a row would collide but never score
+    valid = (F.size(F.col(vec_col)) > 0) & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
     idx = (
         ensure_min_parallelism(index_embeddings)
-        .filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
+        .filter(valid)
         .select(
             F.col(id_col).alias("match_id"),
             quantize(F.col(vec_col)).alias("xv"),
@@ -951,7 +955,7 @@ def incremental_ann_gate(
         .withColumn("bucket", sign_lsh_bucket(F.col("xv"), dims))
     )
     new = (
-        new_embeddings.filter(F.size(F.col(vec_col)) > 0)
+        new_embeddings.filter(valid)
         .select(
             F.col(id_col).alias("new_id"),
             quantize(F.col(vec_col)).alias("nv"),

@@ -84,7 +84,10 @@ _PRIORITY: list[str] = [
     #          q_dup_cluster_stats, q_triangle_count,
     #          q_soft_dedup_weights, q_degree_hist) plus the two
     #          intra_batch_scored_pairs consumers
-    #          (q_cross_split_leakage, q_incremental_dedup_gate);
+    #          (q_cross_split_leakage, q_incremental_dedup_gate — the
+    #          latter's slot also canaries the r9 gate-handler change:
+    #          build-time compact_every validation + the shared
+    #          layout/sweep/retention helpers both gates now use);
     #   12-15  the r8 brief's other four named consumers on the lsh
     #          family's bench path (q_stream_dedup,
     #          q_winnow_fingerprints, q_lsh_precision,

@@ -442,6 +442,139 @@ def _gate_generations(spark: SparkSession, index_path: str) -> list[int]:
     return sorted(gens)
 
 
+def _check_layout_marker(
+    spark: SparkSession,
+    index_path: str,
+    layout: str,
+    gens: list[int],
+    kind: str,
+    drift_noun: str,
+) -> None:
+    """Shared gate-index layout guard (ONE definition for both gates):
+    record ``layout`` as an O(1) marker dir at index creation; a
+    handler configured differently — or an unmarked index with
+    generations already present (unverifiable layout) — fails LOUDLY
+    here, every batch, before touching data. Probing across layouts
+    would silently admit duplicates."""
+    fs, root = _hadoop_fs(spark, index_path)
+    marker = _hadoop_fs(spark, f"{index_path}/{layout}")[1]
+    if fs.exists(root):
+        on_disk = [
+            s.getPath().getName()
+            for s in fs.listStatus(root)
+            if s.getPath().getName().startswith("layout=")
+        ]
+        if on_disk and on_disk != [layout]:
+            raise ValueError(
+                f"{kind} index at {index_path} was written with "
+                f"{on_disk} but this handler is configured {layout}; "
+                f"probing across {drift_noun} layouts would silently "
+                "admit duplicates — rebuild the index or match the "
+                "handler config"
+            )
+        if not on_disk:
+            if gens:
+                raise ValueError(
+                    f"{kind} index at {index_path} has generations "
+                    f"{gens} but no layout= marker — its {drift_noun} "
+                    "layout cannot be verified; probing it would "
+                    "silently admit duplicates. Rebuild the index "
+                    f"(delete {index_path}), or if it is KNOWN to be "
+                    f"the {layout} layout, restore the marker dir "
+                    f"{index_path}/{layout} explicitly"
+                )
+            fs.mkdirs(marker)
+    else:
+        fs.mkdirs(marker)
+
+
+def _sweep_stale_generations(
+    spark: SparkSession, index_path: str, live: int | None
+) -> None:
+    """Delete every generation dir that is not the live one: stale
+    VALID generations (crash between compact and old-gen delete) and
+    INVALID partials (crash mid-compaction, no _SUCCESS — invisible to
+    ``_gate_generations`` and otherwise unbounded crash debris). The
+    handlers are serial per stream, so at batch start no generation
+    write is in flight and the delete is safe. Shared by both gates."""
+    fs, root = _hadoop_fs(spark, index_path)
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("gen="):
+            continue
+        try:
+            g = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if g != live:
+            fs.delete(_hadoop_fs(spark, f"{index_path}/gen={g}")[1], True)
+
+
+def _prune_verdict_epochs(
+    spark: SparkSession,
+    verdict_path: str,
+    retain_verdict_epochs: int | None,
+    compact_every: int,
+    epoch_id: int,
+    kind: str,
+) -> None:
+    """Shared verdict retention: prune strictly OLDER epochs than the
+    newest K (a retried epoch never deletes itself); with retention
+    UNSET, warn loudly — amortized to compaction epochs so the
+    O(#dirs) listing never becomes the accretion cost it warns about.
+    Opt-in by design: verdicts are the gates' OUTPUT and only the
+    consumer's lag budget licenses deletion."""
+    if not (
+        retain_verdict_epochs is not None
+        or epoch_id % compact_every == 0
+    ):
+        return
+    vfs, vroot = _hadoop_fs(spark, verdict_path)
+    eps = []
+    for s in vfs.listStatus(vroot):
+        nm = s.getPath().getName()
+        if nm.startswith("epoch="):
+            try:
+                eps.append(int(nm.split("=", 1)[1]))
+            except ValueError:
+                pass
+    if retain_verdict_epochs is not None:
+        for e in sorted(eps)[:-retain_verdict_epochs]:
+            vfs.delete(
+                _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
+                True,
+            )
+    elif len(eps) > 4 * compact_every:
+        _LOG.warning(
+            "%s verdict sink at %s holds %d epoch dirs and "
+            "retain_verdict_epochs is unset — storage grows one dir "
+            "per trigger forever. Set retain_verdict_epochs (e.g. %d) "
+            "once downstream consumers are caught up.",
+            kind, verdict_path, len(eps), 4 * compact_every,
+        )
+
+
+def _validate_gate_config(
+    retain_verdict_epochs: int | None, compact_every: int
+) -> None:
+    """Build-time config validation shared by both gate handlers —
+    fail loudly at handler construction, never opaquely per batch.
+    K=0 would make sorted(eps)[:-0] the EMPTY slice ("prune nothing",
+    the opposite of the natural reading); negative K prunes the oldest
+    |K| unconditionally; compact_every < 1 is either a per-batch
+    ZeroDivisionError (retention unset) or a silent full-index rewrite
+    every batch (retention set)."""
+    if retain_verdict_epochs is not None and retain_verdict_epochs < 1:
+        raise ValueError(
+            "retain_verdict_epochs must be >= 1 (or None to retain all);"
+            f" got {retain_verdict_epochs}"
+        )
+    if compact_every < 1:
+        raise ValueError(
+            f"compact_every must be >= 1; got {compact_every}"
+        )
+
+
 def streaming_dedup_gate(
     doc_stream: DataFrame,
     index_path: str,
@@ -584,15 +717,7 @@ def make_dedup_gate_handler(
 
     from ..operators import dedup as dedup_ops
 
-    # K=0 would make sorted(eps)[:-0] the EMPTY slice — "prune nothing",
-    # the exact opposite of the natural reading — and a negative K would
-    # prune the oldest |K| epochs unconditionally. Both are config bugs;
-    # fail loudly at build time, not silently per batch.
-    if retain_verdict_epochs is not None and retain_verdict_epochs < 1:
-        raise ValueError(
-            "retain_verdict_epochs must be >= 1 (or None to retain all);"
-            f" got {retain_verdict_epochs}"
-        )
+    _validate_gate_config(retain_verdict_epochs, compact_every)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import types as T
@@ -633,69 +758,14 @@ def make_dedup_gate_handler(
         # non-gen= dirs, so the marker is invisible to generation
         # logic.)
         layout = f"layout=nh{num_hashes}-bs{band_size}"
-        if fs.exists(jp(index_path)):
-            on_disk = [
-                s.getPath().getName()
-                for s in fs.listStatus(jp(index_path))
-                if s.getPath().getName().startswith("layout=")
-            ]
-            if on_disk and on_disk != [layout]:
-                raise ValueError(
-                    f"dedup-gate index at {index_path} was written with "
-                    f"{on_disk} but this handler is configured "
-                    f"{layout}; probing across signature layouts would "
-                    "silently admit duplicates — rebuild the index or "
-                    "match the handler config"
-                )
-            if not on_disk:
-                # An UNMARKED index with generations present was written
-                # by a pre-marker handler (the marker dir always lands
-                # before the first data write in this code), so its
-                # layout — signature columns, band count, band_key
-                # derivation — cannot be verified. Adopting it and
-                # reading with this handler's pinned banded schema
-                # would return NULL band_id/kbucket, the probe join
-                # would match nothing, and every arrival would be
-                # admitted — the exact silent-duplicate-admission
-                # failure the marker exists to prevent, triggered by
-                # format drift instead of config drift. Fail loudly;
-                # never adopt-by-mkdirs.
-                if gens:
-                    raise ValueError(
-                        f"dedup-gate index at {index_path} has "
-                        f"generations {gens} but no layout= marker — "
-                        "it predates the banded/marked format (or the "
-                        "marker was removed) and its signature layout "
-                        "cannot be verified; probing it with the "
-                        f"{layout} schema would silently admit "
-                        "duplicates. Rebuild the index (delete "
-                        f"{index_path}), or if it is KNOWN to be the "
-                        f"banded {layout} layout, restore the marker "
-                        f"dir {index_path}/{layout} explicitly"
-                    )
-                fs.mkdirs(jp(f"{index_path}/{layout}"))
-        else:
-            fs.mkdirs(jp(f"{index_path}/{layout}"))
+        _check_layout_marker(
+            spark, index_path, layout, gens, "dedup-gate", "signature"
+        )
 
-        # sweep everything that is not the live generation: stale VALID
-        # generations (crash between compact and old-gen delete) and
-        # INVALID partials (crash mid-compaction, no _SUCCESS — these
-        # are invisible to _gate_generations and would otherwise accrete
-        # as unbounded crash debris; a redone compaction only overwrites
-        # the epoch dirs it writes, not a dead attempt's orphans). The
-        # handler is serial per stream, so at batch start no generation
-        # write is in flight and the delete is safe.
-        live = gens[-1] if gens else None
-        for status in fs.listStatus(jp(index_path)):
-            name = status.getPath().getName()
-            if not name.startswith("gen="):
-                continue
-            try:
-                g = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if g != live:
-                fs.delete(jp(f"{index_path}/gen={g}"), True)
+        # sweep stale generations + crash-partial compactions
+        _sweep_stale_generations(
+            spark, index_path, gens[-1] if gens else None
+        )
 
         index_probe = None
         n_epochs = 0
@@ -767,53 +837,10 @@ def make_dedup_gate_handler(
         out.write.mode("overwrite").parquet(
             f"{verdict_path}/epoch={epoch_id}"
         )
-        # Verdict retention: the verdict sink otherwise accretes one
-        # epoch dir per trigger FOREVER — the index's storage is bounded
-        # by compaction, but a 100 TB deployment needs the verdict side
-        # bounded too once downstream has consumed it. Opt-in because
-        # verdicts are the gate's OUTPUT: only the operator knows the
-        # consumer's lag budget. Prunes strictly OLDER epochs than the
-        # newest K, so a retried epoch never deletes itself, and the
-        # current epoch's write has already committed when the prune
-        # runs (crash between write and prune just re-prunes next batch).
-        # The listing is O(#epoch dirs). With retention set that is
-        # bounded (<= K+1 dirs) and pruning needs it every batch; with
-        # retention UNSET the dir grows without bound, so an every-batch
-        # listing would itself become the accretion cost it warns about
-        # — amortize it to compaction epochs only.
-        if (
-            retain_verdict_epochs is not None
-            or epoch_id % compact_every == 0
-        ):
-            vfs, vroot = _hadoop_fs(spark, verdict_path)
-            eps = []
-            for s in vfs.listStatus(vroot):
-                nm = s.getPath().getName()
-                if nm.startswith("epoch="):
-                    try:
-                        eps.append(int(nm.split("=", 1)[1]))
-                    except ValueError:
-                        pass
-            if retain_verdict_epochs is not None:
-                for e in sorted(eps)[:-retain_verdict_epochs]:
-                    vfs.delete(
-                        _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
-                        True,
-                    )
-            elif len(eps) > 4 * compact_every:
-                # Unbounded-by-default is deliberate (verdicts are
-                # OUTPUT; deleting them needs the consumer's say-so) —
-                # but a 100 TB deployment that forgot the knob must hear
-                # about it before the dir hits millions of entries.
-                # Loud, every compaction epoch past the threshold.
-                _LOG.warning(
-                    "dedup-gate verdict sink at %s holds %d epoch dirs "
-                    "and retain_verdict_epochs is unset — storage grows "
-                    "one dir per trigger forever. Set "
-                    "retain_verdict_epochs (e.g. %d) once downstream "
-                    "consumers are caught up.",
-                    verdict_path, len(eps), 4 * compact_every,
-                )
+        _prune_verdict_epochs(
+            spark, verdict_path, retain_verdict_epochs, compact_every,
+            epoch_id, "dedup-gate",
+        )
         # admitted docs join the index in the band-exploded layout;
         # duplicates are NOT indexed (the canonical copy is already
         # there — matches the reference's "seen items are not
@@ -933,21 +960,27 @@ def make_ann_gate_handler(
 
     from ..operators.similarity import int_dot, quantize, sign_lsh_bucket
 
-    if retain_verdict_epochs is not None and retain_verdict_epochs < 1:
+    _validate_gate_config(retain_verdict_epochs, compact_every)
+    if not dims:
         raise ValueError(
-            "retain_verdict_epochs must be >= 1 (or None to retain all);"
-            f" got {retain_verdict_epochs}"
+            "dims must name at least one hyperplane coordinate — an "
+            "empty hyperplane set has no orthants to bucket on"
         )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import types as T
 
-        # the batch's bucketed projection — NULL/empty vectors carry no
-        # geometry and are excluded here, but still receive an explicit
-        # admit verdict below (and are never indexed), the text gate's
-        # signature-less-doc convention
+        # the batch's bucketed projection — NULL/empty vectors AND
+        # vectors containing NULL elements carry no scorable geometry
+        # (a NULL element NULLs every int_dot, so an indexed one would
+        # silently stop matching forever) and are excluded here, but
+        # still receive an explicit admit verdict below (and are never
+        # indexed), the text gate's signature-less-doc convention
         arriv = (
-            batch_df.filter(F.size(F.col(vec_col)) > 0)
+            batch_df.filter(
+                (F.size(F.col(vec_col)) > 0)
+                & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+            )
             .select(
                 F.col(id_col).alias("vid"),
                 quantize(F.col(vec_col)).alias("qv"),
@@ -972,46 +1005,12 @@ def make_ann_gate_handler(
         # set silently stops colliding — record dims at creation, fail
         # loudly on drift (the make_dedup_gate_handler contract)
         layout = "layout=ann" + "_".join(str(d) for d in dims)
-        if fs.exists(jp(index_path)):
-            on_disk = [
-                s.getPath().getName()
-                for s in fs.listStatus(jp(index_path))
-                if s.getPath().getName().startswith("layout=")
-            ]
-            if on_disk and on_disk != [layout]:
-                raise ValueError(
-                    f"ann-gate index at {index_path} was written with "
-                    f"{on_disk} but this handler is configured "
-                    f"{layout}; probing across hyperplane layouts would "
-                    "silently admit duplicates — rebuild the index or "
-                    "match the handler config"
-                )
-            if not on_disk:
-                if gens:
-                    raise ValueError(
-                        f"ann-gate index at {index_path} has "
-                        f"generations {gens} but no layout= marker — "
-                        "its hyperplane layout cannot be verified; "
-                        "rebuild the index or restore the marker dir "
-                        f"{index_path}/{layout} explicitly"
-                    )
-                fs.mkdirs(jp(f"{index_path}/{layout}"))
-        else:
-            fs.mkdirs(jp(f"{index_path}/{layout}"))
-
-        # sweep stale generations + crash-partial compactions (same
-        # serial-handler safety argument as the text gate)
-        live = gens[-1] if gens else None
-        for status in fs.listStatus(jp(index_path)):
-            name = status.getPath().getName()
-            if not name.startswith("gen="):
-                continue
-            try:
-                g = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if g != live:
-                fs.delete(jp(f"{index_path}/gen={g}"), True)
+        _check_layout_marker(
+            spark, index_path, layout, gens, "ann-gate", "hyperplane"
+        )
+        _sweep_stale_generations(
+            spark, index_path, gens[-1] if gens else None
+        )
 
         index_probe = None
         n_epochs = 0
@@ -1093,36 +1092,10 @@ def make_ann_gate_handler(
         out.write.mode("overwrite").parquet(
             f"{verdict_path}/epoch={epoch_id}"
         )
-        # verdict retention / accretion warning — the dedup gate's
-        # amortization argument verbatim
-        if (
-            retain_verdict_epochs is not None
-            or epoch_id % compact_every == 0
-        ):
-            vfs, vroot = _hadoop_fs(spark, verdict_path)
-            eps = []
-            for s in vfs.listStatus(vroot):
-                nm = s.getPath().getName()
-                if nm.startswith("epoch="):
-                    try:
-                        eps.append(int(nm.split("=", 1)[1]))
-                    except ValueError:
-                        pass
-            if retain_verdict_epochs is not None:
-                for e in sorted(eps)[:-retain_verdict_epochs]:
-                    vfs.delete(
-                        _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
-                        True,
-                    )
-            elif len(eps) > 4 * compact_every:
-                _LOG.warning(
-                    "ann-gate verdict sink at %s holds %d epoch dirs "
-                    "and retain_verdict_epochs is unset — storage grows "
-                    "one dir per trigger forever. Set "
-                    "retain_verdict_epochs (e.g. %d) once downstream "
-                    "consumers are caught up.",
-                    verdict_path, len(eps), 4 * compact_every,
-                )
+        _prune_verdict_epochs(
+            spark, verdict_path, retain_verdict_epochs, compact_every,
+            epoch_id, "ann-gate",
+        )
         keep = arriv.join(
             out.filter(F.col("admitted")).select(
                 F.col("new_id").alias("vid")

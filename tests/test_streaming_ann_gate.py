@@ -150,6 +150,46 @@ def test_ann_gate_layout_drift_fails_loudly(spark, tmp_path):
     handle(_mk(spark, [(3, E3)]), 1)
 
 
+def test_ann_gate_null_element_vectors_never_indexed(spark, tmp_path):
+    """A vector CONTAINING a NULL element NULLs every int_dot — an
+    indexed one would collide but never score, silently admitting all
+    its future near-duplicates. It must get the geometry-less
+    treatment: explicit admit verdict, never indexed."""
+    handle, idx, vp = _handler(spark, tmp_path, "nullel")
+    handle(_mk(spark, [(1, [1.0, 0.5, None, 0.0]), (2, E1)]), 0)
+    handle(_mk(spark, [(3, E1B)]), 1)   # near-dup of 2, NOT blocked by 1
+
+    got = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert got[1]["admitted"] is True and got[1]["score"] == 0
+    assert got[2]["admitted"] is True
+    assert got[3]["admitted"] is False and got[3]["match_id"] == 2
+    index_ids = sorted(
+        r["vid"]
+        for r in spark.read.parquet(idx).select("vid").distinct().collect()
+    )
+    assert index_ids == [2]
+
+
+def test_gate_config_validation_fails_at_build_time(spark, tmp_path):
+    """compact_every=0 was a per-batch ZeroDivisionError (retention
+    unset) or a silent every-batch full-index rewrite (retention set);
+    dims=[] an IndexError per batch. All must fail at handler build."""
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_ann_gate_handler,
+        make_dedup_gate_handler,
+    )
+
+    i, v = str(tmp_path / "i"), str(tmp_path / "v")
+    with pytest.raises(ValueError, match="compact_every"):
+        make_ann_gate_handler(
+            spark, i, v, dims=DIMS, min_score=MIN, compact_every=0
+        )
+    with pytest.raises(ValueError, match="compact_every"):
+        make_dedup_gate_handler(spark, i, v, compact_every=0)
+    with pytest.raises(ValueError, match="dims"):
+        make_ann_gate_handler(spark, i, v, dims=[], min_score=MIN)
+
+
 def test_ann_gate_retention_validation_and_prune(spark, tmp_path):
     from startup_data_pipeline_spark.streaming.incremental import (
         make_ann_gate_handler,
