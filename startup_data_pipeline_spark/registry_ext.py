@@ -25,7 +25,7 @@ from .operators import (
     text,
     windows,
 )
-from .registry import register
+from .registry import VEC_GEOMETRY_SQL, register
 from .sources.tables import load_table
 
 
@@ -942,6 +942,9 @@ def _lloyd_cte_chain(k: int = 8, n_iter: int = 5) -> str:
     tie-break, centroid update by round-half-away-from-zero mean, empty
     clusters keep their previous centroid. Ends with ``distF`` (every
     vector × final centroid distance) and ``assignF`` (the argmin cell).
+    The qv CTE carries the family's geometry filter
+    (``VEC_GEOMETRY_SQL``) mirroring ``kmeans_fit``'s
+    ``vector_has_geometry`` drop before seeding.
     """
     parts = [f"""
     WITH qv AS (
@@ -950,6 +953,7 @@ def _lloyd_cte_chain(k: int = 8, n_iter: int = 5) -> str:
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     seeds AS (
         SELECT vid,
@@ -1089,13 +1093,14 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_kmeans_assign",
-    oracle="""
+    oracle=f"""
     WITH qv AS (
         SELECT vec_id AS vid,
                generate_subscripts(embedding, 1) AS pos,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     seeds AS (
         SELECT vid,
@@ -1141,16 +1146,18 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flags, the q_embedding_near_dup template (r8): at target
     # occupancy 64 a 512-deep cell is ≥8x degenerate — typical-path
     # untouched at every probed SF. The meta CTE counts only rows
-    # that survive the NULL/empty-vector drop — the same n the Spark
-    # side's _seeded_route counts (ADVICE r8): unnest() already
-    # excludes those rows from every downstream CTE, so the count
-    # must match or auto-k diverges on fixtures containing them.
-    oracle="""
+    # that survive the geometry-less-vector drop — the same n the
+    # Spark side's _seeded_route counts (ADVICE r8, extended to the
+    # NULL-element clause by ADVICE r9): the qv CTE carries the SAME
+    # filter so a NULL-element vector neither seeds, routes, nor
+    # scores (DuckDB's NULL-ignoring SUM would otherwise give it a
+    # partial distance/dot the Spark side never computes).
+    oracle=f"""
     WITH meta AS (
         SELECT GREATEST(8, LEAST(
             CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
         FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) > 0
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     qv AS (
         SELECT vec_id AS vid,
@@ -1158,6 +1165,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     seeds AS (
         SELECT vid,
@@ -1224,14 +1232,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same routing CTEs as q_semdedup, one-row occupancy tail — the
     # third audit of the capped-family trio (simhash64_bucket_report,
     # lsh_occupancy_report, this). Reports what max_cluster=512 would
-    # exclude under the auto-sized k. Meta CTE filters NULL/empty
-    # vectors to match _seeded_route's post-filter count (ADVICE r8).
-    oracle="""
+    # exclude under the auto-sized k. Meta AND qv CTEs carry the
+    # geometry filter to match _seeded_route's post-filter count
+    # (ADVICE r8; NULL-element clause per ADVICE r9).
+    oracle=f"""
     WITH meta AS (
         SELECT GREATEST(8, LEAST(
             CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
         FROM embeddings
-        WHERE embedding IS NOT NULL AND len(embedding) > 0
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     qv AS (
         SELECT vec_id AS vid,
@@ -1239,6 +1248,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     seeds AS (
         SELECT vid,

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import dedup, similarity, text
-from .registry import register
+from .registry import VEC_GEOMETRY_SQL, register
 from .sources.tables import load_table
 
 # Shared DuckDB fragments --------------------------------------------------
@@ -2610,13 +2610,14 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_cluster_margin",
-    oracle="""
+    oracle=f"""
     WITH qv AS (
         SELECT vec_id AS vid,
                generate_subscripts(embedding, 1) AS pos,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     seeds AS (
         SELECT vid,
@@ -3047,7 +3048,7 @@ def q_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
         FROM (SELECT vec_id AS vid, {_QUANT} AS qv FROM embeddings
-              WHERE embedding IS NOT NULL AND len(embedding) > 0)
+              WHERE {VEC_GEOMETRY_SQL})
     ),
     bsz AS (SELECT bucket, COUNT(*) AS c FROM bk GROUP BY bucket),
     capped AS (
@@ -3090,6 +3091,7 @@ def q_capped_vector_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
     ),
     bk AS (
         SELECT vec_id AS vid,
@@ -3100,7 +3102,7 @@ def q_capped_vector_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
                    AS bucket
         FROM (SELECT vec_id, {_QUANT} AS qv FROM embeddings
-              WHERE embedding IS NOT NULL AND len(embedding) > 0)
+              WHERE {VEC_GEOMETRY_SQL})
     ),
     cand AS (
         SELECT n.vid AS new_id, x.vid AS match_id

@@ -519,7 +519,10 @@ def _prune_verdict_epochs(
     kind: str,
 ) -> None:
     """Shared verdict retention: prune strictly OLDER epochs than the
-    newest K (a retried epoch never deletes itself); with retention
+    newest K (a retried epoch never deletes itself — including a LATE
+    redelivery of an epoch older than the newest K after a checkpoint
+    rewind, so the current ``epoch_id`` is excluded from the prune
+    candidates explicitly, not just by sort position); with retention
     UNSET, warn loudly — amortized to compaction epochs so the
     O(#dirs) listing never becomes the accretion cost it warns about.
     Opt-in by design: verdicts are the gates' OUTPUT and only the
@@ -540,6 +543,8 @@ def _prune_verdict_epochs(
                 pass
     if retain_verdict_epochs is not None:
         for e in sorted(eps)[:-retain_verdict_epochs]:
+            if e == epoch_id:
+                continue  # a rewound/retried epoch never deletes itself
             vfs.delete(
                 _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
                 True,

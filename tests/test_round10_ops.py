@@ -1,0 +1,191 @@
+"""Round-10 tests: the kmeans_fit quantized-frame seam (VERDICT r9 #1),
+the family-wide geometry-less-vector rule (ADVICE r9 #1/#2), the
+verdict-prune late-redelivery guard (ADVICE r9 #3), and the feed-scan
+custom DataSource (VERDICT r9 #3)."""
+
+from __future__ import annotations
+
+import os
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# verdict retention: a LATE redelivery of an old epoch never deletes itself
+# ---------------------------------------------------------------------------
+
+def test_verdict_prune_survives_late_redelivery_of_old_epoch(
+    spark, tmp_path
+):
+    # ADVICE r9 (low): 'a retried epoch never deletes itself' must hold
+    # even when the retried epoch is NOT among the newest K dirs — a
+    # checkpoint rewind can redeliver epoch 1 after epochs 2..3 exist,
+    # and the very next prune (running inside epoch 1's own batch) used
+    # to delete the verdict dir it just wrote.
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    idx = str(tmp_path / "idx")
+    vp = str(tmp_path / "verdicts")
+    handle = make_dedup_gate_handler(
+        spark, idx, vp, retain_verdict_epochs=2
+    )
+    texts = [
+        "first unique document alpha beta gamma delta",
+        "second unique document epsilon zeta eta theta",
+        "third unique document iota kappa lambda mu",
+        "fourth unique document nu xi omicron pi rho",
+    ]
+    for e, t in enumerate(texts):
+        handle(_mk(spark, [(e, t)]), e)
+    assert sorted(
+        d for d in os.listdir(vp) if d.startswith("epoch=")
+    ) == ["epoch=2", "epoch=3"]
+    # checkpoint rewind: epoch 1 redelivered AFTER newer epochs exist.
+    # Its own prune pass must not delete the dir it just wrote (the
+    # older-than-K sort position no longer protects it).
+    handle(_mk(spark, [(1, texts[1])]), 1)
+    dirs = sorted(d for d in os.listdir(vp) if d.startswith("epoch="))
+    assert "epoch=1" in dirs, "late-redelivered epoch deleted itself"
+    # and the NEXT epoch's prune is allowed to age it out normally
+    handle(_mk(spark, [(4, "fifth unique document sigma tau upsilon")]), 4)
+    dirs = sorted(d for d in os.listdir(vp) if d.startswith("epoch="))
+    assert dirs == ["epoch=3", "epoch=4"]
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fit quantized-frame seam (VERDICT r9 #1)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_fit_quantized_matches_kmeans_fit(spark):
+    # the seam entry point must be arithmetic-identical to the wrapper:
+    # same seeds, same Lloyd fixpoint, same assignments
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_fit_quantized,
+        quantize,
+    )
+    from startup_data_pipeline_spark.operators.util import (
+        ensure_min_parallelism,
+    )
+
+    rows = [
+        (i, [float(i % 7) - 3.0, float(i % 5) / 2.0, 1.0, -0.5])
+        for i in range(60)
+    ]
+    emb = _emb(spark, rows)
+    a1, c1 = kmeans_fit(emb, "vec_id", "embedding", k=4, n_iter=3)
+    qdf = ensure_min_parallelism(emb).select(
+        F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("qv")
+    )
+    a2, c2 = kmeans_fit_quantized(qdf, k=4, n_iter=3)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_trained_ops_quantize_the_corpus_exactly_once(spark, monkeypatch):
+    # the seam's point: training and routing share ONE quantized frame.
+    # Pre-seam, semdedup_trained / ivf_topk_trained each built a second
+    # quantize projection (one inside kmeans_fit, one for routing) —
+    # count quantize() invocations to pin the single-build shape.
+    # (The FINAL plan can't show the reuse: the verdict tail's
+    # materialize_for_self_join collapses it to Scan ExistingRDD.)
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    real_quantize = similarity.quantize
+    calls = []
+
+    def counting_quantize(vec, scale=similarity.QUANT_SCALE):
+        calls.append(1)
+        return real_quantize(vec, scale)
+
+    monkeypatch.setattr(similarity, "quantize", counting_quantize)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    similarity.semdedup_trained(
+        emb, "vec_id", "embedding", min_score=32_000_000,
+        n_clusters=4, n_iter=2, max_cluster=512,
+    )
+    assert len(calls) == 1, (
+        f"semdedup_trained built {len(calls)} quantize projections; "
+        "the seam means exactly one"
+    )
+
+    calls.clear()
+    similarity.ivf_topk_trained(
+        emb, "vec_id", "embedding", query_ids=[1, 2], k=3,
+        n_clusters=4, n_iter=2,
+    )
+    assert len(calls) == 1, (
+        f"ivf_topk_trained built {len(calls)} quantize projections; "
+        "the seam means exactly one"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector_has_geometry: ONE geometry-less rule across the embedding family
+# ---------------------------------------------------------------------------
+
+def test_geometry_rule_null_element_never_seeds_or_routes(spark):
+    # ADVICE r9: a vector CONTAINING a NULL element is geometry-less —
+    # placed at the LOWEST id (the seed slot) it must neither poison
+    # seeding nor appear in any output, in every family member
+    from startup_data_pipeline_spark.operators.similarity import (
+        cluster_margin_seeded,
+        kmeans_assign_seeded,
+        kmeans_fit,
+        semdedup_trained,
+    )
+
+    rows = [(0, [None, 1.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 13)
+    ]
+    emb = _emb(spark, rows)
+
+    assigned, centroids = kmeans_fit(emb, "vec_id", "embedding", k=2, n_iter=2)
+    got = {r["vid"] for r in assigned.collect()}
+    assert got == set(range(1, 13))
+    assert all(all(x is not None for x in c) for c in centroids)
+
+    got = {r["vid"] for r in
+           kmeans_assign_seeded(emb, "vec_id", "embedding", k=2).collect()}
+    assert got == set(range(1, 13))
+
+    marg = cluster_margin_seeded(emb, "vec_id", "embedding", k=2).collect()
+    assert {r["vid"] for r in marg} == set(range(1, 13))
+    assert all(r["margin"] is not None for r in marg)
+
+    verd = semdedup_trained(
+        emb, "vec_id", "embedding", min_score=10 ** 14,
+        n_clusters=2, n_iter=2,
+    ).collect()
+    assert {r["vid"] for r in verd} == set(range(1, 13))
+    assert all(r["cluster"] is not None for r in verd)
+
+
+def test_geometry_rule_capped_vector_recovery_drops_null_element(spark):
+    from startup_data_pipeline_spark.operators.similarity import (
+        capped_vector_recovery,
+    )
+
+    # 7 identical vectors flood one orthant (cap 5); a NULL-element
+    # vector that would route on a partial sign pattern must not appear
+    rows = [(i, [1.0, 0.5, 0.0, 0.0]) for i in range(7)]
+    rows += [(99, [1.0, None, 0.0, 0.0])]
+    out = capped_vector_recovery(
+        _emb(spark, rows), "vec_id", "embedding", dims=[0, 1], max_bucket=5
+    ).collect()
+    assert {r["vid"] for r in out} == set(range(7))
+    assert all(r["n_exact_group"] == 7 for r in out)
