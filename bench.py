@@ -156,8 +156,20 @@ HEADLINE = [
     "q_capped_vector_recovery",
     "q_incremental_ann_gate",
     "q_token_budget_select",
-    # q_script_profile stays out: pure map-side scan (the
-    # upsample_epochs / vocab_coverage convention)
+]
+
+# Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so
+# the list is auditable rather than prose): a registered query whose
+# whole plan is ONE stage — a pure map-side scan with no exchange — is
+# deliberately NOT in HEADLINE. Its runtime measures parquet scan
+# throughput plus I/O noise, not plan quality, so it adds variance
+# without signal round-over-round. Every name here remains
+# correctness-certified through the registry/driver oracle gate; only
+# the BENCH timing excludes it.
+MAP_SIDE_EXCLUDED = [
+    "q_script_profile",   # five regexp passes, one projection, no shuffle
+    "q_upsample_epochs",  # explode by repeat-count, no shuffle
+    "q_vocab_coverage",   # token containment flags, no shuffle
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
@@ -256,6 +268,31 @@ def main() -> None:
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try:
         with open(out_path, "w") as fh:
+            fh.write(detail + "\n")
+    except OSError:
+        pass
+    # Per-round snapshot (VERDICT r9 #4): BENCH_LOCAL.json is
+    # overwritten every run, which lost r8's full per-query map and
+    # forced cross-round diffs through SCALE.md archaeology. Also keep
+    # BENCH_LOCAL_r{N}.json next to the driver's BENCH_r{N}.json:
+    # N = 1 + the highest driver-recorded round (SPARK_GRAFT_BENCH_ROUND
+    # overrides). The CURRENT round's snapshot is overwritten per run —
+    # the round's last (driver-adjacent) numbers win — while prior
+    # rounds' files are never touched because their BENCH_r{N}.json
+    # already exists, so the series stays append-only across rounds.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if rnd is None:
+        recorded = [
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        rnd = str(max(recorded, default=0) + 1)
+    snap = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+    try:
+        with open(snap, "w") as fh:
             fh.write(detail + "\n")
     except OSError:
         pass
