@@ -156,6 +156,14 @@ HEADLINE = [
     "q_capped_vector_recovery",
     "q_incremental_ann_gate",
     "q_token_budget_select",
+    # round-10 additions: the composed articles chain over the feedscan
+    # custom DataSource (S1 at scale); q_feed_datasource itself rides
+    # MAP_SIDE_EXCLUDED (exchange-free scan+filter plan), and
+    # q_feed_stream stays out because its runtime is streaming-engine
+    # startup (one AvailableNow micro-batch over the same 6 splits
+    # q_feed_pipeline already times) — correctness-certified via the
+    # registry gate like every exclusion
+    "q_feed_pipeline",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so
@@ -167,9 +175,11 @@ HEADLINE = [
 # correctness-certified through the registry/driver oracle gate; only
 # the BENCH timing excludes it.
 MAP_SIDE_EXCLUDED = [
-    "q_script_profile",   # five regexp passes, one projection, no shuffle
-    "q_upsample_epochs",  # explode by repeat-count, no shuffle
-    "q_vocab_coverage",   # token containment flags, no shuffle
+    "q_script_profile",    # five regexp passes, one projection, no shuffle
+    "q_upsample_epochs",   # explode by repeat-count, no shuffle
+    "q_vocab_coverage",    # token containment flags, no shuffle
+    "q_feed_datasource",   # feedscan scan + filter + project, no shuffle
+                           # (q_feed_pipeline benches the composed chain)
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

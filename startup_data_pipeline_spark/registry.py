@@ -185,6 +185,10 @@ _PRIORITY: list[str] = [
     "q_segment_dedup", "q_simhash64_band_stats", "q_simhash64_pairs",
     "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
     "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
+    # round-10 registrations (the round's quota, behind the whole
+    # backlog per the burn-down contract — they lead the r11 window as
+    # the never-driver-sampled tranche):
+    "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
 ]
 
 

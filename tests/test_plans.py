@@ -196,38 +196,31 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-9 window is burn-down phase 4 (VERDICT r8 #2): the three
-    # never-driver-sampled round-8 registrations lead, the eight
-    # lsh_candidate_pairs rewire canaries follow (the standing canary
-    # rule from VERDICT r6 #7), then the r8 brief's other four named
-    # lsh-family consumers, then the 11 remaining r4 names and the 24
-    # oldest r5 names, both tranches alphabetical
+    # round-10 window is the burn-down FINAL phase (VERDICT r9 #2):
+    # the five never-driver-sampled round-9 registrations lead, the
+    # last 16 r5-stale names follow (alphabetical), then the round-10
+    # canaries (kmeans_fit seam + vector_has_geometry rule + verdict-
+    # prune guard, the standing canary rule from VERDICT r6 #7), then
+    # newest-first backfill from the round-8-registered tranche
     prefix = list(qs)[:50]
-    assert prefix[:3] == [
-        "q_semdedup", "q_semdedup_cells", "q_capped_recovery",
-    ]
-    assert prefix[3:11] == [
-        "q_lsh_pairs", "q_dedup_survivors", "q_dup_cluster_stats",
-        "q_triangle_count", "q_soft_dedup_weights", "q_degree_hist",
-        "q_cross_split_leakage", "q_incremental_dedup_gate",
-    ]
-    assert prefix[11:15] == [
-        "q_stream_dedup", "q_winnow_fingerprints", "q_lsh_precision",
-        "q_curation_pipeline",
-    ]
-    assert prefix[15] == "q_sequence_pack"
-    assert prefix[15:26] == sorted(prefix[15:26])  # r4 tranche is
-    # alphabetical, so the driver's sample order is reproducible
-    assert prefix[26] == "q_activity_streaks"
-    assert prefix[26:50] == sorted(prefix[26:50])  # r5 tranche too
-    assert prefix[49] == "q_ri_audit"
-    # remaining r5 names queue just behind the boundary for the
-    # round-10 window
-    assert list(qs)[50:52] == ["q_rrf_fusion", "q_sample_allocation"]
-    # this round's new registrations sit at the very back of the
-    # priority list (never-sampled tranche for the r10 window)
-    assert list(qs)[-5:] == [
+    assert prefix[:5] == [
         "q_semdedup_trained", "q_capped_vector_recovery",
         "q_incremental_ann_gate", "q_script_profile",
         "q_token_budget_select",
+    ]
+    assert prefix[5] == "q_rrf_fusion"
+    assert prefix[5:21] == sorted(prefix[5:21])  # r5 tranche is
+    # alphabetical, so the driver's sample order is reproducible
+    assert prefix[20] == "q_zorder_key"
+    assert prefix[21:28] == [
+        "q_kmeans_clusters", "q_kmeans_assign", "q_ann_ivf_trained",
+        "q_cluster_margin", "q_semdedup", "q_semdedup_cells",
+        "q_incremental_dedup_gate",
+    ]
+    assert prefix[28] == "q_ann_ivf_topk"
+    assert prefix[28:50] == sorted(prefix[28:50])  # r8 tranche too
+    # this round's new registrations sit at the very back of the
+    # priority list (never-sampled tranche for the r11 window)
+    assert list(qs)[-3:] == [
+        "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
     ]

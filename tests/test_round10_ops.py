@@ -189,3 +189,139 @@ def test_geometry_rule_capped_vector_recovery_drops_null_element(spark):
     ).collect()
     assert {r["vid"] for r in out} == set(range(7))
     assert all(r["n_exact_group"] == 7 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# feedscan custom DataSource (SURVEY S1 at scale, VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+def test_feedscan_plans_one_input_split_per_feed(spark):
+    # the partition-planning contract: N feeds -> exactly N input
+    # splits (one polite request per source per run, parallel across
+    # sources), regardless of transport
+    from startup_data_pipeline_spark.sources.feedsource import read_feeds
+
+    feeds = [f"https://feeds.example.com/feed-{i}" for i in range(4)]
+    df = read_feeds(spark, feeds=feeds)
+    assert df.rdd.getNumPartitions() == 4
+    df6 = read_feeds(spark)  # default fixture set
+    assert df6.rdd.getNumPartitions() == 6
+
+
+def test_feedscan_offline_and_dead_feed_yield_zero_rows(spark):
+    # resilience-as-null (rss fetch failure must not fail the run):
+    # offline transport and an unknown feed URL both produce zero rows
+    from startup_data_pipeline_spark.sources.feedsource import read_feeds
+
+    assert read_feeds(spark).count() == 0
+    df = read_feeds(
+        spark,
+        feeds=["https://feeds.example.com/feed-999"],
+        transport="documents",
+        documents_path="/root/testdata/sf0.001/documents.parquet",
+    )
+    assert df.count() == 0
+
+
+def test_feedscan_pages_transport_parses_rss(spark):
+    # inline-fixture transport: real RSS 2.0 XML in, parsed rows out;
+    # malformed XML and undated items ride the degraded paths
+    from startup_data_pipeline_spark.sources.feedsource import read_feeds
+
+    good = (
+        "<?xml version='1.0'?><rss version='2.0'><channel><title>t</title>"
+        "<item><title>Acme raises $5 million</title>"
+        "<link>https://x.example/a</link>"
+        "<pubDate>Tue, 14 Nov 2023 22:13:20 +0000</pubDate></item>"
+        "<item><title>Undated item</title>"
+        "<link>https://x.example/b</link></item>"
+        "</channel></rss>"
+    )
+    pages = {
+        "https://f.example/1": good,
+        "https://f.example/2": "<rss><broken",   # malformed -> zero rows
+    }
+    df = read_feeds(
+        spark,
+        feeds=["https://f.example/1", "https://f.example/2"],
+        transport="pages",
+        pages=pages,
+    )
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"https://x.example/a", "https://x.example/b"}
+    assert rows["https://x.example/a"]["published_at"] == "2023-11-14T22:13:20Z"
+    assert rows["https://x.example/a"]["source"] == "https://f.example/1"
+    assert rows["https://x.example/b"]["published_at"] is None  # undated admitted
+
+
+def test_feedscan_documents_transport_shards_by_feed_index(spark):
+    # each feed serves EXACTLY its doc_id % 6 shard: no overlap, full
+    # coverage — the S2 union is structural (one DataFrame, all splits)
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.sources.feedsource import read_feeds
+
+    df = read_feeds(
+        spark,
+        transport="documents",
+        documents_path="/root/testdata/sf0.001/documents.parquet",
+    )
+    got = (
+        df.select(
+            F.regexp_extract("url", "item/([0-9]+)$", 1).cast("long").alias("d"),
+            "source",
+        )
+        .withColumn("feed_idx", F.regexp_extract("source", "feed-([0-9])$", 1).cast("long"))
+        .collect()
+    )
+    assert len(got) > 0
+    assert all(r["d"] % 6 == r["feed_idx"] for r in got)
+    assert len({r["d"] for r in got}) == len(got)  # no dup items
+
+
+def test_feedscan_stream_emits_only_the_delta_across_restarts(
+    spark, tmp_path
+):
+    # the streaming poller (S1's foreachBatch-poller alternative as a
+    # native source): per-feed consumed-count offsets in the checkpoint
+    # mean a restart emits exactly the unconsumed suffix of the
+    # append-only feed — and a quiet feed costs zero tasks/rows
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    feeds = ["https://f.example/1"]
+
+    def rss(n):
+        items = "".join(
+            f"<item><title>t{i}</title><link>https://x.example/{i}</link>"
+            f"<pubDate>Tue, 14 Nov 2023 22:{13 + i:02d}:00 +0000</pubDate>"
+            "</item>"
+            for i in range(n)
+        )
+        return (
+            "<?xml version='1.0'?><rss version='2.0'><channel>"
+            f"<title>f</title>{items}</channel></rss>"
+        )
+
+    def run(pages):
+        df = read_feeds_stream(
+            spark, feeds=feeds, transport="pages", pages=pages
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run({feeds[0]: rss(3)})
+    assert spark.read.parquet(out).count() == 3
+    run({feeds[0]: rss(5)})          # feed grew by 2 -> only the delta
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == [f"https://x.example/{i}" for i in range(5)]
+    run({feeds[0]: rss(5)})          # quiet feed -> zero new rows
+    assert spark.read.parquet(out).count() == 5
