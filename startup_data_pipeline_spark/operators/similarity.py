@@ -633,8 +633,21 @@ def kmeans_fit_quantized(
     ``(assigned [vid, cluster], centroids)`` contract are exactly
     ``kmeans_fit``'s (the oracles' unrolled-Lloyd chain re-derives
     both entry points identically).
+
+    ``k`` self-clamps to the corpus size: the seed collection already
+    returns min(k, n) rows, so a sparse corpus needs NO separate count
+    scan (the seeded family's auto-k counts because its k feeds the
+    oracle's meta CTE; here the clamp is structural). An EMPTY corpus
+    returns an empty assignment frame and zero centroids instead of
+    crashing seed collection — callers branch on ``centroids``.
     """
     init_rows = qdf.orderBy("vid").limit(k).collect()
+    if not init_rows:
+        return (
+            qdf.sparkSession.createDataFrame([], "vid long, cluster int"),
+            [],
+        )
+    k = min(k, len(init_rows))
     centroids = [list(r["qv"]) for r in init_rows]
     dims = len(centroids[0])
     for _ in range(n_iter):
@@ -897,20 +910,17 @@ def semdedup_trained(
         )
         .cache()
     )
-    # kmeans_fit_quantized indexes centroids[j] for j < k, so a corpus
-    # smaller than n_clusters would crash with IndexError inside the
-    # update loop; clamp like the seeded family's limit(k) (one count
-    # agg — the auto-k precedent; it also warms the cache the training
-    # scans reuse), and short-circuit the empty corpus to an empty
-    # verdict frame instead of a seed-collection crash.
-    n_valid = qdf.count()
-    if n_valid == 0:
+    # kmeans_fit_quantized self-clamps k to the corpus size via its
+    # seed collection (no separate count scan — the collect doubles as
+    # the cache warm), and an empty corpus comes back as zero
+    # centroids, which short-circuits to an empty verdict frame.
+    _assigned, centroids = kmeans_fit_quantized(
+        qdf, k=n_clusters, n_iter=n_iter
+    )
+    if not centroids:
         return qdf.sparkSession.createDataFrame(
             [], "vid long, cluster int, is_kept boolean, dup_of long"
         )
-    _assigned, centroids = kmeans_fit_quantized(
-        qdf, k=min(n_clusters, n_valid), n_iter=n_iter
-    )
     cents = qdf.sparkSession.createDataFrame(
         [(j, [int(x) for x in c]) for j, c in enumerate(centroids)],
         "cluster int, cv array<bigint>",

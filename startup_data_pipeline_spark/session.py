@@ -74,6 +74,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushdown (feedscan's source->feed pruning:
+        # a predicate on the partition-identifying column shrinks the
+        # planned splits — 1 of N feeds = 1 fetch). Runtime SQL conf.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # fixture parquet is one smallish file per table; split scans finer
         # so CPU-bound stages parallelize (at warehouse scale files >>
         # cores and the default 128m is right — this is a local knob)

@@ -54,6 +54,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    In,
     InputPartition,
 )
 
@@ -163,6 +165,22 @@ class FeedScanReader(DataSourceReader):
                 f"feedscan: unknown transport {self.transport!r}"
             )
 
+    def pushFilters(self, filters):
+        # Feed pruning: `source` is partition-identifying (every row of
+        # a split carries its own feed URL), so an EqualTo/In predicate
+        # on it is handled ENTIRELY at planning time by shrinking the
+        # feed list — a query over 1 of 1000 feeds plans 1 split and
+        # performs 1 fetch, the DataSource analog of parquet partition
+        # pruning. Everything else is yielded back to Spark untouched.
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("source",):
+                self.feeds = [u for u in self.feeds if u == f.value]
+            elif isinstance(f, In) and tuple(f.attribute) == ("source",):
+                allowed = set(f.value)
+                self.feeds = [u for u in self.feeds if u in allowed]
+            else:
+                yield f
+
     def partitions(self):
         # THE planning contract: one input split per feed — one polite
         # request per source per run (README.md:209), parallel across
@@ -179,6 +197,10 @@ class FeedScanReader(DataSourceReader):
         return None  # offline: every fetch degrades to the dead-feed path
 
     def read(self, partition: _FeedPartition):
+        if partition is None:
+            # an empty partitions() list (every feed pruned away) makes
+            # Spark fall back to the single default None partition
+            return
         xml = self._fetch(partition.feed_url)
         if xml is None:
             return  # resilience-as-null: dead feed → zero rows, no fail
@@ -310,6 +332,10 @@ def read_feeds(
 ) -> DataFrame:
     """Register the ``feedscan`` format (idempotent) and scan it."""
     spark.dataSource.register(FeedScanDataSource)
+    # a reader implementing pushFilters FAILS analysis when Python
+    # DataSource pushdown is off — runtime SQL conf, so set it here
+    # rather than relying on the host session's build config
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return _configured(
         spark.read, feeds, transport, documents_path, pages
     ).load()

@@ -325,3 +325,74 @@ def test_feedscan_stream_emits_only_the_delta_across_restarts(
     assert got == [f"https://x.example/{i}" for i in range(5)]
     run({feeds[0]: rss(5)})          # quiet feed -> zero new rows
     assert spark.read.parquet(out).count() == 5
+
+
+def test_kmeans_fit_quantized_self_clamps_k_without_count_scan(spark):
+    # the seed collection returns min(k, n) rows, so k self-clamps and
+    # an empty corpus yields (empty frame, no centroids) — the trained
+    # family's empty/sparse short-circuit without a dedicated count job
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        kmeans_fit_quantized,
+        quantize,
+        semdedup_trained,
+    )
+
+    emb = _emb(spark, [(i, [float(i), 1.0]) for i in range(3)])
+    qdf = emb.select(
+        F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("qv")
+    )
+    assigned, cents = kmeans_fit_quantized(qdf, k=8, n_iter=2)
+    assert len(cents) == 3                       # clamped to corpus size
+    assert assigned.count() == 3
+
+    empty_q = qdf.filter(F.lit(False))
+    assigned0, cents0 = kmeans_fit_quantized(empty_q, k=8, n_iter=2)
+    assert cents0 == [] and assigned0.count() == 0
+
+    out = semdedup_trained(
+        _emb(spark, []).filter(F.lit(False)), "vec_id", "embedding",
+        min_score=1, n_clusters=8,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vid", "cluster", "is_kept", "dup_of"
+    ]
+
+
+def test_feedscan_pushes_source_filter_down_to_feed_pruning(spark):
+    # `source` is partition-identifying, so source = <feed> prunes the
+    # split list at planning time: 1 of 6 feeds -> 1 partition, 1 fetch
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        FIXTURE_FEEDS,
+        read_feeds,
+    )
+
+    df = read_feeds(
+        spark,
+        transport="documents",
+        documents_path="/root/testdata/sf0.001/documents.parquet",
+    )
+    one = df.filter(F.col("source") == FIXTURE_FEEDS[2])
+    assert one.rdd.getNumPartitions() == 1
+    rows = one.collect()
+    assert rows and all(r["source"] == FIXTURE_FEEDS[2] for r in rows)
+
+    two = df.filter(
+        F.col("source").isin(FIXTURE_FEEDS[1], FIXTURE_FEEDS[4])
+    )
+    assert two.rdd.getNumPartitions() == 2
+    assert {r["source"] for r in two.collect()} == {
+        FIXTURE_FEEDS[1], FIXTURE_FEEDS[4]
+    }
+
+    none = df.filter(F.col("source") == "https://feeds.example.com/nope")
+    assert none.count() == 0
+
+    # a non-source predicate is NOT claimed: Spark still evaluates it
+    kw = df.filter(F.col("title").rlike(" raises "))
+    assert kw.rdd.getNumPartitions() == 6
+    assert kw.count() > 0
