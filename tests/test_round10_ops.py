@@ -396,3 +396,73 @@ def test_feedscan_pushes_source_filter_down_to_feed_pruning(spark):
     kw = df.filter(F.col("title").rlike(" raises "))
     assert kw.rdd.getNumPartitions() == 6
     assert kw.count() > 0
+
+
+def test_feed_stream_through_dedup_gate_end_to_end(spark, tmp_path):
+    # THE composed production ingestion shape: the streaming feed
+    # source (checkpointed per-feed offsets) drives foreachBatch into
+    # the incremental near-dup gate (persisted banded index) — S1's
+    # poller and §2.11's gate as ONE pipeline. Run 1 indexes the
+    # initial items; the feed then grows by one fresh item and one
+    # near-copy of an already-indexed item; run 2 (same checkpoint)
+    # gates ONLY the delta and rejects the near-copy against the
+    # persisted index.
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_dedup_gate_handler,
+    )
+
+    ck = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+    vp = str(tmp_path / "verdicts")
+    feed = "https://f.example/1"
+    titles = [
+        "acme robotics raises fresh series a funding round",
+        "globex shipping closes large seed round in europe",
+        "initech analytics lands big growth equity investment",
+        # run-2 delta: one fresh, one near-copy of titles[0]
+        "hooli devices secures new venture capital financing",
+        "acme robotics raises fresh series a funding round",
+    ]
+
+    def rss(n):
+        items = "".join(
+            f"<item><title>{t}</title><link>https://x.example/{i}</link>"
+            f"<pubDate>Tue, 14 Nov 2023 22:{13 + i:02d}:00 +0000</pubDate>"
+            "</item>"
+            for i, t in enumerate(titles[:n])
+        )
+        return (
+            "<?xml version='1.0'?><rss version='2.0'><channel>"
+            f"<title>f</title>{items}</channel></rss>"
+        )
+
+    handler = make_dedup_gate_handler(
+        spark, idx, vp, id_col="url", text_col="title"
+    )
+
+    def run(n_items):
+        stream = read_feeds_stream(
+            spark, feeds=[feed], transport="pages", pages={feed: rss(n_items)}
+        )
+        q = (
+            stream.select("url", "title")
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(3)
+    v1 = {r["new_id"]: r["admitted"] for r in spark.read.parquet(vp).collect()}
+    assert v1 == {f"https://x.example/{i}": True for i in range(3)}
+
+    run(5)
+    v2 = {r["new_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert len(v2) == 5                         # only the delta was re-gated
+    assert v2["https://x.example/3"]["admitted"] is True
+    assert v2["https://x.example/4"]["admitted"] is False   # near-copy
+    assert v2["https://x.example/4"]["match_id"] == "https://x.example/0"
