@@ -1,7 +1,10 @@
 """Round-10 tests: the kmeans_fit quantized-frame seam (VERDICT r9 #1),
 the family-wide geometry-less-vector rule (ADVICE r9 #1/#2), the
-verdict-prune late-redelivery guard (ADVICE r9 #3), and the feed-scan
-custom DataSource (VERDICT r9 #3)."""
+verdict-prune late-redelivery guard (ADVICE r9 #3), and the feedscan
+custom DataSource (VERDICT r9 #3) — batch partition planning,
+transports, source-filter split pruning, the streaming poller's
+exactly-once delta contract, and the composed feed-stream →
+near-dup-gate production shape."""
 
 from __future__ import annotations
 
