@@ -10,8 +10,9 @@ sub-0.1 s jitter is below the harness's resolution).
 Since round 6 the bench's stdout line truncates its per-query map to
 the slowest-10 (driver-tail size contract) — driver-captured BENCH_r
 files therefore only support a slowest-10 comparison, and this script
-says so loudly. For FULL per-query diffs, compare the untracked
-BENCH_LOCAL.json mirrors, which always carry the complete map.
+says so loudly. For FULL per-query diffs, compare the TRACKED per-round
+BENCH_LOCAL_r{N}.json snapshots (kept since r10, VERDICT r9 #4),
+which always carry the complete map.
 """
 
 from __future__ import annotations

@@ -237,11 +237,16 @@ class FeedScanStreamReader(DataSourceStreamReader):
     source, so checkpointed offsets (not user code) carry the
     exactly-once contract.
 
-    Offset model: ``{feed_url: items_consumed}``. A feed is treated as
-    APPEND-ONLY in ``(published_at, link)`` order — the RSS reality
-    that new entries appear and old entries are immutable — so a
-    per-feed consumed-count is a valid offset and a restart replays
-    exactly the unconsumed suffix from the checkpoint. Per trigger:
+    Offset model: ``{feed_url: items_consumed}``. The transport must
+    present each feed as APPEND-ONLY in ``(published_at, link)`` order
+    (entries immutable, new ones appended) — true of the fixture
+    transports and of archive-style endpoints. A live RSS feed that
+    ROLLS old items out violates this: a shrunken count plans no split
+    (``end > start`` guard, never a crash) but COMMITS the smaller
+    offset, so once the count recovers the shifted suffix re-emits —
+    at-least-once, nothing lost, and the downstream near-dup/exact
+    gates are the dedupe (both behaviors pinned in tests). Exactly-once
+    holds whenever the append-only contract does. Per trigger:
 
     - ``latestOffset`` polls availability driver-side (one cheap count
       per feed — the reference's one-request-per-source-per-run

@@ -469,3 +469,54 @@ def test_feed_stream_through_dedup_gate_end_to_end(spark, tmp_path):
     assert v2["https://x.example/3"]["admitted"] is True
     assert v2["https://x.example/4"]["admitted"] is False   # near-copy
     assert v2["https://x.example/4"]["match_id"] == "https://x.example/0"
+
+
+def test_feedscan_stream_tolerates_a_rolled_shrunken_feed(spark, tmp_path):
+    # a live feed that rolls items out can present FEWER items than the
+    # checkpointed consumed-count: the gate is end > start per feed, so
+    # the trigger plans no split (zero rows) instead of crashing, and
+    # catches back up once the count recovers
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    feed = "https://f.example/1"
+
+    def rss(n):
+        items = "".join(
+            f"<item><title>t{i}</title><link>https://x.example/{i}</link>"
+            f"<pubDate>Tue, 14 Nov 2023 22:{13 + i:02d}:00 +0000</pubDate>"
+            "</item>"
+            for i in range(n)
+        )
+        return (
+            "<?xml version='1.0'?><rss version='2.0'><channel>"
+            f"<title>f</title>{items}</channel></rss>"
+        )
+
+    def run(pages):
+        df = read_feeds_stream(
+            spark, feeds=[feed], transport="pages", pages=pages
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run({feed: rss(4)})
+    assert spark.read.parquet(out).count() == 4
+    run({feed: rss(2)})        # rolled/shrunken: no split, no crash
+    assert spark.read.parquet(out).count() == 4
+    # count recovered: the shrink regressed the committed offset to 2,
+    # so items 2-3 RE-EMIT alongside 4-5 — the documented at-least-once
+    # outcome of a rolled feed (downstream gates dedupe); every item is
+    # present and none was lost
+    run({feed: rss(6)})
+    got = [r["url"] for r in spark.read.parquet(out).collect()]
+    assert len(got) == 8
+    assert set(got) == {f"https://x.example/{i}" for i in range(6)}
