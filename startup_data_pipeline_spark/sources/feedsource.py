@@ -328,6 +328,19 @@ def _configured(reader, feeds, transport, documents_path, pages):
     return reader
 
 
+def _ensure_registered(spark: SparkSession) -> None:
+    """Register the ``feedscan`` format once per session (re-registering
+    works but logs a replaced-data-source warning per call) and enable
+    Python DataSource pushdown — a reader implementing ``pushFilters``
+    FAILS analysis when that runtime SQL conf is off, so it is set here
+    rather than relying on the host session's build config."""
+    marker = "_sdps_feedscan_registered"
+    if not getattr(spark, marker, False):
+        spark.dataSource.register(FeedScanDataSource)
+        setattr(spark, marker, True)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
 def read_feeds(
     spark: SparkSession,
     feeds: list[str] | None = None,
@@ -335,12 +348,8 @@ def read_feeds(
     documents_path: str | None = None,
     pages: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Register the ``feedscan`` format (idempotent) and scan it."""
-    spark.dataSource.register(FeedScanDataSource)
-    # a reader implementing pushFilters FAILS analysis when Python
-    # DataSource pushdown is off — runtime SQL conf, so set it here
-    # rather than relying on the host session's build config
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Scan the feed universe with the ``feedscan`` format."""
+    _ensure_registered(spark)
     return _configured(
         spark.read, feeds, transport, documents_path, pages
     ).load()
@@ -354,7 +363,7 @@ def read_feeds_stream(
     pages: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming poller over the feeds (``FeedScanStreamReader``)."""
-    spark.dataSource.register(FeedScanDataSource)
+    _ensure_registered(spark)
     return _configured(
         spark.readStream, feeds, transport, documents_path, pages
     ).load()
