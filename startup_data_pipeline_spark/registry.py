@@ -88,7 +88,8 @@ _PRIORITY: list[str] = [
     #          q_semdedup_trained, q_capped_vector_recovery,
     #          q_incremental_ann_gate, q_script_profile,
     #          q_token_budget_select. The first three ALSO changed this
-    #          round (kmeans_fit quantized-frame seam, the
+    #          round (kmeans_fit quantized-frame seam + count-scan
+    #          elision + training-frame right-sizing, the
     #          vector_has_geometry family rule, and the ADVICE-r9
     #          oracle NULL-element filters), so the slots double as
     #          canaries;
