@@ -520,3 +520,23 @@ def test_feedscan_stream_tolerates_a_rolled_shrunken_feed(spark, tmp_path):
     got = [r["url"] for r in spark.read.parquet(out).collect()]
     assert len(got) == 8
     assert set(got) == {f"https://x.example/{i}" for i in range(6)}
+
+
+def test_quantized_training_frame_right_sizes_partitions(spark):
+    # the rows-per-task cap: a toy corpus collapses to
+    # ceil(n / TRAINING_ROWS_PER_TASK) partitions (narrow coalesce over
+    # the cached relation); a corpus past the cap keeps its fan-out
+    from startup_data_pipeline_spark.operators.similarity import (
+        TRAINING_ROWS_PER_TASK,
+        quantized_training_frame,
+    )
+
+    small = _emb(spark, [(i, [1.0, 2.0]) for i in range(600)])
+    qdf = quantized_training_frame(small, "vec_id", "embedding")
+    assert qdf.rdd.getNumPartitions() == -(-600 // TRAINING_ROWS_PER_TASK)
+    assert qdf.count() == 600
+
+    tiny = _emb(spark, [(i, [1.0, 2.0]) for i in range(5)])
+    assert quantized_training_frame(
+        tiny, "vec_id", "embedding"
+    ).rdd.getNumPartitions() == 1
