@@ -120,7 +120,7 @@ def documents_feed_xml(
     column read of doc_id only — the fixture stand-in for the network
     fetch). Unknown feed URLs return None (the dead-feed path).
     """
-    prefix, _, idx = feed_url.rpartition("-")
+    idx = feed_url.rpartition("-")[2]
     if not idx.isdigit() or int(idx) >= n_feeds:
         return None
     i = int(idx)
@@ -292,9 +292,16 @@ class FeedScanStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _FeedRangePartition):
+        # consumed-count offsets index the feed's (published_at, link)
+        # order, NOT document order — RSS documents list newest first,
+        # so document order shifts on every publish while publish-time
+        # order only appends. Undated entries sort LAST ("￿"
+        # sentinel): a late undated arrival then perturbs only the
+        # undated tail (bounded re-emission) instead of shifting every
+        # index and re-emitting the whole feed.
         items = sorted(
             self._r.read(_FeedPartition(partition.feed_url)),
-            key=lambda t: (t[2] or "", t[1] or ""),
+            key=lambda t: (t[2] or "￿", t[1] or ""),
         )
         yield from items[partition.start:partition.end]
 

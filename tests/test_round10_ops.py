@@ -540,3 +540,51 @@ def test_quantized_training_frame_right_sizes_partitions(spark):
     assert quantized_training_frame(
         tiny, "vec_id", "embedding"
     ).rdd.getNumPartitions() == 1
+
+
+def test_feedscan_stream_offsets_follow_publish_order_not_doc_order(
+    spark, tmp_path
+):
+    # RSS documents list newest FIRST, so document order shifts on
+    # every publish; consumed-count offsets index (published_at, link)
+    # order instead — a feed that prepends its new item (the RSS norm)
+    # still emits exactly the delta on the next trigger
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    feed = "https://f.example/1"
+
+    def item(i):
+        return (
+            f"<item><title>t{i}</title><link>https://x.example/{i}</link>"
+            f"<pubDate>Tue, 14 Nov 2023 22:{13 + i:02d}:00 +0000</pubDate>"
+            "</item>"
+        )
+
+    def rss(order):
+        return (
+            "<?xml version='1.0'?><rss version='2.0'><channel>"
+            f"<title>f</title>{''.join(item(i) for i in order)}"
+            "</channel></rss>"
+        )
+
+    def run(pages):
+        df = read_feeds_stream(
+            spark, feeds=[feed], transport="pages", pages=pages
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run({feed: rss([1, 0])})           # newest-first document
+    assert spark.read.parquet(out).count() == 2
+    run({feed: rss([2, 1, 0])})        # new item PREPENDED (RSS norm)
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == [f"https://x.example/{i}" for i in range(3)]  # delta only
