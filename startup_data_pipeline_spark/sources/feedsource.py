@@ -341,6 +341,25 @@ def _ensure_registered(spark: SparkSession) -> None:
     Python DataSource pushdown — a reader implementing ``pushFilters``
     FAILS analysis when that runtime SQL conf is off, so it is set here
     rather than relying on the host session's build config."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ..session import ensure_package_shipped
+
+    # Two distinct processes must be able to reconstruct the reader
+    # classes when the host loaded this package from a foreign cwd:
+    # - executor TASK workers see addPyFile paths → ship the package,
+    #   exactly like the mapInPandas connector/multimodal stages;
+    # - the STREAMING source planning runner
+    #   (python_streaming_source_runner) does NOT apply pyFiles, so
+    #   by-reference pickling of this module would crash it with
+    #   ModuleNotFoundError — register the module for BY-VALUE
+    #   cloudpickling (self-contained: its classes reference only
+    #   in-module, stdlib, and pyspark names), which makes the import
+    #   unnecessary in every worker kind.
+    ensure_package_shipped(spark)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     marker = "_sdps_feedscan_registered"
     if not getattr(spark, marker, False):
         spark.dataSource.register(FeedScanDataSource)
