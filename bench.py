@@ -281,15 +281,20 @@ def main() -> None:
             fh.write(detail + "\n")
     except OSError:
         pass
-    # Per-round snapshot (VERDICT r9 #4): BENCH_LOCAL.json is
-    # overwritten every run, which lost r8's full per-query map and
-    # forced cross-round diffs through SCALE.md archaeology. Also keep
-    # BENCH_LOCAL_r{N}.json next to the driver's BENCH_r{N}.json:
+    # Per-round snapshot (VERDICT r9 #4, de-collided per VERDICT r10
+    # #5): BENCH_LOCAL.json is overwritten every run, which lost r8's
+    # full per-query map. Also keep BENCH_BUILDER_r{N}.json next to the
+    # driver's BENCH_r{N}.json — a BUILDER-owned filename, so the
+    # driver's own bench run (which also lands in BENCH_LOCAL.json via
+    # SPARK_GRAFT_BENCH_OUT-less invocation) can never overwrite the
+    # builder's committed per-round map (r10 lost the distinction).
     # N = 1 + the highest driver-recorded round (SPARK_GRAFT_BENCH_ROUND
-    # overrides). The CURRENT round's snapshot is overwritten per run —
-    # the round's last (driver-adjacent) numbers win — while prior
-    # rounds' files are never touched because their BENCH_r{N}.json
-    # already exists, so the series stays append-only across rounds.
+    # overrides — set it explicitly when running after the driver's
+    # same-round BENCH_r{N} has already landed, per ADVICE r10). The
+    # CURRENT round's snapshot is overwritten per run — the round's
+    # last numbers win — while prior rounds' files are never touched
+    # because their BENCH_r{N}.json already exists, so the series stays
+    # append-only across rounds.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if rnd is None:
@@ -300,7 +305,7 @@ def main() -> None:
             and f[len("BENCH_r"):-len(".json")].isdigit()
         ]
         rnd = str(max(recorded, default=0) + 1)
-    snap = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+    snap = os.path.join(here, f"BENCH_BUILDER_r{int(rnd):02d}.json")
     try:
         with open(snap, "w") as fh:
             fh.write(detail + "\n")

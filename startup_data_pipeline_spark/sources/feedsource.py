@@ -216,6 +216,13 @@ class FeedScanReader(DataSourceReader):
             if pub:
                 try:
                     dt = parsedate_to_datetime(pub)
+                    # RFC 2822 "-0000" means "UTC, zone unknown";
+                    # parsedate_to_datetime hands it back NAIVE, and
+                    # astimezone() on a naive datetime would reinterpret
+                    # it as machine-local time — published_at must never
+                    # depend on the executor's TZ (ADVICE r10).
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=timezone.utc)
                     published_at = dt.astimezone(timezone.utc).strftime(
                         "%Y-%m-%dT%H:%M:%SZ"
                     )

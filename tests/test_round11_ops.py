@@ -1,0 +1,37 @@
+"""Round-11 additions: feedscan contract hardening (VERDICT r10 #2/#3,
+ADVICE r10), the flagship feedscan flag (VERDICT r10 #4), and the seam
+cache-lifecycle fix (ADVICE r10)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_feedscan_minus0000_pubdate_is_utc_not_machine_local(spark):
+    # RFC-2822 "-0000" means "UTC, zone unknown"; parsedate_to_datetime
+    # hands it back NAIVE, and a bare astimezone() would reinterpret it
+    # as the executor's LOCAL time — published_at must be a pure
+    # function of the wire bytes on any machine (ADVICE r10).
+    from startup_data_pipeline_spark.sources.feedsource import read_feeds
+
+    xml = (
+        "<?xml version='1.0'?><rss version='2.0'><channel><title>f</title>"
+        "<item><title>naive zone</title>"
+        "<link>https://x.example/n</link>"
+        "<pubDate>Tue, 14 Nov 2023 22:13:20 -0000</pubDate></item>"
+        "<item><title>offset zone</title>"
+        "<link>https://x.example/o</link>"
+        "<pubDate>Tue, 14 Nov 2023 17:13:20 -0500</pubDate></item>"
+        "</channel></rss>"
+    )
+    feed = "https://f.example/tz"
+    rows = {
+        r["url"]: r["published_at"]
+        for r in read_feeds(
+            spark, feeds=[feed], transport="pages", pages={feed: xml}
+        ).collect()
+    }
+    assert rows["https://x.example/n"] == "2023-11-14T22:13:20Z"
+    assert rows["https://x.example/o"] == "2023-11-14T22:13:20Z"
