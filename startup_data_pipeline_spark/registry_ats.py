@@ -451,10 +451,16 @@ def q_feed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_feed_stream",
     # The streaming poller over the same fixture feeds: native
     # streaming DataSource (FeedScanStreamReader, per-feed consumed-
-    # count offsets) run to completion with AvailableNow — batch ≡
-    # stream on the same oracle as q_feed_datasource. The exactly-once
-    # restart/delta contract is pinned in
-    # tests/test_round10_ops.py::test_feedscan_stream_emits_only_the_delta.
+    # count offsets) drained by one AvailableNow start. NOTE the
+    # trigger contract: Python streaming sources downgrade
+    # AvailableNow to SINGLE-BATCH execution, which fully drains a
+    # STATIC universe like this fixture in one start (batch ≡ stream
+    # on the same oracle as q_feed_datasource) but needs one extra
+    # start per crashed batch on a live feed — see the
+    # FeedScanStreamReader docstring; the restart/delta and
+    # restart-with-uncommitted-batch contracts are pinned in
+    # tests/test_round10_ops.py::test_feedscan_stream_emits_only_the_delta
+    # and tests/test_round11_ops.py (AvailableNow fallback test).
     oracle="""
     SELECT doc_id AS item_id,
            'Startup ' || CAST(doc_id AS VARCHAR) || ' raises $'

@@ -270,6 +270,28 @@ class FeedScanStreamReader(DataSourceStreamReader):
     corpus-side state (e.g. the downstream dedup/ANN gate indexes)
     never reshuffles — this source composes directly with
     ``streaming/incremental.py``'s gate handlers.
+
+    TRIGGER CONTRACT (VERDICT r10 #2): the Python DataSource API does
+    not expose ``SupportsTriggerAvailableNow``, so Spark downgrades
+    ``Trigger.AvailableNow`` on this source to SINGLE-BATCH execution
+    (``MicroBatchExecution`` logs the fallback). One start processes
+    exactly one micro-batch: the uncommitted range from a crashed
+    previous start if one exists, else everything ``latestOffset``
+    reports at start. Consequences, all checkpoint-safe and pinned in
+    ``tests/test_round11_ops.py::test_feedscan_available_now_fallback_
+    restart_with_uncommitted_batch``:
+
+    - a crash between offset-log write and commit re-runs that batch
+      on the next start — nothing lost, nothing doubled;
+    - data arriving after a crashed start's offset plan waits one
+      EXTRA start (the restart's single batch is spent on the
+      uncommitted range);
+    - a static universe (the fixture transports, archive endpoints) is
+      fully drained by one clean start — batch ≡ stream holds.
+
+    Live deployments polling rolling feeds should therefore use a
+    ``processingTime`` trigger (continuous polling; every trigger
+    plans the current delta) rather than repeated AvailableNow starts.
     """
 
     def __init__(self, options: dict):

@@ -35,3 +35,85 @@ def test_feedscan_minus0000_pubdate_is_utc_not_machine_local(spark):
     }
     assert rows["https://x.example/n"] == "2023-11-14T22:13:20Z"
     assert rows["https://x.example/o"] == "2023-11-14T22:13:20Z"
+
+
+def _rss(n):
+    items = "".join(
+        f"<item><title>t{i}</title><link>https://x.example/{i}</link>"
+        f"<pubDate>Tue, 14 Nov 2023 {22 + i // 60:02d}:{i % 60:02d}:00 "
+        "+0000</pubDate></item>"
+        for i in range(n)
+    )
+    return (
+        "<?xml version='1.0'?><rss version='2.0'><channel>"
+        f"<title>f</title>{items}</channel></rss>"
+    )
+
+
+def test_feedscan_available_now_fallback_restart_with_uncommitted_batch(
+    spark, tmp_path
+):
+    # THE AvailableNow contract on a Python streaming source (VERDICT
+    # r10 #2): PythonMicroBatchStream downgrades Trigger.AvailableNow
+    # to single-batch execution, so ONE start processes exactly one
+    # micro-batch of whatever latestOffset reports at start. The
+    # checkpoint makes a crash between offset-log write and commit
+    # SAFE (the uncommitted batch re-runs on the next start, nothing
+    # lost, nothing doubled) — but data arriving AFTER the crashed
+    # start's offset plan needs one MORE start, because the restarted
+    # run spends its single batch on the uncommitted range. Both
+    # halves pinned here; live deployments should poll with a
+    # processingTime trigger instead (feedsource docstring).
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    feed = "https://f.example/an"
+
+    def start(pages, sink):
+        df = read_feeds_stream(
+            spark, feeds=[feed], transport="pages", pages={feed: pages}
+        )
+        return sink(df.writeStream).option(
+            "checkpointLocation", ck
+        ).trigger(availableNow=True).start()
+
+    def parquet_sink(ws):
+        return ws.format("parquet").option("path", out)
+
+    # run 1: 3 items, clean commit
+    start(_rss(3), parquet_sink).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    # run 2: feed grew to 5; the sink CRASHES mid-batch — the offset
+    # log has planned [3,5) but the commit log has not sealed it
+    def crash(batch_df, epoch_id):
+        batch_df.count()
+        raise RuntimeError("injected sink crash")
+
+    q = start(_rss(5), lambda ws: ws.foreachBatch(crash))
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("crashing sink did not fail the query")
+    except StreamingQueryException:
+        pass
+
+    # run 3: feed grew AGAIN to 6. The single-batch fallback spends
+    # this start's one batch on the uncommitted [3,5) range — the
+    # crashed delta lands exactly once, the newest item does NOT yet
+    start(_rss(6), parquet_sink).awaitTermination(120)
+    got = sorted(
+        r["url"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == sorted(f"https://x.example/{i}" for i in range(5))
+
+    # run 4: the NEXT start picks up the remaining delta — at-least-
+    # once across the crash, exactly-once here (append-only feed)
+    start(_rss(6), parquet_sink).awaitTermination(120)
+    got = sorted(
+        r["url"] for r in spark.read.parquet(out).collect()
+    )
+    assert got == sorted(f"https://x.example/{i}" for i in range(6))
