@@ -24,10 +24,17 @@ from startup_data_pipeline_spark.registry import all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The smoke path takes the S1 arrivals THROUGH the custom feedscan
+    DataSource (articles_source="feedscan") so every driver run
+    exercises the real source layer end to end; rows are identical to
+    the parquet path (pinned in tests/test_round11_ops.py)."""
     from startup_data_pipeline_spark.plans.pipeline import flagship_hiring_signal
 
-    return flagship_hiring_signal(spark, "/root/testdata/sf0.001")
+    return flagship_hiring_signal(
+        spark, "/root/testdata/sf0.001", articles_source="feedscan"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

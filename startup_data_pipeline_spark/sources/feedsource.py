@@ -13,8 +13,9 @@ Design:
 
 - ``FeedScanDataSource`` registers as format ``feedscan``. Options:
   ``feeds`` (comma-separated feed URLs; default: the six-feed fixture
-  set), ``transport`` (``offline`` | ``pages`` | ``documents``), plus
-  the transport's own keys. The reader plans EXACTLY one
+  set) or ``feeds_table`` (catalog parquet), ``transport``
+  (``offline`` | ``pages`` | ``documents`` | ``table``), plus the
+  transport's own keys. The reader plans EXACTLY one
   ``InputPartition`` per feed — the partition-planning contract the
   tests pin (one polite request per source per run, parallel across
   sources, never fan-out per source).
@@ -159,6 +160,49 @@ def documents_feed_xml(
     return render_rss(f"fixture feed {i}", items)
 
 
+def table_feed_xml(
+    feed_url: str,
+    table_path: str,
+    id_col: str,
+    ts_col: str,
+    n_feeds: int,
+) -> str | None:
+    """Generic table-backed fixture feed: any keyed + dated parquet
+    table rendered as RSS 2.0, sharded ``id % n_feeds == feed_index``
+    (the ``documents`` transport generalized to arbitrary tables —
+    what lets the FLAGSHIP take its S1 arrivals off the wire,
+    VERDICT r10 #4). Every emitted field is a pure function of the
+    table row: link carries the id, pubDate carries the row's
+    timestamp (UTC), so a consumer can recover (key, event-time)
+    exactly."""
+    idx = feed_url.rpartition("-")[2]
+    if not idx.isdigit() or int(idx) >= n_feeds:
+        return None
+    i = int(idx)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path, columns=[id_col, ts_col])
+    rows = sorted(
+        zip(t.column(id_col).to_pylist(), t.column(ts_col).to_pylist())
+    )
+    items = []
+    for rid, ts in rows:
+        if rid % n_feeds != i:
+            continue
+        if not isinstance(ts, datetime):  # date → midnight UTC
+            ts = datetime(ts.year, ts.month, ts.day)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        items.append(
+            (
+                f"Entry {rid} announced",
+                f"https://news.example.com/item/{rid}",
+                ts.astimezone(timezone.utc),
+            )
+        )
+    return render_rss(f"table feed {i}", items)
+
+
 class _FeedPartition(InputPartition):
     def __init__(self, feed_url: str):
         self.feed_url = feed_url
@@ -195,6 +239,9 @@ class FeedScanReader(DataSourceReader):
         self.transport = options.get("transport", "offline")
         self.pages = options.get("pages")
         self.documents_path = options.get("documents_path")
+        self.table_path = options.get("table_path")
+        self.table_id_col = options.get("table_id_col")
+        self.table_ts_col = options.get("table_ts_col")
         self.n_feeds = int(options.get("n_feeds", len(self.feeds)))
         if self.transport == "pages" and self.pages is None:
             raise ValueError("feedscan: transport=pages requires 'pages'")
@@ -202,7 +249,14 @@ class FeedScanReader(DataSourceReader):
             raise ValueError(
                 "feedscan: transport=documents requires 'documents_path'"
             )
-        if self.transport not in ("offline", "pages", "documents"):
+        if self.transport == "table" and not (
+            self.table_path and self.table_id_col and self.table_ts_col
+        ):
+            raise ValueError(
+                "feedscan: transport=table requires 'table_path', "
+                "'table_id_col', 'table_ts_col'"
+            )
+        if self.transport not in ("offline", "pages", "documents", "table"):
             raise ValueError(
                 f"feedscan: unknown transport {self.transport!r}"
             )
@@ -246,6 +300,11 @@ class FeedScanReader(DataSourceReader):
             return documents_feed_xml(
                 feed_url, self.documents_path, self.n_feeds
             )
+        if self.transport == "table":
+            return table_feed_xml(
+                feed_url, self.table_path, self.table_id_col,
+                self.table_ts_col, self.n_feeds,
+            )
         return None  # offline: every fetch degrades to the dead-feed path
 
     def available_counts(self) -> dict[str, int]:
@@ -259,13 +318,18 @@ class FeedScanReader(DataSourceReader):
         would yield per feed (the offset contract)."""
         if self.transport == "offline":
             return {f: 0 for f in self.feeds}
-        if self.transport == "documents":
+        if self.transport in ("documents", "table"):
             import pyarrow.parquet as pq
 
+            path, col = (
+                (self.documents_path, "doc_id")
+                if self.transport == "documents"
+                else (self.table_path, self.table_id_col)
+            )
             by_idx: dict[int, int] = {}
             for d in (
-                pq.read_table(self.documents_path, columns=["doc_id"])
-                .column("doc_id")
+                pq.read_table(path, columns=[col])
+                .column(col)
                 .to_pylist()
             ):
                 i = d % self.n_feeds
@@ -522,11 +586,17 @@ class FeedScanDataSource(DataSource):
 
 def _configured(
     reader, feeds, transport, documents_path, pages,
-    feeds_table=None, offset_ledger=None, n_feeds=None,
+    feeds_table=None, offset_ledger=None, n_feeds=None, table=None,
 ):
     reader = reader.format(FEED_FORMAT).option("transport", transport)
     if feeds is not None:
         reader = reader.option("feeds", ",".join(feeds))
+    if table is not None:  # (path, id_col, ts_col) for transport=table
+        reader = (
+            reader.option("table_path", table[0])
+            .option("table_id_col", table[1])
+            .option("table_ts_col", table[2])
+        )
     if feeds_table is not None:
         reader = reader.option("feeds_table", feeds_table)
     if offset_ledger is not None:
@@ -580,16 +650,19 @@ def read_feeds(
     pages: dict[str, str] | None = None,
     feeds_table: str | None = None,
     n_feeds: int | None = None,
+    table: tuple[str, str, str] | None = None,
 ) -> DataFrame:
     """Scan the feed universe with the ``feedscan`` format.
 
     ``feeds_table`` (a parquet path with a ``feed_url`` column) is the
     catalog-scale alternative to the ``feeds`` list: the option map
-    carries one path and the universe is read at planning time."""
+    carries one path and the universe is read at planning time.
+    ``table`` = (parquet_path, id_col, ts_col) configures the generic
+    table-backed transport."""
     _ensure_registered(spark)
     return _configured(
         spark.read, feeds, transport, documents_path, pages,
-        feeds_table=feeds_table, n_feeds=n_feeds,
+        feeds_table=feeds_table, n_feeds=n_feeds, table=table,
     ).load()
 
 

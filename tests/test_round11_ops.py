@@ -253,3 +253,31 @@ def test_feedscan_available_counts_is_one_catalog_read(spark, tmp_path):
 
     off = FeedScanReader({"transport": "offline"})
     assert set(off.available_counts().values()) == {0}
+
+
+def test_flagship_feedscan_flag_same_rows_and_scans_the_source(spark):
+    # VERDICT r10 #4: under articles_source="feedscan" the flagship's
+    # S1 leg arrives through the custom DataSource (generic table
+    # transport over the orders fixture) and the plan carries the
+    # feedscan scan node; the fixture feed covers every order key, so
+    # rows are IDENTICAL to the parquet path.
+    from startup_data_pipeline_spark.plans.pipeline import (
+        flagship_hiring_signal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = flagship_hiring_signal(spark, sf)
+    wired = flagship_hiring_signal(spark, sf, articles_source="feedscan")
+
+    plan_base = base._jdf.queryExecution().analyzed().toString()
+    plan_wired = wired._jdf.queryExecution().analyzed().toString()
+    assert "feedscan" in plan_wired.lower()
+    assert "feedscan" not in plan_base.lower()
+
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(wired) == rows(base)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="articles_source"):
+        flagship_hiring_signal(spark, sf, articles_source="nope")
