@@ -55,6 +55,20 @@ def int_dot(a: Column, b: Column) -> Column:
 
 TRAINING_ROWS_PER_TASK = 512
 
+# The one LIVE seam cache (ADVICE r10): each quantized_training_frame
+# call caches a fresh [vid, qv] frame, and without a lifecycle every
+# trained-family invocation left one cached relation behind for the
+# session's lifetime (CacheManager accretes; "already cached" warnings
+# in long sessions). Trained ops run train-then-route EAGERLY inside
+# one invocation and the engine's harnesses (driver, bench, verify)
+# consume queries sequentially, so at most one seam frame is hot at a
+# time: unpersisting the PREVIOUS call's frame bounds live seam caches
+# at one per session. A caller that re-collects an older trained
+# result afterwards still gets identical rows — the lineage recomputes
+# the quantize scan (results are partition-invariant by the engine's
+# determinism rules); only the cache hit is lost.
+_LIVE_TRAINING_FRAME: DataFrame | None = None
+
 
 def quantized_training_frame(
     embeddings: DataFrame, id_col: str, vec_col: str
@@ -82,6 +96,12 @@ def quantized_training_frame(
     training scans need anyway. Geometry-less vectors are dropped
     (``vector_has_geometry``) before anything else.
     """
+    global _LIVE_TRAINING_FRAME
+    if _LIVE_TRAINING_FRAME is not None:
+        try:
+            _LIVE_TRAINING_FRAME.unpersist()
+        except Exception:  # stale session/relation: nothing to release
+            pass
     qdf = (
         ensure_min_parallelism(embeddings)
         .filter(vector_has_geometry(vec_col))
@@ -90,6 +110,7 @@ def quantized_training_frame(
         )
         .cache()
     )
+    _LIVE_TRAINING_FRAME = qdf
     n = qdf.count()
     cap = max(1, -(-n // TRAINING_ROWS_PER_TASK))
     if cap < qdf.rdd.getNumPartitions():

@@ -73,8 +73,9 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-10 window: certification burn-down, FINAL phase (VERDICT r9
-    # "Next round" #2) plus this round's changed-operator canaries.
+    # Round-11 window: the never-driver-sampled feedscan tranche leads
+    # (VERDICT r10 "Next round" #1), then this round's changed-operator
+    # canaries, then newest-first freshness backfill.
     #
     # WINDOW RULE (standing, per VERDICT r6 #7): whenever a certified
     # operator's CODE, ORACLE, or plan shape changes in a round, a
@@ -83,55 +84,54 @@ _PRIORITY: list[str] = [
     # substitute for a driver row.
     #
     # Slot layout (50):
-    #   1-5    the five round-9 registrations the driver has NEVER
-    #          sampled (judge-verified green last session):
-    #          q_semdedup_trained, q_capped_vector_recovery,
-    #          q_incremental_ann_gate, q_script_profile,
-    #          q_token_budget_select. The first three ALSO changed this
-    #          round (kmeans_fit quantized-frame seam + count-scan
-    #          elision + training-frame right-sizing, the
-    #          vector_has_geometry family rule, and the ADVICE-r9
-    #          oracle NULL-element filters), so the slots double as
-    #          canaries;
-    #   6-21   the 16 remaining round-5-certified names, alphabetical —
-    #          the LAST stale tranche; after this window every
-    #          registered query holds a driver cert from r6 or later;
-    #   22-28  round-10 canaries: the kmeans_fit seam's certified
-    #          consumers (q_kmeans_clusters, q_kmeans_assign,
-    #          q_ann_ivf_trained, q_cluster_margin — VERDICT r9 #1's
-    #          named set; assign/margin share the geometry-rule change
-    #          rather than the seam) plus the _seeded_route family
-    #          whose operators AND oracles gained the NULL-element
-    #          geometry clause (q_semdedup, q_semdedup_cells), plus
-    #          q_incremental_dedup_gate (canaries the shared
-    #          _prune_verdict_epochs late-redelivery guard, ADVICE r9);
-    #   29-50  newest-first backfill: the round-8-registered tranche,
-    #          alphabetical, minus names already holding earlier slots.
-    # Round-10's own new registrations queue at the very end, behind
-    # the whole backlog, as every round's have — they lead the r11
-    # window as the never-driver-sampled tranche.
-    # --- slots 1-5: the never-driver-sampled round-9 registrations ---
-    "q_semdedup_trained", "q_capped_vector_recovery",
-    "q_incremental_ann_gate", "q_script_profile", "q_token_budget_select",
-    # --- slots 6-21: the final 16 round-5-certified names ---
-    "q_rrf_fusion", "q_sample_allocation", "q_score_percentile_norm",
-    "q_seasonal_anomaly", "q_session_paths", "q_shingle_containment",
-    "q_sliding_distinct", "q_split_balance", "q_stl_decompose",
-    "q_stream_markov", "q_upsample_epochs", "q_user_entropy",
-    "q_vocab_growth", "q_winsorize", "q_wow_growth", "q_zorder_key",
-    # --- slots 22-28: round-10 canaries (seam + geometry rule + prune) ---
-    "q_kmeans_clusters", "q_kmeans_assign", "q_ann_ivf_trained",
-    "q_cluster_margin", "q_semdedup", "q_semdedup_cells",
-    "q_incremental_dedup_gate",
-    # --- slots 29-50: newest-first backfill (round-8 tranche) ---
+    #   1-3    the three round-10 registrations the driver has NEVER
+    #          sampled (judge-verified 3/3 hash-green last session):
+    #          q_feed_datasource, q_feed_pipeline, q_feed_stream. All
+    #          three ALSO changed this round (RFC-2822 naive-pubDate
+    #          UTC fix per ADVICE r10; feeds_table catalog option;
+    #          batched available_counts; versioned offset ledger;
+    #          reader __getstate__ task-payload trim), so the slots
+    #          double as canaries;
+    #   4-7    round-11 canaries: q_flagship (articles_source flag —
+    #          the registered query runs the default parquet path, but
+    #          the function body changed), plus the three seam
+    #          consumers whose cache lifecycle changed
+    #          (quantized_training_frame now unpersists the previous
+    #          live frame, ADVICE r10): q_kmeans_clusters,
+    #          q_ann_ivf_trained, q_semdedup_trained;
+    #   8-50   newest-first backfill: the round-10-certified tranche,
+    #          alphabetical, minus names already holding earlier slots
+    #          — keeps the whole registry inside a 5-round freshness
+    #          horizon (every name below the boundary holds an r9 or
+    #          r10 cert; the oldest certs in the registry are r6).
+    # Round-11's own new registrations (q_feed_catalog,
+    # q_feed_stream_ledger) queue at the very end, behind the whole
+    # backlog, as every round's have — they lead the r12 window as the
+    # never-driver-sampled tranche.
+    # --- slots 1-3: the never-driver-sampled feedscan registrations ---
+    "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
+    # --- slots 4-7: round-11 canaries (flagship flag + seam lifecycle) ---
+    "q_flagship", "q_kmeans_clusters", "q_ann_ivf_trained",
+    "q_semdedup_trained",
+    # --- slots 8-50: newest-first backfill (round-10-certified) ---
     "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk", "q_bfs_hops",
-    "q_centroid_classify", "q_cohort_retention", "q_contamination_check",
-    "q_curriculum_order", "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
-    "q_embedding_near_dup", "q_embedding_quantize", "q_flagship",
-    "q_frame_sample", "q_grouping_sets", "q_hard_negatives",
-    "q_heavy_hitters", "q_image_dhash_pairs", "q_knn_graph",
-    "q_lsh_occupancy", "q_mad_outliers",
+    "q_capped_vector_recovery", "q_centroid_classify", "q_cluster_margin",
+    "q_cohort_retention", "q_contamination_check", "q_curriculum_order",
+    "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
+    "q_embedding_near_dup", "q_embedding_quantize", "q_frame_sample",
+    "q_grouping_sets", "q_hard_negatives", "q_heavy_hitters",
+    "q_image_dhash_pairs", "q_incremental_ann_gate",
+    "q_incremental_dedup_gate", "q_kmeans_assign", "q_knn_graph",
+    "q_lsh_occupancy", "q_mad_outliers", "q_rrf_fusion",
+    "q_sample_allocation", "q_score_percentile_norm", "q_script_profile",
+    "q_seasonal_anomaly", "q_semdedup", "q_semdedup_cells",
+    "q_session_paths", "q_shingle_containment", "q_sliding_distinct",
+    "q_split_balance", "q_stl_decompose", "q_stream_markov",
+    "q_token_budget_select", "q_upsample_epochs", "q_user_entropy",
+    "q_vocab_growth",
     # --- 50-slot window boundary ---
+    # round-10-certified remainder (alphabetical continuation):
+    "q_winsorize", "q_wow_growth", "q_zorder_key",
     # round-9-window-certified names (driver-green r9), window order:
     "q_capped_recovery", "q_lsh_pairs", "q_dedup_survivors",
     "q_dup_cluster_stats", "q_triangle_count", "q_soft_dedup_weights",
@@ -186,10 +186,10 @@ _PRIORITY: list[str] = [
     "q_segment_dedup", "q_simhash64_band_stats", "q_simhash64_pairs",
     "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
     "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
-    # round-10 registrations (the round's quota, behind the whole
-    # backlog per the burn-down contract — they lead the r11 window as
+    # round-11 registrations (the round's quota, behind the whole
+    # backlog per the standing contract — they lead the r12 window as
     # the never-driver-sampled tranche):
-    "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
+    "q_feed_catalog", "q_feed_stream_ledger",
 ]
 
 

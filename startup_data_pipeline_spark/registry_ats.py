@@ -497,3 +497,102 @@ def q_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.run_available_now_append(
         parsed, "q_feed_stream_sink"
     )
+
+
+@register(
+    "q_feed_catalog",
+    # The feed universe as a TABLE (VERDICT r10 #3): the same scan as
+    # q_feed_datasource but the universe comes from a feeds_table
+    # catalog parquet written on the fly — the option map carries one
+    # path, planning reads the catalog once, splits = feeds. Same
+    # derivations, so the oracle is q_feed_datasource's.
+    oracle="""
+    SELECT doc_id AS item_id,
+           'Startup ' || CAST(doc_id AS VARCHAR) || ' raises $'
+               || CAST(doc_id % 90 + 10 AS VARCHAR) || ' million' AS title,
+           epoch_ms((1700000000 + doc_id * 60) * 1000) AS published_ts,
+           'https://feeds.example.com/feed-' || CAST(doc_id % 6 AS VARCHAR)
+               AS source
+    FROM documents
+    WHERE doc_id % 2 = 0
+    """,
+    survey_ops="S1 at catalog scale: feeds_table option (the feed "
+    "list itself is a table — one path in the option map, universe "
+    "read at plan time, one split per feed; 1000-feed planning "
+    "pinned in tests/test_round11_ops.py)",
+)
+def q_feed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.feedsource import FIXTURE_FEEDS, read_feeds
+
+    cat = os.path.join(
+        tempfile.mkdtemp(prefix="sdps_feed_catalog_"), "feeds.parquet"
+    )
+    pq.write_table(pa.table({"feed_url": FIXTURE_FEEDS}), cat)
+    raw = read_feeds(
+        spark,
+        transport="documents",
+        documents_path=os.path.join(sf_dir, "documents.parquet"),
+        feeds_table=cat,
+        n_feeds=len(FIXTURE_FEEDS),
+    )
+    fixed = F.regexp_replace(F.col("published_at"), "Z$", "+00:00")
+    return raw.filter(F.col("title").rlike(" raises ")).select(
+        F.regexp_extract("url", "item/([0-9]+)$", 1)
+        .cast("long")
+        .alias("item_id"),
+        "title",
+        F.to_timestamp(F.substring(fixed, 1, 19), "yyyy-MM-dd'T'HH:mm:ss")
+        .alias("published_ts"),
+        "source",
+    )
+
+
+@register(
+    "q_feed_stream_ledger",
+    # q_feed_stream under the catalog-scale offset representation
+    # (VERDICT r10 #3b): offsets are {"v": N} version cursors, the
+    # per-feed counts live in the ledger file — same rows, same
+    # oracle; the ledger mechanics (8-byte offset entries, pruning at
+    # commit and plan) are pinned in tests/test_round11_ops.py.
+    oracle="""
+    SELECT doc_id AS item_id,
+           'Startup ' || CAST(doc_id AS VARCHAR) || ' raises $'
+               || CAST(doc_id % 90 + 10 AS VARCHAR) || ' million' AS title,
+           'https://feeds.example.com/feed-' || CAST(doc_id % 6 AS VARCHAR)
+               AS source
+    FROM documents
+    WHERE doc_id % 2 = 0
+    """,
+    survey_ops="S1 as a STREAM at catalog scale (§2.9): versioned "
+    "offset ledger — checkpointed offset entries are O(1) in the "
+    "universe size instead of one map entry per feed",
+)
+def q_feed_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .sources.feedsource import read_feeds_stream
+    from .streaming import incremental
+
+    raw = read_feeds_stream(
+        spark,
+        transport="documents",
+        documents_path=os.path.join(sf_dir, "documents.parquet"),
+        offset_ledger=tempfile.mkdtemp(prefix="sdps_feed_ledger_"),
+    )
+    parsed = raw.filter(F.col("title").rlike(" raises ")).select(
+        F.regexp_extract("url", "item/([0-9]+)$", 1)
+        .cast("long")
+        .alias("item_id"),
+        "title",
+        "source",
+    )
+    return incremental.run_available_now_append(
+        parsed, "q_feed_stream_ledger_sink"
+    )

@@ -510,6 +510,20 @@ def _sweep_stale_generations(
             fs.delete(_hadoop_fs(spark, f"{index_path}/gen={g}")[1], True)
 
 
+# Geometric backoff state for the retention-UNSET warn listing:
+# {verdict_path: skip-listing-until-this-epoch}. The warn path's only
+# job is to notice "this dir is accreting"; compaction-epoch cadence
+# alone still re-lists the ENTIRE dir every compact_every triggers, so
+# a long-running misconfigured deployment pays a LINEARLY growing
+# driver-side listing per compaction (measured: 0.56 s at 1k epoch
+# dirs → 2.3 s at 5k, local FS — worse on object stores; SCALE.md
+# r11). Backing off by the last observed dir count makes total listed
+# entries O(N) over the stream's life (amortized O(1) per trigger)
+# while still re-warning as the dir doubles. In-memory by design: a
+# restart lists once and re-arms.
+_VERDICT_WARN_NEXT: dict[str, int] = {}
+
+
 def _prune_verdict_epochs(
     spark: SparkSession,
     verdict_path: str,
@@ -523,15 +537,16 @@ def _prune_verdict_epochs(
     redelivery of an epoch older than the newest K after a checkpoint
     rewind, so the current ``epoch_id`` is excluded from the prune
     candidates explicitly, not just by sort position); with retention
-    UNSET, warn loudly — amortized to compaction epochs so the
-    O(#dirs) listing never becomes the accretion cost it warns about.
-    Opt-in by design: verdicts are the gates' OUTPUT and only the
-    consumer's lag budget licenses deletion."""
-    if not (
-        retain_verdict_epochs is not None
-        or epoch_id % compact_every == 0
-    ):
-        return
+    UNSET, warn loudly — amortized to compaction epochs AND backed off
+    geometrically by the last observed dir count, so the O(#dirs)
+    listing never becomes the accretion cost it warns about. Opt-in by
+    design: verdicts are the gates' OUTPUT and only the consumer's lag
+    budget licenses deletion."""
+    if retain_verdict_epochs is None:
+        if epoch_id % compact_every != 0:
+            return
+        if epoch_id < _VERDICT_WARN_NEXT.get(verdict_path, 0):
+            return
     vfs, vroot = _hadoop_fs(spark, verdict_path)
     eps = []
     for s in vfs.listStatus(vroot):
@@ -549,14 +564,20 @@ def _prune_verdict_epochs(
                 _hadoop_fs(spark, f"{verdict_path}/epoch={e}")[1],
                 True,
             )
-    elif len(eps) > 4 * compact_every:
-        _LOG.warning(
-            "%s verdict sink at %s holds %d epoch dirs and "
-            "retain_verdict_epochs is unset — storage grows one dir "
-            "per trigger forever. Set retain_verdict_epochs (e.g. %d) "
-            "once downstream consumers are caught up.",
-            kind, verdict_path, len(eps), 4 * compact_every,
+    else:
+        # next warn listing once the dir could have doubled (one epoch
+        # dir lands per trigger, so epoch_id advances ~1 per dir)
+        _VERDICT_WARN_NEXT[verdict_path] = epoch_id + max(
+            4 * compact_every, len(eps)
         )
+        if len(eps) > 4 * compact_every:
+            _LOG.warning(
+                "%s verdict sink at %s holds %d epoch dirs and "
+                "retain_verdict_epochs is unset — storage grows one dir "
+                "per trigger forever. Set retain_verdict_epochs (e.g. %d) "
+                "once downstream consumers are caught up.",
+                kind, verdict_path, len(eps), 4 * compact_every,
+            )
 
 
 def _validate_gate_config(
