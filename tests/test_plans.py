@@ -196,31 +196,26 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-10 window is the burn-down FINAL phase (VERDICT r9 #2):
-    # the five never-driver-sampled round-9 registrations lead, the
-    # last 16 r5-stale names follow (alphabetical), then the round-10
-    # canaries (kmeans_fit seam + vector_has_geometry rule + verdict-
-    # prune guard, the standing canary rule from VERDICT r6 #7), then
-    # newest-first backfill from the round-8-registered tranche
+    # round-11 window (VERDICT r10 #1): the three never-driver-sampled
+    # feedscan registrations lead (doubling as canaries for this
+    # round's feedsource changes), then the round-11 canaries
+    # (flagship articles_source flag + the three seam consumers whose
+    # cache lifecycle changed — the standing canary rule from VERDICT
+    # r6 #7), then newest-first backfill from the round-10-certified
+    # tranche (alphabetical) to hold the 5-round freshness horizon
     prefix = list(qs)[:50]
-    assert prefix[:5] == [
-        "q_semdedup_trained", "q_capped_vector_recovery",
-        "q_incremental_ann_gate", "q_script_profile",
-        "q_token_budget_select",
-    ]
-    assert prefix[5] == "q_rrf_fusion"
-    assert prefix[5:21] == sorted(prefix[5:21])  # r5 tranche is
-    # alphabetical, so the driver's sample order is reproducible
-    assert prefix[20] == "q_zorder_key"
-    assert prefix[21:28] == [
-        "q_kmeans_clusters", "q_kmeans_assign", "q_ann_ivf_trained",
-        "q_cluster_margin", "q_semdedup", "q_semdedup_cells",
-        "q_incremental_dedup_gate",
-    ]
-    assert prefix[28] == "q_ann_ivf_topk"
-    assert prefix[28:50] == sorted(prefix[28:50])  # r8 tranche too
-    # this round's new registrations sit at the very back of the
-    # priority list (never-sampled tranche for the r11 window)
-    assert list(qs)[-3:] == [
+    assert prefix[:3] == [
         "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
+    ]
+    assert prefix[3:7] == [
+        "q_flagship", "q_kmeans_clusters", "q_ann_ivf_trained",
+        "q_semdedup_trained",
+    ]
+    assert prefix[7] == "q_ann_ivf_topk"
+    assert prefix[7:50] == sorted(prefix[7:50])  # r10 tranche is
+    # alphabetical, so the driver's sample order is reproducible
+    # this round's new registrations sit at the very back of the
+    # priority list (never-sampled tranche for the r12 window)
+    assert list(qs)[-2:] == [
+        "q_feed_catalog", "q_feed_stream_ledger",
     ]
