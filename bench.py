@@ -162,7 +162,10 @@ HEADLINE = [
     # q_feed_stream stays out because its runtime is streaming-engine
     # startup (one AvailableNow micro-batch over the same 6 splits
     # q_feed_pipeline already times) — correctness-certified via the
-    # registry gate like every exclusion
+    # registry gate like every exclusion. Round-11's q_feed_catalog
+    # (MAP_SIDE_EXCLUDED: same plan as q_feed_datasource, universe
+    # from a catalog) and q_feed_stream_ledger (streaming startup,
+    # same rows as q_feed_stream) follow the same conventions.
     "q_feed_pipeline",
 ]
 
@@ -180,6 +183,8 @@ MAP_SIDE_EXCLUDED = [
     "q_vocab_coverage",    # token containment flags, no shuffle
     "q_feed_datasource",   # feedscan scan + filter + project, no shuffle
                            # (q_feed_pipeline benches the composed chain)
+    "q_feed_catalog",      # identical plan to q_feed_datasource with the
+                           # universe read from a feeds_table catalog
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
