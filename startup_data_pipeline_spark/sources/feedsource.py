@@ -526,12 +526,13 @@ class FeedScanStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = self._load_counts(start), self._load_counts(end)
-        # `start` is by construction at or past the last committed
-        # offset, so every ledger version older than it is
-        # unreferenceable — prune here as well as in commit(), because
-        # the AvailableNow single-batch fallback can stop a run before
-        # Spark issues the commit callback.
-        self._prune_ledger_below(start)
+        # NO pruning here: on restart the engine issues a zero-length
+        # replay probe partitions(lastPlannedEnd, lastPlannedEnd) whose
+        # start can be AHEAD of the committed offset when the last
+        # batch is uncommitted — pruning on it would delete the very
+        # ledger the uncommitted batch's re-run still needs (observed;
+        # pinned in the crash-window test). commit() is the only
+        # offset the engine certifies as no-longer-needed-below.
         return [
             _FeedRangePartition(f, int(s.get(f, 0)), int(e.get(f, 0)))
             for f in self._r.feeds
@@ -565,7 +566,11 @@ class FeedScanStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets live in the checkpoint; with a ledger, prune count
         # maps strictly OLDER than the committed version (the committed
-        # one stays — it is the next batch's start)
+        # one stays — it is the next batch's start). Under the
+        # AvailableNow single-batch fallback the engine defers this
+        # callback to the NEXT start (observed), so ledger files for a
+        # stopped stream linger until that start — one file per changed
+        # state, pruned on resume.
         self._prune_ledger_below(end)
 
 

@@ -231,6 +231,120 @@ def test_feedscan_stream_ledger_offsets_are_version_cursors(
         assert json.load(fh) == {feeds[0]: 6, feeds[1]: 2}
 
 
+def test_feedscan_ledger_survives_crash_between_plan_and_commit(
+    spark, tmp_path
+):
+    # the versioned ledger's crash window: a sink crash after the
+    # offset log planned [v1, v2) but before the commit sealed it must
+    # leave BOTH ledger files in place (v1 is the committed start, v2
+    # the planned end — pruning only ever removes strictly below the
+    # start), so the restart re-plans the same delta from the files.
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out, led = (
+        str(tmp_path / "ck"), str(tmp_path / "out"), str(tmp_path / "led")
+    )
+    feed = "https://f.example/crash"
+
+    def start(n, sink):
+        df = read_feeds_stream(
+            spark, feeds=[feed], transport="pages",
+            pages={feed: _rss(n)}, offset_ledger=led,
+        )
+        return sink(df.writeStream).option(
+            "checkpointLocation", ck
+        ).trigger(availableNow=True).start()
+
+    def parquet_sink(ws):
+        return ws.format("parquet").option("path", out)
+
+    start(3, parquet_sink).awaitTermination(120)   # v1 committed
+    assert spark.read.parquet(out).count() == 3
+
+    def crash(batch_df, epoch_id):
+        batch_df.count()
+        raise RuntimeError("injected sink crash")
+
+    q = start(5, lambda ws: ws.foreachBatch(crash))  # plans v2, no commit
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("crashing sink did not fail the query")
+    except StreamingQueryException:
+        pass
+
+    import os as _os
+
+    present = set(_os.listdir(led))
+    assert {"v1.json", "v2.json"} <= present  # start AND planned end
+
+    start(5, parquet_sink).awaitTermination(120)   # re-runs [v1, v2)
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(f"https://x.example/{i}" for i in range(5))
+
+
+def test_feedscan_catalog_growth_never_shifts_existing_offsets(
+    spark, tmp_path
+):
+    # the ledger is URL-keyed, never positional: appending a feed to
+    # the catalog (even one that SORTS BEFORE existing feeds) must not
+    # disturb consumed counts — old feeds stay quiet, only the new
+    # feed emits its backlog.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    ck, out, led = (
+        str(tmp_path / "ck"), str(tmp_path / "out"), str(tmp_path / "led")
+    )
+    cat = str(tmp_path / "feeds.parquet")
+    f_b, f_a = "https://f.example/bravo", "https://f.example/alpha"
+
+    def run(feeds, pages):
+        pq.write_table(pa.table({"feed_url": feeds}), cat)
+        df = read_feeds_stream(
+            spark, transport="pages", pages=pages,
+            feeds_table=cat, offset_ledger=led,
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rss_for(prefix, n):
+        items = "".join(
+            f"<item><title>{prefix}{i}</title>"
+            f"<link>https://x.example/{prefix}/{i}</link>"
+            f"<pubDate>Tue, 14 Nov 2023 22:{i:02d}:00 +0000</pubDate>"
+            "</item>"
+            for i in range(n)
+        )
+        return (
+            "<?xml version='1.0'?><rss version='2.0'><channel>"
+            f"<title>{prefix}</title>{items}</channel></rss>"
+        )
+
+    run([f_b], {f_b: rss_for("b", 3)})
+    assert spark.read.parquet(out).count() == 3
+    # catalog grows by a feed that sorts FIRST; existing feed unchanged
+    run([f_b, f_a], {f_b: rss_for("b", 3), f_a: rss_for("a", 2)})
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(
+        [f"https://x.example/b/{i}" for i in range(3)]
+        + [f"https://x.example/a/{i}" for i in range(2)]
+    )  # b re-emitted nothing; a emitted exactly its backlog
+
+
 def test_feedscan_available_counts_is_one_catalog_read(spark, tmp_path):
     # the availability listing is batched: the documents transport
     # answers the WHOLE universe from one doc_id column read (a
