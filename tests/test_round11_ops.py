@@ -345,6 +345,33 @@ def test_feedscan_catalog_growth_never_shifts_existing_offsets(
     )  # b re-emitted nothing; a emitted exactly its backlog
 
 
+def test_feedscan_stream_refreshes_catalog_each_poll(tmp_path):
+    # a long-running processingTime stream must see catalog growth
+    # WITHOUT restart: every availability poll re-reads feeds_table
+    # (~3 ms / 1000 feeds); the sharding modulus stays pinned and
+    # offsets are URL-keyed, so existing feeds are undisturbed
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        FeedScanStreamReader,
+    )
+
+    cat = str(tmp_path / "feeds.parquet")
+    f1, f2 = "https://f.example/one", "https://f.example/two"
+    pq.write_table(pa.table({"feed_url": [f1]}), cat)
+    pages = {f1: _rss(2), f2: _rss(3)}
+    sr = FeedScanStreamReader(
+        {"transport": "pages", "pages": json.dumps(pages),
+         "feeds_table": cat}
+    )
+    assert sr.latestOffset() == {f1: 2}
+    pq.write_table(pa.table({"feed_url": [f1, f2]}), cat)  # catalog grows
+    assert sr.latestOffset() == {f1: 2, f2: 3}  # no restart needed
+    parts = sr.partitions({f1: 2}, {f1: 2, f2: 3})
+    assert [(p.feed_url, p.start, p.end) for p in parts] == [(f2, 0, 3)]
+
+
 def test_feedscan_available_counts_is_one_catalog_read(spark, tmp_path):
     # the availability listing is batched: the documents transport
     # answers the WHOLE universe from one doc_id column read (a
