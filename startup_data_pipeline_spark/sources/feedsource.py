@@ -450,7 +450,11 @@ class FeedScanStreamReader(DataSourceStreamReader):
 
     Live deployments polling rolling feeds should therefore use a
     ``processingTime`` trigger (continuous polling; every trigger
-    plans the current delta) rather than repeated AvailableNow starts.
+    plans the current delta) rather than repeated AvailableNow starts;
+    for run-to-completion batch jobs over a growing source,
+    ``streaming.incremental.drain_available_now`` loops starts until a
+    zero-row one — the checkpointed, crash-resumable batch≡stream
+    drain.
     """
 
     def __init__(self, options: dict):

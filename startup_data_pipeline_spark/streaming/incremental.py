@@ -149,6 +149,34 @@ def run_available_now_append(
     return df.sparkSession.table(name)
 
 
+def drain_available_now(start_query, max_starts: int = 8) -> int:
+    """Run AvailableNow starts until one processes ZERO input rows —
+    the batch≡stream drain loop for Python streaming sources, where
+    the engine downgrades ``Trigger.AvailableNow`` to single-batch
+    execution (see ``sources/feedsource.py``'s trigger contract): one
+    start = one micro-batch, so a crashed start's uncommitted backlog
+    and anything that arrived after it each need one more start. The
+    checkpoint carries the offsets, so the loop is idempotent and
+    crash-resumable at any point.
+
+    ``start_query``: zero-arg callable returning a STARTED
+    ``StreamingQuery`` (same sink + same checkpoint each call).
+    Returns the number of data-bearing starts. Raises if the source
+    still has data after ``max_starts`` — a LIVE feed outpacing the
+    drain should use a ``processingTime`` trigger instead.
+    """
+    for i in range(max_starts):
+        q = start_query()
+        q.awaitTermination()
+        progress = q.lastProgress or {}
+        if int(progress.get("numInputRows") or 0) == 0:
+            return i
+    raise RuntimeError(
+        f"stream not drained after {max_starts} AvailableNow starts; "
+        "use a processingTime trigger for continuously-growing sources"
+    )
+
+
 def run_available_now_update(
     df: DataFrame, query_name: str | None = None
 ) -> DataFrame:

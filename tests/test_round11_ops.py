@@ -345,6 +345,60 @@ def test_feedscan_catalog_growth_never_shifts_existing_offsets(
     )  # b re-emitted nothing; a emitted exactly its backlog
 
 
+def test_drain_available_now_recovers_crash_backlog_and_delta(
+    spark, tmp_path
+):
+    # the drain loop closes the AvailableNow fallback's gap: after a
+    # crashed start (uncommitted batch) AND further growth, one
+    # drain_available_now call lands everything — first start re-runs
+    # the backlog, second lands the delta, third sees zero rows and
+    # stops the loop
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+    from startup_data_pipeline_spark.streaming.incremental import (
+        drain_available_now,
+    )
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    feed = "https://f.example/drain"
+    pages = {feed: _rss(3)}
+
+    def start(sink=None):
+        df = read_feeds_stream(
+            spark, feeds=[feed], transport="pages", pages=dict(pages)
+        )
+        ws = df.writeStream
+        ws = sink(ws) if sink else ws.format("parquet").option("path", out)
+        return ws.option("checkpointLocation", ck).trigger(
+            availableNow=True
+        ).start()
+
+    start().awaitTermination(120)
+    assert spark.read.parquet(out).count() == 3
+
+    pages[feed] = _rss(5)
+
+    def crash(batch_df, epoch_id):
+        batch_df.count()
+        raise RuntimeError("injected sink crash")
+
+    q = start(lambda ws: ws.foreachBatch(crash))
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("crashing sink did not fail the query")
+    except StreamingQueryException:
+        pass
+
+    pages[feed] = _rss(6)  # grew again past the uncommitted batch
+    n = drain_available_now(start)
+    assert n == 2  # backlog start + delta start (the probe start is free)
+    got = sorted(r["url"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(f"https://x.example/{i}" for i in range(6))
+
+
 def test_feedscan_stream_refreshes_catalog_each_poll(tmp_path):
     # a long-running processingTime stream must see catalog growth
     # WITHOUT restart: every availability poll re-reads feeds_table
