@@ -398,3 +398,85 @@ def test_token_budget_select_equals_serial_cut(spark, docs, budget):
             expect[i] = acc
         acc += w
     assert got == expect
+
+
+# ---- feedscan wire/offset invariants (round 11) ----------------------
+# Pure-Python properties (no Spark jobs): the RSS render→parse round
+# trip and the consumed-count offset indexing the streaming source's
+# exactly-once contract rests on.
+
+import json as _json
+from datetime import datetime as _dt
+from datetime import timezone as _tz
+
+from startup_data_pipeline_spark.sources import feedsource as _fsrc
+
+# XML 1.0 cannot carry control characters AT ALL (hypothesis found
+# '\x08': render_rss emits it raw, ElementTree rejects the document,
+# and the whole feed degrades to the malformed-feed zero-rows
+# contract — already pinned separately). The round-trip property
+# holds on XML-legal text; surrogates are excluded as non-encodable.
+_TITLE = (
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=1,
+        max_size=40,
+    )
+    .map(str.strip)
+    .filter(bool)
+)
+_LINKS = st.integers(0, 10**6).map(lambda i: f"https://x.example/{i}")
+_PUBTS = st.integers(0, 4_000_000_000).map(
+    lambda s: _dt.fromtimestamp(s, tz=_tz.utc)
+)
+_ITEM = st.tuples(_TITLE, _LINKS, _PUBTS)
+
+
+def _parse(items):
+    url = "https://f.example/prop"
+    xml = _fsrc.render_rss("prop", items)
+    r = _fsrc.FeedScanReader(
+        {"transport": "pages", "pages": _json.dumps({url: xml}),
+         "feeds": url}
+    )
+    return list(r.read(_fsrc._FeedPartition(url)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(items=st.lists(_ITEM, min_size=0, max_size=8))
+def test_rss_render_parse_round_trip(items):
+    # whatever the engine renders, its own reader recovers exactly:
+    # title (XML-escaped both ways), link, and the pubDate as ISO-Z —
+    # a pure function of the wire bytes (the ADVICE-r10 UTC rule)
+    got = _parse(items)
+    assert [
+        (t, u, dt.strftime("%Y-%m-%dT%H:%M:%SZ"))
+        for t, u, dt in items
+    ] == [(t, u, p) for t, u, p, _src in got]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    items=st.lists(_ITEM, min_size=0, max_size=6, unique_by=lambda i: i[1]),
+    extra=st.lists(_ITEM, min_size=0, max_size=4, unique_by=lambda i: i[1]),
+)
+def test_publish_order_offsets_are_append_stable(items, extra):
+    # the streaming offset contract: consumed-count offsets index the
+    # (published_at, link) order, so APPENDING later items never
+    # perturbs the already-consumed prefix — the invariant that makes
+    # a count a valid offset
+    url = "https://f.example/prop"
+
+    def ordered(its):
+        rows = _parse(its)
+        return sorted(rows, key=lambda t: (t[2] or "￿", t[1] or ""))
+
+    before = ordered(items)
+    cutoff = max((dt for _, _, dt in items), default=None)
+    later = [
+        (t, u, dt) for t, u, dt in extra
+        if u not in {i[1] for i in items}
+        and (cutoff is None or dt > cutoff)
+    ]
+    after = ordered(items + later)
+    assert after[: len(before)] == before
