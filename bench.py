@@ -167,6 +167,10 @@ HEADLINE = [
     # from a catalog) and q_feed_stream_ledger (streaming startup,
     # same rows as q_feed_stream) follow the same conventions.
     "q_feed_pipeline",
+    # round-11 addition: the k-center greedy trainer (iterative scan
+    # family, same precedent as q_ann_ivf_trained — the suite tracks
+    # the round-trip floor round-over-round)
+    "q_kcenter_select",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -767,6 +767,70 @@ def kmeans_assign_seeded(
     )
 
 
+def kcenter_select(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy farthest-point (Gonzalez) k-center selection — the
+    diversity-aware subset-selection op a training-data curation pass
+    runs AFTER dedup: pick k maximally-spread exemplars (a
+    2-approximation of the k-center objective), e.g. to seed a
+    labeling budget, build an eval probe set, or diversify a
+    fine-tuning mixture. The complement of SemDeDup: that drops
+    near-duplicates, this SELECTS for spread.
+
+    Fully deterministic (the kmeans_fit contract): quantized integer
+    vectors, exact integer squared distances, seed = the lowest-id
+    vector, each round adds the vector maximizing the min distance to
+    the chosen set, ties to the lowest id; already-chosen ids are
+    excluded explicitly (an all-duplicates corpus would otherwise
+    re-pick the seed at distance 0). Geometry-less vectors are
+    dropped up front (``vector_has_geometry``).
+
+    Scale: k-1 rounds, each a SHUFFLE-FREE scan of the shared cached
+    training frame (``quantized_training_frame`` — the chosen set
+    rides as ONE nested-array plan literal, the ``_sq_dists_all``
+    idiom) followed by a TakeOrdered(1); the driver holds k vectors.
+    Same driver-coordinated round-trip cost model as ``kmeans_fit``
+    — constant in corpus size, amortized by executor count at 100 TB.
+    The DuckDB oracle re-derives the full greedy loop (unrolled CTE
+    chain, the unrolled-Lloyd precedent).
+
+    Returns [vid, sel_round, sq_gap]: selection order and the exact
+    min squared distance to the previously-chosen set (NULL for the
+    seed) — sq_gap is non-increasing in sel_round, the k-center
+    radius curve.
+    """
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    seed = qdf.orderBy("vid").limit(1).collect()
+    spark = qdf.sparkSession
+    schema = "vid long, sel_round int, sq_gap long"
+    if not seed:
+        return spark.createDataFrame([], schema)
+    chosen: list[tuple[int, list[int], int | None]] = [
+        (int(seed[0]["vid"]), list(seed[0]["qv"]), None)
+    ]
+    for _ in range(1, k):
+        dists = _sq_dists_all(F.col("qv"), [qv for _, qv, _ in chosen])
+        best = (
+            qdf.filter(~F.col("vid").isin([vid for vid, _, _ in chosen]))
+            .select("vid", "qv", F.array_min(dists).alias("d"))
+            .orderBy(F.col("d").desc(), F.col("vid").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # corpus smaller than k: return what exists
+        chosen.append(
+            (int(best[0]["vid"]), list(best[0]["qv"]), int(best[0]["d"]))
+        )
+    return spark.createDataFrame(
+        [(vid, i, gap) for i, (vid, _, gap) in enumerate(chosen)], schema
+    )
+
+
 def _seeded_route(
     embeddings: DataFrame,
     id_col: str,

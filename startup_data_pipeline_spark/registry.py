@@ -189,7 +189,7 @@ _PRIORITY: list[str] = [
     # round-11 registrations (the round's quota, behind the whole
     # backlog per the standing contract — they lead the r12 window as
     # the never-driver-sampled tranche):
-    "q_feed_catalog", "q_feed_stream_ledger",
+    "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
 ]
 
 

@@ -1008,6 +1008,82 @@ def _lloyd_cte_chain(k: int = 8, n_iter: int = 5) -> str:
     return "".join(parts)
 
 
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy farthest-point chain (the unrolled-Lloyd
+    precedent): seed = lowest vid; per round, the min-distance-to-
+    chosen-set column updates incrementally (LEAST of the previous
+    column and the distance to the newest pick) and the next pick is
+    the argmax with ties to the lowest vid, excluding already-chosen
+    ids explicitly (an all-duplicates corpus would re-pick the seed at
+    distance 0 otherwise). pick CTEs are empty once the corpus is
+    exhausted, so the chain self-truncates exactly like the Spark
+    side's break. Every CTE is explicitly MATERIALIZED: the chain references each stage twice (pick+next-md, NOT-IN+union), and DuckDB's inlining heuristic declined to materialize through the scalar-subquery join keys, going exponential in k (measured: >10 min at k=8 without, <1 s with)."""
+    parts = [f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    ch0 AS MATERIALIZED (
+        SELECT MIN(vid) AS vid, 0 AS sel_round,
+               CAST(NULL AS BIGINT) AS sq_gap
+        FROM qv
+    ),
+    md1 AS MATERIALIZED (
+        SELECT q.vid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+        FROM qv q
+        JOIN qv c ON c.pos = q.pos AND c.vid = (SELECT vid FROM ch0)
+        GROUP BY q.vid
+    )"""]
+    for r in range(1, k):
+        parts.append(f""",
+    pick{r} AS MATERIALIZED (
+        SELECT vid, d FROM md{r}
+        WHERE vid NOT IN (SELECT vid FROM ch{r - 1})
+        ORDER BY d DESC, vid ASC LIMIT 1
+    ),
+    ch{r} AS MATERIALIZED (
+        SELECT * FROM ch{r - 1}
+        UNION ALL SELECT vid, {r}, d FROM pick{r}
+    )""")
+        if r < k - 1:
+            parts.append(f""",
+    nd{r + 1} AS MATERIALIZED (
+        SELECT q.vid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+        FROM qv q
+        JOIN qv c ON c.pos = q.pos AND c.vid = (SELECT vid FROM pick{r})
+        GROUP BY q.vid
+    ),
+    md{r + 1} AS MATERIALIZED (
+        SELECT m.vid, LEAST(m.d, n.d) AS d
+        FROM md{r} m JOIN nd{r + 1} n USING (vid)
+    )""")
+    parts.append(f"""
+    SELECT vid, CAST(sel_round AS INTEGER) AS sel_round, sq_gap
+    FROM ch{k - 1}""")
+    return "".join(parts)
+
+
+@register(
+    "q_kcenter_select",
+    oracle=_kcenter_oracle(k=8),
+    survey_ops="greedy farthest-point k-center selection (§2.11 "
+    "similarity: diversity-aware subset selection — SemDeDup's "
+    "complement, picks k maximally-spread exemplars for labeling "
+    "budgets / eval probes / mixture diversification). k-1 "
+    "shuffle-free scans of the shared cached training frame, chosen "
+    "set as ONE plan literal, TakeOrdered(1) per round; oracle is "
+    "the greedy loop unrolled as chained CTEs with incremental "
+    "min-distance maintenance",
+)
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, "vec_id", "embedding", k=8)
+
+
 def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
     """Cluster-summary tail over the shared unrolled-Lloyd chain."""
     return _lloyd_cte_chain(k, n_iter) + f""",

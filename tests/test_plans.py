@@ -216,6 +216,6 @@ def test_registry_integrity():
     # alphabetical, so the driver's sample order is reproducible
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r12 window)
-    assert list(qs)[-2:] == [
-        "q_feed_catalog", "q_feed_stream_ledger",
+    assert list(qs)[-3:] == [
+        "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
     ]

@@ -503,6 +503,63 @@ def test_seam_cache_is_bounded_at_one_live_frame(spark):
     assert runs[0] == runs[1] == runs[2]
 
 
+def test_kcenter_select_matches_greedy_mirror(spark):
+    # greedy farthest-point selection bit-matches an independent pure-
+    # Python mirror (quantize → exact integer distances → argmax-min
+    # with lowest-id ties), and the degenerate corpora hold: smaller
+    # than k returns what exists; all-duplicates never re-picks a
+    # chosen id (explicit exclusion — distance-0 everywhere otherwise
+    # re-selects the seed)
+    from startup_data_pipeline_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    vecs = [
+        (i, [float((7 * i) % 13) / 3, float((5 * i) % 11) / 7, float(i % 4)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(vecs, "vid long, embedding array<float>")
+
+    def mirror(rows, k):
+        q = {i: [round(x * 10000) for x in v] for i, v in rows}
+        sq = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))  # noqa: E731
+        chosen = [(min(q), None)]
+        while len(chosen) < k and len(chosen) < len(q):
+            cand = [
+                (
+                    min(sq(q[v], q[c]) for c, _ in chosen),
+                    v,
+                )
+                for v in q
+                if v not in {c for c, _ in chosen}
+            ]
+            d, v = max((d, -v) for d, v in cand)[0], min(
+                v for d2, v in cand if d2 == max(c[0] for c in cand)
+            )
+            chosen.append((v, max(c[0] for c in cand)))
+        return [
+            (vid, i, gap) for i, (vid, gap) in enumerate(chosen)
+        ]
+
+    got = sorted(
+        map(tuple, kcenter_select(emb, "vid", "embedding", k=5).collect())
+    )
+    assert got == sorted(mirror(vecs, 5))
+
+    # corpus smaller than k
+    small = spark.createDataFrame(vecs[:3], "vid long, embedding array<float>")
+    assert kcenter_select(small, "vid", "embedding", k=8).count() == 3
+
+    # all-duplicates corpus: k distinct ids, every gap 0, no re-picks
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)], "vid long, embedding array<float>"
+    )
+    rows = sorted(
+        map(tuple, kcenter_select(dup, "vid", "embedding", k=4).collect())
+    )
+    assert rows == [(0, 0, None), (1, 1, 0), (2, 2, 0), (3, 3, 0)]
+
+
 def test_verdict_warn_listing_backs_off_geometrically(spark, tmp_path):
     # VERDICT r10 #6: with retention UNSET, the accretion warning's
     # dir listing ran on EVERY compaction epoch — O(#epoch-dirs) per
