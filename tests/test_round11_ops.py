@@ -399,6 +399,88 @@ def test_drain_available_now_recovers_crash_backlog_and_delta(
     assert got == sorted(f"https://x.example/{i}" for i in range(6))
 
 
+def test_feedscan_processing_time_stream_multi_batch_ledger(
+    spark, tmp_path
+):
+    # the RECOMMENDED live mode end-to-end: one processingTime stream,
+    # multiple batches, ledger offsets — growth lands as a delta batch
+    # WITHIN the same run (no restart), every checkpointed offset
+    # entry is a version cursor, and quiet triggers emit nothing
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+
+    docs = str(tmp_path / "docs.parquet")
+    ck, out, led = (
+        str(tmp_path / "ck"), str(tmp_path / "out"), str(tmp_path / "led")
+    )
+
+    def write_docs(n):
+        # atomic swap: a torn read would under-count a batch the
+        # offset then marks consumed — the same reason live feeds
+        # must serve immutable snapshots
+        tmp = docs + ".tmp"
+        pq.write_table(pa.table({"doc_id": list(range(n))}), tmp)
+        os.replace(tmp, docs)
+
+    def wait_rows(n, timeout=90):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return spark.read.parquet(out).count()
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    write_docs(4)
+    q = (
+        read_feeds_stream(
+            spark,
+            feeds=["https://feeds.example.com/feed-0"],
+            transport="documents",
+            documents_path=docs,
+            offset_ledger=led,
+            n_feeds=1,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_rows(4) == 4
+        write_docs(7)  # feed grows mid-stream: delta batch, no restart
+        assert wait_rows(7) == 7
+        time.sleep(2)  # a few quiet triggers
+        assert spark.read.parquet(out).count() == 7  # nothing re-emitted
+    finally:
+        q.stop()
+    ids = sorted(
+        int(r["url"].rsplit("/", 1)[1])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert ids == list(range(7))
+    # every offset-log entry is a version cursor, never a per-feed map
+    odir = os.path.join(ck, "offsets")
+    entries = [nm for nm in os.listdir(odir) if not nm.startswith(".")]
+    assert entries, "no offset-log entries written"
+    for nm in entries:  # (dotfiles are binary .crc sidecars)
+        with open(os.path.join(odir, nm)) as fh:
+            last = fh.read().splitlines()[-1]
+        assert "feeds.example.com" not in last
+    # the in-run commit callbacks pruned behind the committed version
+    assert len(os.listdir(led)) <= 2
+
+
 def test_feedscan_stream_refreshes_catalog_each_poll(tmp_path):
     # a long-running processingTime stream must see catalog growth
     # WITHOUT restart: every availability poll re-reads feeds_table
