@@ -804,11 +804,24 @@ def kcenter_select(
     radius curve.
     """
     qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    chosen = _kcenter_greedy(qdf, k)
+    return qdf.sparkSession.createDataFrame(
+        [(vid, i, gap) for i, (vid, _, gap) in enumerate(chosen)],
+        "vid long, sel_round int, sq_gap long",
+    )
+
+
+def _kcenter_greedy(
+    qdf: DataFrame, k: int
+) -> list[tuple[int, list[int], int | None]]:
+    """The greedy farthest-point core over an already-quantized
+    ``[vid, qv]`` frame: returns the chosen (vid, qv, sq_gap) list in
+    selection order (seed's gap is None). Shared by ``kcenter_select``
+    and ``kcenter_coverage_report`` so the audit assigns against the
+    EXACT selection it reports on."""
     seed = qdf.orderBy("vid").limit(1).collect()
-    spark = qdf.sparkSession
-    schema = "vid long, sel_round int, sq_gap long"
     if not seed:
-        return spark.createDataFrame([], schema)
+        return []
     chosen: list[tuple[int, list[int], int | None]] = [
         (int(seed[0]["vid"]), list(seed[0]["qv"]), None)
     ]
@@ -826,8 +839,67 @@ def kcenter_select(
         chosen.append(
             (int(best[0]["vid"]), list(best[0]["qv"]), int(best[0]["d"]))
         )
-    return spark.createDataFrame(
-        [(vid, i, gap) for i, (vid, _, gap) in enumerate(chosen)], schema
+    return chosen
+
+
+def kcenter_coverage_report(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Coverage audit for ``kcenter_select`` — the family's
+    audit-sibling pattern (``lsh_occupancy_report`` /
+    ``semdedup_cell_report`` analog): assign EVERY vector to its
+    nearest selected center (exact integer distances, ties to the
+    earliest-selected center) and report per-center occupancy and the
+    cell's max squared distance. The global max over ``max_sq_dist``
+    is the achieved k-center radius — the number the 2-approximation
+    bounds — and a lopsided ``n_assigned`` histogram is the
+    pre-flight read that says k is too small for the corpus's spread.
+
+    Scale: the greedy selection's k-1 scans (shared core, one cached
+    frame), then ONE assignment scan with the centers as a plan
+    literal and a k-group aggregate — no joins, no extra shuffle
+    beyond the k-row agg exchange.
+
+    Returns [center_vid, sel_round, n_assigned, max_sq_dist,
+    id_checksum] (checksum = sum of assigned vids — the
+    engine-invariant membership fingerprint, q_kmeans_clusters's
+    idiom)."""
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    chosen = _kcenter_greedy(qdf, k)
+    spark = qdf.sparkSession
+    schema = (
+        "center_vid long, sel_round int, n_assigned long, "
+        "max_sq_dist long, id_checksum long"
+    )
+    if not chosen:
+        return spark.createDataFrame([], schema)
+    dists = _sq_dists_all(F.col("qv"), [qv for _, qv, _ in chosen])
+    vid_lit = F.lit([vid for vid, _, _ in chosen]).cast("array<bigint>")
+    assigned = qdf.select(
+        "vid",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("sel_round"),
+        F.array_min(dists).alias("d"),
+    )
+    return (
+        assigned.groupBy("sel_round")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.max("d").alias("max_sq_dist"),
+            F.sum("vid").alias("id_checksum"),
+        )
+        .select(
+            F.element_at(vid_lit, F.col("sel_round") + 1)
+            .alias("center_vid"),
+            "sel_round",
+            "n_assigned",
+            "max_sq_dist",
+            "id_checksum",
+        )
     )
 
 

@@ -190,6 +190,7 @@ _PRIORITY: list[str] = [
     # backlog per the standing contract — they lead the r12 window as
     # the never-driver-sampled tranche):
     "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
+    "q_kcenter_coverage",
 ]
 
 

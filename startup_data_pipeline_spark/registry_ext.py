@@ -1008,7 +1008,7 @@ def _lloyd_cte_chain(k: int = 8, n_iter: int = 5) -> str:
     return "".join(parts)
 
 
-def _kcenter_oracle(k: int = 8) -> str:
+def _kcenter_cte_chain(k: int = 8) -> str:
     """Unrolled greedy farthest-point chain (the unrolled-Lloyd
     precedent): seed = lowest vid; per round, the min-distance-to-
     chosen-set column updates incrementally (LEAST of the previous
@@ -1061,10 +1061,43 @@ def _kcenter_oracle(k: int = 8) -> str:
         SELECT m.vid, LEAST(m.d, n.d) AS d
         FROM md{r} m JOIN nd{r + 1} n USING (vid)
     )""")
-    parts.append(f"""
-    SELECT vid, CAST(sel_round AS INTEGER) AS sel_round, sq_gap
-    FROM ch{k - 1}""")
     return "".join(parts)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    return _kcenter_cte_chain(k) + f"""
+    SELECT vid, CAST(sel_round AS INTEGER) AS sel_round, sq_gap
+    FROM ch{k - 1}"""
+
+
+def _kcenter_coverage_oracle(k: int = 8) -> str:
+    """Assignment tail over the shared greedy chain: every vector to
+    its nearest selected center, ties to the EARLIEST-selected (the
+    Spark side's array_position-argmin order), then the per-center
+    occupancy/radius/checksum aggregate."""
+    return _kcenter_cte_chain(k) + f""",
+    cent AS MATERIALIZED (
+        SELECT c.vid AS cvid, c.sel_round, q.pos, q.x
+        FROM ch{k - 1} c JOIN qv q USING (vid)
+    ),
+    pair AS MATERIALIZED (
+        SELECT q.vid, c.cvid, c.sel_round,
+               CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cvid, c.sel_round
+    ),
+    assign AS MATERIALIZED (
+        SELECT vid, cvid, sel_round, d FROM pair
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, sel_round ASC) = 1
+    )
+    SELECT cvid AS center_vid,
+           CAST(sel_round AS INTEGER) AS sel_round,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(MAX(d) AS BIGINT) AS max_sq_dist,
+           CAST(SUM(vid) AS BIGINT) AS id_checksum
+    FROM assign
+    GROUP BY cvid, sel_round"""
 
 
 @register(
@@ -1082,6 +1115,23 @@ def _kcenter_oracle(k: int = 8) -> str:
 def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kcenter_select(emb, "vec_id", "embedding", k=8)
+
+
+@register(
+    "q_kcenter_coverage",
+    oracle=_kcenter_coverage_oracle(k=8),
+    survey_ops="k-center coverage audit (§2.11 similarity: the "
+    "selection family's audit sibling, the lsh_occupancy/"
+    "semdedup_cells pattern) — per-center occupancy, cell max "
+    "squared distance (global max = the achieved k-center radius), "
+    "membership checksum; one assignment scan with literal centers + "
+    "a k-group aggregate",
+)
+def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_coverage_report(
+        emb, "vec_id", "embedding", k=8
+    )
 
 
 def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:

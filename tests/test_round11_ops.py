@@ -642,6 +642,43 @@ def test_kcenter_select_matches_greedy_mirror(spark):
     assert rows == [(0, 0, None), (1, 1, 0), (2, 2, 0), (3, 3, 0)]
 
 
+def test_kcenter_coverage_partitions_the_corpus(spark):
+    # the audit sibling: cells partition the (geometry-bearing) corpus
+    # exactly — occupancies sum to n, checksums sum to sum(vid), each
+    # selected center sits in a cell at distance 0, and an
+    # all-duplicates corpus collapses to ONE occupied cell (empty
+    # cells are absent from the report, matching the oracle's GROUP BY)
+    from startup_data_pipeline_spark.operators.similarity import (
+        kcenter_coverage_report,
+        kcenter_select,
+    )
+
+    vecs = [
+        (i, [float((7 * i) % 13) / 3, float((5 * i) % 11) / 7, float(i % 4)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(vecs, "vid long, embedding array<float>")
+    cov = {
+        r["center_vid"]: r
+        for r in kcenter_coverage_report(emb, "vid", "embedding", k=5).collect()
+    }
+    sel = kcenter_select(emb, "vid", "embedding", k=5).collect()
+    assert set(cov) == {r["vid"] for r in sel}
+    assert sum(r["n_assigned"] for r in cov.values()) == 30
+    assert sum(r["id_checksum"] for r in cov.values()) == sum(range(30))
+    for r in cov.values():
+        assert 0 <= r["max_sq_dist"]
+        assert r["n_assigned"] >= 1  # every center covers itself
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(6)], "vid long, embedding array<float>"
+    )
+    rows = kcenter_coverage_report(dup, "vid", "embedding", k=4).collect()
+    assert len(rows) == 1  # all distances 0 -> earliest center takes all
+    assert rows[0]["sel_round"] == 0 and rows[0]["n_assigned"] == 6
+    assert rows[0]["max_sq_dist"] == 0
+
+
 def test_verdict_warn_listing_backs_off_geometrically(spark, tmp_path):
     # VERDICT r10 #6: with retention UNSET, the accretion warning's
     # dir listing ran on EVERY compaction epoch — O(#epoch-dirs) per
