@@ -903,6 +903,83 @@ def kcenter_coverage_report(
     )
 
 
+def cross_split_proximity(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_modulus: int = 100,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """Embedding-space train/eval decontamination audit — the semantic
+    complement of ``dedup.cross_split_leakage`` (which catches n-gram
+    overlap): for every EVAL vector, the exact nearest TRAIN vector
+    and its squared distance. A near-zero distance means the eval item
+    has a semantic twin in training data that shingle-level checks
+    miss (paraphrase contamination); the distance distribution is the
+    eval set's validity evidence.
+
+    Split rule: ``id % eval_modulus == 0`` → eval, remainder → train
+    (deterministic, oracle-mirrored). Geometry-less vectors are
+    dropped on BOTH sides (``vector_has_geometry``).
+
+    Scale: the eval side of a proximity audit is small by definition —
+    it rides in the plan as ONE nested-array literal (the kcenter /
+    ``_sq_dists_all`` machinery), so the whole audit is a single
+    shuffle-free scan of train computing the per-row distance array,
+    a posexplode, and a map-side-combined min-struct aggregate whose
+    exchange carries |eval| rows per partition. No join, no broadcast,
+    no crossJoin. ``max_eval`` guards the plan-literal bound (the
+    semdedup 4096-clamp precedent): a larger eval set should route
+    through ``ivf_topk_trained``'s probe shape instead.
+
+    Returns [eval_id, nearest_train_id, sq_dist] — ties to the lowest
+    train id; eval vectors with NO train vector to compare against
+    (empty train side) simply do not appear.
+    """
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv")
+        )
+    )
+    ev = (
+        qdf.filter((F.col("vid") % eval_modulus) == 0)
+        .orderBy("vid")
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(ev) > max_eval:
+        raise ValueError(
+            f"cross_split_proximity: eval side exceeds max_eval="
+            f"{max_eval}; route large eval sets through the IVF probe "
+            "shape instead of the plan-literal audit"
+        )
+    spark = qdf.sparkSession
+    schema = "eval_id long, nearest_train_id long, sq_dist long"
+    if not ev:
+        return spark.createDataFrame([], schema)
+    eval_ids = [int(r["vid"]) for r in ev]
+    dists = _sq_dists_all(F.col("qv"), [list(r["qv"]) for r in ev])
+    ids_lit = F.lit(eval_ids).cast("array<bigint>")
+    return (
+        qdf.filter((F.col("vid") % eval_modulus) != 0)
+        .select(
+            F.col("vid").alias("train_id"),
+            F.posexplode(dists).alias("pos", "d"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("train_id"))).alias("__m")
+        )
+        .select(
+            F.element_at(ids_lit, F.col("pos") + 1).alias("eval_id"),
+            F.col("__m.train_id").alias("nearest_train_id"),
+            F.col("__m.d").alias("sq_dist"),
+        )
+    )
+
+
 def _seeded_route(
     embeddings: DataFrame,
     id_col: str,

@@ -105,7 +105,8 @@ _PRIORITY: list[str] = [
     #          horizon (every name below the boundary holds an r9 or
     #          r10 cert; the oldest certs in the registry are r6).
     # Round-11's own new registrations (q_feed_catalog,
-    # q_feed_stream_ledger) queue at the very end, behind the whole
+    # q_feed_stream_ledger, q_kcenter_select, q_kcenter_coverage,
+    # q_cross_split_proximity) queue at the very end, behind the whole
     # backlog, as every round's have — they lead the r12 window as the
     # never-driver-sampled tranche.
     # --- slots 1-3: the never-driver-sampled feedscan registrations ---
@@ -190,7 +191,7 @@ _PRIORITY: list[str] = [
     # backlog per the standing contract — they lead the r12 window as
     # the never-driver-sampled tranche):
     "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
-    "q_kcenter_coverage",
+    "q_kcenter_coverage", "q_cross_split_proximity",
 ]
 
 

@@ -1134,6 +1134,48 @@ def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_cross_split_proximity",
+    # embedding-space decontamination: id % 100 == 0 -> eval, rest ->
+    # train (both sides behind the shared geometry rule); per eval
+    # vector the exact nearest train vector by integer squared
+    # distance, ties to the lowest train id.
+    oracle=f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    pair AS (
+        SELECT e.vid AS eval_id, t.vid AS train_id,
+               CAST(SUM((e.x - t.x) * (e.x - t.x)) AS BIGINT) AS d
+        FROM qv e JOIN qv t USING (pos)
+        WHERE e.vid % 100 = 0 AND t.vid % 100 <> 0
+        GROUP BY e.vid, t.vid
+    )
+    SELECT eval_id, train_id AS nearest_train_id, d AS sq_dist
+    FROM pair
+    QUALIFY row_number() OVER (
+        PARTITION BY eval_id ORDER BY d ASC, train_id ASC) = 1
+    """,
+    survey_ops="embedding-space train/eval decontamination audit "
+    "(§2.11 dedup x split: the SEMANTIC complement of "
+    "q_cross_split_leakage's n-gram straddle — catches paraphrase "
+    "contamination shingles miss). Eval side as one plan literal "
+    "(bounded, the semdedup-clamp precedent) -> single shuffle-free "
+    "train scan + map-side-combined min-struct agg; no join, no "
+    "crossJoin",
+)
+def q_cross_split_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cross_split_proximity(
+        emb, "vec_id", "embedding", eval_modulus=100
+    )
+
+
 def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
     """Cluster-summary tail over the shared unrolled-Lloyd chain."""
     return _lloyd_cte_chain(k, n_iter) + f""",

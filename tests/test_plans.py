@@ -216,7 +216,7 @@ def test_registry_integrity():
     # alphabetical, so the driver's sample order is reproducible
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r12 window)
-    assert list(qs)[-4:] == [
+    assert list(qs)[-5:] == [
         "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
-        "q_kcenter_coverage",
+        "q_kcenter_coverage", "q_cross_split_proximity",
     ]

@@ -679,6 +679,53 @@ def test_kcenter_coverage_partitions_the_corpus(spark):
     assert rows[0]["max_sq_dist"] == 0
 
 
+def test_cross_split_proximity_exact_and_bounded(spark):
+    # the embedding-space decontamination audit: exact nearest-train
+    # per eval vector against a pure-Python mirror; a planted twin
+    # reports distance 0; empty eval -> empty frame; the plan-literal
+    # bound raises instead of silently building an oversized plan
+    import pytest
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        cross_split_proximity,
+    )
+
+    vecs = [
+        (i, [float((7 * i) % 13) / 3, float((5 * i) % 11) / 7])
+        for i in range(1, 40)
+    ] + [(0, [float((7 * 25) % 13) / 3, float((5 * 25) % 11) / 7])]
+    # vid 0 is eval (0 % 4 == 0) and is an exact twin of train vid 25
+    emb = spark.createDataFrame(vecs, "vid long, embedding array<float>")
+    got = {
+        r["eval_id"]: (r["nearest_train_id"], r["sq_dist"])
+        for r in cross_split_proximity(
+            emb, "vid", "embedding", eval_modulus=4
+        ).collect()
+    }
+
+    q = {i: [round(x * 10000) for x in v] for i, v in vecs}
+    sq = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b))  # noqa: E731
+    for e in [i for i in q if i % 4 == 0]:
+        d, t = min(
+            (sq(q[e], q[t]), t) for t in q if t % 4 != 0
+        )
+        assert got[e] == (t, d)
+    assert got[0] == (25, 0)  # the planted paraphrase twin
+
+    none_eval = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(1, 5)],
+        "vid long, embedding array<float>",
+    )
+    assert cross_split_proximity(
+        none_eval, "vid", "embedding", eval_modulus=100
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="max_eval"):
+        cross_split_proximity(
+            emb, "vid", "embedding", eval_modulus=1, max_eval=5
+        )
+
+
 def test_verdict_warn_listing_backs_off_geometrically(spark, tmp_path):
     # VERDICT r10 #6: with retention UNSET, the accretion warning's
     # dir listing ran on EVERY compaction epoch — O(#epoch-dirs) per
