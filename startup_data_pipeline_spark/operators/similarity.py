@@ -55,19 +55,46 @@ def int_dot(a: Column, b: Column) -> Column:
 
 TRAINING_ROWS_PER_TASK = 512
 
-# The one LIVE seam cache (ADVICE r10): each quantized_training_frame
-# call caches a fresh [vid, qv] frame, and without a lifecycle every
-# trained-family invocation left one cached relation behind for the
-# session's lifetime (CacheManager accretes; "already cached" warnings
-# in long sessions). Trained ops run train-then-route EAGERLY inside
-# one invocation and the engine's harnesses (driver, bench, verify)
-# consume queries sequentially, so at most one seam frame is hot at a
-# time: unpersisting the PREVIOUS call's frame bounds live seam caches
-# at one per session. A caller that re-collects an older trained
-# result afterwards still gets identical rows — the lineage recomputes
-# the quantize scan (results are partition-invariant by the engine's
-# determinism rules); only the cache hit is lost.
-_LIVE_TRAINING_FRAME: DataFrame | None = None
+# The one LIVE seam cache PER SESSION (ADVICE r10, r11): each
+# quantized_training_frame call caches a fresh [vid, qv] frame, and
+# without a lifecycle every trained-family invocation left one cached
+# relation behind for the session's lifetime (CacheManager accretes;
+# "already cached" warnings in long sessions). Trained ops run
+# train-then-route EAGERLY inside one invocation and the engine's
+# harnesses (driver, bench, verify) consume queries sequentially —
+# SINGLE-THREADED per session by contract — so at most one seam frame
+# is hot at a time: unpersisting the PREVIOUS call's frame bounds live
+# seam caches at one per session. Keyed by SparkSession in a
+# WeakKeyDictionary (the tables._MEMO idiom, ADVICE r11) so the cache
+# neither pins a stopped session's DataFrame alive nor lets one
+# session's call unpersist a frame cached in another session. A caller
+# that re-collects an older trained result afterwards still gets
+# identical rows — the lineage recomputes the quantize scan (results
+# are partition-invariant by the engine's determinism rules); only the
+# cache hit is lost.
+_LIVE_TRAINING_FRAME: "object" = None  # WeakKeyDictionary[SparkSession, DataFrame] | None
+
+
+def _swap_live_training_frame(qdf: DataFrame) -> None:
+    """Unpersist the session's previous seam frame; record ``qdf`` as
+    the session's one live frame. No-op bookkeeping if the session is
+    not weak-referenceable."""
+    global _LIVE_TRAINING_FRAME
+    spark = qdf.sparkSession
+    try:
+        import weakref
+
+        if _LIVE_TRAINING_FRAME is None:
+            _LIVE_TRAINING_FRAME = weakref.WeakKeyDictionary()
+        prev = _LIVE_TRAINING_FRAME.get(spark)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:  # stale relation: nothing to release
+                pass
+        _LIVE_TRAINING_FRAME[spark] = qdf
+    except TypeError:  # session not weak-referenceable: skip tracking
+        pass
 
 
 def quantized_training_frame(
@@ -96,12 +123,6 @@ def quantized_training_frame(
     training scans need anyway. Geometry-less vectors are dropped
     (``vector_has_geometry``) before anything else.
     """
-    global _LIVE_TRAINING_FRAME
-    if _LIVE_TRAINING_FRAME is not None:
-        try:
-            _LIVE_TRAINING_FRAME.unpersist()
-        except Exception:  # stale session/relation: nothing to release
-            pass
     qdf = (
         ensure_min_parallelism(embeddings)
         .filter(vector_has_geometry(vec_col))
@@ -110,7 +131,7 @@ def quantized_training_frame(
         )
         .cache()
     )
-    _LIVE_TRAINING_FRAME = qdf
+    _swap_live_training_frame(qdf)
     n = qdf.count()
     cap = max(1, -(-n // TRAINING_ROWS_PER_TASK))
     if cap < qdf.rdd.getNumPartitions():
@@ -795,8 +816,10 @@ def kcenter_select(
     idiom) followed by a TakeOrdered(1); the driver holds k vectors.
     Same driver-coordinated round-trip cost model as ``kmeans_fit``
     — constant in corpus size, amortized by executor count at 100 TB.
-    The DuckDB oracle re-derives the full greedy loop (unrolled CTE
-    chain, the unrolled-Lloyd precedent).
+    Because the rounds are SEQUENTIAL jobs, ``k`` clamps at
+    ``KCENTER_MAX_K`` (=512); see ``_kcenter_greedy`` for the
+    beyond-clamp route. The DuckDB oracle re-derives the full greedy
+    loop (unrolled CTE chain, the unrolled-Lloyd precedent).
 
     Returns [vid, sel_round, sq_gap]: selection order and the exact
     min squared distance to the previously-chosen set (NULL for the
@@ -811,6 +834,9 @@ def kcenter_select(
     )
 
 
+KCENTER_MAX_K = 512
+
+
 def _kcenter_greedy(
     qdf: DataFrame, k: int
 ) -> list[tuple[int, list[int], int | None]]:
@@ -818,7 +844,27 @@ def _kcenter_greedy(
     ``[vid, qv]`` frame: returns the chosen (vid, qv, sq_gap) list in
     selection order (seed's gap is None). Shared by ``kcenter_select``
     and ``kcenter_coverage_report`` so the audit assigns against the
-    EXACT selection it reports on."""
+    EXACT selection it reports on.
+
+    ``k`` is clamped at ``KCENTER_MAX_K`` (the family's guarded-shape
+    convention — semdedup clamps k at 4096, cross_split_proximity at
+    ``max_eval``): each greedy round is one sequential
+    driver-coordinated Spark job, so k jobs run back-to-back —
+    measured ~0.94 s/round at sf0.1 and ~1.36 s/round on the 10× sf1
+    replica (mostly fixed job-latency + plan-analysis cost, mildly
+    data-dependent; SCALE.md r12), so k=10⁴ would mean hours of
+    sequential jobs. Past the clamp, trade exactness for parallelism:
+    route through ``kmeans_fit`` (k centroids in n_iter jobs total)
+    and take each cluster's farthest-from-centroid member, or
+    k-means++-style sampled selection."""
+    if k > KCENTER_MAX_K:
+        raise ValueError(
+            f"kcenter greedy selection runs k-1 sequential driver-"
+            f"coordinated jobs; k={k} exceeds KCENTER_MAX_K="
+            f"{KCENTER_MAX_K}. For larger k use kmeans_fit (k clusters "
+            "in n_iter jobs) + per-cluster exemplars instead of exact "
+            "greedy selection."
+        )
     seed = qdf.orderBy("vid").limit(1).collect()
     if not seed:
         return []

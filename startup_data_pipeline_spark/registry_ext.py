@@ -1028,9 +1028,13 @@ def _kcenter_cte_chain(k: int = 8) -> str:
         WHERE {VEC_GEOMETRY_SQL}
     ),
     ch0 AS MATERIALIZED (
+        -- HAVING guards the empty corpus (ADVICE r11): a bare MIN()
+        -- over zero rows yields one (NULL, 0, NULL) row while the
+        -- Spark side's empty-seed branch returns zero rows.
         SELECT MIN(vid) AS vid, 0 AS sel_round,
                CAST(NULL AS BIGINT) AS sq_gap
         FROM qv
+        HAVING MIN(vid) IS NOT NULL
     ),
     md1 AS MATERIALIZED (
         SELECT q.vid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d

