@@ -73,9 +73,10 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-11 window: the never-driver-sampled feedscan tranche leads
-    # (VERDICT r10 "Next round" #1), then this round's changed-operator
-    # canaries, then newest-first freshness backfill.
+    # Round-12 window: the never-driver-sampled round-11 tranche leads
+    # (VERDICT r11 "Next round" #1), then this round's changed-operator
+    # canaries, then the freshness backfill — flipped to OLDEST-FIRST
+    # (VERDICT r11 #2).
     #
     # WINDOW RULE (standing, per VERDICT r6 #7): whenever a certified
     # operator's CODE, ORACLE, or plan shape changes in a round, a
@@ -83,115 +84,112 @@ _PRIORITY: list[str] = [
     # round's driver rotation — local oracle hash-parity alone does not
     # substitute for a driver row.
     #
+    # FRESHNESS ROTATION (amended r12, replacing the burn-down-era
+    # newest-first rule): backfill slots go to the queries holding the
+    # OLDEST driver certs, alphabetical within a tranche. Newest-first
+    # structurally never reached the tail once the burn-down ended
+    # (~5 new registrations + ~43 backfill slots per round re-certified
+    # the same recent names forever); oldest-first retires the oldest
+    # tranche each round, so with 218 registered and ~43 slots/round
+    # every cert stays within a ~5-round horizon.
+    #
     # Slot layout (50):
-    #   1-3    the three round-10 registrations the driver has NEVER
-    #          sampled (judge-verified 3/3 hash-green last session):
-    #          q_feed_datasource, q_feed_pipeline, q_feed_stream. All
-    #          three ALSO changed this round (RFC-2822 naive-pubDate
-    #          UTC fix per ADVICE r10; feeds_table catalog option;
-    #          batched available_counts; versioned offset ledger;
-    #          reader __getstate__ task-payload trim), so the slots
-    #          double as canaries;
-    #   4-7    round-11 canaries: q_flagship (articles_source flag —
-    #          the registered query runs the default parquet path, but
-    #          the function body changed), plus the three seam
-    #          consumers whose cache lifecycle changed
-    #          (quantized_training_frame now unpersists the previous
-    #          live frame, ADVICE r10): q_kmeans_clusters,
-    #          q_ann_ivf_trained, q_semdedup_trained;
-    #   8-50   newest-first backfill: the round-10-certified tranche,
-    #          alphabetical, minus names already holding earlier slots
-    #          — keeps the whole registry inside a 5-round freshness
-    #          horizon (every name below the boundary holds an r9 or
-    #          r10 cert; the oldest certs in the registry are r6).
-    # Round-11's own new registrations (q_feed_catalog,
-    # q_feed_stream_ledger, q_kcenter_select, q_kcenter_coverage,
-    # q_cross_split_proximity) queue at the very end, behind the whole
-    # backlog, as every round's have — they lead the r12 window as the
-    # never-driver-sampled tranche.
-    # --- slots 1-3: the never-driver-sampled feedscan registrations ---
+    #   1-5    the five round-11 registrations the driver has NEVER
+    #          sampled (judge-verified 5/5 hash-green last session):
+    #          q_feed_catalog, q_feed_stream_ledger, q_kcenter_select,
+    #          q_kcenter_coverage, q_cross_split_proximity. All five
+    #          ALSO changed this round (ADVICE r11: process-scoped
+    #          feedscan temp root; kcenter oracle empty-corpus guard;
+    #          VERDICT r11 #4 kcenter k clamp; #3 beyond-clamp
+    #          ValueError retarget), so the slots double as canaries;
+    #   6-11   round-12 canaries: q_feed_datasource / q_feed_pipeline /
+    #          q_feed_stream (feedsource ledger-cursor migration guard,
+    #          ADVICE r11) and q_kmeans_clusters / q_ann_ivf_trained /
+    #          q_semdedup_trained (seam cache re-keyed per
+    #          SparkSession, ADVICE r11);
+    #   12-50  oldest-first backfill: the round-6-certified tranche
+    #          (the registry's oldest certs), alphabetical.
+    # Round-12's own new registrations queue at the very end, behind
+    # the whole backlog, as every round's have — they lead the r13
+    # window as the never-driver-sampled tranche.
+    # --- slots 1-5: the never-driver-sampled round-11 registrations ---
+    "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
+    "q_kcenter_coverage", "q_cross_split_proximity",
+    # --- slots 6-11: round-12 canaries (ADVICE r11 code changes) ---
     "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
-    # --- slots 4-7: round-11 canaries (flagship flag + seam lifecycle) ---
-    "q_flagship", "q_kmeans_clusters", "q_ann_ivf_trained",
-    "q_semdedup_trained",
-    # --- slots 8-50: newest-first backfill (round-10-certified) ---
-    "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk", "q_bfs_hops",
-    "q_capped_vector_recovery", "q_centroid_classify", "q_cluster_margin",
-    "q_cohort_retention", "q_contamination_check", "q_curriculum_order",
-    "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
-    "q_embedding_near_dup", "q_embedding_quantize", "q_frame_sample",
-    "q_grouping_sets", "q_hard_negatives", "q_heavy_hitters",
-    "q_image_dhash_pairs", "q_incremental_ann_gate",
-    "q_incremental_dedup_gate", "q_kmeans_assign", "q_knn_graph",
-    "q_lsh_occupancy", "q_mad_outliers", "q_rrf_fusion",
-    "q_sample_allocation", "q_score_percentile_norm", "q_script_profile",
-    "q_seasonal_anomaly", "q_semdedup", "q_semdedup_cells",
-    "q_session_paths", "q_shingle_containment", "q_sliding_distinct",
-    "q_split_balance", "q_stl_decompose", "q_stream_markov",
-    "q_token_budget_select", "q_upsample_epochs", "q_user_entropy",
-    "q_vocab_growth",
-    # --- 50-slot window boundary ---
-    # round-10-certified remainder (alphabetical continuation):
-    "q_winsorize", "q_wow_growth", "q_zorder_key",
-    # round-9-window-certified names (driver-green r9), window order:
-    "q_capped_recovery", "q_lsh_pairs", "q_dedup_survivors",
-    "q_dup_cluster_stats", "q_triangle_count", "q_soft_dedup_weights",
-    "q_degree_hist", "q_cross_split_leakage", "q_stream_dedup",
-    "q_winnow_fingerprints", "q_lsh_precision", "q_curation_pipeline",
-    "q_sequence_pack", "q_set_ops", "q_sketch_rollup", "q_skyline_pareto",
-    "q_tfidf_top_terms", "q_time_parse", "q_token_stats", "q_topk_other",
-    "q_train_split", "q_unpivot_metrics", "q_vocab_coverage",
-    "q_activity_streaks", "q_audio_features", "q_boilerplate_strip",
-    "q_bpe_merge_pairs", "q_cdc_compact", "q_conversion_latency",
-    "q_cooccur_lift", "q_cusum_shift", "q_distance_histogram",
-    "q_doc_novelty", "q_domain_signature", "q_group_mode",
-    "q_join_skew_profile", "q_kwic_snippets", "q_lm_score",
-    "q_markov_transitions", "q_max_concurrency", "q_nearest_click",
-    "q_pagerank", "q_pq_ann", "q_pq_encode", "q_quant_calibration",
-    "q_ri_audit",
-    # round-6 certified, alphabetical:
-    "q_alert_filter", "q_anti_join_seen", "q_asof_join", "q_ats_greenhouse",
-    "q_ats_jsonld_fallback", "q_ats_lever", "q_blocklist_filter",
-    "q_bloom_semi_join", "q_cap_newest", "q_careers_link", "q_cube_lineitem",
-    "q_customer_distribution", "q_deterministic_sample",
-    "q_doc_length_percentiles", "q_event_gaps", "q_exact_dedup",
-    "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs", "q_json_extract",
-    "q_json_repair", "q_json_serialize", "q_keyword_filter",
+    "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
+    # --- slots 12-50: oldest-first backfill (round-6 certs, alpha) ---
+    "q_alert_filter", "q_anti_join_seen", "q_approx_stats", "q_asof_join",
+    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
+    "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
+    "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
+    "q_deterministic_sample", "q_doc_length_percentiles", "q_event_gaps",
+    "q_exact_dedup", "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs",
+    "q_json_extract", "q_json_repair", "q_json_serialize", "q_keyword_filter",
     "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
     "q_pricing_summary", "q_provider_map", "q_range_join", "q_recency_filter",
     "q_rollup_orders", "q_running_total", "q_scd2_history", "q_score_topk",
     "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
-    "q_shipping_priority", "q_sliding_window", "q_snapshot_diff",
-    "q_tier_case", "q_tld_explode", "q_tumbling_window",
-    "q_udtf_char_windows", "q_union_sources", "q_upsert_merge",
-    "q_waterfall_coalesce", "q_window_topk", "q_approx_stats",
-    # round-7 certified, alphabetical:
+    "q_shipping_priority",
+    # --- 50-slot window boundary ---
+    # round-6 remainder (alphabetical continuation — next-oldest certs):
+    "q_sliding_window", "q_snapshot_diff", "q_tier_case", "q_tld_explode",
+    "q_tumbling_window", "q_udtf_char_windows", "q_union_sources",
+    "q_upsert_merge", "q_waterfall_coalesce", "q_window_topk",
+    # round-7-certified tranche, alphabetical:
     "q_best_supplier_per_part", "q_bpe_tokens", "q_chunk_documents",
     "q_connector_pipeline", "q_currency_parse", "q_customers_no_orders",
     "q_decode_image", "q_disjunctive_part_revenue", "q_dq_metrics",
     "q_dup_span_rate", "q_ewma", "q_excess_shippers", "q_fingerprint",
     "q_forecast_revenue", "q_funnel_stages", "q_histogram_drift",
     "q_jsonl_source", "q_ks_two_sample", "q_lang_id", "q_large_orders",
-    "q_market_share", "q_moving_median", "q_name_normalize",
-    "q_nation_volume", "q_ntile_deciles", "q_priority_line_counts",
-    "q_product_profit", "q_promo_revenue", "q_quality_score",
-    "q_repetition_stats", "q_resize_image", "q_returned_revenue", "q_simhash",
-    "q_simhash_pairs", "q_snapshot_novelty", "q_sql_surface",
-    "q_stratified_sample", "q_stream_funnel", "q_stream_sessionize",
-    "q_stream_stateful_totals", "q_stream_tumbling", "q_token_entropy",
-    "q_url_parse", "q_variant_json", "q_minhash_signatures",
-    # remaining round-8-certified names:
+    "q_market_share", "q_minhash_signatures", "q_moving_median",
+    "q_name_normalize", "q_nation_volume", "q_ntile_deciles",
+    "q_priority_line_counts", "q_product_profit", "q_promo_revenue",
+    "q_quality_score", "q_repetition_stats", "q_resize_image",
+    "q_returned_revenue", "q_simhash", "q_simhash_pairs",
+    "q_snapshot_novelty", "q_sql_surface", "q_stratified_sample",
+    "q_stream_funnel", "q_stream_sessionize", "q_stream_stateful_totals",
+    "q_stream_tumbling", "q_token_entropy", "q_url_parse", "q_variant_json",
+    # round-8-certified tranche, alphabetical:
     "q_multimodal_features", "q_name_fuzzy_match", "q_near_dup_components",
     "q_ngram_jaccard", "q_pii_scrub", "q_pivot_status", "q_quality_gate",
     "q_rare_token_docs", "q_reservoir_sample", "q_salted_join",
     "q_segment_dedup", "q_simhash64_band_stats", "q_simhash64_pairs",
     "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
     "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
-    # round-11 registrations (the round's quota, behind the whole
-    # backlog per the standing contract — they lead the r12 window as
-    # the never-driver-sampled tranche):
-    "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
-    "q_kcenter_coverage", "q_cross_split_proximity",
+    # round-9-certified tranche, alphabetical:
+    "q_activity_streaks", "q_audio_features", "q_boilerplate_strip",
+    "q_bpe_merge_pairs", "q_capped_recovery", "q_cdc_compact",
+    "q_conversion_latency", "q_cooccur_lift", "q_cross_split_leakage",
+    "q_curation_pipeline", "q_cusum_shift", "q_dedup_survivors",
+    "q_degree_hist", "q_distance_histogram", "q_doc_novelty",
+    "q_domain_signature", "q_dup_cluster_stats", "q_group_mode",
+    "q_join_skew_profile", "q_kwic_snippets", "q_lm_score", "q_lsh_pairs",
+    "q_lsh_precision", "q_markov_transitions", "q_max_concurrency",
+    "q_nearest_click", "q_pagerank", "q_pq_ann", "q_pq_encode",
+    "q_quant_calibration", "q_ri_audit", "q_sequence_pack", "q_set_ops",
+    "q_sketch_rollup", "q_skyline_pareto", "q_soft_dedup_weights",
+    "q_stream_dedup", "q_tfidf_top_terms", "q_time_parse", "q_token_stats",
+    "q_topk_other", "q_train_split", "q_triangle_count", "q_unpivot_metrics",
+    "q_vocab_coverage", "q_winnow_fingerprints",
+    # round-10/11-certified tranche (the newest certs), alphabetical,
+    # minus names already holding window slots above:
+    "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk", "q_bfs_hops",
+    "q_capped_vector_recovery", "q_centroid_classify", "q_cluster_margin",
+    "q_cohort_retention", "q_contamination_check", "q_curriculum_order",
+    "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
+    "q_embedding_near_dup", "q_embedding_quantize", "q_flagship",
+    "q_frame_sample", "q_grouping_sets", "q_hard_negatives",
+    "q_heavy_hitters", "q_image_dhash_pairs", "q_incremental_ann_gate",
+    "q_incremental_dedup_gate", "q_kmeans_assign", "q_knn_graph",
+    "q_lsh_occupancy", "q_mad_outliers", "q_rrf_fusion",
+    "q_sample_allocation", "q_score_percentile_norm", "q_script_profile",
+    "q_seasonal_anomaly", "q_semdedup", "q_semdedup_cells", "q_session_paths",
+    "q_shingle_containment", "q_sliding_distinct", "q_split_balance",
+    "q_stl_decompose", "q_stream_markov", "q_token_budget_select",
+    "q_upsample_epochs", "q_user_entropy", "q_vocab_growth", "q_winsorize",
+    "q_wow_growth", "q_zorder_key",
 ]
 
 
