@@ -998,8 +998,9 @@ def cross_split_proximity(
     if len(ev) > max_eval:
         raise ValueError(
             f"cross_split_proximity: eval side exceeds max_eval="
-            f"{max_eval}; route large eval sets through the IVF probe "
-            "shape instead of the plan-literal audit"
+            f"{max_eval}; use cross_split_proximity_large (the trained "
+            "IVF probe shape — eval rides as a real DataFrame, exact "
+            "within probed cells) instead of the plan-literal audit"
         )
     spark = qdf.sparkSession
     schema = "eval_id long, nearest_train_id long, sq_dist long"
@@ -1020,6 +1021,102 @@ def cross_split_proximity(
         )
         .select(
             F.element_at(ids_lit, F.col("pos") + 1).alias("eval_id"),
+            F.col("__m.train_id").alias("nearest_train_id"),
+            F.col("__m.d").alias("sq_dist"),
+        )
+    )
+
+
+def cross_split_proximity_large(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_modulus: int = 100,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """``cross_split_proximity`` beyond the ``max_eval`` clamp (VERDICT
+    r11 #3) — the production decontamination shape: real eval suites
+    are 10⁴–10⁶ items, far past any plan-literal bound, so the eval
+    side rides as a REAL DataFrame routed through the trained IVF
+    probe machinery (``ivf_topk_trained``'s cell shape) instead of a
+    literal.
+
+    Plan: ``kmeans_fit_quantized`` trains the coarse quantizer on the
+    TRAIN side only (the eval set must not shape the index it is
+    audited against); the learned centroids ride as ONE nested-array
+    plan literal, so BOTH the train-member cell assignment and the
+    eval probe routing are shuffle-free scans of the shared cached
+    frame. Eval probes broadcast (|eval|·n_probe rows — bounded by
+    broadcast memory, not plan-literal size, the semdedup_trained
+    upgrade), the cell join bounds candidates at |cell|·n_probe per
+    eval, and the per-eval nearest is a map-side-combined min-struct
+    aggregate (ties to the lowest train id, the base operator's
+    contract).
+
+    PROBE-RECALL CONTRACT (documented, oracle-mirrored): the result is
+    EXACT over the train members of each eval vector's ``n_probe``
+    nearest trained cells — the FAISS-IVF recall model. If the true
+    global nearest train vector lives outside those cells, the
+    reported ``sq_dist`` is an upper bound on the true distance (safe
+    direction for contamination screening at a fixed radius: a
+    sub-threshold reported distance is always a true near-twin;
+    raising ``n_probe`` trades cost for recall, ``n_probe = n_clusters``
+    is exhaustive and exactly reproduces ``cross_split_proximity``).
+    An eval vector whose probed cells hold NO train member does not
+    appear (the base operator's empty-train convention, per cell).
+
+    Same split rule and output schema as ``cross_split_proximity``:
+    ``id % eval_modulus == 0`` → eval; [eval_id, nearest_train_id,
+    sq_dist]; geometry-less vectors dropped on both sides.
+    """
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    is_eval = (F.col("vid") % eval_modulus) == 0
+    train = qdf.filter(~is_eval)
+    _assigned, centroids = kmeans_fit_quantized(
+        train, k=n_clusters, n_iter=n_iter
+    )
+    spark = qdf.sparkSession
+    schema = "eval_id long, nearest_train_id long, sq_dist long"
+    if not centroids:  # empty train side: nothing to compare against
+        return spark.createDataFrame([], schema)
+    dists = _sq_dists_all(F.col("qv"), centroids)
+    # (distance, cell) structs sort lexicographically → nearest cells
+    # first, ties to the lowest cell index (ivf_topk_trained's idiom)
+    ranked = F.array_sort(
+        F.transform(
+            dists,
+            lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid")),
+        )
+    )
+    members = train.select(
+        F.col("vid").alias("train_id"),
+        F.col("qv").alias("tv"),
+        F.element_at(ranked, 1)["cid"].alias("cid"),
+    )
+    probes = qdf.filter(is_eval).select(
+        F.col("vid").alias("eval_id"),
+        F.col("qv").alias("ev"),
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+        ).alias("cid"),
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("ev"), F.col("tv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        F.broadcast(probes)
+        .join(members, "cid")
+        .select("eval_id", "train_id", sq.alias("d"))
+        .groupBy("eval_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("train_id"))).alias("__m"))
+        .select(
+            "eval_id",
             F.col("__m.train_id").alias("nearest_train_id"),
             F.col("__m.d").alias("sq_dist"),
         )

@@ -190,6 +190,10 @@ _PRIORITY: list[str] = [
     "q_stl_decompose", "q_stream_markov", "q_token_budget_select",
     "q_upsample_epochs", "q_user_entropy", "q_vocab_growth", "q_winsorize",
     "q_wow_growth", "q_zorder_key",
+    # round-12 registrations (the round's quota, behind the whole
+    # backlog per the standing contract — they lead the r13 window as
+    # the never-driver-sampled tranche):
+    "q_cross_split_proximity_large",
 ]
 
 

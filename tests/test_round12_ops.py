@@ -94,6 +94,86 @@ def test_seam_cache_keyed_by_session(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r11 #3: the beyond-clamp decontamination route
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def prox_emb(spark):
+    # 120 vectors in 3 well-separated lobes so trained cells are
+    # meaningful; ids 0,10,20,... are the eval split (modulus 10)
+    def vec(i):
+        lobe = i % 3
+        return [
+            float(lobe * 10 + (i % 7) * 0.01),
+            float(lobe * -10 + (i % 5) * 0.01),
+            float((i % 11) * 0.01),
+        ]
+
+    return spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_proximity_large_exhaustive_probe_matches_exact(spark, prox_emb):
+    from startup_data_pipeline_spark.operators import similarity
+
+    exact = rows(
+        similarity.cross_split_proximity(
+            prox_emb, "vec_id", "embedding", eval_modulus=10
+        )
+    )
+    # n_probe = n_clusters probes every cell -> exactly the base audit
+    full = rows(
+        similarity.cross_split_proximity_large(
+            prox_emb, "vec_id", "embedding", eval_modulus=10,
+            n_clusters=4, n_iter=3, n_probe=4,
+        )
+    )
+    assert full == exact and len(exact) == 12
+
+
+def test_proximity_large_reported_distance_is_upper_bound(spark, prox_emb):
+    from startup_data_pipeline_spark.operators import similarity
+
+    exact = {
+        r[0]: r[2]
+        for r in rows(
+            similarity.cross_split_proximity(
+                prox_emb, "vec_id", "embedding", eval_modulus=10
+            )
+        )
+    }
+    probed = rows(
+        similarity.cross_split_proximity_large(
+            prox_emb, "vec_id", "embedding", eval_modulus=10,
+            n_clusters=4, n_iter=3, n_probe=1,
+        )
+    )
+    assert probed  # the narrow probe still finds candidates
+    for eval_id, _train_id, d in probed:
+        assert d >= exact[eval_id]  # probe-recall contract: upper bound
+
+
+def test_proximity_large_empty_train_side(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    # every id is divisible by the modulus -> train side empty
+    emb = spark.createDataFrame(
+        [(i * 10, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cross_split_proximity_large(
+        emb, "vec_id", "embedding", eval_modulus=10
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "eval_id", "nearest_train_id", "sq_dist",
+    ]
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r11 #4: feedscan queries share one process-scoped temp root
 # ---------------------------------------------------------------------------
 
