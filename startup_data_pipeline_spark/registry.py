@@ -193,7 +193,7 @@ _PRIORITY: list[str] = [
     # round-12 registrations (the round's quota, behind the whole
     # backlog per the standing contract — they lead the r13 window as
     # the never-driver-sampled tranche):
-    "q_cross_split_proximity_large",
+    "q_cross_split_proximity_large", "q_curation_diversify",
 ]
 
 

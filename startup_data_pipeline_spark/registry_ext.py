@@ -1012,7 +1012,9 @@ def _lloyd_cte_chain(
     return "".join(parts)
 
 
-def _kcenter_cte_chain(k: int = 8) -> str:
+def _kcenter_cte_chain(
+    k: int = 8, prelude: str = "", qv_body: str | None = None
+) -> str:
     """Unrolled greedy farthest-point chain (the unrolled-Lloyd
     precedent): seed = lowest vid; per round, the min-distance-to-
     chosen-set column updates incrementally (LEAST of the previous
@@ -1021,15 +1023,21 @@ def _kcenter_cte_chain(k: int = 8) -> str:
     ids explicitly (an all-duplicates corpus would re-pick the seed at
     distance 0 otherwise). pick CTEs are empty once the corpus is
     exhausted, so the chain self-truncates exactly like the Spark
-    side's break. Every CTE is explicitly MATERIALIZED: the chain references each stage twice (pick+next-md, NOT-IN+union), and DuckDB's inlining heuristic declined to materialize through the scalar-subquery join keys, going exponential in k (measured: >10 min at k=8 without, <1 s with)."""
-    parts = [f"""
-    WITH qv AS MATERIALIZED (
+    side's break. Every CTE is explicitly MATERIALIZED: the chain references each stage twice (pick+next-md, NOT-IN+union), and DuckDB's inlining heuristic declined to materialize through the scalar-subquery join keys, going exponential in k (measured: >10 min at k=8 without, <1 s with).
+
+    ``prelude`` injects CTEs before qv (must end with a comma);
+    ``qv_body`` overrides the selection universe — the composed
+    curation oracle feeds the SemDeDup-survivor set here."""
+    if qv_body is None:
+        qv_body = f"""
         SELECT vec_id AS vid,
                generate_subscripts(embedding, 1) AS pos,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS x
         FROM embeddings
-        WHERE {VEC_GEOMETRY_SQL}
+        WHERE {VEC_GEOMETRY_SQL}"""
+    parts = [f"""
+    WITH {prelude}qv AS MATERIALIZED ({qv_body}
     ),
     ch0 AS MATERIALIZED (
         -- HAVING guards the empty corpus (ADVICE r11): a bare MIN()
@@ -1253,6 +1261,171 @@ def q_cross_split_proximity_large(
     return similarity.cross_split_proximity_large(
         emb, "vec_id", "embedding", eval_modulus=10,
         n_clusters=8, n_iter=5, n_probe=2,
+    )
+
+
+def _curation_diversify_oracle(k: int = 8, budget: int = 250) -> str:
+    """The composed curation pipeline re-derived end to end: the
+    q_semdedup routing/verdict CTEs (auto-k seeded cells, 512 cap,
+    lowest-id winner) produce the survivor set; the greedy k-center
+    chain runs over ONLY the survivors (qv_body override); the
+    token-budget tail is q_token_budget_select's naive global window
+    over the exemplars' documents."""
+    from .registry_text import _TOKS
+
+    prelude = f"""meta AS (
+        SELECT GREATEST(8, LEAST(
+            CAST(ceil(COUNT(*) / 64.0) AS INTEGER), 4096)) AS k
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    sdqv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    sdseeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM sdqv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= (SELECT k FROM meta)
+    ),
+    sdcent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM sdseeds s JOIN sdqv q USING (vid)
+    ),
+    sddist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM sdqv q JOIN sdcent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    sdassign0 AS (
+        SELECT vid, cluster FROM sddist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    sdcsz AS (
+        SELECT cluster, COUNT(*) AS cc FROM sdassign0 GROUP BY cluster
+    ),
+    sdassignF AS (
+        SELECT a.vid, a.cluster FROM sdassign0 a JOIN sdcsz USING (cluster)
+        WHERE cc <= 512
+    ),
+    sdpairs AS (
+        SELECT a.vid AS id_a, b.vid AS id_b,
+               CAST(SUM(qa.x * qb.x) AS BIGINT) AS score
+        FROM sdassignF a
+        JOIN sdassignF b ON a.cluster = b.cluster AND a.vid < b.vid
+        JOIN sdqv qa ON qa.vid = a.vid
+        JOIN sdqv qb ON qb.vid = b.vid AND qb.pos = qa.pos
+        GROUP BY a.vid, b.vid
+    ),
+    sddropped AS (
+        SELECT id_b AS vid FROM sdpairs WHERE score >= 32000000
+        GROUP BY id_b
+    ),
+    kept AS MATERIALIZED (
+        SELECT a.vid FROM sdassignF a
+        LEFT JOIN sddropped d USING (vid)
+        WHERE d.vid IS NULL
+    ),
+    """
+    chain = _kcenter_cte_chain(
+        k,
+        prelude=prelude,
+        qv_body="""
+        SELECT q.vid, q.pos, q.x FROM sdqv q
+        JOIN kept USING (vid)""",
+    )
+    return chain + f""",
+    scored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                    AS BIGINT) AS diversity_ppm
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    cand AS (
+        SELECT s.doc_id, c.sel_round, s.diversity_ppm, s.n_tokens
+        FROM scored s JOIN ch{k - 1} c ON c.vid = s.doc_id
+    )
+    SELECT doc_id, CAST(sel_round AS INTEGER) AS sel_round,
+           diversity_ppm, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY diversity_ppm DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+    FROM cand
+    QUALIFY cum_before < {budget}"""
+
+
+@register(
+    "q_curation_diversify",
+    oracle=_curation_diversify_oracle(k=8, budget=250),
+    survey_ops="the composed curation pipeline (§2.11, VERDICT r11 #5: "
+    "dedup -> diversify -> budget-select on one lineage): SemDeDup "
+    "survivors (auto-k cells, 512 cap) feed greedy k-center selection "
+    "(k=8 exemplars over ONLY the survivor frame — the cached "
+    "quantized frame is built from the semi-joined lineage, no "
+    "materialization between stages), exemplars join to their "
+    "documents, token_budget_select cuts to a 250-token budget "
+    "(two-level distributed prefix sum). Oracle re-derives all three "
+    "stages: semdedup verdict CTEs -> survivor-restricted greedy "
+    "chain -> naive global budget window",
+)
+def q_curation_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = similarity.semdedup(
+        emb, "vec_id", "embedding", min_score=32_000_000,
+        target_cluster=64, max_cluster=512,
+    )
+    kept = verdicts.filter(F.col("is_kept")).select("vid")
+    survivors = emb.join(
+        kept, emb["vec_id"] == kept["vid"], "left_semi"
+    )
+    exemplars = similarity.kcenter_select(
+        survivors, "vec_id", "embedding", k=8
+    )
+    t = text.tokens(F.col("text"))
+    scored = (
+        docs.select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("__nd"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "diversity_ppm",
+            F.expr("(1000000 * __nd) div n_tokens").cast("long"),
+        )
+        .drop("__nd")
+    )
+    cand = scored.join(
+        F.broadcast(
+            exemplars.select(
+                F.col("vid").alias("doc_id"), "sel_round"
+            )
+        ),
+        "doc_id",
+    )
+    sel = text.token_budget_select(
+        cand.select("doc_id", "diversity_ppm", "n_tokens"),
+        "doc_id", "diversity_ppm", "n_tokens", budget=250,
+    )
+    return sel.join(
+        F.broadcast(
+            exemplars.select(F.col("vid").alias("doc_id"), "sel_round")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", "sel_round", "diversity_ppm", "n_tokens", "cum_before"
     )
 
 

@@ -174,6 +174,34 @@ def test_proximity_large_empty_train_side(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r11 #5: the composed curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_curation_diversify_composes(spark):
+    # dedup -> diversify: an exact-duplicate pair must contribute at
+    # most ONE exemplar, and kcenter must run over the SURVIVOR frame
+    # (the duplicate's id never appears among exemplars).
+    from startup_data_pipeline_spark.operators import similarity
+
+    base = [(i, [float(i * 3), float(-i * 2)]) for i in range(10)]
+    dup = [(100, base[4][1])]  # exact duplicate of vid 4 -> dropped
+    emb = spark.createDataFrame(
+        base + dup, "vec_id long, embedding array<float>"
+    )
+    verdicts = similarity.semdedup(
+        emb, "vec_id", "embedding", min_score=1,
+        target_cluster=64, max_cluster=512,
+    )
+    kept = verdicts.filter(F.col("is_kept")).select("vid")
+    assert 100 not in {r["vid"] for r in kept.collect()}
+    survivors = emb.join(kept, emb["vec_id"] == kept["vid"], "left_semi")
+    ex = similarity.kcenter_select(survivors, "vec_id", "embedding", k=4)
+    chosen = {r["vid"] for r in ex.collect()}
+    assert 100 not in chosen and len(chosen) == 4
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r11 #4: feedscan queries share one process-scoped temp root
 # ---------------------------------------------------------------------------
 
