@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Ledger-dir hygiene probe for the feedscan versioned offset ledger
+(VERDICT r11 "Next round" #6, SCALE.md evidence).
+
+Worst case for the ledger design: a ``processingTime`` stream whose
+feed universe changes on EVERY trigger. Each changed state writes one
+atomically-renamed JSON file (~4.3 MB at 100k feeds) and ``commit``
+prunes by listing the dir — the question is whether the dir (and the
+per-trigger listing/prune cost) stays flat over thousands of triggers
+or accretes.
+
+The probe drives a real ``FeedScanStreamReader`` through the engine's
+microbatch cycle — ``latestOffset`` → ``partitions(start, end)`` →
+``commit(end)`` — with a synthetic churning ``available_counts`` (the
+transport is irrelevant to ledger mechanics; planning cost per split
+is measured elsewhere, SCALE.md "feed catalog" rows). Every
+``restart_every`` triggers the reader is torn down and rebuilt, which
+exercises the cold path: ``_ledger_versions`` dir listing + latest
+ledger read + the engine's zero-length replay probe
+``partitions(end, end)``.
+
+Claim under test: the dir never holds more than ~2 ledger files
+(the committed version — the next batch's start — plus the
+just-planned one), so listing and prune are O(1) per trigger and the
+10k-trigger total is linear with a flat per-trigger constant.
+
+Usage: python scripts/ledger_probe.py [--feeds N] [--triggers T]
+       [--churn F] [--restart-every K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from startup_data_pipeline_spark.sources.feedsource import (
+    FeedScanStreamReader,
+)
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    if not os.path.isdir(path):
+        return 0, 0
+    names = [n for n in os.listdir(path) if n.endswith(".json")]
+    return len(names), sum(
+        os.path.getsize(os.path.join(path, n)) for n in names
+    )
+
+
+def pct(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(p * len(xs)))]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feeds", type=int, default=100_000)
+    ap.add_argument("--triggers", type=int, default=1_000)
+    ap.add_argument("--churn", type=float, default=1.0,
+                    help="fraction of feeds whose count bumps per trigger")
+    ap.add_argument("--restart-every", type=int, default=100)
+    args = ap.parse_args()
+
+    feeds = [f"https://feed{i}.example.com/rss" for i in range(args.feeds)]
+    counts = {f: 0 for f in feeds}
+    ledger = tempfile.mkdtemp(prefix="ledger_probe_")
+
+    def make_reader() -> FeedScanStreamReader:
+        r = FeedScanStreamReader(
+            {"feeds": ",".join(feeds), "transport": "offline",
+             "offset_ledger": ledger}
+        )
+        # ledger mechanics only: counts come from the churn model, not
+        # a transport fetch (availability listing cost is measured in
+        # SCALE.md's feed-catalog rows)
+        r._r.available_counts = lambda: dict(counts)
+        return r
+
+    reader = make_reader()
+    prev = reader.initialOffset()
+    churn_n = max(1, int(args.feeds * args.churn))
+
+    t_offset: list[float] = []
+    t_parts: list[float] = []
+    t_commit: list[float] = []
+    t_restart: list[float] = []
+    max_files = 0
+    max_bytes = 0
+    step = 0  # rotates which feeds churn so keys vary
+
+    wall0 = time.perf_counter()
+    for trig in range(args.triggers):
+        if args.restart_every and trig and trig % args.restart_every == 0:
+            t0 = time.perf_counter()
+            reader = make_reader()  # cold: lists dir, reads latest ledger
+            # the engine's restart replay probe (zero-length range)
+            reader.partitions(prev, prev)
+            t_restart.append(time.perf_counter() - t0)
+
+        for i in range(churn_n):  # universe changes THIS trigger
+            counts[feeds[(step + i) % args.feeds]] += 1
+        step += churn_n
+
+        t0 = time.perf_counter()
+        end = reader.latestOffset()  # writes one ledger file
+        t_offset.append(time.perf_counter() - t0)
+
+        nf, nb = dir_stats(ledger)  # transient peak: start + planned
+        max_files = max(max_files, nf)
+        max_bytes = max(max_bytes, nb)
+
+        t0 = time.perf_counter()
+        parts = reader.partitions(prev, end)  # reads start+end ledgers
+        t_parts.append(time.perf_counter() - t0)
+        assert len(parts) == churn_n, (len(parts), churn_n)
+
+        t0 = time.perf_counter()
+        reader.commit(end)  # delete-by-listing prune
+        t_commit.append(time.perf_counter() - t0)
+
+        nf, nb = dir_stats(ledger)
+        max_files = max(max_files, nf)
+        max_bytes = max(max_bytes, nb)
+        prev = end
+
+    wall = time.perf_counter() - wall0
+    final_files, final_bytes = dir_stats(ledger)
+    halves = (  # flat-cost check: second half vs first half per trigger
+        sum(t_offset[: len(t_offset) // 2]) / (len(t_offset) // 2),
+        sum(t_offset[len(t_offset) // 2:]) / (len(t_offset) // 2),
+    )
+    out = {
+        "feeds": args.feeds,
+        "triggers": args.triggers,
+        "churn": args.churn,
+        "restart_every": args.restart_every,
+        "wall_s": round(wall, 2),
+        "ledger_max_files": max_files,
+        "ledger_max_bytes": max_bytes,
+        "ledger_final_files": final_files,
+        "ledger_final_bytes": final_bytes,
+        "offset_ms": {"mean": round(1e3 * sum(t_offset) / len(t_offset), 2),
+                      "p99": round(1e3 * pct(t_offset, 0.99), 2)},
+        "offset_ms_first_half_mean": round(1e3 * halves[0], 2),
+        "offset_ms_second_half_mean": round(1e3 * halves[1], 2),
+        "partitions_ms": {"mean": round(1e3 * sum(t_parts) / len(t_parts), 2),
+                          "p99": round(1e3 * pct(t_parts, 0.99), 2)},
+        "commit_ms": {"mean": round(1e3 * sum(t_commit) / len(t_commit), 2),
+                      "p99": round(1e3 * pct(t_commit, 0.99), 2)},
+        "restart_ms_mean": round(
+            1e3 * sum(t_restart) / max(1, len(t_restart)), 2),
+        "restarts": len(t_restart),
+    }
+    print(json.dumps(out))
+    shutil.rmtree(ledger, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

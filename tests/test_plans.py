@@ -196,27 +196,28 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-11 window (VERDICT r10 #1): the three never-driver-sampled
-    # feedscan registrations lead (doubling as canaries for this
-    # round's feedsource changes), then the round-11 canaries
-    # (flagship articles_source flag + the three seam consumers whose
-    # cache lifecycle changed — the standing canary rule from VERDICT
-    # r6 #7), then newest-first backfill from the round-10-certified
-    # tranche (alphabetical) to hold the 5-round freshness horizon
+    # round-12 window (VERDICT r11 #1/#2): the five never-driver-sampled
+    # round-11 registrations lead (doubling as canaries — all five also
+    # changed this round per the ADVICE r11 fixes), then the round-12
+    # canaries (feedsource ledger-migration guard + the three seam
+    # consumers re-keyed per SparkSession — the standing canary rule
+    # from VERDICT r6 #7), then OLDEST-FIRST backfill from the
+    # round-6-certified tranche (alphabetical) — the rotation flip
+    # VERDICT r11 #2 ordered, retiring the oldest certs each round
     prefix = list(qs)[:50]
-    assert prefix[:3] == [
-        "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
-    ]
-    assert prefix[3:7] == [
-        "q_flagship", "q_kmeans_clusters", "q_ann_ivf_trained",
-        "q_semdedup_trained",
-    ]
-    assert prefix[7] == "q_ann_ivf_topk"
-    assert prefix[7:50] == sorted(prefix[7:50])  # r10 tranche is
-    # alphabetical, so the driver's sample order is reproducible
-    # this round's new registrations sit at the very back of the
-    # priority list (never-sampled tranche for the r12 window)
-    assert list(qs)[-5:] == [
+    assert prefix[:5] == [
         "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
         "q_kcenter_coverage", "q_cross_split_proximity",
+    ]
+    assert prefix[5:11] == [
+        "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
+        "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
+    ]
+    assert prefix[11] == "q_alert_filter"
+    assert prefix[11:50] == sorted(prefix[11:50])  # r6 tranche is
+    # alphabetical, so the driver's sample order is reproducible
+    # this round's new registrations sit at the very back of the
+    # priority list (never-sampled tranche for the r13 window)
+    assert list(qs)[-2:] == [
+        "q_cross_split_proximity_large", "q_curation_diversify",
     ]
