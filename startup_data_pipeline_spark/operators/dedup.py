@@ -432,6 +432,90 @@ def cross_split_leakage(
     )
 
 
+def cross_split_containment(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_modulus: int = 100,
+    k: int = 3,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Lexical train/eval decontamination evidence: for every EVAL
+    document (``id % eval_modulus == 0`` — the SAME split rule as
+    ``similarity.cross_split_proximity``, so the two modalities audit
+    the identical split), the TRAIN document containing the largest
+    share of the eval document's shingles.
+
+    Containment, not Jaccard, is the right direction for eval
+    screening: an eval item quoted inside a long training document
+    scores low Jaccard but containment ≈ 1 on the eval side — exactly
+    the leak that invalidates the benchmark. Integer ppm
+    (``10⁶·|E∩T| // |E|``) keeps the evidence hash-exact.
+
+    Shape: one shingle table (tokenize below the parallelizing
+    exchange, shingle array materialized once — the
+    ``_pair_intersections`` projection discipline), df-capped on the
+    join key's own window, then the eval-side slice joins the
+    train-side slice ON ``shingle`` — candidate volume tracks true
+    collisions (bounded by ``max_df``·|eval shingles|), never
+    |eval|·|train|. Per-eval best is one min-struct aggregate (highest
+    ppm, ties to the lowest train id) riding the groupBy exchange.
+
+    Returns [eval_id, train_id, n_inter, containment_ppm] — eval docs
+    sharing NO un-capped shingle with any train doc do not appear
+    (the no-evidence convention; the agreement wrapper left-joins).
+    """
+    sh = (
+        _tokenized(docs, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
+        )
+        .select("id", F.size("sh_arr").alias("n_sh"), "sh_arr")
+        .select("id", "n_sh", F.explode_outer("sh_arr").alias("shingle"))
+    )
+    sh = _df_capped(sh, max_df)
+    ev = sh.filter((F.col("id") % eval_modulus) == 0).select(
+        F.col("id").alias("eval_id"),
+        F.col("n_sh").alias("n_ev"),
+        "shingle",
+    )
+    tr = sh.filter((F.col("id") % eval_modulus) != 0).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_id", "train_id", "n_ev")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        .select(
+            "eval_id",
+            "train_id",
+            "n_inter",
+            # exact integer ppm (the split_balance `div` idiom) — the
+            # evidence must hash identically against the oracle's //
+            F.expr("(1000000 * n_inter) div n_ev")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+        .groupBy("eval_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("containment_ppm")).alias("__np"),
+                    F.col("train_id"),
+                    F.col("n_inter"),
+                )
+            ).alias("__m")
+        )
+        .select(
+            "eval_id",
+            F.col("__m.train_id").alias("train_id"),
+            F.col("__m.n_inter").alias("n_inter"),
+            (-F.col("__m.__np")).cast("long").alias("containment_ppm"),
+        )
+    )
+
+
 def _df_capped(sh: DataFrame, max_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
 

@@ -1123,6 +1123,93 @@ def cross_split_proximity_large(
     )
 
 
+def decontamination_agreement(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    eval_modulus: int = 100,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    k: int = 3,
+    max_df: int | None = 50,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """Two-modality decontamination agreement — the decontamination
+    analog of ``dedup.dedup_method_agreement``: every EVAL document
+    classified by WHICH screening modality flags it, because the two
+    fail differently and production eval hygiene needs both:
+
+    - ``lexical`` (``dedup.cross_split_containment``): catches
+      verbatim/quoted leakage; blind to paraphrase.
+    - ``embedding`` (``cross_split_proximity``): catches semantic
+      twins (paraphrase contamination); blind when the rewrite moves
+      the embedding, and subject to the encoder's notion of "near".
+
+    ``both`` is high-confidence contamination (evict); ``lexical_only``
+    is usually template/boilerplate overlap (inspect the shingles);
+    ``embedding_only`` is the paraphrase case n-gram pipelines miss
+    (the reason this audit exists); ``clean`` is the evidence that the
+    eval set measures generalization. Both modalities run the SAME
+    split rule (``id % eval_modulus == 0`` → eval) over the aligned id
+    space, so the verdict is per-document, not per-methodology.
+
+    Scale: each side keeps its own certified bounded shape (shingle
+    df-cap join / plan-literal train scan); the final assembly is two
+    left joins of eval-sized aggregates onto the eval universe — the
+    id spaces are 1% of the corpus at the default modulus, and both
+    evidence frames arrive pre-aggregated to ≤1 row per eval id.
+
+    Returns [eval_id, lexical_train_id, containment_ppm,
+    embedding_train_id, sq_dist, verdict]; NULL evidence columns mean
+    that modality found no candidate (no shared un-capped shingle / no
+    train vector or no geometry), which counts as not-flagged.
+    """
+    from .dedup import cross_split_containment
+
+    universe = docs.filter(
+        (F.col(doc_id_col) % eval_modulus) == 0
+    ).select(F.col(doc_id_col).cast("long").alias("eval_id"))
+    lex = cross_split_containment(
+        docs, doc_id_col, text_col, eval_modulus, k=k, max_df=max_df
+    ).select(
+        "eval_id",
+        F.col("train_id").alias("lexical_train_id"),
+        "containment_ppm",
+    )
+    emb = cross_split_proximity(
+        embeddings, vec_id_col, vec_col, eval_modulus, max_eval
+    ).select(
+        "eval_id",
+        F.col("nearest_train_id").alias("embedding_train_id"),
+        "sq_dist",
+    )
+    lex_hit = F.coalesce(
+        F.col("containment_ppm") >= containment_min_ppm, F.lit(False)
+    )
+    emb_hit = F.coalesce(
+        F.col("sq_dist") <= sq_dist_max, F.lit(False)
+    )
+    return (
+        universe.join(lex, "eval_id", "left")
+        .join(emb, "eval_id", "left")
+        .select(
+            "eval_id",
+            "lexical_train_id",
+            "containment_ppm",
+            "embedding_train_id",
+            "sq_dist",
+            F.when(lex_hit & emb_hit, F.lit("both"))
+            .when(lex_hit, F.lit("lexical_only"))
+            .when(emb_hit, F.lit("embedding_only"))
+            .otherwise(F.lit("clean"))
+            .alias("verdict"),
+        )
+    )
+
+
 def _seeded_route(
     embeddings: DataFrame,
     id_col: str,

@@ -1264,6 +1264,114 @@ def q_cross_split_proximity_large(
     )
 
 
+def _decontam_agreement_oracle(
+    eval_modulus: int = 100,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    max_df: int = 50,
+) -> str:
+    """Both decontamination modalities re-derived independently and
+    joined per eval doc: the lexical side is the cross-split shingle
+    containment (best train doc by floored ppm, ties to the lowest
+    train id — the min-struct mirror), the embedding side is the
+    q_cross_split_proximity nearest-train CTE; verdicts via the same
+    COALESCE(hit, FALSE) null-means-not-flagged rule as the Spark
+    side."""
+    from .registry_text import _SHINGLES, _TOKS_LOWER
+
+    return f"""
+    WITH toksL AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    dsh AS (
+        SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toksL
+    ),
+    dsz AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dsh GROUP BY id
+    ),
+    dcap AS (
+        SELECT id, shingle FROM dsh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_df}
+    ),
+    dint AS (
+        SELECT e.id AS eval_id, t.id AS train_id,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM dcap e JOIN dcap t ON e.shingle = t.shingle
+        WHERE e.id % {eval_modulus} = 0 AND t.id % {eval_modulus} <> 0
+        GROUP BY e.id, t.id
+    ),
+    lex AS (
+        SELECT eval_id, train_id AS lexical_train_id,
+               CAST((1000000 * n_inter) // s.n_sh AS BIGINT)
+                   AS containment_ppm
+        FROM dint JOIN dsz s ON s.id = eval_id
+        QUALIFY row_number() OVER (
+            PARTITION BY eval_id
+            ORDER BY (1000000 * n_inter) // s.n_sh DESC, train_id ASC
+        ) = 1
+    ),
+    qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    pair AS (
+        SELECT e.vid AS eval_id, t.vid AS train_id,
+               CAST(SUM((e.x - t.x) * (e.x - t.x)) AS BIGINT) AS d
+        FROM qv e JOIN qv t USING (pos)
+        WHERE e.vid % {eval_modulus} = 0 AND t.vid % {eval_modulus} <> 0
+        GROUP BY e.vid, t.vid
+    ),
+    emb AS (
+        SELECT eval_id, train_id AS embedding_train_id, d AS sq_dist
+        FROM pair
+        QUALIFY row_number() OVER (
+            PARTITION BY eval_id ORDER BY d ASC, train_id ASC) = 1
+    )
+    SELECT u.eval_id, lex.lexical_train_id, lex.containment_ppm,
+           emb.embedding_train_id, emb.sq_dist,
+           CASE
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                AND COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'both'
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                   THEN 'lexical_only'
+               WHEN COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'embedding_only'
+               ELSE 'clean'
+           END AS verdict
+    FROM (SELECT CAST(doc_id AS BIGINT) AS eval_id FROM documents
+          WHERE doc_id % {eval_modulus} = 0) u
+    LEFT JOIN lex USING (eval_id)
+    LEFT JOIN emb USING (eval_id)"""
+
+
+@register(
+    "q_decontam_agreement",
+    oracle=_decontam_agreement_oracle(),
+    survey_ops="two-modality decontamination agreement (§2.11 dedup x "
+    "split QA, the dedup_method_agreement analog for eval hygiene): "
+    "every eval doc classified both/lexical_only/embedding_only/clean "
+    "by cross-split shingle containment (verbatim leakage; integer "
+    "ppm evidence) vs exact embedding nearest-train (paraphrase "
+    "leakage) under the SAME id-modulus split; each side keeps its "
+    "certified bounded shape, assembly is two eval-sized left joins",
+)
+def q_decontam_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.decontamination_agreement(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        eval_modulus=100, sq_dist_max=1_000_000,
+        containment_min_ppm=500_000, k=3, max_df=50,
+    )
+
+
 def _curation_diversify_oracle(k: int = 8, budget: int = 250) -> str:
     """The composed curation pipeline re-derived end to end: the
     q_semdedup routing/verdict CTEs (auto-k seeded cells, 512 cap,

@@ -239,3 +239,94 @@ def test_feedscan_tmp_root_is_reused():
     import os
 
     assert os.path.dirname(a) == os.path.dirname(c) == registry_ats._TMP_ROOT
+
+
+# ---------------------------------------------------------------------------
+# Two-modality decontamination agreement (round-12 operator)
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_agreement_verdict_branches(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),    # quoted + semantic twin
+            (10, "epsilon zeta eta theta"),   # quoted, embedding far
+            (20, "iota kappa lambda mu"),     # unique text, near twin
+            (30, "nu xi omicron pi"),         # unique text, far
+            (40, "rho sigma"),                # <3 tokens: no shingles
+            (1, "alpha beta gamma delta and much more text here"),
+            (2, "prefix words epsilon zeta eta theta suffix words"),
+            (3, "completely different training content one"),
+            (4, "another unrelated training document two"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (10, [9.0, 9.0]),
+            (20, [5.0, 5.0]),
+            (30, [-9.0, -9.0]),
+            (40, None),                        # no geometry: NULL evidence
+            (1, [1.0, 2.0]),                   # exact twin of eval 0
+            (2, [0.0, 0.0]),
+            (3, [5.0, 5.0001]),                # near-twin of eval 20
+            (4, [3.0, -3.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["eval_id"]: r
+        for r in similarity.decontamination_agreement(
+            docs, embs, "doc_id", "text", "vec_id", "embedding",
+            eval_modulus=10, sq_dist_max=1_000_000,
+            containment_min_ppm=500_000,
+        ).collect()
+    }
+    assert {k: v["verdict"] for k, v in out.items()} == {
+        0: "both", 10: "lexical_only", 20: "embedding_only",
+        30: "clean", 40: "clean",
+    }
+    # evidence columns carry the winning candidates
+    assert out[0]["lexical_train_id"] == 1
+    assert out[0]["containment_ppm"] == 1_000_000
+    assert out[0]["embedding_train_id"] == 1
+    assert out[0]["sq_dist"] == 0
+    assert out[20]["embedding_train_id"] == 3
+    assert out[20]["sq_dist"] == 1  # one quantized unit on one dim
+    # no-evidence rows surface as NULLs, counted as not-flagged
+    assert out[40]["containment_ppm"] is None
+    assert out[40]["sq_dist"] is None
+    assert out[30]["lexical_train_id"] is None  # no shared shingle
+
+
+def test_cross_split_containment_ties_to_lowest_train_id(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    # train docs 1 and 2 BOTH fully contain eval doc 0's only shingle
+    # (equal floored ppm) -> the lowest train id must win, and the
+    # carried n_inter must be the winner's, not an arbitrary row's
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (2, "x a b c y"), (1, "p a b c q")],
+        "doc_id long, text string",
+    )
+    out = rows(
+        dedup.cross_split_containment(docs, "doc_id", "text", eval_modulus=10)
+    )
+    assert out == [(0, 1, 1, 1_000_000)]
+
+
+def test_cross_split_containment_ppm_is_floored_integer(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    # eval doc has 3 shingles, train shares exactly 1 -> 1e6*1//3
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (7, "z z a b c z z")],
+        "doc_id long, text string",
+    )
+    out = rows(
+        dedup.cross_split_containment(docs, "doc_id", "text", eval_modulus=10)
+    )
+    assert out == [(0, 7, 1, 333_333)]
