@@ -599,6 +599,70 @@ def ivf_topk_trained(
     )
 
 
+def ann_recall_audit(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Measured IVF recall@k — "measure, don't guess" for the ANN
+    family: per query, how much of the EXACT top-k the trained-IVF
+    probe path actually returns at this ``n_probe``. This is the
+    number an index owner tunes against (the FAISS recall/cost
+    curve): raising ``n_probe`` buys recall linearly in probe cost,
+    and the right setting is an empirical property of the corpus's
+    cell geometry, not a guess.
+
+    Truth is paid for on a SAMPLE by construction: the exact side is
+    ``brute_force_topk`` over ``query_ids`` only (|q|·n scored pairs,
+    queries broadcast — the certified baseline shape), never the whole
+    corpus; the approximate side is the production ``ivf_topk_trained``
+    path. Both rank by the same integer dot product with the same
+    neighbor-id tie-break, so the intersection is deterministic and
+    the recall is exact integer ppm.
+
+    Returns [query_id, n_exact, n_hit, recall_ppm] where ``n_exact``
+    is the exact result size (= k when the corpus has ≥ k+1 members),
+    ``n_hit`` how many of those the IVF path returned, and
+    ``recall_ppm = 10⁶·n_hit // n_exact``.
+    """
+    exact = brute_force_topk(embeddings, id_col, vec_col, query_ids, k)
+    approx = ivf_topk_trained(
+        embeddings, id_col, vec_col, query_ids, k,
+        n_clusters=n_clusters, n_iter=n_iter, n_probe=n_probe,
+    )
+    hits = approx.select(
+        F.col("query_id").alias("__qid"),
+        F.col("neighbor_id").alias("__nid"),
+    )
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            hits,
+            (F.col("query_id") == F.col("__qid"))
+            & (F.col("neighbor_id") == F.col("__nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__nid").cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("(1000000 * n_hit) div n_exact")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def _centroids_lit(centroids: list[list[int]]) -> Column:
     """The WHOLE centroid table as one nested-array literal.
 

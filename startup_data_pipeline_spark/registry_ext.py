@@ -1586,6 +1586,90 @@ def _ivf_trained_oracle(
     WHERE rn <= {ann_k}"""
 
 
+def _ann_recall_oracle(
+    n_queries: int = 10, n_probe: int = 2, ann_k: int = 5
+) -> str:
+    """Exact top-k (the q_ann_topk brute CTE, verbatim semantics: no
+    geometry filter, NULL dot products sort last) left-joined with the
+    trained-IVF top-k (the _ivf_trained_oracle search tail over the
+    shared unrolled-Lloyd chain); per-query recall as exact integer
+    ppm."""
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    )
+    return _lloyd_cte_chain() + f""",
+    probeq AS (
+        SELECT vid AS query_id, cluster FROM distF
+        WHERE vid < {n_queries}
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) <= {n_probe}
+    ),
+    ivfk AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT p.query_id, m.vid AS neighbor_id,
+                   CAST(SUM(q.x * n.x) AS BIGINT) AS score
+            FROM probeq p
+            JOIN assignF m ON p.cluster = m.cluster
+            JOIN qv q ON q.vid = p.query_id
+            JOIN qv n ON n.vid = m.vid AND n.pos = q.pos
+            WHERE p.query_id <> m.vid
+            GROUP BY p.query_id, m.vid
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) <= {ann_k}
+    ),
+    bq AS (
+        SELECT vec_id AS query_id, {quant} AS bqv
+        FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    bc AS (
+        SELECT vec_id AS neighbor_id, {quant} AS bcv FROM embeddings
+    ),
+    exactk AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, len(bqv)),
+                       i -> bqv[i] * bcv[i])) AS BIGINT) AS score
+            FROM bq, bc WHERE query_id <> neighbor_id
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+        ) <= {ann_k}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST((1000000 * COUNT(i.neighbor_id)) // COUNT(*) AS BIGINT)
+               AS recall_ppm
+    FROM exactk e
+    LEFT JOIN ivfk i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id"""
+
+
+@register(
+    "q_ann_recall_audit",
+    oracle=_ann_recall_oracle(n_queries=10, n_probe=2, ann_k=5),
+    survey_ops="measured IVF recall@k (§2.11 similarity QA: the "
+    "recall/cost number an index owner tunes n_probe against). Exact "
+    "truth paid on the query SAMPLE only (brute_force_topk, queries "
+    "broadcast) vs the production ivf_topk_trained path; same integer "
+    "dot product and neighbor-id tie-break on both sides, so the "
+    "per-query recall is exact integer ppm",
+)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_audit(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5,
+        n_clusters=8, n_iter=5, n_probe=2,
+    )
+
+
 @register(
     "q_kmeans_clusters",
     oracle=_kmeans_oracle(k=8, n_iter=5),

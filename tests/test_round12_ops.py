@@ -330,3 +330,50 @@ def test_cross_split_containment_ppm_is_floored_integer(spark):
         dedup.cross_split_containment(docs, "doc_id", "text", eval_modulus=10)
     )
     assert out == [(0, 7, 1, 333_333)]
+
+
+# ---------------------------------------------------------------------------
+# Measured IVF recall@k (round-12 operator)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_audit_probe_sensitivity(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    # two well-separated cells, seeds (lowest ids 0/1) one in each;
+    # the query's TRUE top dot-product neighbors live in the OTHER
+    # cell, so n_probe=1 must miss them and n_probe=2 must recover
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),    # query; routed to cell A
+            (1, [2.0, 5.0]),    # cell B; q.b = 2.0 (best)
+            (2, [0.5, 0.0]),    # cell A; q.a = 0.5
+            (3, [0.4, 0.0]),    # cell A
+            (4, [2.0, 5.1]),    # cell B; q.b = 2.0 (tie, higher id)
+            (5, [0.45, 0.0]),   # cell A
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    r1 = similarity.ann_recall_audit(
+        emb, "vec_id", "embedding", [0], k=2,
+        n_clusters=2, n_iter=2, n_probe=1,
+    ).collect()
+    assert [(r["n_exact"], r["n_hit"], r["recall_ppm"]) for r in r1] == [
+        (2, 0, 0)
+    ]
+    r2 = similarity.ann_recall_audit(
+        emb, "vec_id", "embedding", [0], k=2,
+        n_clusters=2, n_iter=2, n_probe=2,
+    ).collect()
+    assert [(r["n_exact"], r["n_hit"], r["recall_ppm"]) for r in r2] == [
+        (2, 2, 1_000_000)
+    ]
+    # partial recall floors: exact top-3 = {1, 4, 2}; probing only the
+    # query's own cell finds just vec 2 -> 10^6 * 1 // 3
+    r3 = similarity.ann_recall_audit(
+        emb, "vec_id", "embedding", [0], k=3,
+        n_clusters=2, n_iter=2, n_probe=1,
+    ).collect()
+    assert [(r["n_exact"], r["n_hit"], r["recall_ppm"]) for r in r3] == [
+        (3, 1, 333_333)
+    ]
