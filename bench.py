@@ -171,6 +171,16 @@ HEADLINE = [
     # family, same precedent as q_ann_ivf_trained — the suite tracks
     # the round-trip floor round-over-round)
     "q_kcenter_select",
+    # round-12 additions: the beyond-clamp decontamination route
+    # (trained-IVF probe shape with the eval side as a real frame),
+    # the composed curation pipeline (semdedup -> kcenter -> budget,
+    # one lineage), the two-modality decontamination agreement
+    # (shingle join + proximity scan), and the measured IVF recall
+    # audit (brute sample baseline + trained probe path)
+    "q_cross_split_proximity_large",
+    "q_curation_diversify",
+    "q_decontam_agreement",
+    "q_ann_recall_audit",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -13,6 +13,15 @@ shuffle/join that would not survive 100 TB. Dims (nation, region, part,
 supplier) intentionally stay 1× — that is what "dimension" means at
 scale, and it keeps broadcast-side sizes realistic.
 
+CAVEAT (measured, round 12): this session's listener-starved config
+(asyncTracking off + tiny retained-UI caps, required so a ~180-query
+probe run survives) serializes listener-event processing into job
+submission, which mis-measures queries that are long chains of tiny
+driver-coordinated jobs (the trained k-means family: 4-5× slower than
+a default session). Use scripts/qtime.py for those; this probe is for
+the wide shuffle-shape sweep. See SCALE.md "Measurement-protocol
+gotcha".
+
 Usage: python scripts/scale_probe.py [--regen] [--only q_a,q_b]
 """
 

@@ -377,3 +377,56 @@ def test_ann_recall_audit_probe_sensitivity(spark):
     assert [(r["n_exact"], r["n_hit"], r["recall_ppm"]) for r in r3] == [
         (3, 1, 333_333)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Ledger-dir hygiene under per-trigger universe churn (VERDICT r11 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_ledger_dir_bounded_under_churn(tmp_path):
+    """The offset-ledger dir must never accrete: one file per CHANGED
+    state, commit prunes below the committed version, so across any
+    number of triggers the dir holds at most 2 files (committed start
+    + just-planned end) — including across restarts and the engine's
+    zero-length replay probe."""
+    import os
+
+    from startup_data_pipeline_spark.sources.feedsource import (
+        FeedScanStreamReader,
+    )
+
+    feeds = [f"https://f{i}.example.com/rss" for i in range(50)]
+    counts = {f: 0 for f in feeds}
+    ledger = str(tmp_path / "ledger")
+
+    def make_reader():
+        r = FeedScanStreamReader(
+            {"feeds": ",".join(feeds), "transport": "offline",
+             "offset_ledger": ledger}
+        )
+        r._r.available_counts = lambda: dict(counts)
+        return r
+
+    def n_files():
+        if not os.path.isdir(ledger):
+            return 0
+        return len([n for n in os.listdir(ledger) if n.endswith(".json")])
+
+    reader = make_reader()
+    prev = reader.initialOffset()
+    peak = 0
+    for trig in range(200):
+        if trig and trig % 50 == 0:  # cold restart incl. replay probe
+            reader = make_reader()
+            reader.partitions(prev, prev)
+        counts[feeds[trig % len(feeds)]] += 1  # churn EVERY trigger
+        end = reader.latestOffset()
+        peak = max(peak, n_files())
+        parts = reader.partitions(prev, end)
+        assert len(parts) == 1
+        reader.commit(end)
+        peak = max(peak, n_files())
+        prev = end
+    assert peak <= 2
+    assert n_files() == 1  # steady state: the committed version only
