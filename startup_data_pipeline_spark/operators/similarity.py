@@ -1274,6 +1274,240 @@ def decontamination_agreement(
     )
 
 
+def benchmark_screen(
+    arrival_docs: DataFrame,
+    arrival_vecs: DataFrame,
+    eval_docs: DataFrame,
+    eval_vecs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    k: int = 3,
+    max_df: int | None = 50,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """Benchmark-protection screen — the PRODUCTION direction of
+    decontamination: ``decontamination_agreement`` audits an existing
+    split after the fact, per EVAL document; this gate screens
+    ARRIVING documents against a fixed, protected eval set BEFORE they
+    enter training data, per ARRIVAL. An arrival that contains an eval
+    item verbatim (lexical: eval-side shingle containment
+    ``10⁶·|E∩A| // |E|``) or is its semantic twin (embedding: squared
+    distance to the nearest eval vector) is quarantined; everything
+    else is admitted.
+
+    Scale shape — the reason this is the steady-state form at 100 TB
+    ingestion: the protected set is FIXED and small, so nothing grows
+    and nothing shuffles on the corpus side. The embedding leg is a
+    pure map: eval vectors ride as ONE nested plan literal
+    (``max_eval``-clamped, the ``cross_split_proximity`` precedent)
+    and each arrival computes its distance array + argmin inside
+    codegen — no join, no aggregate, no exchange. The lexical leg
+    joins arrival shingles to the (small) eval shingle table on
+    ``shingle``; the df-cap is taken on the ARRIVAL side — the only
+    side that grows — so per-shingle fan-out stays bounded no matter
+    how much boilerplate arrives. Per-arrival bests are min-struct
+    aggregates (highest ppm / lowest distance, ties to the lowest
+    eval id).
+
+    Returns one row per arrival: [arrival_id, lexical_eval_id,
+    containment_ppm, embedding_eval_id, sq_dist, verdict, action]
+    where verdict ∈ both/lexical_only/embedding_only/clean (the
+    ``decontamination_agreement`` vocabulary, NULL evidence =
+    not-flagged) and action = 'quarantine' iff verdict != 'clean'
+    else 'admit'.
+
+    For a long-running ingestion stream, build the fixed eval index
+    ONCE with ``screen_eval_shingles`` / ``collect_screen_eval_vecs``
+    and screen each micro-batch via ``_screen_assemble`` — that is
+    exactly what ``streaming.incremental.streaming_benchmark_screen``
+    does; this one-shot form rebuilds both per call.
+    """
+    ev_sh = screen_eval_shingles(eval_docs, doc_id_col, text_col, k)
+    ev = collect_screen_eval_vecs(
+        eval_vecs, vec_id_col, vec_col, max_eval
+    )
+    return _screen_assemble(
+        arrival_docs, arrival_vecs, ev_sh, ev,
+        doc_id_col, vec_id_col, vec_col,
+        sq_dist_max, containment_min_ppm, max_df,
+        k=k, text_col=text_col,
+    )
+
+
+def _screen_shingle_table(
+    df: DataFrame, doc_id_col: str, text_col: str, k: int, out_id: str
+) -> DataFrame:
+    from .dedup import _tokenized, shingles_from_tokens
+
+    return (
+        _tokenized(df, doc_id_col, text_col)
+        .select(
+            F.col(doc_id_col).alias(out_id),
+            shingles_from_tokens(F.col("__tk"), k).alias("sh_arr"),
+        )
+        .select(out_id, F.size("sh_arr").alias("n_sh"), "sh_arr")
+        .select(
+            out_id, "n_sh", F.explode_outer("sh_arr").alias("shingle")
+        )
+    )
+
+
+def screen_eval_shingles(
+    eval_docs: DataFrame, doc_id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """The protected set's shingle table [eval_id, n_ev, shingle] —
+    the fixed lexical side of ``benchmark_screen``. Streaming callers
+    build it once (and ``localCheckpoint`` it) instead of re-shingling
+    the eval set every micro-batch."""
+    return _screen_shingle_table(
+        eval_docs, doc_id_col, text_col, k, "eval_id"
+    ).select("eval_id", F.col("n_sh").alias("n_ev"), "shingle")
+
+
+def collect_screen_eval_vecs(
+    eval_vecs: DataFrame,
+    vec_id_col: str,
+    vec_col: str,
+    max_eval: int = 4096,
+) -> list:
+    """The protected set's quantized vectors, collected driver-side
+    (vid-sorted, geometry-filtered, ``max_eval``-clamped — the
+    ``cross_split_proximity`` bound) — the fixed embedding side of
+    ``benchmark_screen``; they ride each screen as one plan literal."""
+    ev = (
+        ensure_min_parallelism(eval_vecs)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(vec_id_col).alias("vid"),
+            quantize(F.col(vec_col)).alias("qv"),
+        )
+        .orderBy("vid")
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(ev) > max_eval:
+        raise ValueError(
+            f"benchmark_screen: protected eval set exceeds max_eval="
+            f"{max_eval}; shard the screen by eval subset (each pass "
+            "is a shuffle-free map, so passes compose by OR over the "
+            "quarantine verdicts) or route through the IVF probe "
+            "shape (cross_split_proximity_large)"
+        )
+    return ev
+
+
+def _screen_assemble(
+    arrival_docs: DataFrame,
+    arrival_vecs: DataFrame,
+    ev_sh: DataFrame,
+    ev: list,
+    doc_id_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    sq_dist_max: int,
+    containment_min_ppm: int,
+    max_df: int | None,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    from .dedup import _df_capped
+
+    arr_sh = _df_capped(
+        _screen_shingle_table(
+            arrival_docs, doc_id_col, text_col, k, "arrival_id"
+        ),
+        max_df,
+    ).select("arrival_id", "shingle")
+    lex = (
+        arr_sh.join(ev_sh, "shingle")
+        .groupBy("arrival_id", "eval_id", "n_ev")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        .select(
+            "arrival_id",
+            "eval_id",
+            F.expr("(1000000 * n_inter) div n_ev")
+            .cast("long")
+            .alias("ppm"),
+        )
+        .groupBy("arrival_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("ppm")).alias("__np"), F.col("eval_id"))
+            ).alias("__m")
+        )
+        .select(
+            "arrival_id",
+            F.col("__m.eval_id").alias("lexical_eval_id"),
+            (-F.col("__m.__np")).cast("long").alias("containment_ppm"),
+        )
+    )
+    if ev:
+        ids_lit = F.lit([int(r["vid"]) for r in ev]).cast("array<bigint>")
+        dists = _sq_dists_all(
+            quantize(F.col(vec_col)), [list(r["qv"]) for r in ev]
+        )
+        best = F.element_at(  # (d, pos) structs: argmin, ties -> lowest
+            F.array_sort(
+                F.transform(
+                    dists,
+                    lambda d, i: F.struct(
+                        d.alias("d"), i.cast("int").alias("pos")
+                    ),
+                )
+            ),
+            1,
+        )
+        emb = (
+            arrival_vecs.filter(vector_has_geometry(vec_col))
+            .select(
+                F.col(vec_id_col).alias("arrival_id"),
+                best.alias("__b"),
+            )
+            .select(
+                "arrival_id",
+                F.element_at(ids_lit, F.col("__b.pos") + 1)
+                .alias("embedding_eval_id"),
+                F.col("__b.d").alias("sq_dist"),
+            )
+        )
+    else:  # empty protected set: nothing to compare against
+        emb = arrival_vecs.sparkSession.createDataFrame(
+            [], "arrival_id long, embedding_eval_id long, sq_dist long"
+        )
+    lex_hit = F.coalesce(
+        F.col("containment_ppm") >= containment_min_ppm, F.lit(False)
+    )
+    emb_hit = F.coalesce(F.col("sq_dist") <= sq_dist_max, F.lit(False))
+    verdict = (
+        F.when(lex_hit & emb_hit, F.lit("both"))
+        .when(lex_hit, F.lit("lexical_only"))
+        .when(emb_hit, F.lit("embedding_only"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        arrival_docs.select(
+            F.col(doc_id_col).cast("long").alias("arrival_id")
+        )
+        .join(lex, "arrival_id", "left")
+        .join(emb, "arrival_id", "left")
+        .select(
+            "arrival_id",
+            "lexical_eval_id",
+            "containment_ppm",
+            "embedding_eval_id",
+            "sq_dist",
+            verdict.alias("verdict"),
+            F.when(verdict != "clean", F.lit("quarantine"))
+            .otherwise(F.lit("admit"))
+            .alias("action"),
+        )
+    )
+
+
 def _seeded_route(
     embeddings: DataFrame,
     id_col: str,

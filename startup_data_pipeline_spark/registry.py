@@ -194,7 +194,7 @@ _PRIORITY: list[str] = [
     # backlog per the standing contract — they lead the r13 window as
     # the never-driver-sampled tranche):
     "q_cross_split_proximity_large", "q_curation_diversify",
-    "q_decontam_agreement", "q_ann_recall_audit",
+    "q_decontam_agreement", "q_ann_recall_audit", "q_benchmark_screen",
 ]
 
 

@@ -1372,6 +1372,131 @@ def q_decontam_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _benchmark_screen_oracle(
+    eval_modulus: int = 100,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    max_df: int = 50,
+) -> str:
+    """The per-ARRIVAL screen re-derived: eval-side containment
+    (denominator = the eval doc's shingle count; the arrival side —
+    the only growing side — carries the df-cap), nearest eval vector
+    per arrival (ties to the lowest eval id, mirroring the Spark
+    side's vid-sorted literal argmin), verdict + action over the
+    arrival universe."""
+    from .registry_text import _SHINGLES, _TOKS_LOWER
+
+    return f"""
+    WITH toksL AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    dsh AS (
+        SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toksL
+    ),
+    esh AS (
+        SELECT id AS eval_id, shingle FROM dsh
+        WHERE id % {eval_modulus} = 0
+    ),
+    esz AS (
+        SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM esh GROUP BY eval_id
+    ),
+    acap AS (
+        SELECT id AS arrival_id, shingle FROM dsh
+        WHERE id % {eval_modulus} <> 0
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_df}
+    ),
+    lexint AS (
+        SELECT a.arrival_id, e.eval_id,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM acap a JOIN esh e ON a.shingle = e.shingle
+        GROUP BY a.arrival_id, e.eval_id
+    ),
+    lex AS (
+        SELECT arrival_id, eval_id AS lexical_eval_id,
+               CAST((1000000 * n_inter) // s.n_ev AS BIGINT)
+                   AS containment_ppm
+        FROM lexint JOIN esz s USING (eval_id)
+        QUALIFY row_number() OVER (
+            PARTITION BY arrival_id
+            ORDER BY (1000000 * n_inter) // s.n_ev DESC, eval_id ASC
+        ) = 1
+    ),
+    qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    pair AS (
+        SELECT a.vid AS arrival_id, e.vid AS eval_id,
+               CAST(SUM((a.x - e.x) * (a.x - e.x)) AS BIGINT) AS d
+        FROM qv a JOIN qv e USING (pos)
+        WHERE a.vid % {eval_modulus} <> 0 AND e.vid % {eval_modulus} = 0
+        GROUP BY a.vid, e.vid
+    ),
+    emb AS (
+        SELECT arrival_id, eval_id AS embedding_eval_id, d AS sq_dist
+        FROM pair
+        QUALIFY row_number() OVER (
+            PARTITION BY arrival_id ORDER BY d ASC, eval_id ASC) = 1
+    )
+    SELECT u.arrival_id, lex.lexical_eval_id, lex.containment_ppm,
+           emb.embedding_eval_id, emb.sq_dist,
+           CASE
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                AND COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'both'
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                   THEN 'lexical_only'
+               WHEN COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'embedding_only'
+               ELSE 'clean'
+           END AS verdict,
+           CASE
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                 OR COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'quarantine'
+               ELSE 'admit'
+           END AS action
+    FROM (SELECT CAST(doc_id AS BIGINT) AS arrival_id FROM documents
+          WHERE doc_id % {eval_modulus} <> 0) u
+    LEFT JOIN lex USING (arrival_id)
+    LEFT JOIN emb USING (arrival_id)"""
+
+
+@register(
+    "q_benchmark_screen",
+    oracle=_benchmark_screen_oracle(),
+    survey_ops="benchmark-protection screen (§2.11 dedup x split, the "
+    "PRODUCTION decontamination direction): every ARRIVING doc "
+    "screened against a fixed protected eval set before entering "
+    "training data — eval-side shingle containment (df-cap on the "
+    "arrival side, the only one that grows) + nearest-eval-vector as "
+    "a pure map (eval vectors ride as ONE clamped plan literal, "
+    "argmin inside codegen: no join, no agg, no exchange on the "
+    "embedding leg). Steady-state 100 TB ingestion shape: nothing "
+    "grows, nothing reshuffles",
+)
+def q_benchmark_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.benchmark_screen(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=500_000,
+        k=3, max_df=50,
+    )
+
+
 def _curation_diversify_oracle(k: int = 8, budget: int = 250) -> str:
     """The composed curation pipeline re-derived end to end: the
     q_semdedup routing/verdict CTEs (auto-k seeded cells, 512 cap,

@@ -1240,3 +1240,94 @@ def streaming_markov_transitions(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def make_benchmark_screen_handler(
+    spark: SparkSession,
+    eval_docs: DataFrame,
+    eval_vecs: DataFrame,
+    verdict_path: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    k: int = 3,
+    max_df: int | None = 50,
+    max_eval: int = 4096,
+):
+    """Per-batch handler for ``streaming_benchmark_screen``, exposed so
+    tests can drive and RE-DELIVER epochs directly (the foreachBatch
+    at-least-once contract; verdict writes are overwrite-idempotent
+    ``epoch=<e>`` dirs, the gate-family convention).
+
+    The protected set is FIXED, so its two index halves are built ONCE
+    here, not per batch: the eval shingle table is materialized with
+    ``localCheckpoint`` (re-shingling the benchmark every trigger would
+    be pure waste) and the eval vectors are collected into the plan
+    literal ``collect_screen_eval_vecs`` clamps. Unlike the dedup/ANN
+    gates there is NO index growth, no generations, no compaction —
+    the screen is stateless per batch, which is what makes it the
+    cheapest of the gate family at 100 TB ingestion.
+    """
+    from ..operators.similarity import (
+        _screen_assemble,
+        collect_screen_eval_vecs,
+        screen_eval_shingles,
+    )
+
+    ev_sh = screen_eval_shingles(
+        eval_docs, doc_id_col, text_col, k
+    ).localCheckpoint()
+    ev = collect_screen_eval_vecs(eval_vecs, vec_id_col, vec_col, max_eval)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.select(doc_id_col, text_col)
+        if vec_col in batch_df.columns:
+            vecs = batch_df.select(
+                F.col(doc_id_col).alias(vec_id_col), vec_col
+            )
+        else:  # text-only stream: the lexical leg still screens
+            vecs = spark.createDataFrame(
+                [], f"`{vec_id_col}` long, `{vec_col}` array<float>"
+            )
+        out = _screen_assemble(
+            docs, vecs, ev_sh, ev,
+            doc_id_col, vec_id_col, vec_col,
+            sq_dist_max, containment_min_ppm, max_df,
+            k=k, text_col=text_col,
+        )
+        out.write.mode("overwrite").parquet(
+            f"{verdict_path}/epoch={epoch_id}"
+        )
+
+    return handle
+
+
+def streaming_benchmark_screen(
+    doc_stream: DataFrame,
+    eval_docs: DataFrame,
+    eval_vecs: DataFrame,
+    verdict_path: str,
+    **kwargs,
+):
+    """Streaming benchmark-protection screen — the production form of
+    ``similarity.benchmark_screen``: every arriving micro-batch is
+    screened against the FIXED protected eval set (lexical containment
+    + nearest-eval-vector, both sides of the fixed index built once at
+    handler construction) and per-arrival verdicts land as
+    overwrite-idempotent ``epoch=<e>`` parquet dirs under
+    ``verdict_path``. Downstream, training-data admission is one
+    anti-join against ``action = 'quarantine'``.
+
+    The stream must carry ``doc_id_col`` + ``text_col`` and may carry
+    ``vec_col`` (without it the embedding leg reports NULL evidence —
+    a text-only feed still gets verbatim screening). Returns
+    ``(writer, verdict_path)`` like the other gates.
+    """
+    handle = make_benchmark_screen_handler(
+        doc_stream.sparkSession, eval_docs, eval_vecs, verdict_path,
+        **kwargs,
+    )
+    return doc_stream.writeStream.foreachBatch(handle), verdict_path

@@ -430,3 +430,207 @@ def test_ledger_dir_bounded_under_churn(tmp_path):
         prev = end
     assert peak <= 2
     assert n_files() == 1  # steady state: the committed version only
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-protection screen (round-12 operator)
+# ---------------------------------------------------------------------------
+
+
+def _screen_fixtures(spark):
+    eval_docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (10, "omega psi chi phi")],
+        "doc_id long, text string",
+    )
+    eval_vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    arrival_docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta outro"),  # quotes eval 0
+            (2, "one unrelated arrival text here"),
+            (3, "alpha beta gamma delta verbatim copy"),  # quotes eval 0
+            (4, "another clean arrival body entirely"),
+            (5, "fifth arrival with no embedding row"),
+        ],
+        "doc_id long, text string",
+    )
+    arrival_vecs = spark.createDataFrame(
+        [
+            (1, [9.0, -9.0]),        # far from both evals
+            (2, [1.0001, 0.0]),      # near-twin of eval 0
+            (3, [1.0, 0.0]),         # exact twin of eval 0
+            (4, [-7.0, 3.0]),        # far
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return arrival_docs, arrival_vecs, eval_docs, eval_vecs
+
+
+def test_benchmark_screen_verdicts_and_actions(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    arrival_docs, arrival_vecs, eval_docs, eval_vecs = _screen_fixtures(
+        spark
+    )
+    out = {
+        r["arrival_id"]: r
+        for r in similarity.benchmark_screen(
+            arrival_docs, arrival_vecs, eval_docs, eval_vecs,
+            "doc_id", "text", "vec_id", "embedding",
+            sq_dist_max=1_000_000, containment_min_ppm=500_000,
+        ).collect()
+    }
+    assert {k: (v["verdict"], v["action"]) for k, v in out.items()} == {
+        1: ("lexical_only", "quarantine"),
+        2: ("embedding_only", "quarantine"),
+        3: ("both", "quarantine"),
+        4: ("clean", "admit"),
+        5: ("clean", "admit"),
+    }
+    assert out[1]["lexical_eval_id"] == 0
+    assert out[1]["containment_ppm"] == 1_000_000
+    assert out[2]["embedding_eval_id"] == 0
+    assert out[2]["sq_dist"] == 1  # one quantized unit on one dim
+    assert out[3]["sq_dist"] == 0
+    # an arrival with no embedding row has NULL embedding evidence
+    assert out[5]["embedding_eval_id"] is None
+    assert out[5]["sq_dist"] is None
+
+
+def test_benchmark_screen_empty_eval_vectors(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    arrival_docs, arrival_vecs, eval_docs, _ = _screen_fixtures(spark)
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["arrival_id"]: r
+        for r in similarity.benchmark_screen(
+            arrival_docs, arrival_vecs, eval_docs, empty_vecs,
+            "doc_id", "text", "vec_id", "embedding",
+        ).collect()
+    }
+    # the lexical leg still screens; embedding evidence is NULL
+    assert out[1]["verdict"] == "lexical_only"
+    assert all(r["sq_dist"] is None for r in out.values())
+
+
+def test_benchmark_screen_eval_clamp(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    arrival_docs, arrival_vecs, eval_docs, eval_vecs = _screen_fixtures(
+        spark
+    )
+    with pytest.raises(ValueError, match="max_eval"):
+        similarity.benchmark_screen(
+            arrival_docs, arrival_vecs, eval_docs, eval_vecs,
+            "doc_id", "text", "vec_id", "embedding", max_eval=1,
+        )
+
+
+def test_streaming_benchmark_screen_handler_replay(spark, tmp_path):
+    """foreachBatch at-least-once: a redelivered epoch overwrites its
+    own verdict dir byte-identically; the fixed eval index is built
+    once at handler construction and screens every batch."""
+    import os
+
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_benchmark_screen_handler,
+    )
+
+    arrival_docs, arrival_vecs, eval_docs, eval_vecs = _screen_fixtures(
+        spark
+    )
+    batch = arrival_docs.join(
+        arrival_vecs.withColumnRenamed("vec_id", "doc_id"),
+        "doc_id",
+        "left",
+    )
+    vp = str(tmp_path / "screen_verdicts")
+    handle = make_benchmark_screen_handler(
+        spark, eval_docs, eval_vecs, vp,
+        sq_dist_max=1_000_000, containment_min_ppm=500_000,
+    )
+    b0 = batch.filter(F.col("doc_id") <= 3)
+    b1 = batch.filter(F.col("doc_id") > 3)
+    handle(b0, 0)
+    handle(b1, 1)
+    assert sorted(
+        d for d in os.listdir(vp) if d.startswith("epoch=")
+    ) == ["epoch=0", "epoch=1"]
+    out = {
+        r["arrival_id"]: (r["verdict"], r["action"])
+        for r in spark.read.parquet(vp).collect()
+    }
+    assert out == {
+        1: ("lexical_only", "quarantine"),
+        2: ("embedding_only", "quarantine"),
+        3: ("both", "quarantine"),
+        4: ("clean", "admit"),
+        5: ("clean", "admit"),
+    }
+    before = rows(spark.read.parquet(f"{vp}/epoch=0"))
+    handle(b0, 0)  # redelivery: overwrite-idempotent
+    assert rows(spark.read.parquet(f"{vp}/epoch=0")) == before
+
+
+def test_streaming_benchmark_screen_text_only_stream(spark, tmp_path):
+    """A stream without an embedding column still gets lexical
+    screening; embedding evidence is NULL everywhere."""
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_benchmark_screen_handler,
+    )
+
+    arrival_docs, _, eval_docs, eval_vecs = _screen_fixtures(spark)
+    vp = str(tmp_path / "verdicts")
+    handle = make_benchmark_screen_handler(
+        spark, eval_docs, eval_vecs, vp
+    )
+    handle(arrival_docs, 0)
+    out = {
+        r["arrival_id"]: r
+        for r in spark.read.parquet(f"{vp}/epoch=0").collect()
+    }
+    assert out[1]["verdict"] == "lexical_only"
+    assert out[2]["verdict"] == "clean"  # its twin is only semantic
+    assert all(r["sq_dist"] is None for r in out.values())
+
+
+def test_streaming_benchmark_screen_end_to_end(spark, tmp_path):
+    """The real writeStream path: a file stream of arrival batches
+    drained with AvailableNow, verdicts appear per epoch."""
+    from startup_data_pipeline_spark.streaming.incremental import (
+        streaming_benchmark_screen,
+    )
+
+    arrival_docs, arrival_vecs, eval_docs, eval_vecs = _screen_fixtures(
+        spark
+    )
+    src = str(tmp_path / "src")
+    arrival_docs.join(
+        arrival_vecs.withColumnRenamed("vec_id", "doc_id"),
+        "doc_id",
+        "left",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, embedding array<float>"
+    ).parquet(src)
+    vp = str(tmp_path / "verdicts")
+    writer, got_vp = streaming_benchmark_screen(
+        stream, eval_docs, eval_vecs, vp
+    )
+    assert got_vp == vp
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    quarantined = sorted(
+        r["arrival_id"]
+        for r in spark.read.parquet(vp)
+        .filter(F.col("action") == "quarantine")
+        .collect()
+    )
+    assert quarantined == [1, 2, 3]
