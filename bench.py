@@ -181,6 +181,9 @@ HEADLINE = [
     "q_curation_diversify",
     "q_decontam_agreement",
     "q_ann_recall_audit",
+    # and the benchmark-protection screen (arrival-side shingle join +
+    # literal-map embedding leg — the stateless ingestion gate)
+    "q_benchmark_screen",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so
