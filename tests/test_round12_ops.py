@@ -634,3 +634,148 @@ def test_streaming_benchmark_screen_end_to_end(spark, tmp_path):
         .collect()
     )
     assert quarantined == [1, 2, 3]
+
+
+def test_benchmark_screen_embedding_leg_is_shuffle_free(spark):
+    """The screen's embedding leg must compile to a pure projection:
+    eval vectors ride as ONE plan literal, the per-arrival argmin runs
+    inside codegen — no Exchange, no join, no aggregate. (The full
+    screen's only exchanges belong to the lexical shingle join and the
+    final assembly joins.)"""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from startup_data_pipeline_spark.operators.similarity import (
+        _screen_assemble,
+        collect_screen_eval_vecs,
+    )
+
+    arrival_vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 8)],
+        "vec_id long, embedding array<float>",
+    )
+    eval_vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ev = collect_screen_eval_vecs(eval_vecs, "vec_id", "embedding")
+    # isolate the leg the way _screen_assemble builds it: filter+map
+    from startup_data_pipeline_spark.operators.similarity import (
+        _sq_dists_all,
+        quantize,
+        vector_has_geometry,
+    )
+
+    dists = _sq_dists_all(
+        quantize(F.col("embedding")), [list(r["qv"]) for r in ev]
+    )
+    leg = (
+        arrival_vecs.filter(vector_has_geometry("embedding"))
+        .select(
+            F.col("vec_id").alias("arrival_id"),
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        dists,
+                        lambda d, i: F.struct(
+                            d.alias("d"), i.cast("int").alias("pos")
+                        ),
+                    )
+                ),
+                1,
+            ).alias("__b"),
+        )
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        leg.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_feed_stream_through_benchmark_screen_end_to_end(spark, tmp_path):
+    """The composed benchmark-protection ingestion shape: the streaming
+    feed source (checkpointed per-feed offsets) drives foreachBatch
+    into the stateless screen — S1's poller and the round-12 gate as
+    ONE pipeline. Run 1 screens the initial items (a verbatim copy of
+    a protected eval item is quarantined); the feed grows; run 2 (same
+    checkpoint) screens ONLY the delta. Ids are content hashes
+    (xxhash64 over the item url) — the numeric-id contract a streaming
+    caller supplies."""
+    from startup_data_pipeline_spark.sources.feedsource import (
+        read_feeds_stream,
+    )
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_benchmark_screen_handler,
+    )
+
+    protected = "acme robotics raises fresh series a funding round"
+    eval_docs = spark.createDataFrame(
+        [(0, protected)], "doc_id long, text string"
+    )
+    eval_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    ck = str(tmp_path / "ck")
+    vp = str(tmp_path / "verdicts")
+    feed = "https://f.example/1"
+    titles = [
+        protected,                                           # leak!
+        "globex shipping closes large seed round in europe",
+        "initech analytics lands big growth equity investment",
+        # run-2 delta: one fresh, one more leak
+        "hooli devices secures new venture capital financing",
+        protected + " extra trailing words",                 # quotes it
+    ]
+
+    def rss(n):
+        items = "".join(
+            f"<item><title>{t}</title><link>https://x.example/{i}</link>"
+            f"<pubDate>Tue, 14 Nov 2023 22:{13 + i:02d}:00 +0000</pubDate>"
+            "</item>"
+            for i, t in enumerate(titles[:n])
+        )
+        return (
+            "<?xml version='1.0'?><rss version='2.0'><channel>"
+            f"<title>f</title>{items}</channel></rss>"
+        )
+
+    handler = make_benchmark_screen_handler(
+        spark, eval_docs, eval_vecs, vp
+    )
+
+    def run(n_items):
+        stream = read_feeds_stream(
+            spark, feeds=[feed], transport="pages", pages={feed: rss(n_items)}
+        )
+        q = (
+            stream.select(
+                F.xxhash64("url").alias("doc_id"),
+                F.col("title").alias("text"),
+                F.col("url"),
+            )
+            .writeStream.foreachBatch(
+                lambda df, e: handler(df, e)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run(3)
+    v1 = spark.read.parquet(vp).collect()
+    assert len(v1) == 3
+    acts = sorted(r["action"] for r in v1)
+    assert acts == ["admit", "admit", "quarantine"]
+
+    run(5)
+    v2 = spark.read.parquet(vp).collect()
+    assert len(v2) == 5  # only the 2-item delta was re-screened
+    assert sorted(r["action"] for r in v2) == [
+        "admit", "admit", "admit", "quarantine", "quarantine"
+    ]
