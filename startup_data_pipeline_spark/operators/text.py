@@ -495,6 +495,62 @@ def sequence_pack(
     )
 
 
+def pack_efficiency_report(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """The number a pipeline owner reads after a packing run — the
+    ``dup_cluster_stats`` analog for ``sequence_pack``: one row
+    summarizing how full the training bins came out, because bin
+    underfill is DIRECTLY wasted training throughput (every missing
+    token is a padding token at train time).
+
+    Exact integers end to end: ``fill_ppm = 10⁶·Σweight //
+    (n_bins·capacity)`` is the realized packing efficiency,
+    ``waste_ppm`` the padding share (underfill only — a straddling
+    document overflows its starting bin by design and is NOT waste),
+    ``overflow_bins`` how many bins a straddler spilled past capacity.
+    Cost: the ``sequence_pack`` plan (one window per hash shard) plus
+    one global single-row aggregate of the per-bin table — the bin
+    table is ~|docs|/docs-per-bin rows, so the final agg is a rollup
+    of an already-small frame.
+
+    Returns [n_bins, n_docs, total_weight, overflow_bins, fill_ppm,
+    waste_ppm].
+    """
+    bins = sequence_pack(df, id_col, weight_col, capacity, n_shards)
+    under = F.when(
+        F.col("total_weight") < capacity,
+        F.lit(capacity) - F.col("total_weight"),
+    ).otherwise(F.lit(0))
+    return (
+        bins.agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_weight").cast("long").alias("total_weight"),
+            F.sum(
+                (F.col("total_weight") > capacity).cast("long")
+            ).cast("long").alias("overflow_bins"),
+            F.sum(under).cast("long").alias("__under"),
+        )
+        .select(
+            "n_bins",
+            "n_docs",
+            "total_weight",
+            "overflow_bins",
+            F.expr(
+                f"(1000000 * total_weight) div (n_bins * {capacity})"
+            ).cast("long").alias("fill_ppm"),
+            F.expr(
+                f"(1000000 * __under) div (n_bins * {capacity})"
+            ).cast("long").alias("waste_ppm"),
+        )
+    )
+
+
 # GPT-2-style pre-tokenizer approximation. Alternatives are first-char
 # disjoint (apostrophe / letter / digit / other) so greedy leftmost
 # matching is identical in Java regex (Spark) and RE2 (DuckDB): no

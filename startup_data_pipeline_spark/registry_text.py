@@ -997,6 +997,50 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_efficiency",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CAST(floor(COALESCE(SUM(n_chars) OVER (
+                     PARTITION BY doc_id % 32 ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 4096.0) AS BIGINT) * 32
+               + CAST(doc_id % 32 AS BIGINT) AS bin_id
+        FROM documents
+    ),
+    bins AS (
+        SELECT bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM assigned GROUP BY bin_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS total_weight,
+           CAST(SUM(CASE WHEN w > 4096 THEN 1 ELSE 0 END) AS BIGINT)
+               AS overflow_bins,
+           CAST((1000000 * SUM(w)) // (COUNT(*) * 4096) AS BIGINT)
+               AS fill_ppm,
+           CAST((1000000 * SUM(CASE WHEN w < 4096 THEN 4096 - w
+                                    ELSE 0 END))
+                // (COUNT(*) * 4096) AS BIGINT) AS waste_ppm
+    FROM bins
+    """,
+    survey_ops="packing-efficiency report (§2.11 training-data export "
+    "QA: the dup_cluster_stats analog for sequence_pack — bin "
+    "underfill IS padding at train time, directly wasted throughput). "
+    "fill/waste in exact integer ppm, overflow bins counted "
+    "separately (a straddler overflows by design, not waste); one "
+    "single-row rollup of the per-bin table",
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_efficiency_report(
+        docs, "doc_id", "n_chars", capacity=4096
+    )
+
+
+@register(
     "q_token_entropy",
     oracle=f"""
     WITH tok AS (

@@ -779,3 +779,22 @@ def test_feed_stream_through_benchmark_screen_end_to_end(spark, tmp_path):
     assert sorted(r["action"] for r in v2) == [
         "admit", "admit", "admit", "quarantine", "quarantine"
     ]
+
+
+def test_pack_efficiency_overflow_vs_waste(spark):
+    """A straddling doc overflows its starting bin (counted, NOT
+    waste); underfilled bins are the padding share. Single shard,
+    capacity 10, weights 4,4,5,9,3 in id order -> bins (13, 9, 3):
+    one overflow, underfill 1+7=8 over 3*10 capacity."""
+    from startup_data_pipeline_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 5), (4, 9), (5, 3)],
+        "doc_id long, w long",
+    )
+    out = text.pack_efficiency_report(
+        df, "doc_id", "w", capacity=10, n_shards=1
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (3, 5, 25, 1, 833_333, 266_666)
+    ]
