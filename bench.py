@@ -184,6 +184,10 @@ HEADLINE = [
     # and the benchmark-protection screen (arrival-side shingle join +
     # literal-map embedding leg — the stateless ingestion gate)
     "q_benchmark_screen",
+    # packing-efficiency rollup (sequence_pack's plan + one single-row
+    # agg; entered after the r12 builder snapshot, so the driver's
+    # round-close run is its first series point)
+    "q_pack_efficiency",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so
