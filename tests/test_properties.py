@@ -480,3 +480,100 @@ def test_publish_order_offsets_are_append_stable(items, extra):
     ]
     after = ordered(items + later)
     assert after[: len(before)] == before
+
+
+# ---------------------------------------------------------------------------
+# Round-12 operators
+# ---------------------------------------------------------------------------
+
+WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+)
+DOC_TEXT = st.lists(WORDS, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(DOC_TEXT, min_size=2, max_size=8),
+)
+def test_cross_split_containment_ppm_bounded(spark, texts):
+    """Containment is |E∩T| / |E| over DISTINCT shingle sets, so the
+    ppm evidence is always in [0, 10⁶] and any eval doc verbatim-equal
+    to some train doc (both ≥ k tokens) reports exactly 10⁶."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    # id 0 is the eval doc (modulus 10); 1.. are train
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = rows(
+        dedup.cross_split_containment(docs, "doc_id", "text",
+                                      eval_modulus=10)
+    )
+    for _eval_id, _train_id, _n_inter, ppm in out:
+        assert 0 <= ppm <= 1_000_000
+    ev_toks = texts[0].split()
+    if len(ev_toks) >= 3 and any(
+        t == texts[0] for t in texts[1:]
+    ):
+        assert out and out[0][3] == 1_000_000
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    weights=st.lists(st.integers(1, 30), min_size=1, max_size=12),
+    capacity=st.sampled_from([10, 17, 64]),
+)
+def test_pack_efficiency_conservation(spark, weights, capacity):
+    """n_docs and total_weight are conserved; fill and waste ppm are
+    exact complements (within two floor units) whenever no bin
+    overflows, and fill_ppm + waste_ppm >= 10⁶ - 2 always (overflow
+    mass only ever pushes fill past the complement)."""
+    from startup_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        list(enumerate(weights, start=1)), "doc_id long, w long"
+    )
+    (n_bins, n_docs, total_w, overflow, fill_ppm, waste_ppm) = tuple(
+        text_ops.pack_efficiency_report(
+            df, "doc_id", "w", capacity=capacity, n_shards=2
+        ).collect()[0]
+    )
+    assert n_docs == len(weights)
+    assert total_w == sum(weights)
+    assert 1 <= n_bins <= len(weights)
+    assert fill_ppm + waste_ppm >= 1_000_000 - 2
+    if overflow == 0:
+        assert abs(fill_ppm + waste_ppm - 1_000_000) <= 2
+        assert fill_ppm <= 1_000_000
+
+
+VEC2 = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=2, max_size=2,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vs=st.lists(VEC2, min_size=4, max_size=9))
+def test_ann_recall_exhaustive_probe_is_total(spark, vs):
+    """n_probe = n_clusters probes every cell, so the IVF path's
+    candidate set is the whole corpus and recall@k is exactly 10⁶ for
+    every query — the probe-recall contract's boundary case."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        list(enumerate(vs)), "vec_id long, embedding array<float>"
+    )
+    out = similarity.ann_recall_audit(
+        df, "vec_id", "embedding", query_ids=[0, 1], k=3,
+        n_clusters=2, n_iter=2, n_probe=2,
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["recall_ppm"] == 1_000_000
+        assert r["n_hit"] == r["n_exact"]
