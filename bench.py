@@ -188,6 +188,9 @@ HEADLINE = [
     # agg; entered after the r12 builder snapshot, so the driver's
     # round-close run is its first series point)
     "q_pack_efficiency",
+    # kNN label-vote accuracy (broadcast eval x train window top-k —
+    # also a first series point at the driver's round close)
+    "q_knn_label_accuracy",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

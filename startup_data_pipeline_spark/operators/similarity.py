@@ -1508,6 +1508,118 @@ def _screen_assemble(
     )
 
 
+def knn_label_accuracy(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    eval_modulus: int = 10,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """Embedding-quality eval by kNN label vote — the standard probe
+    for "do these embeddings encode the thing the labels name": each
+    EVAL vector (``id % eval_modulus == 0``) is classified by the
+    majority label of its k nearest TRAIN vectors (integer dot
+    product, the ANN family's ranking; neighbor ties → lowest id,
+    vote ties → smallest label) and scored against its own label.
+    A high accuracy certifies the embedding space for the
+    SemDeDup/k-center/ANN machinery built on it; a near-chance
+    accuracy means distance in this space does not mean similarity
+    and every downstream curation decision built on it is suspect.
+
+    Scale: exact truth is paid on the CLAMPED eval sample (the
+    ``max_eval`` contract shared with ``cross_split_proximity`` /
+    ``benchmark_screen``) — the eval side broadcasts, so the scored
+    set is |eval|·|train| rows, linear in the corpus at a fixed eval
+    suite. The per-eval top-k is the certified ``brute_force_topk``
+    window shape; for corpus-scale query sets route through the IVF
+    probe machinery instead (``ivf_topk_trained``).
+
+    Returns one row per true label: [label, n_eval, n_correct,
+    accuracy_ppm] (exact integer ppm; eval vectors without geometry
+    are dropped by the family rule, labels ride untouched).
+    """
+    spark = embeddings.sparkSession
+    qdf = (
+        ensure_min_parallelism(embeddings)
+        .filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(id_col).alias("vid"),
+            quantize(F.col(vec_col)).alias("qv"),
+            F.col(label_col).cast("long").alias("label"),
+        )
+    )
+    ev = (
+        qdf.filter((F.col("vid") % eval_modulus) == 0)
+        .orderBy("vid")
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(ev) > max_eval:
+        raise ValueError(
+            f"knn_label_accuracy: eval side exceeds max_eval={max_eval};"
+            " sample the eval suite or route through ivf_topk_trained"
+        )
+    out_schema = (
+        "label long, n_eval long, n_correct long, accuracy_ppm long"
+    )
+    if not ev:
+        return spark.createDataFrame([], out_schema)
+    evdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vid"]), list(r["qv"]), int(r["label"])) for r in ev],
+            "eval_id long, eqv array<bigint>, true_label long",
+        )
+    )
+    train = qdf.filter((F.col("vid") % eval_modulus) != 0).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("qv").alias("nv"),
+        F.col("label").alias("neighbor_label"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    knn = (
+        evdf.crossJoin(train)
+        .withColumn("score", int_dot(F.col("eqv"), F.col("nv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    wv = Window.partitionBy("eval_id").orderBy(
+        F.col("votes").desc(), F.col("neighbor_label").asc()
+    )
+    predicted = (
+        knn.groupBy("eval_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "eval_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+        )
+    )
+    return (
+        predicted.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                (F.col("predicted_label") == F.col("true_label"))
+                .cast("long")
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.expr("(1000000 * n_correct) div n_eval")
+            .cast("long")
+            .alias("accuracy_ppm"),
+        )
+    )
+
+
 def _seeded_route(
     embeddings: DataFrame,
     id_col: str,

@@ -1795,6 +1795,77 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_label_oracle(
+    k: int = 5, eval_modulus: int = 10
+) -> str:
+    """Brute eval×train dot-product top-k, per-eval majority vote
+    (ties: most votes, then smallest label), per-label accuracy rollup
+    in exact integer ppm."""
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+    )
+    return f"""
+    WITH g AS (
+        SELECT vec_id AS vid, {quant} AS qv,
+               CAST(label AS BIGINT) AS label
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    scored AS (
+        SELECT e.vid AS eval_id, e.label AS true_label,
+               t.vid AS neighbor_id, t.label AS neighbor_label,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(e.qv)),
+                   i -> e.qv[i] * t.qv[i])) AS BIGINT) AS score
+        FROM g e JOIN g t
+          ON e.vid % {eval_modulus} = 0 AND t.vid % {eval_modulus} <> 0
+    ),
+    knn AS (
+        SELECT eval_id, true_label, neighbor_label FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY eval_id ORDER BY score DESC, neighbor_id ASC
+        ) <= {k}
+    ),
+    pred AS (
+        SELECT eval_id, true_label, neighbor_label AS predicted_label
+        FROM (
+            SELECT eval_id, true_label, neighbor_label,
+                   COUNT(*) AS votes
+            FROM knn GROUP BY eval_id, true_label, neighbor_label
+        )
+        QUALIFY row_number() OVER (
+            PARTITION BY eval_id
+            ORDER BY votes DESC, neighbor_label ASC
+        ) = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN predicted_label = true_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((1000000 * SUM(CASE WHEN predicted_label = true_label
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS accuracy_ppm
+    FROM pred GROUP BY true_label"""
+
+
+@register(
+    "q_knn_label_accuracy",
+    oracle=_knn_label_oracle(k=5, eval_modulus=10),
+    survey_ops="embedding-quality eval by kNN label vote (§2.11 "
+    "similarity QA: does distance in this space mean similarity? — "
+    "the certificate every downstream curation decision rests on). "
+    "Eval sample clamped + broadcast, scored set linear in the "
+    "corpus, exact integer accuracy ppm per label; majority vote "
+    "ties to the smallest label, neighbor ties to the lowest id",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_accuracy(
+        emb, "vec_id", "embedding", "label", k=5, eval_modulus=10,
+    )
+
+
 @register(
     "q_kmeans_clusters",
     oracle=_kmeans_oracle(k=8, n_iter=5),

@@ -798,3 +798,59 @@ def test_pack_efficiency_overflow_vs_waste(spark):
     assert [tuple(r) for r in out] == [
         (3, 5, 25, 1, 833_333, 266_666)
     ]
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote accuracy (round-12 operator)
+# ---------------------------------------------------------------------------
+
+
+def test_knn_label_accuracy_majority_and_rollup(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            # eval side (ids % 10 == 0)
+            (0, [1.0, 0.0], 2),    # top3: l1,l2,l2 -> pred 2, correct
+            (10, [0.0, 1.0], 7),   # top3: l2,l2,l7 -> pred 2, wrong
+            (20, [0.5, 0.5], 0),   # top3: l1,l2,l2 -> pred 2, wrong
+            # train side
+            (1, [1.0, 0.0], 1),
+            (2, [0.99, 0.0], 2),
+            (3, [0.98, 0.0], 2),
+            (4, [0.0, 1.0], 2),
+            (5, [0.0, 0.9], 2),
+            (6, [0.0, 0.8], 7),
+        ],
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = rows(
+        similarity.knn_label_accuracy(
+            emb, "vec_id", "embedding", "label", k=3, eval_modulus=10
+        )
+    )
+    assert out == [
+        (0, 1, 0, 0),
+        (2, 1, 1, 1_000_000),
+        (7, 1, 0, 0),
+    ]
+
+
+def test_knn_label_accuracy_vote_tie_smallest_label(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    # k=2, equal scores, one vote each -> the smallest label wins
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0], 1),
+            (1, [1.0, 0.0], 1),
+            (2, [0.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label long",
+    )
+    out = rows(
+        similarity.knn_label_accuracy(
+            emb, "vec_id", "embedding", "label", k=2, eval_modulus=10
+        )
+    )
+    assert out == [(1, 1, 1, 1_000_000)]
