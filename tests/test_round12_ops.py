@@ -854,3 +854,38 @@ def test_knn_label_accuracy_vote_tie_smallest_label(spark):
         )
     )
     assert out == [(1, 1, 1, 1_000_000)]
+
+
+def test_pack_efficiency_empty_corpus_parity(spark):
+    """Empty input: one row of (0, NULL, NULL, NULL, NULL, NULL) on
+    BOTH engines (DuckDB's // and Spark's div both yield NULL at a
+    zero denominator; sums over nothing are NULL) — pinned so the
+    oracle gate can't diverge on a degenerate snapshot."""
+    import duckdb
+
+    from startup_data_pipeline_spark.operators import text
+
+    df = spark.createDataFrame([], "doc_id long, w long")
+    got = [
+        tuple(r)
+        for r in text.pack_efficiency_report(
+            df, "doc_id", "w", capacity=4096
+        ).collect()
+    ]
+    want = duckdb.sql(
+        """
+        WITH bins AS (SELECT 1 AS n_docs, 2 AS w WHERE false)
+        SELECT CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_docs) AS BIGINT),
+               CAST(SUM(w) AS BIGINT),
+               CAST(SUM(CASE WHEN w > 4096 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST((1000000 * SUM(w)) // (COUNT(*) * 4096) AS BIGINT),
+               CAST((1000000 * SUM(CASE WHEN w < 4096 THEN 4096 - w
+                                        ELSE 0 END))
+                    // (COUNT(*) * 4096) AS BIGINT)
+        FROM bins
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want] == [
+        (0, None, None, None, None, None)
+    ]
