@@ -191,6 +191,9 @@ HEADLINE = [
     # kNN label-vote accuracy (broadcast eval x train window top-k —
     # also a first series point at the driver's round close)
     "q_knn_label_accuracy",
+    # the screened-export capstone (screen -> budget -> pack, one
+    # lineage)
+    "q_screened_export",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -1372,18 +1372,19 @@ def q_decontam_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _benchmark_screen_oracle(
+def _benchmark_screen_ctes(
     eval_modulus: int = 100,
     sq_dist_max: int = 1_000_000,
     containment_min_ppm: int = 500_000,
     max_df: int = 50,
 ) -> str:
-    """The per-ARRIVAL screen re-derived: eval-side containment
-    (denominator = the eval doc's shingle count; the arrival side —
-    the only growing side — carries the df-cap), nearest eval vector
-    per arrival (ties to the lowest eval id, mirroring the Spark
-    side's vid-sorted literal argmin), verdict + action over the
-    arrival universe."""
+    """The per-ARRIVAL screen re-derived as a CTE chain ending in
+    ``screen`` (one row per arrival with evidence/verdict/action):
+    eval-side containment (denominator = the eval doc's shingle count;
+    the arrival side — the only growing side — carries the df-cap),
+    nearest eval vector per arrival (ties to the lowest eval id,
+    mirroring the Spark side's vid-sorted literal argmin). Shared by
+    q_benchmark_screen and the q_screened_export composition."""
     from .registry_text import _SHINGLES, _TOKS_LOWER
 
     return f"""
@@ -1442,32 +1443,51 @@ def _benchmark_screen_oracle(
         FROM pair
         QUALIFY row_number() OVER (
             PARTITION BY arrival_id ORDER BY d ASC, eval_id ASC) = 1
-    )
-    SELECT u.arrival_id, lex.lexical_eval_id, lex.containment_ppm,
-           emb.embedding_eval_id, emb.sq_dist,
-           CASE
-               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
-                             FALSE)
-                AND COALESCE(sq_dist <= {sq_dist_max}, FALSE)
-                   THEN 'both'
-               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
-                             FALSE)
-                   THEN 'lexical_only'
-               WHEN COALESCE(sq_dist <= {sq_dist_max}, FALSE)
-                   THEN 'embedding_only'
-               ELSE 'clean'
-           END AS verdict,
-           CASE
-               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
-                             FALSE)
-                 OR COALESCE(sq_dist <= {sq_dist_max}, FALSE)
-                   THEN 'quarantine'
-               ELSE 'admit'
-           END AS action
-    FROM (SELECT CAST(doc_id AS BIGINT) AS arrival_id FROM documents
-          WHERE doc_id % {eval_modulus} <> 0) u
-    LEFT JOIN lex USING (arrival_id)
-    LEFT JOIN emb USING (arrival_id)"""
+    ),
+    screen AS (
+        SELECT u.arrival_id, lex.lexical_eval_id, lex.containment_ppm,
+               emb.embedding_eval_id, emb.sq_dist,
+               CASE
+                   WHEN COALESCE(
+                            containment_ppm >= {containment_min_ppm},
+                            FALSE)
+                    AND COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                       THEN 'both'
+                   WHEN COALESCE(
+                            containment_ppm >= {containment_min_ppm},
+                            FALSE)
+                       THEN 'lexical_only'
+                   WHEN COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                       THEN 'embedding_only'
+                   ELSE 'clean'
+               END AS verdict,
+               CASE
+                   WHEN COALESCE(
+                            containment_ppm >= {containment_min_ppm},
+                            FALSE)
+                     OR COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                       THEN 'quarantine'
+                   ELSE 'admit'
+               END AS action
+        FROM (SELECT CAST(doc_id AS BIGINT) AS arrival_id FROM documents
+              WHERE doc_id % {eval_modulus} <> 0) u
+        LEFT JOIN lex USING (arrival_id)
+        LEFT JOIN emb USING (arrival_id)
+    )"""
+
+
+def _benchmark_screen_oracle(
+    eval_modulus: int = 100,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    max_df: int = 50,
+) -> str:
+    return _benchmark_screen_ctes(
+        eval_modulus, sq_dist_max, containment_min_ppm, max_df
+    ) + """
+    SELECT arrival_id, lexical_eval_id, containment_ppm,
+           embedding_eval_id, sq_dist, verdict, action
+    FROM screen"""
 
 
 @register(
@@ -1495,6 +1515,141 @@ def q_benchmark_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_dist_max=1_000_000, containment_min_ppm=500_000,
         k=3, max_df=50,
     )
+
+
+def _screened_export_oracle(
+    containment_min_ppm: int = 50_000,
+    budget: int = 12_000,
+    capacity: int = 512,
+) -> str:
+    """The screened nightly export re-derived end to end: the
+    benchmark-screen CTE chain (loosened lexical threshold so the gate
+    is non-trivial at both gate scales) → admitted arrivals →
+    diversity-scored naive global budget window (the
+    q_token_budget_select oracle shape) → shard-stride pack bins →
+    the pack rollup, cross-joined with the screen's own counts."""
+    from .registry_text import _TOKS
+
+    return _benchmark_screen_ctes(
+        containment_min_ppm=containment_min_ppm
+    ) + f""",
+    admitted AS (
+        SELECT arrival_id FROM screen WHERE action = 'admit'
+    ),
+    ascored AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                    AS BIGINT) AS diversity_ppm
+        FROM (SELECT doc_id, {_TOKS} AS toks
+              FROM documents JOIN admitted ON arrival_id = doc_id)
+        WHERE len(toks) > 0
+    ),
+    sel AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY diversity_ppm DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_before
+            FROM ascored
+        ) WHERE cum_before < {budget}
+    ),
+    binagg AS (
+        SELECT bin_id,
+               CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(n_tokens) AS BIGINT) AS w
+        FROM (
+            SELECT CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY doc_id % 32 ORDER BY doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)
+                         / {capacity}.0) AS BIGINT) * 32
+                   + CAST(doc_id % 32 AS BIGINT) AS bin_id,
+                   n_tokens
+            FROM sel
+        ) GROUP BY bin_id
+    ),
+    pack AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(c) AS BIGINT) AS n_selected,
+               CAST(SUM(w) AS BIGINT) AS total_weight,
+               CAST(SUM(CASE WHEN w > {capacity} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS overflow_bins,
+               CAST((1000000 * SUM(w)) // (COUNT(*) * {capacity})
+                    AS BIGINT) AS fill_ppm,
+               CAST((1000000 * SUM(CASE WHEN w < {capacity}
+                                        THEN {capacity} - w
+                                        ELSE 0 END))
+                    // (COUNT(*) * {capacity}) AS BIGINT) AS waste_ppm
+        FROM binagg
+    ),
+    sc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+               CAST(SUM(CASE WHEN action = 'quarantine'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quarantined
+        FROM screen
+    )
+    SELECT sc.n_arrivals, sc.n_quarantined, pack.n_bins,
+           pack.n_selected, pack.total_weight, pack.overflow_bins,
+           pack.fill_ppm, pack.waste_ppm
+    FROM sc, pack"""
+
+
+@register(
+    "q_screened_export",
+    oracle=_screened_export_oracle(),
+    survey_ops="screened nightly export (§2.11 composition capstone "
+    "for the round-12 gate): arrivals -> benchmark screen (quarantine "
+    "leaks against the protected eval set) -> diversity-scored exact "
+    "token-budget cut over the ADMITTED set -> packing-efficiency "
+    "rollup, one lineage — the cheap screen precedes the budget "
+    "window, the pack report is a rollup of a rollup, and the output "
+    "row carries the screen counts beside the pack numbers",
+)
+def q_screened_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    screen = similarity.benchmark_screen(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=50_000,
+    )
+    sc = screen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum((F.col("action") == "quarantine").cast("long"))
+        .cast("long")
+        .alias("n_quarantined"),
+    )
+    admitted = screen.filter(F.col("action") == "admit").select(
+        F.col("arrival_id").alias("doc_id")
+    )
+    t = text.tokens(F.col("text"))
+    scored = (
+        docs.join(admitted, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("__nd"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "diversity_ppm",
+            F.expr("(1000000 * __nd) div n_tokens").cast("long"),
+        )
+        .drop("__nd")
+    )
+    selected = text.token_budget_select(
+        scored, "doc_id", "diversity_ppm", "n_tokens", budget=12_000
+    )
+    pack = text.pack_efficiency_report(
+        selected, "doc_id", "n_tokens", capacity=512
+    ).withColumnRenamed("n_docs", "n_selected")
+    return sc.crossJoin(F.broadcast(pack))
 
 
 def _curation_diversify_oracle(k: int = 8, budget: int = 250) -> str:
