@@ -1071,6 +1071,73 @@ def connected_components(
     )
 
 
+def quality_survivors(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup removal keeping the BEST copy, not the first: the
+    ``q_dedup_survivors`` chain (shingle → MinHash → LSH bands →
+    candidate pairs → connected components) with a quality-ranked
+    winner per cluster instead of the min-id representative. Min-id is
+    the cheap default; a production corpus wants the copy that
+    survives the quality gate and carries the most content — truncated
+    mirrors, boilerplate-wrapped scrapes, and snippet quotes of the
+    same document should LOSE to the full original regardless of
+    which crawled first.
+
+    Winner rule (deterministic, integer-exact): quality-gate passers
+    beat failers (``text.quality_score``'s C4-style gate), then more
+    tokens beat fewer, then the lowest id — one min-struct aggregate
+    per component riding the CC output's exchange.
+
+    Returns [survivor_id, cluster_size, n_tokens, quality_ok] — one
+    row per cluster (singletons included, cluster_size = 1).
+    """
+    from .text import quality_score
+
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, k=k
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    comp = connected_components(docs.select(id_col), pairs, id_col)
+    scored = quality_score(
+        docs.select(id_col, text_col), text_col, text_col
+    ).select(id_col, "n_tokens", "quality_ok")
+    return (
+        comp.join(scored, id_col)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min(
+                F.struct(
+                    # when/otherwise, not a NOT-cast: an empty-token
+                    # doc's gate is NULL (0-token ratios) and must rank
+                    # as a failer on both engines (the oracle's ELSE 1)
+                    F.when(F.col("quality_ok"), F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias("__bad"),
+                    (-F.col("n_tokens")).alias("__nt"),
+                    F.col(id_col).alias("__id"),
+                    F.coalesce(F.col("quality_ok"), F.lit(False))
+                    .alias("quality_ok"),
+                )
+            ).alias("__w"),
+        )
+        .select(
+            F.col("__w.__id").alias("survivor_id"),
+            "cluster_size",
+            (-F.col("__w.__nt")).cast("long").alias("n_tokens"),
+            F.col("__w.quality_ok").alias("quality_ok"),
+        )
+    )
+
+
 def soft_dedup_weights(
     ids: DataFrame,
     pairs: DataFrame,

@@ -307,6 +307,80 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_survivors",
+    # the q_dedup_survivors chain with a QUALITY-ranked winner per
+    # near-dup cluster: gate passers beat failers, then more tokens,
+    # then lowest id — keep the best copy, not the first crawled
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               COALESCE(
+                   len(toks) >= 10
+                   AND round(CAST(length(text) AS DOUBLE)
+                             / len(toks), 4) <= 12.0
+                   AND round(CAST(len(list_filter(toks, t ->
+                           list_contains(['the','a','of','and','to',
+                                          'in'], t))) AS DOUBLE)
+                             / len(toks), 4) <= 0.5,
+                   FALSE) AS quality_ok
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id AS survivor_id, cluster_size, n_tokens, quality_ok
+    FROM (
+        SELECT c.component, q.doc_id, q.n_tokens, q.quality_ok,
+               CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+                   AS cluster_size
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    QUALIFY row_number() OVER (
+        PARTITION BY component
+        ORDER BY CASE WHEN quality_ok THEN 0 ELSE 1 END ASC,
+                 n_tokens DESC, doc_id ASC
+    ) = 1
+    """,
+    survey_ops="quality-ranked near-dup survivor selection (§2.11: "
+    "the q_dedup_survivors chain keeping the BEST copy per cluster — "
+    "gate passers beat failers, then token count, then lowest id; "
+    "truncated mirrors and snippet quotes lose to the full original "
+    "regardless of crawl order). One min-struct per component riding "
+    "the CC output's exchange",
+)
+def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.quality_survivors(docs, "doc_id", "text")
+
+
+@register(
     "q_ngram_jaccard",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),

@@ -889,3 +889,37 @@ def test_pack_efficiency_empty_corpus_parity(spark):
     assert got == [tuple(r) for r in want] == [
         (0, None, None, None, None, None)
     ]
+
+
+def test_quality_survivors_winner_rules(spark):
+    """Exact duplicates cluster via identical signatures; the winner
+    is gate-ranked: ok beats not-ok is hash-proven by the oracle gate
+    (mixed fixture clusters); here pin the deterministic unit rules —
+    tie on (gate, tokens) goes to the lowest id, failers coalesce to
+    quality_ok=False, singletons survive themselves."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    long_ok = ("the quick brown fox jumps over a lazy dog and then "
+               "runs off to the woods in a hurry")
+    docs = spark.createDataFrame(
+        [
+            (2, long_ok),
+            (3, long_ok),          # exact dup of 2 -> same cluster
+            (5, "tiny short text"),
+            (6, "tiny short text"),  # exact dup of 5
+            (9, "a completely different singleton document entirely "
+                "with plenty of the and of and to in words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["survivor_id"]: r
+        for r in dedup.quality_survivors(docs, "doc_id", "text").collect()
+    }
+    assert set(out) == {2, 5, 9}
+    assert out[2]["cluster_size"] == 2
+    assert out[2]["quality_ok"] is True
+    assert out[5]["cluster_size"] == 2
+    assert out[5]["quality_ok"] is False   # <10 tokens fails the gate
+    assert out[5]["n_tokens"] == 3
+    assert out[9]["cluster_size"] == 1
