@@ -196,7 +196,7 @@ _PRIORITY: list[str] = [
     "q_cross_split_proximity_large", "q_curation_diversify",
     "q_decontam_agreement", "q_ann_recall_audit", "q_benchmark_screen",
     "q_pack_efficiency", "q_knn_label_accuracy", "q_screened_export",
-    "q_quality_survivors",
+    "q_quality_survivors", "q_screen_rate_by_source",
 ]
 
 

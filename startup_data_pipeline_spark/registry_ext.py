@@ -1652,6 +1652,64 @@ def q_screened_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.crossJoin(F.broadcast(pack))
 
 
+@register(
+    "q_screen_rate_by_source",
+    # which feeds leak benchmarks: the screen's verdicts rolled up per
+    # source domain — the number that decides which upstream feed gets
+    # delisted (same loosened threshold as the capstone so rates are
+    # non-trivial at both gate scales)
+    oracle=_benchmark_screen_ctes(containment_min_ppm=50_000) + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(SUM(CASE WHEN s.action = 'quarantine' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_quarantined,
+           CAST((1000000 * SUM(CASE WHEN s.action = 'quarantine'
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS quarantine_ppm
+    FROM screen s JOIN documents d ON d.doc_id = s.arrival_id
+    GROUP BY d.source""",
+    survey_ops="per-source benchmark-leak rates (§2.11 screening "
+    "rollup: the delisting decision — a source whose arrivals keep "
+    "tripping the protected-set screen is a contaminated upstream, "
+    "not a coincidence); one small agg over the screen verdicts "
+    "joined back to the arrival catalog",
+)
+def q_screen_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    screen = similarity.benchmark_screen(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=50_000,
+    )
+    return (
+        screen.join(
+            docs.select(
+                F.col("doc_id").alias("arrival_id"), "source"
+            ),
+            "arrival_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.sum((F.col("action") == "quarantine").cast("long"))
+            .cast("long")
+            .alias("n_quarantined"),
+        )
+        .select(
+            "source",
+            "n_arrivals",
+            "n_quarantined",
+            F.expr("(1000000 * n_quarantined) div n_arrivals")
+            .cast("long")
+            .alias("quarantine_ppm"),
+        )
+    )
+
+
 def _curation_diversify_oracle(k: int = 8, budget: int = 250) -> str:
     """The composed curation pipeline re-derived end to end: the
     q_semdedup routing/verdict CTEs (auto-k seeded cells, 512 cap,

@@ -218,10 +218,10 @@ def test_registry_integrity():
     # alphabetical, so the driver's sample order is reproducible
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r13 window)
-    assert list(qs)[-9:] == [
+    assert list(qs)[-10:] == [
         "q_cross_split_proximity_large", "q_curation_diversify",
         "q_decontam_agreement", "q_ann_recall_audit",
         "q_benchmark_screen", "q_pack_efficiency",
         "q_knn_label_accuracy", "q_screened_export",
-        "q_quality_survivors",
+        "q_quality_survivors", "q_screen_rate_by_source",
     ]
