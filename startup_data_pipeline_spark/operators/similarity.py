@@ -1400,6 +1400,13 @@ def collect_screen_eval_vecs(
     return ev
 
 
+# embedding-leg strategy switch for the benchmark screen: at or below
+# this many protected vectors the shuffle-free literal map wins; above
+# it the broadcast pair join does (see the branch comments in
+# _screen_assemble for the measured crossover evidence)
+_SCREEN_LITERAL_MAX = 64
+
+
 def _screen_assemble(
     arrival_docs: DataFrame,
     arrival_vecs: DataFrame,
@@ -1445,10 +1452,16 @@ def _screen_assemble(
             (-F.col("__m.__np")).cast("long").alias("containment_ppm"),
         )
     )
-    if ev:
+    if ev and len(ev) <= _SCREEN_LITERAL_MAX:
+        # small protected set: the shuffle-free literal map. Distances
+        # reference the MATERIALIZED __qv attribute, never an inline
+        # quantize expression — lambda bodies are excluded from
+        # common-subexpression elimination, so an inline quantize
+        # re-runs per eval-literal element (the shingles_from_tokens
+        # plan-shape lesson).
         ids_lit = F.lit([int(r["vid"]) for r in ev]).cast("array<bigint>")
         dists = _sq_dists_all(
-            quantize(F.col(vec_col)), [list(r["qv"]) for r in ev]
+            F.col("__qv"), [list(r["qv"]) for r in ev]
         )
         best = F.element_at(  # (d, pos) structs: argmin, ties -> lowest
             F.array_sort(
@@ -1465,6 +1478,10 @@ def _screen_assemble(
             arrival_vecs.filter(vector_has_geometry(vec_col))
             .select(
                 F.col(vec_id_col).alias("arrival_id"),
+                quantize(F.col(vec_col)).alias("__qv"),
+            )
+            .select(
+                "arrival_id",
                 best.alias("__b"),
             )
             .select(
@@ -1472,6 +1489,48 @@ def _screen_assemble(
                 F.element_at(ids_lit, F.col("__b.pos") + 1)
                 .alias("embedding_eval_id"),
                 F.col("__b.d").alias("sq_dist"),
+            )
+        )
+    elif ev:
+        # large protected set: the literal map's per-row higher-order
+        # loop is interpreted and allocation-heavy — measured
+        # ~50 ms/arrival at 4096 eval vectors × 16 dims (~50 s per
+        # 1000-doc batch) vs ~2 s for the broadcast pair join below,
+        # whose one-pair-per-row dot products ride the Tungsten row
+        # pipeline and whose min-struct agg is map-side combined (the
+        # exchange carries ≤|arrivals| rows). Ties to the lowest eval
+        # id — identical semantics to the literal argmin (ids are
+        # vid-sorted), so the oracle is shared.
+        spark = arrival_vecs.sparkSession
+        evdf = F.broadcast(
+            spark.createDataFrame(
+                [(int(r["vid"]), list(r["qv"])) for r in ev],
+                "__eid long, __ev array<bigint>",
+            )
+        )
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("__ev"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        emb = (
+            arrival_vecs.filter(vector_has_geometry(vec_col))
+            .select(
+                F.col(vec_id_col).alias("arrival_id"),
+                quantize(F.col(vec_col)).alias("__qv"),
+            )
+            .crossJoin(evdf)
+            .select("arrival_id", "__eid", sq.alias("__d"))
+            .groupBy("arrival_id")
+            .agg(
+                F.min(F.struct(F.col("__d"), F.col("__eid"))).alias("__m")
+            )
+            .select(
+                "arrival_id",
+                F.col("__m.__eid").alias("embedding_eval_id"),
+                F.col("__m.__d").alias("sq_dist"),
             )
         )
     else:  # empty protected set: nothing to compare against
