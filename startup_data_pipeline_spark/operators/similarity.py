@@ -1032,15 +1032,21 @@ def cross_split_proximity(
     (deterministic, oracle-mirrored). Geometry-less vectors are
     dropped on BOTH sides (``vector_has_geometry``).
 
-    Scale: the eval side of a proximity audit is small by definition —
-    it rides in the plan as ONE nested-array literal (the kcenter /
-    ``_sq_dists_all`` machinery), so the whole audit is a single
-    shuffle-free scan of train computing the per-row distance array,
-    a posexplode, and a map-side-combined min-struct aggregate whose
-    exchange carries |eval| rows per partition. No join, no broadcast,
-    no crossJoin. ``max_eval`` guards the plan-literal bound (the
-    semdedup 4096-clamp precedent): a larger eval set should route
-    through ``ivf_topk_trained``'s probe shape instead.
+    Scale: strategy-switched at ``_ARGMIN_LITERAL_MAX`` (the round-12
+    screen-probe lesson). At or below it the eval side rides in the
+    plan as ONE nested-array literal (the kcenter / ``_sq_dists_all``
+    machinery): a single shuffle-free scan of train computing the
+    per-row distance array, a posexplode, and a map-side-combined
+    min-struct aggregate — no join, no broadcast, no crossJoin. Above
+    it the literal map's per-row higher-order loop is interpreted and
+    allocation-heavy (measured ~50 ms/row at 4096 literals × 16 dims),
+    so the eval side broadcasts as a real frame and pair-joins — one
+    dot per Tungsten row, min-struct per eval, exchange ≤ |eval| rows
+    after partial aggregation. Identical semantics either way (ties to
+    the lowest train id), so the oracle is shared. ``max_eval`` still
+    clamps the audit (the semdedup 4096 precedent): a larger eval set
+    routes through ``cross_split_proximity_large``'s IVF probe shape,
+    which bounds candidates instead of scanning all of train per eval.
 
     Returns [eval_id, nearest_train_id, sq_dist] — ties to the lowest
     train id; eval vectors with NO train vector to compare against
@@ -1070,21 +1076,46 @@ def cross_split_proximity(
     schema = "eval_id long, nearest_train_id long, sq_dist long"
     if not ev:
         return spark.createDataFrame([], schema)
-    eval_ids = [int(r["vid"]) for r in ev]
-    dists = _sq_dists_all(F.col("qv"), [list(r["qv"]) for r in ev])
-    ids_lit = F.lit(eval_ids).cast("array<bigint>")
+    train = qdf.filter((F.col("vid") % eval_modulus) != 0)
+    if len(ev) <= _ARGMIN_LITERAL_MAX:
+        eval_ids = [int(r["vid"]) for r in ev]
+        dists = _sq_dists_all(F.col("qv"), [list(r["qv"]) for r in ev])
+        ids_lit = F.lit(eval_ids).cast("array<bigint>")
+        return (
+            train.select(
+                F.col("vid").alias("train_id"),
+                F.posexplode(dists).alias("pos", "d"),
+            )
+            .groupBy("pos")
+            .agg(
+                F.min(F.struct(F.col("d"), F.col("train_id"))).alias("__m")
+            )
+            .select(
+                F.element_at(ids_lit, F.col("pos") + 1).alias("eval_id"),
+                F.col("__m.train_id").alias("nearest_train_id"),
+                F.col("__m.d").alias("sq_dist"),
+            )
+        )
+    evdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vid"]), list(r["qv"])) for r in ev],
+            "eval_id long, __ev array<bigint>",
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("__ev"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return (
-        qdf.filter((F.col("vid") % eval_modulus) != 0)
+        train.crossJoin(evdf)
+        .select("eval_id", F.col("vid").alias("train_id"), sq.alias("d"))
+        .groupBy("eval_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("train_id"))).alias("__m"))
         .select(
-            F.col("vid").alias("train_id"),
-            F.posexplode(dists).alias("pos", "d"),
-        )
-        .groupBy("pos")
-        .agg(
-            F.min(F.struct(F.col("d"), F.col("train_id"))).alias("__m")
-        )
-        .select(
-            F.element_at(ids_lit, F.col("pos") + 1).alias("eval_id"),
+            "eval_id",
             F.col("__m.train_id").alias("nearest_train_id"),
             F.col("__m.d").alias("sq_dist"),
         )
@@ -1400,11 +1431,12 @@ def collect_screen_eval_vecs(
     return ev
 
 
-# embedding-leg strategy switch for the benchmark screen: at or below
-# this many protected vectors the shuffle-free literal map wins; above
-# it the broadcast pair join does (see the branch comments in
-# _screen_assemble for the measured crossover evidence)
-_SCREEN_LITERAL_MAX = 64
+# argmin-over-literal strategy switch (benchmark screen + proximity
+# audit): at or below this many literal vectors the shuffle-free
+# literal map wins; above it the interpreted higher-order per-row loop
+# loses to a broadcast pair join (measured ~50 ms/row at 4096 literals
+# x 16 dims vs ~0.4 ms/row joined — the round-12 screen probe)
+_ARGMIN_LITERAL_MAX = 64
 
 
 def _screen_assemble(
@@ -1452,7 +1484,7 @@ def _screen_assemble(
             (-F.col("__m.__np")).cast("long").alias("containment_ppm"),
         )
     )
-    if ev and len(ev) <= _SCREEN_LITERAL_MAX:
+    if ev and len(ev) <= _ARGMIN_LITERAL_MAX:
         # small protected set: the shuffle-free literal map. Distances
         # reference the MATERIALIZED __qv attribute, never an inline
         # quantize expression — lambda bodies are excluded from

@@ -923,3 +923,51 @@ def test_quality_survivors_winner_rules(spark):
     assert out[5]["quality_ok"] is False   # <10 tokens fails the gate
     assert out[5]["n_tokens"] == 3
     assert out[9]["cluster_size"] == 1
+
+
+def test_proximity_join_and_literal_paths_agree(spark, monkeypatch):
+    """Above _ARGMIN_LITERAL_MAX the proximity audit switches from the
+    shuffle-free literal map to a broadcast pair join; the two
+    strategies must be row-identical (same min, same lowest-train-id
+    ties) on the same corpus."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [(i % 7) * 0.1, (i % 5) * 0.1, (i % 3) * 0.1])
+         for i in range(180)],
+        "vec_id long, embedding array<float>",
+    )
+    # modulus 2: 90 eval vectors > the 64 switch -> join path
+    joined = rows(similarity.cross_split_proximity(
+        emb, "vec_id", "embedding", eval_modulus=2))
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 10_000)
+    literal = rows(similarity.cross_split_proximity(
+        emb, "vec_id", "embedding", eval_modulus=2))
+    assert joined == literal
+    assert len(joined) == 90
+
+
+def test_screen_join_and_literal_paths_agree(spark, monkeypatch):
+    from startup_data_pipeline_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words") for i in range(200)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [(i % 11) * 0.1, (i % 4) * 0.1]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    # modulus 2: 100 protected vectors > the 64 switch -> join path
+    args = (
+        docs.filter(F.col("doc_id") % 2 != 0),
+        vecs.filter(F.col("vec_id") % 2 != 0),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        vecs.filter(F.col("vec_id") % 2 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+    )
+    joined = rows(similarity.benchmark_screen(*args))
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 10_000)
+    literal = rows(similarity.benchmark_screen(*args))
+    assert joined == literal
+    assert len(joined) == 100
