@@ -696,14 +696,51 @@ def _sq_dists_all(qv: Column, centroids: list[list[int]]) -> Column:
 def _assign_clusters(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Attach the nearest-centroid index (ties → lowest index).
 
-    The centroids ride in the plan as one literal table, so assignment
-    is a shuffle-free map over the vectors — the executor-side cost of
-    one Lloyd iteration is a single scan.
+    Strategy-switched at ``_ARGMIN_LITERAL_MAX`` (the round-12 screen-
+    probe lesson, applied family-wide): at or below it the centroids
+    ride in the plan as one literal table and assignment is a
+    shuffle-free map over the vectors — the executor-side cost of one
+    Lloyd iteration is a single scan. Above it the literal map's
+    per-row higher-order loop (interpreted, allocation-heavy —
+    ~50 ms/row at 4096 literals × 16 dims) loses to a broadcast
+    centroid join: one squared distance per Tungsten row, min-struct
+    per vector with map-side partial aggregation, so the exchange
+    carries ~n rows, never n·k. Ties identical on both paths (lowest
+    centroid index — array_position finds the FIRST min; the struct
+    min orders by (d, cid)). Only corpus-scale k takes the join path:
+    every registered fixture's k (explicit 8s, auto-k ≤ 32 at the
+    gate scales) stays on the literal plan.
+
+    PRECONDITION (join path): ``qdf`` is exactly [vid, qv] with
+    unique vids — what every caller passes (the Lloyd loop and the
+    seeded router both operate on the quantized frame).
     """
-    dists = _sq_dists_all(F.col("qv"), centroids)
-    return qdf.withColumn(
-        "cluster",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    if len(centroids) <= _ARGMIN_LITERAL_MAX:
+        dists = _sq_dists_all(F.col("qv"), centroids)
+        return qdf.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    spark = qdf.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [int(x) for x in c]) for i, c in enumerate(centroids)],
+            "__cid int, __cv array<bigint>",
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("__cv"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        qdf.crossJoin(cdf)
+        .select("vid", "qv", F.struct(sq.alias("__d"), F.col("__cid")).alias("__s"))
+        .groupBy("vid", "qv")
+        .agg(F.min("__s").alias("__m"))
+        .select("vid", "qv", F.col("__m.__cid").alias("cluster"))
     )
 
 

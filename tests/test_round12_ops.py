@@ -971,3 +971,27 @@ def test_screen_join_and_literal_paths_agree(spark, monkeypatch):
     literal = rows(similarity.benchmark_screen(*args))
     assert joined == literal
     assert len(joined) == 100
+
+
+def test_assign_clusters_join_and_literal_paths_agree(spark, monkeypatch):
+    """Above _ARGMIN_LITERAL_MAX cluster assignment switches from the
+    literal map to a broadcast centroid join; the Lloyd trainer's full
+    output (assignments AND learned centroids) must be bit-identical
+    on both paths."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [(i % 13) * 0.1, (i % 7) * 0.1, (i % 5) * 0.1])
+         for i in range(160)],
+        "vec_id long, embedding array<float>",
+    )
+    a1, c1 = similarity.kmeans_fit(
+        emb, "vec_id", "embedding", k=70, n_iter=3
+    )
+    r1 = rows(a1.select("vid", "cluster"))
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 10_000)
+    a2, c2 = similarity.kmeans_fit(
+        emb, "vec_id", "embedding", k=70, n_iter=3
+    )
+    assert c1 == c2
+    assert r1 == rows(a2.select("vid", "cluster"))
