@@ -1,0 +1,172 @@
+"""Round-13: the VERDICT r12 brief — the adaptive-argmin switch applied
+to the kcenter family (greedy incremental route + strategy-switched
+coverage/seeded assignment, #2) and the probe-broadcast size fallback in
+cross_split_proximity_large (#5) — each pinned path-equivalent to the
+pre-switch literal plan, the round-12 test pattern
+(tests/test_round12_ops.py:976 precedent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _emb(spark, n=150, dims=3):
+    return spark.createDataFrame(
+        [
+            (i, [float((i * 7) % 23) / 10, float((i * 5) % 17) / 10,
+                 float((i * 3) % 13) / 10][:dims])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #2: kcenter greedy — incremental large-k route ≡ literal
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_greedy_incremental_and_literal_paths_agree(
+    spark, monkeypatch
+):
+    """Above _ARGMIN_LITERAL_MAX+1 the greedy loop maintains the min
+    distance incrementally (localCheckpoint-ed state, one least() per
+    round); the selection — ids, order, AND exact sq_gap curve — must
+    be bit-identical to the literal recompute path."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _emb(spark, n=120)
+    literal = rows(
+        similarity.kcenter_select(emb, "vec_id", "embedding", k=12)
+    )
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 4)
+    incremental = rows(
+        similarity.kcenter_select(emb, "vec_id", "embedding", k=12)
+    )
+    assert incremental == literal
+    assert len(incremental) == 12
+
+
+def test_kcenter_coverage_join_and_literal_paths_agree(spark, monkeypatch):
+    """The coverage report's assignment scan now routes through
+    _assign_with_dist: the broadcast pair-join path (above the switch)
+    must reproduce the literal map's occupancy, radius, and membership
+    checksum exactly — including the ties-to-earliest-center rule."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _emb(spark, n=140)
+    literal = rows(
+        similarity.kcenter_coverage_report(emb, "vec_id", "embedding", k=9)
+    )
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 4)
+    joined = rows(
+        similarity.kcenter_coverage_report(emb, "vec_id", "embedding", k=9)
+    )
+    assert joined == literal
+    assert len(joined) == 9
+    # every vector assigned exactly once on both paths
+    assert sum(r[2] for r in literal) == 140
+
+
+def test_kmeans_assign_seeded_join_and_literal_paths_agree(
+    spark, monkeypatch
+):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _emb(spark, n=130)
+    literal = rows(
+        similarity.kmeans_assign_seeded(emb, "vec_id", "embedding", k=10)
+    )
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 4)
+    joined = rows(
+        similarity.kmeans_assign_seeded(emb, "vec_id", "embedding", k=10)
+    )
+    assert joined == literal
+    assert len(joined) == 130
+
+
+def test_kcenter_greedy_duplicate_corpus_never_repicks_seed(
+    spark, monkeypatch
+):
+    """All-duplicates corpus on the INCREMENTAL path: every distance is
+    0, so without the explicit chosen-id exclusion the tie rule would
+    re-pick the seed forever. Both paths must return each id once."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 2)
+    got = rows(similarity.kcenter_select(emb, "vec_id", "embedding", k=6))
+    assert [r[0] for r in got] == [0, 1, 2, 3, 4, 5]
+    assert all(r[2] == 0 for r in got if r[1] > 0)
+
+
+def test_kcenter_greedy_corpus_smaller_than_k_incremental(spark, monkeypatch):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _emb(spark, n=5)
+    monkeypatch.setattr(similarity, "_ARGMIN_LITERAL_MAX", 2)
+    got = rows(similarity.kcenter_select(emb, "vec_id", "embedding", k=9))
+    assert len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #5: probe-broadcast size fallback
+# ---------------------------------------------------------------------------
+
+
+def _prox_fixture(spark):
+    return _emb(spark, n=200)
+
+
+def test_proximity_large_broadcast_hint_present_below_threshold(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _prox_fixture(spark)
+    df = similarity.cross_split_proximity_large(
+        emb, "vec_id", "embedding", eval_modulus=10
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed.lower()
+
+
+def test_proximity_large_drops_broadcast_hint_above_threshold(
+    spark, monkeypatch
+):
+    """Above _PROBE_BROADCAST_CELLS_MAX the F.broadcast hint must be
+    absent (AQE chooses the join), and the result must be row-identical
+    to the forced-broadcast plan."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _prox_fixture(spark)
+    hinted = rows(
+        similarity.cross_split_proximity_large(
+            emb, "vec_id", "embedding", eval_modulus=10
+        )
+    )
+    monkeypatch.setattr(similarity, "_PROBE_BROADCAST_CELLS_MAX", 0)
+    df = similarity.cross_split_proximity_large(
+        emb, "vec_id", "embedding", eval_modulus=10
+    )
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
+    assert rows(df) == hinted
+    assert len(hinted) == 20
+
+
+def test_proximity_large_threshold_arithmetic():
+    """The guard compares |eval|·n_probe·dims cells: a realistic eval
+    suite (10⁶ evals × 2 probes × 16 dims) stays broadcast; a 10⁶-eval
+    wide-vector (1024-dim) suite falls back to AQE."""
+    from startup_data_pipeline_spark.operators.similarity import (
+        _PROBE_BROADCAST_CELLS_MAX,
+    )
+
+    assert 1_000_000 * 2 * 16 <= _PROBE_BROADCAST_CELLS_MAX
+    assert 1_000_000 * 2 * 1024 > _PROBE_BROADCAST_CELLS_MAX
