@@ -73,11 +73,6 @@ def register(name: str, oracle: str | None, survey_ops: str = ""):
 # 50-query prefix sample never reached. Queries already driver-certified in
 # round 1 come after (they remain registered and locally gated).
 _PRIORITY: list[str] = [
-    # Round-12 window: the never-driver-sampled round-11 tranche leads
-    # (VERDICT r11 "Next round" #1), then this round's changed-operator
-    # canaries, then the freshness backfill — flipped to OLDEST-FIRST
-    # (VERDICT r11 #2).
-    #
     # WINDOW RULE (standing, per VERDICT r6 #7): whenever a certified
     # operator's CODE, ORACLE, or plan shape changes in a round, a
     # window slot is reserved for its registered query in the SAME
@@ -90,53 +85,32 @@ _PRIORITY: list[str] = [
     # structurally never reached the tail once the burn-down ended
     # (~5 new registrations + ~43 backfill slots per round re-certified
     # the same recent names forever); oldest-first retires the oldest
-    # tranche each round, so with 218 registered and ~43 slots/round
-    # every cert stays within a ~5-round horizon.
+    # tranche each round, so with ~230 registered and ~40 slots/round
+    # every cert stays within a ~6-round horizon.
     #
-    # Slot layout (50):
-    #   1-5    the five round-11 registrations the driver has NEVER
-    #          sampled (judge-verified 5/5 hash-green last session):
-    #          q_feed_catalog, q_feed_stream_ledger, q_kcenter_select,
-    #          q_kcenter_coverage, q_cross_split_proximity. All five
-    #          ALSO changed this round (ADVICE r11: process-scoped
-    #          feedscan temp root; kcenter oracle empty-corpus guard;
-    #          VERDICT r11 #4 kcenter k clamp; #3 beyond-clamp
-    #          ValueError retarget), so the slots double as canaries;
-    #   6-11   round-12 canaries: q_feed_datasource / q_feed_pipeline /
-    #          q_feed_stream (feedsource ledger-cursor migration guard,
-    #          ADVICE r11) and q_kmeans_clusters / q_ann_ivf_trained /
-    #          q_semdedup_trained (seam cache re-keyed per
-    #          SparkSession, ADVICE r11);
-    #   12-50  oldest-first backfill: the round-6-certified tranche
-    #          (the registry's oldest certs), alphabetical.
-    # Round-12's own new registrations queue at the very end, behind
-    # the whole backlog, as every round's have — they lead the r13
-    # window as the never-driver-sampled tranche.
-    # --- slots 1-5: the never-driver-sampled round-11 registrations ---
-    "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
-    "q_kcenter_coverage", "q_cross_split_proximity",
-    # --- slots 6-11: round-12 canaries (ADVICE r11 code changes) ---
-    "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
-    "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
-    # --- slots 12-50: oldest-first backfill (round-6 certs, alpha) ---
-    "q_alert_filter", "q_anti_join_seen", "q_approx_stats", "q_asof_join",
-    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
-    "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
-    "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
-    "q_deterministic_sample", "q_doc_length_percentiles", "q_event_gaps",
-    "q_exact_dedup", "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs",
-    "q_json_extract", "q_json_repair", "q_json_serialize", "q_keyword_filter",
-    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
-    "q_pricing_summary", "q_provider_map", "q_range_join", "q_recency_filter",
-    "q_rollup_orders", "q_running_total", "q_scd2_history", "q_score_topk",
-    "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
-    "q_shipping_priority",
-    # --- 50-slot window boundary ---
-    # round-6 remainder (alphabetical continuation — next-oldest certs):
+    # Round-13 window: the ten never-driver-sampled round-12
+    # registrations lead (VERDICT r12 "Next round" #1 — judge-verified
+    # 10/10 hash-green last session), then this round's changed-operator
+    # canaries (the kcenter-family adaptive-argmin switch + the
+    # kmeans_assign_seeded reroute through _assign_with_dist, VERDICT
+    # r12 #2 — the standing WINDOW RULE), then the oldest-first
+    # backfill: the round-6 remainder (10 names — r6 cert count reaches
+    # 0 this round) and the oldest round-7 tranche (VERDICT r12 #4).
+    # q_cross_split_proximity_large (slot 3) doubles as the canary for
+    # this round's probe-broadcast fallback (VERDICT r12 #5).
+    #
+    # --- slots 1-10: the never-driver-sampled round-12 registrations ---
+    "q_ann_recall_audit", "q_benchmark_screen",
+    "q_cross_split_proximity_large", "q_curation_diversify",
+    "q_decontam_agreement", "q_knn_label_accuracy", "q_pack_efficiency",
+    "q_quality_survivors", "q_screen_rate_by_source", "q_screened_export",
+    # --- slots 11-13: round-13 canaries (adaptive-argmin switch) ---
+    "q_kcenter_select", "q_kcenter_coverage", "q_kmeans_assign",
+    # --- slots 14-23: oldest-first backfill: the round-6 remainder ---
     "q_sliding_window", "q_snapshot_diff", "q_tier_case", "q_tld_explode",
     "q_tumbling_window", "q_udtf_char_windows", "q_union_sources",
     "q_upsert_merge", "q_waterfall_coalesce", "q_window_topk",
-    # round-7-certified tranche, alphabetical:
+    # --- slots 24-50: round-7-certified tranche (oldest), alphabetical ---
     "q_best_supplier_per_part", "q_bpe_tokens", "q_chunk_documents",
     "q_connector_pipeline", "q_currency_parse", "q_customers_no_orders",
     "q_decode_image", "q_disjunctive_part_revenue", "q_dq_metrics",
@@ -145,12 +119,15 @@ _PRIORITY: list[str] = [
     "q_jsonl_source", "q_ks_two_sample", "q_lang_id", "q_large_orders",
     "q_market_share", "q_minhash_signatures", "q_moving_median",
     "q_name_normalize", "q_nation_volume", "q_ntile_deciles",
-    "q_priority_line_counts", "q_product_profit", "q_promo_revenue",
-    "q_quality_score", "q_repetition_stats", "q_resize_image",
-    "q_returned_revenue", "q_simhash", "q_simhash_pairs",
-    "q_snapshot_novelty", "q_sql_surface", "q_stratified_sample",
-    "q_stream_funnel", "q_stream_sessionize", "q_stream_stateful_totals",
-    "q_stream_tumbling", "q_token_entropy", "q_url_parse", "q_variant_json",
+    "q_priority_line_counts",
+    # --- 50-slot window boundary ---
+    # round-7 remainder (alphabetical continuation — next-oldest certs):
+    "q_product_profit", "q_promo_revenue", "q_quality_score",
+    "q_repetition_stats", "q_resize_image", "q_returned_revenue",
+    "q_simhash", "q_simhash_pairs", "q_snapshot_novelty", "q_sql_surface",
+    "q_stratified_sample", "q_stream_funnel", "q_stream_sessionize",
+    "q_stream_stateful_totals", "q_stream_tumbling", "q_token_entropy",
+    "q_url_parse", "q_variant_json",
     # round-8-certified tranche, alphabetical:
     "q_multimodal_features", "q_name_fuzzy_match", "q_near_dup_components",
     "q_ngram_jaccard", "q_pii_scrub", "q_pivot_status", "q_quality_gate",
@@ -173,8 +150,8 @@ _PRIORITY: list[str] = [
     "q_stream_dedup", "q_tfidf_top_terms", "q_time_parse", "q_token_stats",
     "q_topk_other", "q_train_split", "q_triangle_count", "q_unpivot_metrics",
     "q_vocab_coverage", "q_winnow_fingerprints",
-    # round-10/11-certified tranche (the newest certs), alphabetical,
-    # minus names already holding window slots above:
+    # round-10/11-certified tranche, alphabetical (q_kmeans_assign holds
+    # a canary window slot above):
     "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk", "q_bfs_hops",
     "q_capped_vector_recovery", "q_centroid_classify", "q_cluster_margin",
     "q_cohort_retention", "q_contamination_check", "q_curriculum_order",
@@ -182,7 +159,7 @@ _PRIORITY: list[str] = [
     "q_embedding_near_dup", "q_embedding_quantize", "q_flagship",
     "q_frame_sample", "q_grouping_sets", "q_hard_negatives",
     "q_heavy_hitters", "q_image_dhash_pairs", "q_incremental_ann_gate",
-    "q_incremental_dedup_gate", "q_kmeans_assign", "q_knn_graph",
+    "q_incremental_dedup_gate", "q_knn_graph",
     "q_lsh_occupancy", "q_mad_outliers", "q_rrf_fusion",
     "q_sample_allocation", "q_score_percentile_norm", "q_script_profile",
     "q_seasonal_anomaly", "q_semdedup", "q_semdedup_cells", "q_session_paths",
@@ -190,13 +167,26 @@ _PRIORITY: list[str] = [
     "q_stl_decompose", "q_stream_markov", "q_token_budget_select",
     "q_upsample_epochs", "q_user_entropy", "q_vocab_growth", "q_winsorize",
     "q_wow_growth", "q_zorder_key",
-    # round-12 registrations (the round's quota, behind the whole
-    # backlog per the standing contract — they lead the r13 window as
+    # round-12-certified tranche (the NEWEST certs — last in line under
+    # oldest-first), window order then alphabetical backfill order:
+    "q_feed_catalog", "q_feed_stream_ledger", "q_cross_split_proximity",
+    "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
+    "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
+    "q_alert_filter", "q_anti_join_seen", "q_approx_stats", "q_asof_join",
+    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
+    "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
+    "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
+    "q_deterministic_sample", "q_doc_length_percentiles", "q_event_gaps",
+    "q_exact_dedup", "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs",
+    "q_json_extract", "q_json_repair", "q_json_serialize", "q_keyword_filter",
+    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
+    "q_pricing_summary", "q_provider_map", "q_range_join", "q_recency_filter",
+    "q_rollup_orders", "q_running_total", "q_scd2_history", "q_score_topk",
+    "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
+    "q_shipping_priority",
+    # round-13 registrations (the round's quota, behind the whole
+    # backlog per the standing contract — they lead the r14 window as
     # the never-driver-sampled tranche):
-    "q_cross_split_proximity_large", "q_curation_diversify",
-    "q_decontam_agreement", "q_ann_recall_audit", "q_benchmark_screen",
-    "q_pack_efficiency", "q_knn_label_accuracy", "q_screened_export",
-    "q_quality_survivors", "q_screen_rate_by_source",
 ]
 
 
