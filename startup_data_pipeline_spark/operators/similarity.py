@@ -2917,3 +2917,68 @@ def cluster_margin_seeded(
             f"({ppm}L * (d_second - d_own)) div greatest(d_second, 1L)"
         ).alias("margin_ppm"),
     )
+
+
+def prototypicality_report(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 5,
+    keep_ppm: int = 250_000,
+) -> DataFrame:
+    """Per-cluster prototypicality ranking — the SELECTION complement
+    of SemDeDup's pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws": distance-to-cluster-centroid as a data-pruning
+    metric): train k-means (``kmeans_fit`` arithmetic, fully
+    deterministic), rank every vector within its cluster by distance
+    to its OWN centroid, and keep the closest ``keep_ppm`` fraction
+    per cluster (at least one per non-empty cluster). Close-to-centroid
+    = prototypical/easy; far = outlier/hard — which tail to keep is a
+    curriculum decision, so the full rank ships and ``keep`` just
+    marks the prototypical slice.
+
+    Scale: training is the ``kmeans_fit`` job-chain floor; the
+    distance scan is one pass via ``_assign_with_dist`` (strategy-
+    switched: literal map ≤64 centroids, broadcast pair-join above);
+    the rank is a window PARTITIONED BY cluster, so per-partition sort
+    size is n/k — size k like the semdedup family (auto-k ≈
+    n/target_cluster) and the window never sees more than
+    ~target_cluster rows per cluster at any corpus size. With a FIXED
+    small k at 100 TB this window would be the bottleneck; that is a
+    mis-configuration, not a plan property.
+
+    Returns [vid, cluster, sq_dist, proto_rank, cluster_size, keep];
+    rank ties break by lowest vid (engine-exact, no floats anywhere).
+    """
+    from pyspark.sql import Window
+
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    _assigned, centroids = kmeans_fit_quantized(qdf, k=k, n_iter=n_iter)
+    spark = qdf.sparkSession
+    schema = (
+        "vid long, cluster int, sq_dist long, proto_rank long, "
+        "cluster_size long, keep boolean"
+    )
+    if not centroids:
+        return spark.createDataFrame([], schema)
+    d = _assign_with_dist(qdf, centroids)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("d").asc(), F.col("vid").asc()
+    )
+    wc = Window.partitionBy("cluster")
+    ranked = d.select(
+        "vid",
+        "cluster",
+        F.col("d").alias("sq_dist"),
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cluster_size"),
+    )
+    return ranked.withColumn(
+        "keep",
+        F.col("proto_rank")
+        <= F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(cluster_size * {int(keep_ppm)}) div 1000000"),
+        ),
+    )

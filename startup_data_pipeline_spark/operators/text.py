@@ -1592,3 +1592,286 @@ def vocab_growth(
         "n_new_tokens",
         F.sum("n_new_tokens").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", appendix
+# A1.1 — public-paper constants). The stopword RULE is the paper's
+# ("document must contain >= 2 distinct stopwords"); the LIST is the
+# engine's shared STOPWORDS config so every text operator agrees on one
+# vocabulary.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_X100 = 300   # 3 chars
+GOPHER_MAX_MEAN_WORD_LEN_X100 = 1000  # 10 chars
+GOPHER_MIN_ALPHA_WORD_PPM = 800_000   # >= 80% of words contain a letter
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-RULE Gopher quality battery — the diagnostic form of
+    ``quality_score`` (which emits one verdict): each public Gopher
+    repetition-free rule as its own flag, so a curation pass can see
+    WHICH rule kills a document and tune thresholds per source instead
+    of flying blind on a single boolean.
+
+    All intermediate ratios are exact integers (mean word length
+    ×100 via integer division, alphabetic-word share in ppm), so the
+    battery is engine-exact — no float accumulation anywhere.
+
+    Map-side only: one tokenize + array aggregates per row, no shuffle
+    — at 100 TB this is an embarrassingly-parallel scan pass, the
+    cheapest possible operator shape.
+
+    Returns [id, n_words, mean_word_len_x100, alpha_word_ppm,
+    n_distinct_stopwords, flag_word_count, flag_mean_word_len,
+    flag_alpha_words, flag_stopwords, gopher_pass]; the integer
+    columns are NULL for empty documents (every flag false).
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_words"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("__sum_len"),
+        F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+        .cast("long")
+        .alias("__n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(t),
+                F.lit(list(STOPWORDS)).cast("array<string>"),
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_stopwords"),
+    )
+    # exact integer ratios via `div` (the registry's determinism idiom —
+    # double division would round past 2^53 at corpus scale)
+    derived = base.select(
+        F.col(id_col),
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (100 * __sum_len) div n_words END"
+        ).alias("mean_word_len_x100"),
+        F.expr(
+            "CASE WHEN n_words > 0"
+            " THEN (1000000 * __n_alpha) div n_words END"
+        ).alias("alpha_word_ppm"),
+        "n_distinct_stopwords",
+    )
+    f_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    f_mean = F.coalesce(
+        (F.col("mean_word_len_x100") >= GOPHER_MIN_MEAN_WORD_LEN_X100)
+        & (F.col("mean_word_len_x100") <= GOPHER_MAX_MEAN_WORD_LEN_X100),
+        F.lit(False),
+    )
+    f_alpha = F.coalesce(
+        F.col("alpha_word_ppm") >= GOPHER_MIN_ALPHA_WORD_PPM, F.lit(False)
+    )
+    f_stop = F.col("n_distinct_stopwords") >= GOPHER_MIN_DISTINCT_STOPWORDS
+    return derived.select(
+        F.col(id_col),
+        "n_words",
+        "mean_word_len_x100",
+        "alpha_word_ppm",
+        "n_distinct_stopwords",
+        f_count.alias("flag_word_count"),
+        f_mean.alias("flag_mean_word_len"),
+        f_alpha.alias("flag_alpha_words"),
+        f_stop.alias("flag_stopwords"),
+        (f_count & f_mean & f_alpha & f_stop).alias("gopher_pass"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 64,
+    select_min_ppm: int | None = None,
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash every token
+    into ``n_buckets`` buckets, estimate each bucket's target-vs-raw
+    share from the corpus itself, and score every document by the mean
+    share of its tokens — documents that "look like" the target
+    distribution score high and get selected for the training mixture.
+
+    Deviations from the paper, for engine-exactness: bucket weights are
+    Laplace-smoothed target SHARES in ppm (``10⁶·(t_b+1) //
+    (t_b+r_b+2)``, pure integers) rather than log-likelihood ratios —
+    order-equivalent per bucket, no float accumulation — and the hash
+    is the engine's md5 idiom (first 8 hex chars as an integer) so
+    DuckDB reproduces it bit-for-bit.
+
+    Selection threshold: ``select_min_ppm``, or (default) the CORPUS
+    PRIOR — the global Laplace-smoothed target token share — so
+    "selected" means "more target-like than the corpus average", which
+    stays meaningful at any target/raw mix instead of hard-coding a
+    magic number. The prior is a single-row aggregate broadcast onto
+    the scores (the engine's scalar-crossJoin convention).
+
+    Scale shape: one token explode → a ``n_buckets``-key aggregate
+    (map-side combined, the exchange carries ≤ n_buckets rows per
+    partition) → the weight table BROADCAST back onto the exploded
+    tokens → one per-doc aggregate. Two small shuffles, no join wider
+    than the corpus, nothing driver-side but the n_buckets weights.
+
+    Returns [id, n_tokens, importance_ppm, prior_ppm, selected] — one
+    row per document with ≥1 token (empty docs have no token evidence,
+    the explode-family convention).
+    """
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        target.alias("__t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = tok.select(F.col(id_col), "__t", bucket.alias("bucket"))
+    weights = (
+        toks.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_b"),
+            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("r_b"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "(1000000 * (t_b + 1)) div (t_b + r_b + 2)"
+            ).alias("w_ppm"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_ppm").alias("__sum_w"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.expr("__sum_w div n_tokens").alias("importance_ppm"),
+        )
+    )
+    if select_min_ppm is not None:
+        prior = F.lit(int(select_min_ppm)).alias("prior_ppm")
+        return scored.select(
+            id_col, "n_tokens", "importance_ppm", prior
+        ).withColumn("selected", F.col("importance_ppm") >= F.col("prior_ppm"))
+    prior_row = toks.agg(
+        F.expr(
+            "(1000000 * (sum(CASE WHEN __t THEN 1 ELSE 0 END) + 1))"
+            " div (count(1) + 2)"
+        ).alias("prior_ppm")
+    )
+    return scored.crossJoin(F.broadcast(prior_row)).withColumn(
+        "selected", F.col("importance_ppm") >= F.col("prior_ppm")
+    )
+
+
+def token_fertility_by_lang(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str
+) -> DataFrame:
+    """Per-language tokenizer-fertility rollup: subword tokens per
+    whitespace word (the BPE-ish regex vs the whitespace tokenizer) and
+    characters per subword token — THE cross-lingual cost signal a
+    multilingual data pipeline budgets by (a language with 2× fertility
+    pays 2× the context window for the same text; fertility outliers
+    flag scripts the tokenizer serves badly). ``bpe_token_stats`` bills
+    per document; this is the per-language corpus aggregate the
+    mixture planner reads.
+
+    Integer/ppm arithmetic end to end. One map-side scan + one
+    |langs|-key aggregate — the exchange carries ≤ |langs| rows per
+    partition after map-side combine.
+
+    Returns [lang, n_docs, n_words, n_subword_tokens, fertility_ppm,
+    chars_per_subword_x100] sorted nowhere (order-insensitive).
+    """
+    lowered = F.lower(F.col(text_col))
+    per_doc = ensure_min_parallelism(df).select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens(lowered)).cast("long").alias("n_w"),
+        F.size(F.regexp_extract_all(lowered, F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_s"),
+        F.length(lowered).cast("long").alias("n_c"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_w").cast("long").alias("n_words"),
+            F.sum("n_s").cast("long").alias("n_subword_tokens"),
+            F.sum("n_c").cast("long").alias("__n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subword_tokens",
+            F.expr(
+                "CASE WHEN n_words > 0 THEN"
+                " (1000000 * n_subword_tokens) div n_words END"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CASE WHEN n_subword_tokens > 0 THEN"
+                " (100 * __n_chars) div n_subword_tokens END"
+            ).alias("chars_per_subword_x100"),
+        )
+    )
+
+
+def source_quality_rollup(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source Gopher pass rates — the delisting decision as a
+    rollup (the quality twin of the screen's per-source leak rates):
+    which SOURCES systematically fail which quality rule. A source
+    whose pass rate craters is dropped or down-weighted wholesale —
+    at 100 TB you act on sources, not documents.
+
+    Composes ``gopher_quality_flags`` (map-side scan) with one
+    |sources|-key aggregate; rates in ppm, integer-exact.
+
+    Returns [source, n_docs, pass_word_count_ppm, pass_mean_len_ppm,
+    pass_alpha_ppm, pass_stopwords_ppm, gopher_pass_ppm].
+    """
+    flags = gopher_quality_flags(df, id_col, text_col)
+    src = df.select(F.col(id_col), F.col(source_col).alias("source"))
+    j = flags.join(src, id_col)
+
+    def n_pass(col: str) -> Column:
+        return F.sum(F.when(F.col(col), 1).otherwise(0)).alias(f"__{col}")
+
+    counted = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        n_pass("flag_word_count"),
+        n_pass("flag_mean_word_len"),
+        n_pass("flag_alpha_words"),
+        n_pass("flag_stopwords"),
+        n_pass("gopher_pass"),
+    )
+    def rate(col: str, out: str) -> Column:
+        return F.expr(f"(1000000 * __{col}) div n_docs").alias(out)
+
+    return counted.select(
+        "source",
+        "n_docs",
+        rate("flag_word_count", "pass_word_count_ppm"),
+        rate("flag_mean_word_len", "pass_mean_len_ppm"),
+        rate("flag_alpha_words", "pass_alpha_ppm"),
+        rate("flag_stopwords", "pass_stopwords_ppm"),
+        rate("gopher_pass", "gopher_pass_ppm"),
+    )

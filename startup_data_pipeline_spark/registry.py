@@ -187,6 +187,9 @@ _PRIORITY: list[str] = [
     # round-13 registrations (the round's quota, behind the whole
     # backlog per the standing contract — they lead the r14 window as
     # the never-driver-sampled tranche):
+    "q_stream_screen", "q_feed_screened_export", "q_gopher_quality",
+    "q_dsir_select", "q_token_fertility", "q_source_quality",
+    "q_prototypicality",
 ]
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .config import ATS_PATTERNS, PARKED_BLOCKLIST, SOCIAL_HOSTS
 from .functions.columns import any_keyword, slugify, tech_title_predicate
-from .registry import register
+from .registry import VEC_GEOMETRY_SQL, register
 from .sources import ats
 from .sources.tables import load_table
 
@@ -620,4 +620,142 @@ def q_feed_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return incremental.run_available_now_append(
         parsed, "q_feed_stream_ledger_sink"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feedscan → benchmark screen → export: the production ingest-to-curation
+# story on ONE lineage (VERDICT r12 #7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_feed_screened_export",
+    # The whole production path in one certified lineage: the custom
+    # DataSource feed scan (S1/S2), the benchmark-protection screen
+    # against a protected subset of the item universe (items whose id %
+    # 100 == 0 are the "benchmark"; lexical leg over the title shingles
+    # + embedding leg over the aligned vectors), and the dated export
+    # projection (P10/F10) of the ADMITTED arrivals. Titles are pure
+    # functions of doc_id (the documents-transport contract), so the
+    # oracle re-derives the feed, enumerates each title's exactly-3
+    # whitespace 3-shingles in closed form, and mirrors the screen
+    # verdict including the arrival-side df-cap and both tie rules.
+    # Lexical threshold 300000 ppm: a money-value collision shares 1 of
+    # 3 eval shingles (333333 ppm) → quarantine, so the gate is
+    # non-trivial on the fixture.
+    oracle=f"""
+    WITH feed AS (
+        SELECT doc_id AS item_id,
+               'Startup ' || CAST(doc_id AS VARCHAR) || ' raises $'
+                   || CAST(doc_id % 90 + 10 AS VARCHAR) || ' million'
+                   AS title,
+               CAST(doc_id % 90 + 10 AS VARCHAR) AS money,
+               epoch_ms((1700000000 + doc_id * 60) * 1000) AS published_ts
+        FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    sh AS (
+        SELECT item_id, unnest([
+            'startup ' || CAST(item_id AS VARCHAR) || ' raises',
+            CAST(item_id AS VARCHAR) || ' raises $' || money,
+            'raises $' || money || ' million'
+        ]) AS shingle
+        FROM feed
+    ),
+    esh AS (
+        SELECT item_id AS eval_id, shingle FROM sh WHERE item_id % 100 = 0
+    ),
+    acap AS (
+        SELECT item_id AS arrival_id, shingle FROM sh
+        WHERE item_id % 100 <> 0
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
+    lex AS (
+        SELECT a.arrival_id,
+               CAST((1000000 * COUNT(*)) // 3 AS BIGINT) AS containment_ppm
+        FROM acap a JOIN esh e ON a.shingle = e.shingle
+        GROUP BY a.arrival_id, e.eval_id
+        QUALIFY row_number() OVER (
+            PARTITION BY a.arrival_id
+            ORDER BY (1000000 * COUNT(*)) // 3 DESC, e.eval_id ASC) = 1
+    ),
+    qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    pair AS (
+        SELECT a.vid AS arrival_id, e.vid AS eval_id,
+               CAST(SUM((a.x - e.x) * (a.x - e.x)) AS BIGINT) AS d
+        FROM qv a JOIN qv e USING (pos)
+        WHERE a.vid % 2 = 0 AND a.vid % 100 <> 0 AND e.vid % 100 = 0
+        GROUP BY a.vid, e.vid
+    ),
+    emb AS (
+        SELECT arrival_id, d AS sq_dist FROM pair
+        QUALIFY row_number() OVER (
+            PARTITION BY arrival_id ORDER BY d ASC, eval_id ASC) = 1
+    )
+    SELECT f.item_id, f.title,
+           strftime(f.published_ts, '%Y-%m-%d') AS export_date
+    FROM feed f
+    LEFT JOIN lex ON lex.arrival_id = f.item_id
+    LEFT JOIN emb ON emb.arrival_id = f.item_id
+    WHERE f.item_id % 100 <> 0
+      AND NOT COALESCE(containment_ppm >= 300000, FALSE)
+      AND NOT COALESCE(sq_dist <= 1000000, FALSE)
+    """,
+    survey_ops="S1+S2 feedscan → §2.11 benchmark-protection screen → "
+    "P10/F10 dated export, ONE lineage: arriving feed items screened "
+    "against a protected benchmark subset before export — the "
+    "ingest-to-curation capstone (q_screened_export starts from "
+    "fixture documents; this starts from the wire)",
+)
+def q_feed_screened_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .operators import similarity
+    from .sources.feedsource import read_feeds
+
+    raw = read_feeds(
+        spark,
+        transport="documents",
+        documents_path=os.path.join(sf_dir, "documents.parquet"),
+    )
+    fixed = F.regexp_replace(F.col("published_at"), "Z$", "+00:00")
+    items = raw.filter(F.col("title").rlike(" raises ")).select(
+        F.regexp_extract("url", "item/([0-9]+)$", 1)
+        .cast("long")
+        .alias("item_id"),
+        "title",
+        F.to_timestamp(F.substring(fixed, 1, 19), "yyyy-MM-dd'T'HH:mm:ss")
+        .alias("published_ts"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    arrivals = items.filter(F.col("item_id") % 100 != 0)
+    screen = similarity.benchmark_screen(
+        arrivals.select(
+            F.col("item_id").alias("doc_id"), F.col("title").alias("text")
+        ),
+        emb.filter(
+            (F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 100 != 0)
+        ),
+        items.filter(F.col("item_id") % 100 == 0).select(
+            F.col("item_id").alias("doc_id"), F.col("title").alias("text")
+        ),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=300_000,
+        k=3, max_df=50,
+    )
+    admitted = screen.filter(F.col("action") == "admit").select(
+        F.col("arrival_id").alias("item_id")
+    )
+    return arrivals.join(admitted, "item_id", "left_semi").select(
+        "item_id",
+        "title",
+        F.date_format("published_ts", "yyyy-MM-dd").alias("export_date"),
     )

@@ -3361,3 +3361,41 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aa = docs.filter(F.col("doc_id") % 2 == 0)
     bb = docs.filter(F.col("doc_id") % 2 == 1)
     return olap.ks_two_sample(aa, bb, "n_chars", n_buckets=32)
+
+
+@register(
+    "q_prototypicality",
+    # distance-to-own-centroid ranking over the shared unrolled-Lloyd
+    # chain; rank/keep per cluster with the engine's tie rules
+    oracle=_lloyd_cte_chain() + """,
+    mind AS (
+        SELECT vid, cluster, CAST(d AS BIGINT) AS sq_dist FROM distF
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    ranked AS (
+        SELECT vid, cluster, sq_dist,
+               CAST(row_number() OVER (
+                   PARTITION BY cluster ORDER BY sq_dist ASC, vid ASC)
+                   AS BIGINT) AS proto_rank,
+               CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+                   AS cluster_size
+        FROM mind
+    )
+    SELECT vid, cluster, sq_dist, proto_rank, cluster_size,
+           proto_rank <= greatest(CAST(1 AS BIGINT),
+               (cluster_size * 250000) // 1000000) AS keep
+    FROM ranked
+    """,
+    survey_ops="cluster-prototypicality ranking (§2.11 curation; "
+    "Sorscher et al. 2022 data-pruning metric): k-means distance-to-"
+    "own-centroid rank per cluster, keep the prototypical slice — the "
+    "SELECTION complement of SemDeDup's prune. Trained centroids, "
+    "strategy-switched assignment scan, window partitioned by cluster "
+    "(per-partition sort bounded by auto-k sizing at scale)",
+)
+def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.prototypicality_report(
+        emb, "vec_id", "embedding", k=8, n_iter=5
+    )

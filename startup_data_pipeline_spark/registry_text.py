@@ -3352,3 +3352,177 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_budget_select(
         scored, "doc_id", "diversity_ppm", "n_tokens", budget=12_000
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 quality battery: Gopher rules, DSIR importance, tokenizer
+# fertility, per-source quality rollup
+# ---------------------------------------------------------------------------
+
+_GOPHER_BASE = f"""
+    SELECT doc_id, source, toks,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CASE WHEN len(toks) > 0 THEN
+               CAST((100 * list_sum(list_transform(toks,
+                    w -> length(w)))) // len(toks) AS BIGINT)
+           END AS mean_word_len_x100,
+           CASE WHEN len(toks) > 0 THEN
+               CAST((1000000 * len(list_filter(toks,
+                    w -> regexp_matches(w, '[a-z]')))) // len(toks)
+                    AS BIGINT)
+           END AS alpha_word_ppm,
+           CAST(len(list_intersect(list_distinct(toks),
+                ['the','a','of','and','to','in'])) AS BIGINT)
+               AS n_distinct_stopwords
+    FROM (SELECT doc_id, source, {_TOKS_LOWER} AS toks FROM documents)
+"""
+
+_GOPHER_FLAGS = """
+    SELECT doc_id, source, n_words, mean_word_len_x100, alpha_word_ppm,
+           n_distinct_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+           COALESCE(mean_word_len_x100 >= 300
+                    AND mean_word_len_x100 <= 1000, FALSE)
+               AS flag_mean_word_len,
+           COALESCE(alpha_word_ppm >= 800000, FALSE) AS flag_alpha_words,
+           (n_distinct_stopwords >= 2) AS flag_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND COALESCE(mean_word_len_x100 >= 300
+                         AND mean_word_len_x100 <= 1000, FALSE)
+            AND COALESCE(alpha_word_ppm >= 800000, FALSE)
+            AND n_distinct_stopwords >= 2) AS gopher_pass
+    FROM base
+"""
+
+
+@register(
+    "q_gopher_quality",
+    oracle=f"""
+    WITH base AS ({_GOPHER_BASE}),
+    flags AS ({_GOPHER_FLAGS})
+    SELECT doc_id, n_words, mean_word_len_x100, alpha_word_ppm,
+           n_distinct_stopwords, flag_word_count, flag_mean_word_len,
+           flag_alpha_words, flag_stopwords, gopher_pass
+    FROM flags
+    """,
+    survey_ops="Gopher quality-rule battery (§2.11 text analysis; Rae "
+    "et al. 2021 appendix A1.1): per-RULE flags (word-count band, mean "
+    "word length band, alphabetic-word share, distinct-stopword "
+    "minimum) so curation can see WHICH rule kills a document. Pure "
+    "integer ratios (x100 / ppm via div) — engine-exact; map-side "
+    "scan, no shuffle",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs, "doc_id", "text")
+
+
+@register(
+    "q_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, (lang = 'en') AS t, unnest({_TOKS_LOWER}) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, t,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                   AS bucket
+        FROM tok
+    ),
+    w AS (
+        SELECT bucket,
+               CAST((1000000 * (SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1))
+                    // (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM b GROUP BY bucket
+    ),
+    s AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(w_ppm) AS sw
+        FROM b JOIN w USING (bucket) GROUP BY doc_id
+    ),
+    prior AS (
+        SELECT CAST((1000000 * (SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1))
+                    // (COUNT(*) + 2) AS BIGINT) AS prior_ppm
+        FROM b
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sw // n_tokens AS BIGINT) AS importance_ppm,
+           prior_ppm,
+           (sw // n_tokens) >= prior_ppm AS selected
+    FROM s CROSS JOIN prior
+    """,
+    survey_ops="DSIR-style importance selection (§2.11 curation; Xie "
+    "et al. 2023): hashed-unigram bucket weights (Laplace-smoothed "
+    "target share, integer ppm), per-doc mean importance, threshold "
+    "select. Token explode -> 64-key map-side-combined agg -> "
+    "BROADCAST weight join -> per-doc agg: two small shuffles, "
+    "nothing grows with corpus size but the scan",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.dsir_importance(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+
+
+@register(
+    "q_token_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_words,
+           CAST(SUM(nbpe) AS BIGINT) AS n_subword_tokens,
+           CASE WHEN SUM(len(toks)) > 0 THEN
+               CAST((1000000 * SUM(nbpe)) // SUM(len(toks)) AS BIGINT)
+           END AS fertility_ppm,
+           CASE WHEN SUM(nbpe) > 0 THEN
+               CAST((100 * SUM(nchars)) // SUM(nbpe) AS BIGINT)
+           END AS chars_per_subword_x100
+    FROM (
+        SELECT lang, {_TOKS_LOWER} AS toks,
+               len(regexp_extract_all(lower(text), '{_BPE_SQL}')) AS nbpe,
+               length(lower(text)) AS nchars
+        FROM documents
+    )
+    GROUP BY lang
+    """,
+    survey_ops="per-language tokenizer fertility (§2.11 text analysis): "
+    "subword-per-word and chars-per-subword rollup by language — the "
+    "multilingual context-window cost signal. Map-side scan + "
+    "|langs|-key agg, exchange carries <=|langs| rows per partition",
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_fertility_by_lang(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "q_source_quality",
+    oracle=f"""
+    WITH base AS ({_GOPHER_BASE}),
+    flags AS ({_GOPHER_FLAGS})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * SUM(CASE WHEN flag_word_count THEN 1 ELSE 0
+                END)) // COUNT(*) AS BIGINT) AS pass_word_count_ppm,
+           CAST((1000000 * SUM(CASE WHEN flag_mean_word_len THEN 1 ELSE 0
+                END)) // COUNT(*) AS BIGINT) AS pass_mean_len_ppm,
+           CAST((1000000 * SUM(CASE WHEN flag_alpha_words THEN 1 ELSE 0
+                END)) // COUNT(*) AS BIGINT) AS pass_alpha_ppm,
+           CAST((1000000 * SUM(CASE WHEN flag_stopwords THEN 1 ELSE 0
+                END)) // COUNT(*) AS BIGINT) AS pass_stopwords_ppm,
+           CAST((1000000 * SUM(CASE WHEN gopher_pass THEN 1 ELSE 0
+                END)) // COUNT(*) AS BIGINT) AS gopher_pass_ppm
+    FROM flags
+    GROUP BY source
+    """,
+    survey_ops="per-source Gopher pass rates (§2.11 curation rollup): "
+    "the delisting decision as a table — which sources systematically "
+    "fail which quality rule; at 100 TB you act on sources, not "
+    "documents. Composes the map-side flag scan with one "
+    "|sources|-key agg",
+)
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_quality_rollup(docs, "doc_id", "text", "source")
