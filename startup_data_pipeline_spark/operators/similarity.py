@@ -2982,3 +2982,155 @@ def prototypicality_report(
             F.expr(f"(cluster_size * {int(keep_ppm)}) div 1000000"),
         ),
     )
+
+
+def multi_benchmark_screen(
+    arrival_docs: DataFrame,
+    arrival_vecs: DataFrame,
+    eval_sets: list[tuple[str, DataFrame, DataFrame]],
+    doc_id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    k: int = 3,
+    max_df: int | None = 50,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """``benchmark_screen`` against SEVERAL protected eval sets in ONE
+    pass — the production reality: a training pipeline protects a
+    whole benchmark SUITE (each with its own eviction policy), and
+    screening per-set would re-shingle and re-scan the arrival corpus
+    once per benchmark. Here the arrival side is touched once:
+
+    - lexical leg: the per-set eval shingle tables union with a
+      ``benchmark`` label into one fixed index; the arrival shingle
+      table (df-capped once — the cap is a property of the ARRIVAL
+      side, shared across sets) joins it once; best-evidence is a
+      min-struct per (arrival, benchmark).
+    - embedding leg: the per-set eval vectors (geometry-filtered,
+      ``max_eval``-clamped PER SET) union into one labeled broadcast
+      table; one pair-join + map-side-combined min-struct per
+      (arrival, benchmark). Always the join path — the multi-set
+      union is exactly the corpus-scale case the adaptive-argmin
+      switch exists for.
+    - verdicts: one row per (arrival, benchmark) over the
+      arrival × set-name universe, the single-set vocabulary
+      (both / lexical_only / embedding_only / clean; action =
+      quarantine iff not clean).
+
+    Returns [arrival_id, benchmark, lexical_eval_id, containment_ppm,
+    embedding_eval_id, sq_dist, verdict, action].
+    """
+    from .dedup import _df_capped
+
+    spark = arrival_docs.sparkSession
+    ev_sh = None
+    ev_rows: list[tuple[str, int, list[int]]] = []
+    for name, ed, evv in eval_sets:
+        sh = screen_eval_shingles(ed, doc_id_col, text_col, k).select(
+            F.lit(name).alias("benchmark"), "eval_id", "n_ev", "shingle"
+        )
+        ev_sh = sh if ev_sh is None else ev_sh.unionByName(sh)
+        for r in collect_screen_eval_vecs(evv, vec_id_col, vec_col, max_eval):
+            ev_rows.append((name, int(r["vid"]), list(r["qv"])))
+    arr_sh = _df_capped(
+        _screen_shingle_table(
+            arrival_docs, doc_id_col, text_col, k, "arrival_id"
+        ),
+        max_df,
+    ).select("arrival_id", "shingle")
+    lex = (
+        arr_sh.join(ev_sh, "shingle")
+        .groupBy("arrival_id", "benchmark", "eval_id", "n_ev")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        .select(
+            "arrival_id",
+            "benchmark",
+            "eval_id",
+            F.expr("(1000000 * n_inter) div n_ev")
+            .cast("long")
+            .alias("ppm"),
+        )
+        .groupBy("arrival_id", "benchmark")
+        .agg(
+            F.min(
+                F.struct((-F.col("ppm")).alias("__np"), F.col("eval_id"))
+            ).alias("__m")
+        )
+        .select(
+            "arrival_id",
+            "benchmark",
+            F.col("__m.eval_id").alias("lexical_eval_id"),
+            (-F.col("__m.__np")).cast("long").alias("containment_ppm"),
+        )
+    )
+    if ev_rows:
+        evdf = F.broadcast(
+            spark.createDataFrame(
+                ev_rows, "benchmark string, __eid long, __ev array<bigint>"
+            )
+        )
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("__ev"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        emb = (
+            arrival_vecs.filter(vector_has_geometry(vec_col))
+            .select(
+                F.col(vec_id_col).alias("arrival_id"),
+                quantize(F.col(vec_col)).alias("__qv"),
+            )
+            .crossJoin(evdf)
+            .select("arrival_id", "benchmark", "__eid", sq.alias("__d"))
+            .groupBy("arrival_id", "benchmark")
+            .agg(F.min(F.struct(F.col("__d"), F.col("__eid"))).alias("__m"))
+            .select(
+                "arrival_id",
+                "benchmark",
+                F.col("__m.__eid").alias("embedding_eval_id"),
+                F.col("__m.__d").alias("sq_dist"),
+            )
+        )
+    else:
+        emb = spark.createDataFrame(
+            [],
+            "arrival_id long, benchmark string, embedding_eval_id long, "
+            "sq_dist long",
+        )
+    names = spark.createDataFrame(
+        [(nm,) for nm, _, _ in eval_sets], "benchmark string"
+    )
+    universe = arrival_docs.select(
+        F.col(doc_id_col).cast("long").alias("arrival_id")
+    ).crossJoin(F.broadcast(names))
+    lex_hit = F.coalesce(
+        F.col("containment_ppm") >= containment_min_ppm, F.lit(False)
+    )
+    emb_hit = F.coalesce(F.col("sq_dist") <= sq_dist_max, F.lit(False))
+    verdict = (
+        F.when(lex_hit & emb_hit, F.lit("both"))
+        .when(lex_hit, F.lit("lexical_only"))
+        .when(emb_hit, F.lit("embedding_only"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        universe.join(lex, ["arrival_id", "benchmark"], "left")
+        .join(emb, ["arrival_id", "benchmark"], "left")
+        .select(
+            "arrival_id",
+            "benchmark",
+            "lexical_eval_id",
+            "containment_ppm",
+            "embedding_eval_id",
+            "sq_dist",
+            verdict.alias("verdict"),
+            F.when(verdict != "clean", F.lit("quarantine"))
+            .otherwise(F.lit("admit"))
+            .alias("action"),
+        )
+    )

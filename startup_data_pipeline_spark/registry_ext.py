@@ -3399,3 +3399,147 @@ def q_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.prototypicality_report(
         emb, "vec_id", "embedding", k=8, n_iter=5
     )
+
+
+def _multi_screen_oracle(
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    max_df: int = 50,
+) -> str:
+    """Two-benchmark suite screen re-derived: the single-screen chain
+    with the eval side LABELED (benchA = id%100==0, benchB =
+    id%100==50; arrivals = everything else), best-evidence and the
+    verdict per (arrival, benchmark)."""
+    from .registry_text import _SHINGLES, _TOKS_LOWER
+
+    return f"""
+    WITH toksL AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    dsh AS (
+        SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toksL
+    ),
+    esh AS (
+        SELECT id AS eval_id,
+               CASE WHEN id % 100 = 0 THEN 'benchA' ELSE 'benchB' END
+                   AS benchmark,
+               shingle
+        FROM dsh WHERE id % 50 = 0
+    ),
+    esz AS (
+        SELECT benchmark, eval_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM esh GROUP BY benchmark, eval_id
+    ),
+    acap AS (
+        SELECT id AS arrival_id, shingle FROM dsh
+        WHERE id % 50 <> 0
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {max_df}
+    ),
+    lexint AS (
+        SELECT a.arrival_id, e.benchmark, e.eval_id,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM acap a JOIN esh e ON a.shingle = e.shingle
+        GROUP BY a.arrival_id, e.benchmark, e.eval_id
+    ),
+    lex AS (
+        SELECT arrival_id, benchmark, eval_id AS lexical_eval_id,
+               CAST((1000000 * n_inter) // s.n_ev AS BIGINT)
+                   AS containment_ppm
+        FROM lexint JOIN esz s USING (benchmark, eval_id)
+        QUALIFY row_number() OVER (
+            PARTITION BY arrival_id, benchmark
+            ORDER BY (1000000 * n_inter) // s.n_ev DESC, eval_id ASC
+        ) = 1
+    ),
+    qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    pair AS (
+        SELECT a.vid AS arrival_id,
+               CASE WHEN e.vid % 100 = 0 THEN 'benchA' ELSE 'benchB' END
+                   AS benchmark,
+               e.vid AS eval_id,
+               CAST(SUM((a.x - e.x) * (a.x - e.x)) AS BIGINT) AS d
+        FROM qv a JOIN qv e USING (pos)
+        WHERE a.vid % 50 <> 0 AND e.vid % 50 = 0
+        GROUP BY a.vid, e.vid
+    ),
+    emb AS (
+        SELECT arrival_id, benchmark, eval_id AS embedding_eval_id,
+               d AS sq_dist
+        FROM pair
+        QUALIFY row_number() OVER (
+            PARTITION BY arrival_id, benchmark
+            ORDER BY d ASC, eval_id ASC) = 1
+    )
+    SELECT u.arrival_id, u.benchmark,
+           lex.lexical_eval_id, lex.containment_ppm,
+           emb.embedding_eval_id, emb.sq_dist,
+           CASE
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                AND COALESCE(sq_dist <= {sq_dist_max}, FALSE) THEN 'both'
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE) THEN 'lexical_only'
+               WHEN COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'embedding_only'
+               ELSE 'clean'
+           END AS verdict,
+           CASE
+               WHEN COALESCE(containment_ppm >= {containment_min_ppm},
+                             FALSE)
+                 OR COALESCE(sq_dist <= {sq_dist_max}, FALSE)
+                   THEN 'quarantine'
+               ELSE 'admit'
+           END AS action
+    FROM (SELECT CAST(doc_id AS BIGINT) AS arrival_id, b.benchmark
+          FROM documents
+          CROSS JOIN (VALUES ('benchA'), ('benchB')) AS b(benchmark)
+          WHERE doc_id % 50 <> 0) u
+    LEFT JOIN lex USING (arrival_id, benchmark)
+    LEFT JOIN emb USING (arrival_id, benchmark)"""
+
+
+@register(
+    "q_multi_screen",
+    oracle=_multi_screen_oracle(),
+    survey_ops="benchmark-SUITE protection screen (§2.11 "
+    "decontamination, the production multi-set shape): arrivals "
+    "screened against TWO labeled protected sets in ONE pass — the "
+    "arrival corpus is shingled and df-capped once, the eval indexes "
+    "union with a benchmark label, best-evidence and verdict per "
+    "(arrival, benchmark). Screening per-set would rescan arrivals "
+    "once per benchmark",
+)
+def q_multi_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_docs = docs.filter(F.col("doc_id") % 50 != 0)
+    arr_vecs = emb.filter(F.col("vec_id") % 50 != 0)
+    sets = [
+        (
+            "benchA",
+            docs.filter(F.col("doc_id") % 100 == 0),
+            emb.filter(F.col("vec_id") % 100 == 0),
+        ),
+        (
+            "benchB",
+            docs.filter(
+                (F.col("doc_id") % 50 == 0) & (F.col("doc_id") % 100 != 0)
+            ),
+            emb.filter(
+                (F.col("vec_id") % 50 == 0) & (F.col("vec_id") % 100 != 0)
+            ),
+        ),
+    ]
+    return similarity.multi_benchmark_screen(
+        arr_docs, arr_vecs, sets,
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=500_000,
+        k=3, max_df=50,
+    )

@@ -308,3 +308,38 @@ def test_prototypicality_keeps_at_least_one_per_cluster(spark):
         # rank-1 member is always kept and has the min distance
         r1 = min(members)[0]
         assert r1 == 1
+
+
+def test_multi_screen_per_set_equals_single_screens(spark):
+    """Each benchmark's slice of the one-pass suite screen must equal
+    the single-set benchmark_screen run against that set alone."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(120)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [(i % 9) * 0.1, (i % 5) * 0.1]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    arr_d = docs.filter(F.col("doc_id") % 4 != 0)
+    arr_v = vecs.filter(F.col("vec_id") % 4 != 0)
+    set_a = (docs.filter(F.col("doc_id") % 8 == 0),
+             vecs.filter(F.col("vec_id") % 8 == 0))
+    set_b = (docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 8 != 0)),
+             vecs.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") % 8 != 0)))
+    multi = similarity.multi_benchmark_screen(
+        arr_d, arr_v, [("A", *set_a), ("B", *set_b)],
+        "doc_id", "text", "vec_id", "embedding",
+        containment_min_ppm=300_000,
+    )
+    for name, (ed, ev) in (("A", set_a), ("B", set_b)):
+        single = similarity.benchmark_screen(
+            arr_d, arr_v, ed, ev,
+            "doc_id", "text", "vec_id", "embedding",
+            containment_min_ppm=300_000,
+        )
+        got = rows(multi.filter(F.col("benchmark") == name).drop("benchmark"))
+        assert got == rows(single), f"set {name} diverged"
+    assert multi.count() == 90 * 2
