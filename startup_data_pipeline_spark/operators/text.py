@@ -1875,3 +1875,173 @@ def source_quality_rollup(
         rate("flag_stopwords", "pass_stopwords_ppm"),
         rate("gopher_pass", "gopher_pass_ppm"),
     )
+
+
+def grouped_token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    weight_col: str,
+    budgets: dict[str, int],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``token_budget_select`` with a PER-GROUP budget: within every
+    group, the highest-``score`` rows whose running group-local weight
+    total stays under that group's budget (straddler admitted — the
+    family convention). The mixture-construction primitive: "give me
+    the best X_g tokens of every language / domain / split".
+
+    Same two-level distributed prefix sum, grouped: range-partition on
+    (group ASC, score DESC, id ASC) — the selection's total order, so
+    a group's rows appear in contiguous partition ranges in selection
+    order; per-(partition, group) partial totals collect to the driver
+    (bounded by n_parts·|groups| rows — |groups| must be
+    catalog-sized, like every driver-side literal in this engine);
+    per-(partition, group) local exclusive windows; a row's exact
+    group prefix = its (partition, group) offset + local prefix. Never
+    a per-group single-partition sort: a 20 TB language still selects
+    across all its partitions in parallel.
+
+    Returns [id, group, score, weight, cum_before, group_budget];
+    groups absent from ``budgets`` are dropped (budget 0).
+    """
+    from pyspark.sql import Window
+
+    from .util import materialize_for_self_join
+
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.col(score_col),
+        F.col(weight_col),
+    )
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = materialize_for_self_join(
+        base.repartitionByRange(
+            n_parts,
+            F.col("__grp").asc(),
+            F.col(score_col).desc(),
+            F.col(id_col).asc(),
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    partials = (
+        ranged.groupBy("__pid", "__grp")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    )
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for r in partials:
+        by_group.setdefault(r["__grp"], []).append((r["__pid"], r["w"]))
+    offsets: dict[tuple[str, int], int] = {}
+    for g, rows_ in by_group.items():
+        acc = 0
+        for pid, wsum in sorted(rows_):
+            offsets[(g, pid)] = acc
+            acc += wsum
+    spark = df.sparkSession
+    if offsets:
+        odf = F.broadcast(
+            spark.createDataFrame(
+                [(g, p, off) for (g, p), off in offsets.items()],
+                "__grp string, __pid int, __off bigint",
+            )
+        )
+        bdf = F.broadcast(
+            spark.createDataFrame(
+                [(g, int(b)) for g, b in budgets.items()],
+                "__grp string, group_budget bigint",
+            )
+        )
+    else:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, {group_col} string, {score_col} long, "
+            f"{weight_col} long, cum_before long, group_budget long",
+        )
+    w = Window.partitionBy("__pid", "__grp").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    local_excl = F.coalesce(
+        F.sum(weight_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        ranged.join(odf, ["__grp", "__pid"])
+        .join(bdf, "__grp")
+        .withColumn(
+            "cum_before", (F.col("__off") + local_excl).cast("long")
+        )
+        .filter(F.col("cum_before") < F.col("group_budget"))
+        .select(
+            F.col(id_col),
+            F.col("__grp").alias(group_col),
+            F.col(score_col),
+            F.col(weight_col),
+            "cum_before",
+            "group_budget",
+        )
+    )
+
+
+def lang_balanced_budget_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    budget: int,
+) -> DataFrame:
+    """Language-REBALANCED token-budget mixture: split ``budget``
+    EQUALLY across the observed languages (largest-remainder on equal
+    shares — leftover tokens to the alphabetically-first languages,
+    deterministic) and, within each language, keep the most
+    lexically-diverse documents up to that language's budget. The
+    anti-skew counterpart of proportional domain mixing: a corpus that
+    is 90 % English still yields a balanced multilingual training mix.
+
+    Score = distinct-token share in exact ppm (the screened-export
+    scoring); selection via the grouped two-level prefix sum. The
+    language list is one distinct-collect (bounded by the language
+    catalog, not the corpus).
+
+    Returns [id, lang, n_tokens, diversity_ppm, cum_before,
+    lang_budget] for the selected documents.
+    """
+    t = tokens(F.col(text_col))
+    scored = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.col(lang_col).alias("lang"),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("__nd"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            id_col,
+            "lang",
+            "n_tokens",
+            F.expr("(1000000 * __nd) div n_tokens").alias("diversity_ppm"),
+        )
+    )
+    langs = sorted(
+        r["lang"] for r in scored.select("lang").distinct().collect()
+    )
+    if not langs:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, lang string, n_tokens long, "
+            "diversity_ppm long, cum_before long, group_budget long",
+        )
+    base, rem = divmod(int(budget), len(langs))
+    budgets = {
+        g: base + (1 if i < rem else 0) for i, g in enumerate(langs)
+    }
+    return grouped_token_budget_select(
+        scored, id_col, "lang", "diversity_ppm", "n_tokens", budgets
+    )

@@ -3526,3 +3526,59 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.source_quality_rollup(docs, "doc_id", "text", "source")
+
+
+@register(
+    "q_lang_budget_mix",
+    # equal-share largest-remainder budgets over the observed language
+    # list (leftover to alphabetically-first), per-lang diversity-
+    # ordered exact running cut — straddler admitted (cum_before <
+    # budget), the token_budget_select convention
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) * 1000000 // len(toks)
+                    AS BIGINT) AS diversity_ppm
+        FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    langs AS (
+        SELECT lang,
+               row_number() OVER (ORDER BY lang) AS rk,
+               COUNT(*) OVER () AS L
+        FROM (SELECT DISTINCT lang FROM scored)
+    ),
+    budg AS (
+        SELECT lang,
+               CAST(12000 // L
+                    + CASE WHEN rk <= 12000 % L THEN 1 ELSE 0 END
+                    AS BIGINT) AS group_budget
+        FROM langs
+    ),
+    sel AS (
+        SELECT s.doc_id, s.lang, s.n_tokens, s.diversity_ppm,
+               b.group_budget,
+               COALESCE(SUM(s.n_tokens) OVER (
+                   PARTITION BY s.lang
+                   ORDER BY s.diversity_ppm DESC, s.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM scored s JOIN budg b USING (lang)
+    )
+    SELECT doc_id, lang, diversity_ppm, n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before, group_budget
+    FROM sel WHERE cum_before < group_budget
+    """,
+    survey_ops="language-rebalanced token-budget mixture (§2.11 "
+    "curation): equal-share largest-remainder budgets across observed "
+    "languages, per-language diversity-ordered EXACT budget cut via "
+    "the grouped two-level distributed prefix sum — never a per-group "
+    "single-partition sort; driver holds n_parts x |langs| partial "
+    "totals only",
+)
+def q_lang_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_balanced_budget_select(
+        docs, "doc_id", "text", "lang", budget=12_000
+    )

@@ -343,3 +343,54 @@ def test_multi_screen_per_set_equals_single_screens(spark):
         got = rows(multi.filter(F.col("benchmark") == name).drop("benchmark"))
         assert got == rows(single), f"set {name} diverged"
     assert multi.count() == 90 * 2
+
+
+def test_grouped_budget_select_matches_per_group_global(spark):
+    """The grouped two-level prefix sum must equal running
+    token_budget_select independently per group."""
+    from startup_data_pipeline_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3), (i * 7) % 50, 10 + i % 5)
+         for i in range(200)],
+        "id long, grp string, score long, w long",
+    )
+    budgets = {"g0": 120, "g1": 75, "g2": 200}
+    grouped = text.grouped_token_budget_select(
+        df, "id", "grp", "score", "w", budgets
+    )
+    for g, b in budgets.items():
+        single = text.token_budget_select(
+            df.filter(F.col("grp") == g), "id", "score", "w", budget=b
+        )
+        got = rows(
+            grouped.filter(F.col("grp") == g)
+            .select("id", "score", "w", "cum_before")
+        )
+        assert got == rows(single), f"group {g} diverged"
+
+
+def test_lang_balanced_budgets_are_equal_shares(spark, sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = text.lang_balanced_budget_select(
+        docs, "doc_id", "text", "lang", budget=1000
+    )
+    per_lang = {
+        r["lang"]: r
+        for r in sel.groupBy("lang")
+        .agg(
+            F.max("group_budget").alias("b"),
+            F.sum("n_tokens").alias("tok"),
+            F.max(F.col("cum_before") + F.col("n_tokens")).alias("hi"),
+        )
+        .collect()
+    }
+    assert len(per_lang) == 5
+    budgets = sorted(r["b"] for r in per_lang.values())
+    assert sum(budgets) == 1000 and budgets[-1] - budgets[0] <= 1
+    for lang, r in per_lang.items():
+        # exact cut: everything before the straddler fits the budget
+        assert r["hi"] == r["tok"]  # cum_before+n_tokens max == total selected
