@@ -3134,3 +3134,97 @@ def multi_benchmark_screen(
             .alias("action"),
         )
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998, integerized): greedily pick k vectors maximizing
+    ``relevance − redundancy`` — here relevance = NEGATIVE squared
+    distance to the corpus centroid (central = representative) and
+    redundancy = negative min squared distance to the already-chosen
+    set, i.e. pick = argmax(d_min_to_chosen − d_to_centroid), the
+    λ=1/2 MMR objective in exact integer arithmetic. Between
+    ``kcenter_select`` (pure spread — happily picks outliers) and
+    ``prototypicality_report`` (pure centrality — picks near-clones):
+    MMR picks spread-out REPRESENTATIVE exemplars, the few-shot /
+    labeling-budget selection shape.
+
+    Deterministic end to end: the corpus centroid is the exact
+    long-sum per-dimension mean rounded half-away-from-zero (the Lloyd
+    update's arithmetic); seed = the most relevant vector (min
+    distance-to-centroid, ties lowest id); every round's pick ties to
+    the lowest id; chosen ids excluded explicitly.
+
+    Scale: one centroid aggregate (dims longs to the driver), then the
+    incremental greedy machinery from ``_kcenter_greedy``'s large-k
+    route — a localCheckpoint-ed [vid, qv, dcent, d] frame folding in
+    ONE distance per round (O(n·dims) Tungsten work per round), never
+    the growing literal map. k clamps at ``KCENTER_MAX_K`` (sequential
+    driver-coordinated rounds — the family bound).
+
+    Returns [vid, sel_round, mmr_score, rel_sq_dist]: selection order,
+    the objective value d_min − d_centroid at pick time (NULL for the
+    seed), and the relevance distance.
+    """
+    if k > KCENTER_MAX_K:
+        raise ValueError(
+            f"mmr greedy selection runs k-1 sequential driver-"
+            f"coordinated jobs; k={k} exceeds KCENTER_MAX_K="
+            f"{KCENTER_MAX_K} (the kcenter_select bound). For larger "
+            "k, cluster first (kmeans_fit) and run MMR per cell."
+        )
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    spark = qdf.sparkSession
+    schema = "vid long, sel_round int, mmr_score long, rel_sq_dist long"
+    sums = qdf.select(
+        F.posexplode("qv").alias("pos", "x")
+    ).groupBy("pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    if not sums:
+        return spark.createDataFrame([], schema)
+    centroid = [
+        _round_div(int(r["s"]), int(r["n"]))
+        for r in sorted(sums, key=lambda r: r["pos"])
+    ]
+    state = qdf.select(
+        "vid", "qv", _sq_dist_to(F.col("qv"), centroid).alias("dcent")
+    ).localCheckpoint()
+    seed = (
+        state.orderBy(F.col("dcent").asc(), F.col("vid").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    chosen: list[tuple[int, list[int], int | None, int]] = [
+        (int(seed["vid"]), list(seed["qv"]), None, int(seed["dcent"]))
+    ]
+    state = state.withColumn(
+        "d", _sq_dist_to(F.col("qv"), chosen[0][1])
+    ).localCheckpoint()
+    for _ in range(1, k):
+        best = (
+            state.filter(~F.col("vid").isin([v for v, _, _, _ in chosen]))
+            .withColumn("score", F.col("d") - F.col("dcent"))
+            .orderBy(F.col("score").desc(), F.col("vid").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        chosen.append(
+            (int(b["vid"]), list(b["qv"]), int(b["score"]), int(b["dcent"]))
+        )
+        if len(chosen) < k:
+            state = state.withColumn(
+                "d", F.least("d", _sq_dist_to(F.col("qv"), chosen[-1][1]))
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        [(vid, i, sc, rd) for i, (vid, _, sc, rd) in enumerate(chosen)],
+        schema,
+    )

@@ -3543,3 +3543,91 @@ def q_multi_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_dist_max=1_000_000, containment_min_ppm=500_000,
         k=3, max_df=50,
     )
+
+
+def _mmr_oracle(k: int = 8) -> str:
+    """Unrolled MMR greedy chain — the kcenter chain (incremental
+    LEAST min-distance update, MATERIALIZED stages) with the corpus
+    centroid's relevance term: seed = argmin distance-to-centroid,
+    round pick = argmax(d_min_to_chosen − d_to_centroid), ties to the
+    lowest vid. Centroid = per-dimension exact long-sum mean rounded
+    half-away-from-zero (the Lloyd update arithmetic)."""
+    parts = [f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    dimsum AS MATERIALIZED (
+        SELECT pos, SUM(x) AS s, COUNT(*) AS n FROM qv GROUP BY pos
+    ),
+    cent AS MATERIALIZED (
+        SELECT pos,
+               CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                    ELSE -((-2 * s + n) // (2 * n)) END AS c
+        FROM dimsum
+    ),
+    dc AS MATERIALIZED (
+        SELECT q.vid,
+               CAST(SUM((q.x - c.c) * (q.x - c.c)) AS BIGINT) AS dcent
+        FROM qv q JOIN cent c USING (pos) GROUP BY q.vid
+    ),
+    ch0 AS MATERIALIZED (
+        SELECT vid, 0 AS sel_round, CAST(NULL AS BIGINT) AS mmr_score,
+               dcent AS rel_sq_dist
+        FROM dc ORDER BY dcent ASC, vid ASC LIMIT 1
+    ),
+    md1 AS MATERIALIZED (
+        SELECT q.vid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+        FROM qv q
+        JOIN qv c ON c.pos = q.pos AND c.vid = (SELECT vid FROM ch0)
+        GROUP BY q.vid
+    )"""]
+    for r in range(1, k):
+        parts.append(f""",
+    pick{r} AS MATERIALIZED (
+        SELECT m.vid, m.d - dc.dcent AS score, dc.dcent
+        FROM md{r} m JOIN dc ON dc.vid = m.vid
+        WHERE m.vid NOT IN (SELECT vid FROM ch{r - 1})
+        ORDER BY m.d - dc.dcent DESC, m.vid ASC LIMIT 1
+    ),
+    ch{r} AS MATERIALIZED (
+        SELECT * FROM ch{r - 1}
+        UNION ALL SELECT vid, {r}, score, dcent FROM pick{r}
+    )""")
+        if r < k - 1:
+            parts.append(f""",
+    nd{r + 1} AS MATERIALIZED (
+        SELECT q.vid, CAST(SUM((q.x - c.x) * (q.x - c.x)) AS BIGINT) AS d
+        FROM qv q
+        JOIN qv c ON c.pos = q.pos AND c.vid = (SELECT vid FROM pick{r})
+        GROUP BY q.vid
+    ),
+    md{r + 1} AS MATERIALIZED (
+        SELECT m.vid, LEAST(m.d, n.d) AS d
+        FROM md{r} m JOIN nd{r + 1} n USING (vid)
+    )""")
+    parts.append(f"""
+    SELECT vid, CAST(sel_round AS INTEGER) AS sel_round,
+           CAST(mmr_score AS BIGINT) AS mmr_score, rel_sq_dist
+    FROM ch{k - 1}""")
+    return "".join(parts)
+
+
+@register(
+    "q_mmr_select",
+    oracle=_mmr_oracle(),
+    survey_ops="maximal-marginal-relevance selection (§2.11 curation; "
+    "Carbonell & Goldstein 1998, integerized at λ=1/2): greedy "
+    "argmax(d_min_to_chosen − d_to_centroid) — spread-out "
+    "REPRESENTATIVE exemplars, between kcenter's pure spread and "
+    "prototypicality's pure centrality. Incremental min-distance "
+    "state (one fold per round, localCheckpointed), centroid = one "
+    "dims-long aggregate; k clamped at the kcenter family bound",
+)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(emb, "vec_id", "embedding", k=8)

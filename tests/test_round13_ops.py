@@ -394,3 +394,50 @@ def test_lang_balanced_budgets_are_equal_shares(spark, sf_dir):
     for lang, r in per_lang.items():
         # exact cut: everything before the straddler fits the budget
         assert r["hi"] == r["tok"]  # cum_before+n_tokens max == total selected
+
+
+def test_mmr_balances_relevance_and_spread(spark):
+    """MMR's seed is the most central vector; later picks must be
+    distinct, never re-pick chosen ids, and the all-duplicates corpus
+    returns each id once (score 0)."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = _emb(spark, n=80)
+    got = rows(similarity.mmr_select(emb, "vec_id", "embedding", k=6))
+    assert len(got) == 6
+    vids = [r[0] for r in got]
+    assert len(set(vids)) == 6
+    # seed has minimal rel_sq_dist among all vectors
+    seed_rel = next(r[3] for r in got if r[1] == 0)
+    from startup_data_pipeline_spark.operators.similarity import (
+        quantized_training_frame, _sq_dist_to, _round_div,
+    )
+    import pyspark.sql.functions as SF
+    qdf = quantized_training_frame(emb, "vec_id", "embedding")
+    sums = qdf.select(SF.posexplode("qv").alias("pos", "x")).groupBy(
+        "pos").agg(SF.sum("x").alias("s"), SF.count(SF.lit(1)).alias("n")
+    ).collect()
+    cent = [
+        _round_div(int(r["s"]), int(r["n"]))
+        for r in sorted(sums, key=lambda r: r["pos"])
+    ]
+    min_d = qdf.select(
+        SF.min(_sq_dist_to(SF.col("qv"), cent)).alias("m")
+    ).collect()[0]["m"]
+    assert seed_rel == min_d
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    got_dup = rows(similarity.mmr_select(dup, "vec_id", "embedding", k=4))
+    assert [r[0] for r in got_dup] == [0, 1, 2, 3]
+
+
+def test_mmr_clamp_raises_past_family_bound(spark):
+    from startup_data_pipeline_spark.operators import similarity
+    import pytest as _pytest
+
+    emb = _emb(spark, n=10)
+    with _pytest.raises(ValueError, match="KCENTER_MAX_K"):
+        similarity.mmr_select(emb, "vec_id", "embedding", k=513)
