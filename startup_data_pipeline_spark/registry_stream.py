@@ -986,3 +986,71 @@ def q_stream_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verdict",
         "action",
     )
+
+
+def _stream_quality_oracle() -> str:
+    # the q_gopher_quality chain restricted to the staged arrival
+    # universe (doc_id % 100 != 0 — the stream-screen split): the gate
+    # is stateless per micro-batch, so the union of per-epoch flag
+    # tables over any partitioning of the arrivals equals the batch
+    # battery on the same universe.
+    from .registry_text import _GOPHER_BASE, _GOPHER_FLAGS
+
+    return f"""
+    WITH base AS ({_GOPHER_BASE}),
+    flags AS ({_GOPHER_FLAGS})
+    SELECT doc_id, n_words, mean_word_len_x100, alpha_word_ppm,
+           n_distinct_stopwords, flag_word_count, flag_mean_word_len,
+           flag_alpha_words, flag_stopwords, gopher_pass
+    FROM flags
+    WHERE doc_id % 100 <> 0
+    """
+
+
+@register(
+    "q_stream_quality",
+    oracle=_stream_quality_oracle(),
+    survey_ops="§2.9 × §2.11: the Gopher quality battery as a "
+    "Structured Streaming gate — the stateless-gate family symmetry "
+    "(q_stream_screen precedent): each micro-batch of the 4-file "
+    "arrival replay flagged per rule via foreachBatch, verdicts landed "
+    "as overwrite-idempotent epoch dirs; union ≡ the batch battery",
+)
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from .operators import text
+    from .registry_ats import _session_tmp
+
+    src = _stream_screen_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run = uuid.uuid4().hex[:12]
+    out_path = os.path.join(
+        _session_tmp(f"stream_quality_out_{run}"), "flags"
+    )
+    ckpt = os.path.join(_session_tmp(f"stream_quality_ckpt_{run}"), "ckpt")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        text.gopher_quality_flags(
+            batch_df.select("doc_id", "text"), "doc_id", "text"
+        ).write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "doc_id", "n_words", "mean_word_len_x100", "alpha_word_ppm",
+        "n_distinct_stopwords", "flag_word_count", "flag_mean_word_len",
+        "flag_alpha_words", "flag_stopwords", "gopher_pass",
+    )
