@@ -3631,3 +3631,126 @@ def _mmr_oracle(k: int = 8) -> str:
 def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.mmr_select(emb, "vec_id", "embedding", k=8)
+
+
+def _source_health_oracle() -> str:
+    """Leak side: the screen CTE chain's per-source quarantine rates
+    (loosened 50k ppm threshold, the q_screen_rate_by_source shape).
+    Quality side: the Gopher rollup over the SAME arrival universe
+    (doc_id % 100 <> 0), so both evidence columns describe one
+    population and the join is total. Verdict thresholds sit inside
+    the fixture's observed spread so all three recommendations occur."""
+    from .registry_text import _GOPHER_FLAGS, _TOKS_LOWER
+
+    gflags = _GOPHER_FLAGS.replace("FROM base", "FROM gbase")
+    return _benchmark_screen_ctes(containment_min_ppm=50_000) + f""",
+    gbase AS (
+        SELECT doc_id, source, toks,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST((100 * list_sum(list_transform(toks,
+                        w -> length(w)))) // len(toks) AS BIGINT)
+               END AS mean_word_len_x100,
+               CASE WHEN len(toks) > 0 THEN
+                   CAST((1000000 * len(list_filter(toks,
+                        w -> regexp_matches(w, '[a-z]')))) // len(toks)
+                        AS BIGINT)
+               END AS alpha_word_ppm,
+               CAST(len(list_intersect(list_distinct(toks),
+                    ['the','a','of','and','to','in'])) AS BIGINT)
+                   AS n_distinct_stopwords
+        FROM (SELECT doc_id, source, {_TOKS_LOWER} AS toks
+              FROM documents WHERE doc_id % 100 <> 0)
+    ),
+    gflags AS ({gflags}),
+    leak AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+               CAST((1000000 * SUM(CASE WHEN s.action = 'quarantine'
+                                        THEN 1 ELSE 0 END)) // COUNT(*)
+                    AS BIGINT) AS quarantine_ppm
+        FROM screen s JOIN documents d ON d.doc_id = s.arrival_id
+        GROUP BY d.source
+    ),
+    qual AS (
+        SELECT source,
+               CAST((1000000 * SUM(CASE WHEN gopher_pass THEN 1 ELSE 0
+                    END)) // COUNT(*) AS BIGINT) AS gopher_pass_ppm
+        FROM gflags GROUP BY source
+    )
+    SELECT source, n_arrivals, quarantine_ppm, gopher_pass_ppm,
+           CASE WHEN quarantine_ppm >= 40000 OR gopher_pass_ppm < 360000
+                    THEN 'drop'
+                WHEN quarantine_ppm >= 20000 OR gopher_pass_ppm < 500000
+                    THEN 'review'
+                ELSE 'keep'
+           END AS recommendation
+    FROM leak JOIN qual USING (source)"""
+
+
+@register(
+    "q_source_health",
+    oracle=_source_health_oracle(),
+    survey_ops="per-source HEALTH report (§2.11 curation capstone "
+    "rollup): benchmark-leak rate × Gopher quality rate per source on "
+    "ONE arrival universe, folded into a keep/review/drop "
+    "recommendation — the single table a 100 TB pipeline's source "
+    "triage meeting reads; two small per-source aggs joined on the "
+    "source catalog",
+)
+def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    arrivals = docs.filter(F.col("doc_id") % 100 != 0)
+    screen = similarity.benchmark_screen(
+        arrivals,
+        emb.filter(F.col("vec_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=50_000,
+    )
+    leak = (
+        screen.join(
+            docs.select(F.col("doc_id").alias("arrival_id"), "source"),
+            "arrival_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.sum((F.col("action") == "quarantine").cast("long"))
+            .alias("__nq"),
+        )
+        .select(
+            "source",
+            "n_arrivals",
+            F.expr("(1000000 * __nq) div n_arrivals")
+            .cast("long")
+            .alias("quarantine_ppm"),
+        )
+    )
+    from .operators import text as text_ops
+
+    qual = text_ops.source_quality_rollup(
+        arrivals, "doc_id", "text", "source"
+    ).select("source", "gopher_pass_ppm")
+    rec = (
+        F.when(
+            (F.col("quarantine_ppm") >= 40_000)
+            | (F.col("gopher_pass_ppm") < 360_000),
+            F.lit("drop"),
+        )
+        .when(
+            (F.col("quarantine_ppm") >= 20_000)
+            | (F.col("gopher_pass_ppm") < 500_000),
+            F.lit("review"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return leak.join(qual, "source").select(
+        "source",
+        "n_arrivals",
+        "quarantine_ppm",
+        "gopher_pass_ppm",
+        rec.alias("recommendation"),
+    )
