@@ -195,11 +195,23 @@ HEADLINE = [
     # lineage)
     "q_screened_export",
     # round-13 additions: the feedscan -> screen -> export capstone
-    # (the wire-to-curation lineage); q_stream_screen stays out on the
-    # q_feed_stream precedent (its runtime is streaming-engine startup
-    # x 4 epochs over a screen q_benchmark_screen already times) —
-    # correctness-certified via the registry gate like every exclusion
+    # (the wire-to-curation lineage); q_stream_screen and
+    # q_stream_quality stay out on the q_feed_stream precedent (their
+    # runtime is streaming-engine startup x 4 epochs over work the
+    # batch twins already time) — correctness-certified via the
+    # registry gate like every exclusion
     "q_feed_screened_export",
+    # round-13 curation battery: the one-pass suite screen, DSIR
+    # selection, the grouped budget mixture, per-source rollups, and
+    # the two greedy trained selectors (job-chain floor family)
+    "q_multi_screen",
+    "q_dsir_select",
+    "q_lang_budget_mix",
+    "q_token_fertility",
+    "q_source_quality",
+    "q_source_health",
+    "q_prototypicality",
+    "q_mmr_select",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so
@@ -218,6 +230,8 @@ MAP_SIDE_EXCLUDED = [
                            # (q_feed_pipeline benches the composed chain)
     "q_feed_catalog",      # identical plan to q_feed_datasource with the
                            # universe read from a feeds_table catalog
+    "q_gopher_quality",    # per-rule flag battery: one tokenize pass,
+                           # array aggregates, no shuffle
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
