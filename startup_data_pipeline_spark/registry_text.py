@@ -3582,3 +3582,105 @@ def q_lang_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_balanced_budget_select(
         docs, "doc_id", "text", "lang", budget=12_000
     )
+
+
+@register(
+    "q_effective_tokens",
+    # "how much UNIQUE data do I actually have": the soft-dedup weight
+    # chain (minhash -> LSH bands -> components -> 1/cluster_size ppm)
+    # joined with per-doc token counts, rolled up per source. Effective
+    # tokens = sum(n_tokens * weight_ppm) div 1e6 — the single integer
+    # division happens AFTER the exact product sum, so both engines
+    # agree bit-for-bit. effective_ppm = the source's unique fraction.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    ),
+    weighted AS (
+        SELECT c.doc_id,
+               CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+        FROM comp c JOIN sizes s USING (component)
+    ),
+    toksz AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_LOWER}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(t.n_tokens * w.weight_ppm) // 1000000 AS BIGINT)
+               AS effective_tokens,
+           CAST((1000000 * (SUM(t.n_tokens * w.weight_ppm) // 1000000))
+                // SUM(t.n_tokens) AS BIGINT) AS effective_ppm
+    FROM toksz t JOIN weighted w USING (doc_id)
+    GROUP BY t.source
+    """,
+    survey_ops="effective-token-mass report (§2.11 dedup rollup): "
+    "soft-dedup weights × token counts per source — the 'unique data' "
+    "denominator a scaling-law budget actually divides by; rides the "
+    "co-partitioned CC + one source-keyed agg",
+)
+def q_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    weights = dedup.soft_dedup_weights(
+        docs.select("doc_id"), pairs, "doc_id"
+    ).select("doc_id", "weight_ppm")
+    toksz = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens(F.lower(F.col("text")))).cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        toksz.join(weights, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.sum(F.col("n_tokens") * F.col("weight_ppm"))
+            .alias("__wsum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.expr("__wsum div 1000000").cast("long")
+            .alias("effective_tokens"),
+            F.expr(
+                "(1000000 * (__wsum div 1000000)) div raw_tokens"
+            ).cast("long").alias("effective_ppm"),
+        )
+    )
