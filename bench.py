@@ -261,6 +261,11 @@ ISOLATED_SUBSET = [
     "q_decontam_agreement",
     "q_kcenter_select",
     "q_simhash64_pairs",
+    # round-13 append (the list is append-only so prior-round series
+    # stay comparable): the round's heavyweights
+    "q_multi_screen",
+    "q_source_health",
+    "q_feed_screened_export",
 ]
 
 

@@ -196,32 +196,34 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-12 window (VERDICT r11 #1/#2): the five never-driver-sampled
-    # round-11 registrations lead (doubling as canaries — all five also
-    # changed this round per the ADVICE r11 fixes), then the round-12
-    # canaries (feedsource ledger-migration guard + the three seam
-    # consumers re-keyed per SparkSession — the standing canary rule
-    # from VERDICT r6 #7), then OLDEST-FIRST backfill from the
-    # round-6-certified tranche (alphabetical) — the rotation flip
-    # VERDICT r11 #2 ordered, retiring the oldest certs each round
+    # round-13 window (VERDICT r12 #1/#2/#4): the ten never-driver-
+    # sampled round-12 registrations lead (alphabetical; slot 3 doubles
+    # as the probe-broadcast-fallback canary), then the round-13
+    # canaries for the kcenter adaptive-argmin switch (the standing
+    # canary rule from VERDICT r6 #7), then OLDEST-FIRST backfill:
+    # the round-6 remainder (r6 cert count reaches 0) and the oldest
+    # round-7 tranche, alphabetical
     prefix = list(qs)[:50]
-    assert prefix[:5] == [
-        "q_feed_catalog", "q_feed_stream_ledger", "q_kcenter_select",
-        "q_kcenter_coverage", "q_cross_split_proximity",
-    ]
-    assert prefix[5:11] == [
-        "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
-        "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
-    ]
-    assert prefix[11] == "q_alert_filter"
-    assert prefix[11:50] == sorted(prefix[11:50])  # r6 tranche is
-    # alphabetical, so the driver's sample order is reproducible
-    # this round's new registrations sit at the very back of the
-    # priority list (never-sampled tranche for the r13 window)
-    assert list(qs)[-10:] == [
+    assert prefix[:10] == [
+        "q_ann_recall_audit", "q_benchmark_screen",
         "q_cross_split_proximity_large", "q_curation_diversify",
-        "q_decontam_agreement", "q_ann_recall_audit",
-        "q_benchmark_screen", "q_pack_efficiency",
-        "q_knn_label_accuracy", "q_screened_export",
-        "q_quality_survivors", "q_screen_rate_by_source",
+        "q_decontam_agreement", "q_knn_label_accuracy",
+        "q_pack_efficiency", "q_quality_survivors",
+        "q_screen_rate_by_source", "q_screened_export",
+    ]
+    assert prefix[10:13] == [
+        "q_kcenter_select", "q_kcenter_coverage", "q_kmeans_assign",
+    ]
+    assert prefix[13] == "q_sliding_window"
+    assert prefix[13:23] == sorted(prefix[13:23])  # r6 remainder, alpha
+    assert prefix[23] == "q_best_supplier_per_part"
+    assert prefix[23:50] == sorted(prefix[23:50])  # oldest r7, alpha
+    # this round's new registrations sit at the very back of the
+    # priority list (never-sampled tranche for the r14 window)
+    assert list(qs)[-13:] == [
+        "q_stream_screen", "q_feed_screened_export", "q_gopher_quality",
+        "q_dsir_select", "q_token_fertility", "q_source_quality",
+        "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
+        "q_mmr_select", "q_stream_quality", "q_source_health",
+        "q_effective_tokens",
     ]
