@@ -441,3 +441,44 @@ def test_mmr_clamp_raises_past_family_bound(spark):
     emb = _emb(spark, n=10)
     with _pytest.raises(ValueError, match="KCENTER_MAX_K"):
         similarity.mmr_select(emb, "vec_id", "embedding", k=513)
+
+
+def test_stream_quality_epochs_union_equals_batch(spark, sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.registry import all_queries
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    got = rows(all_queries()["q_stream_quality"].fn(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 != 0
+    )
+    batch = rows(text.gopher_quality_flags(docs, "doc_id", "text"))
+    assert got == batch
+
+
+def test_source_health_recommendations_cover_all_sources(spark, sf_dir):
+    from startup_data_pipeline_spark.registry import all_queries
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    got = rows(all_queries()["q_source_health"].fn(spark, sf_dir))
+    n_sources = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 != 0)
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(got) == n_sources
+    assert all(r[4] in ("keep", "review", "drop") for r in got)
+
+
+def test_effective_tokens_bounded_by_raw(spark, sf_dir):
+    """Effective token mass is at most raw mass (weights <= 1) and
+    strictly below it when near-dup clusters exist."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    got = rows(all_queries()["q_effective_tokens"].fn(spark, sf_dir))
+    assert got
+    for source, n_docs, raw, eff, ppm in got:
+        assert 0 < eff <= raw
+        assert 0 < ppm <= 1_000_000
