@@ -3684,3 +3684,83 @@ def q_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("effective_ppm"),
         )
     )
+
+
+@register(
+    "q_dedup_loss_by_source",
+    # which sources are mostly redundant: the near-dup survivor chain
+    # (minhash -> LSH bands -> components -> min-id survivor) rolled up
+    # per source — the redundancy leg of source triage (q_source_health
+    # covers quality x leakage; this covers "how much of this feed is
+    # copies of things we already have"). A doc is LOST iff it is not
+    # its cluster's min-id representative.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST((1000000 * SUM(CASE WHEN c.doc_id <> c.component
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS loss_ppm
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    survey_ops="per-source dedup-loss rates (§2.11 dedup rollup): the "
+    "near-dup survivor chain rolled up per source — the redundancy leg "
+    "of source triage; rides the co-partitioned CC plus one "
+    "source-keyed agg",
+)
+def q_dedup_loss_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    comp = dedup.connected_components(
+        docs.select("doc_id"), pairs, "doc_id"
+    )
+    return (
+        comp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") == F.col("component")).cast("long")
+            ).alias("__ns"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("__ns").cast("long").alias("n_survivors"),
+            F.expr("(1000000 * (n_docs - __ns)) div n_docs")
+            .cast("long")
+            .alias("loss_ppm"),
+        )
+    )
