@@ -151,6 +151,19 @@ PROBE = [
     "q_snapshot_novelty",
     "q_dup_span_rate",
     "q_hard_negatives",
+    # round-13 additions (job-chain selectors q_prototypicality /
+    # q_mmr_select excluded per the measurement-protocol gotcha —
+    # qtime is their protocol)
+    "q_gopher_quality",
+    "q_dsir_select",
+    "q_token_fertility",
+    "q_source_quality",
+    "q_multi_screen",
+    "q_lang_budget_mix",
+    "q_source_health",
+    "q_feed_screened_export",
+    "q_effective_tokens",
+    "q_dedup_loss_by_source",
 ]
 
 
