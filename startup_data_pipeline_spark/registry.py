@@ -191,7 +191,7 @@ _PRIORITY: list[str] = [
     "q_dsir_select", "q_token_fertility", "q_source_quality",
     "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
     "q_mmr_select", "q_stream_quality", "q_source_health",
-    "q_effective_tokens", "q_dedup_loss_by_source",
+    "q_effective_tokens", "q_dedup_loss_by_source", "q_eval_set_build",
 ]
 
 

@@ -3764,3 +3764,89 @@ def q_dedup_loss_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("loss_ppm"),
         )
     )
+
+
+@register(
+    "q_eval_set_build",
+    # proportional eval-set construction, END TO END: Hare-quota
+    # apportionment of 200 slots across languages (largest remainder,
+    # rem ties to the first language name — the
+    # largest_remainder_allocation contract) + a deterministic md5
+    # draw per stratum (smallest md5-prefix ints win, ties to the
+    # lowest id) cut EXACTLY at each stratum's allocation by the
+    # grouped two-level prefix sum with weight 1 (cum_before < alloc
+    # admits exactly alloc rows, so the row-count draw is the token
+    # cut's degenerate case).
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n) AS total_n FROM counts),
+    quota AS (
+        SELECT lang, (200 * n) // total_n AS base,
+               (200 * n) % total_n AS rem
+        FROM counts CROSS JOIN tot
+    ),
+    alloc AS (
+        SELECT lang,
+               base + CASE WHEN row_number() OVER (
+                       ORDER BY rem DESC, lang ASC)
+                   <= 200 - (SELECT SUM(base) FROM quota)
+                   THEN 1 ELSE 0 END AS n_alloc
+        FROM quota
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) AS m
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY m ASC, doc_id ASC) - 1
+                   AS BIGINT) AS draw_rank
+        FROM scored
+    )
+    SELECT r.doc_id, r.lang, CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           r.draw_rank
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.draw_rank < a.n_alloc
+    """,
+    survey_ops="proportional eval-set builder (§2.11 curation "
+    "composition): Hare-quota apportionment across languages + "
+    "deterministic md5 draw per stratum, cut exactly at each "
+    "allocation by the grouped distributed prefix sum (weight 1) — "
+    "apportion-then-draw on one lineage, RNG-free",
+)
+def q_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = olap.largest_remainder_allocation(docs, "lang", 200)
+    budgets = {
+        r["lang"]: int(r["alloc"])
+        for r in alloc.select("lang", "alloc").collect()
+    }
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (
+            -F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias("neg_m"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    sel = text.grouped_token_budget_select(
+        scored, "doc_id", "lang", "neg_m", "w", budgets
+    )
+    return sel.select(
+        "doc_id",
+        "lang",
+        F.col("group_budget").alias("n_alloc"),
+        F.col("cum_before").alias("draw_rank"),
+    )

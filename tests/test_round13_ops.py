@@ -482,3 +482,65 @@ def test_effective_tokens_bounded_by_raw(spark, sf_dir):
     for source, n_docs, raw, eff, ppm in got:
         assert 0 < eff <= raw
         assert 0 < ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Empty-input paths (the engine's empty-corpus convention)
+# ---------------------------------------------------------------------------
+
+
+def test_round13_operators_on_empty_input(spark):
+    from startup_data_pipeline_spark.operators import similarity, text
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    no_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert text.gopher_quality_flags(no_docs, "doc_id", "text").count() == 0
+    assert text.dsir_importance(
+        no_docs, "doc_id", "text", F.col("lang") == "en"
+    ).count() == 0
+    assert text.token_fertility_by_lang(
+        no_docs, "doc_id", "text", "lang"
+    ).count() == 0
+    assert text.source_quality_rollup(
+        no_docs, "doc_id", "text", "source"
+    ).count() == 0
+    assert text.grouped_token_budget_select(
+        spark.createDataFrame([], "id long, grp string, score long, w long"),
+        "id", "grp", "score", "w", {"a": 10},
+    ).count() == 0
+    assert text.lang_balanced_budget_select(
+        no_docs, "doc_id", "text", "lang", budget=100
+    ).count() == 0
+    assert similarity.prototypicality_report(
+        no_vecs, "vec_id", "embedding", k=4
+    ).count() == 0
+    assert similarity.mmr_select(no_vecs, "vec_id", "embedding", k=4).count() == 0
+
+
+def test_multi_screen_empty_eval_sets_admit_everything(spark):
+    """A suite screen with eval sets that contain no geometry and no
+    shingles must still emit one clean/admit row per (arrival, set)."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [0.1, 0.2]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    empty_docs = docs.filter(F.lit(False))
+    empty_vecs = vecs.filter(F.lit(False))
+    out = similarity.multi_benchmark_screen(
+        docs, vecs, [("A", empty_docs, empty_vecs),
+                     ("B", empty_docs, empty_vecs)],
+        "doc_id", "text", "vec_id", "embedding",
+    )
+    got = rows(out)
+    assert len(got) == 20
+    assert all(r[6] == "clean" and r[7] == "admit" for r in got)
