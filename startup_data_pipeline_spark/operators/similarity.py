@@ -3228,3 +3228,167 @@ def mmr_select(
         [(vid, i, sc, rd) for i, (vid, _, sc, rd) in enumerate(chosen)],
         schema,
     )
+
+
+def embedding_drift_report(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    split_modulus: int = 2,
+) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpus
+    snapshots (here the deterministic id-parity split; production
+    passes two real snapshots) — the encoder-regression tripwire: a
+    re-embedded corpus whose per-dimension means shift is a different
+    geometry, and every distance-based verdict downstream (dedup,
+    screen, ANN) silently degrades. Catching it is a per-dimension
+    aggregate, not a pairwise job.
+
+    Exact integer evidence per dimension: quantized means (the Lloyd
+    rounding), mean absolute shift, and the shift as ppm of the
+    reference dimension's absolute-mean magnitude (NULL when the
+    reference mean is 0 — no magnitude to normalize by).
+
+    Scale: one posexplode scan + one |dims|-key aggregate — the
+    exchange carries ≤ dims rows per partition after map-side combine.
+
+    Returns [pos, n_ref, n_new, ref_mean_q, new_mean_q, shift_q,
+    shift_ppm].
+    """
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    is_new = (F.col("vid") % split_modulus) == 0
+    per_dim = (
+        qdf.select(is_new.alias("__new"), F.posexplode("qv").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.when(~F.col("__new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("__new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(~F.col("__new"), F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("__s_ref"),
+            F.sum(F.when(F.col("__new"), F.col("x")).otherwise(0))
+            .cast("long")
+            .alias("__s_new"),
+        )
+    )
+    # round-half-away-from-zero integer means (the _round_div contract,
+    # expressed in SQL so it stays inside codegen)
+    mean_expr = (
+        "CASE WHEN {n} = 0 THEN NULL "
+        "WHEN {s} >= 0 THEN (2 * {s} + {n}) div (2 * {n}) "
+        "ELSE -((-2 * {s} + {n}) div (2 * {n})) END"
+    )
+    with_means = per_dim.select(
+        "pos",
+        "n_ref",
+        "n_new",
+        F.expr(mean_expr.format(s="__s_ref", n="n_ref")).alias("ref_mean_q"),
+        F.expr(mean_expr.format(s="__s_new", n="n_new")).alias("new_mean_q"),
+    )
+    return with_means.select(
+        "pos",
+        "n_ref",
+        "n_new",
+        "ref_mean_q",
+        "new_mean_q",
+        F.abs(F.col("new_mean_q") - F.col("ref_mean_q")).alias("shift_q"),
+        F.expr(
+            "CASE WHEN abs(ref_mean_q) > 0 THEN "
+            "(1000000 * abs(new_mean_q - ref_mean_q)) div abs(ref_mean_q) "
+            "END"
+        ).alias("shift_ppm"),
+    )
+
+
+SCREEN_CALIBRATION_GRID = [
+    100_000, 250_000, 500_000, 1_000_000, 2_000_000, 4_000_000,
+]
+
+
+def screen_threshold_calibration(
+    arrival_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    vec_id_col: str,
+    vec_col: str,
+    thresholds: list[int] | None = None,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """Threshold-tuning curve for the benchmark screen's embedding leg:
+    for every candidate ``sq_dist_max`` in the grid, how many arrivals
+    WOULD be quarantined — the table an operator reads before picking
+    the screen's distance threshold (too tight leaks benchmarks into
+    training data, too loose quarantines the whole feed). One pass:
+    the per-arrival nearest-eval distance is computed once (the
+    screen's own evidence), then every grid point is a conditional
+    count over the same column — never one screen run per threshold.
+
+    Scale: eval side clamped + broadcast (the screen's contract);
+    nearest-per-arrival is the map-side-combined min-struct; the sweep
+    is a |grid|-row broadcast cross join + one |grid|-key aggregate.
+    Arrivals without vector geometry carry no embedding evidence and
+    are outside the denominator (the screen's own convention — their
+    admission is the lexical leg's decision).
+
+    Returns [sq_dist_max, n_arrivals, n_quarantined, quarantine_ppm].
+    """
+    if thresholds is None:
+        thresholds = SCREEN_CALIBRATION_GRID
+    spark = arrival_vecs.sparkSession
+    schema = (
+        "sq_dist_max long, n_arrivals long, n_quarantined long, "
+        "quarantine_ppm long"
+    )
+    ev = collect_screen_eval_vecs(eval_vecs, vec_id_col, vec_col, max_eval)
+    if not ev:
+        return spark.createDataFrame([], schema)
+    evdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(r["vid"]), list(r["qv"])) for r in ev],
+            "__eid long, __ev array<bigint>",
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__ev"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nearest = (
+        arrival_vecs.filter(vector_has_geometry(vec_col))
+        .select(
+            F.col(vec_id_col).alias("arrival_id"),
+            quantize(F.col(vec_col)).alias("__qv"),
+        )
+        .crossJoin(evdf)
+        .select("arrival_id", sq.alias("__d"))
+        .groupBy("arrival_id")
+        .agg(F.min("__d").alias("d"))
+    )
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(int(t),) for t in thresholds], "sq_dist_max long"
+        )
+    )
+    return (
+        nearest.crossJoin(grid)
+        .groupBy("sq_dist_max")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.sum((F.col("d") <= F.col("sq_dist_max")).cast("long"))
+            .cast("long")
+            .alias("n_quarantined"),
+        )
+        .select(
+            "sq_dist_max",
+            "n_arrivals",
+            "n_quarantined",
+            F.expr("(1000000 * n_quarantined) div n_arrivals")
+            .cast("long")
+            .alias("quarantine_ppm"),
+        )
+    )

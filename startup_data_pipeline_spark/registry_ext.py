@@ -3754,3 +3754,115 @@ def q_source_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gopher_pass_ppm",
         rec.alias("recommendation"),
     )
+
+
+@register(
+    "q_embedding_drift",
+    # per-dimension quantized-mean drift between the id-parity halves:
+    # Lloyd-rounded integer means, absolute shift, shift as ppm of the
+    # reference magnitude (NULL when the reference mean is 0)
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               (vec_id % 2 = 0) AS is_new,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    agg AS (
+        -- generate_subscripts is 1-based; posexplode is 0-based, and
+        -- pos is an OUTPUT column here (elsewhere it is only an
+        -- intra-engine join key, where the base never matters)
+        SELECT pos - 1 AS pos,
+               CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN NOT is_new THEN x ELSE 0 END)
+                    AS BIGINT) AS s_ref,
+               CAST(SUM(CASE WHEN is_new THEN x ELSE 0 END)
+                    AS BIGINT) AS s_new
+        FROM qv GROUP BY pos
+    ),
+    means AS (
+        SELECT pos, n_ref, n_new,
+               CASE WHEN n_ref = 0 THEN NULL
+                    WHEN s_ref >= 0 THEN (2 * s_ref + n_ref) // (2 * n_ref)
+                    ELSE -((-2 * s_ref + n_ref) // (2 * n_ref))
+               END AS ref_mean_q,
+               CASE WHEN n_new = 0 THEN NULL
+                    WHEN s_new >= 0 THEN (2 * s_new + n_new) // (2 * n_new)
+                    ELSE -((-2 * s_new + n_new) // (2 * n_new))
+               END AS new_mean_q
+        FROM agg
+    )
+    SELECT pos, n_ref, n_new,
+           CAST(ref_mean_q AS BIGINT) AS ref_mean_q,
+           CAST(new_mean_q AS BIGINT) AS new_mean_q,
+           CAST(abs(new_mean_q - ref_mean_q) AS BIGINT) AS shift_q,
+           CASE WHEN abs(ref_mean_q) > 0 THEN
+               CAST((1000000 * abs(new_mean_q - ref_mean_q))
+                    // abs(ref_mean_q) AS BIGINT)
+           END AS shift_ppm
+    FROM means
+    """,
+    survey_ops="embedding-distribution drift audit (§2.11 similarity "
+    "QA): per-dimension quantized-mean shift between two snapshots — "
+    "the encoder-regression tripwire every distance-based verdict "
+    "rests on; one posexplode scan + one |dims|-key agg",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift_report(
+        emb, "vec_id", "embedding", split_modulus=2
+    )
+
+
+@register(
+    "q_screen_calibration",
+    # the embedding-leg threshold-tuning curve: nearest-eval distance
+    # per arrival computed ONCE, every grid point a conditional count
+    oracle=f"""
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    nearest AS (
+        SELECT a.vid AS arrival_id, MIN(d) AS d FROM (
+            SELECT a.vid, e.vid AS eid,
+                   CAST(SUM((a.x - e.x) * (a.x - e.x)) AS BIGINT) AS d
+            FROM qv a JOIN qv e USING (pos)
+            WHERE a.vid % 100 <> 0 AND e.vid % 100 = 0
+            GROUP BY a.vid, e.vid
+        ) a GROUP BY a.vid
+    )
+    SELECT t.sq_dist_max,
+           CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(SUM(CASE WHEN n.d <= t.sq_dist_max THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST((1000000 * SUM(CASE WHEN n.d <= t.sq_dist_max
+                                    THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS quarantine_ppm
+    FROM (VALUES (100000), (250000), (500000), (1000000), (2000000),
+                 (4000000)) t(sq_dist_max)
+    CROSS JOIN nearest n
+    GROUP BY t.sq_dist_max
+    """,
+    survey_ops="screen threshold calibration (§2.11 decontamination "
+    "tuning): quarantine counts across a sq_dist_max grid from ONE "
+    "nearest-eval pass — the curve the screen's distance threshold is "
+    "picked from; |grid|-row broadcast cross join + |grid|-key agg",
+)
+def q_screen_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.screen_threshold_calibration(
+        emb.filter(F.col("vec_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "vec_id", "embedding",
+    )
