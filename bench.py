@@ -212,6 +212,13 @@ HEADLINE = [
     "q_source_health",
     "q_prototypicality",
     "q_mmr_select",
+    # round-13 second wave: redundancy/health rollups, the eval-set
+    # builder, and the embedding QA pair
+    "q_effective_tokens",
+    "q_dedup_loss_by_source",
+    "q_eval_set_build",
+    "q_embedding_drift",
+    "q_screen_calibration",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

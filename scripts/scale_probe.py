@@ -164,6 +164,9 @@ PROBE = [
     "q_feed_screened_export",
     "q_effective_tokens",
     "q_dedup_loss_by_source",
+    "q_eval_set_build",
+    "q_embedding_drift",
+    "q_screen_calibration",
 ]
 
 

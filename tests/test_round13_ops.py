@@ -544,3 +544,47 @@ def test_multi_screen_empty_eval_sets_admit_everything(spark):
     got = rows(out)
     assert len(got) == 20
     assert all(r[6] == "clean" and r[7] == "admit" for r in got)
+
+
+def test_embedding_drift_zero_on_identical_halves(spark):
+    """A corpus whose two halves embed identically must report zero
+    shift on every dimension."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [0.5, -0.25, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = rows(similarity.embedding_drift_report(emb, "vec_id", "embedding"))
+    assert len(got) == 3
+    for pos, n_ref, n_new, ref_m, new_m, shift, ppm in got:
+        assert n_ref == n_new == 20
+        assert ref_m == new_m and shift == 0
+        # ppm is 0 where the reference has magnitude, NULL on the 0-dim
+        assert ppm == 0 or (ppm is None and ref_m == 0)
+
+
+def test_screen_calibration_monotone_in_threshold(spark, sf_dir):
+    from startup_data_pipeline_spark.registry import all_queries
+
+    got = sorted(rows(all_queries()["q_screen_calibration"].fn(spark, sf_dir)))
+    # quarantine counts are non-decreasing in the threshold, ppm exact
+    for i in range(1, len(got)):
+        assert got[i][2] >= got[i - 1][2]
+    for t, n, q, ppm in got:
+        assert ppm == 1_000_000 * q // n
+
+
+def test_calibration_empty_eval_returns_typed_empty(spark):
+    from startup_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    out = similarity.screen_threshold_calibration(
+        emb, emb.filter(F.lit(False)), "vec_id", "embedding"
+    )
+    assert out.count() == 0
+    assert out.columns == [
+        "sq_dist_max", "n_arrivals", "n_quarantined", "quarantine_ppm",
+    ]
