@@ -192,7 +192,7 @@ _PRIORITY: list[str] = [
     "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
     "q_mmr_select", "q_stream_quality", "q_source_health",
     "q_effective_tokens", "q_dedup_loss_by_source", "q_eval_set_build",
-    "q_embedding_drift", "q_screen_calibration",
+    "q_embedding_drift", "q_screen_calibration", "q_stream_dsir",
 ]
 
 

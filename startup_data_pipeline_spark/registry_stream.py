@@ -1054,3 +1054,160 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_stopwords", "flag_word_count", "flag_mean_word_len",
         "flag_alpha_words", "flag_stopwords", "gopher_pass",
     )
+
+
+def _stream_dsir_oracle() -> str:
+    # batch-twin semantics: bucket weights trained on the FULL corpus
+    # (the frozen index, like the screen's protected set), arrivals
+    # (doc_id % 100 <> 0) scored per micro-batch. Scoring is stateless
+    # given frozen weights, so the epoch union equals the batch scoring
+    # of the arrival universe. Selection threshold = the corpus prior.
+    from .registry_text import _TOKS_LOWER
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, (lang = 'en') AS t, unnest({_TOKS_LOWER}) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, t,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                   AS bucket
+        FROM tok
+    ),
+    w AS (
+        SELECT bucket,
+               CAST((1000000 * (SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1))
+                    // (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM b GROUP BY bucket
+    ),
+    prior AS (
+        SELECT CAST((1000000 * (SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1))
+                    // (COUNT(*) + 2) AS BIGINT) AS prior_ppm
+        FROM b
+    ),
+    s AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(w_ppm) AS sw
+        FROM b JOIN w USING (bucket)
+        WHERE doc_id % 100 <> 0
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sw // n_tokens AS BIGINT) AS importance_ppm,
+           prior_ppm,
+           (sw // n_tokens) >= prior_ppm AS selected
+    FROM s CROSS JOIN prior
+    """
+
+
+@register(
+    "q_stream_dsir",
+    oracle=_stream_dsir_oracle(),
+    survey_ops="§2.9 × §2.11: DSIR importance scoring as a Structured "
+    "Streaming gate — the third stateless gate (screen, quality, now "
+    "mixture fit): bucket weights + corpus prior trained ONCE at "
+    "handler construction (64 + 1 rows driver-side, the frozen-index "
+    "contract), each micro-batch of the 4-file arrival replay scored "
+    "via one broadcast weight join; epoch union ≡ batch scoring",
+)
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from .operators.text import tokens
+    from .registry_ats import _session_tmp
+
+    docs = load_table(spark, sf_dir, "documents")
+    # frozen index: bucket weights + prior from the FULL corpus, once
+    tok = docs.select(
+        (F.col("lang") == "en").alias("__t"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 64
+    )
+    toks = tok.select("__t", bucket.alias("bucket"))
+    weights = {
+        int(r["bucket"]): int(r["w_ppm"])
+        for r in toks.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_b"),
+            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("r_b"),
+        )
+        .select(
+            "bucket",
+            F.expr("(1000000 * (t_b + 1)) div (t_b + r_b + 2)")
+            .alias("w_ppm"),
+        )
+        .collect()
+    }
+    prior = int(
+        toks.agg(
+            F.expr(
+                "(1000000 * (sum(CASE WHEN __t THEN 1 ELSE 0 END) + 1))"
+                " div (count(1) + 2)"
+            ).alias("p")
+        ).collect()[0]["p"]
+    )
+    w_map = SF.create_map(
+        *[F.lit(v) for kv in sorted(weights.items()) for v in kv]
+    )
+
+    src = _stream_screen_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run = uuid.uuid4().hex[:12]
+    out_path = os.path.join(_session_tmp(f"stream_dsir_out_{run}"), "scores")
+    ckpt = os.path.join(_session_tmp(f"stream_dsir_ckpt_{run}"), "ckpt")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        tokb = batch_df.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+        ).select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("tok")), 1, 8), 16, 10
+                ).cast("long")
+                % 64
+            ).alias("bucket"),
+        )
+        scored = (
+            tokb.select("doc_id", w_map[F.col("bucket")].alias("w_ppm"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum("w_ppm").alias("__sum_w"),
+            )
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.expr("__sum_w div n_tokens").alias("importance_ppm"),
+                F.lit(prior).cast("long").alias("prior_ppm"),
+            )
+            .withColumn(
+                "selected", F.col("importance_ppm") >= F.col("prior_ppm")
+            )
+        )
+        scored.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "doc_id", "n_tokens", "importance_ppm", "prior_ppm", "selected"
+    )

@@ -220,11 +220,12 @@ def test_registry_integrity():
     assert prefix[23:50] == sorted(prefix[23:50])  # oldest r7, alpha
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r14 window)
-    assert list(qs)[-17:] == [
+    assert list(qs)[-18:] == [
         "q_stream_screen", "q_feed_screened_export", "q_gopher_quality",
         "q_dsir_select", "q_token_fertility", "q_source_quality",
         "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
         "q_mmr_select", "q_stream_quality", "q_source_health",
         "q_effective_tokens", "q_dedup_loss_by_source",
         "q_eval_set_build", "q_embedding_drift", "q_screen_calibration",
+        "q_stream_dsir",
     ]
