@@ -448,6 +448,11 @@ def main() -> None:
     # Isolated-protocol leg (VERDICT r12 #3), after the suite numbers
     # are safely out: re-measure the fixed subset in a fresh process,
     # splice the total into the summary line, rewrite both files.
+    # Stop the suite's own JVM FIRST — a 32-thread multi-GB SparkSession
+    # idling next to the measurement process is exactly the ambient
+    # contamination this leg exists to exclude (measured: the leg ran
+    # 34% slower with the suite JVM alive).
+    spark.stop()
     isolated = _isolated_remeasure()
     if isolated:
         parsed = json.loads(line)

@@ -588,3 +588,20 @@ def test_calibration_empty_eval_returns_typed_empty(spark):
     assert out.columns == [
         "sq_dist_max", "n_arrivals", "n_quarantined", "quarantine_ppm",
     ]
+
+
+def test_stream_dsir_epochs_union_equals_batch_scoring(spark, sf_dir):
+    """The streaming DSIR gate's epoch union must equal batch
+    dsir_importance restricted to the arrival universe — weights and
+    prior are frozen from the FULL corpus on both paths."""
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.registry import all_queries
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    got = rows(all_queries()["q_stream_dsir"].fn(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    batch = rows(
+        text.dsir_importance(docs, "doc_id", "text", F.col("lang") == "en")
+        .filter(F.col("doc_id") % 100 != 0)
+    )
+    assert got == batch
