@@ -720,19 +720,29 @@ def q_feed_screened_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
     from .sources.feedsource import read_feeds
 
+    from .operators.util import materialize_for_self_join
+
     raw = read_feeds(
         spark,
         transport="documents",
         documents_path=os.path.join(sf_dir, "documents.parquet"),
     )
     fixed = F.regexp_replace(F.col("published_at"), "Z$", "+00:00")
-    items = raw.filter(F.col("title").rlike(" raises ")).select(
-        F.regexp_extract("url", "item/([0-9]+)$", 1)
-        .cast("long")
-        .alias("item_id"),
-        "title",
-        F.to_timestamp(F.substring(fixed, 1, 19), "yyyy-MM-dd'T'HH:mm:ss")
-        .alias("published_ts"),
+    # the screen references the parsed item table THREE times (arrival
+    # docs, eval docs, the export join-back) and each reference re-runs
+    # the Python-source feed scan — materialize once (the
+    # self-join-family rule; measured: the unmaterialized form's
+    # isolated time swung 4–23 s on Python-worker startup jitter)
+    items = materialize_for_self_join(
+        raw.filter(F.col("title").rlike(" raises ")).select(
+            F.regexp_extract("url", "item/([0-9]+)$", 1)
+            .cast("long")
+            .alias("item_id"),
+            "title",
+            F.to_timestamp(
+                F.substring(fixed, 1, 19), "yyyy-MM-dd'T'HH:mm:ss"
+            ).alias("published_ts"),
+        )
     )
     emb = load_table(spark, sf_dir, "embeddings")
     arrivals = items.filter(F.col("item_id") % 100 != 0)
