@@ -219,6 +219,15 @@ HEADLINE = [
     "q_eval_set_build",
     "q_embedding_drift",
     "q_screen_calibration",
+    # round-13 third wave: export-shard planning (ranged exchange +
+    # two-level rank), the cross-source duplication matrix (banded
+    # pair chain + two id->source joins), the PII governance rollup
+    # (regex scan + |sources| agg, the q_source_quality precedent),
+    # and the per-epoch order heads (3x TakeOrderedAndProject)
+    "q_shard_plan",
+    "q_cross_source_dup",
+    "q_pii_rate_by_source",
+    "q_epoch_shuffle",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so
@@ -239,6 +248,8 @@ MAP_SIDE_EXCLUDED = [
                            # universe read from a feeds_table catalog
     "q_gopher_quality",    # per-rule flag battery: one tokenize pass,
                            # array aggregates, no shuffle
+    "q_lsh_s_curve",       # 76-row parameter design table: pure
+                           # computation, no table scan at all
 ]
 
 WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable

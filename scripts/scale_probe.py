@@ -167,6 +167,12 @@ PROBE = [
     "q_eval_set_build",
     "q_embedding_drift",
     "q_screen_calibration",
+    # round-13 third wave (q_lsh_s_curve excluded: 76-row pure
+    # computation, nothing scales)
+    "q_shard_plan",
+    "q_cross_source_dup",
+    "q_pii_rate_by_source",
+    "q_epoch_shuffle",
 ]
 
 

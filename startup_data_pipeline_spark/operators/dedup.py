@@ -1764,3 +1764,108 @@ def dedup_method_agreement(
             " div count(1)"
         ).alias("agreement_ppm"),
     )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    num_hashes: int = 4,
+    band_size: int = 1,
+) -> DataFrame:
+    """Source × source near-duplication matrix: for every unordered
+    source pair, how many LSH candidate near-dup pairs cross it, how
+    many are full-signature matches, and the mean MinHash Jaccard
+    estimate. The mirror-site / syndication detector: per-source loss
+    rates (``q_dedup_loss_by_source``) say how much each source loses
+    to dedup, this says WHO is copying WHOM — at 100 TB the cheapest
+    dedup is delisting a mirror at the crawl frontier, which needs the
+    pair-level attribution, not the marginal rate.
+
+    Rides the standard banded pipeline (shingle → MinHash → band →
+    bucket self-join; digests shuffle, never text), then two id→source
+    hash joins and one |sources|²-bounded agg. The matrix key is the
+    lexicographically ordered source pair so the rollup is symmetric-
+    upper; the diagonal rows are intra-source duplication.
+
+    Returns [source_a, source_b, n_pairs, n_full_agree,
+    jaccard_est_ppm] where ``jaccard_est_ppm`` is the exact integer
+    mean of agreeing-lane fractions: (1e6 · Σ n_agree) div
+    (num_hashes · n_pairs).
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, k=3
+    )
+    scored = intra_batch_scored_pairs(
+        sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    a = src.select(
+        F.col(id_col).alias("new_id"), F.col(source_col).alias("__sa")
+    )
+    b = src.select(
+        F.col(id_col).alias("match_id"), F.col(source_col).alias("__sb")
+    )
+    return (
+        scored.join(a, "new_id")
+        .join(b, "match_id")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("n_agree") == F.lit(num_hashes)).cast("long")
+            )
+            .cast("long")
+            .alias("n_full_agree"),
+            F.expr(
+                f"(1000000 * sum(n_agree)) div ({num_hashes} * count(1))"
+            )
+            .cast("long")
+            .alias("jaccard_est_ppm"),
+        )
+    )
+
+
+def lsh_parameter_plan(
+    spark,
+    configs: tuple[tuple[int, int], ...] = ((4, 1), (8, 2), (16, 4), (32, 8)),
+) -> DataFrame:
+    """LSH banding design table: the collision-probability S-curve
+    P(candidate | Jaccard s) = 1 − (1 − s^r)^b for each candidate
+    (bands b, rows-per-band r) layout over a Jaccard grid s = k/20,
+    k = 1..19. The parameter-selection tool for every banded operator
+    in this module: an index owner reads off where each layout's
+    threshold sits (the s where P crosses ½) and how sharp its
+    precision/recall trade is BEFORE paying a corpus-scale run.
+
+    Pure computation (no table scan): a 19-row range per config, all
+    arithmetic as left-fold IEEE double multiplications — no libm
+    ``pow`` — so the result is bit-identical across engines and the
+    oracle can assert it exactly. ``collide_ppm`` is floor(1e6 · P).
+    """
+
+    def ipow(col: Column, n: int) -> Column:
+        out = col
+        for _ in range(n - 1):
+            out = out * col
+        return out
+
+    grid = spark.range(1, 20).select(
+        F.col("id").cast("long").alias("s_x20")
+    )
+    out = None
+    for bands, rows_per_band in configs:
+        s = F.col("s_x20").cast("double") / F.lit(20.0)
+        p = F.lit(1.0) - ipow(F.lit(1.0) - ipow(s, rows_per_band), bands)
+        part = grid.select(
+            F.lit(int(bands)).cast("long").alias("bands"),
+            F.lit(int(rows_per_band)).cast("long").alias("rows_per_band"),
+            "s_x20",
+            F.floor(F.lit(1000000.0) * p).cast("long").alias("collide_ppm"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1033,3 +1033,51 @@ def ks_two_sample(
             ).alias("ks_ppm"),
         )
     )
+
+
+def epoch_order_preview(
+    df: DataFrame,
+    id_col: str,
+    n_epochs: int = 3,
+    take: int = 16,
+) -> DataFrame:
+    """Deterministic per-epoch global training order: every epoch e
+    orders the corpus by ``md5(e || ':' || id)``, giving a full
+    reshuffle between epochs that is reproducible from the id alone —
+    no RNG state, no driver-side permutation table, resumable from any
+    offset. This is how a 100 TB trainer gets "shuffled each epoch"
+    without materializing a permutation: the order key is a pure
+    column expression, so Spark range-partitions the sort like any
+    other (distributed, spill-safe), and two runs of epoch e agree
+    bit-for-bit.
+
+    Returns the audit preview: the first ``take`` positions of each of
+    ``n_epochs`` epochs as [epoch, id, order_key, position]. Each
+    epoch's head is a ``TakeOrderedAndProject`` (top-N, never a full
+    global sort materialization); the position window then runs over
+    the n_epochs·take surviving rows only. Ties (md5 collisions)
+    break by id.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for e in range(n_epochs):
+        key = F.md5(
+            F.concat(F.lit(f"{e}:"), F.col(id_col).cast("string"))
+        )
+        parts.append(
+            df.select(
+                F.lit(e).cast("long").alias("epoch"),
+                F.col(id_col),
+                key.alias("order_key"),
+            )
+            .orderBy("order_key", id_col)
+            .limit(take)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy("epoch").orderBy("order_key", id_col)
+    return out.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    )

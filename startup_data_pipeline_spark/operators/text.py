@@ -2045,3 +2045,170 @@ def lang_balanced_budget_select(
     return grouped_token_budget_select(
         scored, id_col, "lang", "diversity_ppm", "n_tokens", budgets
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Token-balanced output-shard planning: assign every document to
+    one of ``n_shards`` output files so the per-shard token mass is
+    near-uniform, and report the plan (per shard: docs, tokens, exact
+    token share). The write-side sizing step a 100 TB export runs
+    BEFORE the write — unbalanced shards mean straggler writers now
+    and straggler readers for every later training epoch.
+
+    Assignment is size-ranked round-robin (the classic LPT
+    approximation restricted to one pass): documents are ranked by
+    (token count DESC, id ASC) and shard = (rank − 1) mod n_shards, so
+    each shard receives every n_shards-th document of the size-sorted
+    order — adjacent ranks have near-equal sizes, so shard totals stay
+    within one max-document of each other.
+
+    The exact global rank is the ``token_budget_select`` two-level
+    shape, NOT one global window: ``repartitionByRange`` on the rank's
+    own order, parallel per-partition ``row_number``, and one bounded
+    driver collect of per-partition COUNTS (#partitions rows) that
+    rides back as a map literal of rank offsets. No single-partition
+    sort anywhere; the report agg carries n_shards rows.
+
+    Returns [shard, n_docs, shard_tokens, share_ppm] where
+    ``share_ppm`` is the shard's exact integer token share (ppm of the
+    corpus total; the ideal is 1e6 / n_shards).
+    """
+    from pyspark.sql import Window
+
+    from .util import materialize_for_self_join
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+    )
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = materialize_for_self_join(
+        base.repartitionByRange(
+            n_parts, F.col("__nt").desc(), F.col(id_col).asc()
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    partials = {
+        r["__pid"]: r["c"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(partials):
+        offsets[p] = acc
+        acc += partials[p]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.lit(None).cast("map<int,bigint>")
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("__nt").desc(), F.col(id_col).asc()
+    )
+    assigned = ranged.withColumn(
+        "shard",
+        (
+            (
+                F.coalesce(off_map[F.col("__pid")], F.lit(0))
+                + F.row_number().over(w)
+                - F.lit(1)
+            )
+            % F.lit(n_shards)
+        ).cast("long"),
+    )
+    totals = assigned.agg(F.sum("__nt").alias("__total"))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("shard_tokens"),
+        )
+        # single-row scalar broadcast (the established crossJoin-of-an-
+        # agg pattern): the corpus token total for the exact share
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.expr(
+                "CASE WHEN __total > 0 THEN (1000000 * shard_tokens)"
+                " div __total END"
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+def pii_rate_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group PII incidence report: how many emails, phone-shaped
+    digit runs, and IPv4 literals each ``group_col`` slice carries,
+    absolute and per million whitespace tokens — the governance rollup
+    behind a redaction budget (``scrub_pii`` is the fix; this is the
+    measurement that says WHERE it is needed and whether a source
+    should be dropped rather than scrubbed).
+
+    Counting mirrors ``scrub_pii``'s sequential-redaction semantics
+    exactly: emails are counted on the raw text, phones on the
+    email-redacted text, IPs on the phone-redacted text — so a token
+    is never double-billed to two categories and the counts equal the
+    number of replacements the scrub pass would make. Map-side regex
+    scan + one |groups|-key agg; integer ppm rates (engine-exact).
+    """
+    email_pat, phone_pat, ip_pat = (p for p, _ in PII_PATTERNS)
+    raw = F.col(text_col)
+    t1 = F.regexp_replace(raw, email_pat, "<EMAIL>")
+    t2 = F.regexp_replace(t1, phone_pat, "<PHONE>")
+    per_doc = ensure_min_parallelism(df).select(
+        F.col(group_col),
+        F.regexp_count(raw, F.lit(email_pat)).cast("long").alias("__e"),
+        F.regexp_count(t1, F.lit(phone_pat)).cast("long").alias("__p"),
+        F.regexp_count(t2, F.lit(ip_pat)).cast("long").alias("__i"),
+        F.size(tokens(raw)).cast("long").alias("__nt"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                ((F.col("__e") + F.col("__p") + F.col("__i")) > 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_docs_with_pii"),
+            F.sum("__e").cast("long").alias("n_emails"),
+            F.sum("__p").cast("long").alias("n_phones"),
+            F.sum("__i").cast("long").alias("n_ips"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_docs_with_pii",
+            "n_emails",
+            "n_phones",
+            "n_ips",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (1000000 * "
+                "(n_emails + n_phones + n_ips)) div n_tokens END"
+            )
+            .cast("long")
+            .alias("pii_per_mtok"),
+        )
+    )

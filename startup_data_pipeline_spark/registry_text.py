@@ -3850,3 +3850,269 @@ def q_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_budget").alias("n_alloc"),
         F.col("cum_before").alias("draw_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 second wave: export sharding, epoch ordering, PII governance,
+# cross-source duplication attribution, LSH design table
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_shard_plan",
+    # exact global rank by (token count DESC, doc_id ASC), shard =
+    # (rank-1) mod 8 — the Spark side computes the SAME rank with the
+    # token_budget_select two-level prefix shape (no global window)
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC)
+                   AS rn
+        FROM t
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t)
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(CASE WHEN (SELECT total FROM tot) > 0 THEN
+               (1000000 * SUM(n_tokens)) // (SELECT total FROM tot)
+           END AS BIGINT) AS share_ppm
+    FROM r GROUP BY 1
+    """,
+    survey_ops="token-balanced output-shard planning (§2.11 export "
+    "sizing): size-ranked round-robin over the exact global token "
+    "rank — the write-side balance step before a sharded export; "
+    "rank via the two-level distributed prefix shape, never one "
+    "global window",
+)
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.shard_plan(docs, "doc_id", "text", n_shards=8)
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH e AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+    k AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                   CAST(d.doc_id AS VARCHAR)) AS order_key
+        FROM documents d CROSS JOIN e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, order_key,
+           CAST(row_number() OVER (
+               PARTITION BY epoch ORDER BY order_key ASC, doc_id ASC
+           ) AS BIGINT) AS position
+    FROM k
+    QUALIFY row_number() OVER (
+        PARTITION BY epoch ORDER BY order_key ASC, doc_id ASC) <= 16
+    """,
+    survey_ops="deterministic per-epoch global shuffle order (§2.11 "
+    "training-order): md5(epoch:id) order key — RNG-free, resumable, "
+    "bit-reproducible reshuffle between epochs; each epoch head is a "
+    "TakeOrderedAndProject, never a materialized global sort",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.epoch_order_preview(docs, "doc_id", n_epochs=3, take=16)
+
+
+# deterministic synthetic PII seeding for the rate report (the
+# q_pii_scrub convention — the corpus carries no natural PII, so the
+# measurement op gets a known, source-correlated ground truth: seeds
+# land on doc_id residues, and sources are id-striped, so per-source
+# rates genuinely differ)
+_PII_SEED_SQL = """
+        text
+        || CASE WHEN doc_id % 3 = 0 THEN
+               ' reach user' || doc_id || '@mail.example.com'
+           ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN
+               ' call +1 (555) 010-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN
+               ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           ELSE '' END
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@register(
+    "q_pii_rate_by_source",
+    # counting mirrors scrub_pii's sequential-redaction order: emails
+    # on raw text, phones on the email-redacted text, IPs on the
+    # phone-redacted text — counts equal the replacements the scrub
+    # pass would make
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source, ({_PII_SEED_SQL}) AS s FROM documents
+    ),
+    staged AS (
+        SELECT source,
+               len(regexp_extract_all(s, '{_PII_EMAIL}')) AS e,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}')) AS p,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}')) AS i,
+               len(list_filter(regexp_split_to_array(s, '\\s+'),
+                   x -> x <> '')) AS nt
+        FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ips,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN SUM(nt) > 0 THEN
+               (1000000 * (SUM(e) + SUM(p) + SUM(i))) // SUM(nt)
+           END AS BIGINT) AS pii_per_mtok
+    FROM staged GROUP BY source
+    """,
+    survey_ops="per-source PII incidence report (§2.11 governance "
+    "rollup): email/phone/IP counts and per-million-token rates per "
+    "source — the measurement behind a redaction budget (scrub_pii is "
+    "the fix, this says where it is needed); sequential-redaction "
+    "counting, map-side regex scan + |sources|-key agg",
+)
+def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("seeded"),
+    )
+    return text.pii_rate_report(seeded, "doc_id", "seeded", "source")
+
+
+@register(
+    "q_cross_source_dup",
+    oracle=f"""
+    WITH sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT p.id_a, p.id_b,
+               CAST((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_agree
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+    )
+    SELECT least(x.source, y.source) AS source_a,
+           greatest(x.source, y.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN n_agree = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full_agree,
+           CAST((1000000 * SUM(n_agree)) // (4 * COUNT(*)) AS BIGINT)
+               AS jaccard_est_ppm
+    FROM scored s
+    JOIN documents x ON x.doc_id = s.id_a
+    JOIN documents y ON y.doc_id = s.id_b
+    GROUP BY 1, 2
+    """,
+    survey_ops="source × source near-duplication matrix (§2.11 dedup "
+    "attribution): LSH candidate pairs rolled up by unordered source "
+    "pair with full-agreement counts and the exact mean MinHash "
+    "Jaccard estimate — the mirror-site/syndication detector; at "
+    "100 TB the cheapest dedup is delisting a mirror at the crawl "
+    "frontier",
+)
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_source_duplication(
+        docs, "doc_id", "text", "source", num_hashes=4, band_size=1
+    )
+
+
+def _ipow_sql(expr: str, n: int) -> str:
+    """Left-fold multiplication chain — the SAME association order as
+    the Spark side's ipow, so the IEEE double results are
+    bit-identical (no libm pow on either engine)."""
+    out = f"({expr})"
+    for _ in range(n - 1):
+        out = f"({out} * ({expr}))"
+    return out
+
+
+def _lsh_curve_oracle(
+    configs: tuple[tuple[int, int], ...] = ((4, 1), (8, 2), (16, 4), (32, 8)),
+) -> str:
+    s = "(CAST(s_x20 AS DOUBLE) / 20.0)"
+    parts = []
+    for b, r in configs:
+        p = f"(1.0 - {_ipow_sql(f'(1.0 - {_ipow_sql(s, r)})', b)})"
+        parts.append(f"""
+        SELECT CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST(s_x20 AS BIGINT) AS s_x20,
+               CAST(floor(1000000.0 * {p}) AS BIGINT) AS collide_ppm
+        FROM (SELECT unnest(generate_series(1, 19)) AS s_x20)""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_lsh_s_curve",
+    oracle=_lsh_curve_oracle(),
+    survey_ops="LSH banding design table (§2.11 dedup tooling): the "
+    "1-(1-s^r)^b collision S-curve per candidate (bands, rows) layout "
+    "over a Jaccard grid — the parameter-selection step before any "
+    "corpus-scale banded run; left-fold IEEE multiplication on both "
+    "engines (no libm pow), bit-exact",
+)
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_parameter_plan(spark)

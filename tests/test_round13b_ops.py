@@ -1,0 +1,228 @@
+"""Round-13 second wave: export-shard planning, deterministic epoch
+ordering, PII governance rollup, cross-source duplication attribution,
+and the LSH banding design table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows
+
+
+def _docs(spark, texts, sources=None):
+    sources = sources or ["s0"] * len(texts)
+    return spark.createDataFrame(
+        [(i, t, "en", s) for i, (t, s) in enumerate(zip(texts, sources))],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shard_plan
+# ---------------------------------------------------------------------------
+
+
+def test_shard_plan_exact_round_robin_small_case(spark):
+    """4 docs, 2 shards: size-ranked round-robin puts ranks {1,3} in
+    shard 0 and {2,4} in shard 1 — totals are exactly derivable."""
+    from startup_data_pipeline_spark.operators import text
+
+    texts = ["a " * 10, "b " * 8, "c " * 6, "d " * 4]  # 10, 8, 6, 4 tokens
+    out = rows(
+        text.shard_plan(_docs(spark, texts), "doc_id", "text", n_shards=2),
+        "shard", "n_docs", "shard_tokens",
+    )
+    # rank order: 10, 8, 6, 4 → shards 0,1,0,1 → totals 16 / 12
+    assert out == [(0, 2, 16), (1, 2, 12)]
+
+
+def test_shard_plan_conserves_totals_and_balance(spark, sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = text.shard_plan(docs, "doc_id", "text", n_shards=8)
+    got = rows(plan, "shard", "n_docs", "shard_tokens", "share_ppm")
+    assert [g[0] for g in got] == list(range(8))
+    n_docs = docs.count()
+    total = docs.select(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")))
+    ).collect()[0][0]
+    assert sum(g[1] for g in got) == n_docs
+    assert sum(g[2] for g in got) == total
+    # LPT round-robin: shard totals stay within one max-document
+    max_doc = docs.select(
+        F.max(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")))
+    ).collect()[0][0]
+    spread = max(g[2] for g in got) - min(g[2] for g in got)
+    assert spread <= max_doc
+    # exact integer shares sum to <= 1e6 and each is near 125000
+    assert sum(g[3] for g in got) <= 1_000_000
+
+
+def test_shard_plan_empty_and_bad_args(spark):
+    from startup_data_pipeline_spark.operators import text
+
+    empty = _docs(spark, [])
+    assert text.shard_plan(empty, "doc_id", "text", n_shards=4).count() == 0
+    with pytest.raises(ValueError):
+        text.shard_plan(empty, "doc_id", "text", n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# pii_rate_report
+# ---------------------------------------------------------------------------
+
+
+def test_pii_rate_report_counts_sequentially(spark):
+    """Counting mirrors scrub order: an email's digits are never
+    re-billed as a phone, and phone redaction never eats an IP."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = _docs(
+        spark,
+        [
+            "mail a1@x.co and b2@y.org now",        # 2 emails, 0/0
+            "call +1 (555) 010-1234 from 10.0.3.7",  # 1 phone, 1 ip
+            "nothing sensitive here at all",          # clean
+        ],
+        sources=["sa", "sa", "sb"],
+    )
+    got = rows(
+        text.pii_rate_report(docs, "doc_id", "text", "source"),
+        "source", "n_docs", "n_docs_with_pii", "n_emails", "n_phones",
+        "n_ips",
+    )
+    assert got == [("sa", 2, 2, 2, 1, 1), ("sb", 1, 0, 0, 0, 0)]
+
+
+def test_pii_rate_ppm_is_exact_integer(spark):
+    from startup_data_pipeline_spark.operators import text
+
+    docs = _docs(spark, ["a b c d a1@x.co"])  # 5 tokens, 1 email
+    row = text.pii_rate_report(docs, "doc_id", "text", "source").collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["pii_per_mtok"] == 1_000_000 // 5
+
+
+# ---------------------------------------------------------------------------
+# epoch_order_preview
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_order_positions_and_determinism(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    docs = _docs(spark, [f"doc {i}" for i in range(40)])
+    a = rows(olap.epoch_order_preview(docs, "doc_id", n_epochs=3, take=10))
+    b = rows(olap.epoch_order_preview(docs, "doc_id", n_epochs=3, take=10))
+    assert a == b  # bit-reproducible
+    per_epoch = {}
+    for epoch, doc_id, _key, pos in a:
+        per_epoch.setdefault(epoch, []).append((pos, doc_id))
+    assert sorted(per_epoch) == [0, 1, 2]
+    orders = []
+    for e, lst in per_epoch.items():
+        lst.sort()
+        assert [p for p, _ in lst] == list(range(1, 11))
+        orders.append(tuple(d for _, d in lst))
+    # epochs genuinely reshuffle: the three heads are pairwise distinct
+    assert len(set(orders)) == 3
+
+
+def test_epoch_order_take_exceeding_corpus(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    docs = _docs(spark, ["x", "y"])
+    out = rows(olap.epoch_order_preview(docs, "doc_id", n_epochs=2, take=9))
+    assert len(out) == 4  # 2 docs x 2 epochs
+
+
+# ---------------------------------------------------------------------------
+# cross_source_duplication
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_duplication_attributes_mirror(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [dup, dup, "totally different words entirely unrelated here now",
+         dup],
+        sources=["mirror_b", "origin_a", "origin_a", "mirror_b"],
+    )
+    got = rows(
+        dedup.cross_source_duplication(
+            docs, "doc_id", "text", "source", num_hashes=4, band_size=1
+        ),
+        "source_a", "source_b", "n_pairs", "n_full_agree",
+        "jaccard_est_ppm",
+    )
+    # pairs among docs {0,1,3}: (0,1) cross, (0,3) intra-mirror, (1,3)
+    # cross — identical text, so all lanes agree (ppm = 1e6)
+    assert ("mirror_b", "origin_a", 2, 2, 1_000_000) in got
+    assert ("mirror_b", "mirror_b", 1, 1, 1_000_000) in got
+    for sa, sb, *_ in got:
+        assert sa <= sb  # unordered-pair key is canonical
+
+
+def test_cross_source_duplication_no_pairs_on_unique_corpus(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    docs = _docs(
+        spark,
+        [
+            "one two three four five six",
+            "seven eight nine ten eleven twelve",
+        ],
+        sources=["sa", "sb"],
+    )
+    assert (
+        dedup.cross_source_duplication(
+            docs, "doc_id", "text", "source"
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# lsh_parameter_plan
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_s_curve_shape_and_monotonicity(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    got = rows(
+        dedup.lsh_parameter_plan(spark),
+        "bands", "rows_per_band", "s_x20", "collide_ppm",
+    )
+    assert len(got) == 4 * 19
+    curves = {}
+    for b, r, s, p in got:
+        assert 0 <= p <= 1_000_000
+        curves.setdefault((b, r), []).append((s, p))
+    for (b, r), pts in curves.items():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert ps == sorted(ps), f"non-monotone S-curve for b={b} r={r}"
+    # single-row bands (b=4, r=1): P = 1-(1-s)^4; at s=0.5 that is
+    # 1 - 0.5^4 = 0.9375 exactly
+    by_key = {(b, r, s): p for b, r, s, p in got}
+    assert by_key[(4, 1, 10)] == 937_500
+
+
+def test_lsh_s_curve_sharper_with_more_rows(spark):
+    """More rows per band → sharper curve: lower collision probability
+    at low similarity (the precision direction)."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    by_key = {
+        (r["bands"], r["rows_per_band"], r["s_x20"]): r["collide_ppm"]
+        for r in dedup.lsh_parameter_plan(spark).collect()
+    }
+    assert by_key[(32, 8, 4)] < by_key[(8, 2, 4)] < by_key[(4, 1, 4)]
