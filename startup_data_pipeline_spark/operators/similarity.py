@@ -3392,3 +3392,57 @@ def screen_threshold_calibration(
             .alias("quarantine_ppm"),
         )
     )
+
+
+def source_cluster_coverage(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str,
+    source_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-source embedding-space coverage: route every vector to its
+    seeded cell (the ``kmeans_assign_seeded`` contract — k lowest-id
+    seeds, plan-literal centroids, shuffle-free scan) and report how
+    each SOURCE spreads across cells — occupied-cell count and the
+    share of its biggest cell. The diversity leg of source triage:
+    a source whose vectors pile into one cell is redundant with itself
+    (upweighting it buys near-duplicates, not coverage), invisible to
+    quality/leak rollups because concentration is a geometry property.
+
+    Joins the id-aligned document table for source attribution, then
+    two bounded aggs: |sources|·k rows after the first, |sources| after
+    the second — nothing grows with the corpus but the routing scan.
+
+    Returns [source, n_vecs, n_cells, top_cell_ppm] with
+    ``top_cell_ppm`` = (1e6 · max cell count) div n_vecs.
+    """
+    assigned = kmeans_assign_seeded(
+        embeddings, vec_id_col, vec_col, k=k
+    ).select("vid", "cluster")
+    srcs = docs.select(
+        F.col(doc_id_col).alias("vid"), F.col(source_col).alias("source")
+    )
+    per_cell = (
+        assigned.join(srcs, "vid")
+        .groupBy("source", "cluster")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        per_cell.groupBy("source")
+        .agg(
+            F.sum("__n").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("__n").alias("__top"),
+        )
+        .select(
+            "source",
+            "n_vecs",
+            "n_cells",
+            F.expr("(1000000 * __top) div n_vecs")
+            .cast("long")
+            .alias("top_cell_ppm"),
+        )
+    )

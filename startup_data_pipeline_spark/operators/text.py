@@ -2212,3 +2212,30 @@ def pii_rate_report(
             .alias("pii_per_mtok"),
         )
     )
+
+
+def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII detection + redaction in one pass: category
+    counts under ``scrub_pii``'s sequential-redaction semantics
+    (emails on raw text, phones on the email-redacted text, IPs on the
+    phone-redacted text), a ``pii_found`` admit/redact flag, and the
+    md5 fingerprint of the fully scrubbed text — the per-row form the
+    streaming redaction gate lands per micro-batch (``pii_rate_report``
+    is the batch rollup of the same counting). Map-side regex chain,
+    no shuffle.
+    """
+    email_pat, phone_pat, ip_pat = (p for p, _ in PII_PATTERNS)
+    raw = F.col(text_col)
+    t1 = F.regexp_replace(raw, email_pat, "<EMAIL>")
+    t2 = F.regexp_replace(t1, phone_pat, "<PHONE>")
+    n_e = F.regexp_count(raw, F.lit(email_pat)).cast("long")
+    n_p = F.regexp_count(t1, F.lit(phone_pat)).cast("long")
+    n_i = F.regexp_count(t2, F.lit(ip_pat)).cast("long")
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        n_e.alias("n_emails"),
+        n_p.alias("n_phones"),
+        n_i.alias("n_ips"),
+        ((n_e + n_p + n_i) > 0).alias("pii_found"),
+        F.md5(scrub_pii(raw)).alias("scrubbed_fp"),
+    )

@@ -194,7 +194,8 @@ _PRIORITY: list[str] = [
     "q_effective_tokens", "q_dedup_loss_by_source", "q_eval_set_build",
     "q_embedding_drift", "q_screen_calibration", "q_stream_dsir",
     "q_shard_plan", "q_epoch_shuffle", "q_pii_rate_by_source",
-    "q_cross_source_dup", "q_lsh_s_curve",
+    "q_cross_source_dup", "q_lsh_s_curve", "q_source_embedding_diversity",
+    "q_stream_pii",
 ]
 
 

@@ -3866,3 +3866,67 @@ def q_screen_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 100 == 0),
         "vec_id", "embedding",
     )
+
+
+@register(
+    "q_source_embedding_diversity",
+    # seeded-assignment CTE = the q_kmeans_assign contract verbatim;
+    # source attribution via the id-aligned documents table; two
+    # bounded aggs (|sources|·k then |sources| rows)
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= 8
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assigned AS (
+        SELECT vid, cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    per_cell AS (
+        SELECT d.source, a.cluster, COUNT(*) AS n
+        FROM assigned a JOIN documents d ON d.doc_id = a.vid
+        GROUP BY d.source, a.cluster
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top_cell_ppm
+    FROM per_cell GROUP BY source
+    """,
+    survey_ops="per-source embedding-space coverage (§2.11 curation "
+    "rollup): seeded-cell occupancy per source — cells touched and the "
+    "biggest-cell share. The diversity leg of source triage: a source "
+    "piled into one cell is redundant with itself, which quality/leak "
+    "rollups cannot see; routing is the shuffle-free seeded scan, then "
+    "two bounded aggs",
+)
+def q_source_embedding_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.source_cluster_coverage(
+        docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
+    )

@@ -1211,3 +1211,98 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "doc_id", "n_tokens", "importance_ppm", "prior_ppm", "selected"
     )
+
+
+def _stream_pii_oracle() -> str:
+    # batch-twin semantics on the arrival universe (doc_id % 100 <> 0):
+    # redaction is stateless per micro-batch, so the epoch union equals
+    # the batch pii_flags pass — same sequential-redaction counting and
+    # the md5 of the fully scrubbed text as the redaction certificate.
+    from .registry_text import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        _PII_SEED_SQL,
+    )
+
+    return f"""
+    WITH seeded AS (
+        SELECT doc_id, ({_PII_SEED_SQL}) AS s FROM documents
+        WHERE doc_id % 100 <> 0
+    ),
+    staged AS (
+        SELECT doc_id, s,
+               len(regexp_extract_all(s, '{_PII_EMAIL}')) AS e,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}')) AS p,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}')) AS i
+        FROM seeded
+    )
+    SELECT doc_id,
+           CAST(e AS BIGINT) AS n_emails,
+           CAST(p AS BIGINT) AS n_phones,
+           CAST(i AS BIGINT) AS n_ips,
+           (e + p + i > 0) AS pii_found,
+           md5(regexp_replace(
+               regexp_replace(
+                   regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS scrubbed_fp
+    FROM staged
+    """
+
+
+@register(
+    "q_stream_pii",
+    oracle=_stream_pii_oracle(),
+    survey_ops="§2.9 × §2.11: PII redaction as a Structured Streaming "
+    "gate — the stateless-gate family symmetry (q_stream_quality "
+    "precedent): each micro-batch of the 4-file arrival replay is "
+    "seeded, counted under the sequential-redaction order, and landed "
+    "with the scrubbed-text md5 as overwrite-idempotent epoch dirs; "
+    "union ≡ the batch pii_flags pass",
+)
+def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from .operators import text
+    from .registry_ats import _session_tmp
+    from .registry_text import pii_seeded_text
+
+    src = _stream_screen_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run = uuid.uuid4().hex[:12]
+    out_path = os.path.join(_session_tmp(f"stream_pii_out_{run}"), "flags")
+    ckpt = os.path.join(_session_tmp(f"stream_pii_ckpt_{run}"), "ckpt")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        seeded = batch_df.select(
+            "doc_id", pii_seeded_text(batch_df).alias("__s")
+        )
+        text.pii_flags(seeded, "doc_id", "__s").write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "pii_found",
+        "scrubbed_fp",
+    )

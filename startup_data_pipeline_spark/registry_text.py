@@ -3947,6 +3947,38 @@ _PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
 _PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
 
+def pii_seeded_text(df: DataFrame, text_col: str = "text") -> "F.Column":
+    """The Spark side of ``_PII_SEED_SQL``: deterministic synthetic PII
+    appended on doc_id residues (shared by the batch rate rollup and
+    the streaming redaction gate so both certify the same counting)."""
+    return F.concat(
+        F.col(text_col),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
 @register(
     "q_pii_rate_by_source",
     # counting mirrors scrub_pii's sequential-redaction order: emails
@@ -3994,34 +4026,7 @@ _PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     seeded = docs.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" reach user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@mail.example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(
-                    F.lit(" call +1 (555) 010-"),
-                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.lit(" from 10.0."),
-                    (F.col("doc_id") % 256).cast("string"),
-                    F.lit(".7"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("seeded"),
+        "doc_id", "source", pii_seeded_text(docs).alias("seeded")
     )
     return text.pii_rate_report(seeded, "doc_id", "seeded", "source")
 

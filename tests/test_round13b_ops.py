@@ -226,3 +226,96 @@ def test_lsh_s_curve_sharper_with_more_rows(spark):
         for r in dedup.lsh_parameter_plan(spark).collect()
     }
     assert by_key[(32, 8, 4)] < by_key[(8, 2, 4)] < by_key[(4, 1, 4)]
+
+
+# ---------------------------------------------------------------------------
+# pii_flags / streaming PII gate
+# ---------------------------------------------------------------------------
+
+
+def test_pii_flags_counts_and_fingerprint(spark):
+    from startup_data_pipeline_spark.operators import text
+
+    docs = _docs(spark, ["mail a1@x.co from 10.0.3.7", "clean text here"])
+    got = {r["doc_id"]: r for r in text.pii_flags(
+        docs, "doc_id", "text"
+    ).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ips"]) == (
+        1, 0, 1,
+    )
+    assert got[0]["pii_found"] is True and got[1]["pii_found"] is False
+    # the fingerprint is of the SCRUBBED text, so two docs differing
+    # only in their PII literals collide
+    other = _docs(spark, ["mail z9@q.org from 10.0.200.7"])
+    fp2 = text.pii_flags(other, "doc_id", "text").collect()[0]["scrubbed_fp"]
+    assert fp2 == got[0]["scrubbed_fp"]
+
+
+def test_stream_pii_epochs_union_equals_batch(spark, sf_dir):
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.registry import all_queries
+    from startup_data_pipeline_spark.registry_text import pii_seeded_text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    got = rows(all_queries()["q_stream_pii"].fn(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 != 0
+    )
+    seeded = docs.select("doc_id", pii_seeded_text(docs).alias("__s"))
+    batch = rows(text.pii_flags(seeded, "doc_id", "__s"))
+    assert got == batch and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# source_cluster_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_source_cluster_coverage_bounds(spark, sf_dir):
+    from startup_data_pipeline_spark.operators import similarity
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = rows(
+        similarity.source_cluster_coverage(
+            docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
+        ),
+        "source", "n_vecs", "n_cells", "top_cell_ppm",
+    )
+    assert len(got) == docs.select("source").distinct().count()
+    for _src, n_vecs, n_cells, top_ppm in got:
+        assert 1 <= n_cells <= min(8, n_vecs)
+        # the top cell holds at least the uniform share and at most all
+        assert 1_000_000 // n_cells <= top_ppm + 1
+        assert top_ppm <= 1_000_000
+
+
+def test_source_cluster_coverage_concentrated_source(spark):
+    """A source whose vectors are identical occupies exactly one cell
+    with top_cell_ppm = 1e6; a spread source occupies several."""
+    from startup_data_pipeline_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "piled" if i >= 20 else "spread")
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7) % 23), float((i * 5) % 17)])
+            if i < 20
+            else (i, [100.0, 100.0])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["source"]: r
+        for r in similarity.source_cluster_coverage(
+            docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
+        ).collect()
+    }
+    assert got["piled"]["n_cells"] == 1
+    assert got["piled"]["top_cell_ppm"] == 1_000_000
+    assert got["spread"]["n_cells"] > 1
