@@ -228,6 +228,11 @@ HEADLINE = [
     "q_cross_source_dup",
     "q_pii_rate_by_source",
     "q_epoch_shuffle",
+    # round-13 fourth wave: seeded routing + two bounded aggs
+    # (q_stream_pii stays out on the q_feed_stream precedent:
+    # streaming-engine startup x 4 epochs over work q_pii_rate_by_source
+    # already times — correctness-certified via the registry gate)
+    "q_source_embedding_diversity",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

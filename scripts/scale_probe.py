@@ -173,6 +173,7 @@ PROBE = [
     "q_cross_source_dup",
     "q_pii_rate_by_source",
     "q_epoch_shuffle",
+    "q_source_embedding_diversity",
 ]
 
 
