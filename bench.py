@@ -233,6 +233,11 @@ HEADLINE = [
     # streaming-engine startup x 4 epochs over work q_pii_rate_by_source
     # already times — correctness-certified via the registry gate)
     "q_source_embedding_diversity",
+    # round-13 fifth wave: the Lee-et-al substring CUT (window-hash agg
+    # + anti-join rebuild — the heaviest new shape) and the temperature
+    # mixture (scan + bounded aggs)
+    "q_substring_dedup",
+    "q_temperature_mix",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

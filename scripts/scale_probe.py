@@ -174,6 +174,8 @@ PROBE = [
     "q_pii_rate_by_source",
     "q_epoch_shuffle",
     "q_source_embedding_diversity",
+    "q_substring_dedup",
+    "q_temperature_mix",
 ]
 
 

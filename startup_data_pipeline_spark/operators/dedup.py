@@ -1869,3 +1869,109 @@ def lsh_parameter_plan(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def substring_dedup_rebuild(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup CUT (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — public paper):
+    every n-token window occurring more than once corpus-wide keeps
+    exactly ONE occurrence — the globally-first (lowest doc id, then
+    lowest position) — and every other occurrence's token positions
+    are cut; each document is rebuilt from its surviving tokens in
+    order. ``dup_spans`` says which spans are recycled; this actually
+    removes them. A window's winner occurrence is never cut BY ITS OWN
+    fingerprint; its positions can still fall to an overlapping window
+    where the same document is not first (the standard overlapping-cut
+    caveat of span-level dedup — bounded, and strictly safer than
+    over-retention for training data).
+
+    Scale shape: tokenize-once windows and ONE aggregate per window
+    hash carrying (count, min-struct winner) — the no-pair-join rule;
+    losers explode to cut positions (bounded by duplicated content,
+    not the corpus), and the rebuild is one doc-keyed aggregate over
+    the token positions that survive a broadcast-friendly anti join.
+    Text is dedup-normalized (lowercased whitespace tokens — the
+    ``_tokenized`` contract shared by the whole banded family).
+
+    Returns [id, n_tokens, n_cut_tokens, deduped_text]; a document
+    that is entirely recycled text rebuilds to the empty string but
+    keeps its row (the survivor bookkeeping downstream packing needs).
+    """
+    tk = _tokenized(df, id_col, text_col)
+    base = tk.select(
+        F.col(id_col), F.size("__tk").alias("n_tokens"), "__tk"
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("__tk"), i + j) for j in range(n)]
+            )
+        ),
+    )
+    wins = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("__p", "wh"))
+        .select(F.col(id_col), (F.col("__p") + 1).alias("start"), "wh")
+    )
+    dup_winners = (
+        wins.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("wid"),
+                    F.col("start").alias("wstart"),
+                )
+            ).alias("__w"),
+        )
+        .filter(F.col("__c") > 1)
+        .select("wh", "__w")
+    )
+    losers = (
+        wins.join(dup_winners, "wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__w.wid"))
+                & (F.col("start") == F.col("__w.wstart"))
+            )
+        )
+        .select(F.col(id_col), "start")
+    )
+    cutpos = losers.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    positions = base.select(
+        F.col(id_col), F.posexplode("__tk").alias("__p", "tok")
+    ).select(F.col(id_col), (F.col("__p") + 1).alias("pos"), "tok")
+    kept = positions.join(cutpos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__nk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("__text"),
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long"),
+            (F.col("n_tokens") - F.coalesce(F.col("__nk"), F.lit(0)))
+            .cast("long")
+            .alias("n_cut_tokens"),
+            F.coalesce(F.col("__text"), F.lit("")).alias("deduped_text"),
+        )
+    )

@@ -1081,3 +1081,81 @@ def epoch_order_preview(
     return out.withColumn(
         "position", F.row_number().over(w).cast("long")
     )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source mixture (the mC4/XLM-R rebalance —
+    public method): sampling weight per source ∝ (token share)^alpha,
+    flattening the natural distribution so long-tail sources are
+    upsampled without letting any single head source dominate. The
+    mixture-design step between source triage and epoch construction.
+
+    ``alpha`` is restricted to {1.0, 0.5, 0.25} — implemented as 0, 1,
+    or 2 applications of IEEE-754 ``sqrt`` (correctly rounded by
+    spec on both engines), so the whole computation stays bit-exact
+    and oracle-checkable with NO libm ``pow`` risk. Shares and weights
+    are integer ppm: share_ppm = (1e6·tokens) div total; weight micro-
+    units w = floor(1e6·sqrt^m(share_ppm/1e6)); mix_ppm = (1e6·w) div
+    Σw; boost_x100 = (100·mix_ppm) div share_ppm (>100 = upsampled).
+
+    One |sources|-key agg plus two single-row scalar broadcasts
+    (corpus token total, mixture normalizer) — nothing grows with the
+    corpus but the token-count scan.
+    """
+    from .text import tokens
+    from .util import ensure_min_parallelism
+
+    n_sqrt = {1.0: 0, 0.5: 1, 0.25: 2}.get(alpha)
+    if n_sqrt is None:
+        raise ValueError(
+            f"alpha must be one of 1.0, 0.5, 0.25 (got {alpha}): other "
+            "exponents need libm pow, which is not bit-portable"
+        )
+    per_source = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(source_col),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("__total"))
+    shared = per_source.crossJoin(F.broadcast(total)).withColumn(
+        "share_ppm",
+        F.expr("(1000000 * n_tokens) div __total").cast("long"),
+    )
+    w = F.col("share_ppm").cast("double") / F.lit(1000000.0)
+    for _ in range(n_sqrt):
+        w = F.sqrt(w)
+    weighted = shared.withColumn(
+        "__w", F.floor(F.lit(1000000.0) * w).cast("long")
+    )
+    norm = weighted.agg(F.sum("__w").alias("__norm"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .withColumn(
+            "mix_ppm", F.expr("(1000000 * __w) div __norm").cast("long")
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "share_ppm",
+            "mix_ppm",
+            F.expr(
+                "CASE WHEN share_ppm > 0 THEN (100 * mix_ppm)"
+                " div share_ppm END"
+            )
+            .cast("long")
+            .alias("boost_x100"),
+        )
+    )

@@ -195,7 +195,7 @@ _PRIORITY: list[str] = [
     "q_embedding_drift", "q_screen_calibration", "q_stream_dsir",
     "q_shard_plan", "q_epoch_shuffle", "q_pii_rate_by_source",
     "q_cross_source_dup", "q_lsh_s_curve", "q_source_embedding_diversity",
-    "q_stream_pii",
+    "q_stream_pii", "q_substring_dedup", "q_temperature_mix",
 ]
 
 

@@ -4121,3 +4121,114 @@ def _lsh_curve_oracle(
 )
 def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_parameter_plan(spark)
+
+
+@register(
+    "q_substring_dedup",
+    # same tokenize/window CTEs as q_dup_spans; winner per duplicated
+    # window hash = lowest (doc_id, start); loser windows explode to
+    # cut positions; rebuild via ordered string_agg over surviving
+    # positions. Empty-rebuild docs keep their row (LEFT JOIN).
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(toks) AS n_tokens, toks FROM toks
+    ),
+    wins AS (
+        SELECT doc_id, u.i AS s,
+               md5(array_to_string(toks[u.i:u.i+7], ' ')) AS wh
+        FROM base, UNNEST(generate_series(1, n_tokens - 7)) AS u(i)
+        WHERE n_tokens >= 8
+    ),
+    dupw AS (
+        SELECT doc_id, s,
+               COUNT(*) OVER (PARTITION BY wh) AS c,
+               row_number() OVER (
+                   PARTITION BY wh ORDER BY doc_id ASC, s ASC) AS rn
+        FROM wins
+    ),
+    cutpos AS (
+        SELECT DISTINCT doc_id, u.p AS pos
+        FROM (SELECT doc_id, s FROM dupw WHERE c > 1 AND rn > 1),
+             UNNEST(generate_series(s, s + 7)) AS u(p)
+    ),
+    pos AS (
+        SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+        FROM base, UNNEST(generate_series(1, n_tokens)) AS u(i)
+    ),
+    kept AS (
+        SELECT p.doc_id, p.pos, p.tok
+        FROM pos p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cutpos c
+            WHERE c.doc_id = p.doc_id AND c.pos = p.pos
+        )
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COUNT(k.pos) AS BIGINT) AS n_cut_tokens,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+               AS deduped_text
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    GROUP BY b.doc_id, b.n_tokens
+    """,
+    survey_ops="exact substring-level dedup CUT with rebuild (§2.11 "
+    "dedup; Lee et al. 2022): every duplicated 8-token window keeps "
+    "its globally-first occurrence, all others are cut and documents "
+    "rebuilt from surviving tokens — the span-level dedup pass "
+    "dup_spans only measures; one window-hash agg (count + min-struct "
+    "winner), no pair join, rebuild as one doc-keyed agg",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dedup_rebuild(docs, "doc_id", "text", n=8)
+
+
+@register(
+    "q_temperature_mix",
+    # alpha = 0.5 → one IEEE sqrt (correctly rounded per spec on both
+    # engines — NO libm pow anywhere); shares/weights integer ppm
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM t
+    ),
+    w AS (
+        SELECT *,
+               CAST(floor(1000000.0 * sqrt(
+                   CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)
+                   AS w_u
+        FROM s
+    ),
+    ws AS (SELECT SUM(w_u) AS norm FROM w)
+    SELECT source, n_docs, n_tokens, share_ppm,
+           CAST((1000000 * w_u) // (SELECT norm FROM ws) AS BIGINT)
+               AS mix_ppm,
+           CAST(CASE WHEN share_ppm > 0 THEN
+               (100 * ((1000000 * w_u) // (SELECT norm FROM ws)))
+                   // share_ppm
+           END AS BIGINT) AS boost_x100
+    FROM w
+    """,
+    survey_ops="temperature-based source mixture (§2.11 mixture "
+    "design; the mC4/XLM-R alpha-rebalance): weight ∝ share^0.5 via "
+    "IEEE sqrt (bit-portable, no libm pow), integer-ppm shares and "
+    "mixture weights, boost factor vs the natural share; one "
+    "|sources|-key agg + two single-row scalar broadcasts",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return olap.temperature_mix_weights(docs, "source", "text", alpha=0.5)

@@ -319,3 +319,118 @@ def test_source_cluster_coverage_concentrated_source(spark):
     assert got["piled"]["n_cells"] == 1
     assert got["piled"]["top_cell_ppm"] == 1_000_000
     assert got["spread"]["n_cells"] > 1
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup_rebuild
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_cuts_later_copy_keeps_first(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    body = "a b c d e f g h i j"  # 10 tokens -> 3 windows of 8
+    docs = _docs(spark, [body, body, "totally unrelated short text"])
+    got = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup_rebuild(
+            docs, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert got[0]["n_cut_tokens"] == 0
+    assert got[0]["deduped_text"] == body
+    assert got[1]["n_cut_tokens"] == 10  # fully recycled -> fully cut
+    assert got[1]["deduped_text"] == ""
+    assert got[2]["n_cut_tokens"] == 0  # under n tokens, untouched
+    assert got[2]["deduped_text"] == "totally unrelated short text"
+
+
+def test_substring_dedup_cuts_only_shared_prefix(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    shared = "p q r s t u v w"  # exactly one 8-token window
+    docs = _docs(
+        spark,
+        [shared + " unique tail one", shared + " other ending two"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup_rebuild(
+            docs, "doc_id", "text", n=8
+        ).collect()
+    }
+    # doc 0 is the winner of the shared window: nothing cut
+    assert got[0]["n_cut_tokens"] == 0
+    # doc 1 loses exactly the 8 shared positions, keeps its tail
+    assert got[1]["n_cut_tokens"] == 8
+    assert got[1]["deduped_text"] == "other ending two"
+
+
+def test_substring_dedup_bounds_on_fixture(spark, sf_dir):
+    from startup_data_pipeline_spark.operators import dedup
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.substring_dedup_rebuild(docs, "doc_id", "text", n=8)
+    assert out.count() == docs.count()  # every doc keeps its row
+    bad = out.filter(
+        (F.col("n_cut_tokens") < 0)
+        | (F.col("n_cut_tokens") > F.col("n_tokens"))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_weights
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_flattens_toward_tail(spark):
+    import math
+
+    from startup_data_pipeline_spark.operators import olap
+
+    docs = _docs(
+        spark,
+        ["w " * 90, "w " * 10],
+        sources=["head", "tail"],
+    )
+    got = {
+        r["source"]: r
+        for r in olap.temperature_mix_weights(
+            docs, "source", "text", alpha=0.5
+        ).collect()
+    }
+    assert got["head"]["share_ppm"] == 900_000
+    assert got["tail"]["share_ppm"] == 100_000
+    w_head = math.floor(1_000_000.0 * math.sqrt(0.9))
+    w_tail = math.floor(1_000_000.0 * math.sqrt(0.1))
+    norm = w_head + w_tail
+    assert got["head"]["mix_ppm"] == (1_000_000 * w_head) // norm
+    assert got["tail"]["mix_ppm"] == (1_000_000 * w_tail) // norm
+    # temperature flattens: head downweighted, tail upweighted
+    assert got["head"]["boost_x100"] < 100 < got["tail"]["boost_x100"]
+
+
+def test_temperature_mix_alpha_one_is_natural_share(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    docs = _docs(spark, ["w " * 60, "w " * 40], sources=["a", "b"])
+    got = {
+        r["source"]: r
+        for r in olap.temperature_mix_weights(
+            docs, "source", "text", alpha=1.0
+        ).collect()
+    }
+    shares = {s: got[s]["share_ppm"] for s in got}
+    norm = sum(shares.values())
+    for s in got:
+        assert got[s]["mix_ppm"] == (1_000_000 * shares[s]) // norm
+
+
+def test_temperature_mix_rejects_unportable_alpha(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    docs = _docs(spark, ["x"])
+    with pytest.raises(ValueError):
+        olap.temperature_mix_weights(docs, "source", "text", alpha=0.3)
