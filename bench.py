@@ -238,6 +238,9 @@ HEADLINE = [
     # mixture (scan + bounded aggs)
     "q_substring_dedup",
     "q_temperature_mix",
+    # multimodal dedup capstone: frame explode -> decode -> dHash ->
+    # bucket-capped self-join -> video-pair rollup
+    "q_video_near_dup",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

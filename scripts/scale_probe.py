@@ -176,6 +176,7 @@ PROBE = [
     "q_source_embedding_diversity",
     "q_substring_dedup",
     "q_temperature_mix",
+    "q_video_near_dup",
 ]
 
 

@@ -530,3 +530,76 @@ def audio_features(decoded: DataFrame, id_col: str) -> DataFrame:
             s, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("dc_sum"),
     )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """Video near-duplicate detection by shared-frame perceptual
+    hashes: sample frames per video, dHash every frame, and call two
+    videos near-dups when they share at least ``min_shared`` distinct
+    frame hashes — the standard re-encode/re-upload detector (codec,
+    container, and bitrate change; frame CONTENT does not).
+
+    Composes the whole multimodal chain end-to-end: frame-index
+    explode (``sample_frames`` shape) → fixture PPM payload per frame
+    (``attach_ppm_payload`` seeded by (video id, frame index) — in
+    production the payload is the decoded frame off object storage) →
+    real decode → native 9×8 dHash → hash-equality self-join bounded
+    by ``max_bucket`` (a solid-color frame collapses its bucket — the
+    same degenerate-bucket cap as every banded join) → video-pair
+    rollup. The frame table is materialized once for both join sides
+    (the lambda-CSE rule: decode + resize is the dominant cost), and
+    only (video_id, dhash64) rows — 16 bytes — ever shuffle.
+
+    Fixture frame contract (oracle-mirrored): a video has
+    ``3 + id % 4`` frames and frame content is seeded by
+    ``(id % 256) * 1000 + frame_index`` — videos congruent mod 256 are
+    re-encodes of each other.
+
+    Returns [video_a, video_b, n_shared_frames], video_a < video_b.
+    """
+    from .util import materialize_for_self_join
+
+    vids = df.select(F.col(id_col).cast("long").alias("video_id"))
+    frames = vids.withColumn(
+        "frame_index",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.lit(2) + F.col("video_id") % 4).cast("int")
+            )
+        ),
+    )
+    seeded = frames.withColumn(
+        "frame_seed",
+        ((F.col("video_id") % 256) * 1000 + F.col("frame_index")).cast(
+            "long"
+        ),
+    )
+    decoded = decode_image(attach_ppm_payload(seeded, "frame_seed"))
+    hashed = materialize_for_self_join(
+        image_dhash(decoded, "video_id").distinct()
+    )
+    ok = (
+        hashed.groupBy("dhash64")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") <= max_bucket)
+        .select("dhash64")
+    )
+    hx = hashed.join(ok, "dhash64")
+    a = hx.select(F.col("video_id").alias("video_a"), "dhash64")
+    b = hx.select(F.col("video_id").alias("video_b"), "dhash64")
+    return (
+        a.join(b, "dhash64")
+        .filter(F.col("video_a") < F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(
+            F.countDistinct("dhash64").cast("long").alias(
+                "n_shared_frames"
+            )
+        )
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )

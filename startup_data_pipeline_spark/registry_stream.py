@@ -1306,3 +1306,81 @@ def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_emails", "n_phones", "n_ips", "pii_found",
         "scrubbed_fp",
     )
+
+
+def _frame_dhash_pairs_oracle(min_shared: int = 2, max_bucket: int = 128) -> str:
+    # the _dhash_oracle arithmetic re-parameterized per FRAME: a video
+    # has 3 + id % 4 frames; frame content is seeded by
+    # s = (id % 256) * 1000 + frame_index (attach_ppm_payload on the
+    # frame_seed column), so w = 4 + s % 5, h = 3 + s % 4 and byte j of
+    # the raster is (s*7 + j*11) % 256. Independent full re-derivation
+    # of explode -> payload -> decode -> 9x8 resample -> dHash.
+    w, h = "(4 + s % 5)", "(3 + s % 4)"
+    sp = f"(((((p // 9) * {h}) // 8) * {w}) + (((p % 9) * {w}) // 9))"
+    gray = (
+        f"((s * 7 + (3 * {sp}) * 11) % 256"
+        f" + (s * 7 + (3 * {sp} + 1) * 11) % 256"
+        f" + (s * 7 + (3 * {sp} + 2) * 11) % 256) // 3"
+    )
+
+    def half(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN gray[{(i // 8) * 9 + (i % 8) + 2}]"
+            f" > gray[{(i // 8) * 9 + (i % 8) + 1}]"
+            f" THEN CAST({1 << (i % 32)} AS BIGINT) ELSE 0 END)"
+            for i in range(lo, lo + 32)
+        )
+
+    return f"""
+    WITH f AS (
+        SELECT doc_id AS video_id, u.fi AS frame_index,
+               (doc_id % 256) * 1000 + u.fi AS s
+        FROM documents, UNNEST(generate_series(0, 2 + doc_id % 4)) AS u(fi)
+    ),
+    g AS (
+        SELECT video_id,
+               list_transform(generate_series(0, 71), p -> {gray}) AS gray
+        FROM f
+    ),
+    sig AS (
+        SELECT video_id, ({half(0)}) AS sig_lo, ({half(32)}) AS sig_hi
+        FROM g
+    ),
+    d AS (
+        SELECT DISTINCT video_id,
+               CASE WHEN sig_hi >= 2147483648
+                    THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                    ELSE sig_hi * 4294967296 + sig_lo END AS dhash64
+        FROM sig
+    ),
+    sz AS (SELECT dhash64, COUNT(*) AS c FROM d GROUP BY dhash64),
+    dx AS (
+        SELECT d.video_id, d.dhash64 FROM d JOIN sz USING (dhash64)
+        WHERE sz.c <= {max_bucket}
+    )
+    SELECT a.video_id AS video_a, b.video_id AS video_b,
+           CAST(COUNT(DISTINCT a.dhash64) AS BIGINT) AS n_shared_frames
+    FROM dx a JOIN dx b
+      ON a.dhash64 = b.dhash64 AND a.video_id < b.video_id
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.dhash64) >= {min_shared}
+    """
+
+
+@register(
+    "q_video_near_dup",
+    oracle=_frame_dhash_pairs_oracle(min_shared=2, max_bucket=128),
+    survey_ops="video near-dup detection by shared-frame dHash (§2.11 "
+    "multimodal dedup capstone): frame explode -> PPM payload -> real "
+    "decode -> native 9x8 dHash -> bucket-capped hash self-join -> "
+    "video-pair rollup — the re-encode/re-upload detector; frame table "
+    "materialized once for both join sides, only (video_id, hash) "
+    "rows shuffle",
+)
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_near_dup_pairs(
+        docs, "doc_id", min_shared=2, max_bucket=128
+    )

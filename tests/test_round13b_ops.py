@@ -434,3 +434,51 @@ def test_temperature_mix_rejects_unportable_alpha(spark):
     docs = _docs(spark, ["x"])
     with pytest.raises(ValueError):
         olap.temperature_mix_weights(docs, "source", "text", alpha=0.3)
+
+
+# ---------------------------------------------------------------------------
+# video_near_dup_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_video_near_dup_detects_reencodes(spark):
+    """Videos congruent mod 256 share all common frames (fixture
+    contract), so (i, i+256) must pair with min(n_frames) shared."""
+    from startup_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (3, 259, 7)], "doc_id long"
+    )
+    got = {
+        (r["video_a"], r["video_b"]): r["n_shared_frames"]
+        for r in multimodal.video_near_dup_pairs(
+            docs, "doc_id", min_shared=2
+        ).collect()
+    }
+    # videos 3 and 259: same id % 256 = 3 -> identical frame seeds;
+    # n_frames = 3 + 3 % 4 = 6 for both -> 6 shared frame hashes
+    assert got[(3, 259)] == 6
+    # video 7 shares no seeds with group 3 by construction, but the
+    # arithmetic raster can collide in dHash — only assert the
+    # re-encode pair dominates any accidental pair
+    for pair, n in got.items():
+        if pair != (3, 259):
+            assert n <= got[(3, 259)]
+
+
+def test_video_near_dup_bucket_cap_bounds_join(spark):
+    """With every video in ONE re-encode group, bucket size equals the
+    video count: above the cap the join must return nothing."""
+    from startup_data_pipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i * 256,) for i in range(6)], "doc_id long"
+    )
+    capped = multimodal.video_near_dup_pairs(
+        docs, "doc_id", min_shared=1, max_bucket=5
+    )
+    assert capped.count() == 0
+    uncapped = multimodal.video_near_dup_pairs(
+        docs, "doc_id", min_shared=1, max_bucket=6
+    )
+    assert uncapped.count() == 15  # all C(6,2) re-encode pairs
