@@ -239,7 +239,13 @@ HEADLINE = [
     "q_substring_dedup",
     "q_temperature_mix",
     # multimodal dedup capstone: frame explode -> decode -> dHash ->
-    # bucket-capped self-join -> video-pair rollup
+    # bucket-capped self-join -> video-pair rollup. q_audio_near_dup
+    # stays OUT: the WAV fixture's delta-signature space is tiny by
+    # construction (arithmetic ramps -> few distinct sign patterns), so
+    # past sf0.01 every 16-bit band bucket exceeds the 128 degeneracy
+    # cap and the result is correctly empty — the bench would time a
+    # decode scan against capped-empty output. Correctness-certified
+    # via the registry oracle gate like every exclusion.
     "q_video_near_dup",
 ]
 
@@ -297,6 +303,9 @@ ISOLATED_SUBSET = [
     "q_multi_screen",
     "q_source_health",
     "q_feed_screened_export",
+    # round-13 session-2 append: the session's two heaviest new shapes
+    "q_substring_dedup",
+    "q_video_near_dup",
 ]
 
 

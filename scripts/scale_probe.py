@@ -177,6 +177,7 @@ PROBE = [
     "q_substring_dedup",
     "q_temperature_mix",
     "q_video_near_dup",
+    "q_audio_near_dup",
 ]
 
 

@@ -603,3 +603,45 @@ def video_near_dup_pairs(
         )
         .filter(F.col("n_shared_frames") >= min_shared)
     )
+
+
+def audio_fingerprint(decoded: DataFrame, id_col: str) -> DataFrame:
+    """64-bit delta fingerprint over decoded PCM samples — the audio
+    analog of ``image_dhash``: one bit per louder-than-previous-sample
+    comparison over the clip's first 65 samples, packed with the same
+    two's-complement arithmetic as ``dedup.simhash64``. Robust to gain
+    changes that preserve sample ORDERING (the dHash property restated
+    for audio), so re-encodes collide and
+    ``dedup.simhash64_near_pairs(..., sig_col='afp64')`` gives banded
+    near-dup audio pairs with full recall at hamming<=3 unchanged.
+
+    Entirely native after the decode boundary. Clips with fewer than
+    65 samples drop (no fixed-width signature exists for them —
+    mirrored by the oracle's n_samples filter), as do failed decodes.
+    """
+    s = F.col("samples")
+
+    def sample(k: int):
+        return F.element_at(s, k + 1)  # 1-based
+
+    sig_lo = None
+    sig_hi = None
+    for i in range(64):
+        bit = (
+            F.when(
+                sample(i + 1) > sample(i),
+                F.lit(1 << (i % 32)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        if i < 32:
+            sig_lo = bit if sig_lo is None else sig_lo + bit
+        else:
+            sig_hi = bit if sig_hi is None else sig_hi + bit
+    packed = F.when(
+        sig_hi >= F.lit(2147483648),
+        (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
+    ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
+    return (
+        decoded.filter(s.isNotNull() & (F.size(s) >= 65))
+        .select(F.col(id_col), packed.alias("afp64"))
+    )

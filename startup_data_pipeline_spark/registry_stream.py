@@ -1384,3 +1384,96 @@ def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_near_dup_pairs(
         docs, "doc_id", min_shared=2, max_bucket=128
     )
+
+
+def _audio_fp_pairs_oracle(max_bucket: int = 128) -> str:
+    # the WAV fixture re-derived arithmetically per re-encode seed
+    # s = doc_id % 256 (attach_wav_payload on the seed column):
+    # n_samples = 64 + s % 32; sample k (0-based) is the signed int16
+    # from little-endian bytes (s*7 + 2k*11) % 256 and
+    # (s*7 + (2k+1)*11) % 256. Signature bit i = sample[i+1] >
+    # sample[i] over the first 65 samples (clips with n < 65 drop);
+    # banded blocking + cap identical to q_image_dhash_pairs.
+    sample = (
+        "list_transform(generate_series(0, 64), k -> "
+        "CASE WHEN ((s*7 + (2*k)*11) % 256 + 256*((s*7 + (2*k+1)*11) % 256))"
+        " >= 32768 "
+        "THEN (s*7 + (2*k)*11) % 256 + 256*((s*7 + (2*k+1)*11) % 256)"
+        " - 65536 "
+        "ELSE (s*7 + (2*k)*11) % 256 + 256*((s*7 + (2*k+1)*11) % 256) END)"
+    )
+
+    def half(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN sm[{i + 2}] > sm[{i + 1}]"
+            f" THEN CAST({1 << (i % 32)} AS BIGINT) ELSE 0 END)"
+            for i in range(lo, lo + 32)
+        )
+
+    return f"""
+    WITH a AS (
+        SELECT DISTINCT doc_id % 256 AS s FROM documents
+        WHERE 64 + (doc_id % 256) % 32 >= 65
+    ),
+    clips AS (
+        SELECT doc_id, doc_id % 256 AS s FROM documents
+        WHERE 64 + (doc_id % 256) % 32 >= 65
+    ),
+    g AS (SELECT doc_id, {sample} AS sm FROM clips),
+    sig AS (
+        SELECT doc_id, ({half(0)}) AS sig_lo, ({half(32)}) AS sig_hi
+        FROM g
+    ),
+    d AS (
+        SELECT doc_id,
+               CASE WHEN sig_hi >= 2147483648
+                    THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                    ELSE sig_hi * 4294967296 + sig_lo END AS afp64,
+               sig_lo % 65536 AS b0, sig_lo // 65536 AS b1,
+               sig_hi % 65536 AS b2, sig_hi // 65536 AS b3
+        FROM sig
+    ),
+    sz0 AS (SELECT b0, COUNT(*) AS c0 FROM d GROUP BY b0),
+    sz1 AS (SELECT b1, COUNT(*) AS c1 FROM d GROUP BY b1),
+    sz2 AS (SELECT b2, COUNT(*) AS c2 FROM d GROUP BY b2),
+    sz3 AS (SELECT b3, COUNT(*) AS c3 FROM d GROUP BY b3),
+    dx AS (
+        SELECT d.*, c0 <= {max_bucket} AS ok0, c1 <= {max_bucket} AS ok1,
+               c2 <= {max_bucket} AS ok2, c3 <= {max_bucket} AS ok3
+        FROM d JOIN sz0 USING (b0) JOIN sz1 USING (b1)
+               JOIN sz2 USING (b2) JOIN sz3 USING (b3)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp64, b.afp64)) AS INTEGER) AS hamming
+    FROM dx a JOIN dx b
+      ON a.doc_id < b.doc_id
+     AND ((a.b0 = b.b0 AND a.ok0) OR (a.b1 = b.b1 AND a.ok1)
+       OR (a.b2 = b.b2 AND a.ok2) OR (a.b3 = b.b3 AND a.ok3))
+    WHERE bit_count(xor(a.afp64, b.afp64)) <= 3
+    """
+
+
+@register(
+    "q_audio_near_dup",
+    oracle=_audio_fp_pairs_oracle(max_bucket=128),
+    survey_ops="§2.11 multimodal near-dup, audio leg: 64-bit delta "
+    "fingerprint over the REAL WAV decode path (one bit per "
+    "louder-than-previous comparison — gain-robust), then the same "
+    "4x16-bit banded blocking as simhash64/dHash with full recall at "
+    "hamming<=3 and the 128 degeneracy cap; re-encode seeds "
+    "(doc_id % 256) make congruent clips collide, the video capstone's "
+    "fixture contract restated for audio",
+)
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 256).alias("reenc_seed")
+    )
+    decoded = multimodal.decode_wav(
+        multimodal.attach_wav_payload(docs, "reenc_seed")
+    )
+    sigs = multimodal.audio_fingerprint(decoded, "doc_id")
+    return dedup.simhash64_near_pairs(
+        sigs, "doc_id", max_hamming=3, sig_col="afp64", max_bucket=128
+    )

@@ -482,3 +482,40 @@ def test_video_near_dup_bucket_cap_bounds_join(spark):
         docs, "doc_id", min_shared=1, max_bucket=6
     )
     assert uncapped.count() == 15  # all C(6,2) re-encode pairs
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint / audio near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_reencodes_collide(spark):
+    from startup_data_pipeline_spark.operators import multimodal
+
+    # same re-encode seed -> identical payload -> identical fingerprint
+    docs = spark.createDataFrame(
+        [(1, 1), (257, 1), (5, 5)], "doc_id long, reenc_seed long"
+    )
+    decoded = multimodal.decode_wav(
+        multimodal.attach_wav_payload(docs, "reenc_seed")
+    )
+    got = {
+        r["doc_id"]: r["afp64"]
+        for r in multimodal.audio_fingerprint(decoded, "doc_id").collect()
+    }
+    assert got[1] == got[257]
+    assert got[1] != got[5]
+
+
+def test_audio_fingerprint_drops_short_clips(spark):
+    from startup_data_pipeline_spark.operators import multimodal
+
+    # seed % 32 == 0 -> exactly 64 samples -> no 65-sample signature
+    docs = spark.createDataFrame(
+        [(0, 0), (1, 1)], "doc_id long, reenc_seed long"
+    )
+    decoded = multimodal.decode_wav(
+        multimodal.attach_wav_payload(docs, "reenc_seed")
+    )
+    out = multimodal.audio_fingerprint(decoded, "doc_id")
+    assert [r["doc_id"] for r in out.collect()] == [1]
