@@ -247,6 +247,9 @@ HEADLINE = [
     # decode scan against capped-empty output. Correctness-certified
     # via the registry oracle gate like every exclusion.
     "q_video_near_dup",
+    # the corpus-wide source-triage master (CC loss x quality x PII x
+    # diversity on one source catalog)
+    "q_source_triage",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -178,6 +178,7 @@ PROBE = [
     "q_temperature_mix",
     "q_video_near_dup",
     "q_audio_near_dup",
+    "q_source_triage",
 ]
 
 

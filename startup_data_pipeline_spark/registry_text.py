@@ -4232,3 +4232,208 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return olap.temperature_mix_weights(docs, "source", "text", alpha=0.5)
+
+
+@register(
+    "q_source_triage",
+    # The four full-corpus evidence legs composed into ONE table:
+    # redundancy (near-dup CC loss), quality (Gopher pass rate), PII
+    # incidence, and embedding-space diversity — q_source_health covers
+    # leakage x quality on the arrival universe; this is the standing
+    # corpus-wide triage master. Thresholds sit inside the fixture's
+    # observed spread so all three verdicts occur.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id, d.source,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id, d.source
+    ),
+    loss AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((1000000 * SUM(CASE WHEN doc_id <> component
+                                        THEN 1 ELSE 0 END)) // COUNT(*)
+                    AS BIGINT) AS loss_ppm
+        FROM comp GROUP BY source
+    ),
+    base AS ({_GOPHER_BASE}),
+    flags AS ({_GOPHER_FLAGS}),
+    qual AS (
+        SELECT source,
+               CAST((1000000 * SUM(CASE WHEN gopher_pass THEN 1 ELSE 0
+                    END)) // COUNT(*) AS BIGINT) AS gopher_pass_ppm
+        FROM flags GROUP BY source
+    ),
+    pseed AS (
+        SELECT doc_id, source, ({_PII_SEED_SQL}) AS s FROM documents
+    ),
+    pstage AS (
+        SELECT source,
+               len(regexp_extract_all(s, '{_PII_EMAIL}')) AS e,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}')) AS p,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}')) AS i,
+               len(list_filter(regexp_split_to_array(s, '\\s+'),
+                   x -> x <> '')) AS nt
+        FROM pseed
+    ),
+    pii AS (
+        SELECT source,
+               CAST(CASE WHEN SUM(nt) > 0 THEN
+                   (1000000 * (SUM(e) + SUM(p) + SUM(i))) // SUM(nt)
+               END AS BIGINT) AS pii_per_mtok
+        FROM pstage GROUP BY source
+    ),
+    qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= 8
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assigned AS (
+        SELECT vid, cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    per_cell AS (
+        SELECT d.source, a.cluster, COUNT(*) AS n
+        FROM assigned a JOIN documents d ON d.doc_id = a.vid
+        GROUP BY d.source, a.cluster
+    ),
+    div AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT)
+                   AS top_cell_ppm
+        FROM per_cell GROUP BY source
+    )
+    SELECT q.source, l.n_docs, q.gopher_pass_ppm, l.loss_ppm,
+           p.pii_per_mtok, v.n_cells, v.top_cell_ppm,
+           CASE WHEN q.gopher_pass_ppm < 360000 OR l.loss_ppm >= 800000
+                     OR p.pii_per_mtok >= 20000
+                    THEN 'drop'
+                WHEN q.gopher_pass_ppm < 500000 OR l.loss_ppm >= 700000
+                     OR p.pii_per_mtok >= 10000
+                     OR v.top_cell_ppm >= 300000
+                    THEN 'review'
+                ELSE 'keep'
+           END AS triage
+    FROM qual q JOIN loss l USING (source) JOIN pii p USING (source)
+         JOIN div v USING (source)
+    """,
+    survey_ops="corpus-wide source-triage MASTER table (§2.11 curation "
+    "capstone): redundancy (near-dup CC loss) x quality (Gopher pass) "
+    "x PII incidence x embedding diversity per source, folded into one "
+    "drop/review/keep verdict — the standing complement to "
+    "q_source_health's arrival-universe leakage view; four bounded "
+    "per-source aggs joined on the source catalog",
+)
+def q_source_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap, similarity  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qual = text.source_quality_rollup(
+        docs, "doc_id", "text", "source"
+    ).select("source", "gopher_pass_ppm")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    comp = dedup.connected_components(docs.select("doc_id"), pairs, "doc_id")
+    loss = (
+        comp.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") != F.col("component")).cast("long")
+            ).alias("__nl"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("(1000000 * __nl) div n_docs").cast("long").alias(
+                "loss_ppm"
+            ),
+        )
+    )
+    seeded = docs.select(
+        "doc_id", "source", pii_seeded_text(docs).alias("seeded")
+    )
+    pii = text.pii_rate_report(seeded, "doc_id", "seeded", "source").select(
+        "source", "pii_per_mtok"
+    )
+    from .operators.similarity import source_cluster_coverage
+
+    div = source_cluster_coverage(
+        docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
+    ).select("source", "n_cells", "top_cell_ppm")
+    return (
+        qual.join(loss, "source")
+        .join(pii, "source")
+        .join(div, "source")
+        .select(
+            "source",
+            "n_docs",
+            "gopher_pass_ppm",
+            "loss_ppm",
+            "pii_per_mtok",
+            "n_cells",
+            "top_cell_ppm",
+            F.expr(
+                "CASE WHEN gopher_pass_ppm < 360000 OR loss_ppm >= 800000"
+                "          OR pii_per_mtok >= 20000 THEN 'drop' "
+                "     WHEN gopher_pass_ppm < 500000 OR loss_ppm >= 700000"
+                "          OR pii_per_mtok >= 10000"
+                "          OR top_cell_ppm >= 300000 THEN 'review' "
+                "     ELSE 'keep' END"
+            ).alias("triage"),
+        )
+    )

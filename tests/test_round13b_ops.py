@@ -519,3 +519,44 @@ def test_audio_fingerprint_drops_short_clips(spark):
     )
     out = multimodal.audio_fingerprint(decoded, "doc_id")
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# source triage master table
+# ---------------------------------------------------------------------------
+
+
+def test_source_triage_covers_catalog_with_all_verdicts(spark, sf_dir):
+    from startup_data_pipeline_spark.registry import all_queries
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    got = rows(all_queries()["q_source_triage"].fn(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(got) == docs.select("source").distinct().count()
+    verdicts = {r[-1] for r in got}
+    assert verdicts <= {"drop", "review", "keep"}
+    for (
+        _src, n_docs, gopher_ppm, loss_ppm, pii_mtok, n_cells, top_ppm, _t
+    ) in got:
+        assert n_docs > 0
+        for v in (gopher_ppm, loss_ppm, top_ppm):
+            assert 0 <= v <= 1_000_000
+        assert pii_mtok >= 0 and 1 <= n_cells <= 8
+
+
+def test_source_triage_thresholds_are_the_documented_ones(spark, sf_dir):
+    """The verdict column is a pure function of the evidence columns —
+    recompute it row-by-row from the documented thresholds."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    for r in all_queries()["q_source_triage"].fn(spark, sf_dir).collect():
+        if (r["gopher_pass_ppm"] < 360_000 or r["loss_ppm"] >= 800_000
+                or r["pii_per_mtok"] >= 20_000):
+            want = "drop"
+        elif (r["gopher_pass_ppm"] < 500_000 or r["loss_ppm"] >= 700_000
+                or r["pii_per_mtok"] >= 10_000
+                or r["top_cell_ppm"] >= 300_000):
+            want = "review"
+        else:
+            want = "keep"
+        assert r["triage"] == want
