@@ -2077,7 +2077,48 @@ def shard_plan(
 
     Returns [shard, n_docs, shard_tokens, share_ppm] where
     ``share_ppm`` is the shard's exact integer token share (ppm of the
-    corpus total; the ideal is 1e6 / n_shards).
+    corpus total; the ideal is 1e6 / n_shards). ``shard_assignments``
+    exposes the underlying (id, n_tokens, shard) rows for the actual
+    partitioned write; this report is its n_shards-row rollup.
+    """
+    assigned = shard_assignments(df, id_col, text_col, n_shards, n_parts)
+    totals = assigned.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+        # single-row scalar broadcast (the established crossJoin-of-an-
+        # agg pattern): the corpus token total for the exact share
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "shard",
+            "n_docs",
+            "shard_tokens",
+            F.expr(
+                "CASE WHEN __total > 0 THEN (1000000 * shard_tokens)"
+                " div __total END"
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The write-side half of ``shard_plan``: the per-document shard
+    assignment [id, n_tokens, shard] a partitioned export writes with
+    (``.write.partitionBy('shard')``). Same exact-global-rank
+    derivation; ``shard_plan`` is this frame's n_shards-row rollup, so
+    the physically written shards reconcile with the planning report
+    row for row (pinned by the write-path test).
     """
     from pyspark.sql import Window
 
@@ -2114,7 +2155,7 @@ def shard_plan(
     w = Window.partitionBy("__pid").orderBy(
         F.col("__nt").desc(), F.col(id_col).asc()
     )
-    assigned = ranged.withColumn(
+    return ranged.withColumn(
         "shard",
         (
             (
@@ -2124,29 +2165,7 @@ def shard_plan(
             )
             % F.lit(n_shards)
         ).cast("long"),
-    )
-    totals = assigned.agg(F.sum("__nt").alias("__total"))
-    return (
-        assigned.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("shard_tokens"),
-        )
-        # single-row scalar broadcast (the established crossJoin-of-an-
-        # agg pattern): the corpus token total for the exact share
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "shard",
-            "n_docs",
-            "shard_tokens",
-            F.expr(
-                "CASE WHEN __total > 0 THEN (1000000 * shard_tokens)"
-                " div __total END"
-            )
-            .cast("long")
-            .alias("share_ppm"),
-        )
-    )
+    ).select(F.col(id_col), F.col("__nt").cast("long").alias("n_tokens"), "shard")
 
 
 def pii_rate_report(

@@ -560,3 +560,41 @@ def test_source_triage_thresholds_are_the_documented_ones(spark, sf_dir):
         else:
             want = "keep"
         assert r["triage"] == want
+
+
+def test_sharded_export_reconciles_with_plan(spark, sf_dir, tmp_path):
+    """The physically written shard dirs must reconcile with the
+    planning report row for row — docs, token mass, and the full shard
+    set — and the export must be shard-pruned on read."""
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    text.shard_assignments(docs, "doc_id", "text", n_shards=4).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(out)
+    back = (
+        spark.read.parquet(out)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+    )
+    plan = text.shard_plan(docs, "doc_id", "text", n_shards=4).select(
+        "shard", "n_docs", "shard_tokens"
+    )
+    assert rows(back) == rows(plan)
+    # partition pruning: a single-shard read is a partition filter
+    # (file skipping), never a data filter — the write_paths convention
+    import re
+
+    one = spark.read.parquet(out).filter(F.col("shard") == 2)
+    plan_str = one._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*shard#\d+ = 2", plan_str)
+    assert "DataFilters: []" in plan_str
+    assert (
+        one.count()
+        == plan.filter(F.col("shard") == 2).collect()[0]["n_docs"]
+    )
