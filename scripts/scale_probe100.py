@@ -71,6 +71,10 @@ PROBE = [
     "q_soft_dedup_weights",
     "q_simhash64_pairs",
     "q_image_dhash_pairs",
+    # r13 session-2: the Lee-et-al substring CUT — window-hash agg +
+    # loser explode + rebuild agg; outer replicas share zero windows,
+    # so the dup structure stays 10-deep and cost should track docs
+    "q_substring_dedup",
 ]
 
 

@@ -193,6 +193,9 @@ _PRIORITY: list[str] = [
     "q_mmr_select", "q_stream_quality", "q_source_health",
     "q_effective_tokens", "q_dedup_loss_by_source", "q_eval_set_build",
     "q_embedding_drift", "q_screen_calibration", "q_stream_dsir",
+    # round-13 second-session registrations (same never-sampled
+    # contract; 30 r13 names total — they fill the r14 window's lead
+    # tranche and spill into the following round's backfill):
     "q_shard_plan", "q_epoch_shuffle", "q_pii_rate_by_source",
     "q_cross_source_dup", "q_lsh_s_curve", "q_source_embedding_diversity",
     "q_stream_pii", "q_substring_dedup", "q_temperature_mix",
