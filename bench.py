@@ -250,6 +250,8 @@ HEADLINE = [
     # the corpus-wide source-triage master (CC loss x quality x PII x
     # diversity on one source catalog)
     "q_source_triage",
+    # token-distribution divergence (token explode + bucketed agg)
+    "q_source_divergence",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -179,6 +179,7 @@ PROBE = [
     "q_video_near_dup",
     "q_audio_near_dup",
     "q_source_triage",
+    "q_source_divergence",
 ]
 
 

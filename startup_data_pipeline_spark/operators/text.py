@@ -2258,3 +2258,81 @@ def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ((n_e + n_p + n_i) > 0).alias("pii_found"),
         F.md5(scrub_pii(raw)).alias("scrubbed_fp"),
     )
+
+
+def source_token_divergence(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus: an
+    exact-integer chi-square statistic over hashed token buckets (the
+    ``dsir_importance`` bucket convention) — the domain-shift signal of
+    source triage. A source whose chi2 is near zero writes like the
+    corpus; a high-chi2 source carries its own vocabulary (a different
+    register, language mix, or template family) and deserves its own
+    mixture/quality treatment rather than inheriting corpus defaults.
+
+    Engine-exactness: per-bucket shares are integer ppm (observed ``o``
+    for the source, expected ``e`` from the corpus), and the statistic
+    is ``chi2_ppm = Σ_b (o−e)² div max(e, 1)`` — already in ppm units
+    because the shares are, with every term a pure BIGINT expression
+    (no float accumulation, no libm). One token-explode scan, one
+    (|sources|·n_buckets)-key map-side-combined agg, a broadcast of the
+    n_buckets corpus rows, and a |sources|-key fold.
+
+    Returns [source, n_tokens, chi2_ppm], one row per source with ≥1
+    token.
+    """
+    tok = ensure_min_parallelism(df).select(
+        F.col(source_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    per = (
+        tok.select(F.col(source_col), bucket.alias("bucket"))
+        .groupBy(source_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    corpus = (
+        per.groupBy("bucket")
+        .agg(F.sum("__o").alias("__tot"))
+        .crossJoin(
+            F.broadcast(per.agg(F.sum("__o").alias("__N")))
+        )
+        .select(
+            "bucket",
+            F.expr("(1000000 * __tot) div __N").cast("long").alias("__e"),
+        )
+    )
+    totals = per.groupBy(source_col).agg(
+        F.sum("__o").cast("long").alias("n_tokens")
+    )
+    # full |sources| x n_buckets grid: a bucket the source never hits
+    # still contributes (0 - e)^2 / e = e to its chi-square
+    grid = totals.crossJoin(F.broadcast(corpus))
+    return (
+        grid.join(per, [source_col, "bucket"], "left")
+        .select(
+            F.col(source_col),
+            "n_tokens",
+            F.expr(
+                "(1000000 * coalesce(__o, 0)) div n_tokens"
+            ).cast("long").alias("__op"),
+            "__e",
+        )
+        .groupBy(source_col, "n_tokens")
+        .agg(
+            F.sum(
+                F.expr(
+                    "((__op - __e) * (__op - __e)) div greatest(__e, 1)"
+                )
+            )
+            .cast("long")
+            .alias("chi2_ppm")
+        )
+    )

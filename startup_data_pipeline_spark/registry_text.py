@@ -4437,3 +4437,58 @@ def q_source_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("triage"),
         )
     )
+
+
+@register(
+    "q_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS_LOWER}) AS tok FROM documents
+    ),
+    b AS (
+        SELECT source,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                   AS bucket
+        FROM tok
+    ),
+    per AS (
+        SELECT source, bucket, COUNT(*) AS o FROM b GROUP BY 1, 2
+    ),
+    nn AS (SELECT SUM(o) AS N FROM per),
+    corpus AS (
+        SELECT bucket,
+               CAST((1000000 * SUM(o)) // (SELECT N FROM nn) AS BIGINT)
+                   AS e
+        FROM per GROUP BY bucket
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS n_tokens
+        FROM per GROUP BY source
+    ),
+    grid AS (
+        SELECT t.source, t.n_tokens, c.bucket, c.e
+        FROM tot t CROSS JOIN corpus c
+    ),
+    j AS (
+        SELECT g.source, g.n_tokens,
+               CAST((1000000 * COALESCE(p.o, 0)) // g.n_tokens AS BIGINT)
+                   AS op,
+               g.e
+        FROM grid g LEFT JOIN per p
+          ON p.source = g.source AND p.bucket = g.bucket
+    )
+    SELECT source, n_tokens,
+           CAST(SUM(((op - e) * (op - e)) // greatest(e, 1)) AS BIGINT)
+               AS chi2_ppm
+    FROM j GROUP BY source, n_tokens
+    """,
+    survey_ops="per-source token-distribution divergence (§2.11 "
+    "curation: the domain-shift signal): exact-integer chi-square over "
+    "the DSIR hashed-bucket convention, zero-hit buckets included — a "
+    "high-chi2 source carries its own vocabulary and deserves its own "
+    "mixture treatment; one token scan, one (|sources|·64)-key "
+    "map-side-combined agg, 64-row broadcast",
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_token_divergence(docs, "text", "source", n_buckets=64)

@@ -598,3 +598,48 @@ def test_sharded_export_reconciles_with_plan(spark, sf_dir, tmp_path):
         one.count()
         == plan.filter(F.col("shard") == 2).collect()[0]["n_docs"]
     )
+
+
+# ---------------------------------------------------------------------------
+# source_token_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_source_divergence_zero_for_identical_distributions(spark):
+    """Two sources with the SAME token multiset diverge by 0 (their
+    ppm shares equal the corpus shares bucket for bucket)."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = _docs(
+        spark,
+        ["alpha beta gamma delta", "alpha beta gamma delta"],
+        sources=["sa", "sb"],
+    )
+    got = {
+        r["source"]: r["chi2_ppm"]
+        for r in text.source_token_divergence(
+            docs, "text", "source"
+        ).collect()
+    }
+    assert got == {"sa": 0, "sb": 0}
+
+
+def test_source_divergence_flags_disjoint_vocabulary(spark):
+    """A source with fully disjoint vocabulary diverges far more than
+    one that matches the rest of the corpus."""
+    from startup_data_pipeline_spark.operators import text
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    docs = _docs(
+        spark,
+        [shared, shared, "zxqv wbnm plkj ghty rfde zxqv wbnm plkj"],
+        sources=["normal", "normal", "alien"],
+    )
+    got = {
+        r["source"]: r["chi2_ppm"]
+        for r in text.source_token_divergence(
+            docs, "text", "source"
+        ).collect()
+    }
+    assert got["alien"] > got["normal"]
+    assert got["alien"] > 100_000  # disjoint vocab is a loud signal
