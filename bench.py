@@ -252,6 +252,8 @@ HEADLINE = [
     "q_source_triage",
     # token-distribution divergence (token explode + bucketed agg)
     "q_source_divergence",
+    # k-core peeling over the near-dup candidate graph (4 fixed rounds)
+    "q_kcore_members",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -180,6 +180,7 @@ PROBE = [
     "q_audio_near_dup",
     "q_source_triage",
     "q_source_divergence",
+    "q_kcore_members",
 ]
 
 

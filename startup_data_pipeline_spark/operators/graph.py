@@ -356,3 +356,59 @@ def degree_histogram(
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def kcore_fixed_rounds(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 3,
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected graph: repeatedly
+    drop every node whose surviving degree is below ``k`` — the dense-
+    community extractor of dedup QA. On the near-dup candidate graph a
+    k-core is a template farm / mirror cluster: its members keep ≥ k
+    near-dup neighbors even after the sparse periphery (one-off
+    syndications, LSH false positives) peels away, so it locates the
+    structures worth source-level action rather than per-document
+    dedup.
+
+    Determinism contract (the ``pagerank_fixed_iters`` convention):
+    EXACTLY ``n_rounds`` peels run — no data-dependent early stop — so
+    the oracle is the fully unrolled round chain and the result is
+    engine-exact. On graphs whose peeling converges within the budget
+    (every probed fixture; pinned by test) the output IS the k-core;
+    a deeper onion just needs a larger ``n_rounds``, each round one
+    degree agg + two semi joins over digest-width rows, lineage
+    truncated per round.
+
+    Returns [node, core_degree]: the surviving nodes and their degree
+    within the surviving subgraph.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    cur = und
+    for _ in range(n_rounds):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("a")
+        )
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        cur.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("a").alias("node"), "core_degree")
+    )

@@ -4492,3 +4492,64 @@ def q_source_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.source_token_divergence(docs, "text", "source", n_buckets=64)
+
+
+def _kcore_oracle(k: int = 3, n_rounds: int = 4) -> str:
+    # fully unrolled peeling rounds (the q_pagerank unrolled-CTE
+    # convention): round i keeps nodes with surviving degree >= k and
+    # the edges whose BOTH endpoints survive
+    # AS MATERIALIZED: without it DuckDB inlines the CTE chain into
+    # every unrolled round and re-derives the minhash pipeline n_rounds
+    # times (measured 25 s -> ~2 s at sf0.01)
+    head = f"""
+    WITH sig AS MATERIALIZED ({_MINHASH_SQL}),
+    bands AS MATERIALIZED (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    p AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM p UNION SELECT v, u FROM p)"""
+    rounds = []
+    for i in range(1, n_rounds + 1):
+        rounds.append(f""",
+    s{i} AS (
+        SELECT a FROM (
+            SELECT a, COUNT(*) AS d FROM e{i - 1} GROUP BY a
+        ) WHERE d >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i - 1} e
+        JOIN s{i} x ON e.a = x.a
+        JOIN s{i} y ON e.b = y.a
+    )""")
+    tail = f"""
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{n_rounds} GROUP BY a"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "q_kcore_members",
+    oracle=_kcore_oracle(k=3, n_rounds=4),
+    survey_ops="k-core extraction over the near-dup candidate graph "
+    "(§2.11 dedup QA, graph battery): fixed-round degree peeling — a "
+    "3-core survivor keeps >=3 near-dup neighbors after the sparse "
+    "periphery peels, i.e. a template farm / mirror cluster worth "
+    "source-level action; exactly 4 unrolled rounds (the pagerank "
+    "determinism convention), each one degree agg + two semi joins "
+    "over digest-width rows",
+)
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    return graph.kcore_fixed_rounds(pairs, "id_a", "id_b", k=3, n_rounds=4)

@@ -643,3 +643,39 @@ def test_source_divergence_flags_disjoint_vocabulary(spark):
     }
     assert got["alien"] > got["normal"]
     assert got["alien"] > 100_000  # disjoint vocab is a loud signal
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_extracts_dense_cluster_drops_chain(spark):
+    """A 5-clique survives 3-core peeling; a path hanging off it peels
+    away completely (every path node ends below degree 3)."""
+    from startup_data_pipeline_spark.operators import graph
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+    got = rows(
+        graph.kcore_fixed_rounds(edges, "id_a", "id_b", k=3, n_rounds=4),
+        "node", "core_degree",
+    )
+    assert got == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
+
+
+def test_kcore_fixpoint_reached_on_fixture(spark, sf_dir):
+    """The 4-round budget reaches the true fixpoint on the fixture
+    graph: a 5th round changes nothing."""
+    from startup_data_pipeline_spark.operators import dedup, graph
+    from startup_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
+    four = rows(graph.kcore_fixed_rounds(pairs, "id_a", "id_b", k=3, n_rounds=4))
+    five = rows(graph.kcore_fixed_rounds(pairs, "id_a", "id_b", k=3, n_rounds=5))
+    assert four == five
+    # and every survivor really keeps >= k in-core neighbors
+    assert all(d >= 3 for _n, d in four)
