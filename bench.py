@@ -254,6 +254,8 @@ HEADLINE = [
     "q_source_divergence",
     # k-core peeling over the near-dup candidate graph (4 fixed rounds)
     "q_kcore_members",
+    # per-video duplicate-frame rate (decode pass + |videos|-key agg)
+    "q_frame_dup_rate",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -181,6 +181,7 @@ PROBE = [
     "q_source_triage",
     "q_source_divergence",
     "q_kcore_members",
+    "q_frame_dup_rate",
 ]
 
 

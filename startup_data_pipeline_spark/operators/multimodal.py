@@ -645,3 +645,58 @@ def audio_fingerprint(decoded: DataFrame, id_col: str) -> DataFrame:
         decoded.filter(s.isNotNull() & (F.size(s) >= 65))
         .select(F.col(id_col), packed.alias("afp64"))
     )
+
+
+def video_frame_dup_rate(df: DataFrame, id_col: str) -> DataFrame:
+    """Per-video duplicate-frame rate: how much of a video is visually
+    static — distinct frame dHashes vs frames sampled, in exact integer
+    ppm. The information-density signal of video curation: a clip whose
+    frames all hash alike (slideshows, static cams, color cards) buys
+    far fewer training tokens than its byte size suggests, so packing
+    and mixture decisions want this BEFORE decode-heavy featurization.
+
+    Same fixture frame contract as ``video_near_dup_pairs`` (3 + id % 4
+    frames, content seeded by (id % 256) * 1000 + frame_index — so
+    fixture frames are distinct WITHIN a video and the interesting
+    signal is cross-video; real corpora invert that). One decode pass,
+    one |videos|-key agg of (count, approx-free exact distinct via the
+    dHash set); only (video_id, hash) rows shuffle.
+
+    Returns [video_id, n_frames, n_distinct_frames, dup_frame_ppm].
+    """
+    vids = df.select(F.col(id_col).cast("long").alias("video_id"))
+    frames = vids.withColumn(
+        "frame_index",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.lit(2) + F.col("video_id") % 4).cast("int")
+            )
+        ),
+    )
+    seeded = frames.withColumn(
+        "frame_seed",
+        ((F.col("video_id") % 256) * 1000 + F.col("frame_index")).cast(
+            "long"
+        ),
+    )
+    decoded = decode_image(attach_ppm_payload(seeded, "frame_seed"))
+    hashed = image_dhash(decoded, "video_id")
+    return (
+        hashed.groupBy("video_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("dhash64").cast("long").alias(
+                "n_distinct_frames"
+            ),
+        )
+        .select(
+            "video_id",
+            "n_frames",
+            "n_distinct_frames",
+            F.expr(
+                "(1000000 * (n_frames - n_distinct_frames)) div n_frames"
+            )
+            .cast("long")
+            .alias("dup_frame_ppm"),
+        )
+    )

@@ -200,7 +200,7 @@ _PRIORITY: list[str] = [
     "q_cross_source_dup", "q_lsh_s_curve", "q_source_embedding_diversity",
     "q_stream_pii", "q_substring_dedup", "q_temperature_mix",
     "q_video_near_dup", "q_audio_near_dup", "q_source_triage",
-    "q_source_divergence", "q_kcore_members",
+    "q_source_divergence", "q_kcore_members", "q_frame_dup_rate",
 ]
 
 

@@ -1477,3 +1477,67 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64_near_pairs(
         sigs, "doc_id", max_hamming=3, sig_col="afp64", max_bucket=128
     )
+
+
+def _frame_dup_rate_oracle() -> str:
+    # the per-frame dHash CTEs of _frame_dhash_pairs_oracle rolled up
+    # per video: frames sampled, distinct hashes, dup-frame ppm
+    w, h = "(4 + s % 5)", "(3 + s % 4)"
+    sp = f"(((((p // 9) * {h}) // 8) * {w}) + (((p % 9) * {w}) // 9))"
+    gray = (
+        f"((s * 7 + (3 * {sp}) * 11) % 256"
+        f" + (s * 7 + (3 * {sp} + 1) * 11) % 256"
+        f" + (s * 7 + (3 * {sp} + 2) * 11) % 256) // 3"
+    )
+
+    def half(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN gray[{(i // 8) * 9 + (i % 8) + 2}]"
+            f" > gray[{(i // 8) * 9 + (i % 8) + 1}]"
+            f" THEN CAST({1 << (i % 32)} AS BIGINT) ELSE 0 END)"
+            for i in range(lo, lo + 32)
+        )
+
+    return f"""
+    WITH f AS (
+        SELECT doc_id AS video_id, u.fi AS frame_index,
+               (doc_id % 256) * 1000 + u.fi AS s
+        FROM documents, UNNEST(generate_series(0, 2 + doc_id % 4)) AS u(fi)
+    ),
+    g AS (
+        SELECT video_id,
+               list_transform(generate_series(0, 71), p -> {gray}) AS gray
+        FROM f
+    ),
+    sig AS (
+        SELECT video_id, ({half(0)}) AS sig_lo, ({half(32)}) AS sig_hi
+        FROM g
+    ),
+    d AS (
+        SELECT video_id,
+               CASE WHEN sig_hi >= 2147483648
+                    THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
+                    ELSE sig_hi * 4294967296 + sig_lo END AS dhash64
+        FROM sig
+    )
+    SELECT video_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT dhash64) AS BIGINT) AS n_distinct_frames,
+           CAST((1000000 * (COUNT(*) - COUNT(DISTINCT dhash64)))
+               // COUNT(*) AS BIGINT) AS dup_frame_ppm
+    FROM d GROUP BY video_id
+    """
+
+
+@register(
+    "q_frame_dup_rate",
+    oracle=_frame_dup_rate_oracle(),
+    survey_ops="per-video duplicate-frame rate (§2.11 multimodal "
+    "curation): distinct frame dHashes vs frames sampled in exact "
+    "integer ppm — the information-density signal that flags static "
+    "clips before decode-heavy featurization; one decode pass, one "
+    "|videos|-key agg, only (video_id, hash) rows shuffle",
+)
+def q_frame_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_frame_dup_rate(docs, "doc_id")

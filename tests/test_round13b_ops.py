@@ -679,3 +679,19 @@ def test_kcore_fixpoint_reached_on_fixture(spark, sf_dir):
     assert four == five
     # and every survivor really keeps >= k in-core neighbors
     assert all(d >= 3 for _n, d in four)
+
+
+def test_frame_dup_rate_zero_for_distinct_frames_full_for_static(spark):
+    from startup_data_pipeline_spark.operators import multimodal
+
+    # fixture frames are distinct within a video -> dup ppm 0
+    docs = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    got = {
+        r["video_id"]: r
+        for r in multimodal.video_frame_dup_rate(docs, "doc_id").collect()
+    }
+    assert got[3]["n_frames"] == 6 and got[3]["dup_frame_ppm"] == 0
+    assert got[7]["n_frames"] == 6 and got[7]["dup_frame_ppm"] == 0
+    assert all(
+        r["n_distinct_frames"] == r["n_frames"] for r in got.values()
+    )
