@@ -256,6 +256,8 @@ HEADLINE = [
     "q_kcore_members",
     # per-video duplicate-frame rate (decode pass + |videos|-key agg)
     "q_frame_dup_rate",
+    # survivor-policy agreement (the CC chain + one component agg)
+    "q_survivor_policy",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

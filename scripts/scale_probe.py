@@ -182,6 +182,7 @@ PROBE = [
     "q_source_divergence",
     "q_kcore_members",
     "q_frame_dup_rate",
+    "q_survivor_policy",
 ]
 
 

@@ -1975,3 +1975,89 @@ def substring_dedup_rebuild(
             F.coalesce(F.col("__text"), F.lit("")).alias("deduped_text"),
         )
     )
+
+
+def survivor_policy_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    band_size: int = 1,
+    k: int = 3,
+) -> DataFrame:
+    """Survivor-POLICY audit over the near-dup clusters: on every
+    multi-member cluster, does the cheap min-id winner pick the same
+    document as the quality-ranked winner (``quality_survivors``'
+    rule), and how many tokens does each policy retain? The one-row
+    certificate that says whether paying for quality-ranked selection
+    changes anything on THIS corpus — if disagreement is ~0, min-id is
+    free; if it is high, the crawl order is anti-correlated with
+    quality and the cheap policy is silently keeping truncated mirrors.
+
+    Same chain as ``quality_survivors`` (shingle → MinHash → bands →
+    CC), then ONE component-keyed aggregate carrying both winners as
+    min-structs; singletons are excluded (the policies cannot differ
+    on them). ``token_delta`` is a signed plain integer (no ppm
+    division — its sign is the finding).
+
+    Returns one row: [n_multi_clusters, n_disagree, disagree_ppm,
+    minid_tokens, quality_tokens, token_delta].
+    """
+    from .text import quality_score
+
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes=num_hashes, k=k
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    comp = connected_components(docs.select(id_col), pairs, id_col)
+    scored = quality_score(
+        docs.select(id_col, text_col), text_col, text_col
+    ).select(id_col, "n_tokens", "quality_ok")
+    per_cluster = (
+        comp.join(scored, id_col)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("__size"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("__id"),
+                    F.col("n_tokens").alias("__nt"),
+                )
+            ).alias("__wmin"),
+            F.min(
+                F.struct(
+                    F.when(F.col("quality_ok"), F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias("__bad"),
+                    (-F.col("n_tokens")).alias("__neg_nt"),
+                    F.col(id_col).alias("__id"),
+                )
+            ).alias("__wq"),
+        )
+        .filter(F.col("__size") > 1)
+    )
+    return per_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("n_multi_clusters"),
+        F.sum(
+            (F.col("__wmin.__id") != F.col("__wq.__id")).cast("long")
+        )
+        .cast("long")
+        .alias("n_disagree"),
+        F.expr(
+            "CASE WHEN count(1) > 0 THEN (1000000 * sum(CAST("
+            "__wmin.__id != __wq.__id AS LONG))) div count(1) END"
+        )
+        .cast("long")
+        .alias("disagree_ppm"),
+        F.sum("__wmin.__nt").cast("long").alias("minid_tokens"),
+        F.sum(-F.col("__wq.__neg_nt")).cast("long").alias(
+            "quality_tokens"
+        ),
+        (
+            F.sum(-F.col("__wq.__neg_nt")) - F.sum("__wmin.__nt")
+        )
+        .cast("long")
+        .alias("token_delta"),
+    )

@@ -4553,3 +4553,97 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
     return graph.kcore_fixed_rounds(pairs, "id_a", "id_b", k=3, n_rounds=4)
+
+
+@register(
+    "q_survivor_policy",
+    # same chain CTEs as q_quality_survivors; both winners derived per
+    # component, singletons excluded, one summary row
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               COALESCE(
+                   len(toks) >= 10
+                   AND round(CAST(length(text) AS DOUBLE)
+                             / len(toks), 4) <= 12.0
+                   AND round(CAST(len(list_filter(toks, t ->
+                           list_contains(['the','a','of','and','to',
+                                          'in'], t))) AS DOUBLE)
+                             / len(toks), 4) <= 0.5,
+                   FALSE) AS quality_ok
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ),
+    m AS (
+        SELECT c.component, q.doc_id, q.n_tokens,
+               COUNT(*) OVER (PARTITION BY c.component) AS csize,
+               row_number() OVER (
+                   PARTITION BY c.component ORDER BY q.doc_id ASC
+               ) AS r_min,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY CASE WHEN q.quality_ok THEN 0 ELSE 1 END ASC,
+                            q.n_tokens DESC, q.doc_id ASC
+               ) AS r_q
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ),
+    w AS (
+        SELECT component,
+               MAX(CASE WHEN r_min = 1 THEN doc_id END) AS id_min,
+               MAX(CASE WHEN r_min = 1 THEN n_tokens END) AS tok_min,
+               MAX(CASE WHEN r_q = 1 THEN doc_id END) AS id_q,
+               MAX(CASE WHEN r_q = 1 THEN n_tokens END) AS tok_q,
+               MAX(csize) AS csize
+        FROM m GROUP BY component
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_clusters,
+           CAST(SUM(CASE WHEN id_min <> id_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           CAST(CASE WHEN COUNT(*) > 0 THEN
+               (1000000 * SUM(CASE WHEN id_min <> id_q THEN 1 ELSE 0
+                              END)) // COUNT(*)
+           END AS BIGINT) AS disagree_ppm,
+           CAST(SUM(tok_min) AS BIGINT) AS minid_tokens,
+           CAST(SUM(tok_q) AS BIGINT) AS quality_tokens,
+           CAST(SUM(tok_q) - SUM(tok_min) AS BIGINT) AS token_delta
+    FROM w WHERE csize > 1
+    """,
+    survey_ops="survivor-policy agreement audit (§2.11 dedup QA): on "
+    "every multi-member near-dup cluster, does the cheap min-id winner "
+    "match the quality-ranked winner, and what token mass does each "
+    "policy retain — the one-row certificate that says whether "
+    "quality-ranked selection changes anything on THIS corpus; one "
+    "component-keyed agg carrying both winners as min-structs",
+)
+def q_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.survivor_policy_report(docs, "doc_id", "text")

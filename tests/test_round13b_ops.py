@@ -695,3 +695,42 @@ def test_frame_dup_rate_zero_for_distinct_frames_full_for_static(spark):
     assert all(
         r["n_distinct_frames"] == r["n_frames"] for r in got.values()
     )
+
+
+def test_survivor_policy_detects_quality_inversion(spark):
+    """Cluster where the LATER copy is longer and gate-passing: min-id
+    keeps the short early copy, quality keeps the long one — one
+    disagreement, positive token delta."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    base = "the quick brown fox jumps over a lazy dog near the river bank"
+    docs = _docs(
+        spark,
+        [
+            base,                           # doc 0: short copy
+            base + " with a much longer tail of extra quality prose "
+                   "to keep and retain in the corpus for training",
+            "completely unrelated singleton text here",
+        ],
+    )
+    row = dedup.survivor_policy_report(docs, "doc_id", "text").collect()[0]
+    assert row["n_multi_clusters"] == 1
+    assert row["n_disagree"] == 1
+    assert row["disagree_ppm"] == 1_000_000
+    assert row["token_delta"] > 0
+    assert row["quality_tokens"] > row["minid_tokens"]
+
+
+def test_survivor_policy_zero_on_duplicate_free_corpus(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    docs = _docs(
+        spark,
+        ["alpha beta gamma one two", "delta epsilon zeta three four"],
+    )
+    row = dedup.survivor_policy_report(docs, "doc_id", "text").collect()[0]
+    assert row["n_multi_clusters"] == 0
+    # empty-set aggregates are NULL on both engines (the oracle-mirrored
+    # convention): no multi-cluster evidence, not a zero measurement
+    assert row["n_disagree"] is None
+    assert row["disagree_ppm"] is None and row["token_delta"] is None
