@@ -258,6 +258,10 @@ HEADLINE = [
     "q_frame_dup_rate",
     # survivor-policy agreement (the CC chain + one component agg)
     "q_survivor_policy",
+    # the materialized mixture capstone (entered after this round's
+    # builder snapshot — the driver's round-close run is its first
+    # series point, the q_pack_efficiency precedent)
+    "q_mixture_build",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

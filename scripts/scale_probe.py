@@ -183,6 +183,7 @@ PROBE = [
     "q_kcore_members",
     "q_frame_dup_rate",
     "q_survivor_policy",
+    "q_mixture_build",
 ]
 
 

@@ -201,7 +201,7 @@ _PRIORITY: list[str] = [
     "q_stream_pii", "q_substring_dedup", "q_temperature_mix",
     "q_video_near_dup", "q_audio_near_dup", "q_source_triage",
     "q_source_divergence", "q_kcore_members", "q_frame_dup_rate",
-    "q_survivor_policy",
+    "q_survivor_policy", "q_mixture_build",
 ]
 
 

@@ -4647,3 +4647,123 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_survivor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.survivor_policy_report(docs, "doc_id", "text")
+
+
+@register(
+    "q_mixture_build",
+    # the mixture MATERIALIZED, end to end on one lineage: temperature
+    # weights (q_temperature_mix CTEs) -> Hare-quota apportionment of a
+    # 50k-token budget across sources on mix_ppm (largest remainder,
+    # ties to the first source name — the q_eval_set_build contract) ->
+    # per-source deterministic md5 draw cut EXACTLY at each budget by
+    # the grouped two-level prefix sum (straddler admitted)
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    s AS (
+        SELECT source,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM t
+    ),
+    w AS (
+        SELECT source,
+               CAST(floor(1000000.0 * sqrt(
+                   CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)
+                   AS w_u
+        FROM s
+    ),
+    ws AS (SELECT SUM(w_u) AS norm FROM w),
+    mix AS (
+        SELECT source,
+               CAST((1000000 * w_u) // (SELECT norm FROM ws) AS BIGINT)
+                   AS mix_ppm
+        FROM w
+    ),
+    mtot AS (SELECT SUM(mix_ppm) AS m FROM mix),
+    quota AS (
+        SELECT source,
+               (10000 * mix_ppm) // (SELECT m FROM mtot) AS base,
+               (10000 * mix_ppm) % (SELECT m FROM mtot) AS rem
+        FROM mix
+    ),
+    alloc AS (
+        SELECT source,
+               base + CASE WHEN row_number() OVER (
+                       ORDER BY rem DESC, source ASC)
+                   <= 10000 - (SELECT SUM(base) FROM quota)
+                   THEN 1 ELSE 0 END AS group_budget
+        FROM quota
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) AS m
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY m ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM scored
+    )
+    SELECT r.doc_id, r.source, r.n_tokens,
+           CAST(r.cum_before AS BIGINT) AS cum_before,
+           CAST(a.group_budget AS BIGINT) AS group_budget
+    FROM ranked r JOIN alloc a USING (source)
+    WHERE r.cum_before < a.group_budget
+    """,
+    survey_ops="mixture construction END TO END (§2.11 curation "
+    "capstone): temperature source weights -> Hare-quota apportionment "
+    "of a fixed token budget on mix_ppm -> per-source deterministic "
+    "draw cut exactly at each budget by the grouped distributed prefix "
+    "sum — the table a trainer actually reads; three certified "
+    "operators on ONE lineage",
+)
+def q_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = {
+        r["source"]: int(r["mix_ppm"])
+        for r in olap.temperature_mix_weights(
+            docs, "source", "text", alpha=0.5
+        )
+        .select("source", "mix_ppm")
+        .collect()
+    }  # bounded driver collect: |sources| rows (the eval_set_build
+    #    apportionment convention)
+    total_budget, m_total = 10_000, sum(mix.values())
+    base = {s: (total_budget * m) // m_total for s, m in mix.items()}
+    rems = sorted(
+        mix, key=lambda s: (-((total_budget * mix[s]) % m_total), s)
+    )
+    leftover = total_budget - sum(base.values())
+    budgets = {
+        s: base[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(rems)
+    }
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        (
+            -F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias("neg_m"),
+    )
+    sel = text.grouped_token_budget_select(
+        scored, "doc_id", "source", "neg_m", "n_tokens", budgets
+    )
+    return sel.select(
+        "doc_id", "source", "n_tokens", "cum_before", "group_budget"
+    )

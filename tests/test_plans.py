@@ -220,7 +220,7 @@ def test_registry_integrity():
     assert prefix[23:50] == sorted(prefix[23:50])  # oldest r7, alpha
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r14 window)
-    assert list(qs)[-34:] == [
+    assert list(qs)[-35:] == [
         "q_stream_screen", "q_feed_screened_export", "q_gopher_quality",
         "q_dsir_select", "q_token_fertility", "q_source_quality",
         "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
@@ -236,4 +236,5 @@ def test_registry_integrity():
         "q_substring_dedup", "q_temperature_mix", "q_video_near_dup",
         "q_audio_near_dup", "q_source_triage", "q_source_divergence",
         "q_kcore_members", "q_frame_dup_rate", "q_survivor_policy",
+        "q_mixture_build",
     ]

