@@ -79,129 +79,108 @@ _PRIORITY: list[str] = [
     # round's driver rotation — local oracle hash-parity alone does not
     # substitute for a driver row.
     #
-    # FRESHNESS ROTATION (amended r12, replacing the burn-down-era
-    # newest-first rule): backfill slots go to the queries holding the
-    # OLDEST driver certs, alphabetical within a tranche. Newest-first
-    # structurally never reached the tail once the burn-down ended
-    # (~5 new registrations + ~43 backfill slots per round re-certified
-    # the same recent names forever); oldest-first retires the oldest
-    # tranche each round, so with ~230 registered and ~40 slots/round
+    # FRESHNESS ROTATION (amended r12): backfill slots go to the
+    # queries holding the OLDEST driver certs, alphabetical within a
+    # tranche, so with ~260 registered and ~40 backfill slots/round
     # every cert stays within a ~6-round horizon.
     #
-    # Round-13 window: the ten never-driver-sampled round-12
-    # registrations lead (VERDICT r12 "Next round" #1 — judge-verified
-    # 10/10 hash-green last session), then this round's changed-operator
-    # canaries (the kcenter-family adaptive-argmin switch + the
-    # kmeans_assign_seeded reroute through _assign_with_dist, VERDICT
-    # r12 #2 — the standing WINDOW RULE), then the oldest-first
-    # backfill: the round-6 remainder (10 names — r6 cert count reaches
-    # 0 this round) and the oldest round-7 tranche (VERDICT r12 #4).
-    # q_cross_split_proximity_large (slot 3) doubles as the canary for
-    # this round's probe-broadcast fallback (VERDICT r12 #5).
+    # Round-14 window (VERDICT r13 #1/#4): the THIRTY-FIVE round-13
+    # registrations lead, alphabetical (judge-verified 35/35 local
+    # hash-green last session; they exceed one window minus backfill,
+    # so they take slots 1-35 en bloc). This round's changed-operator
+    # canaries are already inside that tranche: q_video_near_dup /
+    # q_frame_dup_rate (fixture-frame hoist out of the library
+    # operators, ADVICE r13), q_kcore_members (peeling convergence
+    # observation, ADVICE r13), q_audio_near_dup (oracle dead-CTE
+    # removal, ADVICE r13). Slots 36-50 are oldest-first backfill:
+    # the first 15 of the 18 round-7-stale names; the remaining 3
+    # lead the r15 backfill below the boundary.
     #
-    # --- slots 1-10: the never-driver-sampled round-12 registrations ---
-    "q_ann_recall_audit", "q_benchmark_screen",
-    "q_cross_split_proximity_large", "q_curation_diversify",
-    "q_decontam_agreement", "q_knn_label_accuracy", "q_pack_efficiency",
-    "q_quality_survivors", "q_screen_rate_by_source", "q_screened_export",
-    # --- slots 11-13: round-13 canaries (adaptive-argmin switch) ---
-    "q_kcenter_select", "q_kcenter_coverage", "q_kmeans_assign",
-    # --- slots 14-23: oldest-first backfill: the round-6 remainder ---
-    "q_sliding_window", "q_snapshot_diff", "q_tier_case", "q_tld_explode",
-    "q_tumbling_window", "q_udtf_char_windows", "q_union_sources",
-    "q_upsert_merge", "q_waterfall_coalesce", "q_window_topk",
-    # --- slots 24-50: round-7-certified tranche (oldest), alphabetical ---
-    "q_best_supplier_per_part", "q_bpe_tokens", "q_chunk_documents",
-    "q_connector_pipeline", "q_currency_parse", "q_customers_no_orders",
-    "q_decode_image", "q_disjunctive_part_revenue", "q_dq_metrics",
-    "q_dup_span_rate", "q_ewma", "q_excess_shippers", "q_fingerprint",
-    "q_forecast_revenue", "q_funnel_stages", "q_histogram_drift",
-    "q_jsonl_source", "q_ks_two_sample", "q_lang_id", "q_large_orders",
-    "q_market_share", "q_minhash_signatures", "q_moving_median",
-    "q_name_normalize", "q_nation_volume", "q_ntile_deciles",
-    "q_priority_line_counts",
+    # --- slots 1-35: the round-13 registrations, alphabetical ---
+    "q_audio_near_dup", "q_cross_source_dup", "q_dedup_loss_by_source",
+    "q_dsir_select", "q_effective_tokens", "q_embedding_drift", "q_epoch_shuffle",
+    "q_eval_set_build", "q_feed_screened_export", "q_frame_dup_rate",
+    "q_gopher_quality", "q_kcore_members", "q_lang_budget_mix", "q_lsh_s_curve",
+    "q_mixture_build", "q_mmr_select", "q_multi_screen", "q_pii_rate_by_source",
+    "q_prototypicality", "q_screen_calibration", "q_shard_plan", "q_source_divergence",
+    "q_source_embedding_diversity", "q_source_health", "q_source_quality",
+    "q_source_triage", "q_stream_dsir", "q_stream_pii", "q_stream_quality",
+    "q_stream_screen", "q_substring_dedup", "q_survivor_policy", "q_temperature_mix",
+    "q_token_fertility", "q_video_near_dup",
+    # --- slots 36-50: oldest-first backfill (round-7 tranche, alpha) ---
+    "q_product_profit", "q_promo_revenue", "q_quality_score", "q_repetition_stats",
+    "q_resize_image", "q_returned_revenue", "q_simhash", "q_simhash_pairs",
+    "q_snapshot_novelty", "q_sql_surface", "q_stratified_sample",
+    "q_stream_funnel", "q_stream_sessionize", "q_stream_stateful_totals",
+    "q_stream_tumbling",
     # --- 50-slot window boundary ---
-    # round-7 remainder (alphabetical continuation — next-oldest certs):
-    "q_product_profit", "q_promo_revenue", "q_quality_score",
-    "q_repetition_stats", "q_resize_image", "q_returned_revenue",
-    "q_simhash", "q_simhash_pairs", "q_snapshot_novelty", "q_sql_surface",
-    "q_stratified_sample", "q_stream_funnel", "q_stream_sessionize",
-    "q_stream_stateful_totals", "q_stream_tumbling", "q_token_entropy",
-    "q_url_parse", "q_variant_json",
-    # round-8-certified tranche, alphabetical:
+    # round-7 remainder (leads the r15 backfill):
+    "q_token_entropy", "q_url_parse", "q_variant_json",
+    # round-8/9/10/11/12-certified tranches, oldest-first order
+    # preserved from the r13 list:
     "q_multimodal_features", "q_name_fuzzy_match", "q_near_dup_components",
     "q_ngram_jaccard", "q_pii_scrub", "q_pivot_status", "q_quality_gate",
-    "q_rare_token_docs", "q_reservoir_sample", "q_salted_join",
-    "q_segment_dedup", "q_simhash64_band_stats", "q_simhash64_pairs",
-    "q_small_quantity_revenue", "q_supplier_variety", "q_top_supplier",
-    "q_user_trend", "q_value_histogram", "q_value_share", "q_waiting_orders",
-    # round-9-certified tranche, alphabetical:
-    "q_activity_streaks", "q_audio_features", "q_boilerplate_strip",
-    "q_bpe_merge_pairs", "q_capped_recovery", "q_cdc_compact",
-    "q_conversion_latency", "q_cooccur_lift", "q_cross_split_leakage",
-    "q_curation_pipeline", "q_cusum_shift", "q_dedup_survivors",
-    "q_degree_hist", "q_distance_histogram", "q_doc_novelty",
-    "q_domain_signature", "q_dup_cluster_stats", "q_group_mode",
-    "q_join_skew_profile", "q_kwic_snippets", "q_lm_score", "q_lsh_pairs",
-    "q_lsh_precision", "q_markov_transitions", "q_max_concurrency",
-    "q_nearest_click", "q_pagerank", "q_pq_ann", "q_pq_encode",
-    "q_quant_calibration", "q_ri_audit", "q_sequence_pack", "q_set_ops",
-    "q_sketch_rollup", "q_skyline_pareto", "q_soft_dedup_weights",
-    "q_stream_dedup", "q_tfidf_top_terms", "q_time_parse", "q_token_stats",
-    "q_topk_other", "q_train_split", "q_triangle_count", "q_unpivot_metrics",
-    "q_vocab_coverage", "q_winnow_fingerprints",
-    # round-10/11-certified tranche, alphabetical (q_kmeans_assign holds
-    # a canary window slot above):
-    "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk", "q_bfs_hops",
-    "q_capped_vector_recovery", "q_centroid_classify", "q_cluster_margin",
-    "q_cohort_retention", "q_contamination_check", "q_curriculum_order",
-    "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
+    "q_rare_token_docs", "q_reservoir_sample", "q_salted_join", "q_segment_dedup",
+    "q_simhash64_band_stats", "q_simhash64_pairs", "q_small_quantity_revenue",
+    "q_supplier_variety", "q_top_supplier", "q_user_trend", "q_value_histogram",
+    "q_value_share", "q_waiting_orders", "q_activity_streaks", "q_audio_features",
+    "q_boilerplate_strip", "q_bpe_merge_pairs", "q_capped_recovery",
+    "q_cdc_compact", "q_conversion_latency", "q_cooccur_lift", "q_cross_split_leakage",
+    "q_curation_pipeline", "q_cusum_shift", "q_dedup_survivors", "q_degree_hist",
+    "q_distance_histogram", "q_doc_novelty", "q_domain_signature",
+    "q_dup_cluster_stats", "q_group_mode", "q_join_skew_profile",
+    "q_kwic_snippets", "q_lm_score", "q_lsh_pairs", "q_lsh_precision",
+    "q_markov_transitions", "q_max_concurrency", "q_nearest_click",
+    "q_pagerank", "q_pq_ann", "q_pq_encode", "q_quant_calibration",
+    "q_ri_audit", "q_sequence_pack", "q_set_ops", "q_sketch_rollup",
+    "q_skyline_pareto", "q_soft_dedup_weights", "q_stream_dedup",
+    "q_tfidf_top_terms", "q_time_parse", "q_token_stats", "q_topk_other",
+    "q_train_split", "q_triangle_count", "q_unpivot_metrics", "q_vocab_coverage",
+    "q_winnow_fingerprints", "q_ann_ivf_topk", "q_ann_lsh_topk", "q_ann_topk",
+    "q_bfs_hops", "q_capped_vector_recovery", "q_centroid_classify",
+    "q_cluster_margin", "q_cohort_retention", "q_contamination_check",
+    "q_curriculum_order", "q_dedup_agreement", "q_domain_mix", "q_dup_spans",
     "q_embedding_near_dup", "q_embedding_quantize", "q_flagship",
-    "q_frame_sample", "q_grouping_sets", "q_hard_negatives",
-    "q_heavy_hitters", "q_image_dhash_pairs", "q_incremental_ann_gate",
-    "q_incremental_dedup_gate", "q_knn_graph",
-    "q_lsh_occupancy", "q_mad_outliers", "q_rrf_fusion",
+    "q_frame_sample", "q_grouping_sets", "q_hard_negatives", "q_heavy_hitters",
+    "q_image_dhash_pairs", "q_incremental_ann_gate", "q_incremental_dedup_gate",
+    "q_knn_graph", "q_lsh_occupancy", "q_mad_outliers", "q_rrf_fusion",
     "q_sample_allocation", "q_score_percentile_norm", "q_script_profile",
     "q_seasonal_anomaly", "q_semdedup", "q_semdedup_cells", "q_session_paths",
     "q_shingle_containment", "q_sliding_distinct", "q_split_balance",
     "q_stl_decompose", "q_stream_markov", "q_token_budget_select",
     "q_upsample_epochs", "q_user_entropy", "q_vocab_growth", "q_winsorize",
-    "q_wow_growth", "q_zorder_key",
-    # round-12-certified tranche (the NEWEST certs — last in line under
-    # oldest-first), window order then alphabetical backfill order:
-    "q_feed_catalog", "q_feed_stream_ledger", "q_cross_split_proximity",
-    "q_feed_datasource", "q_feed_pipeline", "q_feed_stream",
-    "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
+    "q_wow_growth", "q_zorder_key", "q_feed_catalog", "q_feed_stream_ledger",
+    "q_cross_split_proximity", "q_feed_datasource", "q_feed_pipeline",
+    "q_feed_stream", "q_kmeans_clusters", "q_ann_ivf_trained", "q_semdedup_trained",
     "q_alert_filter", "q_anti_join_seen", "q_approx_stats", "q_asof_join",
-    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever",
-    "q_blocklist_filter", "q_bloom_semi_join", "q_cap_newest",
-    "q_careers_link", "q_cube_lineitem", "q_customer_distribution",
-    "q_deterministic_sample", "q_doc_length_percentiles", "q_event_gaps",
-    "q_exact_dedup", "q_gap_fill_locf", "q_incremental_agg", "q_job_aggs",
-    "q_json_extract", "q_json_repair", "q_json_serialize", "q_keyword_filter",
-    "q_local_supplier_volume", "q_moving_avg", "q_order_priority",
-    "q_pricing_summary", "q_provider_map", "q_range_join", "q_recency_filter",
-    "q_rollup_orders", "q_running_total", "q_scd2_history", "q_score_topk",
-    "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
+    "q_ats_greenhouse", "q_ats_jsonld_fallback", "q_ats_lever", "q_blocklist_filter",
+    "q_bloom_semi_join", "q_cap_newest", "q_careers_link", "q_cube_lineitem",
+    "q_customer_distribution", "q_deterministic_sample", "q_doc_length_percentiles",
+    "q_event_gaps", "q_exact_dedup", "q_gap_fill_locf", "q_incremental_agg",
+    "q_job_aggs", "q_json_extract", "q_json_repair", "q_json_serialize",
+    "q_keyword_filter", "q_local_supplier_volume", "q_moving_avg",
+    "q_order_priority", "q_pricing_summary", "q_provider_map", "q_range_join",
+    "q_recency_filter", "q_rollup_orders", "q_running_total", "q_scd2_history",
+    "q_score_topk", "q_semi_join_exists", "q_sessionize", "q_sheet_projection",
     "q_shipping_priority",
-    # round-13 registrations (the round's quota, behind the whole
-    # backlog per the standing contract — they lead the r14 window as
-    # the never-driver-sampled tranche):
-    "q_stream_screen", "q_feed_screened_export", "q_gopher_quality",
-    "q_dsir_select", "q_token_fertility", "q_source_quality",
-    "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
-    "q_mmr_select", "q_stream_quality", "q_source_health",
-    "q_effective_tokens", "q_dedup_loss_by_source", "q_eval_set_build",
-    "q_embedding_drift", "q_screen_calibration", "q_stream_dsir",
-    # round-13 second-session registrations (same never-sampled
-    # contract; 30 r13 names total — they fill the r14 window's lead
-    # tranche and spill into the following round's backfill):
-    "q_shard_plan", "q_epoch_shuffle", "q_pii_rate_by_source",
-    "q_cross_source_dup", "q_lsh_s_curve", "q_source_embedding_diversity",
-    "q_stream_pii", "q_substring_dedup", "q_temperature_mix",
-    "q_video_near_dup", "q_audio_near_dup", "q_source_triage",
-    "q_source_divergence", "q_kcore_members", "q_frame_dup_rate",
-    "q_survivor_policy", "q_mixture_build",
+    # round-13-certified tranche (the NEWEST certs — last in line
+    # under oldest-first; r13 window order preserved):
+    "q_ann_recall_audit", "q_benchmark_screen", "q_cross_split_proximity_large",
+    "q_curation_diversify", "q_decontam_agreement", "q_knn_label_accuracy",
+    "q_pack_efficiency", "q_quality_survivors", "q_screen_rate_by_source",
+    "q_screened_export", "q_kcenter_select", "q_kcenter_coverage",
+    "q_kmeans_assign", "q_sliding_window", "q_snapshot_diff", "q_tier_case",
+    "q_tld_explode", "q_tumbling_window", "q_udtf_char_windows", "q_union_sources",
+    "q_upsert_merge", "q_waterfall_coalesce", "q_window_topk", "q_best_supplier_per_part",
+    "q_bpe_tokens", "q_chunk_documents", "q_connector_pipeline", "q_currency_parse",
+    "q_customers_no_orders", "q_decode_image", "q_disjunctive_part_revenue",
+    "q_dq_metrics", "q_dup_span_rate", "q_ewma", "q_excess_shippers",
+    "q_fingerprint", "q_forecast_revenue", "q_funnel_stages", "q_histogram_drift",
+    "q_jsonl_source", "q_ks_two_sample", "q_lang_id", "q_large_orders",
+    "q_market_share", "q_minhash_signatures", "q_moving_median", "q_name_normalize",
+    "q_nation_volume", "q_ntile_deciles", "q_priority_line_counts",
+    # round-14 registrations append below (never-sampled tranche
+    # for the r15 window, per the standing contract).
 ]
 
 

@@ -196,45 +196,33 @@ def test_registry_integrity():
     assert set(_PRIORITY) <= set(qs)
     assert len(_PRIORITY) == len(set(_PRIORITY))          # no dupes
     # the first 50 (a sampling harness's window) is round-rotated; the
-    # round-13 window (VERDICT r12 #1/#2/#4): the ten never-driver-
-    # sampled round-12 registrations lead (alphabetical; slot 3 doubles
-    # as the probe-broadcast-fallback canary), then the round-13
-    # canaries for the kcenter adaptive-argmin switch (the standing
-    # canary rule from VERDICT r6 #7), then OLDEST-FIRST backfill:
-    # the round-6 remainder (r6 cert count reaches 0) and the oldest
-    # round-7 tranche, alphabetical
+    # round-14 window (VERDICT r13 #1/#4): the THIRTY-FIVE round-13
+    # registrations lead en bloc, alphabetical (never-driver-sampled;
+    # they overflow one window minus backfill so they take slots 1-35
+    # together — this round's changed-operator canaries, the
+    # video/kcore/audio ADVICE cleanups, are already inside the
+    # tranche), then oldest-first backfill: the first 15 of the 18
+    # round-7-stale names, alphabetical.
     prefix = list(qs)[:50]
-    assert prefix[:10] == [
-        "q_ann_recall_audit", "q_benchmark_screen",
-        "q_cross_split_proximity_large", "q_curation_diversify",
-        "q_decontam_agreement", "q_knn_label_accuracy",
-        "q_pack_efficiency", "q_quality_survivors",
-        "q_screen_rate_by_source", "q_screened_export",
+    assert prefix[:35] == [
+        "q_audio_near_dup", "q_cross_source_dup",
+        "q_dedup_loss_by_source", "q_dsir_select", "q_effective_tokens",
+        "q_embedding_drift", "q_epoch_shuffle", "q_eval_set_build",
+        "q_feed_screened_export", "q_frame_dup_rate",
+        "q_gopher_quality", "q_kcore_members", "q_lang_budget_mix",
+        "q_lsh_s_curve", "q_mixture_build", "q_mmr_select",
+        "q_multi_screen", "q_pii_rate_by_source", "q_prototypicality",
+        "q_screen_calibration", "q_shard_plan", "q_source_divergence",
+        "q_source_embedding_diversity", "q_source_health",
+        "q_source_quality", "q_source_triage", "q_stream_dsir",
+        "q_stream_pii", "q_stream_quality", "q_stream_screen",
+        "q_substring_dedup", "q_survivor_policy", "q_temperature_mix",
+        "q_token_fertility", "q_video_near_dup",
     ]
-    assert prefix[10:13] == [
-        "q_kcenter_select", "q_kcenter_coverage", "q_kmeans_assign",
-    ]
-    assert prefix[13] == "q_sliding_window"
-    assert prefix[13:23] == sorted(prefix[13:23])  # r6 remainder, alpha
-    assert prefix[23] == "q_best_supplier_per_part"
-    assert prefix[23:50] == sorted(prefix[23:50])  # oldest r7, alpha
-    # this round's new registrations sit at the very back of the
-    # priority list (never-sampled tranche for the r14 window)
-    assert list(qs)[-35:] == [
-        "q_stream_screen", "q_feed_screened_export", "q_gopher_quality",
-        "q_dsir_select", "q_token_fertility", "q_source_quality",
-        "q_prototypicality", "q_multi_screen", "q_lang_budget_mix",
-        "q_mmr_select", "q_stream_quality", "q_source_health",
-        "q_effective_tokens", "q_dedup_loss_by_source",
-        "q_eval_set_build", "q_embedding_drift", "q_screen_calibration",
-        "q_stream_dsir",
-        # the session's later waves (registered after the first r13
-        # tranche, same never-sampled contract for the r14 window)
-        "q_shard_plan", "q_epoch_shuffle", "q_pii_rate_by_source",
-        "q_cross_source_dup", "q_lsh_s_curve",
-        "q_source_embedding_diversity", "q_stream_pii",
-        "q_substring_dedup", "q_temperature_mix", "q_video_near_dup",
-        "q_audio_near_dup", "q_source_triage", "q_source_divergence",
-        "q_kcore_members", "q_frame_dup_rate", "q_survivor_policy",
-        "q_mixture_build",
+    assert prefix[35] == "q_product_profit"
+    assert prefix[35:50] == sorted(prefix[35:50])  # oldest r7, alpha
+    # the r7 overflow (3 names) leads the r15 backfill just past the
+    # boundary
+    assert list(qs)[50:53] == [
+        "q_token_entropy", "q_url_parse", "q_variant_json",
     ]
