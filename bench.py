@@ -297,6 +297,20 @@ WARM_PASSES = 3  # single warm runs made 0.1-s regressions unreadable
 # re-measured by scripts/qtime.py in a FRESH process (fresh JVM, no
 # suite cache pressure): cold + 3 warm passes, per-query warm medians,
 # recorded as "queries_isolated" in BENCH_BUILDER_r{N}.json.
+#
+# HEADLINE RULE (VERDICT r13 #2): the summary line's primary
+# metric/value is the isolated warm-median total over the COMMON
+# comparison set — the first ISOLATED_COMMON_N names below, FROZEN at
+# the r13 composition. The suite total (which grows with every
+# registration and so was the wrong-way headline two rounds running)
+# moves to the secondary "suite_total" field. Round-over-round is
+# apples-to-apples by construction: r15-vs-r14-vs-r13 all compare the
+# same 20 queries. Appends beyond the common set are still measured
+# per-query (their series lives in "queries_isolated" in the detail
+# files) but never enter the headline value. If the isolated leg fails
+# or is skipped, the last stdout line falls back to the suite metric —
+# a reader can tell by the "metric" name.
+ISOLATED_COMMON_N = 20  # = the full r13 subset; frozen, do not bump
 ISOLATED_SUBSET = [
     "q_semdedup_trained",
     "q_pagerank",
@@ -361,7 +375,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    trace = bool(os.environ.get("SPARK_GRAFT_BENCH_TRACE"))
+
     def run(name: str) -> float:
+        if trace:
+            # timestamped start marker on stderr, interleaves with the
+            # JVM's log4j lines so engine ERRORs (e.g. the r13
+            # accumulator-race log) can be attributed to a query
+            print(
+                time.strftime("%y/%m/%d %H:%M:%S")
+                + f" BENCH start {name}",
+                file=sys.stderr,
+                flush=True,
+            )
         t0 = time.time()
         queries[name].fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -425,17 +451,43 @@ def main() -> None:
     assert len(line) < 1500, f"bench summary line grew to {len(line)} bytes"
 
     def build_detail(isolated: dict | None) -> str:
+        common = ISOLATED_SUBSET[:ISOLATED_COMMON_N]
+        common_total = (
+            round(
+                sum(
+                    isolated[n]["warm_median"]
+                    for n in common
+                    if n in isolated
+                ),
+                3,
+            )
+            if isolated
+            else None
+        )
         return json.dumps(
             {
-                "metric": "headline_suite_warm_median_runtime",
-                "value": round(sum(warm_med.values()), 3),
+                # primary = frozen common-set isolated total (HEADLINE
+                # RULE above); suite total kept as a secondary field
+                "metric": (
+                    "isolated_common20_warm_median_runtime"
+                    if isolated
+                    else "headline_suite_warm_median_runtime"
+                ),
+                "value": (
+                    common_total
+                    if isolated
+                    else round(sum(warm_med.values()), 3)
+                ),
+                "suite_total": round(sum(warm_med.values()), 3),
                 "unit": "sec",
                 "queries_isolated": isolated,
                 "isolated_protocol": (
-                    "fixed slowest-15 subset, fresh process after the "
-                    "suite, cold + 3-pass warm medians (scripts/qtime.py) "
-                    "— compare rounds on THESE numbers, the in-suite "
-                    "series carries ambient box noise (VERDICT r12 #3)"
+                    "fixed append-only subset, fresh process after the "
+                    "suite, cold + 3-pass warm medians (scripts/qtime.py); "
+                    "headline value = the FROZEN first-20 common set "
+                    "(HEADLINE RULE in bench.py) — compare rounds on "
+                    "that, the in-suite series carries ambient box "
+                    "noise (VERDICT r12 #3, r13 #2)"
                 ),
                 "queries": warm_med,
                 "queries_warm_min": warm_min,
@@ -503,12 +555,38 @@ def main() -> None:
     spark.stop()
     isolated = _isolated_remeasure()
     if isolated:
-        parsed = json.loads(line)
-        parsed["isolated_total"] = round(
-            sum(v["warm_median"] for v in isolated.values()), 3
+        # HEADLINE RULE: lead with the frozen common-set isolated total;
+        # the growing suite total becomes a secondary field.
+        common = ISOLATED_SUBSET[:ISOLATED_COMMON_N]
+        common_measured = [n for n in common if n in isolated]
+        line = json.dumps(
+            {
+                "metric": "isolated_common20_warm_median_runtime",
+                "value": round(
+                    sum(
+                        isolated[n]["warm_median"] for n in common_measured
+                    ),
+                    3,
+                ),
+                "unit": "sec",
+                "isolated_common_set": f"ISOLATED_SUBSET[:{ISOLATED_COMMON_N}] frozen at r13",
+                "isolated_common_measured": len(common_measured),
+                "isolated_total_all": round(
+                    sum(v["warm_median"] for v in isolated.values()), 3
+                ),
+                "isolated_queries": len(isolated),
+                "suite_total": round(sum(warm_med.values()), 3),
+                "suite_queries": len(warm_med),
+                "queries": slowest,
+                "queries_truncated_to": (
+                    "suite slowest-10 (full maps in BENCH_LOCAL.json)"
+                ),
+                "cold_total": round(sum(cold.values()), 3),
+                "warm_passes": WARM_PASSES,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            separators=(",", ":"),
         )
-        parsed["isolated_queries"] = len(isolated)
-        line = json.dumps(parsed, separators=(",", ":"))
         assert len(line) < 1500, f"bench line grew to {len(line)} bytes"
         detail = build_detail(isolated)
         for path in (out_path, snap):
