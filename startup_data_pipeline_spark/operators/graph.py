@@ -364,6 +364,7 @@ def kcore_fixed_rounds(
     dst: str,
     k: int = 3,
     n_rounds: int = 4,
+    round_edge_counts: list[int] | None = None,
 ) -> DataFrame:
     """Fixed-round k-core peeling over an undirected graph: repeatedly
     drop every node whose surviving degree is below ``k`` — the dense-
@@ -382,6 +383,16 @@ def kcore_fixed_rounds(
     a deeper onion just needs a larger ``n_rounds``, each round one
     degree agg + two semi joins over digest-width rows, lineage
     truncated per round.
+
+    Convergence indicator (ADVICE r13): pass a list as
+    ``round_edge_counts`` and the surviving DIRECTED edge count after
+    each round is appended to it — each count is one job over the
+    round's already-materialized localCheckpoint (no extra shuffle,
+    nothing at all when the list is omitted). Converged ⇔ the last
+    two entries are equal (a peel that drops nothing is a fixed
+    point); a strictly-decreasing tail means the budget under-peeled
+    and the result is a SUPERSET of the k-core — detectable at scale
+    without breaking the unrolled-oracle determinism contract above.
 
     Returns [node, core_degree]: the surviving nodes and their degree
     within the surviving subgraph.
@@ -407,6 +418,8 @@ def kcore_fixed_rounds(
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .localCheckpoint()
         )
+        if round_edge_counts is not None:
+            round_edge_counts.append(cur.count())
     return (
         cur.groupBy("a")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))

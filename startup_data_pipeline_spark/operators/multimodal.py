@@ -533,55 +533,39 @@ def audio_features(decoded: DataFrame, id_col: str) -> DataFrame:
 
 
 def video_near_dup_pairs(
-    df: DataFrame,
+    decoded_frames: DataFrame,
     id_col: str,
     min_shared: int = 2,
     max_bucket: int = 128,
 ) -> DataFrame:
     """Video near-duplicate detection by shared-frame perceptual
-    hashes: sample frames per video, dHash every frame, and call two
-    videos near-dups when they share at least ``min_shared`` distinct
-    frame hashes — the standard re-encode/re-upload detector (codec,
-    container, and bitrate change; frame CONTENT does not).
+    hashes: dHash every decoded frame and call two videos near-dups
+    when they share at least ``min_shared`` distinct frame hashes —
+    the standard re-encode/re-upload detector (codec, container, and
+    bitrate change; frame CONTENT does not).
 
-    Composes the whole multimodal chain end-to-end: frame-index
-    explode (``sample_frames`` shape) → fixture PPM payload per frame
-    (``attach_ppm_payload`` seeded by (video id, frame index) — in
-    production the payload is the decoded frame off object storage) →
-    real decode → native 9×8 dHash → hash-equality self-join bounded
-    by ``max_bucket`` (a solid-color frame collapses its bucket — the
+    Takes a generic DECODED-frame DataFrame — one row per (video,
+    frame) with ``id_col`` naming the video plus ``decode_image``
+    output columns — the same boundary contract as
+    ``audio_fingerprint`` (decode/seeding stays with the caller;
+    ADVICE r13). Production callers feed frames decoded off object
+    storage; the registry query feeds the oracle-mirrored fixture
+    frames.
+
+    Plan: native 9×8 dHash → hash-equality self-join bounded by
+    ``max_bucket`` (a solid-color frame collapses its bucket — the
     same degenerate-bucket cap as every banded join) → video-pair
-    rollup. The frame table is materialized once for both join sides
-    (the lambda-CSE rule: decode + resize is the dominant cost), and
-    only (video_id, dhash64) rows — 16 bytes — ever shuffle.
-
-    Fixture frame contract (oracle-mirrored): a video has
-    ``3 + id % 4`` frames and frame content is seeded by
-    ``(id % 256) * 1000 + frame_index`` — videos congruent mod 256 are
-    re-encodes of each other.
+    rollup. The hashed frame table is materialized once for both join
+    sides (the lambda-CSE rule: decode + resize is the dominant
+    cost), and only (video id, dhash64) rows — 16 bytes — ever
+    shuffle.
 
     Returns [video_a, video_b, n_shared_frames], video_a < video_b.
     """
     from .util import materialize_for_self_join
 
-    vids = df.select(F.col(id_col).cast("long").alias("video_id"))
-    frames = vids.withColumn(
-        "frame_index",
-        F.explode(
-            F.sequence(
-                F.lit(0), (F.lit(2) + F.col("video_id") % 4).cast("int")
-            )
-        ),
-    )
-    seeded = frames.withColumn(
-        "frame_seed",
-        ((F.col("video_id") % 256) * 1000 + F.col("frame_index")).cast(
-            "long"
-        ),
-    )
-    decoded = decode_image(attach_ppm_payload(seeded, "frame_seed"))
     hashed = materialize_for_self_join(
-        image_dhash(decoded, "video_id").distinct()
+        image_dhash(decoded_frames, id_col).distinct()
     )
     ok = (
         hashed.groupBy("dhash64")
@@ -590,8 +574,8 @@ def video_near_dup_pairs(
         .select("dhash64")
     )
     hx = hashed.join(ok, "dhash64")
-    a = hx.select(F.col("video_id").alias("video_a"), "dhash64")
-    b = hx.select(F.col("video_id").alias("video_b"), "dhash64")
+    a = hx.select(F.col(id_col).alias("video_a"), "dhash64")
+    b = hx.select(F.col(id_col).alias("video_b"), "dhash64")
     return (
         a.join(b, "dhash64")
         .filter(F.col("video_a") < F.col("video_b"))
@@ -647,7 +631,7 @@ def audio_fingerprint(decoded: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def video_frame_dup_rate(df: DataFrame, id_col: str) -> DataFrame:
+def video_frame_dup_rate(decoded_frames: DataFrame, id_col: str) -> DataFrame:
     """Per-video duplicate-frame rate: how much of a video is visually
     static — distinct frame dHashes vs frames sampled, in exact integer
     ppm. The information-density signal of video curation: a clip whose
@@ -655,34 +639,17 @@ def video_frame_dup_rate(df: DataFrame, id_col: str) -> DataFrame:
     far fewer training tokens than its byte size suggests, so packing
     and mixture decisions want this BEFORE decode-heavy featurization.
 
-    Same fixture frame contract as ``video_near_dup_pairs`` (3 + id % 4
-    frames, content seeded by (id % 256) * 1000 + frame_index — so
-    fixture frames are distinct WITHIN a video and the interesting
-    signal is cross-video; real corpora invert that). One decode pass,
-    one |videos|-key agg of (count, approx-free exact distinct via the
-    dHash set); only (video_id, hash) rows shuffle.
+    Same DECODED-frame input contract as ``video_near_dup_pairs`` (one
+    row per (video, frame), ``id_col`` names the video; decode/seeding
+    stays with the caller — ADVICE r13). One dHash pass, one
+    |videos|-key agg of (count, approx-free exact distinct via the
+    dHash set); only (video id, hash) rows shuffle.
 
-    Returns [video_id, n_frames, n_distinct_frames, dup_frame_ppm].
+    Returns [``id_col``, n_frames, n_distinct_frames, dup_frame_ppm].
     """
-    vids = df.select(F.col(id_col).cast("long").alias("video_id"))
-    frames = vids.withColumn(
-        "frame_index",
-        F.explode(
-            F.sequence(
-                F.lit(0), (F.lit(2) + F.col("video_id") % 4).cast("int")
-            )
-        ),
-    )
-    seeded = frames.withColumn(
-        "frame_seed",
-        ((F.col("video_id") % 256) * 1000 + F.col("frame_index")).cast(
-            "long"
-        ),
-    )
-    decoded = decode_image(attach_ppm_payload(seeded, "frame_seed"))
-    hashed = image_dhash(decoded, "video_id")
+    hashed = image_dhash(decoded_frames, id_col)
     return (
-        hashed.groupBy("video_id")
+        hashed.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_frames"),
             F.countDistinct("dhash64").cast("long").alias(
@@ -690,7 +657,7 @@ def video_frame_dup_rate(df: DataFrame, id_col: str) -> DataFrame:
             ),
         )
         .select(
-            "video_id",
+            id_col,
             "n_frames",
             "n_distinct_frames",
             F.expr(

@@ -1308,13 +1308,49 @@ def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frame_dhash_pairs_oracle(min_shared: int = 2, max_bucket: int = 128) -> str:
-    # the _dhash_oracle arithmetic re-parameterized per FRAME: a video
-    # has 3 + id % 4 frames; frame content is seeded by
-    # s = (id % 256) * 1000 + frame_index (attach_ppm_payload on the
-    # frame_seed column), so w = 4 + s % 5, h = 3 + s % 4 and byte j of
-    # the raster is (s*7 + j*11) % 256. Independent full re-derivation
-    # of explode -> payload -> decode -> 9x8 resample -> dHash.
+def _fixture_video_frames(docs: DataFrame) -> DataFrame:
+    """Fixture frame synthesis for the video queries, oracle-mirrored:
+    a video has ``3 + id % 4`` frames and frame content is seeded by
+    ``(id % 256) * 1000 + frame_index`` — videos congruent mod 256 are
+    re-encodes of each other. Lives in the registry layer (not the
+    library operators) so production callers can feed
+    ``video_near_dup_pairs`` / ``video_frame_dup_rate`` real decoded
+    frames — the ``audio_fingerprint`` split, per ADVICE r13. Output:
+    one decoded row per (video_id, frame_index).
+    """
+    vids = docs.select(F.col("doc_id").cast("long").alias("video_id"))
+    frames = vids.withColumn(
+        "frame_index",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.lit(2) + F.col("video_id") % 4).cast("int")
+            )
+        ),
+    )
+    seeded = frames.withColumn(
+        "frame_seed",
+        ((F.col("video_id") % 256) * 1000 + F.col("frame_index")).cast(
+            "long"
+        ),
+    )
+    return multimodal.decode_image(
+        multimodal.attach_ppm_payload(seeded, "frame_seed")
+    )
+
+
+def _frame_dhash_ctes(distinct: bool) -> str:
+    """Shared oracle CTE chain deriving per-frame dHashes (CTE ``d``:
+    video_id, dhash64) from the fixture frame contract — the
+    ``_dhash_oracle`` arithmetic re-parameterized per FRAME: a video
+    has 3 + id % 4 frames; frame content is seeded by
+    s = (id % 256) * 1000 + frame_index (attach_ppm_payload on the
+    frame_seed column), so w = 4 + s % 5, h = 3 + s % 4 and byte j of
+    the raster is (s*7 + j*11) % 256. Independent full re-derivation
+    of explode -> payload -> decode -> 9x8 resample -> dHash, used by
+    BOTH the near-dup-pairs and dup-rate oracles (single source of
+    truth — ADVICE r13). ``distinct`` dedups (video_id, dhash64) for
+    the pair join; the dup-rate rollup needs the raw multiset.
+    """
     w, h = "(4 + s % 5)", "(3 + s % 4)"
     sp = f"(((((p // 9) * {h}) // 8) * {w}) + (((p % 9) * {w}) // 9))"
     gray = (
@@ -1347,12 +1383,17 @@ def _frame_dhash_pairs_oracle(min_shared: int = 2, max_bucket: int = 128) -> str
         FROM g
     ),
     d AS (
-        SELECT DISTINCT video_id,
+        SELECT {"DISTINCT" if distinct else ""} video_id,
                CASE WHEN sig_hi >= 2147483648
                     THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
                     ELSE sig_hi * 4294967296 + sig_lo END AS dhash64
         FROM sig
-    ),
+    )"""
+
+
+def _frame_dhash_pairs_oracle(min_shared: int = 2, max_bucket: int = 128) -> str:
+    return f"""
+    {_frame_dhash_ctes(distinct=True)},
     sz AS (SELECT dhash64, COUNT(*) AS c FROM d GROUP BY dhash64),
     dx AS (
         SELECT d.video_id, d.dhash64 FROM d JOIN sz USING (dhash64)
@@ -1378,11 +1419,10 @@ def _frame_dhash_pairs_oracle(min_shared: int = 2, max_bucket: int = 128) -> str
     "rows shuffle",
 )
 def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import multimodal
-
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.video_near_dup_pairs(
-        docs, "doc_id", min_shared=2, max_bucket=128
+        _fixture_video_frames(docs), "video_id", min_shared=2,
+        max_bucket=128,
     )
 
 
@@ -1411,11 +1451,7 @@ def _audio_fp_pairs_oracle(max_bucket: int = 128) -> str:
         )
 
     return f"""
-    WITH a AS (
-        SELECT DISTINCT doc_id % 256 AS s FROM documents
-        WHERE 64 + (doc_id % 256) % 32 >= 65
-    ),
-    clips AS (
+    WITH clips AS (
         SELECT doc_id, doc_id % 256 AS s FROM documents
         WHERE 64 + (doc_id % 256) % 32 >= 65
     ),
@@ -1480,46 +1516,10 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frame_dup_rate_oracle() -> str:
-    # the per-frame dHash CTEs of _frame_dhash_pairs_oracle rolled up
-    # per video: frames sampled, distinct hashes, dup-frame ppm
-    w, h = "(4 + s % 5)", "(3 + s % 4)"
-    sp = f"(((((p // 9) * {h}) // 8) * {w}) + (((p % 9) * {w}) // 9))"
-    gray = (
-        f"((s * 7 + (3 * {sp}) * 11) % 256"
-        f" + (s * 7 + (3 * {sp} + 1) * 11) % 256"
-        f" + (s * 7 + (3 * {sp} + 2) * 11) % 256) // 3"
-    )
-
-    def half(lo: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN gray[{(i // 8) * 9 + (i % 8) + 2}]"
-            f" > gray[{(i // 8) * 9 + (i % 8) + 1}]"
-            f" THEN CAST({1 << (i % 32)} AS BIGINT) ELSE 0 END)"
-            for i in range(lo, lo + 32)
-        )
-
+    # the shared per-frame dHash CTE chain rolled up per video:
+    # frames sampled, distinct hashes, dup-frame ppm
     return f"""
-    WITH f AS (
-        SELECT doc_id AS video_id, u.fi AS frame_index,
-               (doc_id % 256) * 1000 + u.fi AS s
-        FROM documents, UNNEST(generate_series(0, 2 + doc_id % 4)) AS u(fi)
-    ),
-    g AS (
-        SELECT video_id,
-               list_transform(generate_series(0, 71), p -> {gray}) AS gray
-        FROM f
-    ),
-    sig AS (
-        SELECT video_id, ({half(0)}) AS sig_lo, ({half(32)}) AS sig_hi
-        FROM g
-    ),
-    d AS (
-        SELECT video_id,
-               CASE WHEN sig_hi >= 2147483648
-                    THEN (sig_hi - 4294967296) * 4294967296 + sig_lo
-                    ELSE sig_hi * 4294967296 + sig_lo END AS dhash64
-        FROM sig
-    )
+    {_frame_dhash_ctes(distinct=False)}
     SELECT video_id,
            CAST(COUNT(*) AS BIGINT) AS n_frames,
            CAST(COUNT(DISTINCT dhash64) AS BIGINT) AS n_distinct_frames,
@@ -1540,4 +1540,6 @@ def _frame_dup_rate_oracle() -> str:
 )
 def q_frame_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.video_frame_dup_rate(docs, "doc_id")
+    return multimodal.video_frame_dup_rate(
+        _fixture_video_frames(docs), "video_id"
+    )

@@ -445,6 +445,9 @@ def test_video_near_dup_detects_reencodes(spark):
     """Videos congruent mod 256 share all common frames (fixture
     contract), so (i, i+256) must pair with min(n_frames) shared."""
     from startup_data_pipeline_spark.operators import multimodal
+    from startup_data_pipeline_spark.registry_stream import (
+        _fixture_video_frames,
+    )
 
     docs = spark.createDataFrame(
         [(i,) for i in (3, 259, 7)], "doc_id long"
@@ -452,7 +455,7 @@ def test_video_near_dup_detects_reencodes(spark):
     got = {
         (r["video_a"], r["video_b"]): r["n_shared_frames"]
         for r in multimodal.video_near_dup_pairs(
-            docs, "doc_id", min_shared=2
+            _fixture_video_frames(docs), "video_id", min_shared=2
         ).collect()
     }
     # videos 3 and 259: same id % 256 = 3 -> identical frame seeds;
@@ -470,16 +473,20 @@ def test_video_near_dup_bucket_cap_bounds_join(spark):
     """With every video in ONE re-encode group, bucket size equals the
     video count: above the cap the join must return nothing."""
     from startup_data_pipeline_spark.operators import multimodal
+    from startup_data_pipeline_spark.registry_stream import (
+        _fixture_video_frames,
+    )
 
     docs = spark.createDataFrame(
         [(i * 256,) for i in range(6)], "doc_id long"
     )
+    frames = _fixture_video_frames(docs)
     capped = multimodal.video_near_dup_pairs(
-        docs, "doc_id", min_shared=1, max_bucket=5
+        frames, "video_id", min_shared=1, max_bucket=5
     )
     assert capped.count() == 0
     uncapped = multimodal.video_near_dup_pairs(
-        docs, "doc_id", min_shared=1, max_bucket=6
+        frames, "video_id", min_shared=1, max_bucket=6
     )
     assert uncapped.count() == 15  # all C(6,2) re-encode pairs
 
@@ -665,6 +672,31 @@ def test_kcore_extracts_dense_cluster_drops_chain(spark):
     assert got == [(0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
 
 
+def test_kcore_convergence_indicator(spark):
+    """round_edge_counts makes an under-peeled budget detectable:
+    equal tail entries <=> fixed point reached; strictly decreasing
+    tail <=> superset result (ADVICE r13)."""
+    from startup_data_pipeline_spark.operators import graph
+
+    # a path peels exactly its two endpoints per 2-core round, so a
+    # 10-node path needs 5 rounds to empty — the worst-case onion
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+
+    short: list[int] = []
+    graph.kcore_fixed_rounds(
+        df, "id_a", "id_b", k=2, n_rounds=2, round_edge_counts=short
+    ).count()
+    assert len(short) == 2 and short[0] > short[1] > 0  # under-peeled
+
+    full: list[int] = []
+    graph.kcore_fixed_rounds(
+        df, "id_a", "id_b", k=2, n_rounds=6, round_edge_counts=full
+    ).count()
+    assert len(full) == 6 and full[-1] == full[-2] == 0  # converged
+
+
 def test_kcore_fixpoint_reached_on_fixture(spark, sf_dir):
     """The 4-round budget reaches the true fixpoint on the fixture
     graph: a 5th round changes nothing."""
@@ -684,17 +716,58 @@ def test_kcore_fixpoint_reached_on_fixture(spark, sf_dir):
 def test_frame_dup_rate_zero_for_distinct_frames_full_for_static(spark):
     from startup_data_pipeline_spark.operators import multimodal
 
+    from startup_data_pipeline_spark.registry_stream import (
+        _fixture_video_frames,
+    )
+
     # fixture frames are distinct within a video -> dup ppm 0
     docs = spark.createDataFrame([(3,), (7,)], "doc_id long")
     got = {
         r["video_id"]: r
-        for r in multimodal.video_frame_dup_rate(docs, "doc_id").collect()
+        for r in multimodal.video_frame_dup_rate(
+            _fixture_video_frames(docs), "video_id"
+        ).collect()
     }
     assert got[3]["n_frames"] == 6 and got[3]["dup_frame_ppm"] == 0
     assert got[7]["n_frames"] == 6 and got[7]["dup_frame_ppm"] == 0
     assert all(
         r["n_distinct_frames"] == r["n_frames"] for r in got.values()
     )
+
+
+def test_video_ops_accept_caller_supplied_frames(spark):
+    """The operators take a generic decoded-frame table (ADVICE r13
+    hoist): a caller with its own frame source — here two clips where
+    clip 100 repeats one frame — gets intra-video duplicates the
+    fixture contract can never produce."""
+    from startup_data_pipeline_spark.operators import multimodal
+
+    rows_in = [  # (clip, frame payload seed): clip 100 repeats seed 7
+        (100, 7), (100, 7), (100, 8),
+        (200, 7), (200, 9), (200, 10),
+    ]
+    frames = multimodal.decode_image(
+        multimodal.attach_ppm_payload(
+            spark.createDataFrame(rows_in, "clip_id long, seed long"),
+            "seed",
+        )
+    )
+    rate = {
+        r["clip_id"]: r
+        for r in multimodal.video_frame_dup_rate(
+            frames, "clip_id"
+        ).collect()
+    }
+    assert rate[100]["n_frames"] == 3
+    assert rate[100]["n_distinct_frames"] == 2
+    assert rate[100]["dup_frame_ppm"] == 333333
+    assert rate[200]["dup_frame_ppm"] == 0
+    # the shared seed-7 frame links the two clips in the pair detector
+    pairs = multimodal.video_near_dup_pairs(
+        frames, "clip_id", min_shared=1
+    ).collect()
+    assert [(r["video_a"], r["video_b"], r["n_shared_frames"])
+            for r in pairs] == [(100, 200, 1)]
 
 
 def test_survivor_policy_detects_quality_inversion(spark):
