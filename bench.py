@@ -262,6 +262,12 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: q_stream_gates stays OUT on the q_feed_stream
+    # precedent — its runtime is streaming-engine startup x 4 epochs
+    # over per-leg work the batch twins (q_benchmark_screen,
+    # q_gopher_quality, q_pii_rate_by_source, q_dsir_select) already
+    # time; correctness-certified via the registry oracle gate like
+    # every exclusion
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -184,6 +184,8 @@ PROBE = [
     "q_frame_dup_rate",
     "q_survivor_policy",
     "q_mixture_build",
+    # round-14 additions
+    "q_stream_gates",
 ]
 
 

@@ -1780,6 +1780,107 @@ def dsir_importance(
     )
 
 
+def dsir_train_weights(
+    df: DataFrame,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 64,
+) -> tuple[dict[int, int], int]:
+    """Train the DSIR bucket-weight table once, driver-side — the
+    frozen-index half of the streaming DSIR gate (the dedup/ANN-gate
+    contract: index state built at handler construction, never per
+    batch). Same Laplace-smoothed integer-ppm arithmetic as
+    ``dsir_importance``; the collect is bounded at ``n_buckets`` + 1
+    rows regardless of corpus size.
+
+    Returns ``(bucket → w_ppm, prior_ppm)``.
+    """
+    tok = ensure_min_parallelism(df).select(
+        target.alias("__t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    toks = tok.select("__t", bucket.alias("bucket"))
+    weights = {
+        int(r["bucket"]): int(r["w_ppm"])
+        for r in toks.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_b"),
+            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("r_b"),
+        )
+        .select(
+            "bucket",
+            F.expr("(1000000 * (t_b + 1)) div (t_b + r_b + 2)")
+            .alias("w_ppm"),
+        )
+        .collect()
+    }
+    prior = int(
+        toks.agg(
+            F.expr(
+                "(1000000 * (sum(CASE WHEN __t THEN 1 ELSE 0 END) + 1))"
+                " div (count(1) + 2)"
+            ).alias("p")
+        ).collect()[0]["p"]
+    )
+    return weights, prior
+
+
+def dsir_score_frozen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[int, int],
+    prior_ppm: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a FROZEN DSIR weight table — the
+    per-micro-batch half of the streaming DSIR gate. The weights ride
+    the plan as one map literal (≤ ``n_buckets`` entries — the
+    clamped-literal convention), so scoring is one token explode + one
+    per-doc aggregate, stateless given the frozen index; the epoch
+    union over any arrival partitioning equals batch scoring.
+
+    Same output contract as ``dsir_importance``:
+    [id, n_tokens, importance_ppm, prior_ppm, selected], one row per
+    document with ≥1 token.
+    """
+    w_map = F.create_map(
+        *[F.lit(v) for kv in sorted(weights.items()) for v in kv]
+    )
+    tokb = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    return (
+        tokb.select(F.col(id_col), w_map[F.col("bucket")].alias("w_ppm"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_ppm").alias("__sum_w"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.expr("__sum_w div n_tokens").alias("importance_ppm"),
+            F.lit(int(prior_ppm)).cast("long").alias("prior_ppm"),
+        )
+        .withColumn(
+            "selected", F.col("importance_ppm") >= F.col("prior_ppm")
+        )
+    )
+
+
 def token_fertility_by_lang(
     df: DataFrame, id_col: str, text_col: str, lang_col: str
 ) -> DataFrame:

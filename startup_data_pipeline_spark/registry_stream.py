@@ -1115,46 +1115,13 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import uuid
 
-    from pyspark.sql import functions as SF
-
-    from .operators.text import tokens
+    from .operators import text
     from .registry_ats import _session_tmp
 
     docs = load_table(spark, sf_dir, "documents")
     # frozen index: bucket weights + prior from the FULL corpus, once
-    tok = docs.select(
-        (F.col("lang") == "en").alias("__t"),
-        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        % 64
-    )
-    toks = tok.select("__t", bucket.alias("bucket"))
-    weights = {
-        int(r["bucket"]): int(r["w_ppm"])
-        for r in toks.groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_b"),
-            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("r_b"),
-        )
-        .select(
-            "bucket",
-            F.expr("(1000000 * (t_b + 1)) div (t_b + r_b + 2)")
-            .alias("w_ppm"),
-        )
-        .collect()
-    }
-    prior = int(
-        toks.agg(
-            F.expr(
-                "(1000000 * (sum(CASE WHEN __t THEN 1 ELSE 0 END) + 1))"
-                " div (count(1) + 2)"
-            ).alias("p")
-        ).collect()[0]["p"]
-    )
-    w_map = SF.create_map(
-        *[F.lit(v) for kv in sorted(weights.items()) for v in kv]
+    weights, prior = text.dsir_train_weights(
+        docs, "text", F.col("lang") == "en", n_buckets=64
     )
 
     src = _stream_screen_source(spark, sf_dir)
@@ -1170,36 +1137,10 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(_session_tmp(f"stream_dsir_ckpt_{run}"), "ckpt")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        tokb = batch_df.select(
-            "doc_id",
-            F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
-        ).select(
-            "doc_id",
-            (
-                F.conv(
-                    F.substring(F.md5(F.col("tok")), 1, 8), 16, 10
-                ).cast("long")
-                % 64
-            ).alias("bucket"),
-        )
-        scored = (
-            tokb.select("doc_id", w_map[F.col("bucket")].alias("w_ppm"))
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                F.sum("w_ppm").alias("__sum_w"),
-            )
-            .select(
-                "doc_id",
-                "n_tokens",
-                F.expr("__sum_w div n_tokens").alias("importance_ppm"),
-                F.lit(prior).cast("long").alias("prior_ppm"),
-            )
-            .withColumn(
-                "selected", F.col("importance_ppm") >= F.col("prior_ppm")
-            )
-        )
-        scored.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        text.dsir_score_frozen(
+            batch_df.select("doc_id", "text"), "doc_id", "text",
+            weights, prior, n_buckets=64,
+        ).write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -1305,6 +1246,99 @@ def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "doc_id", "n_emails", "n_phones", "n_ips", "pii_found",
         "scrubbed_fp",
+    )
+
+
+def _stream_gates_oracle() -> str:
+    # The four certified per-gate oracle chains composed by inner join
+    # on the arrival id (each subquery is one gate's full batch-twin
+    # derivation; nested WITHs are scoped per subquery). DSIR drops
+    # token-less documents, so the inner join mirrors the Spark side's
+    # join semantics exactly. admit = screen admits AND quality passes
+    # AND no PII AND DSIR selects.
+    from .registry_ext import _benchmark_screen_oracle
+
+    return f"""
+    SELECT s.arrival_id AS doc_id,
+           s.verdict AS screen_verdict,
+           s.action,
+           g.gopher_pass,
+           p.pii_found,
+           d.importance_ppm,
+           d.selected AS dsir_selected,
+           (s.action = 'admit' AND g.gopher_pass AND NOT p.pii_found
+            AND d.selected) AS admit
+    FROM ({_benchmark_screen_oracle()}) s
+    JOIN ({_stream_quality_oracle()}) g ON g.doc_id = s.arrival_id
+    JOIN ({_stream_pii_oracle()}) p ON p.doc_id = s.arrival_id
+    JOIN ({_stream_dsir_oracle()}) d ON d.doc_id = s.arrival_id
+    """
+
+
+@register(
+    "q_stream_gates",
+    oracle=_stream_gates_oracle(),
+    survey_ops="§2.9 × §2.11 composed-gates capstone (VERDICT r13 #5): "
+    "ALL four stateless ingestion gates — benchmark screen, Gopher "
+    "quality, PII, DSIR — on ONE arrival stream in ONE foreachBatch "
+    "lineage, one verdict row per arrival with the composed admit "
+    "decision; frozen indexes (screen shingles+vectors, DSIR weights) "
+    "built once at handler construction, 4-epoch replay, epoch union "
+    "≡ the batch four-gate pass joined on the arrival id",
+)
+def q_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from .operators import text
+    from .registry_ats import _session_tmp
+    from .registry_text import pii_seeded_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    weights, prior = text.dsir_train_weights(
+        docs, "text", F.col("lang") == "en", n_buckets=64
+    )
+
+    src = _stream_screen_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run = uuid.uuid4().hex[:12]
+    verdict_path = os.path.join(
+        _session_tmp(f"stream_gates_out_{run}"), "verdicts"
+    )
+    ckpt = os.path.join(_session_tmp(f"stream_gates_ckpt_{run}"), "ckpt")
+    writer, vpath = incremental.streaming_curation_gates(
+        stream,
+        docs.filter(F.col("doc_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        weights,
+        prior,
+        verdict_path,
+        doc_id_col="doc_id",
+        text_col="text",
+        vec_id_col="vec_id",
+        vec_col="embedding",
+        pii_text_fn=lambda bdf: pii_seeded_text(bdf),
+        sq_dist_max=1_000_000,
+        containment_min_ppm=500_000,
+        k=3,
+        max_df=50,
+    )
+    q = (
+        writer.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(vpath).select(
+        "doc_id", "screen_verdict", "action", "gopher_pass",
+        "pii_found", "importance_ppm", "dsir_selected", "admit",
     )
 
 

@@ -1331,3 +1331,146 @@ def streaming_benchmark_screen(
         **kwargs,
     )
     return doc_stream.writeStream.foreachBatch(handle), verdict_path
+
+
+def make_curation_gates_handler(
+    spark: SparkSession,
+    eval_docs: DataFrame,
+    eval_vecs: DataFrame,
+    dsir_weights: dict,
+    dsir_prior_ppm: int,
+    verdict_path: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pii_text_fn=None,
+    n_buckets: int = 64,
+    sq_dist_max: int = 1_000_000,
+    containment_min_ppm: int = 500_000,
+    k: int = 3,
+    max_df: int | None = 50,
+    max_eval: int = 4096,
+):
+    """Per-batch handler composing the WHOLE stateless gate family on
+    one arrival lineage — the production ingestion shape (each gate
+    also certifies alone; this is all of them on one micro-batch, one
+    replay, one verdict row per arrival): benchmark screen → Gopher
+    quality → PII → DSIR, joined on the arrival id, with the composed
+    ``admit`` decision (screen admits AND quality passes AND no PII
+    AND DSIR selects).
+
+    Frozen-index contract, built ONCE here, never per batch: the
+    protected set's two screen index halves (eval shingles
+    localCheckpointed, eval vectors as the clamped plan literal — the
+    ``make_benchmark_screen_handler`` construction) and the DSIR
+    bucket weights + prior (≤ ``n_buckets`` + 1 driver-side values,
+    pre-trained by the caller via ``text.dsir_train_weights``). Every
+    leg is stateless given that index, so the epoch union over any
+    arrival partitioning equals the batch four-gate pass — the
+    equality the registry oracle certifies.
+
+    ``pii_text_fn`` optionally maps the batch DataFrame to the column
+    the PII leg scans (fixtures seed synthetic PII; production scans
+    ``text_col`` as-is). The per-batch leg joins are inner on the
+    arrival id: every leg emits one row per arrival except DSIR,
+    which drops token-less documents (the explode-family convention)
+    — so token-less arrivals carry no verdict row, mirrored by the
+    oracle.
+
+    Verdicts land as overwrite-idempotent ``epoch=<e>`` parquet dirs
+    (the foreachBatch at-least-once contract, gate-family convention).
+    """
+    from ..operators import text as textops
+    from ..operators.similarity import (
+        _screen_assemble,
+        collect_screen_eval_vecs,
+        screen_eval_shingles,
+    )
+
+    ev_sh = screen_eval_shingles(
+        eval_docs, doc_id_col, text_col, k
+    ).localCheckpoint()
+    ev = collect_screen_eval_vecs(eval_vecs, vec_id_col, vec_col, max_eval)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.select(doc_id_col, text_col)
+        if vec_col in batch_df.columns:
+            vecs = batch_df.select(
+                F.col(doc_id_col).alias(vec_id_col), vec_col
+            )
+        else:  # text-only stream: the lexical screen leg still runs
+            vecs = spark.createDataFrame(
+                [], f"`{vec_id_col}` long, `{vec_col}` array<float>"
+            )
+        screen = _screen_assemble(
+            docs, vecs, ev_sh, ev,
+            doc_id_col, vec_id_col, vec_col,
+            sq_dist_max, containment_min_ppm, max_df,
+            k=k, text_col=text_col,
+        ).select(
+            F.col("arrival_id").alias(doc_id_col),
+            F.col("verdict").alias("screen_verdict"),
+            "action",
+        )
+        quality = textops.gopher_quality_flags(
+            docs, doc_id_col, text_col
+        ).select(doc_id_col, "gopher_pass")
+        ptxt = (
+            pii_text_fn(batch_df)
+            if pii_text_fn is not None
+            else F.col(text_col)
+        )
+        pii = textops.pii_flags(
+            batch_df.select(doc_id_col, ptxt.alias("__ptxt")),
+            doc_id_col,
+            "__ptxt",
+        ).select(doc_id_col, "pii_found")
+        dsir = textops.dsir_score_frozen(
+            docs, doc_id_col, text_col,
+            dsir_weights, dsir_prior_ppm, n_buckets,
+        ).select(
+            doc_id_col,
+            "importance_ppm",
+            F.col("selected").alias("dsir_selected"),
+        )
+        out = (
+            screen.join(quality, doc_id_col)
+            .join(pii, doc_id_col)
+            .join(dsir, doc_id_col)
+            .withColumn(
+                "admit",
+                (F.col("action") == "admit")
+                & F.col("gopher_pass")
+                & ~F.col("pii_found")
+                & F.col("dsir_selected"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            f"{verdict_path}/epoch={epoch_id}"
+        )
+
+    return handle
+
+
+def streaming_curation_gates(
+    doc_stream: DataFrame,
+    eval_docs: DataFrame,
+    eval_vecs: DataFrame,
+    dsir_weights: dict,
+    dsir_prior_ppm: int,
+    verdict_path: str,
+    **kwargs,
+):
+    """The composed stateless-gate pipeline as a Structured Streaming
+    sink: screen + quality + PII + DSIR verdicts per arriving
+    micro-batch, one row per arrival (see
+    ``make_curation_gates_handler``). Downstream, training-data
+    admission is one filter on ``admit``. Returns
+    ``(writer, verdict_path)`` like the other gates.
+    """
+    handle = make_curation_gates_handler(
+        doc_stream.sparkSession, eval_docs, eval_vecs,
+        dsir_weights, dsir_prior_ppm, verdict_path, **kwargs,
+    )
+    return doc_stream.writeStream.foreachBatch(handle), verdict_path

@@ -226,3 +226,8 @@ def test_registry_integrity():
     assert list(qs)[50:53] == [
         "q_token_entropy", "q_url_parse", "q_variant_json",
     ]
+    # this round's new registrations sit at the very back of the
+    # priority list (never-sampled tranche for the r15 window)
+    assert list(qs)[-1:] == [
+        "q_stream_gates",
+    ]

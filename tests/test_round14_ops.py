@@ -1,0 +1,136 @@
+"""Round-14 operator tests: the composed stateless-gate pipeline
+(screen + quality + PII + DSIR on one foreachBatch lineage) and this
+round's library additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.test_round12_ops import _screen_fixtures
+
+
+def rows(df, *cols):
+    out = df.select(*cols) if cols else df
+    return sorted(tuple(r) for r in out.collect())
+
+
+def _gates_fixture(spark):
+    arrival_docs, arrival_vecs, eval_docs, eval_vecs = _screen_fixtures(
+        spark
+    )
+    batch = arrival_docs.join(
+        arrival_vecs.withColumnRenamed("vec_id", "doc_id"),
+        "doc_id",
+        "left",
+    )
+    return batch, eval_docs, eval_vecs
+
+
+def test_curation_gates_epoch_union_equals_one_shot(spark, tmp_path):
+    """The composed gate is stateless given its frozen indexes: the
+    union of per-epoch verdicts over ANY arrival partitioning equals
+    the one-shot pass over the whole batch — the equality the
+    registry oracle certifies, here pinned at the handler level
+    together with overwrite-idempotent redelivery."""
+    import os
+
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_curation_gates_handler,
+    )
+
+    batch, eval_docs, eval_vecs = _gates_fixture(spark)
+    weights, prior = text.dsir_train_weights(
+        batch, "text", F.col("doc_id") % 2 == 0, n_buckets=8
+    )
+
+    def build(path):
+        return make_curation_gates_handler(
+            spark, eval_docs, eval_vecs, weights, prior, path,
+            n_buckets=8, sq_dist_max=1_000_000,
+            containment_min_ppm=500_000,
+        )
+
+    split_path = str(tmp_path / "split")
+    handle = build(split_path)
+    b0 = batch.filter(F.col("doc_id") <= 3)
+    b1 = batch.filter(F.col("doc_id") > 3)
+    handle(b0, 0)
+    handle(b1, 1)
+    assert sorted(
+        d for d in os.listdir(split_path) if d.startswith("epoch=")
+    ) == ["epoch=0", "epoch=1"]
+
+    oneshot_path = str(tmp_path / "oneshot")
+    build(oneshot_path)(batch, 0)
+
+    cols = [
+        "doc_id", "screen_verdict", "action", "gopher_pass",
+        "pii_found", "importance_ppm", "dsir_selected", "admit",
+    ]
+    union = rows(spark.read.parquet(split_path), *cols)
+    oneshot = rows(spark.read.parquet(oneshot_path), *cols)
+    assert union == oneshot and len(union) == 5
+
+    # redelivery: overwrite-idempotent epoch dirs
+    before = rows(spark.read.parquet(f"{split_path}/epoch=0"), *cols)
+    handle(b0, 0)
+    assert rows(spark.read.parquet(f"{split_path}/epoch=0"), *cols) == before
+
+
+def test_curation_gates_admit_is_conjunction(spark, tmp_path):
+    """admit == screen admits AND gopher passes AND no PII AND DSIR
+    selects, row by row; the screen leg's verdicts match the
+    standalone screen on the same fixture."""
+    from startup_data_pipeline_spark.operators import text
+    from startup_data_pipeline_spark.streaming.incremental import (
+        make_curation_gates_handler,
+    )
+
+    batch, eval_docs, eval_vecs = _gates_fixture(spark)
+    weights, prior = text.dsir_train_weights(
+        batch, "text", F.col("doc_id") % 2 == 0, n_buckets=8
+    )
+    vp = str(tmp_path / "verdicts")
+    make_curation_gates_handler(
+        spark, eval_docs, eval_vecs, weights, prior, vp, n_buckets=8
+    )(batch, 0)
+    got = {r["doc_id"]: r for r in spark.read.parquet(vp).collect()}
+    assert len(got) == 5
+    for r in got.values():
+        assert r["admit"] == (
+            r["action"] == "admit"
+            and r["gopher_pass"]
+            and not r["pii_found"]
+            and r["dsir_selected"]
+        )
+    # screen leg parity with the standalone certified screen
+    assert {k: v["screen_verdict"] for k, v in got.items()} == {
+        1: "lexical_only", 2: "embedding_only", 3: "both",
+        4: "clean", 5: "clean",
+    }
+
+
+def test_dsir_frozen_split_matches_inline(spark):
+    """dsir_train_weights + dsir_score_frozen == dsir_importance when
+    the frozen index is trained on the same corpus being scored."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha", True),
+            (2, "delta epsilon zeta", False),
+            (3, "alpha alpha beta", True),
+            (4, "eta theta iota kappa", False),
+        ],
+        "doc_id long, text string, t boolean",
+    )
+    inline = rows(
+        text.dsir_importance(docs, "doc_id", "text", F.col("t"), 8)
+    )
+    weights, prior = text.dsir_train_weights(docs, "text", F.col("t"), 8)
+    frozen = rows(
+        text.dsir_score_frozen(docs, "doc_id", "text", weights, prior, 8)
+    )
+    assert inline == frozen
