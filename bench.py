@@ -262,6 +262,10 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the cross-modality near-dup triage capstone (five
+    # banded pair detectors + one digest rollup — the heaviest
+    # composed shape this round, the q_source_triage precedent)
+    "q_crossmodal_dup",
     # round-14: q_stream_gates stays OUT on the q_feed_stream
     # precedent — its runtime is streaming-engine startup x 4 epochs
     # over per-leg work the batch twins (q_benchmark_screen,

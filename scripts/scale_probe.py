@@ -186,6 +186,7 @@ PROBE = [
     "q_mixture_build",
     # round-14 additions
     "q_stream_gates",
+    "q_crossmodal_dup",
 ]
 
 

@@ -2061,3 +2061,60 @@ def survivor_policy_report(
         .cast("long")
         .alias("token_delta"),
     )
+
+
+def modality_dup_rollup(
+    pairs_by_modality: dict[str, DataFrame],
+    id_out: str = "item_id",
+) -> DataFrame:
+    """Cross-modality near-dup triage table: one row per item flagged
+    by AT LEAST one modality's near-dup detector, with a boolean per
+    modality and the agreement count — ``dedup_method_agreement``
+    widened across modalities (VERDICT r13 #6). A multimodal corpus
+    curator reads this table first: an item flagged by several
+    independent signals (text SimHash AND shared video frames AND
+    audio fingerprint) is a re-upload with near-certainty, while a
+    single-modality flag is where each detector's false positives
+    live.
+
+    Input: ``{modality: pair DataFrame}`` where every pair frame
+    carries ``id_a`` / ``id_b`` over a SHARED item-id space (the
+    engine's pair-table convention; callers rename e.g.
+    ``video_a``/``video_b``). Extra evidence columns are ignored.
+
+    Scale shape: the heavy lifting already happened inside each
+    detector (banded/bucket-capped candidate generation — no new
+    quadratic here); this rollup unions (id, modality) digests —
+    two columns — and runs ONE groupBy on the item id. Modality
+    columns are emitted in sorted-name order for a deterministic
+    schema.
+
+    Returns [``id_out``, <modality>_dup ..., n_modalities].
+    """
+    mods = sorted(pairs_by_modality)
+    if not mods:
+        raise ValueError("modality_dup_rollup: no modalities given")
+    tagged = None
+    for m in mods:
+        p = pairs_by_modality[m]
+        ids = (
+            p.select(F.col("id_a").cast("long").alias(id_out))
+            .unionByName(
+                p.select(F.col("id_b").cast("long").alias(id_out))
+            )
+            .distinct()
+            .select(id_out, F.lit(m).alias("__mod"))
+        )
+        tagged = ids if tagged is None else tagged.unionByName(ids)
+    flags = [
+        F.max(F.when(F.col("__mod") == m, True).otherwise(False)).alias(
+            f"{m}_dup"
+        )
+        for m in mods
+    ]
+    out = tagged.groupBy(id_out).agg(*flags)
+    n = None
+    for m in mods:
+        c = F.col(f"{m}_dup").cast("int")
+        n = c if n is None else n + c
+    return out.withColumn("n_modalities", n.cast("long"))

@@ -728,13 +728,14 @@ def _dhash_oracle() -> str:
     """
 
 
-@register(
-    "q_image_dhash_pairs",
+def _image_dhash_pairs_oracle() -> str:
     # max_bucket=128 cap mirrored as in q_simhash64_pairs: a band
     # agreement only counts when that band's bucket holds <= 128 sigs
     # (monochrome/near-constant images collapse dHash bands — exactly
-    # the degenerate bucket the cap exists for).
-    oracle=f"""
+    # the degenerate bucket the cap exists for). Named builder
+    # (byte-identical to the certified inline oracle) so the
+    # cross-modality rollup reuses the leg verbatim.
+    return f"""
     WITH dh AS ({_dhash_oracle()}),
     sz0 AS (SELECT b0, COUNT(*) AS c0 FROM dh GROUP BY b0),
     sz1 AS (SELECT b1, COUNT(*) AS c1 FROM dh GROUP BY b1),
@@ -754,7 +755,12 @@ def _dhash_oracle() -> str:
      AND ((a.b0 = b.b0 AND a.ok0) OR (a.b1 = b.b1 AND a.ok1)
        OR (a.b2 = b.b2 AND a.ok2) OR (a.b3 = b.b3 AND a.ok3))
     WHERE bit_count(xor(a.dhash64, b.dhash64)) <= 3
-    """,
+    """
+
+
+@register(
+    "q_image_dhash_pairs",
+    oracle=_image_dhash_pairs_oracle(),
     survey_ops="§2.11 multimodal near-dup: perceptual dHash over the "
     "REAL decode->resize pixel path (9x8 grayscale difference bits, "
     "zero Python after decode) + the same 4x16-bit banded blocking as "
@@ -1576,4 +1582,116 @@ def q_frame_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.video_frame_dup_rate(
         _fixture_video_frames(docs), "video_id"
+    )
+
+
+def _crossmodal_dup_oracle() -> str:
+    # The five certified per-modality pair oracles composed verbatim
+    # (each leg is the SAME builder its standalone registration uses),
+    # flattened to (item, modality) tags and rolled up per item —
+    # the dedup_method_agreement pattern widened across modalities.
+    from .registry_text import (
+        _embedding_near_dup_oracle,
+        _simhash64_pairs_oracle,
+    )
+
+    return f"""
+    WITH tp AS ({_simhash64_pairs_oracle()}),
+    ep AS ({_embedding_near_dup_oracle()}),
+    ip AS ({_image_dhash_pairs_oracle()}),
+    vp AS ({_frame_dhash_pairs_oracle(min_shared=2, max_bucket=128)}),
+    ap AS ({_audio_fp_pairs_oracle(max_bucket=128)}),
+    tagged AS (
+        SELECT id_a AS item_id, 'text' AS m FROM tp
+        UNION ALL SELECT id_b, 'text' FROM tp
+        UNION ALL SELECT id_a, 'embedding' FROM ep
+        UNION ALL SELECT id_b, 'embedding' FROM ep
+        UNION ALL SELECT id_a, 'image' FROM ip
+        UNION ALL SELECT id_b, 'image' FROM ip
+        UNION ALL SELECT video_a, 'video' FROM vp
+        UNION ALL SELECT video_b, 'video' FROM vp
+        UNION ALL SELECT id_a, 'audio' FROM ap
+        UNION ALL SELECT id_b, 'audio' FROM ap
+    )
+    SELECT item_id,
+           BOOL_OR(m = 'audio') AS audio_dup,
+           BOOL_OR(m = 'embedding') AS embedding_dup,
+           BOOL_OR(m = 'image') AS image_dup,
+           BOOL_OR(m = 'text') AS text_dup,
+           BOOL_OR(m = 'video') AS video_dup,
+           CAST(CAST(BOOL_OR(m = 'audio') AS INTEGER)
+              + CAST(BOOL_OR(m = 'embedding') AS INTEGER)
+              + CAST(BOOL_OR(m = 'image') AS INTEGER)
+              + CAST(BOOL_OR(m = 'text') AS INTEGER)
+              + CAST(BOOL_OR(m = 'video') AS INTEGER) AS BIGINT)
+               AS n_modalities
+    FROM tagged GROUP BY item_id
+    """
+
+
+@register(
+    "q_crossmodal_dup",
+    oracle=_crossmodal_dup_oracle(),
+    survey_ops="§2.11 cross-modality near-dup triage (VERDICT r13 #6): "
+    "the five certified detectors — text SimHash64, embedding "
+    "sign-LSH, image dHash, shared video frames, audio fingerprint — "
+    "rolled up to one verdict row per flagged item (modality flags + "
+    "agreement count, modality_dup_rollup). Items aligned by the "
+    "fixture id space (doc_id = vec_id = media id); every leg keeps "
+    "its own banded/bucket-capped candidate generation, the rollup "
+    "shuffles only (id, modality) digests",
+)
+def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup, similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    text_pairs = dedup.simhash64_near_pairs(
+        dedup.simhash64(docs, "doc_id", "text"),
+        "doc_id", max_hamming=3, max_bucket=128,
+    )
+    emb_pairs = similarity.near_dup_pairs(
+        emb, "vec_id", "embedding", min_score=32_000_000, max_bucket=256
+    )
+    img_pairs = dedup.simhash64_near_pairs(
+        multimodal.image_dhash(
+            multimodal.decode_image(
+                multimodal.attach_ppm_payload(
+                    docs.select("doc_id"), "doc_id"
+                )
+            ),
+            "doc_id",
+        ),
+        "doc_id", max_hamming=3, sig_col="dhash64", max_bucket=128,
+    )
+    vid_pairs = multimodal.video_near_dup_pairs(
+        _fixture_video_frames(docs), "video_id",
+        min_shared=2, max_bucket=128,
+    ).select(
+        F.col("video_a").alias("id_a"), F.col("video_b").alias("id_b")
+    )
+    aud_pairs = dedup.simhash64_near_pairs(
+        multimodal.audio_fingerprint(
+            multimodal.decode_wav(
+                multimodal.attach_wav_payload(
+                    docs.select(
+                        "doc_id",
+                        (F.col("doc_id") % 256).alias("reenc_seed"),
+                    ),
+                    "reenc_seed",
+                )
+            ),
+            "doc_id",
+        ),
+        "doc_id", max_hamming=3, sig_col="afp64", max_bucket=128,
+    )
+    return dedup.modality_dup_rollup(
+        {
+            "text": text_pairs,
+            "embedding": emb_pairs,
+            "image": img_pairs,
+            "video": vid_pairs,
+            "audio": aud_pairs,
+        }
     )

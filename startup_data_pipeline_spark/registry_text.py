@@ -494,13 +494,14 @@ def _simhash64_oracle() -> str:
     """
 
 
-@register(
-    "q_simhash64_pairs",
+def _simhash64_pairs_oracle() -> str:
     # The max_bucket=128 degeneracy cap is mirrored exactly: a band
     # agreement only counts when that band's bucket holds <= 128
     # signatures (ok_i flags are per-bucket, so a.ok_i = b.ok_i
-    # whenever a and b agree on band i).
-    oracle=f"""
+    # whenever a and b agree on band i). Named builder (byte-identical
+    # to the r8-certified inline oracle) so the cross-modality rollup
+    # reuses the leg verbatim.
+    return f"""
     WITH sim AS ({_simhash64_oracle()}),
     sz0 AS (SELECT b0, COUNT(*) AS c0 FROM sim GROUP BY b0),
     sz1 AS (SELECT b1, COUNT(*) AS c1 FROM sim GROUP BY b1),
@@ -520,7 +521,12 @@ def _simhash64_oracle() -> str:
      AND ((a.b0 = b.b0 AND a.ok0) OR (a.b1 = b.b1 AND a.ok1)
        OR (a.b2 = b.b2 AND a.ok2) OR (a.b3 = b.b3 AND a.ok3))
     WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
-    """,
+    """
+
+
+@register(
+    "q_simhash64_pairs",
+    oracle=_simhash64_pairs_oracle(),
     survey_ops="64-bit SimHash near-dup pairs with 4×16-bit banded "
     "blocking (§2.11 near-dup, the at-scale signature width): banding "
     "has provably full recall at hamming<=3 (pigeonhole over 4 disjoint "
@@ -691,14 +697,15 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_classify(emb, "vec_id", "label", "embedding")
 
 
-@register(
-    "q_embedding_near_dup",
+def _embedding_near_dup_oracle() -> str:
     # hyperplane count mirrors near_dup_pairs' corpus auto-sizing,
     # exactly as q_knn_graph's oracle does (same formula, same
     # ceil/log2 cross-libm argument). max_bucket=256 cap mirrored
     # exactly as in q_knn_graph (r8): both self-join sides keep only
-    # rows whose bucket holds <= 256 vectors.
-    oracle=f"""
+    # rows whose bucket holds <= 256 vectors. Named builder
+    # (byte-identical to the certified inline oracle) so the
+    # cross-modality rollup reuses the leg verbatim.
+    return f"""
     WITH meta AS (
         SELECT GREATEST(1, LEAST(
             CAST(ceil(log2(COUNT(*) / 32.0)) AS INTEGER),
@@ -728,7 +735,12 @@ def q_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(generate_series(1, len(a.v)),
               i -> a.v[i] * b.v[i])) >= 32000000
-    """,
+    """
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle=_embedding_near_dup_oracle(),
     survey_ops="embedding-cosine near-dup pairs, LSH-restricted (§2.11 "
     "dedup): hyperplane count auto-sized to the corpus (r6 fix — the "
     "same fixed-dims per-bucket quadratic knn_graph had); max_bucket "

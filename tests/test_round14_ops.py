@@ -134,3 +134,43 @@ def test_dsir_frozen_split_matches_inline(spark):
         text.dsir_score_frozen(docs, "doc_id", "text", weights, prior, 8)
     )
     assert inline == frozen
+
+
+def test_modality_dup_rollup_flags_and_counts(spark):
+    from startup_data_pipeline_spark.operators import dedup
+
+    text = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    video = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    audio = spark.createDataFrame([(2, 9)], "id_a long, id_b long")
+    got = {
+        r["item_id"]: (
+            r["audio_dup"], r["text_dup"], r["video_dup"],
+            r["n_modalities"],
+        )
+        for r in dedup.modality_dup_rollup(
+            {"text": text, "video": video, "audio": audio}
+        ).collect()
+    }
+    assert got == {
+        1: (False, True, True, 2),
+        2: (True, True, True, 3),
+        3: (False, True, False, 1),
+        4: (False, True, False, 1),
+        9: (True, False, False, 1),
+    }
+    # unflagged items never appear; schema is sorted-modality order
+    cols = dedup.modality_dup_rollup(
+        {"text": text, "video": video, "audio": audio}
+    ).columns
+    assert cols == [
+        "item_id", "audio_dup", "text_dup", "video_dup", "n_modalities",
+    ]
+
+
+def test_modality_dup_rollup_rejects_empty(spark):
+    import pytest
+
+    from startup_data_pipeline_spark.operators import dedup
+
+    with pytest.raises(ValueError):
+        dedup.modality_dup_rollup({})
