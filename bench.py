@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: reference-model excess-likelihood selection (token
+    # explode + token-keyed counts + the tfidf-shaped join)
+    "q_excess_loss_select",
     # round-14: the cross-modality near-dup triage capstone (five
     # banded pair detectors + one digest rollup — the heaviest
     # composed shape this round, the q_source_triage precedent)

@@ -187,6 +187,7 @@ PROBE = [
     # round-14 additions
     "q_stream_gates",
     "q_crossmodal_dup",
+    "q_excess_loss_select",
 ]
 
 

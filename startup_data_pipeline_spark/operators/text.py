@@ -1881,6 +1881,93 @@ def dsir_score_frozen(
     )
 
 
+def excess_likelihood_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_target: Column,
+) -> DataFrame:
+    """Reference-model excess-likelihood selection — the RHO-loss
+    selection shape (Mindermann et al. 2022, "Prioritized Training on
+    Points that are Learnable, Worth Learning, and Not Yet Learnt")
+    restated for data curation: keep documents the CLEAN-reference
+    model finds likely relative to the corpus-average model. Low
+    reference loss ⇔ high reference likelihood, so "low excess loss"
+    becomes "non-negative excess likelihood" here.
+
+    Two unigram models share one vocabulary: the reference model is
+    trained on the ``ref_target`` rows only, the corpus model on
+    everything; both are Laplace-smoothed. Engine-exactness deviation
+    from the paper (the ``dsir_importance`` precedent): per-token
+    probabilities are integer-scaled ppb shares
+    (``10⁹·(c+1) // (N+V)``) and the document score is their integer
+    mean — a per-token monotone proxy for log-likelihood, no float
+    accumulation, bit-reproducible in DuckDB. Complements DSIR: DSIR
+    hashes tokens into buckets (collision-tolerant, fixed-size
+    index); this scores EXACT token identities (sharper, vocabulary-
+    sized count tables).
+
+    Scale shape: one token explode → a token-keyed count aggregate
+    (map-side combined) + one 3-value scalar aggregate (broadcast) →
+    the count table joined back on token (the tf·idf join shape; the
+    table is |vocab| rows, AQE picks the strategy) → one per-doc
+    aggregate. Nothing driver-side.
+
+    Returns [id, n_tokens, ref_mean_ppb, corpus_mean_ppb, excess_ppb,
+    selected] — one row per document with ≥1 token; ``selected`` ⇔
+    the document is at least as likely under the reference model as
+    under the corpus model.
+    """
+    tok = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        ref_target.alias("__r"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).alias("c_ref"),
+    )
+    scal = tok.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).alias("n_ref"),
+        F.countDistinct("tok").alias("v"),
+    )
+    scores = counts.crossJoin(F.broadcast(scal)).select(
+        "tok",
+        F.expr("(1000000000 * (c_ref + 1)) div (n_ref + v)").alias(
+            "__s_ref"
+        ),
+        F.expr("(1000000000 * (c_all + 1)) div (n_all + v)").alias(
+            "__s_all"
+        ),
+    )
+    return (
+        tok.join(scores, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__s_ref").alias("__sr"),
+            F.sum("__s_all").alias("__sa"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.expr("__sr div n_tokens").cast("long").alias(
+                "ref_mean_ppb"
+            ),
+            F.expr("__sa div n_tokens").cast("long").alias(
+                "corpus_mean_ppb"
+            ),
+            F.expr("__sr div n_tokens - __sa div n_tokens")
+            .cast("long")
+            .alias("excess_ppb"),
+        )
+        .withColumn(
+            "selected", F.col("ref_mean_ppb") >= F.col("corpus_mean_ppb")
+        )
+    )
+
+
 def token_fertility_by_lang(
     df: DataFrame, id_col: str, text_col: str, lang_col: str
 ) -> DataFrame:

@@ -181,7 +181,7 @@ _PRIORITY: list[str] = [
     "q_nation_volume", "q_ntile_deciles", "q_priority_line_counts",
     # round-14 registrations append below (never-sampled tranche
     # for the r15 window, per the standing contract).
-    "q_stream_gates", "q_crossmodal_dup",
+    "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
 ]
 
 

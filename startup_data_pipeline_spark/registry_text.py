@@ -3479,6 +3479,64 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_excess_loss_select",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               (lang = 'en' AND doc_id % 10 = 0) AS r,
+               unnest({_TOKS_LOWER}) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT tok, COUNT(*) AS c_all,
+               SUM(CASE WHEN r THEN 1 ELSE 0 END) AS c_ref
+        FROM tok GROUP BY tok
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_all,
+               SUM(CASE WHEN r THEN 1 ELSE 0 END) AS n_ref,
+               COUNT(DISTINCT tok) AS v
+        FROM tok
+    ),
+    w AS (
+        SELECT tok,
+               (1000000000 * (c_ref + 1)) // (n_ref + v) AS s_ref,
+               (1000000000 * (c_all + 1)) // (n_all + v) AS s_all
+        FROM c CROSS JOIN s
+    ),
+    p AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               SUM(w.s_ref) AS sr, SUM(w.s_all) AS sa
+        FROM tok t JOIN w USING (tok)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sr // n_tokens AS BIGINT) AS ref_mean_ppb,
+           CAST(sa // n_tokens AS BIGINT) AS corpus_mean_ppb,
+           CAST(sr // n_tokens - sa // n_tokens AS BIGINT)
+               AS excess_ppb,
+           (sr // n_tokens) >= (sa // n_tokens) AS selected
+    FROM p
+    """,
+    survey_ops="reference-model excess-likelihood selection (§2.11 "
+    "text analysis — the RHO-loss selection shape, Mindermann et al. "
+    "2022, restated token-exact): two Laplace-smoothed unigram models "
+    "over one vocabulary (clean reference split vs corpus average), "
+    "integer-ppb per-token shares, per-doc mean difference; "
+    "complements DSIR's hashed buckets with exact token identities — "
+    "token explode + token-keyed counts + one tf·idf-shaped join, "
+    "nothing driver-side",
+)
+def q_excess_loss_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.excess_likelihood_select(
+        docs, "doc_id", "text",
+        (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0),
+    )
+
+
+@register(
     "q_token_fertility",
     oracle=f"""
     SELECT lang,

@@ -228,6 +228,6 @@ def test_registry_integrity():
     ]
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r15 window)
-    assert list(qs)[-2:] == [
-        "q_stream_gates", "q_crossmodal_dup",
+    assert list(qs)[-3:] == [
+        "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
     ]

@@ -174,3 +174,34 @@ def test_modality_dup_rollup_rejects_empty(spark):
 
     with pytest.raises(ValueError):
         dedup.modality_dup_rollup({})
+
+
+def test_excess_likelihood_selects_reference_like_docs(spark):
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", True),   # the clean reference
+            (2, "alpha beta", False),        # reference-like
+            (3, "zeta eta theta", False),    # off-distribution
+        ],
+        "doc_id long, text string, r boolean",
+    )
+    got = {
+        row["doc_id"]: row
+        for row in text.excess_likelihood_select(
+            docs, "doc_id", "text", F.col("r")
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["selected"] and got[2]["selected"]
+    assert not got[3]["selected"]
+    for row in got.values():
+        assert row["selected"] == (row["excess_ppb"] >= 0)
+        assert row["excess_ppb"] == (
+            row["ref_mean_ppb"] - row["corpus_mean_ppb"]
+        )
+    # hand check doc 3: none of its tokens appear in the reference, so
+    # every per-token reference share is the smoothed floor
+    # 10^9 * 1 // (n_ref + v): n_ref = 3 tokens, v = 5 distinct
+    assert got[3]["ref_mean_ppb"] == 1_000_000_000 // 8
