@@ -262,6 +262,11 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: export manifest (exact-rank assignment + id join +
+    # n_shards-key agg) and the dedup ROI curve (the jaccard candidate
+    # chain + ladder rollups)
+    "q_export_manifest",
+    "q_dedup_roi_curve",
     # round-14: reference-model excess-likelihood selection (token
     # explode + token-keyed counts + the tfidf-shaped join)
     "q_excess_loss_select",

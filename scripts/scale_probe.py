@@ -188,6 +188,8 @@ PROBE = [
     "q_stream_gates",
     "q_crossmodal_dup",
     "q_excess_loss_select",
+    "q_export_manifest",
+    "q_dedup_roi_curve",
 ]
 
 

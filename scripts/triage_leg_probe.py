@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Per-leg cost split for q_source_triage at sf0.1 vs sf1
+(VERDICT r13 #7: which of the four evidence legs dominates at sf1).
+
+Each leg is the EXACT sub-plan the registered query composes (same
+operators, same parameters), timed independently with the bench
+convention (noop write, cold + warm), in a default session (not the
+listener-starved probe config — the CC chain is a driver-coordinated
+job chain, the documented measurement gotcha). Legs:
+
+  quality    source_quality_rollup (Gopher battery per source)
+  cc         minhash -> banded LSH pairs -> connected components ->
+             per-source dedup-loss rollup
+  pii        seeded pii_rate_report per source
+  diversity  source_cluster_coverage (seeded k-means cells, k=8)
+  join       the final 4-way |sources|-row join (full query minus the
+             already-measured legs' reuse — measured as the whole
+             registered query for reference)
+
+Usage: python scripts/triage_leg_probe.py [sf_dir ...]
+Prints one JSON line per (sf_dir, leg): cold + warm seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import dedup, text
+from startup_data_pipeline_spark.operators.similarity import (
+    source_cluster_coverage,
+)
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.registry_text import pii_seeded_text
+from startup_data_pipeline_spark.session import get_spark
+from startup_data_pipeline_spark.sources.tables import load_table
+
+
+def legs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def quality():
+        return text.source_quality_rollup(docs, "doc_id", "text", "source")
+
+    def cc():
+        sigs = dedup.minhash_signatures(
+            docs, "doc_id", "text", num_hashes=4, k=3
+        )
+        pairs = dedup.lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=4, band_size=1
+        )
+        comp = dedup.connected_components(
+            docs.select("doc_id"), pairs, "doc_id"
+        )
+        return (
+            comp.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    (F.col("doc_id") != F.col("component")).cast("long")
+                ).alias("nl"),
+            )
+        )
+
+    def pii():
+        seeded = docs.select(
+            "doc_id", "source", pii_seeded_text(docs).alias("seeded")
+        )
+        return text.pii_rate_report(seeded, "doc_id", "seeded", "source")
+
+    def diversity():
+        return source_cluster_coverage(
+            docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
+        )
+
+    def full():
+        return all_queries()["q_source_triage"].fn(spark, sf_dir)
+
+    return {
+        "quality": quality, "cc": cc, "pii": pii,
+        "diversity": diversity, "full": full,
+    }
+
+
+def main():
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scratch", "sf1",
+        ),
+    ]
+    spark = get_spark(
+        app_name="triage-leg-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in sf_dirs:
+        # warm the file index
+        for t in ("documents", "embeddings"):
+            load_table(spark, sf_dir, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        for name, build in legs(spark, sf_dir).items():
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            cold = time.time() - t0
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            warm = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "sf_dir": sf_dir,
+                        "leg": name,
+                        "cold_s": round(cold, 2),
+                        "warm_s": round(warm, 2),
+                    }
+                ),
+                flush=True,
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2118,3 +2118,106 @@ def modality_dup_rollup(
         c = F.col(f"{m}_dup").cast("int")
         n = c if n is None else n + c
     return out.withColumn("n_modalities", n.cast("long"))
+
+
+def dedup_roi_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df: int | None = 50,
+    step_ppm: int = 100_000,
+) -> DataFrame:
+    """Dedup return-on-investment curve: what a Jaccard-threshold
+    choice BUYS — pairs matched, documents removed, token mass removed
+    — at every threshold of a fixed ppm ladder, in one pass. The
+    planning table a curator reads before committing to a threshold:
+    the knee of tokens_removed(threshold) is where dedup stops paying,
+    and sweeping thresholds by re-running the full pipeline per point
+    costs |ladder| passes — this derives the whole curve from ONE
+    candidate-pair generation.
+
+    Removal counting is pairwise min-id-survivor (the loser is the
+    GREATER id of each pair, the engine's survivor convention): a
+    document counts as removed at threshold t iff the best pair it
+    loses has jaccard ≥ t — so ``n_docs_removed`` is the exact removal
+    count of single-link pair pruning and an UPPER bound on
+    cluster-level (CC) dedup at the same threshold, where one survivor
+    per component is kept instead of per pair. Exact integer Jaccard
+    ppm throughout (``10⁶·|∩| // |∪|``).
+
+    Scale shape: the certified ``jaccard_pairs`` chain (shingle join,
+    df-capped) generates candidates once; per-loser max-jaccard and
+    per-bucket rollups reduce everything to ≤ ladder-size tables
+    before the tiny ladder cross-product. Every ladder row is always
+    present (zeros included) — deterministic row count.
+
+    Returns [threshold_ppm, n_pairs, n_docs_removed, tokens_removed].
+    """
+    if not 0 < step_ppm <= 1_000_000:
+        raise ValueError(f"step_ppm out of range: {step_ppm}")
+    n_steps = (1_000_000 - 1) // step_ppm  # ladder: step, 2*step, ...
+    spark = df.sparkSession
+
+    pj = (
+        _pair_intersections(df, id_col, text_col, k, max_df)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * n_inter) div (n_a + n_b - n_inter)")
+            .cast("long")
+            .alias("jppm"),
+        )
+    )
+    ladder = spark.range(1, n_steps + 1).select(
+        (F.col("id") * step_ppm).cast("long").alias("threshold_ppm")
+    )
+    # per-bucket pair counts -> <= n_steps + 1 rows
+    pair_b = pj.groupBy(
+        (F.col("jppm") - F.col("jppm") % step_ppm).alias("b")
+    ).agg(F.count(F.lit(1)).alias("np"))
+    # per-loser best pair, its token mass, bucketed the same way
+    toks_per_doc = df.select(
+        F.col(id_col).alias("__lid"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+    )
+    loser_b = (
+        pj.groupBy(F.col("id_b").alias("__lid"))
+        .agg(F.max("jppm").alias("mj"))
+        .join(toks_per_doc, "__lid")
+        .groupBy((F.col("mj") - F.col("mj") % step_ppm).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("__nt").alias("tk"),
+        )
+    )
+    pairs_cum = (
+        ladder.join(
+            F.broadcast(pair_b), F.col("b") >= F.col("threshold_ppm")
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.sum("np").alias("n_pairs"))
+    )
+    docs_cum = (
+        ladder.join(
+            F.broadcast(loser_b), F.col("b") >= F.col("threshold_ppm")
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.sum("nd").alias("nd"), F.sum("tk").alias("tk"))
+    )
+    return (
+        ladder.join(F.broadcast(pairs_cum), "threshold_ppm", "left")
+        .join(F.broadcast(docs_cum), "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.coalesce(F.col("nd"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_removed"),
+            F.coalesce(F.col("tk"), F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+    )

@@ -2294,6 +2294,69 @@ def shard_plan(
     )
 
 
+def export_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Export handoff manifest: ``shard_plan``'s balance report widened
+    with the verification columns a consumer needs to ACCEPT a sharded
+    export without trusting the producer — per shard: row count, token
+    and character mass, id range, and an order-insensitive 60-bit
+    content fingerprint (XOR of per-document ``md5(id ':' text)``
+    prefixes — the first 15 md5 hex chars, positive in both engines;
+    XOR is commutative and overflow-free, so the fingerprint is
+    independent of row order and re-derivable by the consumer with one
+    scan). A re-read that reproduces every (n_docs, content_fp) pair
+    proves the handoff complete and uncorrupted row-for-row.
+
+    Same shard assignment as ``shard_plan`` (size-ranked round-robin
+    over the exact global token rank — the two-level prefix shape, no
+    global window), so the manifest reconciles with the planning
+    report shard for shard. One extra equi-join on the id to attach
+    the per-doc fingerprints, then one n_shards-key aggregate.
+
+    Returns [shard, n_docs, shard_tokens, shard_chars, min_id, max_id,
+    content_fp].
+    """
+    assigned = shard_assignments(df, id_col, text_col, n_shards, n_parts)
+    fp = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("__nc"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col(text_col),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__fp"),
+    )
+    return (
+        assigned.join(fp, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.sum("__nc").cast("long").alias("shard_chars"),
+            F.min(id_col).cast("long").alias("min_id"),
+            F.max(id_col).cast("long").alias("max_id"),
+            F.expr("bit_xor(__fp)").cast("long").alias("content_fp"),
+        )
+    )
+
+
 def shard_assignments(
     df: DataFrame,
     id_col: str,

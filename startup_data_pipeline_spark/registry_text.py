@@ -412,6 +412,79 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, "doc_id", "text", k=3, max_df=50)
 
 
+@register(
+    "q_dedup_roi_curve",
+    # the q_ngram_jaccard candidate chain (shingle join, df-cap 50)
+    # re-derived once, then the whole threshold curve from per-bucket
+    # rollups: pairs >= t, pairwise min-id-survivor losers whose BEST
+    # lost pair >= t, and those losers' token mass. Integer jaccard
+    # ppm; every ladder row present (zeros included).
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    sh AS (SELECT doc_id AS id, unnest({_SHINGLES}) AS shingle FROM toks),
+    sizes AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id
+    ),
+    capped AS (
+        SELECT id, shingle FROM sh
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 50
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pj AS (
+        SELECT id_a, id_b,
+               (1000000 * n_inter) // (sa.n_sh + sb.n_sh - n_inter)
+                   AS jppm
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+    ),
+    lad AS (
+        SELECT CAST(u * 100000 AS BIGINT) AS threshold_ppm
+        FROM unnest(generate_series(1, 9)) AS t(u)
+    ),
+    lt AS (SELECT id_b AS loser, MAX(jppm) AS mj FROM pj GROUP BY id_b),
+    ltk AS (
+        SELECT lt.loser, lt.mj, CAST(len({_TOKS}) AS BIGINT) AS nt
+        FROM lt JOIN documents ON documents.doc_id = lt.loser
+    ),
+    pc AS (
+        SELECT l.threshold_ppm, COUNT(*) AS np
+        FROM lad l JOIN pj ON pj.jppm >= l.threshold_ppm
+        GROUP BY 1
+    ),
+    dc AS (
+        SELECT l.threshold_ppm, COUNT(*) AS nd, SUM(ltk.nt) AS tk
+        FROM lad l JOIN ltk ON ltk.mj >= l.threshold_ppm
+        GROUP BY 1
+    )
+    SELECT l.threshold_ppm,
+           CAST(COALESCE(pc.np, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(dc.nd, 0) AS BIGINT) AS n_docs_removed,
+           CAST(COALESCE(dc.tk, 0) AS BIGINT) AS tokens_removed
+    FROM lad l
+    LEFT JOIN pc USING (threshold_ppm)
+    LEFT JOIN dc USING (threshold_ppm)
+    """,
+    survey_ops="dedup ROI curve (§2.11 dedup planning): pairs matched, "
+    "min-id-survivor documents removed, and token mass removed at "
+    "every threshold of a fixed ppm ladder — the whole sweep from ONE "
+    "candidate-pair generation (the certified jaccard chain), reduced "
+    "to ladder-size tables before the tiny cross-product; exact "
+    "integer jaccard ppm",
+)
+def q_dedup_roi_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_roi_curve(
+        docs, "doc_id", "text", k=3, max_df=50, step_ppm=100_000
+    )
+
+
 def _simhash_oracle() -> str:
     d = "strpos('0123456789abcdef', substr(m, {i}, 1)) - 1"
     h = (
@@ -3961,6 +4034,49 @@ def q_eval_set_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.shard_plan(docs, "doc_id", "text", n_shards=8)
+
+
+@register(
+    "q_export_manifest",
+    # q_shard_plan's exact-global-rank assignment widened with the
+    # consumer-side verification columns: byte/char mass, id range,
+    # and an order-insensitive XOR fingerprint of per-doc
+    # md5(id ':' text) 15-hex prefixes (60-bit, positive in both
+    # engines; XOR is commutative, so row order never matters)
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(concat('0x', substr(
+                   md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))
+                   AS BIGINT) AS fp
+        FROM documents
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC)
+                   AS rn
+        FROM t
+    )
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(bit_xor(fp) AS BIGINT) AS content_fp
+    FROM r GROUP BY 1
+    """,
+    survey_ops="export handoff manifest (§2.11 export integrity): the "
+    "shard_plan balance report widened with per-shard row count, "
+    "token/char mass, id range, and an order-insensitive 60-bit XOR "
+    "content fingerprint — a consumer re-derives the manifest with "
+    "one scan and accepts the handoff row-for-row; same two-level "
+    "exact-rank assignment, one id equi-join, one n_shards-key agg",
+)
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.export_manifest(docs, "doc_id", "text", n_shards=8)
 
 
 @register(

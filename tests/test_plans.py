@@ -228,6 +228,7 @@ def test_registry_integrity():
     ]
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r15 window)
-    assert list(qs)[-3:] == [
+    assert list(qs)[-5:] == [
         "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
+        "q_export_manifest", "q_dedup_roi_curve",
     ]
