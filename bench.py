@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the component-atomic leakage-free split (the CC chain
+    # + one map-side bucket label)
+    "q_leakage_free_split",
     # round-14: export manifest (exact-rank assignment + id join +
     # n_shards-key agg) and the dedup ROI curve (the jaccard candidate
     # chain + ladder rollups)

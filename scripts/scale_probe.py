@@ -190,6 +190,7 @@ PROBE = [
     "q_excess_loss_select",
     "q_export_manifest",
     "q_dedup_roi_curve",
+    "q_leakage_free_split",
 ]
 
 

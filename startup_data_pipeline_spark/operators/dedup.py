@@ -2221,3 +2221,63 @@ def dedup_roi_curve(
             .alias("tokens_removed"),
         )
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 4,
+    k: int = 3,
+    band_size: int = 1,
+    splits: list[tuple[str, int]] | None = None,
+    mod: int = 100,
+) -> DataFrame:
+    """Component-atomic train/val/test split: hash-split by near-dup
+    COMPONENT representative instead of by document, so near-duplicate
+    documents can never straddle a split boundary — the constructive
+    fix for what ``cross_split_leakage`` detects (a near-dup of a test
+    document sitting in train silently inflates eval scores; Lee et
+    al. 2022 measure the effect). Under this split the leakage audit
+    over the same candidate graph is ZERO by construction (pinned in
+    tests), because every LSH candidate pair is within one component.
+
+    Assignment is ``text.train_split``'s exact idiom — first-4-hex
+    md5 bucket mod ``mod``, cumulative integer weights — applied to
+    the component id, so singleton documents (the vast majority)
+    split exactly like a document-level hash split and whole dup
+    clusters move together.
+
+    Cost: the certified banded-MinHash → CC chain (digest-width rows,
+    the q_dup_cluster_stats shape) plus one map-side bucket label.
+
+    Returns [id, component, split].
+    """
+    splits = splits or [("train", 90), ("val", 5), ("test", 5)]
+    assert sum(w for _, w in splits) == mod, "split weights must sum to mod"
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, k=k
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes=num_hashes, band_size=band_size
+    )
+    comp = connected_components(df.select(id_col), pairs, id_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("int")
+        % mod
+    )
+    expr = None
+    acc = 0
+    for name, w in splits:
+        acc += w
+        cond = bucket < acc
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return comp.select(F.col(id_col), "component", expr.alias("split"))

@@ -1307,6 +1307,8 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only — reproducible across runs/engines/cluster sizes, no RNG, no "
     "shuffle; per-split doc and token totals",
 )
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1325,6 +1327,72 @@ _DOT = (
     "CAST(list_sum(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i] * {b}[i])) AS BIGINT)"
 )
+
+
+@register(
+    "q_leakage_free_split",
+    # the q_dup_cluster_stats CC derivation + q_train_split's exact
+    # strpos bucket arithmetic applied to the COMPONENT id
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id))
+                   AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, component,
+               ((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)) % 100
+                   AS bucket
+        FROM (SELECT doc_id, component,
+                     md5(CAST(component AS VARCHAR)) AS m
+              FROM comp)
+    )
+    SELECT doc_id, component,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    survey_ops="component-atomic leakage-free split (§2.11 dedup × "
+    "split): hash-split by near-dup COMPONENT representative so near "
+    "duplicates can never straddle a split — the constructive fix for "
+    "what cross_split_leakage detects; the certified banded-MinHash → "
+    "CC chain + one map-side bucket label, singletons split exactly "
+    "like a document-level hash split",
+)
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.leakage_free_split(
+        docs, "doc_id", "text", num_hashes=4, k=3, band_size=1
+    )
 
 
 @register(

@@ -297,3 +297,47 @@ def test_dedup_roi_curve_monotone_and_exact(spark):
     top = rows_out[-1]  # threshold 900000
     # only the verbatim pair (1,2) survives 0.9: loser=2, 8 tokens
     assert top[1:] == (1, 1, 8)
+
+
+def test_leakage_free_split_is_component_atomic(spark):
+    """Every near-dup component lands in exactly one split, so the
+    cross-split leakage audit over the same candidate graph is zero
+    by construction; singletons follow the document-level hash split
+    exactly (same bucket arithmetic on component == id)."""
+    from startup_data_pipeline_spark.operators import dedup, text
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(1, 6)]          # one 5-doc dup cluster
+        + [(100 + i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+           for i in range(1, 8)],   # singletons: zero shared shingles
+        "doc_id long, text string",
+    )
+    out = dedup.leakage_free_split(docs, "doc_id", "text").collect()
+    by_comp: dict[int, set[str]] = {}
+    split_of = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+        split_of[r["doc_id"]] = r["split"]
+    assert all(len(s) == 1 for s in by_comp.values())  # atomic
+    # the dup cluster is one component rooted at min id 1
+    assert {r["component"] for r in out if r["doc_id"] <= 5} == {1}
+    # singletons match the document-level hash split
+    singles = docs.filter(F.col("doc_id") > 100)
+    doc_level = {
+        r["doc_id"]: r["split"]
+        for r in text.train_split(singles, "doc_id").collect()
+    }
+    for did, sp in doc_level.items():
+        assert split_of[did] == sp
+    # and zero leakage by construction: every LSH candidate pair has
+    # both ends in the same split
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, k=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=4, band_size=1
+    ).collect()
+    assert pairs  # the dup cluster must produce candidates
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]
