@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the vocab coverage curve (token counts + two-level
+    # exact type rank + ladder rollup)
+    "q_vocab_curve",
     # round-14: the component-atomic leakage-free split (the CC chain
     # + one map-side bucket label)
     "q_leakage_free_split",

@@ -191,6 +191,7 @@ PROBE = [
     "q_export_manifest",
     "q_dedup_roi_curve",
     "q_leakage_free_split",
+    "q_vocab_curve",
 ]
 
 

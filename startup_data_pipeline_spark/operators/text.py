@@ -2357,38 +2357,33 @@ def export_manifest(
     )
 
 
-def shard_assignments(
+def exact_global_rank(
     df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_shards: int = 8,
+    order_cols: list,
     n_parts: int | None = None,
 ) -> DataFrame:
-    """The write-side half of ``shard_plan``: the per-document shard
-    assignment [id, n_tokens, shard] a partitioned export writes with
-    (``.write.partitionBy('shard')``). Same exact-global-rank
-    derivation; ``shard_plan`` is this frame's n_shards-row rollup, so
-    the physically written shards reconcile with the planning report
-    row for row (pinned by the write-path test).
+    """Exact 1-based global rank by ``order_cols`` WITHOUT a global
+    window (the ``token_budget_select`` two-level shape, factored for
+    reuse): ``repartitionByRange`` on the rank's own order, parallel
+    per-partition ``row_number``, and one bounded driver collect of
+    per-partition COUNTS (#partitions rows) riding back as a map
+    literal of rank offsets. No single-partition sort anywhere.
+
+    ``order_cols`` must be a total order (include a unique tiebreak).
+    Adds ``__rank`` to the input frame; callers project it away.
     """
     from pyspark.sql import Window
 
     from .util import materialize_for_self_join
 
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
-    )
     if n_parts is None:
         n_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     ranged = materialize_for_self_join(
-        base.repartitionByRange(
-            n_parts, F.col("__nt").desc(), F.col(id_col).asc()
-        ).withColumn("__pid", F.spark_partition_id())
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     partials = {
         r["__pid"]: r["c"]
@@ -2403,20 +2398,145 @@ def shard_assignments(
     off_map = F.create_map(
         *[F.lit(v) for kv in offsets.items() for v in kv]
     ) if offsets else F.lit(None).cast("map<int,bigint>")
-    w = Window.partitionBy("__pid").orderBy(
-        F.col("__nt").desc(), F.col(id_col).asc()
-    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
     return ranged.withColumn(
-        "shard",
+        "__rank",
         (
-            (
-                F.coalesce(off_map[F.col("__pid")], F.lit(0))
-                + F.row_number().over(w)
-                - F.lit(1)
-            )
-            % F.lit(n_shards)
+            F.coalesce(off_map[F.col("__pid")], F.lit(0))
+            + F.row_number().over(w)
         ).cast("long"),
-    ).select(F.col(id_col), F.col("__nt").cast("long").alias("n_tokens"), "shard")
+    ).drop("__pid")
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The write-side half of ``shard_plan``: the per-document shard
+    assignment [id, n_tokens, shard] a partitioned export writes with
+    (``.write.partitionBy('shard')``). Same exact-global-rank
+    derivation; ``shard_plan`` is this frame's n_shards-row rollup, so
+    the physically written shards reconcile with the planning report
+    row for row (pinned by the write-path test).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+    )
+    ranked = exact_global_rank(
+        base, [F.col("__nt").desc(), F.col(id_col).asc()], n_parts
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        ((F.col("__rank") - 1) % F.lit(n_shards)).cast("long").alias(
+            "shard"
+        ),
+    )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str,
+    min_pow: int = 8,
+    max_pow: int = 16,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Vocabulary-size coverage curve: what a tokenizer vocabulary of
+    size V buys — the exact share of corpus token OCCURRENCES covered
+    by the V most frequent types, for V at every power of two in
+    [2^min_pow, 2^max_pow]. The tokenizer-design twin of the dedup
+    ROI curve: the knee of coverage(V) is where growing the
+    vocabulary stops paying, and the residual is the byte-fallback /
+    OOV mass every sequence budget must absorb.
+
+    Type ranking is exact — (count DESC, token ASC) via
+    ``exact_global_rank`` (two-level, no global window, no single-
+    partition sort even at 100 TB vocabulary sizes); each type then
+    maps to its smallest covering ladder size with one map-side CASE
+    chain, so the curve reduces to a ≤ ladder-size table before the
+    tiny ladder cross-product (the ``dedup_roi_curve`` assembly).
+    Exact integer ppm; every ladder row present.
+
+    Returns [vocab_size, n_types, covered_tokens, coverage_ppm,
+    oov_ppm] where n_types = min(vocab_size, distinct types).
+    """
+    if not 0 <= min_pow <= max_pow <= 62:
+        raise ValueError(f"bad ladder: 2^{min_pow}..2^{max_pow}")
+    ladder = [1 << p for p in range(min_pow, max_pow + 1)]
+    spark = df.sparkSession
+
+    counts = (
+        ensure_min_parallelism(df)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ranked = exact_global_rank(
+        counts, [F.col("__c").desc(), F.col("tok").asc()], n_parts
+    )
+    # smallest ladder size covering this type's rank (NULL = beyond
+    # the ladder: never covered at any probed V)
+    lad_expr = None
+    for v in ladder:
+        cond = F.col("__rank") <= v
+        lad_expr = (
+            F.when(cond, F.lit(v))
+            if lad_expr is None
+            else lad_expr.when(cond, F.lit(v))
+        )
+    per_bucket = (
+        ranked.select(lad_expr.alias("b"), "__c")
+        .filter(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("__c").alias("ct"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("__c").alias("__total"),
+        F.count(F.lit(1)).alias("__types"),
+    )
+    lad_df = spark.createDataFrame(
+        [(v,) for v in ladder], "vocab_size long"
+    )
+    return (
+        lad_df.join(
+            F.broadcast(per_bucket), F.col("b") <= F.col("vocab_size")
+        )
+        .groupBy("vocab_size")
+        .agg(F.sum("nt").alias("__nt"), F.sum("ct").alias("__ct"))
+        .join(lad_df, "vocab_size", "right")  # zero rows kept
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size"), F.col("__types"))
+            .cast("long")
+            .alias("n_types"),
+            F.coalesce(F.col("__ct"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.expr(
+                "CASE WHEN __total > 0 THEN"
+                " (1000000 * coalesce(__ct, 0)) div __total END"
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+            F.expr(
+                "CASE WHEN __total > 0 THEN"
+                " (1000000 * (__total - coalesce(__ct, 0))) div __total"
+                " END"
+            )
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )
 
 
 def pii_rate_report(

@@ -182,7 +182,7 @@ _PRIORITY: list[str] = [
     # round-14 registrations append below (never-sampled tranche
     # for the r15 window, per the standing contract).
     "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
-    "q_export_manifest", "q_dedup_roi_curve", "q_leakage_free_split",
+    "q_export_manifest", "q_dedup_roi_curve", "q_leakage_free_split", "q_vocab_curve",
 ]
 
 

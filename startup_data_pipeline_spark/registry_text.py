@@ -2604,6 +2604,56 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_vocab_curve",
+    # exact type rank by (count DESC, token ASC); coverage at every
+    # power-of-two vocab size 2^8..2^16 — the Spark side derives the
+    # same rank with the two-level exact_global_rank (no global
+    # window) and the same ladder rollup as q_dedup_roi_curve
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_LOWER}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS ct FROM tok GROUP BY tok
+    ),
+    r AS (
+        SELECT ct, row_number() OVER (ORDER BY ct DESC, tok ASC) AS rn
+        FROM c
+    ),
+    tot AS (SELECT SUM(ct) AS t, COUNT(*) AS nt FROM c),
+    lad AS (
+        SELECT CAST(u AS BIGINT) AS vocab_size
+        FROM unnest([256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+                     65536]) AS l(u)
+    ),
+    cov AS (
+        SELECT l.vocab_size, SUM(r.ct) AS ct
+        FROM lad l JOIN r ON r.rn <= l.vocab_size
+        GROUP BY 1
+    )
+    SELECT l.vocab_size,
+           CAST(LEAST(l.vocab_size, (SELECT nt FROM tot)) AS BIGINT)
+               AS n_types,
+           CAST(COALESCE(cov.ct, 0) AS BIGINT) AS covered_tokens,
+           CAST((1000000 * COALESCE(cov.ct, 0)) // (SELECT t FROM tot)
+               AS BIGINT) AS coverage_ppm,
+           CAST((1000000 * ((SELECT t FROM tot) - COALESCE(cov.ct, 0)))
+               // (SELECT t FROM tot) AS BIGINT) AS oov_ppm
+    FROM lad l LEFT JOIN cov USING (vocab_size)
+    """,
+    survey_ops="vocabulary coverage curve (§2.11 tokenizer design): "
+    "exact token-occurrence coverage of the top-V types at every "
+    "power-of-two V in 2^8..2^16 — the knee of coverage(V) is where "
+    "growing the vocabulary stops paying; exact global type rank via "
+    "the two-level shape, ladder rollup from one count table, "
+    "integer ppm",
+)
+def q_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage_curve(docs, "text", min_pow=8, max_pow=16)
+
+
+@register(
     "q_vocab_growth",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),

@@ -341,3 +341,58 @@ def test_leakage_free_split_is_component_atomic(spark):
     assert pairs  # the dup cluster must produce candidates
     for r in pairs:
         assert split_of[r["id_a"]] == split_of[r["id_b"]]
+
+
+def test_vocab_coverage_curve_exact_small_corpus(spark):
+    """Hand-checkable curve on a corpus whose type ranking is known;
+    coverage is monotone in V and saturates at the full type count."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b b c c d")], "doc_id long, text string"
+    )
+    got = {
+        r["vocab_size"]: r
+        for r in text.vocab_coverage_curve(
+            docs, "text", min_pow=0, max_pow=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 4, 8}
+    # ranking: a(4) b(3) c(2) d(1), total 10
+    assert got[1]["covered_tokens"] == 4
+    assert got[1]["coverage_ppm"] == 400_000
+    assert got[1]["oov_ppm"] == 600_000
+    assert got[2]["covered_tokens"] == 7
+    assert got[4]["covered_tokens"] == 10
+    assert got[8]["covered_tokens"] == 10  # saturated
+    assert got[8]["n_types"] == 4
+    covs = [got[v]["coverage_ppm"] for v in (1, 2, 4, 8)]
+    assert covs == sorted(covs)
+
+
+def test_exact_global_rank_matches_window(spark):
+    """The two-level rank equals a single global window's row_number
+    for every row (the invariant shard_plan and vocab_curve rest on),
+    across partition counts."""
+    from pyspark.sql import Window
+
+    from startup_data_pipeline_spark.operators.text import (
+        exact_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(1, 101)], "id long, v long"
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    expected = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    for n_parts in (1, 3, 32):
+        got = {
+            r["id"]: r["__rank"]
+            for r in exact_global_rank(df, order, n_parts).collect()
+        }
+        assert got == expected
