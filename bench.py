@@ -262,6 +262,10 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the corpus data card (two scans, scalar assembly) and
+    # the truncation-loss curve (|ladder|-wide digest explode)
+    "q_corpus_card",
+    "q_truncation_curve",
     # round-14: the vocab coverage curve (token counts + two-level
     # exact type rank + ladder rollup)
     "q_vocab_curve",

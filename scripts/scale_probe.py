@@ -192,6 +192,8 @@ PROBE = [
     "q_dedup_roi_curve",
     "q_leakage_free_split",
     "q_vocab_curve",
+    "q_truncation_curve",
+    "q_corpus_card",
 ]
 
 

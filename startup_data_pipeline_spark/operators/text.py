@@ -2539,6 +2539,149 @@ def vocab_coverage_curve(
     )
 
 
+def truncation_loss_curve(
+    df: DataFrame,
+    text_col: str,
+    min_pow: int = 7,
+    max_pow: int = 14,
+) -> DataFrame:
+    """Max-sequence-length design curve: what truncating at L costs —
+    documents clipped and token mass lost, for L at every power of two
+    in [2^min_pow, 2^max_pow]. The third of the ROI-ladder family
+    (dedup threshold → ``dedup_roi_curve``, vocab size →
+    ``vocab_coverage_curve``, context length → this): the knee of
+    tokens_lost(L) is where a longer context stops buying corpus, and
+    past it the budget is better spent on more sequences.
+
+    Unlike the other two ladders this one is NOT bucket-separable
+    (the loss at L depends on ``n_tokens − L`` per document), so each
+    document contributes one digest row per ladder step — an explode
+    by |ladder| ≤ 8 over (id-free) token counts, linear in the corpus,
+    map-side combined into a |ladder|-key aggregate. Exact integers.
+
+    Returns [max_len, n_docs_truncated, tokens_lost, tokens_kept,
+    loss_ppm].
+    """
+    if not 0 <= min_pow <= max_pow <= 62:
+        raise ValueError(f"bad ladder: 2^{min_pow}..2^{max_pow}")
+    ladder = [1 << p for p in range(min_pow, max_pow + 1)]
+    nt = ensure_min_parallelism(df).select(
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias(
+            "__nt"
+        )
+    )
+    exploded = nt.select(
+        "__nt",
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in ladder])
+        ).alias("max_len"),
+    )
+    return (
+        exploded.groupBy("max_len")
+        .agg(
+            F.sum((F.col("__nt") > F.col("max_len")).cast("long"))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            F.sum(F.greatest(F.col("__nt") - F.col("max_len"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+            F.sum(F.least(F.col("__nt"), F.col("max_len")))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.sum("__nt").alias("__total"),
+        )
+        .select(
+            "max_len",
+            "n_docs_truncated",
+            "tokens_lost",
+            "tokens_kept",
+            F.expr(
+                "CASE WHEN __total > 0 THEN"
+                " (1000000 * tokens_lost) div __total END"
+            )
+            .cast("long")
+            .alias("loss_ppm"),
+        )
+    )
+
+
+def corpus_card(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """One-row corpus data card: the headline numbers a dataset README
+    publishes and a pipeline owner sanity-checks after every rebuild —
+    document/source/language counts, token mass, mean document length,
+    exact-duplicate rate (full-text md5 groups, the ``fingerprint``
+    convention), and the Gopher quality pass rate. Every figure is a
+    certified derivation composed into one row; exact integers (mean
+    ×100, rates in ppm).
+
+    Scale shape: two scans (one token/flag pass, one text-hash
+    distinct), each reducing to single-row aggregates joined by the
+    scalar-crossJoin convention. Nothing driver-side.
+
+    Returns [n_docs, n_sources, n_langs, total_tokens,
+    mean_doc_tokens_x100, exact_dup_ppm, gopher_pass_ppm].
+    """
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.col(source_col).alias("__src"),
+        F.col(lang_col).alias("__lang"),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias(
+            "__nt"
+        ),
+        F.md5(F.col(text_col)).alias("__h"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__src").cast("long").alias("n_sources"),
+        F.countDistinct("__lang").cast("long").alias("n_langs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+    )
+    dup = (
+        base.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum(F.col("__c") - 1).cast("long").alias("__dup_docs")
+        )
+    )
+    gopher = gopher_quality_flags(df, id_col, text_col).agg(
+        F.sum(F.col("gopher_pass").cast("long")).alias("__gp")
+    )
+    return (
+        main.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(gopher))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "total_tokens",
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN"
+                " (100 * total_tokens) div n_docs END"
+            )
+            .cast("long")
+            .alias("mean_doc_tokens_x100"),
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN"
+                " (1000000 * __dup_docs) div n_docs END"
+            )
+            .cast("long")
+            .alias("exact_dup_ppm"),
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN"
+                " (1000000 * __gp) div n_docs END"
+            )
+            .cast("long")
+            .alias("gopher_pass_ppm"),
+        )
+    )
+
+
 def pii_rate_report(
     df: DataFrame,
     id_col: str,

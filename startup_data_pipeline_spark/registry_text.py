@@ -2604,6 +2604,39 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_truncation_curve",
+    oracle=f"""
+    WITH nt AS (
+        SELECT CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+    ),
+    lad AS (
+        SELECT CAST(u AS BIGINT) AS max_len
+        FROM unnest([128, 256, 512, 1024, 2048, 4096, 8192, 16384])
+            AS l(u)
+    ),
+    x AS (SELECT l.max_len, nt.n FROM lad l CROSS JOIN nt)
+    SELECT max_len,
+           CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_truncated,
+           CAST(SUM(GREATEST(n - max_len, 0)) AS BIGINT) AS tokens_lost,
+           CAST(SUM(LEAST(n, max_len)) AS BIGINT) AS tokens_kept,
+           CAST(CASE WHEN SUM(n) > 0 THEN
+               (1000000 * SUM(GREATEST(n - max_len, 0))) // SUM(n)
+           END AS BIGINT) AS loss_ppm
+    FROM x GROUP BY max_len
+    """,
+    survey_ops="max-sequence-length design curve (§2.11 packing "
+    "design): documents clipped and token mass lost at every "
+    "power-of-two context length 2^7..2^14 — the third ROI ladder "
+    "(dedup threshold, vocab size, context length); one |ladder|-wide "
+    "digest explode, map-side combined, exact integers",
+)
+def q_truncation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.truncation_loss_curve(docs, "text", min_pow=7, max_pow=14)
+
+
+@register(
     "q_vocab_curve",
     # exact type rank by (count DESC, token ASC); coverage at every
     # power-of-two vocab size 2^8..2^16 — the Spark side derives the
@@ -3596,6 +3629,58 @@ _GOPHER_FLAGS = """
             AND n_distinct_stopwords >= 2) AS gopher_pass
     FROM base
 """
+
+
+@register(
+    "q_corpus_card",
+    oracle=f"""
+    WITH bs AS (
+        SELECT doc_id, source, lang,
+               CAST(len({_TOKS}) AS BIGINT) AS nt, md5(text) AS h
+        FROM documents
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(nt) AS BIGINT) AS total_tokens
+        FROM bs
+    ),
+    d AS (
+        SELECT CAST(SUM(c - 1) AS BIGINT) AS dd
+        FROM (SELECT COUNT(*) AS c FROM bs GROUP BY h)
+    ),
+    g AS (
+        SELECT CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS gp
+        FROM (
+            WITH base AS ({_GOPHER_BASE}),
+            flags AS ({_GOPHER_FLAGS})
+            SELECT gopher_pass FROM flags
+        )
+    )
+    SELECT m.n_docs, m.n_sources, m.n_langs, m.total_tokens,
+           CAST(CASE WHEN m.n_docs > 0 THEN
+               (100 * m.total_tokens) // m.n_docs END AS BIGINT)
+               AS mean_doc_tokens_x100,
+           CAST(CASE WHEN m.n_docs > 0 THEN
+               (1000000 * d.dd) // m.n_docs END AS BIGINT)
+               AS exact_dup_ppm,
+           CAST(CASE WHEN m.n_docs > 0 THEN
+               (1000000 * g.gp) // m.n_docs END AS BIGINT)
+               AS gopher_pass_ppm
+    FROM m CROSS JOIN d CROSS JOIN g
+    """,
+    survey_ops="one-row corpus data card (§2.11 governance): "
+    "doc/source/language counts, token mass, mean doc length ×100, "
+    "exact-duplicate rate (full-text md5 groups), Gopher pass rate — "
+    "every figure a certified derivation composed into the table a "
+    "dataset README publishes; two scans, single-row aggregates, "
+    "scalar-crossJoin assembly",
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_card(docs, "doc_id", "text", "source", "lang")
 
 
 @register(

@@ -396,3 +396,48 @@ def test_exact_global_rank_matches_window(spark):
             for r in exact_global_rank(df, order, n_parts).collect()
         }
         assert got == expected
+
+
+def test_truncation_loss_curve_hand_check(spark):
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(3))),   # 3 tokens
+         (2, " ".join(f"t{i}" for i in range(5)))],  # 5 tokens
+        "doc_id long, text string",
+    )
+    got = {
+        r["max_len"]: r
+        for r in text.truncation_loss_curve(
+            docs, "text", min_pow=1, max_pow=3
+        ).collect()
+    }
+    assert set(got) == {2, 4, 8}
+    assert (got[2]["n_docs_truncated"], got[2]["tokens_lost"],
+            got[2]["tokens_kept"]) == (2, 4, 4)
+    assert (got[4]["n_docs_truncated"], got[4]["tokens_lost"],
+            got[4]["tokens_kept"]) == (1, 1, 7)
+    assert (got[8]["n_docs_truncated"], got[8]["tokens_lost"],
+            got[8]["tokens_kept"]) == (0, 0, 8)
+    assert got[2]["loss_ppm"] == 500_000 and got[8]["loss_ppm"] == 0
+
+
+def test_corpus_card_hand_check(spark):
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four", "web", "en"),
+            (2, "one two three four", "web", "en"),   # exact dup of 1
+            (3, "five six", "books", "de"),
+            (4, "seven eight nine", "web", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    card = text.corpus_card(docs, "doc_id", "text", "source", "lang")
+    r = card.collect()[0]
+    assert (r["n_docs"], r["n_sources"], r["n_langs"]) == (4, 2, 2)
+    assert r["total_tokens"] == 13
+    assert r["mean_doc_tokens_x100"] == 325
+    assert r["exact_dup_ppm"] == 250_000  # 1 surplus copy of 4 docs
+    assert 0 <= r["gopher_pass_ppm"] <= 1_000_000
