@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: availability-capped mixture (water-filling prefix
+    # test over the |sources|-row table)
+    "q_bounded_mixture",
     # round-14: the corpus data card (two scans, scalar assembly) and
     # the truncation-loss curve (|ladder|-wide digest explode)
     "q_corpus_card",

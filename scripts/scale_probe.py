@@ -194,6 +194,7 @@ PROBE = [
     "q_vocab_curve",
     "q_truncation_curve",
     "q_corpus_card",
+    "q_bounded_mixture",
 ]
 
 

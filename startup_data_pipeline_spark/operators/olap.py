@@ -1159,3 +1159,115 @@ def temperature_mix_weights(
             .alias("boost_x100"),
         )
     )
+
+
+def bounded_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    avail_col: str,
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Availability-capped budget allocation (exact water-filling by
+    the prefix test) — the data-constrained completion of the mixture
+    family: a temperature mixture says source i DESERVES weight w_i,
+    but a source only HOLDS ``avail_col`` tokens; allocating its fair
+    share regardless silently turns the mixture into epoch-repeats.
+    This gives every group min(its availability, its fair share of
+    what remains), exactly.
+
+    Water-filling without iteration: in scarcity order
+    (``avail/weight`` ascending — integer key ``(avail·10¹²) div
+    weight``, ties by group name) the capped set is a PREFIX, so one
+    pass of window prefix sums decides it. Group i is capped iff
+    ``avail_i · (W − Σw_{<i}) ≤ w_i · (B − Σavail_{<i})`` — the fair-
+    share comparison cross-multiplied, pure integers, no division —
+    taken cumulatively (a capped run ends the first time the test
+    fails). Uncapped groups then split the residual budget
+    proportionally by floor division; the sub-group_count floor
+    residue is reported via ``alloc_tokens`` summing ≤ budget rather
+    than redistributed (callers wanting largest-remainder exactness
+    compose ``sample_allocation`` on the uncapped remainder).
+
+    The budget is ``(Σavail · budget_num) div budget_den`` — a
+    fraction of the corpus, self-contained and oracle-mirrored.
+
+    Scale: the windows run over the |groups|-row table (the driver-
+    side-Hare precedent — mixtures are per-source, bounded), after
+    corpus-scale work has already reduced to it. Returns
+    [group, weight, avail_tokens, fair_tokens, alloc_tokens, capped].
+    """
+    from pyspark.sql import Window
+
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError(f"bad budget fraction {budget_num}/{budget_den}")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(weight_col).cast("long").alias("__w"),
+        F.col(avail_col).cast("long").alias("__a"),
+    )
+    tot = base.agg(
+        F.sum("__w").alias("__tw"),
+        F.expr(
+            f"(sum(__a) * {int(budget_num)}) div {int(budget_den)}"
+        ).alias("__b"),
+    )
+    sk = F.when(
+        F.col("__w") > 0,
+        F.expr("(__a * 1000000000000) div __w"),
+    ).otherwise(F.lit(1 << 62))
+    ordered = base.crossJoin(F.broadcast(tot)).withColumn("__sk", sk)
+    w_prefix = Window.orderBy("__sk", "__g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("__sk", "__g").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = (
+        ordered.withColumn(
+            "__cw", F.coalesce(F.sum("__w").over(w_prefix), F.lit(0))
+        )
+        .withColumn(
+            "__ca", F.coalesce(F.sum("__a").over(w_prefix), F.lit(0))
+        )
+        .withColumn(
+            "__test",
+            (
+                F.col("__a") * (F.col("__tw") - F.col("__cw"))
+                <= F.col("__w") * (F.col("__b") - F.col("__ca"))
+            ).cast("int"),
+        )
+        .withColumn("__capped", F.min("__test").over(w_run) == 1)
+    )
+    resid = staged.groupBy().agg(
+        F.sum(F.when(F.col("__capped"), F.col("__a")).otherwise(0)).alias(
+            "__ba"
+        ),
+        F.sum(
+            F.when(~F.col("__capped"), F.col("__w")).otherwise(0)
+        ).alias("__wu"),
+    )
+    return (
+        staged.crossJoin(F.broadcast(resid))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__w").alias("weight"),
+            F.col("__a").alias("avail_tokens"),
+            F.expr(
+                "CASE WHEN __tw > 0 THEN (__w * __b) div __tw END"
+            )
+            .cast("long")
+            .alias("fair_tokens"),
+            F.when(F.col("__capped"), F.col("__a"))
+            .otherwise(
+                F.expr(
+                    "CASE WHEN __wu > 0 THEN"
+                    " (__w * (__b - __ba)) div __wu ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+            F.col("__capped").alias("capped"),
+        )
+    )

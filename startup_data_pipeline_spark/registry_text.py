@@ -4576,6 +4576,101 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bounded_mixture",
+    # the q_temperature_mix chain (alpha=0.5, one IEEE sqrt) feeding
+    # exact water-filling by the prefix test: scarcity order, capped
+    # set decided by cross-multiplied integer comparisons under
+    # cumulative AND, residual budget split by floor shares. Budget =
+    # 40% of corpus tokens (2/5, self-contained).
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    s AS (
+        SELECT source, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM t
+    ),
+    w AS (
+        SELECT *, CAST(floor(1000000.0 * sqrt(
+            CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT) AS w_u
+        FROM s
+    ),
+    ws AS (SELECT SUM(w_u) AS norm FROM w),
+    mix AS (
+        SELECT source, n_tokens AS a,
+               CAST((1000000 * w_u) // (SELECT norm FROM ws) AS BIGINT)
+                   AS wt
+        FROM w
+    ),
+    tt AS (SELECT SUM(wt) AS tw, (SUM(a) * 2) // 5 AS b FROM mix),
+    ordered AS (
+        SELECT *, CASE WHEN wt > 0 THEN (a * 1000000000000) // wt
+                       ELSE 4611686018427387904 END AS sk
+        FROM mix
+    ),
+    staged AS (
+        SELECT *,
+               COALESCE(SUM(wt) OVER (ORDER BY sk, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cw,
+               COALESCE(SUM(a) OVER (ORDER BY sk, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS ca
+        FROM ordered
+    ),
+    tested AS (
+        SELECT *, CASE WHEN a * ((SELECT tw FROM tt) - cw)
+                        <= wt * ((SELECT b FROM tt) - ca)
+                       THEN 1 ELSE 0 END AS tst
+        FROM staged
+    ),
+    run AS (
+        SELECT *, MIN(tst) OVER (ORDER BY sk, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                AS capped
+        FROM tested
+    ),
+    resid AS (
+        SELECT SUM(CASE WHEN capped THEN a ELSE 0 END) AS ba,
+               SUM(CASE WHEN NOT capped THEN wt ELSE 0 END) AS wu
+        FROM run
+    )
+    SELECT source,
+           CAST(wt AS BIGINT) AS weight,
+           CAST(a AS BIGINT) AS avail_tokens,
+           CAST(CASE WHEN (SELECT tw FROM tt) > 0 THEN
+               (wt * (SELECT b FROM tt)) // (SELECT tw FROM tt)
+           END AS BIGINT) AS fair_tokens,
+           CAST(CASE WHEN capped THEN a
+                WHEN (SELECT wu FROM resid) > 0 THEN
+                    (wt * ((SELECT b FROM tt) - (SELECT ba FROM resid)))
+                    // (SELECT wu FROM resid)
+                ELSE 0 END AS BIGINT) AS alloc_tokens,
+           capped
+    FROM run
+    """,
+    survey_ops="availability-capped mixture allocation (§2.11 mixture "
+    "design, the data-constrained completion): exact water-filling by "
+    "the scarcity-order prefix test — capped set decided by cross-"
+    "multiplied integer comparisons under a cumulative AND, residual "
+    "budget split by floor shares; windows over the |sources|-row "
+    "table only (the driver-side-Hare precedent)",
+)
+def q_bounded_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = olap.temperature_mix_weights(docs, "source", "text", alpha=0.5)
+    return olap.bounded_allocation(
+        mix, "source", "mix_ppm", "n_tokens", budget_num=2, budget_den=5
+    )
+
+
+@register(
     "q_temperature_mix",
     # alpha = 0.5 → one IEEE sqrt (correctly rounded per spec on both
     # engines — NO libm pow anywhere); shares/weights integer ppm

@@ -441,3 +441,44 @@ def test_corpus_card_hand_check(spark):
     assert r["mean_doc_tokens_x100"] == 325
     assert r["exact_dup_ppm"] == 250_000  # 1 surplus copy of 4 docs
     assert 0 <= r["gopher_pass_ppm"] <= 1_000_000
+
+
+def test_bounded_allocation_water_filling_hand_check(spark):
+    """Scarce groups cap at availability; the last uncapped group
+    absorbs the residual budget; totals hit the budget exactly when
+    floor division is exact."""
+    from startup_data_pipeline_spark.operators import olap
+
+    mix = spark.createDataFrame(
+        [("A", 500_000, 1_000), ("B", 300_000, 50), ("C", 200_000, 10_000)],
+        "source string, wt long, avail long",
+    )
+    # budget = 2/5 of 11050 = 4420
+    got = {
+        r["source"]: r
+        for r in olap.bounded_allocation(
+            mix, "source", "wt", "avail", budget_num=2, budget_den=5
+        ).collect()
+    }
+    assert got["B"]["capped"] and got["B"]["alloc_tokens"] == 50
+    assert got["A"]["capped"] and got["A"]["alloc_tokens"] == 1_000
+    assert not got["C"]["capped"] and got["C"]["alloc_tokens"] == 3_370
+    assert sum(r["alloc_tokens"] for r in got.values()) == 4_420
+    # fair share ignores caps: A would deserve 2210 of 4420
+    assert got["A"]["fair_tokens"] == 2_210
+
+
+def test_bounded_allocation_all_capped_when_budget_exceeds_supply(spark):
+    from startup_data_pipeline_spark.operators import olap
+
+    mix = spark.createDataFrame(
+        [("A", 1, 10), ("B", 1, 20)], "source string, wt long, avail long"
+    )
+    got = {
+        r["source"]: r
+        for r in olap.bounded_allocation(
+            mix, "source", "wt", "avail", budget_num=3, budget_den=1
+        ).collect()
+    }
+    assert all(r["capped"] for r in got.values())
+    assert got["A"]["alloc_tokens"] == 10 and got["B"]["alloc_tokens"] == 20
