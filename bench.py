@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the composite quality RRF ensemble (three signal
+    # chains + four two-level exact ranks)
+    "q_quality_ensemble",
     # round-14: availability-capped mixture (water-filling prefix
     # test over the |sources|-row table)
     "q_bounded_mixture",

@@ -195,6 +195,7 @@ PROBE = [
     "q_truncation_curve",
     "q_corpus_card",
     "q_bounded_mixture",
+    "q_quality_ensemble",
 ]
 
 

@@ -1968,6 +1968,93 @@ def excess_likelihood_select(
     )
 
 
+def quality_ensemble_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dsir_target: Column,
+    ref_target: Column,
+    k_rrf: int = 60,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Composite quality ranking by reciprocal-rank fusion over three
+    certified integer quality signals — bigram-LM fluency
+    (``ngram_lm_score``), DSIR importance, and reference-model
+    excess likelihood. The single-classifier failure mode (one
+    heuristic's blind spot silently shapes the corpus) is why
+    production curation ensembles independent signals; RRF is the
+    zero-tuning fusion (the ``rrf_fuse_topk`` convention:
+    ``Σ 10⁶ div (k + rank)``, integer, never float-order-dependent).
+
+    Each signal ranks documents by its integer key (ties → lowest
+    id) via ``exact_global_rank`` — four two-level ranks total, no
+    global window anywhere. A document missing from a signal's list
+    (no bigrams / no tokens — the explode conventions) simply
+    contributes fewer reciprocal terms, reported via ``n_lists``.
+
+    Returns [id, lm_rank, dsir_rank, ref_rank, rrf_scaled, n_lists,
+    ensemble_rank] — ensemble_rank 1 = best document of the corpus
+    under the fused view.
+    """
+    lm = ngram_lm_score(df, id_col, text_col).select(
+        F.col(id_col),
+        F.expr("sum_scaled_prob div n_bigrams").alias("__k"),
+    )
+    ds = dsir_importance(df, id_col, text_col, dsir_target).select(
+        F.col(id_col), F.col("importance_ppm").alias("__k")
+    )
+    ex = excess_likelihood_select(df, id_col, text_col, ref_target).select(
+        F.col(id_col), F.col("ref_mean_ppb").alias("__k")
+    )
+
+    def ranked(d: DataFrame, tag: str) -> DataFrame:
+        return exact_global_rank(
+            d, [F.col("__k").desc(), F.col(id_col).asc()], n_parts
+        ).select(
+            F.col(id_col),
+            F.lit(tag).alias("__src"),
+            F.col("__rank").alias("__r"),
+        )
+
+    u = (
+        ranked(lm, "lm")
+        .unionByName(ranked(ds, "dsir"))
+        .unionByName(ranked(ex, "ref"))
+    )
+    fused = u.groupBy(id_col).agg(
+        F.max(F.when(F.col("__src") == "lm", F.col("__r"))).alias(
+            "lm_rank"
+        ),
+        F.max(F.when(F.col("__src") == "dsir", F.col("__r"))).alias(
+            "dsir_rank"
+        ),
+        F.max(F.when(F.col("__src") == "ref", F.col("__r"))).alias(
+            "ref_rank"
+        ),
+        F.sum(F.expr(f"1000000 div ({int(k_rrf)} + __r)"))
+        .cast("long")
+        .alias("rrf_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    return exact_global_rank(
+        fused,
+        [
+            F.col("rrf_scaled").desc(),
+            F.col("n_lists").desc(),
+            F.col(id_col).asc(),
+        ],
+        n_parts,
+    ).select(
+        F.col(id_col),
+        "lm_rank",
+        "dsir_rank",
+        "ref_rank",
+        "rrf_scaled",
+        "n_lists",
+        F.col("__rank").alias("ensemble_rank"),
+    )
+
+
 def token_fertility_by_lang(
     df: DataFrame, id_col: str, text_col: str, lang_col: str
 ) -> DataFrame:

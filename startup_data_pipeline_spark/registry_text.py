@@ -4576,6 +4576,138 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_ensemble",
+    # three certified integer quality keys, each ranked by
+    # (key DESC, doc ASC), fused with the rrf_fusion convention
+    # (1e6 // (60 + rank)), then ranked once more
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(bgs) AS bigram
+        FROM (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bgs
+            FROM (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents)
+            WHERE len(toks) >= 2
+        )
+    ),
+    wp AS (
+        SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS prefix
+        FROM ex
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM wp GROUP BY bigram),
+    c1 AS (SELECT prefix, COUNT(*) AS c1 FROM wp GROUP BY prefix),
+    lm AS (
+        SELECT wp.doc_id,
+               SUM((1000000 * c2.c2) // c1.c1) AS s,
+               COUNT(*) AS nb
+        FROM wp
+        JOIN c2 ON wp.bigram = c2.bigram
+        JOIN c1 ON wp.prefix = c1.prefix
+        GROUP BY wp.doc_id
+    ),
+    lmr AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY s // nb DESC, doc_id ASC) AS r
+        FROM lm
+    ),
+    tokd AS (
+        SELECT doc_id, (lang = 'en') AS t, unnest({_TOKS_LOWER}) AS tok
+        FROM documents
+    ),
+    bd AS (
+        SELECT doc_id, t,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                   AS bucket
+        FROM tokd
+    ),
+    wd AS (
+        SELECT bucket,
+               CAST((1000000 * (SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1))
+                    // (COUNT(*) + 2) AS BIGINT) AS w_ppm
+        FROM bd GROUP BY bucket
+    ),
+    dsx AS (
+        SELECT doc_id, SUM(w_ppm) AS sw, COUNT(*) AS ntk
+        FROM bd JOIN wd USING (bucket)
+        GROUP BY doc_id
+    ),
+    dsr AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY sw // ntk DESC, doc_id ASC) AS r
+        FROM dsx
+    ),
+    tokr AS (
+        SELECT doc_id,
+               (lang = 'en' AND doc_id % 10 = 0) AS rr,
+               unnest({_TOKS_LOWER}) AS tok
+        FROM documents
+    ),
+    cc AS (
+        SELECT tok, COUNT(*) AS c_all,
+               SUM(CASE WHEN rr THEN 1 ELSE 0 END) AS c_ref
+        FROM tokr GROUP BY tok
+    ),
+    ssx AS (
+        SELECT COUNT(*) AS n_all,
+               SUM(CASE WHEN rr THEN 1 ELSE 0 END) AS n_ref,
+               COUNT(DISTINCT tok) AS v
+        FROM tokr
+    ),
+    wwx AS (
+        SELECT tok,
+               (1000000000 * (c_ref + 1)) // (n_ref + v) AS s_ref
+        FROM cc CROSS JOIN ssx
+    ),
+    px AS (
+        SELECT t.doc_id, SUM(w.s_ref) AS sr, COUNT(*) AS nt
+        FROM tokr t JOIN wwx w USING (tok)
+        GROUP BY t.doc_id
+    ),
+    exr AS (
+        SELECT doc_id, row_number() OVER (
+            ORDER BY sr // nt DESC, doc_id ASC) AS r
+        FROM px
+    ),
+    u AS (
+        SELECT doc_id, 'lm' AS src, r FROM lmr
+        UNION ALL SELECT doc_id, 'dsir', r FROM dsr
+        UNION ALL SELECT doc_id, 'ref', r FROM exr
+    ),
+    fz AS (
+        SELECT doc_id,
+               CAST(MAX(CASE WHEN src = 'lm' THEN r END) AS BIGINT)
+                   AS lm_rank,
+               CAST(MAX(CASE WHEN src = 'dsir' THEN r END) AS BIGINT)
+                   AS dsir_rank,
+               CAST(MAX(CASE WHEN src = 'ref' THEN r END) AS BIGINT)
+                   AS ref_rank,
+               CAST(SUM(1000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
+               CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, lm_rank, dsir_rank, ref_rank, rrf_scaled, n_lists,
+           CAST(row_number() OVER (
+               ORDER BY rrf_scaled DESC, n_lists DESC, doc_id ASC)
+               AS BIGINT) AS ensemble_rank
+    FROM fz
+    """,
+    survey_ops="composite quality ranking (§2.11 curation): RRF over "
+    "three certified integer signals — bigram-LM fluency, DSIR "
+    "importance, reference excess likelihood — the single-classifier-"
+    "blind-spot fix; four two-level exact ranks, no global window, "
+    "integer reciprocal fusion (1e6 div (60+rank))",
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_ensemble_rank(
+        docs, "doc_id", "text",
+        dsir_target=F.col("lang") == "en",
+        ref_target=(F.col("lang") == "en") & (F.col("doc_id") % 10 == 0),
+    )
+
+
+@register(
     "q_bounded_mixture",
     # the q_temperature_mix chain (alpha=0.5, one IEEE sqrt) feeding
     # exact water-filling by the prefix test: scarcity order, capped

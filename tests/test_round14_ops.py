@@ -482,3 +482,45 @@ def test_bounded_allocation_all_capped_when_budget_exceeds_supply(spark):
     }
     assert all(r["capped"] for r in got.values())
     assert got["A"]["alloc_tokens"] == 10 and got["B"]["alloc_tokens"] == 20
+
+
+def test_quality_ensemble_fuses_ranks(spark):
+    """RRF arithmetic checked row-by-row against the per-list ranks
+    the operator itself reports; ensemble_rank is a permutation of
+    1..n ordered by the fused score."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy dog again",
+             "en"),
+            (3, "zzz qqq xxx vvv kkk jjj", "de"),
+            (10, "the quick brown fox sleeps under the old tree", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = text.quality_ensemble_rank(
+        docs, "doc_id", "text",
+        dsir_target=F.col("lang") == "en",
+        ref_target=(F.col("lang") == "en") & (F.col("doc_id") % 10 == 0),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {1, 2, 3, 10}
+    for r in out:
+        expect = sum(
+            1_000_000 // (60 + r[c])
+            for c in ("lm_rank", "dsir_rank", "ref_rank")
+            if r[c] is not None
+        )
+        assert r["rrf_scaled"] == expect
+        assert r["n_lists"] == sum(
+            r[c] is not None
+            for c in ("lm_rank", "dsir_rank", "ref_rank")
+        )
+    assert sorted(r["ensemble_rank"] for r in out) == [1, 2, 3, 4]
+    order = sorted(
+        out,
+        key=lambda r: (-r["rrf_scaled"], -r["n_lists"], r["doc_id"]),
+    )
+    assert [r["ensemble_rank"] for r in order] == [1, 2, 3, 4]
