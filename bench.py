@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the two-phase anneal schedule (mixture + quality
+    # chains joined on the |sources| table, scalar assembly)
+    "q_anneal_schedule",
     # round-14: the composite quality RRF ensemble (three signal
     # chains + four two-level exact ranks)
     "q_quality_ensemble",

@@ -196,6 +196,7 @@ PROBE = [
     "q_corpus_card",
     "q_bounded_mixture",
     "q_quality_ensemble",
+    "q_anneal_schedule",
 ]
 
 

@@ -1271,3 +1271,67 @@ def bounded_allocation(
             F.col("__capped").alias("capped"),
         )
     )
+
+
+def anneal_schedule(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    avail_col: str,
+    quality_col: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    anneal_ppm: int = 100_000,
+) -> DataFrame:
+    """Two-phase (pretrain → anneal) token schedule — the midtraining
+    pattern: the bulk phase samples by the mixture weight, the final
+    ``anneal_ppm`` share of the budget re-weights every group by its
+    quality rate (weight × quality ppm), so the run ends on the
+    highest-quality slice of every source. Pure integer floor shares
+    both phases (callers wanting largest-remainder exactness compose
+    ``sample_allocation`` per phase); budget =
+    ``(Σavail · budget_num) div budget_den``, self-contained.
+
+    Input is the |groups|-row mixture table (weight, availability,
+    quality per group — each from its own certified derivation);
+    everything here is scalar broadcasts over it.
+
+    Returns [group, weight, quality, phase1_tokens, phase2_tokens].
+    """
+    if not 0 <= anneal_ppm <= 1_000_000:
+        raise ValueError(f"anneal_ppm out of range: {anneal_ppm}")
+    if budget_num < 0 or budget_den <= 0:
+        raise ValueError(f"bad budget fraction {budget_num}/{budget_den}")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(weight_col).cast("long").alias("__w"),
+        F.col(avail_col).cast("long").alias("__a"),
+        F.col(quality_col).cast("long").alias("__q"),
+    ).withColumn("__w2", F.expr("__w * __q"))
+    tot = base.agg(
+        F.sum("__w").alias("__tw"),
+        F.sum("__w2").alias("__tw2"),
+        F.expr(
+            f"(sum(__a) * {int(budget_num)}) div {int(budget_den)}"
+        ).alias("__b"),
+    ).select(
+        "__tw",
+        "__tw2",
+        F.expr(f"(__b * {int(anneal_ppm)}) div 1000000").alias("__b2"),
+        F.expr(
+            f"__b - (__b * {int(anneal_ppm)}) div 1000000"
+        ).alias("__b1"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        F.col("__g").alias(group_col),
+        F.col("__w").alias("weight"),
+        F.col("__q").alias("quality"),
+        F.expr("CASE WHEN __tw > 0 THEN (__w * __b1) div __tw ELSE 0 END")
+        .cast("long")
+        .alias("phase1_tokens"),
+        F.expr(
+            "CASE WHEN __tw2 > 0 THEN (__w2 * __b2) div __tw2 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("phase2_tokens"),
+    )

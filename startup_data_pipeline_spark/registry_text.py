@@ -4576,6 +4576,91 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_anneal_schedule",
+    # the q_temperature_mix weight chain + the q_source_quality gopher
+    # rate joined on source, then pure-integer two-phase floor shares:
+    # phase 1 by mixture weight, phase 2 (10% of a half-corpus budget)
+    # by weight x quality ppm
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    s AS (
+        SELECT source, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM t
+    ),
+    w AS (
+        SELECT *, CAST(floor(1000000.0 * sqrt(
+            CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT) AS w_u
+        FROM s
+    ),
+    ws AS (SELECT SUM(w_u) AS norm FROM w),
+    mix AS (
+        SELECT source, n_tokens AS a,
+               CAST((1000000 * w_u) // (SELECT norm FROM ws) AS BIGINT)
+                   AS wt
+        FROM w
+    ),
+    base AS ({_GOPHER_BASE}),
+    flags AS ({_GOPHER_FLAGS}),
+    q AS (
+        SELECT source,
+               CAST((1000000 * SUM(CASE WHEN gopher_pass THEN 1 ELSE 0
+                    END)) // COUNT(*) AS BIGINT) AS gp
+        FROM flags GROUP BY source
+    ),
+    j AS (
+        SELECT mix.source, mix.a, mix.wt, q.gp, mix.wt * q.gp AS w2
+        FROM mix JOIN q USING (source)
+    ),
+    tt AS (
+        SELECT SUM(wt) AS tw, SUM(w2) AS tw2,
+               ((SUM(a) * 1) // 2) AS b
+        FROM j
+    ),
+    bb AS (
+        SELECT tw, tw2,
+               (b * 100000) // 1000000 AS b2,
+               b - (b * 100000) // 1000000 AS b1
+        FROM tt
+    )
+    SELECT j.source,
+           CAST(j.wt AS BIGINT) AS weight,
+           CAST(j.gp AS BIGINT) AS quality,
+           CAST(CASE WHEN bb.tw > 0 THEN (j.wt * bb.b1) // bb.tw
+                ELSE 0 END AS BIGINT) AS phase1_tokens,
+           CAST(CASE WHEN bb.tw2 > 0 THEN (j.w2 * bb.b2) // bb.tw2
+                ELSE 0 END AS BIGINT) AS phase2_tokens
+    FROM j CROSS JOIN bb
+    """,
+    survey_ops="two-phase anneal schedule (§2.11 mixture design, the "
+    "midtraining pattern): bulk phase by mixture weight, final 10% of "
+    "the budget re-weighted by weight × Gopher quality ppm so the run "
+    "ends on the highest-quality slice of every source; pure-integer "
+    "floor shares over the |sources|-row mixture table",
+)
+def q_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = olap.temperature_mix_weights(
+        docs, "source", "text", alpha=0.5
+    ).select("source", "n_tokens", "mix_ppm")
+    qual = text.source_quality_rollup(
+        docs, "doc_id", "text", "source"
+    ).select("source", "gopher_pass_ppm")
+    return olap.anneal_schedule(
+        mix.join(qual, "source"),
+        "source", "mix_ppm", "n_tokens", "gopher_pass_ppm",
+        budget_num=1, budget_den=2, anneal_ppm=100_000,
+    )
+
+
+@register(
     "q_quality_ensemble",
     # three certified integer quality keys, each ranked by
     # (key DESC, doc ASC), fused with the rrf_fusion convention

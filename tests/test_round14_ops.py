@@ -524,3 +524,28 @@ def test_quality_ensemble_fuses_ranks(spark):
         key=lambda r: (-r["rrf_scaled"], -r["n_lists"], r["doc_id"]),
     )
     assert [r["ensemble_rank"] for r in order] == [1, 2, 3, 4]
+
+
+def test_anneal_schedule_quality_shifts_phase2(spark):
+    """Phase 1 follows the weight; phase 2 shifts toward the higher-
+    quality group; budgets are 90/10 of the half-corpus budget."""
+    from startup_data_pipeline_spark.operators import olap
+
+    mix = spark.createDataFrame(
+        # equal weights, equal availability, very different quality
+        [("hi", 500_000, 10_000, 900_000),
+         ("lo", 500_000, 10_000, 100_000)],
+        "source string, wt long, avail long, q long",
+    )
+    got = {
+        r["source"]: r
+        for r in olap.anneal_schedule(
+            mix, "source", "wt", "avail", "q",
+            budget_num=1, budget_den=2, anneal_ppm=100_000,
+        ).collect()
+    }
+    # budget = 10000, b2 = 1000, b1 = 9000; equal weights split b1
+    assert got["hi"]["phase1_tokens"] == got["lo"]["phase1_tokens"] == 4500
+    # phase 2 splits by wt*q: 900 vs 100
+    assert got["hi"]["phase2_tokens"] == 900
+    assert got["lo"]["phase2_tokens"] == 100
