@@ -262,6 +262,12 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: memorization-risk triage (text-hash agg + the CC
+    # chain + two id joins); q_secret_scan stays OUT as a pure
+    # map-side regex scan (MAP_SIDE_EXCLUDED convention candidate but
+    # listed here for auditability — no exchange, scan-throughput
+    # noise only), correctness-certified via the registry gate
+    "q_memorization_risk",
     # round-14: the two-phase anneal schedule (mixture + quality
     # chains joined on the |sources| table, scalar assembly)
     "q_anneal_schedule",

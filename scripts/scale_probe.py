@@ -197,6 +197,7 @@ PROBE = [
     "q_bounded_mixture",
     "q_quality_ensemble",
     "q_anneal_schedule",
+    "q_memorization_risk",
 ]
 
 

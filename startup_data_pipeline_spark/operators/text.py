@@ -186,6 +186,56 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
+# Credential/secret patterns, same engine-portability restriction as
+# PII_PATTERNS (RE2 == Java regex on character classes, bounded
+# repetition, \b). Redaction order: provider-prefixed keys first (an
+# AKIA key's tail is NOT hex, but other providers' are — prefix match
+# wins before the generic entropy pattern bites), generic 40-hex blobs
+# second, PEM headers last (no overlap with either).
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    (r"\bAKIA[0-9A-Z]{16}\b", "<AWSKEY>"),
+    (r"\b[0-9a-f]{40}\b", "<HEX40>"),
+    (r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PEMKEY>"),
+]
+
+
+def scrub_secrets(text: Column) -> Column:
+    """Redact credential-shaped spans (see ``SECRET_PATTERNS``)."""
+    out = text
+    for pat, repl in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def secret_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document credential/secret detection + redaction — the
+    governance leg PII misses: leaked API keys, commit-hash-shaped
+    high-entropy blobs, and PEM private-key material are what make a
+    trained model a credential oracle (the memorization exposure the
+    PII battery's emails/phones don't cover). Same one-pass shape as
+    ``pii_flags``: category counts under sequential-redaction
+    semantics (provider keys on raw text, hex blobs on the
+    key-redacted text, PEM headers on the blob-redacted text), a
+    ``secret_found`` flag, and the md5 of the fully scrubbed text as
+    the redaction certificate. Map-side regex chain, no shuffle.
+    """
+    key_pat, hex_pat, pem_pat = (p for p, _ in SECRET_PATTERNS)
+    raw = F.col(text_col)
+    t1 = F.regexp_replace(raw, key_pat, "<AWSKEY>")
+    t2 = F.regexp_replace(t1, hex_pat, "<HEX40>")
+    n_k = F.regexp_count(raw, F.lit(key_pat)).cast("long")
+    n_h = F.regexp_count(t1, F.lit(hex_pat)).cast("long")
+    n_p = F.regexp_count(t2, F.lit(pem_pat)).cast("long")
+    return ensure_min_parallelism(df).select(
+        F.col(id_col),
+        n_k.alias("n_provider_keys"),
+        n_h.alias("n_hex_blobs"),
+        n_p.alias("n_pem_headers"),
+        ((n_k + n_h + n_p) > 0).alias("secret_found"),
+        F.md5(scrub_secrets(raw)).alias("scrubbed_fp"),
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     id_col: str,
