@@ -1213,9 +1213,13 @@ def bounded_allocation(
             f"(sum(__a) * {int(budget_num)}) div {int(budget_den)}"
         ).alias("__b"),
     )
+    # scarcity key multiplier 1e5 keeps avail*1e5 inside BIGINT for
+    # per-group availabilities up to ~9e13 tokens (beyond the engine's
+    # ppm envelope, SCALE.md "integer envelope"); resolution avail/10
+    # at the 1e6 weight ceiling, ties broken by group name
     sk = F.when(
         F.col("__w") > 0,
-        F.expr("(__a * 1000000000000) div __w"),
+        F.expr("(__a * 100000) div __w"),
     ).otherwise(F.lit(1 << 62))
     ordered = base.crossJoin(F.broadcast(tot)).withColumn("__sk", sk)
     w_prefix = Window.orderBy("__sk", "__g").rowsBetween(

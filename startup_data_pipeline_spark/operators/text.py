@@ -1982,14 +1982,20 @@ def excess_likelihood_select(
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).alias("n_ref"),
         F.countDistinct("tok").alias("v"),
     )
+    # counts saturate at 2^31-1 inside the ppb product so the
+    # multiplication stays in BIGINT at any corpus size (a type this
+    # hot dominates every document equally — saturation cannot flip a
+    # selection); mirrored in the oracle
     scores = counts.crossJoin(F.broadcast(scal)).select(
         "tok",
-        F.expr("(1000000000 * (c_ref + 1)) div (n_ref + v)").alias(
-            "__s_ref"
-        ),
-        F.expr("(1000000000 * (c_all + 1)) div (n_all + v)").alias(
-            "__s_all"
-        ),
+        F.expr(
+            "(1000000000 * least(c_ref + 1, 2147483647))"
+            " div (n_ref + v)"
+        ).alias("__s_ref"),
+        F.expr(
+            "(1000000000 * least(c_all + 1, 2147483647))"
+            " div (n_all + v)"
+        ).alias("__s_all"),
     )
     return (
         tok.join(scores, "tok")

@@ -3850,8 +3850,10 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
         SELECT tok,
-               (1000000000 * (c_ref + 1)) // (n_ref + v) AS s_ref,
-               (1000000000 * (c_all + 1)) // (n_all + v) AS s_all
+               (1000000000 * LEAST(c_ref + 1, 2147483647))
+                   // (n_ref + v) AS s_ref,
+               (1000000000 * LEAST(c_all + 1, 2147483647))
+                   // (n_all + v) AS s_all
         FROM c CROSS JOIN s
     ),
     p AS (
@@ -4927,7 +4929,8 @@ def q_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wwx AS (
         SELECT tok,
-               (1000000000 * (c_ref + 1)) // (n_ref + v) AS s_ref
+               (1000000000 * LEAST(c_ref + 1, 2147483647))
+                   // (n_ref + v) AS s_ref
         FROM cc CROSS JOIN ssx
     ),
     px AS (
@@ -5011,7 +5014,7 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tt AS (SELECT SUM(wt) AS tw, (SUM(a) * 2) // 5 AS b FROM mix),
     ordered AS (
-        SELECT *, CASE WHEN wt > 0 THEN (a * 1000000000000) // wt
+        SELECT *, CASE WHEN wt > 0 THEN (a * 100000) // wt
                        ELSE 4611686018427387904 END AS sk
         FROM mix
     ),
