@@ -262,6 +262,9 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the gate-attribution funnel (the four certified legs
+    # + one 4-row assembly)
+    "q_admit_funnel",
     # round-14: memorization-risk triage (text-hash agg + the CC
     # chain + two id joins); q_secret_scan stays OUT as a pure
     # map-side regex scan (MAP_SIDE_EXCLUDED convention candidate but

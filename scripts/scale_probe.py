@@ -198,6 +198,7 @@ PROBE = [
     "q_quality_ensemble",
     "q_anneal_schedule",
     "q_memorization_risk",
+    "q_admit_funnel",
 ]
 
 

@@ -185,7 +185,7 @@ _PRIORITY: list[str] = [
     "q_export_manifest", "q_dedup_roi_curve", "q_leakage_free_split", "q_vocab_curve",
     "q_truncation_curve", "q_corpus_card", "q_bounded_mixture",
     "q_quality_ensemble", "q_anneal_schedule",
-    "q_secret_scan", "q_memorization_risk",
+    "q_secret_scan", "q_memorization_risk", "q_admit_funnel",
 ]
 
 

@@ -1348,6 +1348,174 @@ def q_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _admit_funnel_oracle() -> str:
+    # the composed per-arrival gate table (the q_stream_gates oracle,
+    # verbatim) rolled up to the attribution view: per gate, rejects
+    # and EXCLUSIVE rejects (arrivals no other gate also rejects) —
+    # which gate is doing the work, and which is redundant here.
+    return f"""
+    WITH f AS ({_stream_gates_oracle()}),
+    fl AS (
+        SELECT doc_id,
+               (action <> 'admit') AS r_screen,
+               NOT gopher_pass AS r_quality,
+               pii_found AS r_pii,
+               NOT dsir_selected AS r_dsir,
+               admit
+        FROM f
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+               CAST(SUM(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_admitted
+        FROM fl
+    )
+    SELECT g.gate,
+           t.n_arrivals,
+           CAST(CASE g.gate
+               WHEN 'screen' THEN
+                   (SELECT SUM(CASE WHEN r_screen THEN 1 ELSE 0 END)
+                    FROM fl)
+               WHEN 'quality' THEN
+                   (SELECT SUM(CASE WHEN r_quality THEN 1 ELSE 0 END)
+                    FROM fl)
+               WHEN 'pii' THEN
+                   (SELECT SUM(CASE WHEN r_pii THEN 1 ELSE 0 END)
+                    FROM fl)
+               ELSE
+                   (SELECT SUM(CASE WHEN r_dsir THEN 1 ELSE 0 END)
+                    FROM fl)
+           END AS BIGINT) AS n_reject,
+           CAST(CASE g.gate
+               WHEN 'screen' THEN
+                   (SELECT SUM(CASE WHEN r_screen AND NOT r_quality
+                        AND NOT r_pii AND NOT r_dsir THEN 1 ELSE 0 END)
+                    FROM fl)
+               WHEN 'quality' THEN
+                   (SELECT SUM(CASE WHEN r_quality AND NOT r_screen
+                        AND NOT r_pii AND NOT r_dsir THEN 1 ELSE 0 END)
+                    FROM fl)
+               WHEN 'pii' THEN
+                   (SELECT SUM(CASE WHEN r_pii AND NOT r_screen
+                        AND NOT r_quality AND NOT r_dsir THEN 1 ELSE 0
+                        END)
+                    FROM fl)
+               ELSE
+                   (SELECT SUM(CASE WHEN r_dsir AND NOT r_screen
+                        AND NOT r_quality AND NOT r_pii THEN 1 ELSE 0
+                        END)
+                    FROM fl)
+           END AS BIGINT) AS n_exclusive_reject,
+           t.n_admitted
+    FROM (SELECT unnest(['screen', 'quality', 'pii', 'dsir']) AS gate)
+        g
+    CROSS JOIN tot t
+    """
+
+
+@register(
+    "q_admit_funnel",
+    oracle=_admit_funnel_oracle(),
+    survey_ops="gate-attribution funnel (§2.9 × §2.11 ops view): the "
+    "composed four-gate verdict table rolled up per gate — rejects "
+    "and EXCLUSIVE rejects (arrivals no other gate also catches) plus "
+    "the final admit count; the table that says which gate is doing "
+    "the work and which is redundant on THIS corpus. Batch twin of "
+    "q_stream_gates' composition; corpus work = the four certified "
+    "legs, the funnel itself is one 4-row assembly",
+)
+def q_admit_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity, text
+    from .registry_text import pii_seeded_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    arrivals = docs.filter(F.col("doc_id") % 100 != 0)
+    arrival_vecs = emb.filter(F.col("vec_id") % 100 != 0)
+
+    screen = similarity.benchmark_screen(
+        arrivals, arrival_vecs,
+        docs.filter(F.col("doc_id") % 100 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        "doc_id", "text", "vec_id", "embedding",
+        sq_dist_max=1_000_000, containment_min_ppm=500_000,
+        k=3, max_df=50,
+    ).select(
+        F.col("arrival_id").alias("doc_id"),
+        (F.col("action") != "admit").alias("r_screen"),
+    )
+    quality = text.gopher_quality_flags(
+        arrivals, "doc_id", "text"
+    ).select("doc_id", (~F.col("gopher_pass")).alias("r_quality"))
+    pii = text.pii_flags(
+        arrivals.select(
+            "doc_id", pii_seeded_text(arrivals).alias("__s")
+        ),
+        "doc_id", "__s",
+    ).select("doc_id", F.col("pii_found").alias("r_pii"))
+    weights, prior = text.dsir_train_weights(
+        docs, "text", F.col("lang") == "en", n_buckets=64
+    )
+    dsir = text.dsir_score_frozen(
+        arrivals.select("doc_id", "text"), "doc_id", "text",
+        weights, prior, n_buckets=64,
+    ).select("doc_id", (~F.col("selected")).alias("r_dsir"))
+
+    fl = (
+        screen.join(quality, "doc_id")
+        .join(pii, "doc_id")
+        .join(dsir, "doc_id")
+        .withColumn(
+            "admit",
+            ~F.col("r_screen") & ~F.col("r_quality")
+            & ~F.col("r_pii") & ~F.col("r_dsir"),
+        )
+    )
+    agg = fl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum(F.col("admit").cast("long")).cast("long").alias(
+            "n_admitted"
+        ),
+        *[
+            F.sum(F.col(f"r_{g}").cast("long")).cast("long").alias(
+                f"__r_{g}"
+            )
+            for g in ("screen", "quality", "pii", "dsir")
+        ],
+        *[
+            F.sum(
+                (
+                    F.col(f"r_{g}")
+                    & sum(
+                        (F.col(f"r_{o}").cast("int") for o in
+                         ("screen", "quality", "pii", "dsir") if o != g),
+                        F.lit(0),
+                    ).eqNullSafe(F.lit(0))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias(f"__x_{g}")
+            for g in ("screen", "quality", "pii", "dsir")
+        ],
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(4, "
+            "'screen', __r_screen, __x_screen, "
+            "'quality', __r_quality, __x_quality, "
+            "'pii', __r_pii, __x_pii, "
+            "'dsir', __r_dsir, __x_dsir) "
+            "AS (gate, n_reject, n_exclusive_reject)"
+        ),
+        "n_arrivals",
+        "n_admitted",
+    )
+    return stacked.select(
+        "gate", "n_arrivals", "n_reject", "n_exclusive_reject",
+        "n_admitted",
+    )
+
+
 def _fixture_video_frames(docs: DataFrame) -> DataFrame:
     """Fixture frame synthesis for the video queries, oracle-mirrored:
     a video has ``3 + id % 4`` frames and frame content is seeded by
