@@ -400,6 +400,11 @@ ISOLATED_SUBSET = [
     # round-13 session-2 append: the session's two heaviest new shapes
     "q_substring_dedup",
     "q_video_near_dup",
+    # round-14 append (below the frozen common-20 — appends never
+    # enter the headline value, only the per-query series): the
+    # round's two heaviest new shapes
+    "q_crossmodal_dup",
+    "q_quality_ensemble",
 ]
 
 
