@@ -262,6 +262,11 @@ HEADLINE = [
     # builder snapshot — the driver's round-close run is its first
     # series point, the q_pack_efficiency precedent)
     "q_mixture_build",
+    # round-14: the repeat-capped epoch plan (effective-tokens CC
+    # chain + temperature + water-filling, one lineage; entered after
+    # the round-close builder snapshot — the driver's run is its
+    # first series point, the q_pack_efficiency precedent)
+    "q_repeat_cap_plan",
     # round-14: the gate-attribution funnel (the four certified legs
     # + one 4-row assembly)
     "q_admit_funnel",

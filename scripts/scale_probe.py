@@ -199,6 +199,7 @@ PROBE = [
     "q_anneal_schedule",
     "q_memorization_risk",
     "q_admit_funnel",
+    "q_repeat_cap_plan",
 ]
 
 

@@ -4007,6 +4007,216 @@ def q_lang_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_repeat_cap_plan",
+    # data-constrained epoch planning (Muennighoff et al. 2023: past
+    # ~4 epochs, repeated tokens stop buying loss): per-source repeat
+    # ceiling = 4 x its UNIQUE (soft-dedup effective) tokens, then the
+    # temperature mixture water-fills a 2x-unique-corpus budget
+    # against those ceilings. Three certified chains composed:
+    # effective-tokens (CC + weights), temperature weights, and the
+    # bounded-allocation prefix test.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id))
+                   AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    sizes AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    ),
+    weighted AS (
+        SELECT c.doc_id,
+               CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+        FROM comp c JOIN sizes s USING (component)
+    ),
+    toksz AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_LOWER}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    eff AS (
+        SELECT t.source,
+               CAST(SUM(t.n_tokens * w.weight_ppm) // 1000000 AS BIGINT)
+                   AS unique_tokens
+        FROM toksz t JOIN weighted w USING (doc_id)
+        GROUP BY t.source
+    ),
+    tt0 AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM tt0),
+    sh AS (
+        SELECT source, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM tt0
+    ),
+    wu AS (
+        SELECT *, CAST(floor(1000000.0 * sqrt(
+            CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT) AS w_u
+        FROM sh
+    ),
+    wnorm AS (SELECT SUM(w_u) AS norm FROM wu),
+    mix AS (
+        SELECT source,
+               CAST((1000000 * w_u) // (SELECT norm FROM wnorm)
+                    AS BIGINT) AS wt
+        FROM wu
+    ),
+    j AS (
+        SELECT e.source, e.unique_tokens, m.wt,
+               e.unique_tokens * 4 AS a
+        FROM eff e JOIN mix m USING (source)
+    ),
+    tt AS (SELECT SUM(wt) AS tw, (SUM(a) * 1) // 2 AS b FROM j),
+    ordered AS (
+        SELECT *, CASE WHEN wt > 0 THEN (a * 100000) // wt
+                       ELSE 4611686018427387904 END AS sk
+        FROM j
+    ),
+    staged AS (
+        SELECT *,
+               COALESCE(SUM(wt) OVER (ORDER BY sk, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cw,
+               COALESCE(SUM(a) OVER (ORDER BY sk, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS ca
+        FROM ordered
+    ),
+    tested AS (
+        SELECT *, CASE WHEN a * ((SELECT tw FROM tt) - cw)
+                        <= wt * ((SELECT b FROM tt) - ca)
+                       THEN 1 ELSE 0 END AS tst
+        FROM staged
+    ),
+    run AS (
+        SELECT *, MIN(tst) OVER (ORDER BY sk, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                AS capped
+        FROM tested
+    ),
+    resid AS (
+        SELECT SUM(CASE WHEN capped THEN a ELSE 0 END) AS ba,
+               SUM(CASE WHEN NOT capped THEN wt ELSE 0 END) AS wuq
+        FROM run
+    ),
+    alloc AS (
+        SELECT source, unique_tokens, wt, capped,
+               CASE WHEN capped THEN a
+                    WHEN (SELECT wuq FROM resid) > 0 THEN
+                        (wt * ((SELECT b FROM tt)
+                               - (SELECT ba FROM resid)))
+                        // (SELECT wuq FROM resid)
+                    ELSE 0 END AS alloc_tokens
+        FROM run
+    )
+    SELECT source,
+           CAST(unique_tokens AS BIGINT) AS unique_tokens,
+           CAST(wt AS BIGINT) AS weight,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN unique_tokens > 0 THEN
+               (alloc_tokens * 100) // unique_tokens END AS BIGINT)
+               AS epochs_x100,
+           capped AS repeat_capped
+    FROM alloc
+    """,
+    survey_ops="repeat-capped epoch plan (§2.11 mixture design, the "
+    "data-constrained scaling shape): per-source ceiling = 4 x its "
+    "soft-dedup UNIQUE tokens, temperature mixture water-filled "
+    "against the ceilings, per-source epoch count x100 — three "
+    "certified chains (effective tokens, temperature weights, "
+    "bounded allocation) on one lineage",
+)
+def q_repeat_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, k=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=4, band_size=1
+    )
+    weights = dedup.soft_dedup_weights(
+        docs.select("doc_id"), pairs, "doc_id"
+    ).select("doc_id", "weight_ppm")
+    toksz = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens(F.lower(F.col("text")))).cast("long")
+        .alias("n_tokens"),
+    )
+    eff = (
+        toksz.join(weights, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_tokens") * F.col("weight_ppm")).alias(
+                "__wsum"
+            )
+        )
+        .select(
+            "source",
+            F.expr("__wsum div 1000000").cast("long").alias(
+                "unique_tokens"
+            ),
+        )
+    )
+    mix = olap.temperature_mix_weights(
+        docs, "source", "text", alpha=0.5
+    ).select("source", "mix_ppm")
+    j = eff.join(mix, "source").select(
+        "source",
+        "mix_ppm",
+        "unique_tokens",
+        (F.col("unique_tokens") * 4).alias("__avail4"),
+    )
+    alloc = olap.bounded_allocation(
+        j, "source", "mix_ppm", "__avail4", budget_num=1, budget_den=2
+    )
+    return alloc.join(eff, "source").select(
+        "source",
+        "unique_tokens",
+        "weight",
+        "alloc_tokens",
+        F.expr(
+            "CASE WHEN unique_tokens > 0 THEN"
+            " (alloc_tokens * 100) div unique_tokens END"
+        )
+        .cast("long")
+        .alias("epochs_x100"),
+        F.col("capped").alias("repeat_capped"),
+    )
+
+
+@register(
     "q_effective_tokens",
     # "how much UNIQUE data do I actually have": the soft-dedup weight
     # chain (minhash -> LSH bands -> components -> 1/cluster_size ppm)
