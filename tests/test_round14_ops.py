@@ -600,3 +600,33 @@ def test_memorization_risk_tiers(spark):
     assert got[10][0] == 1 and got[10][1] == "medium"
     assert got[11][1] == "medium"
     assert got[20] == (1, "low")
+
+
+def test_admit_funnel_invariants(spark, sf_dir):
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_admit_funnel"].fn(spark, sf_dir).collect()
+    assert sorted(r["gate"] for r in out) == [
+        "dsir", "pii", "quality", "screen",
+    ]
+    n_arr = {r["n_arrivals"] for r in out}
+    n_adm = {r["n_admitted"] for r in out}
+    assert len(n_arr) == 1 and len(n_adm) == 1  # constant columns
+    for r in out:
+        assert 0 <= r["n_exclusive_reject"] <= r["n_reject"]
+        assert r["n_reject"] <= r["n_arrivals"]
+    assert next(iter(n_adm)) <= next(iter(n_arr))
+
+
+def test_repeat_cap_plan_invariants(spark, sf_dir):
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_repeat_cap_plan"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["alloc_tokens"] <= 4 * r["unique_tokens"]
+        if r["repeat_capped"]:
+            assert r["alloc_tokens"] == 4 * r["unique_tokens"]
+            assert r["epochs_x100"] == 400
+        else:
+            assert r["epochs_x100"] is None or r["epochs_x100"] <= 400
