@@ -783,3 +783,35 @@ def test_semdedup_join_is_cell_keyed_not_cartesian(spark, plan_sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "cluster" in line or "vid" in line, line
+
+
+def test_crossmodal_dup_has_no_cartesian_joins(spark, plan_sf_dir):
+    """Every one of the five detector legs must stay banded /
+    bucket-capped: a CartesianProduct anywhere means a candidate
+    generator lost its blocking key (the quadratic the caps exist to
+    prevent)."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_crossmodal_dup"].fn(spark, plan_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_ensemble_ranks_stay_two_level(spark, plan_sf_dir):
+    """All four exact ranks must run as per-partition windows over the
+    range-partitioned tables (partitioned by __pid) — a Window without
+    a partition spec is the single-partition global sort the two-level
+    shape exists to avoid."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_quality_ensemble"].fn(spark, plan_sf_dir),
+        mode="simple",
+    )
+    windows = [
+        ln for ln in plan.splitlines() if "Window [" in ln
+    ]
+    assert windows, "expected window operators in the ensemble plan"
+    assert all("__pid" in ln for ln in windows)
+    assert "CartesianProduct" not in plan
