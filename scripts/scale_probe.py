@@ -200,6 +200,7 @@ PROBE = [
     "q_memorization_risk",
     "q_admit_funnel",
     "q_repeat_cap_plan",
+    "q_optout_impact",
 ]
 
 

@@ -2890,6 +2890,67 @@ def pii_rate_report(
     )
 
 
+def secret_rate_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group credential incidence report — ``pii_rate_report``'s
+    symmetric twin for the secret battery (provider keys, 40-hex
+    blobs, PEM headers): absolute counts and per-million-token rates
+    per slice, the measurement behind a key-revocation/drop decision
+    (a source shipping credentials is dropped, not scrubbed — a
+    revoked-but-memorized key is still an incident). Same sequential-
+    redaction counting as ``secret_flags``; map-side regex scan + one
+    |groups|-key agg; integer ppm.
+    """
+    key_pat, hex_pat, pem_pat = (p for p, _ in SECRET_PATTERNS)
+    raw = F.col(text_col)
+    t1 = F.regexp_replace(raw, key_pat, "<AWSKEY>")
+    t2 = F.regexp_replace(t1, hex_pat, "<HEX40>")
+    per_doc = ensure_min_parallelism(df).select(
+        F.col(group_col),
+        F.regexp_count(raw, F.lit(key_pat)).cast("long").alias("__k"),
+        F.regexp_count(t1, F.lit(hex_pat)).cast("long").alias("__h"),
+        F.regexp_count(t2, F.lit(pem_pat)).cast("long").alias("__p"),
+        F.size(tokens(raw)).cast("long").alias("__nt"),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                ((F.col("__k") + F.col("__h") + F.col("__p")) > 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_docs_with_secrets"),
+            F.sum("__k").cast("long").alias("n_provider_keys"),
+            F.sum("__h").cast("long").alias("n_hex_blobs"),
+            F.sum("__p").cast("long").alias("n_pem_headers"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_docs_with_secrets",
+            "n_provider_keys",
+            "n_hex_blobs",
+            "n_pem_headers",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (1000000 * "
+                "(n_provider_keys + n_hex_blobs + n_pem_headers))"
+                " div n_tokens END"
+            )
+            .cast("long")
+            .alias("secrets_per_mtok"),
+        )
+    )
+
+
 def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document PII detection + redaction in one pass: category
     counts under ``scrub_pii``'s sequential-redaction semantics

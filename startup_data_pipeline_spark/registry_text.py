@@ -4006,6 +4006,113 @@ def q_lang_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tmix_ctes(p: str, where: str) -> str:
+    # one temperature-mix chain (alpha=0.5, the q_temperature_mix
+    # arithmetic) over a filtered document universe, CTE names
+    # prefixed so two chains coexist in one oracle
+    return f"""
+    {p}t AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents WHERE {where} GROUP BY source
+    ),
+    {p}tot AS (SELECT SUM(n_tokens) AS total FROM {p}t),
+    {p}s AS (
+        SELECT source, n_docs, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM {p}tot)
+                    AS BIGINT) AS share_ppm
+        FROM {p}t
+    ),
+    {p}w AS (
+        SELECT *, CAST(floor(1000000.0 * sqrt(
+            CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT) AS w_u
+        FROM {p}s
+    ),
+    {p}ws AS (SELECT SUM(w_u) AS norm FROM {p}w),
+    {p}mix AS (
+        SELECT source, n_docs, n_tokens,
+               CAST((1000000 * w_u) // (SELECT norm FROM {p}ws)
+                    AS BIGINT) AS mix_ppm
+        FROM {p}w
+    )"""
+
+
+@register(
+    "q_optout_impact",
+    # deterministic fixture opt-out set: doc_id % 11 = 0 (standing in
+    # for a real opt-out registry anti-join — the rule is the fixture,
+    # the plumbing is the product). Two temperature chains (full vs
+    # surviving universe) joined per source.
+    oracle=f"""
+    WITH {_tmix_ctes("bf", "TRUE")},
+    {_tmix_ctes("af", "doc_id % 11 <> 0")}
+    SELECT b.source,
+           b.n_docs,
+           CAST(b.n_docs - COALESCE(a.n_docs, 0) AS BIGINT)
+               AS n_optout_docs,
+           b.n_tokens AS tokens_before,
+           CAST(b.n_tokens - COALESCE(a.n_tokens, 0) AS BIGINT)
+               AS tokens_removed,
+           CAST(CASE WHEN b.n_tokens > 0 THEN
+               (1000000 * (b.n_tokens - COALESCE(a.n_tokens, 0)))
+               // b.n_tokens END AS BIGINT) AS removed_ppm,
+           b.mix_ppm AS mix_ppm_before,
+           CAST(COALESCE(a.mix_ppm, 0) AS BIGINT) AS mix_ppm_after,
+           CAST(COALESCE(a.mix_ppm, 0) - b.mix_ppm AS BIGINT)
+               AS mix_shift_ppm
+    FROM bfmix b LEFT JOIN afmix a USING (source)
+    """,
+    survey_ops="opt-out impact table (§2.11 governance): what honoring "
+    "an opt-out set costs per source — docs and token mass removed, "
+    "and the temperature-mixture shift the survivors force (a small "
+    "source losing half its tokens moves EVERY source's mix weight); "
+    "two certified temperature chains joined on the source catalog",
+)
+def q_optout_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = olap.temperature_mix_weights(
+        docs, "source", "text", alpha=0.5
+    ).select("source", "n_docs", "n_tokens", "mix_ppm")
+    after = olap.temperature_mix_weights(
+        docs.filter(F.col("doc_id") % 11 != 0), "source", "text",
+        alpha=0.5,
+    ).select(
+        "source",
+        F.col("n_docs").alias("__an"),
+        F.col("n_tokens").alias("__at"),
+        F.col("mix_ppm").alias("__am"),
+    )
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce(F.col("__an"), F.lit(0)))
+            .cast("long")
+            .alias("n_optout_docs"),
+            F.col("n_tokens").alias("tokens_before"),
+            (F.col("n_tokens") - F.coalesce(F.col("__at"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN (1000000 * "
+                "(n_tokens - coalesce(__at, 0))) div n_tokens END"
+            )
+            .cast("long")
+            .alias("removed_ppm"),
+            F.col("mix_ppm").alias("mix_ppm_before"),
+            F.coalesce(F.col("__am"), F.lit(0))
+            .cast("long")
+            .alias("mix_ppm_after"),
+            (F.coalesce(F.col("__am"), F.lit(0)) - F.col("mix_ppm"))
+            .cast("long")
+            .alias("mix_shift_ppm"),
+        )
+    )
+
+
 @register(
     "q_repeat_cap_plan",
     # data-constrained epoch planning (Muennighoff et al. 2023: past
@@ -4727,6 +4834,56 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", secret_seeded_text(docs).alias("__s")
     )
     return text.secret_flags(seeded, "doc_id", "__s")
+
+
+@register(
+    "q_secret_rate_by_source",
+    # same sequential-redaction counting as q_secret_scan, rolled up
+    # per source with per-million-token rates
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, source, ({_SECRET_SEED_SQL}) AS s FROM documents
+    ),
+    staged AS (
+        SELECT source, s,
+               len(regexp_extract_all(s, '{_SECRET_KEY}')) AS k,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_SECRET_KEY}', '<AWSKEY>', 'g'),
+                   '{_SECRET_HEX}')) AS h,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_SECRET_KEY}', '<AWSKEY>',
+                                      'g'),
+                       '{_SECRET_HEX}', '<HEX40>', 'g'),
+                   '{_SECRET_PEM}')) AS p,
+               len(list_filter(regexp_split_to_array(s, '\\s+'),
+                   x -> x <> '')) AS nt
+        FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k + h + p > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_with_secrets,
+           CAST(SUM(k) AS BIGINT) AS n_provider_keys,
+           CAST(SUM(h) AS BIGINT) AS n_hex_blobs,
+           CAST(SUM(p) AS BIGINT) AS n_pem_headers,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN SUM(nt) > 0 THEN
+               (1000000 * (SUM(k) + SUM(h) + SUM(p))) // SUM(nt)
+           END AS BIGINT) AS secrets_per_mtok
+    FROM staged GROUP BY source
+    """,
+    survey_ops="per-source credential incidence (§2.11 governance "
+    "rollup): the secret battery's pii_rate_by_source twin — a source "
+    "shipping credentials is dropped, not scrubbed; map-side regex "
+    "scan + one |sources|-key agg, integer ppm",
+)
+def q_secret_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id", "source", secret_seeded_text(docs).alias("__s")
+    )
+    return text.secret_rate_report(seeded, "doc_id", "__s", "source")
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -228,12 +228,13 @@ def test_registry_integrity():
     ]
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r15 window)
-    assert list(qs)[-16:] == [
+    assert list(qs)[-18:] == [
         "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
         "q_export_manifest", "q_dedup_roi_curve",
         "q_leakage_free_split", "q_vocab_curve",
         "q_truncation_curve", "q_corpus_card", "q_bounded_mixture",
         "q_quality_ensemble", "q_anneal_schedule",
         "q_secret_scan", "q_memorization_risk", "q_admit_funnel",
-        "q_repeat_cap_plan",
+        "q_repeat_cap_plan", "q_secret_rate_by_source",
+        "q_optout_impact",
     ]
