@@ -264,10 +264,14 @@ HEADLINE = [
     "q_mixture_build",
     # round-14 (post-snapshot, first series points at the driver's
     # round-close run): the opt-out impact table (two temperature
-    # chains); q_secret_rate_by_source stays OUT as a pure map-side
-    # regex scan (the q_secret_scan convention), certified via the
-    # registry gate
+    # chains), the ANN index manifest (seeded routing scan + cell
+    # agg), and the lang-ID confusion matrix (prediction scan +
+    # bounded agg); q_secret_rate_by_source stays OUT as a pure
+    # map-side regex scan (the q_secret_scan convention), certified
+    # via the registry gate
     "q_optout_impact",
+    "q_index_manifest",
+    "q_lang_confusion",
     # round-14: the repeat-capped epoch plan (effective-tokens CC
     # chain + temperature + water-filling, one lineage; entered after
     # the round-close builder snapshot — the driver's run is its

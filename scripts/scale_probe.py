@@ -201,6 +201,8 @@ PROBE = [
     "q_admit_funnel",
     "q_repeat_cap_plan",
     "q_optout_impact",
+    "q_index_manifest",
+    "q_lang_confusion",
 ]
 
 

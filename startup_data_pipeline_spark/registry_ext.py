@@ -2159,6 +2159,122 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_index_manifest",
+    # export_manifest's handoff-verification idea on the VECTOR side:
+    # the seeded cell assignment (the certified q_kmeans_assign
+    # derivation) rolled up per cell with an order-insensitive 60-bit
+    # XOR fingerprint of each member's quantized coordinates — a
+    # consumer re-derives the manifest with one scan and accepts an
+    # ANN index handoff cell-for-cell.
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= 8
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    assigned AS (
+        SELECT vid, cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    fp AS (
+        SELECT vec_id AS vid,
+               CAST(concat('0x', substr(md5(
+                   CAST(vec_id AS VARCHAR) || ':' ||
+                   array_to_string(list_transform(embedding,
+                       x -> CAST(CAST(round(CAST(x AS DOUBLE) * 10000)
+                            AS BIGINT) AS VARCHAR)), ',')), 1, 15))
+                   AS BIGINT) AS f
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    )
+    SELECT a.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(a.vid) AS BIGINT) AS min_vid,
+           CAST(MAX(a.vid) AS BIGINT) AS max_vid,
+           CAST(bit_xor(fp.f) AS BIGINT) AS content_fp
+    FROM assigned a JOIN fp USING (vid)
+    GROUP BY a.cluster
+    """,
+    survey_ops="ANN index handoff manifest (§2.11 similarity x export "
+    "integrity): per IVF cell — member count, vid range, and an "
+    "order-insensitive XOR fingerprint of quantized member vectors; "
+    "the export_manifest contract on the vector side, over the "
+    "certified seeded cell-routing scan",
+)
+def q_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import (
+        kmeans_assign_seeded,
+        quantize,
+        vector_has_geometry,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign_seeded(
+        emb, "vec_id", "embedding", k=8
+    ).select("vid", "cluster")
+    fp = (
+        emb.filter(vector_has_geometry("embedding"))
+        .select(
+            F.col("vec_id").alias("vid"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"),
+                            F.lit(":"),
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    quantize(F.col("embedding")),
+                                    lambda x: x.cast("string"),
+                                ),
+                            ),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("__f"),
+        )
+    )
+    return (
+        assigned.join(fp, "vid")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vid").cast("long").alias("min_vid"),
+            F.max("vid").cast("long").alias("max_vid"),
+            F.expr("bit_xor(__f)").cast("long").alias("content_fp"),
+        )
+    )
+
+
+@register(
     "q_semdedup",
     # k auto-sizes from the corpus (ceil(n/64) clamped to [8, 4096]) —
     # the same one-count-agg-mirrored-in-SQL pattern as q_knn_graph's

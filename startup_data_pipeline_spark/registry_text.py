@@ -131,6 +131,82 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lang_confusion",
+    # the q_lang_id prediction chain rolled up into the confusion
+    # matrix + per-true-language accuracy — the QA table that says
+    # where the heuristic is trustworthy BEFORE its labels drive
+    # budget decisions (q_lang_budget_mix consumes them)
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN best > 0 THEN
+                    CASE WHEN s_en = best THEN 'en'
+                         WHEN s_fr = best THEN 'fr'
+                         WHEN s_es = best THEN 'es'
+                         WHEN s_de = best THEN 'de'
+                         WHEN s_zh = best THEN 'zh'
+                    END
+               ELSE 'und' END AS predicted_lang
+        FROM (
+            SELECT doc_id, lang,
+                   greatest(s_en, s_fr, s_es, s_de, s_zh) AS best,
+                   s_en, s_fr, s_es, s_de, s_zh
+            FROM (
+                SELECT doc_id, lang,
+                    len(list_filter(toks, t -> list_contains(['the','a'], t))) AS s_en,
+                    len(list_filter(toks, t -> list_contains(['le','la'], t))) AS s_fr,
+                    len(list_filter(toks, t -> list_contains(['el','los'], t))) AS s_es,
+                    len(list_filter(toks, t -> list_contains(['der','das'], t))) AS s_de,
+                    len(list_filter(toks, t -> list_contains(['de','shi'], t))) AS s_zh
+                FROM (SELECT doc_id, lang, {_TOKS} AS toks
+                      FROM (SELECT doc_id, lang, lower(text) AS text
+                            FROM documents))
+            )
+        )
+    ),
+    tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM pred GROUP BY lang
+    )
+    SELECT p.lang AS true_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((1000000 * COUNT(*)) // t.n_true AS BIGINT)
+               AS cell_ppm,
+           (p.lang = p.predicted_lang) AS correct
+    FROM pred p JOIN tot t ON t.lang = p.lang
+    GROUP BY p.lang, p.predicted_lang, t.n_true
+    """,
+    survey_ops="language-ID confusion matrix (§2.11 QA): the lang_id "
+    "heuristic scored against the corpus's true labels — per "
+    "(true, predicted) cell count and per-true-language share; the "
+    "trust check run before language labels drive budget decisions; "
+    "one prediction scan + a |langs|²-bounded agg",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id_heuristic(docs, "text").select(
+        "lang", "predicted_lang"
+    )
+    tot = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_true")
+    )
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(tot, "lang")
+        .select(
+            F.col("lang").alias("true_lang"),
+            "predicted_lang",
+            "n_docs",
+            F.expr("(1000000 * n_docs) div __n_true")
+            .cast("long")
+            .alias("cell_ppm"),
+            (F.col("lang") == F.col("predicted_lang")).alias("correct"),
+        )
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
     SELECT doc_id,
