@@ -272,6 +272,9 @@ HEADLINE = [
     "q_optout_impact",
     "q_index_manifest",
     "q_lang_confusion",
+    # the release-gate governance capstone (three certified evidence
+    # legs on the source catalog; the CC chain is its floor)
+    "q_release_gate",
     # round-14: the repeat-capped epoch plan (effective-tokens CC
     # chain + temperature + water-filling, one lineage; entered after
     # the round-close builder snapshot — the driver's run is its

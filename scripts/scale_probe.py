@@ -203,6 +203,7 @@ PROBE = [
     "q_optout_impact",
     "q_index_manifest",
     "q_lang_confusion",
+    "q_release_gate",
 ]
 
 

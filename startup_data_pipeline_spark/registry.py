@@ -187,7 +187,7 @@ _PRIORITY: list[str] = [
     "q_quality_ensemble", "q_anneal_schedule",
     "q_secret_scan", "q_memorization_risk", "q_admit_funnel",
     "q_repeat_cap_plan", "q_secret_rate_by_source", "q_optout_impact",
-    "q_index_manifest", "q_lang_confusion",
+    "q_index_manifest", "q_lang_confusion", "q_release_gate",
 ]
 
 

@@ -1980,6 +1980,8 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 @register(
     "q_memorization_risk",
     # verbatim copy counts (full-text md5 groups) x near-dup cluster
@@ -5050,6 +5052,183 @@ def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return text.pii_rate_report(seeded, "doc_id", "seeded", "source")
 
+
+
+@register(
+    "q_release_gate",
+    # the round's governance capstone (the q_source_triage pattern on
+    # the RELEASE side): three certified evidence legs per source —
+    # credential incidence, PII incidence, memorization-risk share —
+    # composed into the ship/scrub/block decision. Thresholds stated
+    # in the output rule: any credentials OR >=20% high-risk docs ->
+    # block; PII >= 10000/mtok OR >=5% high-risk -> scrub_first.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id))
+                   AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    csize AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    ),
+    fpx AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS exact_copies
+        FROM documents GROUP BY md5(text)
+    ),
+    riskx AS (
+        SELECT d.doc_id, d.source,
+               (fpx.exact_copies >= 4 OR cs.cluster_size >= 8)
+                   AS is_high
+        FROM documents d
+        JOIN fpx ON fpx.h = md5(d.text)
+        JOIN comp ON comp.doc_id = d.doc_id
+        JOIN csize cs USING (component)
+    ),
+    risk AS (
+        SELECT source,
+               CAST((1000000 * SUM(CASE WHEN is_high THEN 1 ELSE 0
+                    END)) // COUNT(*) AS BIGINT) AS high_risk_ppm
+        FROM riskx GROUP BY source
+    ),
+    sseed AS (
+        SELECT doc_id, source, ({_SECRET_SEED_SQL}) AS s FROM documents
+    ),
+    sstaged AS (
+        SELECT source, s,
+               len(regexp_extract_all(s, '{_SECRET_KEY}')) AS k,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_SECRET_KEY}', '<AWSKEY>', 'g'),
+                   '{_SECRET_HEX}')) AS h2,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_SECRET_KEY}', '<AWSKEY>',
+                                      'g'),
+                       '{_SECRET_HEX}', '<HEX40>', 'g'),
+                   '{_SECRET_PEM}')) AS p2,
+               len(list_filter(regexp_split_to_array(s, '\\s+'),
+                   x -> x <> '')) AS nt
+        FROM sseed
+    ),
+    sec AS (
+        SELECT source,
+               CAST(CASE WHEN SUM(nt) > 0 THEN
+                   (1000000 * (SUM(k) + SUM(h2) + SUM(p2))) // SUM(nt)
+               END AS BIGINT) AS secrets_per_mtok
+        FROM sstaged GROUP BY source
+    ),
+    pseed AS (
+        SELECT doc_id, source, ({_PII_SEED_SQL}) AS s FROM documents
+    ),
+    pstaged AS (
+        SELECT source, s,
+               len(regexp_extract_all(s, '{_PII_EMAIL}')) AS e,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}')) AS p3,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>',
+                                      'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}')) AS i,
+               len(list_filter(regexp_split_to_array(s, '\\s+'),
+                   x -> x <> '')) AS nt
+        FROM pseed
+    ),
+    pii AS (
+        SELECT source,
+               CAST(CASE WHEN SUM(nt) > 0 THEN
+                   (1000000 * (SUM(e) + SUM(p3) + SUM(i))) // SUM(nt)
+               END AS BIGINT) AS pii_per_mtok
+        FROM pstaged GROUP BY source
+    )
+    SELECT r.source, sec.secrets_per_mtok, pii.pii_per_mtok,
+           r.high_risk_ppm,
+           CASE WHEN sec.secrets_per_mtok > 0
+                     OR r.high_risk_ppm >= 200000 THEN 'block'
+                WHEN pii.pii_per_mtok >= 10000
+                     OR r.high_risk_ppm >= 50000 THEN 'scrub_first'
+                ELSE 'release' END AS decision
+    FROM risk r
+    JOIN sec USING (source)
+    JOIN pii USING (source)
+    """,
+    survey_ops="per-source release gate (§2.11 governance capstone): "
+    "credential incidence x PII incidence x memorization-risk share "
+    "composed into the ship/scrub/block decision with stated "
+    "thresholds — the q_source_triage pattern on the release side; "
+    "three certified evidence legs joined on the source catalog",
+)
+def q_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    risk = (
+        dedup.memorization_risk(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "(1000000 * sum(CASE WHEN risk = 'high' THEN 1"
+                " ELSE 0 END)) div count(1)"
+            )
+            .cast("long")
+            .alias("high_risk_ppm")
+        )
+    )
+    sec = text.secret_rate_report(
+        docs.select(
+            "doc_id", "source", secret_seeded_text(docs).alias("__s")
+        ),
+        "doc_id", "__s", "source",
+    ).select("source", "secrets_per_mtok")
+    pii = text.pii_rate_report(
+        docs.select(
+            "doc_id", "source", pii_seeded_text(docs).alias("__p")
+        ),
+        "doc_id", "__p", "source",
+    ).select("source", "pii_per_mtok")
+    return (
+        risk.join(sec, "source")
+        .join(pii, "source")
+        .select(
+            "source",
+            "secrets_per_mtok",
+            "pii_per_mtok",
+            "high_risk_ppm",
+            F.expr(
+                "CASE WHEN secrets_per_mtok > 0"
+                "          OR high_risk_ppm >= 200000 THEN 'block' "
+                "     WHEN pii_per_mtok >= 10000"
+                "          OR high_risk_ppm >= 50000 THEN 'scrub_first' "
+                "     ELSE 'release' END"
+            ).alias("decision"),
+        )
+    )
 
 @register(
     "q_cross_source_dup",
