@@ -326,6 +326,12 @@ HEADLINE = [
     # q_gopher_quality, q_pii_rate_by_source, q_dsir_select) already
     # time; correctness-certified via the registry oracle gate like
     # every exclusion
+    # round-14 (post-snapshot, first series points at the driver's
+    # round-close run): the opt-out closure (the CC chain + one
+    # component-keyed taint agg) and the normalization gain curve
+    # (digest explode + one exact distinct-count agg)
+    "q_optout_propagation",
+    "q_norm_gain_curve",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

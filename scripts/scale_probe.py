@@ -204,6 +204,8 @@ PROBE = [
     "q_index_manifest",
     "q_lang_confusion",
     "q_release_gate",
+    "q_optout_propagation",
+    "q_norm_gain_curve",
 ]
 
 

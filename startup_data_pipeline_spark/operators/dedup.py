@@ -2350,3 +2350,41 @@ def memorization_risk(
             .alias("risk"),
         )
     )
+
+
+def optout_closure(
+    flags: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Opt-out propagation through the near-dup graph: honoring a
+    removal request on ONE copy of a document while its near-verbatim
+    siblings stay in the corpus honors nothing, so the removal set is
+    the connected-component closure of the flagged docs over the
+    near-dup candidate graph (the reference's seen-set anti-join,
+    app/store/dedup.py, lifted from exact ids to near-dup clusters).
+
+    Returns ``[id_col, component, status]`` with status
+    ``'direct'`` (flagged itself), ``'propagated'`` (clean doc in a
+    flagged doc's cluster), or ``'retained'``.
+
+    Scale shape: the closure rides :func:`connected_components`
+    (digest-width rows, min-label + path halving, edge-sized
+    partitioning); the taint rollup is one agg over |components| rows
+    joined back on the component key. Documents never shuffle —
+    only (id, component, flag) triples.
+    """
+    comp = connected_components(flags.select(id_col), pairs, id_col)
+    j = flags.select(id_col, flag_col).join(comp, id_col)
+    tainted = j.groupBy("component").agg(
+        F.max(F.col(flag_col).cast("int")).alias("__any_opt")
+    )
+    return j.join(tainted, "component").select(
+        id_col,
+        "component",
+        F.when(F.col(flag_col), F.lit("direct"))
+        .when(F.col("__any_opt") == 1, F.lit("propagated"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+    )

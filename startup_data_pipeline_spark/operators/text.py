@@ -3054,3 +3054,68 @@ def source_token_divergence(
             .alias("chi2_ppm")
         )
     )
+
+
+def normalization_gain_curve(df: DataFrame, text_col: str) -> DataFrame:
+    """Duplicate yield at increasing text-normalization aggressiveness:
+    level 0 hashes the raw text (exact dedup, the reference's seen-set
+    key shape), level 1 casefolds, level 2 collapses whitespace runs,
+    level 3 strips everything but ``[a-z0-9 ]``. The marginal-dups
+    column prices each step — the table a curator reads before picking
+    the canonicalization for a corpus-wide exact-dedup pass (aggressive
+    normalization finds more dups but risks merging near-misses).
+
+    Returns one row per level: ``[level_id, norm_level, n_docs,
+    n_distinct, n_dup, dup_ppm, marginal_dups]``.
+
+    Scale shape: one scan; the four digests ride a map-side explode
+    (4x row fan-out of 32-byte hashes, never the text), then one
+    exact distinct-count agg keyed (level, hash). The window at the
+    end orders FOUR rows — driver-trivial by construction.
+    """
+    from pyspark.sql import Window
+
+    t0 = F.col(text_col)
+    t1 = F.lower(t0)
+    t2 = F.trim(F.regexp_replace(t1, r"\s+", " "))
+    t3 = F.regexp_replace(t2, "[^a-z0-9 ]", "")
+
+    def _lv(i: int, name: str, col: Column):
+        return F.struct(
+            F.lit(i).cast("long").alias("level_id"),
+            F.lit(name).alias("norm_level"),
+            F.md5(col.cast("binary")).alias("__h"),
+        )
+
+    lv = df.select(
+        F.explode(
+            F.array(
+                _lv(0, "exact", t0),
+                _lv(1, "casefold", t1),
+                _lv(2, "ws_collapse", t2),
+                _lv(3, "alnum", t3),
+            )
+        ).alias("s")
+    ).select("s.*")
+    agg = lv.groupBy("level_id", "norm_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__h").cast("long").alias("n_distinct"),
+    )
+    w = Window.orderBy("level_id")
+    return agg.select(
+        "level_id",
+        "norm_level",
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).cast("long").alias("n_dup"),
+        F.expr("(1000000 * (n_docs - n_distinct)) div n_docs")
+        .cast("long")
+        .alias("dup_ppm"),
+        (
+            F.col("n_docs")
+            - F.col("n_distinct")
+            - F.lag(F.col("n_docs") - F.col("n_distinct"), 1, 0).over(w)
+        )
+        .cast("long")
+        .alias("marginal_dups"),
+    )

@@ -188,6 +188,7 @@ _PRIORITY: list[str] = [
     "q_secret_scan", "q_memorization_risk", "q_admit_funnel",
     "q_repeat_cap_plan", "q_secret_rate_by_source", "q_optout_impact",
     "q_index_manifest", "q_lang_confusion", "q_release_gate",
+    "q_optout_propagation", "q_norm_gain_curve",
 ]
 
 

@@ -6279,3 +6279,171 @@ def q_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "doc_id", "source", "n_tokens", "cum_before", "group_budget"
     )
+
+
+@register(
+    "q_optout_propagation",
+    # the opt-out fixture set (doc_id % 11 = 0, the q_optout_impact
+    # convention) propagated through the minhash near-dup graph:
+    # removing ONE copy of an opted-out document while near-verbatim
+    # siblings survive honors nothing, so the removal set is the
+    # connected-component closure of the flagged docs. Same CC chain
+    # as q_effective_tokens (4 minhashes, band_size 1).
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    fl AS (
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END AS opted,
+               c.component
+        FROM documents d JOIN comp c USING (doc_id)
+    ),
+    ca AS (
+        SELECT component, MAX(opted) AS any_opt FROM fl
+        GROUP BY component
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.opted) AS BIGINT) AS n_direct,
+           CAST(SUM(CASE WHEN f.opted = 0 AND ca.any_opt = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_propagated,
+           CAST(SUM(CASE WHEN ca.any_opt = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST((1000000 * SUM(CASE WHEN f.opted = 0 AND ca.any_opt = 1
+                               THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS propagated_ppm,
+           CAST((1000000 * SUM(CASE WHEN ca.any_opt = 1
+                               THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS removed_ppm
+    FROM fl f JOIN ca USING (component)
+    GROUP BY f.source
+    """,
+    survey_ops="opt-out closure over the near-dup graph (§2.11 "
+    "governance x dedup): the removal set a right-to-be-forgotten "
+    "request actually implies — flagged docs PLUS every clean doc in "
+    "a flagged doc's minhash component, rolled up per source with the "
+    "propagation amplification in ppm; q_optout_impact prices the "
+    "token cost, this prices the cluster blast radius",
+)
+def q_optout_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, k=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=4, band_size=1
+    )
+    flags = docs.select(
+        "doc_id", "source", (F.col("doc_id") % 11 == 0).alias("__opt")
+    )
+    st = dedup.optout_closure(flags, pairs, "doc_id", "__opt")
+    return (
+        flags.select("doc_id", "source")
+        .join(st, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("status") == "direct").cast("int"))
+            .cast("long")
+            .alias("n_direct"),
+            F.sum((F.col("status") == "propagated").cast("int"))
+            .cast("long")
+            .alias("n_propagated"),
+            F.sum((F.col("status") == "retained").cast("int"))
+            .cast("long")
+            .alias("n_retained"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_direct",
+            "n_propagated",
+            "n_retained",
+            F.expr("(1000000 * n_propagated) div n_docs")
+            .cast("long")
+            .alias("propagated_ppm"),
+            F.expr("(1000000 * (n_docs - n_retained)) div n_docs")
+            .cast("long")
+            .alias("removed_ppm"),
+        )
+    )
+
+
+@register(
+    "q_norm_gain_curve",
+    # what each canonicalization step BUYS before a corpus-wide exact
+    # dedup: dup yield at raw / casefold / whitespace-collapse /
+    # alnum-only hashing, with the marginal dups per step. DuckDB
+    # regexp_replace needs the explicit 'g' flag (Spark's is global
+    # by default); both engines then apply the same ASCII classes.
+    oracle="""
+    WITH nrm AS (
+        SELECT text AS t0,
+               lower(text) AS t1,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t2,
+               regexp_replace(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '[^a-z0-9 ]', '', 'g') AS t3
+        FROM documents
+    ),
+    lv AS (
+        SELECT 0 AS level_id, 'exact' AS norm_level, md5(t0) AS h FROM nrm
+        UNION ALL SELECT 1, 'casefold', md5(t1) FROM nrm
+        UNION ALL SELECT 2, 'ws_collapse', md5(t2) FROM nrm
+        UNION ALL SELECT 3, 'alnum', md5(t3) FROM nrm
+    ),
+    agg AS (
+        SELECT level_id, norm_level,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+        FROM lv GROUP BY level_id, norm_level
+    )
+    SELECT CAST(level_id AS BIGINT) AS level_id,
+           norm_level,
+           n_docs,
+           n_distinct,
+           CAST(n_docs - n_distinct AS BIGINT) AS n_dup,
+           CAST((1000000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+               AS dup_ppm,
+           CAST(n_docs - n_distinct
+                - COALESCE(lag(n_docs - n_distinct)
+                           OVER (ORDER BY level_id), 0) AS BIGINT)
+               AS marginal_dups
+    FROM agg
+    """,
+    survey_ops="normalization gain curve (§2.11 dedup tooling): dup "
+    "yield per canonicalization level (exact / casefold / ws-collapse "
+    "/ alnum) with marginal dups per step — the design table before "
+    "picking the hash key for a corpus-wide exact-dedup pass; one "
+    "scan, digests-only fan-out, four-row window",
+)
+def q_norm_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.normalization_gain_curve(docs, "text")

@@ -670,3 +670,77 @@ def test_optout_impact_conservation(spark, sf_dir):
         )
     total_after = sum(r["mix_ppm_after"] for r in out)
     assert 1_000_000 - len(out) <= total_after <= 1_000_000
+
+
+def test_optout_closure_propagates_through_components(spark):
+    """A flagged doc taints its whole near-dup component; clean
+    components are retained untouched."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    flags = spark.createDataFrame(
+        [(1, False), (2, False), (3, True), (4, False), (5, False)],
+        "doc_id long, opted boolean",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.optout_closure(
+            flags, pairs, "doc_id", "opted"
+        ).collect()
+    }
+    assert got == {
+        1: "propagated",
+        2: "propagated",
+        3: "direct",
+        4: "retained",
+        5: "retained",
+    }
+
+
+def test_optout_closure_isolated_flagged_doc(spark):
+    """A flagged singleton (no near-dup edges) is 'direct' alone —
+    nothing else is dragged out."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    flags = spark.createDataFrame(
+        [(10, True), (11, False)], "doc_id long, opted boolean"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.optout_closure(
+            flags, pairs, "doc_id", "opted"
+        ).collect()
+    }
+    assert got == {10: "direct", 11: "retained"}
+
+
+def test_normalization_gain_curve_levels(spark):
+    """Hand-checked four-doc fixture: each normalization level merges
+    exactly one more pair, and marginal_dups prices each step."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World"),
+            (2, "hello world"),      # merges at casefold
+            (3, "hello  world"),     # merges at ws-collapse
+            (4, "hello, world!"),    # merges at alnum (comma gap)
+            (5, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["norm_level"]: r
+        for r in text.normalization_gain_curve(docs, "text").collect()
+    }
+    assert [got[k]["n_dup"] for k in
+            ("exact", "casefold", "ws_collapse", "alnum")] == [0, 1, 2, 3]
+    assert got["exact"]["marginal_dups"] == 0
+    assert got["casefold"]["marginal_dups"] == 1
+    assert got["ws_collapse"]["marginal_dups"] == 1
+    assert got["alnum"]["marginal_dups"] == 1
+    assert got["alnum"]["n_docs"] == 5
+    assert got["alnum"]["dup_ppm"] == (1_000_000 * 3) // 5
