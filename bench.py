@@ -332,6 +332,11 @@ HEADLINE = [
     # (digest explode + one exact distinct-count agg)
     "q_optout_propagation",
     "q_norm_gain_curve",
+    # round-14 (post-snapshot): the boilerplate candidate table
+    # (shingle df count + two-level exact rank) and the canary
+    # detection audit (seeded shingle explode + broadcast join)
+    "q_boilerplate_ngrams",
+    "q_canary_detection",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -206,6 +206,8 @@ PROBE = [
     "q_release_gate",
     "q_optout_propagation",
     "q_norm_gain_curve",
+    "q_boilerplate_ngrams",
+    "q_canary_detection",
 ]
 
 

@@ -2388,3 +2388,135 @@ def optout_closure(
         .otherwise(F.lit("retained"))
         .alias("status"),
     )
+
+
+def boilerplate_ngram_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df_ppm: int = 4000,
+    top_n: int = 100,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Corpus-wide boilerplate n-gram candidate table: the word
+    k-grams present in the largest share of DOCUMENTS (document
+    frequency, not occurrence count), ranked exactly. High-df n-grams
+    are navigation chrome, cookie banners, and license footers — the
+    C4-style line-blocklist a curator feeds ``boilerplate_strip``
+    after review; picking them globally (not per doc) is what makes
+    the pass consistent corpus-wide.
+
+    Returns ``[rnk, shingle, df_docs, df_ppm]`` for the ``top_n``
+    candidates at or above ``min_df_ppm`` document incidence.
+
+    Scale shape: one shingle explode (per-doc distinct, digest-width
+    strings), one (shingle)-keyed count, a scalar single-row
+    crossJoin for the ppm threshold, then the two-level
+    ``exact_global_rank`` — no global window, no single-partition
+    sort; the ranked set is already ppm-thresholded so the rank
+    input is a tiny fraction of the shingle universe.
+    """
+    from .text import exact_global_rank
+
+    t = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    )
+    sh = t.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__t"), k)).alias("shingle"),
+    )
+    dfc = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__n_docs"))
+    cand = dfc.crossJoin(F.broadcast(tot)).filter(
+        F.lit(1_000_000) * F.col("df_docs")
+        >= F.lit(min_df_ppm) * F.col("__n_docs")
+    )
+    ranked = exact_global_rank(
+        cand, [F.col("df_docs").desc(), F.col("shingle").asc()], n_parts
+    )
+    return (
+        ranked.filter(F.col("__rank") <= top_n)
+        .select(
+            F.col("__rank").cast("long").alias("rnk"),
+            "shingle",
+            "df_docs",
+            F.expr("(1000000 * df_docs) div __n_docs")
+            .cast("long")
+            .alias("df_ppm"),
+        )
+    )
+
+
+def canary_detection_report(
+    seeded: DataFrame,
+    id_col: str,
+    group_col: str,
+    full_col: str,
+    text_col: str,
+    canary_shingles: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """End-to-end efficacy audit of shingle-based contamination
+    detection: given documents seeded with known canary strings
+    (``group_col`` = which canary, ``full_col`` = whether the full
+    canary or a sub-shingle-width truncation was planted), report per
+    canary how many seeds the k-gram detector actually recovers.
+    ``recall_ppm`` below 1e6 on the full seeds means the detector is
+    broken; the gap between ``recall_ppm`` and ``full_recall_ppm``
+    prices the structural blind spot for matches shorter than the
+    shingle width — the audit a curator runs BEFORE trusting a
+    decontamination pass.
+
+    ``canary_shingles``: ``[group_col, shingle]`` — the known k-gram
+    set of each canary (broadcast; |canaries| x (len-k+1) rows).
+
+    Scale shape: one shingle explode over the seeded docs, a
+    broadcast equi-join on (group, shingle), one distinct and one
+    |canaries|-key rollup — documents never shuffle.
+    """
+    t = seeded.select(
+        F.col(id_col),
+        F.col(group_col),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+    dsh = t.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(shingles_from_tokens(F.col("__t"), k)).alias("shingle"),
+    )
+    det = (
+        dsh.join(F.broadcast(canary_shingles), [group_col, "shingle"])
+        .select(id_col, group_col)
+        .dropDuplicates()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        seeded.select(id_col, group_col, full_col)
+        .join(det.select(id_col, "__hit"), id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seeded"),
+            F.sum(F.col(full_col).cast("int")).cast("long").alias("n_full"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_detected"),
+        )
+        .select(
+            F.col(group_col),
+            "n_seeded",
+            "n_full",
+            "n_detected",
+            F.expr("(1000000 * n_detected) div n_seeded")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_full > 0 THEN"
+                " (1000000 * n_detected) div n_full END"
+            )
+            .cast("long")
+            .alias("full_recall_ppm"),
+        )
+    )

@@ -189,6 +189,7 @@ _PRIORITY: list[str] = [
     "q_repeat_cap_plan", "q_secret_rate_by_source", "q_optout_impact",
     "q_index_manifest", "q_lang_confusion", "q_release_gate",
     "q_optout_propagation", "q_norm_gain_curve",
+    "q_boilerplate_ngrams", "q_canary_detection",
 ]
 
 

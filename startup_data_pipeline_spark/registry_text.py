@@ -6447,3 +6447,182 @@ def q_optout_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_norm_gain_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.normalization_gain_curve(docs, "text")
+
+
+@register(
+    "q_boilerplate_ngrams",
+    # global boilerplate candidates: 3-gram DOCUMENT frequency (per-doc
+    # distinct shingles, the _SHINGLES convention), ppm-thresholded
+    # against the corpus size, exact top-100 by (df DESC, shingle).
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfc AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df_docs
+        FROM sh GROUP BY shingle
+    ),
+    cand AS (
+        SELECT * FROM dfc
+        WHERE 1000000 * df_docs >= 4000 * (SELECT n_docs FROM tot)
+    ),
+    rk AS (
+        SELECT shingle, df_docs,
+               row_number() OVER (ORDER BY df_docs DESC, shingle ASC)
+                   AS rnk
+        FROM cand
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, shingle, df_docs,
+           CAST((1000000 * df_docs) // (SELECT n_docs FROM tot)
+                AS BIGINT) AS df_ppm
+    FROM rk WHERE rnk <= 100
+    """,
+    survey_ops="boilerplate n-gram candidate table (§2.11 text "
+    "curation): the word 3-grams present in the largest DOCUMENT "
+    "share, ppm-thresholded and exactly top-100 ranked — the "
+    "C4-style global line-blocklist a curator reviews before feeding "
+    "boilerplate_strip; shingle explode + df count + two-level exact "
+    "rank, no global window",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.boilerplate_ngram_candidates(
+        docs, "doc_id", "text", k=3, min_df_ppm=4000, top_n=100
+    )
+
+
+def _canary_ctes() -> str:
+    return """
+    car AS (SELECT unnest(generate_series(0, 7)) AS c),
+    ctok AS (
+        SELECT c, ['cnry' || CAST(c AS VARCHAR),
+                   substr(md5(CAST(c AS VARCHAR) || ':1'), 1, 8),
+                   substr(md5(CAST(c AS VARCHAR) || ':2'), 1, 8),
+                   substr(md5(CAST(c AS VARCHAR) || ':3'), 1, 8),
+                   substr(md5(CAST(c AS VARCHAR) || ':4'), 1, 8)] AS toks
+        FROM car
+    ),
+    csh AS (
+        SELECT c, unnest(list_transform(generate_series(1, 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            AS shingle
+        FROM ctok
+    ),
+    sd AS (
+        SELECT d.doc_id, CAST(d.doc_id % 13 AS BIGINT) AS c,
+               d.doc_id % 2 = 0 AS full_seed,
+               lower(d.text) || ' ' || array_to_string(
+                   CASE WHEN d.doc_id % 2 = 0 THEN t.toks
+                        ELSE list_slice(t.toks, 1, 2) END, ' ') AS s
+        FROM documents d JOIN ctok t ON t.c = d.doc_id % 13
+        WHERE d.doc_id % 13 < 8
+    )"""
+
+
+@register(
+    "q_canary_detection",
+    # deterministic canary battery: 8 five-token canaries (md5-slice
+    # tokens, engine-identical on both sides), planted FULL on even
+    # doc_ids and TRUNCATED to 2 tokens (sub-shingle-width) on odd —
+    # the truncated leg measures the detector's structural blind spot,
+    # the full leg pins its soundness at exactly 1e6 ppm.
+    oracle=f"""
+    WITH {_canary_ctes()},
+    stoks AS (
+        SELECT doc_id, c, full_seed,
+               list_filter(regexp_split_to_array(s, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM sd
+    ),
+    dsh AS (
+        SELECT doc_id, c, unnest(list_distinct(list_transform(
+            generate_series(1, len(toks) - 2),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+            AS shingle
+        FROM stoks
+    ),
+    det AS (
+        SELECT DISTINCT d.doc_id
+        FROM dsh d JOIN csh ON csh.c = d.c AND csh.shingle = d.shingle
+    )
+    SELECT s.c AS canary_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seeded,
+           CAST(SUM(CASE WHEN s.full_seed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(COUNT(det.doc_id) AS BIGINT) AS n_detected,
+           CAST((1000000 * COUNT(det.doc_id)) // COUNT(*) AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN SUM(CASE WHEN s.full_seed THEN 1 ELSE 0 END)
+                          > 0
+                THEN (1000000 * COUNT(det.doc_id))
+                     // SUM(CASE WHEN s.full_seed THEN 1 ELSE 0 END)
+                END AS BIGINT) AS full_recall_ppm
+    FROM sd s LEFT JOIN det ON det.doc_id = s.doc_id
+    GROUP BY s.c
+    """,
+    survey_ops="canary detection audit (§2.11 decontamination QA): "
+    "known canary strings planted full-width and sub-shingle-width, "
+    "then recovered with the 3-gram contamination detector — per "
+    "canary seeded/detected counts, recall ppm, and the full-seed "
+    "recall that must sit at exactly 1e6; the efficacy check a "
+    "curator runs BEFORE trusting a decontamination pass",
+)
+def q_canary_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    car = spark.range(8).select(F.col("id").cast("long").alias("c"))
+    ctok = car.select(
+        "c",
+        F.array(
+            F.concat(F.lit("cnry"), F.col("c").cast("string")),
+            *[
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c").cast("string"), F.lit(f":{i}")
+                        )
+                    ),
+                    1,
+                    8,
+                )
+                for i in (1, 2, 3, 4)
+            ],
+        ).alias("toks"),
+    )
+    csh = ctok.select(
+        "c",
+        F.explode(dedup.shingles_from_tokens(F.col("toks"), 3)).alias(
+            "shingle"
+        ),
+    )
+    seeded = (
+        docs.filter(F.col("doc_id") % 13 < 8)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 13).cast("long").alias("c"),
+            (F.col("doc_id") % 2 == 0).alias("full_seed"),
+            F.lower(F.col("text")).alias("__t"),
+        )
+        .join(F.broadcast(ctok), "c")
+        .select(
+            "doc_id",
+            "c",
+            "full_seed",
+            F.concat(
+                F.col("__t"),
+                F.lit(" "),
+                F.array_join(
+                    F.when(F.col("full_seed"), F.col("toks")).otherwise(
+                        F.slice(F.col("toks"), 1, 2)
+                    ),
+                    " ",
+                ),
+            ).alias("s"),
+        )
+    )
+    return dedup.canary_detection_report(
+        seeded, "doc_id", "c", "full_seed", "s", csh, k=3
+    ).withColumnRenamed("c", "canary_id")

@@ -744,3 +744,102 @@ def test_normalization_gain_curve_levels(spark):
     assert got["alnum"]["marginal_dups"] == 1
     assert got["alnum"]["n_docs"] == 5
     assert got["alnum"]["dup_ppm"] == (1_000_000 * 3) // 5
+
+
+def test_boilerplate_ngram_candidates_ranking(spark):
+    """The 3-gram shared by most docs ranks first with its exact df;
+    grams under the ppm threshold never appear."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here now to read the story"),
+            (2, "click here now for more words entirely"),
+            (3, "click here now again and again"),
+            (4, "totally unrelated content body text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.boilerplate_ngram_candidates(
+        docs, "doc_id", "text", k=3, min_df_ppm=500_000, top_n=10
+    ).collect()
+    assert out[0]["rnk"] == 1
+    assert out[0]["shingle"] == "click here now"
+    assert out[0]["df_docs"] == 3
+    assert out[0]["df_ppm"] == (1_000_000 * 3) // 4
+    # threshold: df 1 grams (250000 ppm) are below 500000 and excluded
+    assert all(r["df_docs"] >= 2 for r in out)
+
+
+def test_boilerplate_ngram_rank_is_total_order(spark):
+    """Ties on df break by shingle ASC — the rank is deterministic."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c z y x"), (2, "a b c z y x")],
+        "doc_id long, text string",
+    )
+    out = dedup.boilerplate_ngram_candidates(
+        docs, "doc_id", "text", k=3, min_df_ppm=500_000, top_n=10
+    ).collect()
+    assert [r["shingle"] for r in out] == sorted(
+        r["shingle"] for r in out
+    )
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_canary_detection_full_vs_truncated(spark):
+    """Full-width canaries are always recovered; sub-shingle-width
+    plants are structurally invisible to the 3-gram detector."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    # canary 0 tokens c0..c4; doc 1 gets the full canary, doc 2 a
+    # 2-token prefix, doc 3 is seeded with canary 1 in full
+    canaries = {0: ["k0a", "k0b", "k0c", "k0d"], 1: ["k1a", "k1b", "k1c", "k1d"]}
+    csh = spark.createDataFrame(
+        [
+            (c, " ".join(t[i : i + 3]))
+            for c, t in canaries.items()
+            for i in range(len(t) - 2)
+        ],
+        "c long, shingle string",
+    )
+    seeded = spark.createDataFrame(
+        [
+            (1, 0, True, "some text " + " ".join(canaries[0])),
+            (2, 0, False, "other text " + " ".join(canaries[0][:2])),
+            (3, 1, True, "third body " + " ".join(canaries[1])),
+        ],
+        "doc_id long, c long, full_seed boolean, s string",
+    )
+    got = {
+        r["c"]: r
+        for r in dedup.canary_detection_report(
+            seeded, "doc_id", "c", "full_seed", "s", csh, k=3
+        ).collect()
+    }
+    assert got[0]["n_seeded"] == 2
+    assert got[0]["n_full"] == 1
+    assert got[0]["n_detected"] == 1
+    assert got[0]["recall_ppm"] == 500_000
+    assert got[0]["full_recall_ppm"] == 1_000_000
+    assert got[1]["n_detected"] == 1
+    assert got[1]["full_recall_ppm"] == 1_000_000
+
+
+def test_canary_detection_no_cross_canary_credit(spark):
+    """A doc seeded with canary A containing canary B's text does NOT
+    count as detecting A — the join is (canary, shingle)-keyed."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    csh = spark.createDataFrame(
+        [(0, "x1 x2 x3"), (1, "y1 y2 y3")], "c long, shingle string"
+    )
+    seeded = spark.createDataFrame(
+        [(1, 0, True, "prefix y1 y2 y3")],
+        "doc_id long, c long, full_seed boolean, s string",
+    )
+    got = dedup.canary_detection_report(
+        seeded, "doc_id", "c", "full_seed", "s", csh, k=3
+    ).collect()
+    assert got[0]["n_detected"] == 0
