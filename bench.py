@@ -337,6 +337,11 @@ HEADLINE = [
     # detection audit (seeded shingle explode + broadcast join)
     "q_boilerplate_ngrams",
     "q_canary_detection",
+    # round-14 (post-snapshot): the quality x dup interaction (the CC
+    # chain + the quality scan + a 4-key agg); q_pii_cooccurrence
+    # stays OUT as a pure map-side regex scan + 8-key agg (the
+    # q_secret_scan convention), certified via the registry gate
+    "q_quality_dup_interaction",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

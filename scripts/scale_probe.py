@@ -208,6 +208,8 @@ PROBE = [
     "q_norm_gain_curve",
     "q_boilerplate_ngrams",
     "q_canary_detection",
+    "q_pii_cooccurrence",
+    "q_quality_dup_interaction",
 ]
 
 

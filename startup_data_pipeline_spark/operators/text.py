@@ -3119,3 +3119,58 @@ def normalization_gain_curve(df: DataFrame, text_col: str) -> DataFrame:
         .cast("long")
         .alias("marginal_dups"),
     )
+
+
+def pii_cooccurrence_report(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """PII type co-occurrence: which combinations of email / phone /
+    IPv4 appear together in the same document, with corpus incidence
+    and a risk tier. Re-identification risk is super-additive — an
+    email AND a phone in one document is a joinable identity record,
+    not two independent leaks — so redaction budgets triage by the
+    combination, not the marginal rates (``pii_rate_report`` gives
+    the marginals; this gives the joint).
+
+    Detection mirrors ``scrub_pii``'s sequential-redaction order
+    (emails on raw text, phones on the email-redacted text, IPs on
+    the phone-redacted text) so a token never bills to two types.
+
+    Returns ``[has_email, has_phone, has_ip, n_docs, docs_ppm,
+    risk_tier]`` — risk_tier: 3 types = 'critical', 2 = 'high',
+    1 = 'moderate', 0 = 'none'.
+
+    Scale shape: map-side regex scan, one ≤8-key agg, one scalar
+    single-row crossJoin for the ppm base. No shuffle beyond the
+    8-key exchange.
+    """
+    email_pat, phone_pat, ip_pat = (p for p, _ in PII_PATTERNS)
+    raw = F.col(text_col)
+    t1 = F.regexp_replace(raw, email_pat, "<EMAIL>")
+    t2 = F.regexp_replace(t1, phone_pat, "<PHONE>")
+    st = ensure_min_parallelism(df).select(
+        (F.regexp_count(raw, F.lit(email_pat)) > 0).alias("has_email"),
+        (F.regexp_count(t1, F.lit(phone_pat)) > 0).alias("has_phone"),
+        (F.regexp_count(t2, F.lit(ip_pat)) > 0).alias("has_ip"),
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        st.groupBy("has_email", "has_phone", "has_ip")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "has_email",
+            "has_phone",
+            "has_ip",
+            "n_docs",
+            F.expr("(1000000 * n_docs) div __n")
+            .cast("long")
+            .alias("docs_ppm"),
+            F.expr(
+                "CASE CAST(has_email AS INT) + CAST(has_phone AS INT)"
+                " + CAST(has_ip AS INT)"
+                " WHEN 3 THEN 'critical' WHEN 2 THEN 'high'"
+                " WHEN 1 THEN 'moderate' ELSE 'none' END"
+            ).alias("risk_tier"),
+        )
+    )

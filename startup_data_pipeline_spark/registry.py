@@ -190,6 +190,7 @@ _PRIORITY: list[str] = [
     "q_index_manifest", "q_lang_confusion", "q_release_gate",
     "q_optout_propagation", "q_norm_gain_curve",
     "q_boilerplate_ngrams", "q_canary_detection",
+    "q_pii_cooccurrence", "q_quality_dup_interaction",
 ]
 
 

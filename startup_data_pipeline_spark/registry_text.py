@@ -6626,3 +6626,207 @@ def q_canary_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canary_detection_report(
         seeded, "doc_id", "c", "full_seed", "s", csh, k=3
     ).withColumnRenamed("c", "canary_id")
+
+
+@register(
+    "q_pii_cooccurrence",
+    # joint PII incidence over the seeded fixture (residues 3/5/7 —
+    # the q_pii_rate_by_source convention); detection mirrors
+    # scrub_pii's sequential-redaction staging so presence flags agree
+    # with the certified counts.
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, ({_PII_SEED_SQL}) AS s FROM documents
+    ),
+    st AS (
+        SELECT doc_id,
+               len(regexp_extract_all(s, '{_PII_EMAIL}')) > 0 AS has_email,
+               len(regexp_extract_all(
+                   regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}')) > 0 AS has_phone,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(s, '{_PII_EMAIL}', '<EMAIL>',
+                                      'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}')) > 0 AS has_ip
+        FROM seeded
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    g AS (
+        SELECT has_email, has_phone, has_ip,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM st GROUP BY 1, 2, 3
+    )
+    SELECT has_email, has_phone, has_ip, n_docs,
+           CAST((1000000 * n_docs) // (SELECT n FROM tot) AS BIGINT)
+               AS docs_ppm,
+           CASE (CASE WHEN has_email THEN 1 ELSE 0 END
+                 + CASE WHEN has_phone THEN 1 ELSE 0 END
+                 + CASE WHEN has_ip THEN 1 ELSE 0 END)
+                WHEN 3 THEN 'critical' WHEN 2 THEN 'high'
+                WHEN 1 THEN 'moderate' ELSE 'none' END AS risk_tier
+    FROM g
+    """,
+    survey_ops="PII co-occurrence table (§2.11 governance): which "
+    "email/phone/IP combinations share a document, with corpus "
+    "incidence and risk tier — re-identification risk is the JOINT "
+    "(an email plus a phone is a joinable identity record), so "
+    "redaction triage reads this, not the marginals; map-side scan, "
+    "8-key agg",
+)
+def q_pii_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id", pii_seeded_text(docs).alias("__s")
+    )
+    return text.pii_cooccurrence_report(seeded, "doc_id", "__s")
+
+
+@register(
+    "q_quality_dup_interaction",
+    # does dedup do quality filtering for free? quality_ok (the
+    # certified C4 battery) crossed with near-dup cluster membership
+    # (the certified minhash CC chain): per cell docs/token mass,
+    # corpus share, and the dup incidence WITHIN each quality class.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    sizes AS (
+        SELECT component, COUNT(*) AS cs FROM comp GROUP BY component
+    ),
+    q AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               (n_tok >= 10
+                AND round(CAST(length(text) AS DOUBLE) / n_tok, 4)
+                    <= 12.0
+                AND round(CAST(n_stop AS DOUBLE) / n_tok, 4) <= 0.5)
+                   AS quality_ok
+        FROM (
+            SELECT doc_id, text, len(toks) AS n_tok,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','a','of','and','to','in'], t))) AS n_stop
+            FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        )
+    ),
+    fl AS (
+        SELECT q.doc_id, q.quality_ok, s.cs >= 2 AS is_dup, q.n_tok
+        FROM q JOIN comp c USING (doc_id) JOIN sizes s USING (component)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    g AS (
+        SELECT quality_ok, is_dup,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM fl GROUP BY 1, 2
+    )
+    SELECT quality_ok, is_dup, n_docs, n_tokens,
+           CAST((1000000 * n_docs) // (SELECT n FROM tot) AS BIGINT)
+               AS docs_ppm,
+           CAST((1000000 * SUM(CASE WHEN is_dup THEN n_docs ELSE 0 END)
+                     OVER (PARTITION BY quality_ok))
+                // (SUM(n_docs) OVER (PARTITION BY quality_ok))
+                AS BIGINT) AS within_quality_dup_ppm
+    FROM g
+    """,
+    survey_ops="quality x duplication interaction (§2.11 curation "
+    "analytics): the certified C4 quality battery crossed with "
+    "minhash near-dup cluster membership — per cell doc/token mass, "
+    "corpus share, and dup incidence within each quality class; "
+    "answers whether dedup is doing quality filtering for free on "
+    "THIS corpus before sequencing the two passes",
+)
+def q_quality_dup_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs, "text", "n_chars").select(
+        "doc_id", F.col("n_tokens").alias("__nt"), "quality_ok"
+    )
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, k=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=4, band_size=1
+    )
+    comp = dedup.connected_components(
+        docs.select("doc_id"), pairs, "doc_id"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("__cs")
+    )
+    fl = (
+        q.join(comp, "doc_id")
+        .join(sizes, "component")
+        .select(
+            "quality_ok", (F.col("__cs") >= 2).alias("is_dup"), "__nt"
+        )
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    g = (
+        fl.groupBy("quality_ok", "is_dup")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.partitionBy("quality_ok")
+    return g.select(
+        "quality_ok",
+        "is_dup",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000000 * n_docs) div __n")
+        .cast("long")
+        .alias("docs_ppm"),
+        (
+            F.lit(1_000_000)
+            * F.sum(
+                F.when(F.col("is_dup"), F.col("n_docs")).otherwise(
+                    F.lit(0)
+                )
+            ).over(w)
+        )
+        .cast("long")
+        .alias("__num"),
+        F.sum("n_docs").over(w).cast("long").alias("__den"),
+    ).select(
+        "quality_ok",
+        "is_dup",
+        "n_docs",
+        "n_tokens",
+        "docs_ppm",
+        F.expr("__num div __den")
+        .cast("long")
+        .alias("within_quality_dup_ppm"),
+    )

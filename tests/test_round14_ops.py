@@ -843,3 +843,69 @@ def test_canary_detection_no_cross_canary_credit(spark):
         seeded, "doc_id", "c", "full_seed", "s", csh, k=3
     ).collect()
     assert got[0]["n_detected"] == 0
+
+
+def test_pii_cooccurrence_tiers(spark):
+    """Joint flags and tiering: 2 types = high, 1 = moderate,
+    0 = none; ppm shares against the corpus size."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@x.example.org or call +1 (555) 010-1234"),
+            (2, "server at 10.0.3.7 only"),
+            (3, "nothing sensitive here at all"),
+            (4, "plain text body"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["has_email"], r["has_phone"], r["has_ip"]): r
+        for r in text.pii_cooccurrence_report(
+            docs, "doc_id", "text"
+        ).collect()
+    }
+    assert got[(True, True, False)]["risk_tier"] == "high"
+    assert got[(False, False, True)]["risk_tier"] == "moderate"
+    assert got[(False, False, False)]["risk_tier"] == "none"
+    assert got[(False, False, False)]["n_docs"] == 2
+    assert got[(False, False, False)]["docs_ppm"] == 500_000
+
+
+def test_pii_cooccurrence_sequential_staging(spark):
+    """A phone-shaped digit run INSIDE an email local part must not
+    double-bill: emails redact first (the scrub_pii order)."""
+    from startup_data_pipeline_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "contact 5550102345678@x.example.org today")],
+        "doc_id long, text string",
+    )
+    r = text.pii_cooccurrence_report(docs, "doc_id", "text").collect()[0]
+    assert r["has_email"] and not r["has_phone"]
+    assert r["risk_tier"] == "moderate"
+
+
+def test_quality_dup_interaction_cells(spark, sf_dir):
+    """Cells reconcile: docs_ppm sums to ~1e6, within-class dup ppm is
+    constant per quality class, and n_docs sums to the corpus size."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_quality_dup_interaction"].fn(
+        spark, sf_dir
+    ).collect()
+    assert out
+    n = sum(r["n_docs"] for r in out)
+    assert 1_000_000 - len(out) <= sum(r["docs_ppm"] for r in out) <= 1_000_000
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["quality_ok"], set()).add(
+            r["within_quality_dup_ppm"]
+        )
+    assert all(len(v) == 1 for v in by_q.values())
+    import duckdb
+
+    expect = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir.rstrip('/')}/documents.parquet'"
+    ).fetchone()[0]
+    assert n == expect
