@@ -342,6 +342,9 @@ HEADLINE = [
     # stays OUT as a pure map-side regex scan + 8-key agg (the
     # q_secret_scan convention), certified via the registry gate
     "q_quality_dup_interaction",
+    # round-14 (post-snapshot): the component shape audit (the CC
+    # chain + two component-keyed aggs)
+    "q_dup_component_shape",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -210,6 +210,7 @@ PROBE = [
     "q_canary_detection",
     "q_pii_cooccurrence",
     "q_quality_dup_interaction",
+    "q_dup_component_shape",
 ]
 
 

@@ -2520,3 +2520,66 @@ def canary_detection_report(
             .alias("full_recall_ppm"),
         )
     )
+
+
+def component_shape_audit(
+    comp: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    min_size: int = 3,
+) -> DataFrame:
+    """Edge-density audit of near-dup components: a true duplicate
+    cluster is (near-)complete — every member pairs with every other —
+    while a low-density component is a TRANSITIVE merge chain
+    (A~B~C with A never matching C), the classic connected-components
+    over-merge where keep-one-per-cluster silently deletes
+    non-duplicates. ``density_ppm`` = actual candidate pairs over
+    n·(n−1)/2; anything below 1e6 contains at least one member pair
+    the detector never matched, flagged ``over_merged``. The QA a
+    curator runs on the big components BEFORE trusting cluster-level
+    survivor selection (``dup_cluster_stats`` sizes them; this shapes
+    them).
+
+    Inputs: ``comp`` = [id_col, component] (``connected_components``
+    output), ``pairs`` = [id_a, id_b] candidate pairs. Singletons and
+    pairs (always complete) are excluded via ``min_size``.
+
+    Scale shape: two component-keyed aggs over digest-width rows
+    (sizes from comp, edge counts from pairs routed via one id
+    equi-join) and one |components|-row join — documents never
+    shuffle; output is one row per multi-doc component.
+    """
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    ec = (
+        pairs.join(
+            comp.select(
+                F.col(id_col).alias("id_a"), "component"
+            ),
+            "id_a",
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        sizes.filter(F.col("n_nodes") >= min_size)
+        .join(ec, "component")
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            F.expr(
+                "(1000000 * 2 * n_edges) div (n_nodes * (n_nodes - 1))"
+            )
+            .cast("long")
+            .alias("density_ppm"),
+            (
+                F.expr(
+                    "(1000000 * 2 * n_edges)"
+                    " div (n_nodes * (n_nodes - 1))"
+                )
+                < 1_000_000
+            ).alias("over_merged"),
+        )
+    )

@@ -6830,3 +6830,80 @@ def q_quality_dup_interaction(
         .cast("long")
         .alias("within_quality_dup_ppm"),
     )
+
+
+@register(
+    "q_dup_component_shape",
+    # edge density per near-dup component (n >= 3): a clique is a true
+    # duplicate cluster; density below 1e6 is a transitive merge with
+    # member pairs the detector never matched — where
+    # keep-one-per-cluster silently deletes non-duplicates. Same CC
+    # chain as q_dup_cluster_stats; edges routed to components via one
+    # id join.
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    cs AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM comp GROUP BY component
+    ),
+    ec AS (
+        SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM pairs p JOIN comp c ON c.doc_id = p.id_a
+        GROUP BY c.component
+    )
+    SELECT s.component, s.n_nodes, e.n_edges,
+           CAST((1000000 * 2 * e.n_edges)
+                // (s.n_nodes * (s.n_nodes - 1)) AS BIGINT)
+               AS density_ppm,
+           (1000000 * 2 * e.n_edges)
+               // (s.n_nodes * (s.n_nodes - 1)) < 1000000 AS over_merged
+    FROM cs s JOIN ec e USING (component)
+    WHERE s.n_nodes >= 3
+    """,
+    survey_ops="near-dup component shape audit (§2.11 dedup QA): edge "
+    "density per multi-doc component — cliques are true duplicate "
+    "clusters, low density flags transitive over-merge where "
+    "keep-one-per-cluster deletes non-duplicates; the check run on "
+    "the big components BEFORE trusting cluster-level survivor "
+    "selection (dup_cluster_stats sizes them, this shapes them)",
+)
+def q_dup_component_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=4, k=3
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=4, band_size=1
+    )
+    comp = dedup.connected_components(
+        docs.select("doc_id"), pairs, "doc_id"
+    )
+    return dedup.component_shape_audit(comp, pairs, "doc_id", min_size=3)

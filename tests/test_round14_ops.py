@@ -909,3 +909,33 @@ def test_quality_dup_interaction_cells(spark, sf_dir):
         f"SELECT COUNT(*) FROM '{sf_dir.rstrip('/')}/documents.parquet'"
     ).fetchone()[0]
     assert n == expect
+
+
+def test_component_shape_audit_clique_vs_chain(spark):
+    """A triangle (clique) gets density 1e6 / not over-merged; a
+    4-chain gets 3 of 6 edges = 500000 ppm and the over-merge flag;
+    pairs and singletons are excluded."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        # triangle 1-2-3; chain 10-11-12-13; pair 20-21
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 13, 20, 21, 30)],
+        "doc_id long",
+    )
+    comp = dedup.connected_components(ids, pairs, "doc_id")
+    got = {
+        r["component"]: r
+        for r in dedup.component_shape_audit(
+            comp, pairs, "doc_id", min_size=3
+        ).collect()
+    }
+    assert set(got) == {1, 10}
+    assert got[1]["density_ppm"] == 1_000_000
+    assert not got[1]["over_merged"]
+    assert got[10]["n_nodes"] == 4 and got[10]["n_edges"] == 3
+    assert got[10]["density_ppm"] == 500_000
+    assert got[10]["over_merged"]
