@@ -343,8 +343,11 @@ HEADLINE = [
     # q_secret_scan convention), certified via the registry gate
     "q_quality_dup_interaction",
     # round-14 (post-snapshot): the component shape audit (the CC
-    # chain + two component-keyed aggs)
+    # chain + two component-keyed aggs) and the lang-ID budget
+    # misallocation (two temperature chains, one keyed by the
+    # prediction scan)
     "q_dup_component_shape",
+    "q_lang_misalloc",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -211,6 +211,7 @@ PROBE = [
     "q_pii_cooccurrence",
     "q_quality_dup_interaction",
     "q_dup_component_shape",
+    "q_lang_misalloc",
 ]
 
 

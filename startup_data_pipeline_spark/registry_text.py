@@ -6907,3 +6907,139 @@ def q_dup_component_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs, "doc_id"
     )
     return dedup.component_shape_audit(comp, pairs, "doc_id", min_size=3)
+
+
+@register(
+    "q_lang_misalloc",
+    # what lang-ID error COSTS: the alpha=0.5 temperature mixture
+    # computed twice — once over TRUE language token masses, once over
+    # the q_lang_id heuristic's PREDICTED labels — full-outer joined
+    # per language; misalloc_ppm is the budget shift classifier noise
+    # alone induces (q_lang_confusion says where the classifier errs,
+    # this prices the downstream damage). Same sqrt-only arithmetic
+    # as q_temperature_mix (no libm pow).
+    oracle=f"""
+    WITH pl AS (
+        SELECT doc_id, lang,
+               CASE WHEN best > 0 THEN
+                    CASE WHEN s_en = best THEN 'en'
+                         WHEN s_fr = best THEN 'fr'
+                         WHEN s_es = best THEN 'es'
+                         WHEN s_de = best THEN 'de'
+                         WHEN s_zh = best THEN 'zh'
+                    END
+               ELSE 'und' END AS predicted_lang,
+               CAST(len(toks) AS BIGINT) AS nt
+        FROM (
+            SELECT doc_id, lang, toks,
+                   greatest(s_en, s_fr, s_es, s_de, s_zh) AS best,
+                   s_en, s_fr, s_es, s_de, s_zh
+            FROM (
+                SELECT doc_id, lang, toks,
+                    len(list_filter(toks, t -> list_contains(['the','a'], t))) AS s_en,
+                    len(list_filter(toks, t -> list_contains(['le','la'], t))) AS s_fr,
+                    len(list_filter(toks, t -> list_contains(['el','los'], t))) AS s_es,
+                    len(list_filter(toks, t -> list_contains(['der','das'], t))) AS s_de,
+                    len(list_filter(toks, t -> list_contains(['de','shi'], t))) AS s_zh
+                FROM (SELECT doc_id, lang, {_TOKS} AS toks
+                      FROM (SELECT doc_id, lang, lower(text) AS text
+                            FROM documents))
+            )
+        )
+    ),
+    tt AS (SELECT lang AS l, SUM(nt) AS n_tokens FROM pl GROUP BY lang),
+    ttot AS (SELECT SUM(n_tokens) AS total FROM tt),
+    ts AS (
+        SELECT l, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM ttot)
+                    AS BIGINT) AS share
+        FROM tt
+    ),
+    tw AS (
+        SELECT *, CAST(floor(1000000.0 * sqrt(
+            CAST(share AS DOUBLE) / 1000000.0)) AS BIGINT) AS w
+        FROM ts
+    ),
+    tws AS (SELECT SUM(w) AS norm FROM tw),
+    tmix AS (
+        SELECT l, n_tokens,
+               CAST((1000000 * w) // (SELECT norm FROM tws) AS BIGINT)
+                   AS mix
+        FROM tw
+    ),
+    pt AS (SELECT predicted_lang AS l, SUM(nt) AS n_tokens
+           FROM pl GROUP BY predicted_lang),
+    ptot AS (SELECT SUM(n_tokens) AS total FROM pt),
+    ps AS (
+        SELECT l, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM ptot)
+                    AS BIGINT) AS share
+        FROM pt
+    ),
+    pw AS (
+        SELECT *, CAST(floor(1000000.0 * sqrt(
+            CAST(share AS DOUBLE) / 1000000.0)) AS BIGINT) AS w
+        FROM ps
+    ),
+    pws AS (SELECT SUM(w) AS norm FROM pw),
+    pmix AS (
+        SELECT l, n_tokens,
+               CAST((1000000 * w) // (SELECT norm FROM pws) AS BIGINT)
+                   AS mix
+        FROM pw
+    )
+    SELECT COALESCE(t.l, p.l) AS lang,
+           CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS true_tokens,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS pred_tokens,
+           CAST(COALESCE(t.mix, 0) AS BIGINT) AS mix_ppm_true,
+           CAST(COALESCE(p.mix, 0) AS BIGINT) AS mix_ppm_pred,
+           CAST(COALESCE(p.mix, 0) - COALESCE(t.mix, 0) AS BIGINT)
+               AS misalloc_ppm
+    FROM tmix t FULL OUTER JOIN pmix p ON p.l = t.l
+    """,
+    survey_ops="lang-ID budget misallocation (§2.11 curation QA): the "
+    "alpha=0.5 temperature mixture over TRUE vs PREDICTED language "
+    "token masses, per-language — the budget shift classifier noise "
+    "alone induces; q_lang_confusion localizes the error, this prices "
+    "the downstream damage before labels drive allocation",
+)
+def q_lang_misalloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    true_mix = olap.temperature_mix_weights(
+        docs, "lang", "text", alpha=0.5
+    ).select(
+        F.col("lang").alias("__l"),
+        F.col("n_tokens").alias("true_tokens"),
+        F.col("mix_ppm").alias("mix_ppm_true"),
+    )
+    pred = text.lang_id_heuristic(docs, "text")
+    pred_mix = olap.temperature_mix_weights(
+        pred, "predicted_lang", "text", alpha=0.5
+    ).select(
+        F.col("predicted_lang").alias("__l"),
+        F.col("n_tokens").alias("pred_tokens"),
+        F.col("mix_ppm").alias("mix_ppm_pred"),
+    )
+    return true_mix.join(pred_mix, "__l", "full_outer").select(
+        F.col("__l").alias("lang"),
+        F.coalesce("true_tokens", F.lit(0)).cast("long").alias(
+            "true_tokens"
+        ),
+        F.coalesce("pred_tokens", F.lit(0)).cast("long").alias(
+            "pred_tokens"
+        ),
+        F.coalesce("mix_ppm_true", F.lit(0)).cast("long").alias(
+            "mix_ppm_true"
+        ),
+        F.coalesce("mix_ppm_pred", F.lit(0)).cast("long").alias(
+            "mix_ppm_pred"
+        ),
+        (
+            F.coalesce("mix_ppm_pred", F.lit(0))
+            - F.coalesce("mix_ppm_true", F.lit(0))
+        )
+        .cast("long")
+        .alias("misalloc_ppm"),
+    )

@@ -939,3 +939,20 @@ def test_component_shape_audit_clique_vs_chain(spark):
     assert got[10]["n_nodes"] == 4 and got[10]["n_edges"] == 3
     assert got[10]["density_ppm"] == 500_000
     assert got[10]["over_merged"]
+
+
+def test_lang_misalloc_reconciles(spark, sf_dir):
+    """Both mixture columns each sum to ~1e6 ppm, token masses agree
+    in total, and misalloc is the column difference."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_lang_misalloc"].fn(spark, sf_dir).collect()
+    assert out
+    n = len(out)
+    assert 1_000_000 - n <= sum(r["mix_ppm_true"] for r in out) <= 1_000_000
+    assert 1_000_000 - n <= sum(r["mix_ppm_pred"] for r in out) <= 1_000_000
+    assert sum(r["true_tokens"] for r in out) == sum(
+        r["pred_tokens"] for r in out
+    )
+    for r in out:
+        assert r["misalloc_ppm"] == r["mix_ppm_pred"] - r["mix_ppm_true"]
