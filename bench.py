@@ -348,6 +348,9 @@ HEADLINE = [
     # prediction scan)
     "q_dup_component_shape",
     "q_lang_misalloc",
+    # round-14 (post-snapshot): the cell purity audit (shuffle-free
+    # seeded routing scan + two cell-keyed aggs + an 8-row window)
+    "q_cell_purity",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -212,6 +212,7 @@ PROBE = [
     "q_quality_dup_interaction",
     "q_dup_component_shape",
     "q_lang_misalloc",
+    "q_cell_purity",
 ]
 
 

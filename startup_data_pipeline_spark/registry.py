@@ -191,7 +191,7 @@ _PRIORITY: list[str] = [
     "q_optout_propagation", "q_norm_gain_curve",
     "q_boilerplate_ngrams", "q_canary_detection",
     "q_pii_cooccurrence", "q_quality_dup_interaction",
-    "q_dup_component_shape", "q_lang_misalloc",
+    "q_dup_component_shape", "q_lang_misalloc", "q_cell_purity",
 ]
 
 

@@ -4046,3 +4046,112 @@ def q_source_embedding_diversity(
     return similarity.source_cluster_coverage(
         docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
     )
+
+
+@register(
+    "q_cell_purity",
+    # external clustering validation: the certified seeded cell
+    # assignment (q_kmeans_assign derivation) crossed with the
+    # embeddings' true labels — per cell the majority label (ties to
+    # the smallest label) and purity in ppm. A label-pure partition
+    # means IVF routing respects the semantic classes; a mixed cell
+    # is where probe-limited ANN search loses recall first.
+    oracle=f"""
+    WITH qv AS (
+        SELECT vec_id AS vid,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS x
+        FROM embeddings
+        WHERE {VEC_GEOMETRY_SQL}
+    ),
+    seeds AS (
+        SELECT vid,
+               CAST(row_number() OVER (ORDER BY vid) AS INTEGER) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vid FROM qv)
+        QUALIFY row_number() OVER (ORDER BY vid) <= 8
+    ),
+    cent AS (
+        SELECT s.cluster, q.pos, q.x AS c
+        FROM seeds s JOIN qv q USING (vid)
+    ),
+    dist AS (
+        SELECT q.vid, c.cluster,
+               SUM((q.x - c.c) * (q.x - c.c)) AS d
+        FROM qv q JOIN cent c USING (pos)
+        GROUP BY q.vid, c.cluster
+    ),
+    asg AS (
+        SELECT vid, cluster FROM dist
+        QUALIFY row_number() OVER (
+            PARTITION BY vid ORDER BY d ASC, cluster ASC) = 1
+    ),
+    lab AS (
+        SELECT a.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM asg a JOIN embeddings e ON e.vec_id = a.vid
+        GROUP BY a.cluster, e.label
+    ),
+    tot AS (
+        SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS BIGINT) AS n_labels
+        FROM lab GROUP BY cluster
+    ),
+    maj AS (
+        SELECT cluster, CAST(label AS BIGINT) AS majority_label,
+               n AS majority_n
+        FROM lab
+        QUALIFY row_number() OVER (
+            PARTITION BY cluster ORDER BY n DESC, label ASC) = 1
+    )
+    SELECT t.cluster, t.n_vectors, t.n_labels, m.majority_label,
+           CAST((1000000 * m.majority_n) // t.n_vectors AS BIGINT)
+               AS purity_ppm
+    FROM tot t JOIN maj m USING (cluster)
+    """,
+    survey_ops="IVF cell purity audit (§2.11 similarity QA): the "
+    "seeded cell assignment crossed with true labels — per cell "
+    "majority label and purity ppm; label-pure cells mean the "
+    "routing respects semantic classes, mixed cells are where "
+    "probe-limited ANN loses recall first (q_index_manifest "
+    "fingerprints the handoff, this grades the partition)",
+)
+def q_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans_assign_seeded(
+        emb, "vec_id", "embedding", k=8
+    ).select("vid", "cluster")
+    lab = (
+        asg.join(
+            emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
+        )
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    tot = lab.groupBy("cluster").agg(
+        F.sum("__n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("__n").desc(), F.col("label").asc()
+    )
+    maj = (
+        lab.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("__n").alias("__mn"),
+        )
+    )
+    return tot.join(maj, "cluster").select(
+        "cluster",
+        "n_vectors",
+        "n_labels",
+        "majority_label",
+        F.expr("(1000000 * __mn) div n_vectors")
+        .cast("long")
+        .alias("purity_ppm"),
+    )

@@ -228,7 +228,7 @@ def test_registry_integrity():
     ]
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r15 window)
-    assert list(qs)[-29:] == [
+    assert list(qs)[-30:] == [
         "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
         "q_export_manifest", "q_dedup_roi_curve",
         "q_leakage_free_split", "q_vocab_curve",
@@ -240,5 +240,5 @@ def test_registry_integrity():
         "q_release_gate", "q_optout_propagation", "q_norm_gain_curve",
         "q_boilerplate_ngrams", "q_canary_detection",
         "q_pii_cooccurrence", "q_quality_dup_interaction",
-        "q_dup_component_shape", "q_lang_misalloc",
+        "q_dup_component_shape", "q_lang_misalloc", "q_cell_purity",
     ]

@@ -956,3 +956,17 @@ def test_lang_misalloc_reconciles(spark, sf_dir):
     )
     for r in out:
         assert r["misalloc_ppm"] == r["mix_ppm_pred"] - r["mix_ppm_true"]
+
+
+def test_cell_purity_reconciles(spark, sf_dir):
+    """Per-cell vectors sum to the geometric universe, purity is
+    bounded by (1e6 / n_labels, 1e6], and majority ties break to the
+    smallest label."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_cell_purity"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["n_labels"] >= 1
+        assert r["purity_ppm"] <= 1_000_000
+        assert r["purity_ppm"] * r["n_labels"] >= 1_000_000 - r["n_labels"]
