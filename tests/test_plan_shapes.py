@@ -815,3 +815,61 @@ def test_quality_ensemble_ranks_stay_two_level(spark, plan_sf_dir):
     assert windows, "expected window operators in the ensemble plan"
     assert all("__pid" in ln for ln in windows)
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_ngrams_rank_stays_two_level(spark, plan_sf_dir):
+    """The top-100 rank must be the two-level exact_global_rank shape
+    (per-partition windows over the __pid range partitioning), never a
+    single-partition global sort; the only cross join is the one-row
+    corpus-total scalar broadcast."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_boilerplate_ngrams"].fn(spark, plan_sf_dir),
+        mode="simple",
+    )
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows, "expected window operators in the rank plan"
+    assert all("__pid" in ln for ln in windows)
+    assert "CartesianProduct" not in plan
+
+
+def test_optout_propagation_shuffles_digests_only(spark, plan_sf_dir):
+    """The closure must ride the banded candidate chain — no cartesian
+    join anywhere, and no exchange that carries the text column (only
+    ids, band keys, components, and flags shuffle)."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_optout_propagation"].fn(spark, plan_sf_dir),
+        mode="simple",
+    )
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln
+
+
+def test_canary_detection_join_is_broadcast(spark, plan_sf_dir):
+    """The 24-row canary shingle table must broadcast — a shuffled
+    join on the shingle key would exchange the full seeded-doc
+    shingle explode."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_canary_detection"].fn(spark, plan_sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cell_purity_routing_is_shuffle_free(spark, plan_sf_dir):
+    """The seeded assignment leg must keep centroids as plan literals
+    (no join on the embedding side before the cell agg) and the whole
+    plan must stay free of cartesian joins."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_cell_purity"].fn(spark, plan_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
