@@ -41,6 +41,43 @@ _MINHASH_SQL = f"""
     FROM sh GROUP BY doc_id
 """
 
+# The banded-MinHash candidate chain and its connected-components
+# closure, factored once (the ADVICE r13 drift rule: shared derivations
+# get ONE definition). Interpolate as  WITH RECURSIVE {_LSH_PAIRS_CTES},
+# ...  or  WITH RECURSIVE {_CC_CTES}, ...  — the generated SQL is
+# byte-identical to the previously inlined blocks.
+_LSH_PAIRS_CTES = f"""sig AS ({_MINHASH_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )"""
+
+_CC_CTES = f"""{_LSH_PAIRS_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        GROUP BY d.doc_id
+    )"""
+
 _QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
 
@@ -335,19 +372,7 @@ def q_incremental_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transitive closure; cluster_size counts how many docs each
     # survivor absorbed (singletons = 1)
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -388,35 +413,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup cluster: gate passers beat failers, then more tokens,
     # then lowest id — keep the best copy, not the first crawled
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     q AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1410,19 +1407,7 @@ _DOT = (
     # the q_dup_cluster_stats CC derivation + q_train_split's exact
     # strpos bucket arithmetic applied to the COMPONENT id
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -1988,19 +1973,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes (the certified CC derivation), tiered: >=4 copies or a
     # >=8 cluster -> high, any duplication -> medium
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -2059,35 +2032,7 @@ def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dup_cluster_stats",
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     sizes AS (
         SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
         FROM comp GROUP BY component
@@ -2168,35 +2113,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_soft_dedup_weights",
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     sizes AS (
         SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
         FROM comp GROUP BY component
@@ -4201,19 +4118,7 @@ def q_optout_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # effective-tokens (CC + weights), temperature weights, and the
     # bounded-allocation prefix test.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -4410,35 +4315,7 @@ def q_repeat_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division happens AFTER the exact product sum, so both engines
     # agree bit-for-bit. effective_ppm = the source's unique fraction.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     sizes AS (
         SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
         FROM comp GROUP BY component
@@ -4512,19 +4389,7 @@ def q_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copies of things we already have"). A doc is LOST iff it is not
     # its cluster's min-id representative.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -5063,19 +4928,7 @@ def q_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the output rule: any credentials OR >=20% high-risk docs ->
     # block; PII >= 10000/mtok OR >=5% high-risk -> scrub_first.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -5755,19 +5608,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide triage master. Thresholds sit inside the fixture's
     # observed spread so all three verdicts occur.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
+    WITH RECURSIVE {_LSH_PAIRS_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -6072,35 +5913,7 @@ def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same chain CTEs as q_quality_survivors; both winners derived per
     # component, singletons excluded, one summary row
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     q AS (
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -6290,35 +6103,7 @@ def q_mixture_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected-component closure of the flagged docs. Same CC chain
     # as q_effective_tokens (4 minhashes, band_size 1).
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     fl AS (
         SELECT d.doc_id, d.source,
                CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END AS opted,
@@ -6690,35 +6475,7 @@ def q_pii_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the certified minhash CC chain): per cell docs/token mass,
     # corpus share, and the dup incidence WITHIN each quality class.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     sizes AS (
         SELECT component, COUNT(*) AS cs FROM comp GROUP BY component
     ),
@@ -6841,35 +6598,7 @@ def q_quality_dup_interaction(
     # chain as q_dup_cluster_stats; edges routed to components via one
     # id join.
     oracle=f"""
-    WITH RECURSIVE sig AS ({_MINHASH_SQL}),
-    bands AS (
-        SELECT doc_id, 0 AS band_id, md5(mh_0) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(mh_1) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(mh_2) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(mh_3) FROM sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT e.src, r.dst FROM edges e JOIN reach r ON e.dst = r.src
-    ),
-    comp AS (
-        SELECT d.doc_id,
-               least(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
-        FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        GROUP BY d.doc_id
-    ),
+    WITH RECURSIVE {_CC_CTES},
     cs AS (
         SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM comp GROUP BY component
