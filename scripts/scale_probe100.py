@@ -75,6 +75,11 @@ PROBE = [
     # loser explode + rebuild agg; outer replicas share zero windows,
     # so the dup structure stays 10-deep and cost should track docs
     "q_substring_dedup",
+    # r14 session-3: the opt-out closure — the CC floor plus one
+    # component-keyed taint agg and a |sources|-key rollup; outer
+    # replicas share zero shingles so components stay 10-deep and
+    # cost should track the q_soft_dedup_weights floor
+    "q_optout_propagation",
 ]
 
 
