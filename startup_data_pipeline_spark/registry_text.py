@@ -6318,7 +6318,7 @@ def _canary_ctes() -> str:
     oracle=f"""
     WITH {_canary_ctes()},
     stoks AS (
-        SELECT doc_id, c, full_seed,
+        SELECT doc_id, c,
                list_filter(regexp_split_to_array(s, '\\s+'),
                            x -> x <> '') AS toks
         FROM sd
