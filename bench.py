@@ -351,6 +351,11 @@ HEADLINE = [
     # round-14 (post-snapshot): the cell purity audit (shuffle-free
     # seeded routing scan + two cell-keyed aggs + an 8-row window)
     "q_cell_purity",
+    # round-14 (post-snapshot): the source HHI (token scan + a
+    # |sources|-key agg + single-row rollup) and the prefix-dup
+    # groups (one digest-key agg over >= 32-token docs)
+    "q_source_hhi",
+    "q_prefix_dup_groups",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

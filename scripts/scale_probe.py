@@ -213,6 +213,8 @@ PROBE = [
     "q_dup_component_shape",
     "q_lang_misalloc",
     "q_cell_purity",
+    "q_source_hhi",
+    "q_prefix_dup_groups",
 ]
 
 

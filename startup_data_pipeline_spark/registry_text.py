@@ -6772,3 +6772,141 @@ def q_lang_misalloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("misalloc_ppm"),
     )
+
+
+@register(
+    "q_source_hhi",
+    # corpus concentration in one row: Herfindahl-Hirschman index over
+    # per-source token shares (integer: sum of squared ppm shares div
+    # 1e6) plus the inverse-HHI effective source count x100 — the
+    # crawl-diversity health number a corpus card leads with; a
+    # mixture that looks diverse by source COUNT can still be one
+    # domain in disguise by MASS.
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    s AS (
+        SELECT source, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+               AS hhi_ppm,
+           CAST((100 * 1000000)
+                // (SUM(share_ppm * share_ppm) // 1000000) AS BIGINT)
+               AS effective_sources_x100
+    FROM s
+    """,
+    survey_ops="source concentration index (§2.11 corpus health): "
+    "integer HHI over per-source token shares + inverse-HHI "
+    "effective source count — the one-row crawl-diversity number a "
+    "corpus card leads with; one |sources|-key agg and a single-row "
+    "rollup",
+)
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").cast("long").alias("__total"))
+    s = t.crossJoin(F.broadcast(tot)).select(
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) div __total")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("share_ppm").cast("long").alias("top_share_ppm"),
+        F.expr("sum(share_ppm * share_ppm) div 1000000")
+        .cast("long")
+        .alias("hhi_ppm"),
+        F.expr(
+            "(100 * 1000000) div (sum(share_ppm * share_ppm)"
+            " div 1000000)"
+        )
+        .cast("long")
+        .alias("effective_sources_x100"),
+    )
+
+
+@register(
+    "q_prefix_dup_groups",
+    # shared-head detector: docs (>= 32 tokens) grouped by the md5 of
+    # their first 32 case-normalized tokens. A prefix group that is
+    # NOT an exact-dup group is a pagination / truncation / feed-tail
+    # artifact family — same head, diverging tails — which full-hash
+    # exact dedup misses and substring dedup only prices per-span.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_LOWER} AS toks FROM documents
+    ),
+    pref AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_slice(toks, 1, 32), ' ')) AS h,
+               md5(array_to_string(toks, ' ')) AS full_h
+        FROM toks WHERE len(toks) >= 32
+    )
+    SELECT h AS prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT full_h) AS BIGINT) AS n_distinct_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS exemplar_id,
+           COUNT(DISTINCT full_h) > 1 AS diverging_tails
+    FROM pref
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+    """,
+    survey_ops="prefix-duplicate groups (§2.11 dedup): docs sharing "
+    "their first 32 tokens — the pagination/truncation/feed-tail "
+    "artifact detector; diverging_tails separates true exact dups "
+    "from same-head-different-tail families that full-hash dedup "
+    "misses; one digest agg, documents never shuffle",
+)
+def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        text.tokens(F.lower(F.col("text"))).alias("__t"),
+    ).filter(F.size("__t") >= 32)
+    pref = t.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__t"), 1, 32)).cast("binary")
+        ).alias("h"),
+        F.md5(F.concat_ws(" ", F.col("__t")).cast("binary")).alias(
+            "full_h"
+        ),
+    )
+    return (
+        pref.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("full_h").cast("long").alias(
+                "n_distinct_docs"
+            ),
+            F.min("doc_id").cast("long").alias("exemplar_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("h").alias("prefix_hash"),
+            "n_docs",
+            "n_sources",
+            "n_distinct_docs",
+            "exemplar_id",
+            (F.col("n_distinct_docs") > 1).alias("diverging_tails"),
+        )
+    )

@@ -970,3 +970,43 @@ def test_cell_purity_reconciles(spark, sf_dir):
         assert r["n_labels"] >= 1
         assert r["purity_ppm"] <= 1_000_000
         assert r["purity_ppm"] * r["n_labels"] >= 1_000_000 - r["n_labels"]
+
+
+def test_source_hhi_bounds(spark, sf_dir):
+    """HHI sits in [1e6/n_sources, 1e6]; effective sources in
+    [100, 100*n_sources]; top share at least the equal-share floor."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    r = all_queries()["q_source_hhi"].fn(spark, sf_dir).collect()[0]
+    n = r["n_sources"]
+    assert 1_000_000 // n - 1 <= r["hhi_ppm"] <= 1_000_000
+    assert 100 <= r["effective_sources_x100"] <= 100 * n + 100
+    assert r["top_share_ppm"] >= (1_000_000 // n) - 1
+
+
+def test_prefix_dup_groups_diverging_tails(spark):
+    """Same 32-token head with different tails groups together and is
+    flagged diverging; short docs are excluded; unique heads drop."""
+    from startup_data_pipeline_spark.registry import all_queries
+    import pyspark.sql.functions as F
+
+    head = " ".join(f"w{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, "a", head + " tail one continues here"),
+            (2, "b", head + " a different ending entirely"),
+            (3, "a", "short doc"),
+            (4, "a", " ".join(f"u{i}" for i in range(40))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = all_queries()["q_prefix_dup_groups"].fn(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 2 and r["n_sources"] == 2
+    assert r["diverging_tails"] and r["n_distinct_docs"] == 2
+    assert r["exemplar_id"] == 1
