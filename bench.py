@@ -356,6 +356,9 @@ HEADLINE = [
     # groups (one digest-key agg over >= 32-token docs)
     "q_source_hhi",
     "q_prefix_dup_groups",
+    # round-14 (post-snapshot): the pack mixing audit (the shared
+    # packing-assignment window + one bin-key agg + a 3-row rollup)
+    "q_pack_mixing_audit",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

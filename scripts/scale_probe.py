@@ -215,6 +215,7 @@ PROBE = [
     "q_cell_purity",
     "q_source_hhi",
     "q_prefix_dup_groups",
+    "q_pack_mixing_audit",
 ]
 
 

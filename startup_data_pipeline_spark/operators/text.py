@@ -491,6 +491,35 @@ def tfidf_top_terms(
     )
 
 
+def sequence_pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """The per-document bin assignment underlying ``sequence_pack``,
+    factored so rollup and per-doc consumers (the pack-mixing audit)
+    share ONE derivation and cannot drift. Adds ``shard`` and
+    ``bin_id`` to the input frame; see ``sequence_pack`` for the
+    stride/interleave semantics."""
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    prefix = F.coalesce(
+        F.sum(F.col(weight_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return df.withColumn("shard", shard).withColumn(
+        "bin_id",
+        (F.floor(prefix / F.lit(capacity)) * F.lit(n_shards)
+         + F.col("shard")).cast("long"),
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     id_col: str,
@@ -517,23 +546,9 @@ def sequence_pack(
 
     Returns one row per bin: docs packed, payload weight, fill ratio.
     """
-    from pyspark.sql import Window
-
-    shard = F.pmod(F.col(id_col), F.lit(n_shards))
-    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
-    prefix = F.coalesce(
-        F.sum(F.col(weight_col)).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0),
-    )
-    assigned = df.withColumn("shard", shard).withColumn(
-        "bin_id",
-        (F.floor(prefix / F.lit(capacity)) * F.lit(n_shards)
-         + F.col("shard")).cast("long"),
-    )
     return (
-        assigned.groupBy("bin_id")
+        sequence_pack_assignments(df, id_col, weight_col, capacity, n_shards)
+        .groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.col(weight_col)).cast("long").alias("total_weight"),

@@ -6910,3 +6910,96 @@ def q_prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_distinct_docs") > 1).alias("diverging_tails"),
         )
     )
+
+
+@register(
+    "q_pack_mixing_audit",
+    # cross-document attention contamination: which packed training
+    # bins concatenate docs from DIFFERENT sources (the case where a
+    # model attends across unrelated distributions unless the trainer
+    # masks boundaries). Same assignment derivation as
+    # q_sequence_pack (one shared definition, sequence_pack_assignments).
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CAST(floor(COALESCE(SUM(n_chars) OVER (
+                     PARTITION BY doc_id % 32 ORDER BY doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 4096.0) AS BIGINT) * 32
+               + CAST(doc_id % 32 AS BIGINT) AS bin_id
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM assigned GROUP BY bin_id
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_bins, SUM(n_docs) AS n_docs FROM per_bin
+    ),
+    cls AS (
+        SELECT CASE WHEN n_docs = 1 THEN 'solo'
+                    WHEN n_sources = 1 THEN 'multi_doc_same_source'
+                    ELSE 'multi_doc_cross_source' END AS mix_class,
+               n_docs
+        FROM per_bin
+    )
+    SELECT mix_class,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST((1000000 * COUNT(*)) // (SELECT n_bins FROM tot)
+                AS BIGINT) AS bins_ppm,
+           CAST((1000000 * SUM(n_docs)) // (SELECT n_docs FROM tot)
+                AS BIGINT) AS docs_ppm
+    FROM cls GROUP BY mix_class
+    """,
+    survey_ops="pack mixing audit (§2.11 training QA): which packed "
+    "bins concatenate documents from different sources — the "
+    "cross-document attention-contamination exposure a trainer "
+    "either masks or accepts; same assignment derivation as "
+    "q_sequence_pack (shared sequence_pack_assignments), one bin-key "
+    "agg + a 3-row rollup",
+)
+def q_pack_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    asg = text.sequence_pack_assignments(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+        capacity=4096,
+    )
+    per_bin = asg.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    tot = per_bin.agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum("n_docs").cast("long").alias("__nd"),
+    )
+    return (
+        per_bin.select(
+            F.expr(
+                "CASE WHEN n_docs = 1 THEN 'solo'"
+                " WHEN n_sources = 1 THEN 'multi_doc_same_source'"
+                " ELSE 'multi_doc_cross_source' END"
+            ).alias("mix_class"),
+            "n_docs",
+        )
+        .groupBy("mix_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "mix_class",
+            "n_bins",
+            "n_docs",
+            F.expr("(1000000 * n_bins) div __nb")
+            .cast("long")
+            .alias("bins_ppm"),
+            F.expr("(1000000 * n_docs) div __nd")
+            .cast("long")
+            .alias("docs_ppm"),
+        )
+    )

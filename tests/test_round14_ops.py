@@ -1010,3 +1010,24 @@ def test_prefix_dup_groups_diverging_tails(spark):
     assert r["n_docs"] == 2 and r["n_sources"] == 2
     assert r["diverging_tails"] and r["n_distinct_docs"] == 2
     assert r["exemplar_id"] == 1
+
+
+def test_pack_mixing_audit_reconciles(spark, sf_dir):
+    """Bin and doc ppm shares each sum to ~1e6 and doc totals match
+    the corpus; solo bins contribute exactly one doc each."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_pack_mixing_audit"].fn(spark, sf_dir).collect()
+    assert out
+    k = len(out)
+    assert 1_000_000 - k <= sum(r["bins_ppm"] for r in out) <= 1_000_000
+    assert 1_000_000 - k <= sum(r["docs_ppm"] for r in out) <= 1_000_000
+    by = {r["mix_class"]: r for r in out}
+    if "solo" in by:
+        assert by["solo"]["n_bins"] == by["solo"]["n_docs"]
+    import duckdb
+
+    expect = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir.rstrip('/')}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in out) == expect
