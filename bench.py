@@ -358,7 +358,10 @@ HEADLINE = [
     "q_prefix_dup_groups",
     # round-14 (post-snapshot): the pack mixing audit (the shared
     # packing-assignment window + one bin-key agg + a 3-row rollup)
+    # and the code-switch detector (map-side window explode + two
+    # doc-keyed aggs + a per-doc window)
     "q_pack_mixing_audit",
+    "q_code_switch",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -216,6 +216,7 @@ PROBE = [
     "q_source_hhi",
     "q_prefix_dup_groups",
     "q_pack_mixing_audit",
+    "q_code_switch",
 ]
 
 

@@ -7003,3 +7003,170 @@ def q_pack_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_ppm"),
         )
     )
+
+
+@register(
+    "q_code_switch",
+    # mixed-language document detector: the q_lang_id marker battery
+    # applied per non-overlapping 32-token window; a doc whose windows
+    # disagree (>= 2 distinct non-'und' predictions) is code-switched
+    # or a concatenation artifact — either way it pollutes monolingual
+    # budget pools that per-DOC lang-ID silently admits. One row per
+    # multi-window doc (the flag, not a filter, carries the verdict —
+    # an all-false corpus is itself the finding). Dominant =
+    # most non-und windows, ties to the alphabetically-first language.
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKS_LOWER} AS tk FROM documents
+    ),
+    ck AS (
+        SELECT doc_id, lang,
+               list_slice(tk, s, s + 31) AS c
+        FROM (
+            SELECT doc_id, lang, tk,
+                   unnest(generate_series(1, len(tk), 32)) AS s
+            FROM toks WHERE len(tk) > 0
+        )
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CASE WHEN best > 0 THEN
+                    CASE WHEN s_en = best THEN 'en'
+                         WHEN s_fr = best THEN 'fr'
+                         WHEN s_es = best THEN 'es'
+                         WHEN s_de = best THEN 'de'
+                         WHEN s_zh = best THEN 'zh'
+                    END
+               ELSE 'und' END AS p
+        FROM (
+            SELECT doc_id, lang,
+                   greatest(s_en, s_fr, s_es, s_de, s_zh) AS best,
+                   s_en, s_fr, s_es, s_de, s_zh
+            FROM (
+                SELECT doc_id, lang,
+                    len(list_filter(c, t -> list_contains(['the','a'], t))) AS s_en,
+                    len(list_filter(c, t -> list_contains(['le','la'], t))) AS s_fr,
+                    len(list_filter(c, t -> list_contains(['el','los'], t))) AS s_es,
+                    len(list_filter(c, t -> list_contains(['der','das'], t))) AS s_de,
+                    len(list_filter(c, t -> list_contains(['de','shi'], t))) AS s_zh
+                FROM ck
+            )
+        )
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(*) FILTER (p <> 'und') AS BIGINT) AS n_lang_windows,
+               CAST(COUNT(DISTINCT p) FILTER (p <> 'und') AS BIGINT)
+                   AS n_pred_langs
+        FROM scored GROUP BY doc_id, lang
+    ),
+    dom AS (
+        SELECT doc_id, p AS dominant_lang,
+               CAST(COUNT(*) AS BIGINT) AS dn
+        FROM scored WHERE p <> 'und'
+        GROUP BY doc_id, p
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY COUNT(*) DESC, p ASC) = 1
+    )
+    SELECT d.doc_id, d.lang, d.n_windows, d.n_pred_langs,
+           m.dominant_lang,
+           CAST((1000000 * m.dn) // d.n_lang_windows AS BIGINT)
+               AS dominant_ppm,
+           d.n_pred_langs >= 2 AS code_switched
+    FROM per_doc d JOIN dom m USING (doc_id)
+    WHERE d.n_windows >= 2
+    """,
+    survey_ops="code-switch detector (§2.11 text QA): the lang-ID "
+    "marker battery per non-overlapping 32-token window; docs whose "
+    "windows disagree are code-switched or concatenation artifacts "
+    "that per-doc lang-ID silently admits into monolingual budget "
+    "pools — map-side window explode + two doc-keyed aggs",
+)
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        text.tokens(F.lower(F.col("text"))).alias("__tk"),
+    ).filter(F.size("__tk") > 0)
+    ck = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk"), F.lit(32)),
+                lambda s: F.slice(F.col("__tk"), s, 32),
+            )
+        ).alias("__c"),
+    )
+    markers = {
+        "en": ["the", "a"],
+        "fr": ["le", "la"],
+        "es": ["el", "los"],
+        "de": ["der", "das"],
+        "zh": ["de", "shi"],
+    }
+    scored = ck
+    for lg, ms in markers.items():
+        scored = scored.withColumn(
+            f"__s_{lg}",
+            F.size(F.filter(F.col("__c"), lambda x: x.isin(ms))),
+        )
+    best = F.greatest(*[F.col(f"__s_{m}") for m in markers])
+    pred = None
+    for lg in markers:
+        cond = F.col(f"__s_{lg}") == best
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    scored = scored.select(
+        "doc_id",
+        "lang",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("__p"),
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum((F.col("__p") != "und").cast("int"))
+        .cast("long")
+        .alias("__nlw"),
+        F.size(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(F.col("__p") != "und", F.col("__p"))
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_pred_langs"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("__dn").desc(), F.col("__p").asc()
+    )
+    dom = (
+        scored.filter(F.col("__p") != "und")
+        .groupBy("doc_id", "__p")
+        .agg(F.count(F.lit(1)).cast("long").alias("__dn"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("__p").alias("dominant_lang"),
+            F.col("__dn"),
+        )
+    )
+    return (
+        per_doc.join(dom, "doc_id")
+        .filter(F.col("n_windows") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "n_windows",
+            "n_pred_langs",
+            "dominant_lang",
+            F.expr("(1000000 * __dn) div __nlw")
+            .cast("long")
+            .alias("dominant_ppm"),
+            (F.col("n_pred_langs") >= 2).alias("code_switched"),
+        )
+    )

@@ -1031,3 +1031,31 @@ def test_pack_mixing_audit_reconciles(spark, sf_dir):
         f"SELECT COUNT(*) FROM '{sf_dir.rstrip('/')}/documents.parquet'"
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in out) == expect
+
+
+def test_code_switch_flags_mixed_doc(spark):
+    """A doc whose first window is English-marked and second window is
+    French-marked flags code_switched; a monolingual doc does not."""
+    from startup_data_pipeline_spark.registry import all_queries
+    import tempfile, os
+
+    en = "the " * 32                       # window 1: all 'the'
+    fr = "le " * 32                        # window 2: all 'le'
+    docs = spark.createDataFrame(
+        [
+            (1, "en", (en + fr).strip()),
+            (2, "en", ("the quick brown fox " * 16).strip()),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in all_queries()["q_code_switch"].fn(spark, d).collect()
+    }
+    assert got[1]["code_switched"] and got[1]["n_pred_langs"] == 2
+    assert got[1]["dominant_lang"] == "en"   # tie 1-1 breaks to 'en'
+    assert got[1]["dominant_ppm"] == 500_000
+    assert not got[2]["code_switched"]
+    assert got[2]["dominant_lang"] == "en"
