@@ -362,6 +362,9 @@ HEADLINE = [
     # doc-keyed aggs + a per-doc window)
     "q_pack_mixing_audit",
     "q_code_switch",
+    # round-14 (post-snapshot): q_vector_norm_audit stays OUT as a
+    # pure map-side scan + single-row agg (the q_secret_scan
+    # convention), certified via the registry gate
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -217,6 +217,7 @@ PROBE = [
     "q_prefix_dup_groups",
     "q_pack_mixing_audit",
     "q_code_switch",
+    "q_vector_norm_audit",
 ]
 
 

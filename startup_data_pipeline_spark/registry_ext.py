@@ -4155,3 +4155,85 @@ def q_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purity_ppm"),
     )
+
+
+@register(
+    "q_vector_norm_audit",
+    # the one-row acceptance card every cosine/IP index assumes but
+    # nobody checks: degenerate-vector count (null / empty / null
+    # element), zero norms, the quantized norm^2 envelope, and the
+    # worst unit-norm deviation in ppm (dev_ppm = |n2 - 1e8| div 100
+    # under the x10000 _QUANT convention, 64-dim unit vectors).
+    # Integer arithmetic end-to-end; the geometry predicate is the
+    # shared VEC_GEOMETRY_SQL.
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN {VEC_GEOMETRY_SQL} THEN 1 ELSE 0 END AS ok,
+               CASE WHEN {VEC_GEOMETRY_SQL} THEN
+                   list_sum(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 10000)
+                                 AS BIGINT)
+                            * CAST(round(CAST(x AS DOUBLE) * 10000)
+                                   AS BIGINT)))
+               END AS n2
+        FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(1 - ok) AS BIGINT) AS n_degenerate,
+           CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           CAST(MIN(n2) AS BIGINT) AS min_norm2,
+           CAST(MAX(n2) AS BIGINT) AS max_norm2,
+           CAST(MAX(abs(n2 - 100000000) // 100) AS BIGINT)
+               AS max_dev_ppm,
+           CAST(SUM(CASE WHEN abs(n2 - 100000000) // 100 > 10000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_offunit_1pct
+    FROM g
+    """,
+    survey_ops="vector norm acceptance card (§2.11 similarity QA): "
+    "one row — degenerate/zero-norm counts, the quantized norm^2 "
+    "envelope, and the worst unit-norm deviation in ppm; the "
+    "assumption every cosine/IP index makes, checked before "
+    "indexing; one map-side scan, single-row agg",
+)
+def q_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import quantize, vector_has_geometry
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ok = vector_has_geometry("embedding")
+    n2 = F.when(
+        ok,
+        F.aggregate(
+            quantize(F.col("embedding")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    # coalesce: a NULL embedding makes the geometry predicate NULL,
+    # not false — without it the degenerate count silently skips null
+    # vectors (the oracle's CASE ... ELSE 0 already counts them)
+    g = emb.select(
+        F.coalesce(ok.cast("int"), F.lit(0)).alias("__ok"),
+        n2.alias("__n2"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(1 - F.col("__ok")).cast("long").alias("n_degenerate"),
+        F.sum((F.col("__n2") == 0).cast("int"))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.min("__n2").cast("long").alias("min_norm2"),
+        F.max("__n2").cast("long").alias("max_norm2"),
+        F.max(
+            F.expr("abs(__n2 - 100000000) div 100")
+        )
+        .cast("long")
+        .alias("max_dev_ppm"),
+        F.sum(
+            (F.expr("abs(__n2 - 100000000) div 100") > 10000).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_offunit_1pct"),
+    )

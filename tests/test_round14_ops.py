@@ -1059,3 +1059,33 @@ def test_code_switch_flags_mixed_doc(spark):
     assert got[1]["dominant_ppm"] == 500_000
     assert not got[2]["code_switched"]
     assert got[2]["dominant_lang"] == "en"
+
+
+def test_vector_norm_audit_flags_degenerates(spark):
+    """Null, empty, null-element, zero, and off-unit vectors are each
+    counted in the right column."""
+    from startup_data_pipeline_spark.registry import all_queries
+    import tempfile, os
+
+    unit = [0.125] * 64                       # 64 * 0.125^2 = 1.0
+    rows = [
+        (1, unit, 0),
+        (2, None, 0),                         # null vector
+        (3, [], 0),                           # empty
+        (4, [None] * 64, 0),                  # null element
+        (5, [0.0] * 64, 0),                   # zero norm
+        (6, [0.25] * 64, 0),                  # norm^2 = 4.0 (off-unit)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    r = all_queries()["q_vector_norm_audit"].fn(spark, d).collect()[0]
+    assert r["n_vectors"] == 6
+    assert r["n_degenerate"] == 3
+    assert r["n_zero_norm"] == 1
+    assert r["min_norm2"] == 0
+    assert r["max_norm2"] == 64 * 2500 * 2500
+    assert r["n_offunit_1pct"] == 2          # the zero and the 2x
+    assert r["max_dev_ppm"] == (64 * 2500 * 2500 - 100000000) // 100
