@@ -365,6 +365,10 @@ HEADLINE = [
     # round-14 (post-snapshot): q_vector_norm_audit stays OUT as a
     # pure map-side scan + single-row agg (the q_secret_scan
     # convention), certified via the registry gate
+    # round-14 (post-snapshot): the IVF probe-count tuning curve
+    # (ONE trained index + four broadcast probe joins + truth paid
+    # once — the heaviest new composed shape this session)
+    "q_ann_probe_sweep",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -218,6 +218,7 @@ PROBE = [
     "q_pack_mixing_audit",
     "q_code_switch",
     "q_vector_norm_audit",
+    "q_ann_probe_sweep",
 ]
 
 

@@ -3446,3 +3446,112 @@ def source_cluster_coverage(
             .alias("top_cell_ppm"),
         )
     )
+
+
+def ann_probe_sweep(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+) -> DataFrame:
+    """The IVF tuning curve ``ann_recall_audit`` gives one point of:
+    measured recall@k per ``n_probe``, on one TRAINED index. The
+    FAISS-style recall/cost trade is an empirical property of the
+    corpus's cell geometry — this table is what an index owner reads
+    to pick n_probe, instead of re-running the audit per guess.
+
+    Trains ONCE (``kmeans_fit_quantized`` over the shared quantized
+    frame) and pays exact truth ONCE (``brute_force_topk`` on the
+    query sample); each probe config then reuses the persisted
+    member table, so the sweep costs one index build plus |probes|
+    broadcast probe joins — not |probes| retrainings.
+
+    Returns one row per probe config: [n_probe, n_queries, n_exact,
+    n_hits, recall_ppm, min_query_recall_ppm] — the aggregate recall
+    and the worst single query (a mean that hides a dead query is
+    how probe-limited search ships broken).
+    """
+    qdf = quantized_training_frame(embeddings, id_col, vec_col)
+    _assigned, centroids = kmeans_fit_quantized(
+        qdf, k=n_clusters, n_iter=n_iter
+    )
+    qdf = qdf.withColumnRenamed("vid", "id")
+    dists = _sq_dists_all(F.col("qv"), centroids)
+    ranked = F.array_sort(
+        F.transform(
+            dists,
+            lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("cid")),
+        )
+    )
+    members = qdf.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("qv").alias("nv"),
+        F.element_at(ranked, 1)["cid"].alias("cid"),
+    ).persist()
+    exact = (
+        brute_force_topk(embeddings, id_col, vec_col, query_ids, k)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    n_exact_per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__ne")
+    )
+    qprobes = qdf.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("qv").alias("pv"),
+        ranked.alias("__ranked"),
+    )
+    out = None
+    for n_probe in probes:
+        pr = qprobes.select(
+            "query_id",
+            "pv",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("__ranked"), 1, n_probe),
+                    lambda s: s["cid"],
+                )
+            ).alias("cid"),
+        )
+        scored = (
+            F.broadcast(pr)
+            .join(members, "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("score", int_dot(F.col("pv"), F.col("nv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        topk = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits_per_q = (
+            exact.join(topk, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("__nh"))
+        )
+        per_q = n_exact_per_q.join(hits_per_q, "query_id", "left").select(
+            "query_id",
+            "__ne",
+            F.coalesce("__nh", F.lit(0)).cast("long").alias("__nh"),
+        )
+        row = per_q.agg(
+            F.lit(n_probe).cast("long").alias("n_probe"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("__ne").cast("long").alias("n_exact"),
+            F.sum("__nh").cast("long").alias("n_hits"),
+            F.expr("(1000000 * sum(__nh)) div sum(__ne)")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.min(F.expr("(1000000 * __nh) div __ne"))
+            .cast("long")
+            .alias("min_query_recall_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

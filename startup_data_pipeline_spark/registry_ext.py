@@ -4237,3 +4237,43 @@ def q_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_offunit_1pct"),
     )
+
+
+def _probe_sweep_oracle(probes=(1, 2, 4, 8)) -> str:
+    # one certified _ann_recall_oracle evaluation per probe config,
+    # each wrapped as a subquery and rolled up to the curve row
+    parts = []
+    for p in probes:
+        parts.append(f"""
+    SELECT CAST({p} AS BIGINT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+           CAST((1000000 * SUM(n_hit)) // SUM(n_exact) AS BIGINT)
+               AS recall_ppm,
+           CAST(MIN(recall_ppm) AS BIGINT) AS min_query_recall_ppm
+    FROM ({_ann_recall_oracle(n_queries=10, n_probe=p, ann_k=5)}) s""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_ann_probe_sweep",
+    # the recall/cost curve q_ann_recall_audit gives one point of:
+    # measured recall@5 at n_probe in {1,2,4,8} on ONE trained index
+    # (train once, probe per config — not four retrainings), plus the
+    # worst single query per config (a mean that hides a dead query
+    # is how probe-limited search ships broken).
+    oracle=_probe_sweep_oracle(),
+    survey_ops="IVF probe-count tuning curve (§2.11 similarity "
+    "design table): measured recall@k per n_probe on one trained "
+    "index with exact truth paid once on the query sample — the "
+    "empirical FAISS recall/cost curve an index owner reads to pick "
+    "n_probe; q_lsh_s_curve's role on the vector side, measured "
+    "rather than theoretical",
+)
+def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_probe_sweep(
+        emb, "vec_id", "embedding", query_ids=list(range(10)), k=5,
+        n_clusters=8, n_iter=5, probes=(1, 2, 4, 8),
+    )

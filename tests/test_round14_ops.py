@@ -1089,3 +1089,23 @@ def test_vector_norm_audit_flags_degenerates(spark):
     assert r["max_norm2"] == 64 * 2500 * 2500
     assert r["n_offunit_1pct"] == 2          # the zero and the 2x
     assert r["max_dev_ppm"] == (64 * 2500 * 2500 - 100000000) // 100
+
+
+def test_ann_probe_sweep_monotone_and_saturating(spark, sf_dir):
+    """Recall is non-decreasing in n_probe, min-query recall never
+    exceeds the aggregate, and probing every cell (8 of 8) recovers
+    the exact top-k completely."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = sorted(
+        all_queries()["q_ann_probe_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in out] == [1, 2, 4, 8]
+    recalls = [r["recall_ppm"] for r in out]
+    assert recalls == sorted(recalls)
+    for r in out:
+        assert r["min_query_recall_ppm"] <= r["recall_ppm"]
+        assert r["n_hits"] <= r["n_exact"]
+    assert out[-1]["recall_ppm"] == 1_000_000
+    assert out[-1]["min_query_recall_ppm"] == 1_000_000
