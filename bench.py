@@ -369,6 +369,9 @@ HEADLINE = [
     # (ONE trained index + four broadcast probe joins + truth paid
     # once — the heaviest new composed shape this session)
     "q_ann_probe_sweep",
+    # round-14 (post-snapshot): the temperature sweep (three
+    # certified mixture chains joined on the |sources| catalog)
+    "q_temperature_sweep",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

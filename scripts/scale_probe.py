@@ -219,6 +219,7 @@ PROBE = [
     "q_code_switch",
     "q_vector_norm_audit",
     "q_ann_probe_sweep",
+    "q_temperature_sweep",
 ]
 
 

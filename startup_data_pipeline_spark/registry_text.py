@@ -7170,3 +7170,95 @@ def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pred_langs") >= 2).alias("code_switched"),
         )
     )
+
+
+@register(
+    "q_temperature_sweep",
+    # the alpha-selection design table q_temperature_mix gives one
+    # point of: the mixture at alpha = 1.0 (natural), 0.5 (one IEEE
+    # sqrt), 0.25 (two) side by side per source, with the head
+    # suppression and tail boost each alpha buys. alpha=1.0 weights
+    # ARE the shares renormalized; 0.5/0.25 apply 1 and 2 correctly-
+    # rounded sqrts — no libm pow anywhere.
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM t),
+    s AS (
+        SELECT source, n_tokens,
+               CAST((1000000 * n_tokens) // (SELECT total FROM tot)
+                    AS BIGINT) AS share_ppm
+        FROM t
+    ),
+    w AS (
+        SELECT *,
+               share_ppm AS w100,
+               CAST(floor(1000000.0 * sqrt(
+                   CAST(share_ppm AS DOUBLE) / 1000000.0)) AS BIGINT)
+                   AS w50,
+               CAST(floor(1000000.0 * sqrt(sqrt(
+                   CAST(share_ppm AS DOUBLE) / 1000000.0))) AS BIGINT)
+                   AS w25
+        FROM s
+    ),
+    ws AS (
+        SELECT SUM(w100) AS n100, SUM(w50) AS n50, SUM(w25) AS n25
+        FROM w
+    )
+    SELECT source, n_tokens, share_ppm,
+           CAST((1000000 * w100) // (SELECT n100 FROM ws) AS BIGINT)
+               AS mix_ppm_a100,
+           CAST((1000000 * w50) // (SELECT n50 FROM ws) AS BIGINT)
+               AS mix_ppm_a50,
+           CAST((1000000 * w25) // (SELECT n25 FROM ws) AS BIGINT)
+               AS mix_ppm_a25,
+           CAST(CASE WHEN share_ppm > 0 THEN
+               (100 * ((1000000 * w25) // (SELECT n25 FROM ws)))
+                   // share_ppm
+           END AS BIGINT) AS boost_a25_x100
+    FROM w
+    """,
+    survey_ops="temperature sweep (§2.11 mixture design table): the "
+    "source mixture at alpha 1.0 / 0.5 / 0.25 side by side — the "
+    "flattening each alpha buys per source, read before fixing the "
+    "mixture temperature; q_ann_probe_sweep's role on the mixture "
+    "side, one |sources|-key agg + scalar broadcasts, sqrt-only",
+)
+def q_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import olap
+
+    docs = load_table(spark, sf_dir, "documents")
+    a100 = olap.temperature_mix_weights(
+        docs, "source", "text", alpha=1.0
+    ).select(
+        "source",
+        "n_tokens",
+        "share_ppm",
+        F.col("mix_ppm").alias("mix_ppm_a100"),
+    )
+    a50 = olap.temperature_mix_weights(
+        docs, "source", "text", alpha=0.5
+    ).select("source", F.col("mix_ppm").alias("mix_ppm_a50"))
+    a25 = olap.temperature_mix_weights(
+        docs, "source", "text", alpha=0.25
+    ).select("source", F.col("mix_ppm").alias("mix_ppm_a25"))
+    return (
+        a100.join(a50, "source")
+        .join(a25, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "share_ppm",
+            "mix_ppm_a100",
+            "mix_ppm_a50",
+            "mix_ppm_a25",
+            F.expr(
+                "CASE WHEN share_ppm > 0 THEN"
+                " (100 * mix_ppm_a25) div share_ppm END"
+            )
+            .cast("long")
+            .alias("boost_a25_x100"),
+        )
+    )

@@ -1109,3 +1109,24 @@ def test_ann_probe_sweep_monotone_and_saturating(spark, sf_dir):
         assert r["n_hits"] <= r["n_exact"]
     assert out[-1]["recall_ppm"] == 1_000_000
     assert out[-1]["min_query_recall_ppm"] == 1_000_000
+
+
+def test_temperature_sweep_flattening_order(spark, sf_dir):
+    """Lower alpha flattens harder: for every source below the natural
+    share's mean the a25 weight >= a50 >= a100, reversed above; each
+    column sums to ~1e6; a100 equals the renormalized share."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["q_temperature_sweep"].fn(spark, sf_dir).collect()
+    assert out
+    n = len(out)
+    for col in ("mix_ppm_a100", "mix_ppm_a50", "mix_ppm_a25"):
+        assert 1_000_000 - n <= sum(r[col] for r in out) <= 1_000_000
+    for r in out:
+        trio = (r["mix_ppm_a100"], r["mix_ppm_a50"], r["mix_ppm_a25"])
+        # monotone toward uniform: either increasing (tail source)
+        # or decreasing (head source) across the alpha ladder
+        assert trio == tuple(sorted(trio)) or trio == tuple(
+            sorted(trio, reverse=True)
+        )
+        assert abs(r["mix_ppm_a100"] - r["share_ppm"]) <= 1
