@@ -577,3 +577,106 @@ def test_ann_recall_exhaustive_probe_is_total(spark, vs):
     for r in out:
         assert r["recall_ppm"] == 1_000_000
         assert r["n_hit"] == r["n_exact"]
+
+
+PAIR = st.tuples(st.integers(0, 9), st.integers(0, 9))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=st.lists(PAIR, min_size=0, max_size=12),
+       flagged=st.sets(st.integers(0, 9), max_size=4))
+def test_optout_closure_sound_and_complete(spark, pairs, flagged):
+    """Closure soundness on arbitrary graphs: a doc is removed
+    (direct or propagated) IFF its connected component contains a
+    flagged doc — computed against a pure-Python reference union-find."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    ids = list(range(10))
+    flags_df = spark.createDataFrame(
+        [(i, i in flagged) for i in ids], "doc_id long, opted boolean"
+    )
+    clean = [(a, b) for a, b in pairs if a != b]
+    pairs_df = spark.createDataFrame(
+        clean if clean else [], "id_a long, id_b long"
+    )
+    # reference union-find
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        parent[find(a)] = find(b)
+    tainted_roots = {find(i) for i in flagged}
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup.optout_closure(
+            flags_df, pairs_df, "doc_id", "opted"
+        ).collect()
+    }
+    for i in ids:
+        if i in flagged:
+            assert got[i] == "direct"
+        elif find(i) in tainted_roots:
+            assert got[i] == "propagated"
+        else:
+            assert got[i] == "retained"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.text(alphabet="aA .,!x1", min_size=0, max_size=12),
+    min_size=1, max_size=8,
+))
+def test_normalization_gain_curve_monotone(spark, texts):
+    """Each level is a coarsening of the previous, so n_dup is
+    non-decreasing across the ladder and marginal_dups >= 0; n_docs
+    is constant per level."""
+    from startup_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = sorted(
+        text_ops.normalization_gain_curve(df, "text").collect(),
+        key=lambda r: r["level_id"],
+    )
+    assert [r["level_id"] for r in out] == [0, 1, 2, 3]
+    dups = [r["n_dup"] for r in out]
+    assert dups == sorted(dups)
+    assert all(r["marginal_dups"] >= 0 for r in out)
+    assert all(r["n_docs"] == len(texts) for r in out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda p: p[0] < p[1]
+    ),
+    min_size=1, max_size=12,
+))
+def test_component_shape_density_bounds(spark, pairs):
+    """Every audited component is connected, so n-1 <= edges <=
+    n(n-1)/2 and density sits in (0, 1e6]; over_merged iff below a
+    clique."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    plist = sorted(pairs)
+    pairs_df = spark.createDataFrame(plist, "id_a long, id_b long")
+    ids = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    comp = dedup.connected_components(ids, pairs_df, "doc_id")
+    for r in dedup.component_shape_audit(
+        comp, pairs_df, "doc_id", min_size=3
+    ).collect():
+        n, e = r["n_nodes"], r["n_edges"]
+        assert n - 1 <= e <= n * (n - 1) // 2
+        assert 0 < r["density_ppm"] <= 1_000_000
+        assert r["over_merged"] == (e < n * (n - 1) // 2)
