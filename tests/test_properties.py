@@ -680,3 +680,101 @@ def test_component_shape_density_bounds(spark, pairs):
         assert n - 1 <= e <= n * (n - 1) // 2
         assert 0 < r["density_ppm"] <= 1_000_000
         assert r["over_merged"] == (e < n * (n - 1) // 2)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.tuples(
+        st.integers(0, 1),                         # canary class
+        st.booleans(),                             # full seed?
+        st.lists(st.sampled_from(["w", "x", "y"]), max_size=6),
+    ),
+    min_size=1, max_size=8,
+))
+def test_canary_detection_matches_set_reference(spark, docs):
+    """Detection equals pure-Python shingle-set intersection for
+    arbitrary doc bodies and seed widths."""
+    from startup_data_pipeline_spark.operators import dedup
+
+    canaries = {0: ["c0a", "c0b", "c0c", "c0d"],
+                1: ["c1a", "c1b", "c1c", "c1d"]}
+
+    def sh(toks):
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+
+    csh_rows = [
+        (c, s) for c, t in canaries.items() for s in sh(t)
+    ]
+    csh = spark.createDataFrame(csh_rows, "c long, shingle string")
+    rows_in, expect = [], {}
+    for i, (c, full, body) in enumerate(docs):
+        toks = body + (canaries[c] if full else canaries[c][:2])
+        rows_in.append((i, c, full, " ".join(toks)))
+        expect.setdefault(c, [0, 0, 0])
+        expect[c][0] += 1
+        expect[c][1] += int(full)
+        expect[c][2] += int(bool(sh(toks) & sh(canaries[c])))
+    seeded = spark.createDataFrame(
+        rows_in, "doc_id long, c long, full_seed boolean, s string"
+    )
+    got = {
+        r["c"]: (r["n_seeded"], r["n_full"], r["n_detected"])
+        for r in dedup.canary_detection_report(
+            seeded, "doc_id", "c", "full_seed", "s", csh, k=3
+        ).collect()
+    }
+    assert got == {c: tuple(v) for c, v in expect.items()}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(weights=st.lists(st.integers(1, 50), min_size=1, max_size=16),
+       capacity=st.integers(4, 64))
+def test_sequence_pack_assignments_partition(spark, weights, capacity):
+    """Assignments partition the input: every doc lands in exactly
+    one bin, and per (shard, bin) the packed weight before the last
+    doc stays under capacity (the straddler rule)."""
+    from startup_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    out = text_ops.sequence_pack_assignments(
+        df, "doc_id", "w", capacity=capacity, n_shards=4
+    ).collect()
+    assert len(out) == len(weights)
+    assert all(r["bin_id"] is not None for r in out)
+    by_bin = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_bin.setdefault(r["bin_id"], []).append(r["w"])
+    for ws in by_bin.values():
+        assert sum(ws[:-1]) < capacity        # all but the straddler fit
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=st.lists(st.sampled_from([
+    "plain body",
+    "mail a.b@x.example.org now",
+    "call +1 (555) 010-1234 now",
+    "host 10.0.3.7 up",
+    "mail a.b@x.example.org or 10.0.3.7",
+]), min_size=1, max_size=10))
+def test_pii_cooccurrence_tier_consistency(spark, texts):
+    """risk_tier is a pure function of the flag count, doc counts
+    reconcile, and ppm shares sum to ~1e6."""
+    from startup_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = text_ops.pii_cooccurrence_report(df, "doc_id", "text").collect()
+    tier_of = {0: "none", 1: "moderate", 2: "high", 3: "critical"}
+    assert sum(r["n_docs"] for r in out) == len(texts)
+    assert sum(r["docs_ppm"] for r in out) >= 1_000_000 - len(out)
+    for r in out:
+        k = int(r["has_email"]) + int(r["has_phone"]) + int(r["has_ip"])
+        assert r["risk_tier"] == tier_of[k]
