@@ -873,3 +873,38 @@ def test_cell_purity_routing_is_shuffle_free(spark, plan_sf_dir):
         all_queries()["q_cell_purity"].fn(spark, plan_sf_dir)
     )
     assert "CartesianProduct" not in plan
+
+
+def test_ann_probe_sweep_probes_broadcast(spark, plan_sf_dir):
+    """Every probe config's join must be a BroadcastHashJoin against
+    the shared member table (probes are |queries|*n_probe rows) —
+    a shuffled or nested-loop join means the broadcast hint was lost."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_ann_probe_sweep"].fn(spark, plan_sf_dir)
+    )
+    # four probe configs -> four cell-keyed broadcast hash joins
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the brute-force TRUTH leg's
+    # queries-broadcast scoring (|q| x n by construction, paid once
+    # on the 10-query sample) — every one must build the query side
+    for ln in _plan(
+        all_queries()["q_ann_probe_sweep"].fn(spark, plan_sf_dir),
+        mode="simple",
+    ).splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "BuildLeft" in ln
+
+
+def test_temperature_sweep_joins_stay_source_keyed(spark, plan_sf_dir):
+    """The three mixture chains join on the |sources| key; the only
+    nested-loop joins allowed are the single-row scalar broadcasts
+    of each chain's total/normalizer."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    plan = _plan(
+        all_queries()["q_temperature_sweep"].fn(spark, plan_sf_dir)
+    )
+    assert "CartesianProduct" not in plan
