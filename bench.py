@@ -372,6 +372,9 @@ HEADLINE = [
     # round-14 (post-snapshot): the temperature sweep (three
     # certified mixture chains joined on the |sources| catalog)
     "q_temperature_sweep",
+    # round-14 (post-snapshot): the dHash threshold curve (the
+    # banded pair base + ladder explode + two tiny aggs)
+    "q_dhash_threshold_curve",
 ]
 
 # Map-side-scan exclusion convention (VERDICT r9 #6, stated in code so

@@ -220,6 +220,7 @@ PROBE = [
     "q_vector_norm_audit",
     "q_ann_probe_sweep",
     "q_temperature_sweep",
+    "q_dhash_threshold_curve",
 ]
 
 

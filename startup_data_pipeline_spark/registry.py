@@ -194,7 +194,7 @@ _PRIORITY: list[str] = [
     "q_dup_component_shape", "q_lang_misalloc", "q_cell_purity",
     "q_source_hhi", "q_prefix_dup_groups", "q_pack_mixing_audit",
     "q_code_switch", "q_vector_norm_audit", "q_ann_probe_sweep",
-    "q_temperature_sweep",
+    "q_temperature_sweep", "q_dhash_threshold_curve",
 ]
 
 

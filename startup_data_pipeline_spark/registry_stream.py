@@ -1863,3 +1863,83 @@ def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "audio": aud_pairs,
         }
     )
+
+
+@register(
+    "q_dhash_threshold_curve",
+    # the image-dedup threshold tuning table: pair and affected-image
+    # counts at hamming <= {0,1,2,3} over the certified banded dHash
+    # pair base (full recall at <= 3 by pigeonhole) — per-pair ladder
+    # explode (t in hamming..3), so the cumulative counts need no
+    # non-equi join on either engine.
+    oracle=f"""
+    WITH pr AS ({_image_dhash_pairs_oracle()}),
+    tx AS (
+        SELECT unnest(generate_series(hamming, 3)) AS t, id_a, id_b
+        FROM pr
+    ),
+    pc AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM tx GROUP BY t
+    ),
+    im AS (
+        SELECT t, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_images
+        FROM (
+            SELECT t, id_a AS id FROM tx
+            UNION ALL SELECT t, id_b FROM tx
+        ) GROUP BY t
+    ),
+    th AS (SELECT unnest(generate_series(0, 3)) AS t)
+    SELECT CAST(th.t AS BIGINT) AS max_hamming,
+           CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(im.n_images, 0) AS BIGINT) AS n_images
+    FROM th LEFT JOIN pc USING (t) LEFT JOIN im USING (t)
+    """,
+    survey_ops="dHash threshold curve (§2.11 multimodal design "
+    "table): near-dup pair and affected-image counts at hamming <= "
+    "0/1/2/3 over the banded dHash base — the threshold an image "
+    "dedup pass is fixed against, measured on THIS corpus; ladder "
+    "explode, no non-equi join",
+)
+def q_dhash_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_image(
+        multimodal.attach_ppm_payload(docs, "doc_id")
+    )
+    sigs = multimodal.image_dhash(decoded, "doc_id")
+    pairs = dedup.simhash64_near_pairs(
+        sigs, "doc_id", max_hamming=3, sig_col="dhash64", max_bucket=128
+    )
+    tx = pairs.select(
+        F.explode(F.sequence(F.col("hamming"), F.lit(3))).alias("t"),
+        "id_a",
+        "id_b",
+    )
+    pc = tx.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    im = (
+        tx.select(
+            "t",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(
+                "__id"
+            ),
+        )
+        .groupBy("t")
+        .agg(F.countDistinct("__id").cast("long").alias("n_images"))
+    )
+    th = spark.range(4).select(F.col("id").cast("int").alias("t"))
+    return (
+        th.join(pc, "t", "left")
+        .join(im, "t", "left")
+        .select(
+            F.col("t").cast("long").alias("max_hamming"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce("n_images", F.lit(0)).cast("long").alias(
+                "n_images"
+            ),
+        )
+    )

@@ -228,7 +228,7 @@ def test_registry_integrity():
     ]
     # this round's new registrations sit at the very back of the
     # priority list (never-sampled tranche for the r15 window)
-    assert list(qs)[-37:] == [
+    assert list(qs)[-38:] == [
         "q_stream_gates", "q_crossmodal_dup", "q_excess_loss_select",
         "q_export_manifest", "q_dedup_roi_curve",
         "q_leakage_free_split", "q_vocab_curve",
@@ -243,5 +243,5 @@ def test_registry_integrity():
         "q_dup_component_shape", "q_lang_misalloc", "q_cell_purity",
         "q_source_hhi", "q_prefix_dup_groups", "q_pack_mixing_audit",
         "q_code_switch", "q_vector_norm_audit", "q_ann_probe_sweep",
-        "q_temperature_sweep",
+        "q_temperature_sweep", "q_dhash_threshold_curve",
     ]

@@ -1130,3 +1130,22 @@ def test_temperature_sweep_flattening_order(spark, sf_dir):
             sorted(trio, reverse=True)
         )
         assert abs(r["mix_ppm_a100"] - r["share_ppm"]) <= 1
+
+
+def test_dhash_threshold_curve_cumulative(spark, sf_dir):
+    """Pair/image counts are non-decreasing in the threshold, every
+    ladder row is present, and the t=3 row equals the certified pair
+    base exactly."""
+    from startup_data_pipeline_spark.registry import all_queries
+
+    out = sorted(
+        all_queries()["q_dhash_threshold_curve"].fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["max_hamming"],
+    )
+    assert [r["max_hamming"] for r in out] == [0, 1, 2, 3]
+    pairs = [r["n_pairs"] for r in out]
+    images = [r["n_images"] for r in out]
+    assert pairs == sorted(pairs) and images == sorted(images)
+    base = all_queries()["q_image_dhash_pairs"].fn(spark, sf_dir).count()
+    assert pairs[-1] == base
