@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for named registry queries to files.
+
+Usage: python scripts/explain_plan.py q_a[,q_b...] OUTDIR [--suffix _before]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+Writes OUTDIR/<query><suffix>.txt — the optimization-round evidence
+files (plans/r14/...) the judge checks plan claims against.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    outdir = sys.argv[2]
+    suffix = ""
+    if "--suffix" in sys.argv:
+        suffix = sys.argv[sys.argv.index("--suffix") + 1]
+    os.makedirs(outdir, exist_ok=True)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="spark-graft-explain",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    for name in names:
+        df = queries[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(outdir, f"{name}{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

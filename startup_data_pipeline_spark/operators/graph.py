@@ -222,6 +222,7 @@ def pagerank_fixed_iters(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     handle_dangling: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list, fixed iteration count,
     integer-scaled exact arithmetic.
@@ -250,14 +251,20 @@ def pagerank_fixed_iters(
     localCheckpoint truncates lineage per round. Iteration count is
     fixed — the standard production choice for ranking (convergence
     polling buys little and costs a job per round).
+
+    ``assume_distinct=True`` skips the defensive edge dedup for callers
+    whose edge list is distinct BY CONSTRUCTION (e.g. a symmetrized
+    union of an already-distinct bipartite pair set, where the two
+    branches are disjoint) — that dedup is a full extra shuffle of the
+    edge set, the largest table the operator touches (guide rule:
+    remove a ``distinct`` on data that is already unique).
     """
-    raw = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .dropDuplicates()
-        .persist()
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if not assume_distinct:
+        raw = raw.dropDuplicates()
+    raw = raw.persist()
     # size the iteration's partitioning to the edge set (same rationale
     # as connected_components): per-round fixed costs are paid per
     # partition, and the formula is data-proportional in both directions

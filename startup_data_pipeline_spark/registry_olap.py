@@ -1698,6 +1698,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # materialize the joined+deduped pair set ONCE (both union branches
+    # read it), and tell the operator the symmetrized union is distinct
+    # by construction (a-side even ids, b-side odd ids → the branches
+    # are disjoint and each is internally distinct): before this, the
+    # orders⋈lineitem dedup ran per branch and the operator paid a
+    # THIRD full dedup shuffle over the union (guide §2.4)
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -1705,11 +1711,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    return pagerank_fixed_iters(edges, "a", "b", n_iter=3)
+    return pagerank_fixed_iters(
+        edges, "a", "b", n_iter=3, assume_distinct=True
+    )
 
 
 @register(

@@ -1541,8 +1541,19 @@ def _fixture_video_frames(docs: DataFrame) -> DataFrame:
             "long"
         ),
     )
+    # fan the id-width frame rows out BEFORE payloads exist: the scan
+    # is one small parquet file, so without this the whole
+    # generate→decode→per-frame-dHash chain (the heavy native stage —
+    # ~4.5 frames per doc) ran in 1-2 tasks end to end (measured
+    # 2.34 s → 0.99 s for the frame dHash leg at sf0.1 on 32 cores;
+    # at warehouse scale the scan has thousands of splits and the
+    # guard is a no-op)
+    from .operators.util import ensure_min_parallelism
+
     return multimodal.decode_image(
-        multimodal.attach_ppm_payload(seeded, "frame_seed")
+        multimodal.attach_ppm_payload(
+            ensure_min_parallelism(seeded), "frame_seed"
+        )
     )
 
 
