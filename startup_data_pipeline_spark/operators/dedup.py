@@ -762,56 +762,54 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Documents with no tokens have no signature (explode semantics kept).
     """
     tokd = _tokenized(df, id_col, text_col).filter(F.size("__tk") >= 1)
-    halves = F.transform(
-        F.col("__tk"),
-        lambda t: F.struct(
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-            .cast("long")
-            .alias("hi"),
-            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-            .cast("long")
-            .alias("lo"),
-        ),
-    )
-    counts = F.aggregate(
-        halves,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h["lo" if b < 32 else "hi"], b % 32)
-                    .bitwiseAND(1)
-                    .cast("long")
-                    for b in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    # Per-bit set-counts and the vote loop as compact SQL folds: the
+    # earlier 64-entry unrolled bit array (inside the zip_with lambda)
+    # and the 32-iteration when-chain cost ~2 s of DRIVER time PER
+    # INVOCATION to construct over py4j and analyze (guide §7.3); the
+    # folds below build the SAME exact integer arithmetic — token hash
+    # halves, bit b of half h = shiftright(h, b) & 1 summed per token,
+    # bit set iff 2·count > n, identical two's-complement pack — as a
+    # handful of expression nodes.
+    counts = F.expr(
+        "aggregate("
+        " transform(__tk, t -> struct("
+        "   CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) AS hi,"
+        "   CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT) AS lo)),"
+        " array_repeat(CAST(0 AS BIGINT), 64),"
+        " (acc, h) -> zip_with(acc,"
+        "   transform(sequence(0, 63), b -> CAST("
+        "     (CASE WHEN b < 32 THEN shiftright(h.lo, b)"
+        "      ELSE shiftright(h.hi, b - 32) END) & 1 AS BIGINT)),"
+        "   (a, v) -> a + v))"
     )
     n = F.size("__tk").cast("long")
     staged = tokd.select(
         F.col(id_col), counts.alias("__c"), n.alias("__n")
     )
-    sig_lo = None
-    sig_hi = None
-    for b in range(32):
-        t_lo = F.when(
-            F.get("__c", b) * 2 > F.col("__n"), F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        t_hi = F.when(
-            F.get("__c", b + 32) * 2 > F.col("__n"),
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sig_lo = t_lo if sig_lo is None else sig_lo + t_lo
-        sig_hi = t_hi if sig_hi is None else sig_hi + t_hi
+
+    def half(base: int) -> str:
+        return (
+            "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> "
+            f"acc + CASE WHEN element_at(__c, b + {base} + 1) * 2 > __n"
+            " THEN shiftleft(CAST(1 AS BIGINT), b)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    halves = staged.select(
+        F.col(id_col),
+        F.expr(half(0)).alias("__lo"),
+        F.expr(half(32)).alias("__hi"),
+    )
     # two's-complement pack: (hi:32 | lo:32) as signed 64-bit, in plain
     # arithmetic so Spark and the SQL oracle agree bit-for-bit
-    packed = F.when(
-        sig_hi >= F.lit(2147483648),
-        (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
-    ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
-    return staged.select(F.col(id_col), packed.alias("simhash64"))
+    return halves.select(
+        F.col(id_col),
+        F.expr(
+            "CASE WHEN __hi >= 2147483648 THEN"
+            " (__hi - 4294967296) * 4294967296 + __lo"
+            " ELSE __hi * 4294967296 + __lo END"
+        ).alias("simhash64"),
+    )
 
 
 def simhash64_bands(sigs: DataFrame, id_col: str, sig_col: str) -> DataFrame:

@@ -402,28 +402,43 @@ def image_dhash(decoded: DataFrame, id_col: str) -> DataFrame:
         .select(F.col(id_col), gray.alias("__g"))
     )
 
-    def g(p: int):
-        return F.element_at("__g", p + 1)
-
-    sig_lo = None
-    sig_hi = None
-    for i in range(64):
-        y, x = divmod(i, 8)
-        bit = (
-            F.when(
-                g(y * 9 + x + 1) > g(y * 9 + x),
-                F.lit(1 << (i % 32)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
+    # The 64 brighter-than-left comparisons fold over sequence(0,31)
+    # per half as ONE SQL aggregate each (bit i of half h compares
+    # gray[(i div 8)*9 + i%8 + 2] > gray[... + 1], adds 1<<i) — the
+    # same sum of distinct powers of two the previous 64 unrolled
+    # F.when terms built. The unrolled form cost seconds of DRIVER
+    # time PER INVOCATION: ~400 py4j round-trips to construct plus a
+    # Catalyst analysis of a ~600-node tree (guide §7.3 — plan
+    # construction as the bottleneck); the fold is 2 expression nodes.
+    # Execution semantics unchanged: exact integer arithmetic, same
+    # packing.
+    def half(base: int) -> str:
+        return (
+            "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
+            "acc + CASE WHEN element_at(__g,"
+            f" CAST(((i + {base}) div 8) * 9 + ((i + {base}) % 8) + 2"
+            " AS INT)) > element_at(__g,"
+            f" CAST(((i + {base}) div 8) * 9 + ((i + {base}) % 8) + 1"
+            " AS INT))"
+            " THEN shiftleft(CAST(1 AS BIGINT), i)"
+            " ELSE CAST(0 AS BIGINT) END)"
         )
-        if i < 32:
-            sig_lo = bit if sig_lo is None else sig_lo + bit
-        else:
-            sig_hi = bit if sig_hi is None else sig_hi + bit
-    packed = F.when(
-        sig_hi >= F.lit(2147483648),
-        (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
-    ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
-    return staged.select(F.col(id_col), packed.alias("dhash64"))
+
+    # halves behind their own projection so the pack's multiple
+    # references don't re-evaluate the folds (the z-order lesson)
+    halves = staged.select(
+        F.col(id_col),
+        F.expr(half(0)).alias("__lo"),
+        F.expr(half(32)).alias("__hi"),
+    )
+    return halves.select(
+        F.col(id_col),
+        F.expr(
+            "CASE WHEN __hi >= 2147483648 THEN"
+            " (__hi - 4294967296) * 4294967296 + __lo"
+            " ELSE __hi * 4294967296 + __lo END"
+        ).alias("dhash64"),
+    )
 
 
 def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
@@ -649,29 +664,36 @@ def audio_fingerprint(decoded: DataFrame, id_col: str) -> DataFrame:
     """
     s = F.col("samples")
 
-    def sample(k: int):
-        return F.element_at(s, k + 1)  # 1-based
-
-    sig_lo = None
-    sig_hi = None
-    for i in range(64):
-        bit = (
-            F.when(
-                sample(i + 1) > sample(i),
-                F.lit(1 << (i % 32)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
+    # bit i: samples[i+2] > samples[i+1] (1-based element_at), folded
+    # over sequence(0,31) per half as ONE SQL aggregate — same sum of
+    # distinct powers of two as the previous 64 unrolled F.when terms,
+    # at ~1/100th the driver-side plan construction/analysis cost
+    # (the image_dhash rewrite, same rationale); halves staged behind
+    # a projection so the pack doesn't re-evaluate the folds.
+    def half(base: int) -> str:
+        return (
+            "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> "
+            f"acc + CASE WHEN element_at(samples, i + {base} + 2)"
+            f" > element_at(samples, i + {base} + 1)"
+            " THEN shiftleft(CAST(1 AS BIGINT), i)"
+            " ELSE CAST(0 AS BIGINT) END)"
         )
-        if i < 32:
-            sig_lo = bit if sig_lo is None else sig_lo + bit
-        else:
-            sig_hi = bit if sig_hi is None else sig_hi + bit
-    packed = F.when(
-        sig_hi >= F.lit(2147483648),
-        (sig_hi - F.lit(4294967296)) * F.lit(4294967296) + sig_lo,
-    ).otherwise(sig_hi * F.lit(4294967296) + sig_lo)
-    return (
+
+    halves = (
         decoded.filter(s.isNotNull() & (F.size(s) >= 65))
-        .select(F.col(id_col), packed.alias("afp64"))
+        .select(
+            F.col(id_col),
+            F.expr(half(0)).alias("__lo"),
+            F.expr(half(32)).alias("__hi"),
+        )
+    )
+    return halves.select(
+        F.col(id_col),
+        F.expr(
+            "CASE WHEN __hi >= 2147483648 THEN"
+            " (__hi - 4294967296) * 4294967296 + __lo"
+            " ELSE __hi * 4294967296 + __lo END"
+        ).alias("afp64"),
     )
 
 
