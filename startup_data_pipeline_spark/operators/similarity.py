@@ -1981,29 +1981,70 @@ def semdedup(
     k, assigned = _seeded_route(
         embeddings, id_col, vec_col, k, target_cluster
     )
-    return _semdedup_verdict(assigned, min_score, max_cluster)
+    return _semdedup_verdict(assigned, min_score, max_cluster, n_cells=k)
 
 
 def _semdedup_verdict(
-    assigned: DataFrame, min_score: int, max_cluster: int | None
+    assigned: DataFrame,
+    min_score: int,
+    max_cluster: int | None,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """The semdedup verdict tail shared by the seeded and trained
     routings: cap degenerate cells (``bucket_size_cap`` on the cell
     key), materialize the (vid, cluster, qv) table ONCE for both
     self-join branches and the verdict spine, then the within-cell
     greedy-by-id cosine prune. Returns [vid, cluster, is_kept,
-    dup_of]."""
+    dup_of].
+
+    ``n_cells`` (the routing's cluster count, when the caller knows
+    it) sizes a deterministic PAIR-SPLIT of the self-join: with few
+    cells the join key has too few distinct values for the cluster
+    (guide §2.5 — the trained route's k=8 put the ENTIRE in-cell
+    scoring pass in one task, measured 1.7 s of a ~5 s job budget),
+    so the a-side gains a salt ``pmod(xxhash64(vid), split)`` and the
+    b-side replicates across the ``split`` values — every in-cell
+    pair still meets exactly once, in bucket (cluster, salt_a).
+    ``split = clamp(shuffle.partitions / n_cells, 1, partitions)``,
+    so once the cell count reaches the parallelism target (always, at
+    scale — k grows with the corpus) the split is 1 and NOTHING is
+    replicated; the b-side replication only ever pays on small-k
+    routings where the whole table is a few MB."""
     base = materialize_for_self_join(
         bucket_size_cap(assigned, ("cluster",), max_cluster)
     )
+    nparts = int(
+        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    split = 1
+    if n_cells is not None and n_cells > 0:
+        # 2× over-decomposition so (cluster, salt) hash-spreads over
+        # the target partition count without collision gaps (§2.5)
+        split = max(1, min(nparts, -(-2 * nparts // n_cells)))
     side = lambda tag: base.select(  # noqa: E731
         F.col("vid").alias(f"id_{tag}"),
         F.col("qv").alias(f"v_{tag}"),
         "cluster",
     )
+    if split > 1:
+        # the explicit repartition pins the scoring stage's task count:
+        # the pair join is a broadcast join at these sizes, and AQE's
+        # size-based coalescing put the ENTIRE streamed scoring pass in
+        # ONE task (the per-pair int_dot work is CPU, invisible to
+        # byte-based coalescing)
+        a = side("a").withColumn(
+            "__ps",
+            F.pmod(F.xxhash64(F.col("id_a")), F.lit(split)).cast("int"),
+        ).repartition(nparts, F.col("cluster"), F.col("__ps"))
+        b = side("b").withColumn(
+            "__ps",
+            F.explode(F.sequence(F.lit(0), F.lit(split - 1))),
+        )
+        paired = a.join(b, ["cluster", "__ps"])
+    else:
+        paired = side("a").join(side("b"), "cluster")
     dropped = (
-        side("a")
-        .join(side("b"), "cluster")
+        paired
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(int_dot(F.col("v_a"), F.col("v_b")) >= min_score)
         .groupBy(F.col("id_b").alias("vid"))
@@ -2094,7 +2135,9 @@ def semdedup_trained(
         )
         .select("vid", "qv", F.col("__m.cluster").alias("cluster"))
     )
-    return _semdedup_verdict(routed, min_score, max_cluster)
+    return _semdedup_verdict(
+        routed, min_score, max_cluster, n_cells=len(centroids)
+    )
 
 
 def semdedup_cell_report(

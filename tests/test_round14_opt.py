@@ -1,0 +1,137 @@
+"""Round-14 optimization guards: the SQL-fold signature builders and
+the semdedup pair-split must be bit-identical to their unrolled /
+unsplit predecessors (the optimization round's contract: plans change,
+results never do)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import dedup, multimodal
+from startup_data_pipeline_spark.operators.similarity import (
+    _semdedup_verdict,
+    _seeded_route,
+)
+
+from .conftest import rows
+
+
+def _unrolled_pack(bits: list[bool]) -> int:
+    """Reference packing: 64 booleans → signed BIGINT via the same
+    two's-complement arithmetic as the engine (bit i → 1 << (i % 32)
+    into the lo/hi half)."""
+    lo = sum((1 << (i % 32)) for i in range(32) if bits[i])
+    hi = sum((1 << (i % 32)) for i in range(32, 64) if bits[i])
+    return (hi - 4294967296) * 4294967296 + lo if hi >= 2147483648 else hi * 4294967296 + lo
+
+
+def test_image_dhash_fold_matches_unrolled_reference(spark):
+    """The folded dHash must equal a per-pixel Python re-derivation of
+    the fixture contract (same arithmetic the unrolled F.when chain
+    computed)."""
+    ids = [0, 7, 123, 250, 999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    sigs = {
+        r["doc_id"]: r["dhash64"]
+        for r in multimodal.image_dhash(
+            multimodal.decode_image(
+                multimodal.attach_ppm_payload(df, "doc_id")
+            ),
+            "doc_id",
+        ).collect()
+    }
+
+    def gray(i: int, p: int) -> int:
+        # fixture raster byte j = (i*7 + j*11) % 256; 9x8 resize then
+        # integer gray — mirrors the oracle CTE arithmetic
+        w, h = 4 + i % 5, 3 + i % 4
+        sy = ((p // 9) * h) // 8
+        sx = ((p % 9) * w) // 9
+        base = (sy * w + sx) * 3
+        return sum((i * 7 + (base + c) * 11) % 256 for c in range(3)) // 3
+
+    for i in ids:
+        g = [gray(i, p) for p in range(72)]
+        bits = [
+            g[(k // 8) * 9 + (k % 8) + 1] > g[(k // 8) * 9 + (k % 8)]
+            for k in range(64)
+        ]
+        assert sigs[i] == _unrolled_pack(bits), f"doc {i}"
+
+
+def test_audio_fingerprint_fold_matches_unrolled_reference(spark):
+    # ids with n_samples = 64 + id % 32 >= 65 (id % 32 == 0 clips have
+    # no 65-sample signature and drop by contract)
+    ids = [33, 5, 200, 999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    sigs = {
+        r["doc_id"]: r["afp64"]
+        for r in multimodal.audio_fingerprint(
+            multimodal.decode_wav(
+                multimodal.attach_wav_payload(df, "doc_id")
+            ),
+            "doc_id",
+        ).collect()
+    }
+
+    def sample(i: int, k: int) -> int:
+        lo = (i * 7 + (2 * k) * 11) % 256
+        hi = (i * 7 + (2 * k + 1) * 11) % 256
+        v = hi * 256 + lo
+        return v - 65536 if v >= 32768 else v
+
+    for i in ids:
+        # bit k compares samples[k+1] > samples[k] (0-based) — the
+        # original sample(i+1) > sample(i) unrolled rule
+        bits = [sample(i, k + 1) > sample(i, k) for k in range(64)]
+        assert sigs[i] == _unrolled_pack(bits), f"doc {i}"
+
+
+def test_simhash64_fold_matches_unrolled_reference(spark):
+    import hashlib
+
+    texts = [
+        (1, "alpha beta gamma alpha"),
+        (2, "one two three four five six"),
+        (3, "alpha beta gamma alpha"),  # identical text → identical sig
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: r["simhash64"]
+        for r in dedup.simhash64(df, "doc_id", "text").collect()
+    }
+    assert sigs[1] == sigs[3]
+    for doc_id, text in texts:
+        toks = text.lower().split()
+        counts = [0] * 64
+        for t in toks:
+            d = hashlib.md5(t.encode()).hexdigest()
+            hi, lo = int(d[:8], 16), int(d[8:16], 16)
+            for b in range(64):
+                h = lo if b < 32 else hi
+                counts[b] += (h >> (b % 32)) & 1
+        bits = [2 * counts[b] > len(toks) for b in range(64)]
+        assert sigs[doc_id] == _unrolled_pack(bits), f"doc {doc_id}"
+
+
+def test_semdedup_pair_split_is_result_invariant(spark):
+    """The deterministic pair-split (salted a-side × replicated b-side,
+    taken when n_cells is small vs the session parallelism) must give
+    the exact verdict frame of the unsplit join."""
+    import random
+
+    rnd = random.Random(7)
+    data = []
+    for vid in range(60):
+        base = [rnd.randrange(-3, 4) for _ in range(8)]
+        data.append((vid, [float(x) for x in base]))
+        # make near-dups: clones of earlier vectors
+        if vid % 3 == 0 and vid > 0:
+            data.append((1000 + vid, [float(x) for x in base]))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    _k, assigned = _seeded_route(df, "vec_id", "embedding", 4, 16)
+    unsplit = _semdedup_verdict(assigned, 1_000_000, 512, n_cells=None)
+    split = _semdedup_verdict(assigned, 1_000_000, 512, n_cells=4)
+    # with 4-partition test sessions, n_cells=4 → split > 1 exercised
+    assert rows(unsplit) == rows(split)
