@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Build/exec split per query: time fn() (DataFrame construction — the
+driver-side plan build, including any eager localCheckpoint / bounded
+collect jobs the construction runs) separately from the noop-write
+execution of the returned frame. The r14 finding was that the heavy
+queries are BUILD-dominated (q_quality_ensemble 8.9 s build / 0.2 s
+exec); this instrument makes that split a committed, re-runnable
+artifact (VERDICT r14 "What's wrong" #5).
+
+Usage: python scripts/qsplit.py q_a[,q_b...] [--passes N]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+Prints one JSON line: {q: {"build": [..], "exec": [..],
+"build_median": s, "exec_median": s}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    passes_n = 3
+    if "--passes" in sys.argv:
+        passes_n = int(sys.argv[sys.argv.index("--passes") + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="spark-graft-qsplit",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: JVM/codegen + parquet footers, same as qtime.py
+    queries["q_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from startup_data_pipeline_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def med(vals: list[float]) -> float:
+        s = sorted(vals)
+        k = len(s)
+        m = s[k // 2] if k % 2 else (s[k // 2 - 1] + s[k // 2]) / 2
+        return round(m, 3)
+
+    out: dict[str, dict] = {}
+    for name in names:
+        builds, execs = [], []
+        for _ in range(passes_n + 1):  # first pass = cold, kept in list
+            t0 = time.time()
+            df = queries[name].fn(spark, sf_dir)
+            t1 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.time()
+            builds.append(round(t1 - t0, 3))
+            execs.append(round(t2 - t1, 3))
+        out[name] = {
+            "build": builds,
+            "exec": execs,
+            # median over the warm passes only (drop the cold first)
+            "build_median": med(builds[1:]),
+            "exec_median": med(execs[1:]),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
