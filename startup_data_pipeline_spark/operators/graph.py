@@ -68,7 +68,7 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -82,7 +82,7 @@ def triangle_count(
             e.join(keep.withColumnRenamed("node", "u"), "u")
             .join(keep.withColumnRenamed("node", "v"), "v")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         deg = (
             e.select(F.col("u").alias("node"))
@@ -115,7 +115,7 @@ def triangle_count(
             F.when(lesser_first, F.col("v")).otherwise(F.col("u"))
             .alias("dst"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     o2 = o.select(
         F.col("src"), F.col("dst").alias("dst2")
     )
@@ -273,23 +273,33 @@ def pagerank_fixed_iters(
     e = raw.repartition(npart, "src").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ed = e.join(deg, "src")  # shares the src partitioning, no exchange
+    # Per-round checkpoints are LAZY (r15, guide §7.3): each round's
+    # localCheckpoint(eager=False) still truncates the logical plan
+    # (every round analyzes against a LogicalRDD leaf, not the whole
+    # chained lineage) and still saves its blocks when computed, but no
+    # round runs its own blocking driver job any more. On a
+    # dangling-free graph (every symmetrized caller) the n_iter rounds
+    # therefore collapse from n_iter+3 sequential build-time jobs into
+    # ONE materialization job at the end — the per-job planning floor
+    # is paid once, not per round. Dangling graphs still sequence on
+    # the per-round d_mass scalar, exactly as before.
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     base = (scale * (100 - damping_pct)) // 100
     # dangling set: nodes with no out-edges. Computed once; empty for
     # symmetrized inputs, so the per-round scalar job below is skipped.
     dang = nodes.join(
         deg, nodes.node == deg.src, "left_anti"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     has_dangling = handle_dangling and bool(dang.head(1))
     n_nodes = nodes.count() if has_dangling else 0
     ranks = nodes.select(
         "node", F.lit(scale).cast("long").alias("rank")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(n_iter):
         d_share = 0
         if has_dangling:
@@ -323,8 +333,13 @@ def pagerank_fixed_iters(
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+    # ONE materialization of the whole round chain (each round's
+    # blocks are saved as it computes), after which the persisted edge
+    # frames can be released — the returned frame reads checkpointed
+    # blocks only.
+    ranks.count()
     e.unpersist()
     raw.unpersist()
     return ranks
@@ -409,9 +424,14 @@ def kcore_fixed_rounds(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # Lazy per-round checkpoints (r15, the pagerank_fixed_iters
+    # rationale): the peel count is FIXED — no data-dependent exit —
+    # so nothing needs a blocking job per round; each round still
+    # analyzes against a truncated LogicalRDD leaf and saves its
+    # blocks when the caller's one action computes the chain.
     und = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     cur = und
     for _ in range(n_rounds):
         keep = (
@@ -423,7 +443,7 @@ def kcore_fixed_rounds(
         cur = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if round_edge_counts is not None:
             round_edge_counts.append(cur.count())

@@ -88,14 +88,21 @@ def attach_ppm_payload(df: DataFrame, id_col: str) -> DataFrame:
     schema = StructType(list(df.schema.fields)).add("payload", BinaryType())
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # raster length is bounded by the fixture contract: w <= 8,
-        # h <= 6 → 3*w*h <= 144 bytes
-        j = np.arange(3 * 8 * 6, dtype=np.int64) * 11
+        # raster length bound DERIVED from the dimension formulas below
+        # (w = 4 + id%5 <= 8, h = 3 + id%4 <= 6), so an edit to either
+        # keeps them in lockstep; the per-batch assert turns any drift
+        # into a loud task failure instead of silently truncated
+        # payloads that decode to NULL rows (ADVICE r14)
+        max_raster = 3 * (4 + 4) * (3 + 3)
+        j = np.arange(max_raster, dtype=np.int64) * 11
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             ws = 4 + ids % 5
             hs = 3 + ids % 4
             ns = 3 * ws * hs
+            assert ns.size == 0 or ns.max() <= max_raster, (
+                "PPM raster bound drifted from the dimension formulas"
+            )
             rasters = ((ids[:, None] * 7 + j[None, :]) % 256).astype(
                 np.uint8
             )
@@ -461,12 +468,18 @@ def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
     schema = StructType(list(df.schema.fields)).add("payload", BinaryType())
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # data length is bounded by the fixture contract:
-        # n_samples <= 95 → 2*n <= 190 bytes
-        j = np.arange(2 * 95, dtype=np.int64) * 11
+        # data length bound DERIVED from the sample-count formula below
+        # (n_samples = 64 + id%32 <= 95); the per-batch assert turns
+        # any drift into a loud task failure instead of silently
+        # truncated payloads decoding to NULL rows (ADVICE r14)
+        max_data = 2 * (64 + 31)
+        j = np.arange(max_data, dtype=np.int64) * 11
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             ns = 2 * (64 + ids % 32)
+            assert ns.size == 0 or ns.max() <= max_data, (
+                "WAV data bound drifted from the sample-count formula"
+            )
             datas = ((ids[:, None] * 7 + j[None, :]) % 256).astype(
                 np.uint8
             )

@@ -32,6 +32,7 @@ from .util import (
     bucket_size_cap,
     ensure_min_parallelism,
     materialize_for_self_join,
+    shuffle_partitions,
 )
 
 QUANT_SCALE = 10000
@@ -2013,14 +2014,18 @@ def _semdedup_verdict(
     base = materialize_for_self_join(
         bucket_size_cap(assigned, ("cluster",), max_cluster)
     )
-    nparts = int(
-        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = shuffle_partitions(assigned)
     split = 1
     if n_cells is not None and n_cells > 0:
         # 2× over-decomposition so (cluster, salt) hash-spreads over
-        # the target partition count without collision gaps (§2.5)
-        split = max(1, min(nparts, -(-2 * nparts // n_cells)))
+        # the target partition count without collision gaps (§2.5).
+        # Capped at the usual skew-salt bound (ADVICE r14): n_cells is
+        # a fixed caller parameter on the trained route, so an uncapped
+        # ceil(2·nparts/n_cells) would scale the b-side replication
+        # linearly with shuffle.partitions (500× at partitions=2000,
+        # k=8) — 32 salts already spread the scoring stage across any
+        # realistic executor count without amplifying the join input.
+        split = max(1, min(nparts, -(-2 * nparts // n_cells), 32))
     side = lambda tag: base.select(  # noqa: E731
         F.col("vid").alias(f"id_{tag}"),
         F.col("qv").alias(f"v_{tag}"),

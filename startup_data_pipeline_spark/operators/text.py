@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import STOPWORDS
-from .util import ensure_min_parallelism
+from .util import ensure_min_parallelism, shuffle_partitions
 
 
 def tokens(text: Column) -> Column:
@@ -647,9 +647,10 @@ def token_budget_select(
        holds strictly better rows than partition i+1;
     2. per-partition exclusive prefix sums — windows partitioned by
        ``spark_partition_id()``, parallel, no global sort;
-    3. one bounded driver collect of PER-PARTITION TOTALS (#partitions
-       rows — the k-means-seed contract), prefix-summed into per-
-       partition offsets that ride back as one map literal.
+    3. per-partition totals prefix-summed into per-partition offsets
+       IN-PLAN (#partitions rows through one tiny window, broadcast
+       back onto the spine — no blocking driver job at build time; the
+       r15 lazy-offsets rewrite shared with ``exact_global_rank``).
 
     A row's exact global prefix = its partition's offset + its local
     exclusive prefix; selected iff that is < ``budget`` (the straddler
@@ -669,31 +670,30 @@ def token_budget_select(
         F.col(id_col), F.col(score_col), F.col(weight_col)
     )
     if n_parts is None:
-        n_parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        n_parts = shuffle_partitions(df)
     ranged = materialize_for_self_join(
         base.repartitionByRange(
             n_parts, F.col(score_col).desc(), F.col(id_col).asc()
         ).withColumn("__pid", F.spark_partition_id())
     )
-    partials = {
-        r["__pid"]: r["w"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(partials):
-        offsets[p] = acc
-        acc += partials[p]
-    # empty input: a zero-arg create_map() is map<void,void> and
-    # CANNOT be indexed by the int __pid column (AnalysisException) —
-    # a NULL map of the right type keeps the empty selection a plain
-    # empty result
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.lit(None).cast("map<int,bigint>")
+    # per-partition totals → exclusive prefix-sum offsets, IN-PLAN
+    # (r15, the exact_global_rank lazy-offsets rewrite): same cumulative
+    # sum the old driver-side collect built, no blocking build-time job;
+    # an empty selection yields an empty offsets table and the join
+    # keeps the result a plain empty frame.
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("__w"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__w").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
     w = Window.partitionBy("__pid").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
@@ -704,11 +704,10 @@ def token_budget_select(
         F.lit(0),
     )
     return (
-        ranged.withColumn(
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
             "cum_before",
-            (
-                F.coalesce(off_map[F.col("__pid")], F.lit(0)) + local_excl
-            ).cast("long"),
+            (F.col("__off") + local_excl).cast("long"),
         )
         .filter(F.col("cum_before") < budget)
         .select(id_col, score_col, weight_col, "cum_before")
@@ -1109,6 +1108,7 @@ def ngram_lm_score(
     id_col: str,
     text_col: str,
     scale: int = 1_000_000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus-bigram language-model fluency score per document.
 
@@ -1146,9 +1146,19 @@ def ngram_lm_score(
     # element_at reference — O(tokens²) regex work per doc (measured
     # 7.9 s → 0.3 s for the explode stage at sf0.1; same trap documented
     # at dedup.shingles_from_tokens).
-    base = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
-    )
+    #
+    # ``tokens_col`` (r15): a caller composing several token-consuming
+    # signals (quality_ensemble_rank) passes ONE shared pre-tokenized
+    # frame — ``tokens_col`` holds the already-lowercased token array
+    # and the input is already parallelized/materialized upstream, so
+    # this leg neither re-tokenizes nor re-shuffles it.
+    if tokens_col is not None:
+        base = df.select(F.col(id_col), F.col(tokens_col).alias("__t"))
+    else:
+        base = df.select(
+            F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+        )
+        base = ensure_min_parallelism(base)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size("__t") - 1),
         lambda i: F.concat_ws(
@@ -1158,7 +1168,7 @@ def ngram_lm_score(
         ),
     )
     ex = (
-        ensure_min_parallelism(base)
+        base
         .select(
             F.col(id_col),
             F.explode(
@@ -1761,6 +1771,7 @@ def dsir_importance(
     target: Column,
     n_buckets: int = 64,
     select_min_ppm: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): hash every token
@@ -1793,11 +1804,21 @@ def dsir_importance(
     row per document with ≥1 token (empty docs have no token evidence,
     the explode-family convention).
     """
-    tok = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        target.alias("__t"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    )
+    # tokens_col (r15): pre-tokenized shared-frame seam — the caller
+    # already lowercased/tokenized and parallelized the input (the
+    # ngram_lm_score seam contract).
+    if tokens_col is not None:
+        tok = df.select(
+            F.col(id_col),
+            target.alias("__t"),
+            F.explode(F.col(tokens_col)).alias("tok"),
+        )
+    else:
+        tok = ensure_min_parallelism(df).select(
+            F.col(id_col),
+            target.alias("__t"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
         % n_buckets
@@ -1951,6 +1972,7 @@ def excess_likelihood_select(
     id_col: str,
     text_col: str,
     ref_target: Column,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Reference-model excess-likelihood selection — the RHO-loss
     selection shape (Mindermann et al. 2022, "Prioritized Training on
@@ -1983,11 +2005,20 @@ def excess_likelihood_select(
     the document is at least as likely under the reference model as
     under the corpus model.
     """
-    tok = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        ref_target.alias("__r"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
-    )
+    # tokens_col (r15): pre-tokenized shared-frame seam (the
+    # ngram_lm_score seam contract).
+    if tokens_col is not None:
+        tok = df.select(
+            F.col(id_col),
+            ref_target.alias("__r"),
+            F.explode(F.col(tokens_col)).alias("tok"),
+        )
+    else:
+        tok = ensure_min_parallelism(df).select(
+            F.col(id_col),
+            ref_target.alias("__r"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
     counts = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("c_all"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).alias("c_ref"),
@@ -2067,16 +2098,34 @@ def quality_ensemble_rank(
     ensemble_rank] — ensemble_rank 1 = best document of the corpus
     under the fused view.
     """
-    lm = ngram_lm_score(df, id_col, text_col).select(
+    from .util import ensure_min_parallelism, materialize_for_self_join
+
+    # ONE tokenized frame feeds all three signal legs (r15, guide §6
+    # read-amplification + §2.4): before this seam each leg re-scanned
+    # documents and re-ran the tokenizer regex independently (3 scans +
+    # 3 fan-out exchanges). The target flags are evaluated here so the
+    # checkpointed frame carries everything the legs need and document
+    # text never flows past this point.
+    shared = materialize_for_self_join(
+        ensure_min_parallelism(df).select(
+            F.col(id_col),
+            dsir_target.alias("__dt"),
+            ref_target.alias("__rt"),
+            tokens(F.lower(F.col(text_col))).alias("__tok"),
+        )
+    )
+    lm = ngram_lm_score(
+        shared, id_col, text_col, tokens_col="__tok"
+    ).select(
         F.col(id_col),
         F.expr("sum_scaled_prob div n_bigrams").alias("__k"),
     )
-    ds = dsir_importance(df, id_col, text_col, dsir_target).select(
-        F.col(id_col), F.col("importance_ppm").alias("__k")
-    )
-    ex = excess_likelihood_select(df, id_col, text_col, ref_target).select(
-        F.col(id_col), F.col("ref_mean_ppb").alias("__k")
-    )
+    ds = dsir_importance(
+        shared, id_col, text_col, F.col("__dt"), tokens_col="__tok"
+    ).select(F.col(id_col), F.col("importance_ppm").alias("__k"))
+    ex = excess_likelihood_select(
+        shared, id_col, text_col, F.col("__rt"), tokens_col="__tok"
+    ).select(F.col(id_col), F.col("ref_mean_ppb").alias("__k"))
 
     def ranked(d: DataFrame, tag: str) -> DataFrame:
         return exact_global_rank(
@@ -2241,9 +2290,9 @@ def grouped_token_budget_select(
     Same two-level distributed prefix sum, grouped: range-partition on
     (group ASC, score DESC, id ASC) — the selection's total order, so
     a group's rows appear in contiguous partition ranges in selection
-    order; per-(partition, group) partial totals collect to the driver
-    (bounded by n_parts·|groups| rows — |groups| must be
-    catalog-sized, like every driver-side literal in this engine);
+    order; per-(partition, group) partial totals prefix-sum into
+    offsets IN-PLAN (bounded by n_parts·|groups| rows through one tiny
+    window — the r15 lazy-offsets rewrite, no blocking driver job);
     per-(partition, group) local exclusive windows; a row's exact
     group prefix = its (partition, group) offset + local prefix. Never
     a per-group single-partition sort: a 20 TB language still selects
@@ -2263,9 +2312,7 @@ def grouped_token_budget_select(
         F.col(weight_col),
     )
     if n_parts is None:
-        n_parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        n_parts = shuffle_partitions(df)
     ranged = materialize_for_self_join(
         base.repartitionByRange(
             n_parts,
@@ -2274,40 +2321,39 @@ def grouped_token_budget_select(
             F.col(id_col).asc(),
         ).withColumn("__pid", F.spark_partition_id())
     )
-    partials = (
-        ranged.groupBy("__pid", "__grp")
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
-    )
-    by_group: dict[str, list[tuple[int, int]]] = {}
-    for r in partials:
-        by_group.setdefault(r["__grp"], []).append((r["__pid"], r["w"]))
-    offsets: dict[tuple[str, int], int] = {}
-    for g, rows_ in by_group.items():
-        acc = 0
-        for pid, wsum in sorted(rows_):
-            offsets[(g, pid)] = acc
-            acc += wsum
     spark = df.sparkSession
-    if offsets:
-        odf = F.broadcast(
-            spark.createDataFrame(
-                [(g, p, off) for (g, p), off in offsets.items()],
-                "__grp string, __pid int, __off bigint",
-            )
-        )
-        bdf = F.broadcast(
-            spark.createDataFrame(
-                [(g, int(b)) for g, b in budgets.items()],
-                "__grp string, group_budget bigint",
-            )
-        )
-    else:
+    if not budgets:
         return spark.createDataFrame(
             [],
             f"{id_col} long, {group_col} string, {score_col} long, "
             f"{weight_col} long, cum_before long, group_budget long",
         )
+    # per-(group, partition) totals → per-group exclusive prefix-sum
+    # offsets, IN-PLAN (r15, the exact_global_rank lazy-offsets
+    # rewrite): one window over the ≤ n_parts·|groups| partial rows
+    # ordered by __pid within each group — no blocking driver job at
+    # plan-build time; an empty selection flows through as an empty
+    # offsets table.
+    w_off = Window.partitionBy("__grp").orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    odf = F.broadcast(
+        ranged.groupBy("__grp", "__pid")
+        .agg(F.sum(weight_col).alias("__w"))
+        .select(
+            "__grp",
+            "__pid",
+            F.coalesce(F.sum("__w").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            [(g, int(b)) for g, b in budgets.items()],
+            "__grp string, group_budget bigint",
+        )
+    )
     w = Window.partitionBy("__pid", "__grp").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
@@ -2523,47 +2569,60 @@ def exact_global_rank(
     """Exact 1-based global rank by ``order_cols`` WITHOUT a global
     window (the ``token_budget_select`` two-level shape, factored for
     reuse): ``repartitionByRange`` on the rank's own order, parallel
-    per-partition ``row_number``, and one bounded driver collect of
-    per-partition COUNTS (#partitions rows) riding back as a map
-    literal of rank offsets. No single-partition sort anywhere.
+    per-partition ``row_number``, and per-partition COUNTS
+    (#partitions rows) prefix-summed into rank offsets. No
+    single-partition sort anywhere.
 
     ``order_cols`` must be a total order (include a unique tiebreak).
     Adds ``__rank`` to the input frame; callers project it away.
+
+    The per-partition offsets are computed IN-PLAN (r15, guide §7.3):
+    the counts aggregate feeds an exclusive prefix-sum window over the
+    ≤ ``n_parts`` count rows and rides back onto the spine as a
+    broadcast join — semantically the exact cumulative sum the old
+    driver-side ``collect()`` built, but with NO blocking driver job at
+    plan-build time. A composed query with several independent ranks
+    (q_quality_ensemble has four) therefore materializes all of their
+    upstreams concurrently inside ONE action instead of running one
+    sequential collect job per rank; under AQE the offsets subtree is
+    staged through its own shuffle stages, so nothing heavy ever runs
+    inside a broadcast thread.
     """
     from pyspark.sql import Window
 
     from .util import materialize_for_self_join
 
     if n_parts is None:
-        n_parts = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        n_parts = shuffle_partitions(df)
     ranged = materialize_for_self_join(
         df.repartitionByRange(n_parts, *order_cols).withColumn(
             "__pid", F.spark_partition_id()
         )
     )
-    partials = {
-        r["__pid"]: r["c"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(partials):
-        offsets[p] = acc
-        acc += partials[p]
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.lit(None).cast("map<int,bigint>")
+    # exclusive prefix sum of per-partition counts, keyed by __pid —
+    # one global window over ≤ n_parts rows (driver-side-Hare scale)
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__c").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+        )
+    )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return ranged.withColumn(
-        "__rank",
-        (
-            F.coalesce(off_map[F.col("__pid")], F.lit(0))
-            + F.row_number().over(w)
-        ).cast("long"),
-    ).drop("__pid")
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__rank",
+            (F.col("__off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
 
 
 def shard_assignments(

@@ -96,6 +96,20 @@ def bucket_overflow(
     )
 
 
+def shuffle_partitions(df: DataFrame, default: int = 32) -> int:
+    """The session's ``spark.sql.shuffle.partitions`` as an int, falling
+    back to ``default`` when the conf is unreadable or non-numeric
+    (ADVICE r14: some managed runtimes set it to ``"auto"`` — a bare
+    ``int()`` would turn every operator that sizes by parallelism into
+    a hard failure on such platforms)."""
+    try:
+        return int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", str(default))
+        )
+    except (TypeError, ValueError):
+        return default
+
+
 def ensure_min_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition ONLY IF the input is under-parallelized.
 
@@ -114,9 +128,7 @@ def ensure_min_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
     apply this to freshly-loaded base tables only, never post-shuffle.
     """
     if n is None:
-        n = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        n = shuffle_partitions(df)
     if len(df.inputFiles()) < n:
         return df.repartition(n)
     return df
