@@ -478,7 +478,12 @@ ISOLATED_SUBSET = [
 def _isolated_remeasure() -> dict | None:
     """Run the fixed subset through scripts/qtime.py in a fresh process;
     None (recorded as absent) if the leg fails or is skipped — the
-    suite numbers must never be lost to a protocol-leg failure."""
+    suite numbers must never be lost to a protocol-leg failure.
+
+    VERDICT r14 #7: a killed/failed leg is RETRIED once and the
+    failure is reported loudly on stderr — round 14's end-of-round
+    snapshot silently shipped without its isolated leg (the round's
+    primary metric) because a single failure was swallowed here."""
     if os.environ.get("SPARK_GRAFT_SKIP_ISOLATED"):
         return None
     import subprocess
@@ -486,17 +491,41 @@ def _isolated_remeasure() -> dict | None:
     qtime = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scripts", "qtime.py"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, qtime, ",".join(ISOLATED_SUBSET), "--passes", "3"],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
-        return json.loads(lines[-1]) if lines else None
-    except Exception:
-        return None
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, qtime, ",".join(ISOLATED_SUBSET),
+                 "--passes", "3"],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            lines = [
+                ln for ln in proc.stdout.strip().splitlines() if ln.strip()
+            ]
+            if lines:
+                return json.loads(lines[-1])
+            print(
+                f"BENCH: isolated leg attempt {attempt} produced no "
+                f"output (rc {proc.returncode}); stderr tail: "
+                + proc.stderr[-500:],
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as exc:  # timeout, parse error, spawn failure
+            print(
+                f"BENCH: isolated leg attempt {attempt} failed: {exc!r}",
+                file=sys.stderr,
+                flush=True,
+            )
+    print(
+        "BENCH: isolated leg FAILED twice — snapshot falls back to the "
+        "suite metric; re-run bench.py before committing round-close "
+        "numbers",
+        file=sys.stderr,
+        flush=True,
+    )
+    return None
 
 
 def main() -> None:

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Driver-job census per query: how many Spark JOBS the DataFrame
+construction (fn() — the build phase) and the noop-write execution
+each submit. Job counts are deterministic on a given tree, so this is
+the noise-free companion to qsplit.py's wall-clock split: a change
+that batches driver-coordinated rounds (guide §7.3) shows up here as
+a build-job drop even when the box's ±30-90% timing drift swallows
+the wall delta (VERDICT r14 item 4's "event-log evidence").
+
+Usage: python scripts/qjobs.py q_a[,q_b...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+Prints one JSON line: {q: {"build_jobs": n, "exec_jobs": n,
+"build_s": s, "exec_s": s}} (single pass, after the standard warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from startup_data_pipeline_spark.registry import all_queries
+from startup_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="spark-graft-qjobs",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    queries = all_queries()
+
+    queries["q_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    from startup_data_pipeline_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    tracker = sc.statusTracker()
+    out: dict[str, dict] = {}
+    for name in names:
+        grp = f"qjobs-{name}-build"
+        sc.setJobGroup(grp, name)
+        t0 = time.time()
+        df = queries[name].fn(spark, sf_dir)
+        t1 = time.time()
+        build_jobs = len(tracker.getJobIdsForGroup(grp))
+        grp2 = f"qjobs-{name}-exec"
+        sc.setJobGroup(grp2, name)
+        df.write.format("noop").mode("overwrite").save()
+        t2 = time.time()
+        exec_jobs = len(tracker.getJobIdsForGroup(grp2))
+        sc.setJobGroup(None, None)
+        out[name] = {
+            "build_jobs": build_jobs,
+            "exec_jobs": exec_jobs,
+            "build_s": round(t1 - t0, 3),
+            "exec_s": round(t2 - t1, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -408,7 +408,7 @@ def cross_split_leakage(
     # with its LSH index.
     sigs = minhash_signatures(
         docs, id_col, text_col, num_hashes=num_hashes
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     scored = intra_batch_scored_pairs(
         sigs, id_col, num_hashes=num_hashes, band_size=band_size
     ).filter(F.col("n_agree") >= n_agree_min)
@@ -1001,7 +1001,7 @@ def connected_components(
         .dropDuplicates()
         .select("node", F.col("node").alias("label"))
         .repartition(npart, "node")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence = "no row changed its label this round", counted
     # directly: the step carries the pre-round label alongside the new

@@ -231,7 +231,7 @@ def sketch_distinct_rollup(
     sk = df.groupBy(group_col).agg(
         F.hll_sketch_agg(key_col).alias("__sk"),
         F.count_distinct(F.col(key_col)).alias("exact_distinct"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     ok = (
         F.abs(
             F.hll_sketch_estimate("__sk") - F.col("exact_distinct")

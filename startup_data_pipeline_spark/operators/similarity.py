@@ -1077,7 +1077,7 @@ def _kcenter_greedy(
     # the newest center) + one TakeOrdered(1) on the checkpointed frame
     state = qdf.select(
         "vid", "qv", _sq_dist_to(F.col("qv"), chosen[0][1]).alias("d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(1, k):
         best = (
             state.filter(~F.col("vid").isin([vid for vid, _, _ in chosen]))
@@ -1093,7 +1093,7 @@ def _kcenter_greedy(
         if len(chosen) < k:  # final round needs no further state update
             state = state.withColumn(
                 "d", F.least("d", _sq_dist_to(F.col("qv"), chosen[-1][1]))
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     return chosen
 
 
@@ -3242,7 +3242,7 @@ def mmr_select(
     ]
     state = qdf.select(
         "vid", "qv", _sq_dist_to(F.col("qv"), centroid).alias("dcent")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     seed = (
         state.orderBy(F.col("dcent").asc(), F.col("vid").asc())
         .limit(1)
@@ -3253,7 +3253,7 @@ def mmr_select(
     ]
     state = state.withColumn(
         "d", _sq_dist_to(F.col("qv"), chosen[0][1])
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(1, k):
         best = (
             state.filter(~F.col("vid").isin([v for v, _, _, _ in chosen]))
@@ -3271,7 +3271,7 @@ def mmr_select(
         if len(chosen) < k:
             state = state.withColumn(
                 "d", F.least("d", _sq_dist_to(F.col("qv"), chosen[-1][1]))
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         [(vid, i, sc, rd) for i, (vid, _, sc, rd) in enumerate(chosen)],
         schema,

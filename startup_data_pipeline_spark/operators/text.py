@@ -1064,7 +1064,7 @@ def curriculum_order(
         F.coalesce(
             F.round(n_stop.cast("double") / n_tok, 4), F.lit(-1.0)
         ).alias("fluency"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # distinct fluency values are bounded by the 4-digit rounding, so
     # the cumulative window runs over a tiny table and broadcasts back
     grp = scored.groupBy("fluency").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1180,7 +1180,7 @@ def ngram_lm_score(
         .withColumn(
             "prefix", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c2 = ex.groupBy("bigram").agg(F.sum("__n").alias("__c2"))
     c1 = ex.groupBy("prefix").agg(F.sum("__n").alias("__c1"))
@@ -2098,7 +2098,11 @@ def quality_ensemble_rank(
     ensemble_rank] — ensemble_rank 1 = best document of the corpus
     under the fused view.
     """
-    from .util import ensure_min_parallelism, materialize_for_self_join
+    from .util import (
+        build_concurrently,
+        ensure_min_parallelism,
+        materialize_for_self_join,
+    )
 
     # ONE tokenized frame feeds all three signal legs (r15, guide §6
     # read-amplification + §2.4): before this seam each leg re-scanned
@@ -2114,19 +2118,6 @@ def quality_ensemble_rank(
             tokens(F.lower(F.col(text_col))).alias("__tok"),
         )
     )
-    lm = ngram_lm_score(
-        shared, id_col, text_col, tokens_col="__tok"
-    ).select(
-        F.col(id_col),
-        F.expr("sum_scaled_prob div n_bigrams").alias("__k"),
-    )
-    ds = dsir_importance(
-        shared, id_col, text_col, F.col("__dt"), tokens_col="__tok"
-    ).select(F.col(id_col), F.col("importance_ppm").alias("__k"))
-    ex = excess_likelihood_select(
-        shared, id_col, text_col, F.col("__rt"), tokens_col="__tok"
-    ).select(F.col(id_col), F.col("ref_mean_ppb").alias("__k"))
-
     def ranked(d: DataFrame, tag: str) -> DataFrame:
         return exact_global_rank(
             d, [F.col("__k").desc(), F.col(id_col).asc()], n_parts
@@ -2136,11 +2127,43 @@ def quality_ensemble_rank(
             F.col("__rank").alias("__r"),
         )
 
-    u = (
-        ranked(lm, "lm")
-        .unionByName(ranked(ds, "dsir"))
-        .unionByName(ranked(ex, "ref"))
-    )
+    # The three signal legs are independent until the union, and each
+    # one MATERIALIZES at build time (its rank's repartitionByRange
+    # table plus, for the lm leg, the bigram pre-aggregate — AQE makes
+    # those checkpoint calls eager); building them on driver threads
+    # overlaps their stage jobs (guide §2.6) instead of paying three
+    # sequential materializations.
+    def leg_lm() -> DataFrame:
+        return ranked(
+            ngram_lm_score(
+                shared, id_col, text_col, tokens_col="__tok"
+            ).select(
+                F.col(id_col),
+                F.expr("sum_scaled_prob div n_bigrams").alias("__k"),
+            ),
+            "lm",
+        )
+
+    def leg_ds() -> DataFrame:
+        return ranked(
+            dsir_importance(
+                shared, id_col, text_col, F.col("__dt"),
+                tokens_col="__tok",
+            ).select(F.col(id_col), F.col("importance_ppm").alias("__k")),
+            "dsir",
+        )
+
+    def leg_ex() -> DataFrame:
+        return ranked(
+            excess_likelihood_select(
+                shared, id_col, text_col, F.col("__rt"),
+                tokens_col="__tok",
+            ).select(F.col(id_col), F.col("ref_mean_ppb").alias("__k")),
+            "ref",
+        )
+
+    r_lm, r_ds, r_ex = build_concurrently([leg_lm, leg_ds, leg_ex])
+    u = r_lm.unionByName(r_ds).unionByName(r_ex)
     fused = u.groupBy(id_col).agg(
         F.max(F.when(F.col("__src") == "lm", F.col("__r"))).alias(
             "lm_rank"

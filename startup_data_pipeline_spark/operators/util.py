@@ -96,6 +96,37 @@ def bucket_overflow(
     )
 
 
+def build_concurrently(thunks):
+    """Run independent DataFrame-building thunks on driver threads and
+    return their results in order (guide §2.6 — overlap independent
+    jobs).
+
+    Why this exists (r15): under AQE, ``localCheckpoint(eager=False)``
+    is NOT lazy — ``toRdd`` on an adaptive plan materializes every
+    query stage at the call site — so a composed query whose legs each
+    materialize a self-join table executes those legs SEQUENTIALLY at
+    plan-build time, one stage-job at a time (measured: 8.3 s of
+    q_quality_ensemble's 11 s build inside six checkpoint calls).
+    Spark's scheduler happily runs jobs from several driver threads at
+    once; building the independent legs concurrently lets their stage
+    jobs back-fill each other's idle cores. 2-4 legs in flight is the
+    guide's sweet spot — these are build-time materializations of
+    small-to-mid tables, not full query runs.
+
+    Thread-local JVM state (job group/description) is NOT propagated —
+    callers that label jobs label them per thread. Exceptions
+    propagate to the caller (the build fails loudly, never half-built).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    thunks = list(thunks)
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
 def shuffle_partitions(df: DataFrame, default: int = 32) -> int:
     """The session's ``spark.sql.shuffle.partitions`` as an int, falling
     back to ``default`` when the conf is unreadable or non-numeric

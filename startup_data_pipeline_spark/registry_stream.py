@@ -1822,48 +1822,69 @@ def _crossmodal_dup_oracle() -> str:
 )
 def q_crossmodal_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup, similarity
+    from .operators.util import build_concurrently
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    text_pairs = dedup.simhash64_near_pairs(
-        dedup.simhash64(docs, "doc_id", "text"),
-        "doc_id", max_hamming=3, max_bucket=128,
-    )
-    emb_pairs = similarity.near_dup_pairs(
-        emb, "vec_id", "embedding", min_score=32_000_000, max_bucket=256
-    )
-    img_pairs = dedup.simhash64_near_pairs(
-        multimodal.image_dhash(
-            multimodal.decode_image(
-                multimodal.attach_ppm_payload(
-                    docs.select("doc_id"), "doc_id"
-                )
+    # The five detector legs are independent, and each one MATERIALIZES
+    # its banded signature table at build time (materialize_for_self_join
+    # is eager under AQE — every stage below the checkpoint runs at the
+    # call site), so building them sequentially paid five materializa-
+    # tions back to back; driver threads overlap their stage jobs
+    # (guide §2.6, the quality_ensemble_rank pattern).
+    def leg_text() -> DataFrame:
+        return dedup.simhash64_near_pairs(
+            dedup.simhash64(docs, "doc_id", "text"),
+            "doc_id", max_hamming=3, max_bucket=128,
+        )
+
+    def leg_emb() -> DataFrame:
+        return similarity.near_dup_pairs(
+            emb, "vec_id", "embedding", min_score=32_000_000,
+            max_bucket=256,
+        )
+
+    def leg_img() -> DataFrame:
+        return dedup.simhash64_near_pairs(
+            multimodal.image_dhash(
+                multimodal.decode_image(
+                    multimodal.attach_ppm_payload(
+                        docs.select("doc_id"), "doc_id"
+                    )
+                ),
+                "doc_id",
             ),
-            "doc_id",
-        ),
-        "doc_id", max_hamming=3, sig_col="dhash64", max_bucket=128,
-    )
-    vid_pairs = multimodal.video_near_dup_pairs(
-        _fixture_video_frames(docs), "video_id",
-        min_shared=2, max_bucket=128,
-    ).select(
-        F.col("video_a").alias("id_a"), F.col("video_b").alias("id_b")
-    )
-    aud_pairs = dedup.simhash64_near_pairs(
-        multimodal.audio_fingerprint(
-            multimodal.decode_wav(
-                multimodal.attach_wav_payload(
-                    docs.select(
-                        "doc_id",
-                        (F.col("doc_id") % 256).alias("reenc_seed"),
-                    ),
-                    "reenc_seed",
-                )
+            "doc_id", max_hamming=3, sig_col="dhash64", max_bucket=128,
+        )
+
+    def leg_vid() -> DataFrame:
+        return multimodal.video_near_dup_pairs(
+            _fixture_video_frames(docs), "video_id",
+            min_shared=2, max_bucket=128,
+        ).select(
+            F.col("video_a").alias("id_a"), F.col("video_b").alias("id_b")
+        )
+
+    def leg_aud() -> DataFrame:
+        return dedup.simhash64_near_pairs(
+            multimodal.audio_fingerprint(
+                multimodal.decode_wav(
+                    multimodal.attach_wav_payload(
+                        docs.select(
+                            "doc_id",
+                            (F.col("doc_id") % 256).alias("reenc_seed"),
+                        ),
+                        "reenc_seed",
+                    )
+                ),
+                "doc_id",
             ),
-            "doc_id",
-        ),
-        "doc_id", max_hamming=3, sig_col="afp64", max_bucket=128,
+            "doc_id", max_hamming=3, sig_col="afp64", max_bucket=128,
+        )
+
+    text_pairs, emb_pairs, img_pairs, vid_pairs, aud_pairs = (
+        build_concurrently([leg_text, leg_emb, leg_img, leg_vid, leg_aud])
     )
     return dedup.modality_dup_rollup(
         {

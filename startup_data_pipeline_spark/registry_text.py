@@ -5734,40 +5734,65 @@ def q_source_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    qual = text.source_quality_rollup(
-        docs, "doc_id", "text", "source"
-    ).select("source", "gopher_pass_ppm")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=4, k=3)
-    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, band_size=1)
-    comp = dedup.connected_components(docs.select("doc_id"), pairs, "doc_id")
-    loss = (
-        comp.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(
-                (F.col("doc_id") != F.col("component")).cast("long")
-            ).alias("__nl"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            F.expr("(1000000 * __nl) div n_docs").cast("long").alias(
-                "loss_ppm"
-            ),
-        )
-    )
-    seeded = docs.select(
-        "doc_id", "source", pii_seeded_text(docs).alias("seeded")
-    )
-    pii = text.pii_rate_report(seeded, "doc_id", "seeded", "source").select(
-        "source", "pii_per_mtok"
-    )
-    from .operators.similarity import source_cluster_coverage
 
-    div = source_cluster_coverage(
-        docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
-    ).select("source", "n_cells", "top_cell_ppm")
+    # The four evidence legs are independent until the final source
+    # join; the CC loss leg runs sequential driver-coordinated rounds
+    # and the diversity leg a seed collect, so building them on driver
+    # threads overlaps those build-time jobs (guide §2.6, the
+    # quality_ensemble_rank pattern).
+    def leg_qual() -> DataFrame:
+        return text.source_quality_rollup(
+            docs, "doc_id", "text", "source"
+        ).select("source", "gopher_pass_ppm")
+
+    def leg_loss() -> DataFrame:
+        sigs = dedup.minhash_signatures(
+            docs, "doc_id", "text", num_hashes=4, k=3
+        )
+        pairs = dedup.lsh_candidate_pairs(
+            sigs, "doc_id", num_hashes=4, band_size=1
+        )
+        comp = dedup.connected_components(
+            docs.select("doc_id"), pairs, "doc_id"
+        )
+        return (
+            comp.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(
+                    (F.col("doc_id") != F.col("component")).cast("long")
+                ).alias("__nl"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                F.expr("(1000000 * __nl) div n_docs").cast("long").alias(
+                    "loss_ppm"
+                ),
+            )
+        )
+
+    def leg_pii() -> DataFrame:
+        seeded = docs.select(
+            "doc_id", "source", pii_seeded_text(docs).alias("seeded")
+        )
+        return text.pii_rate_report(
+            seeded, "doc_id", "seeded", "source"
+        ).select("source", "pii_per_mtok")
+
+    def leg_div() -> DataFrame:
+        from .operators.similarity import source_cluster_coverage
+
+        return source_cluster_coverage(
+            docs, emb, "doc_id", "source", "vec_id", "embedding", k=8
+        ).select("source", "n_cells", "top_cell_ppm")
+
+    from .operators.util import build_concurrently
+
+    qual, loss, pii, div = build_concurrently(
+        [leg_qual, leg_loss, leg_pii, leg_div]
+    )
     return (
         qual.join(loss, "source")
         .join(pii, "source")
