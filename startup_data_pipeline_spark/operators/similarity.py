@@ -664,6 +664,27 @@ def ann_recall_audit(
     )
 
 
+def _int_array_sql(vals) -> str:
+    """SQL text of an array<bigint> literal (``L`` suffix pins bigint)."""
+    return "array(" + ",".join(f"{int(x)}L" for x in vals) + ")"
+
+
+def int_array_lit(vals) -> Column:
+    """array<bigint> literal built with ONE py4j call.
+
+    ``F.lit(list)`` recurses into the list and makes a py4j round trip
+    PER ELEMENT (~3 ms each), so a 64-long vector literal costs ~0.2 s
+    of driver wall just to CONSTRUCT — measured r15: the 8×64 centroid
+    matrix cost 1.66 s per ``_centroids_lit`` call, ~1 s of every
+    Lloyd round's 1.3 s. One ``F.expr`` over the SQL literal text is a
+    single round trip; the JVM parses 512 integers in microseconds,
+    and the resulting plan node is the same foldable array literal.
+    """
+    if not vals:
+        return F.expr("CAST(array() AS array<bigint>)")
+    return F.expr(_int_array_sql(vals))
+
+
 def _centroids_lit(centroids: list[list[int]]) -> Column:
     """The WHOLE centroid table as one nested-array literal.
 
@@ -674,9 +695,14 @@ def _centroids_lit(centroids: list[list[int]]) -> Column:
     literals change each Lloyd round, so nothing is cached). A single
     array<array<bigint>> literal keeps the plan O(1) in k and dims —
     the executor-side work is identical integer math either way.
+    Built via ONE F.expr round trip (see ``int_array_lit`` — the
+    per-element ``F.lit`` construction was ~1 s of driver wall per
+    Lloyd round).
     """
-    return F.lit([[int(x) for x in c] for c in centroids]).cast(
-        "array<array<bigint>>"
+    if not centroids:
+        return F.expr("CAST(array() AS array<array<bigint>>)")
+    return F.expr(
+        "array(" + ",".join(_int_array_sql(c) for c in centroids) + ")"
     )
 
 
@@ -752,7 +778,7 @@ def _sq_dist_to(qv: Column, centroid: list[int]) -> Column:
     return F.aggregate(
         F.zip_with(
             qv,
-            F.lit([int(x) for x in centroid]).cast("array<bigint>"),
+            int_array_lit(centroid),
             lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0).cast("long"),
@@ -1133,7 +1159,7 @@ def kcenter_coverage_report(
     )
     if not chosen:
         return spark.createDataFrame([], schema)
-    vid_lit = F.lit([vid for vid, _, _ in chosen]).cast("array<bigint>")
+    vid_lit = int_array_lit([vid for vid, _, _ in chosen])
     assigned = _assign_with_dist(qdf, [qv for _, qv, _ in chosen]).select(
         "vid", F.col("cluster").alias("sel_round"), "d"
     )
@@ -1222,7 +1248,7 @@ def cross_split_proximity(
     if len(ev) <= _ARGMIN_LITERAL_MAX:
         eval_ids = [int(r["vid"]) for r in ev]
         dists = _sq_dists_all(F.col("qv"), [list(r["qv"]) for r in ev])
-        ids_lit = F.lit(eval_ids).cast("array<bigint>")
+        ids_lit = int_array_lit(eval_ids)
         return (
             train.select(
                 F.col("vid").alias("train_id"),
@@ -1655,7 +1681,7 @@ def _screen_assemble(
         # common-subexpression elimination, so an inline quantize
         # re-runs per eval-literal element (the shingles_from_tokens
         # plan-shape lesson).
-        ids_lit = F.lit([int(r["vid"]) for r in ev]).cast("array<bigint>")
+        ids_lit = int_array_lit([int(r["vid"]) for r in ev])
         dists = _sq_dists_all(
             F.col("__qv"), [list(r["qv"]) for r in ev]
         )
