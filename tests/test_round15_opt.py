@@ -1,0 +1,227 @@
+"""Round-15 optimization guards.
+
+Each test pins an optimization that changed an operator's INTERNALS
+against a semantically-naive reference, so a future edit that breaks
+the equivalence fails here instead of at the oracle gate:
+
+- int_array_lit/_centroids_lit: the one-py4j-call SQL-literal
+  construction must produce the same values AND Spark types as the
+  per-element F.lit construction it replaced.
+- exact_global_rank / token_budget_select / grouped_token_budget_select:
+  the in-plan prefix-sum offsets (no driver collect at build) must
+  reproduce the naive single-window global rank / prefix sum.
+- quality-signal tokens_col seam: scoring a pre-tokenized shared frame
+  must equal scoring the raw text.
+- build_concurrently: order-preserving, exception-propagating.
+- pagerank lazy rounds: dangling-mass handling unchanged (python
+  mirror of the integer arithmetic).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from startup_data_pipeline_spark.operators import similarity, text
+from startup_data_pipeline_spark.operators.graph import pagerank_fixed_iters
+from startup_data_pipeline_spark.operators.util import build_concurrently
+
+from .conftest import rows
+
+
+def test_int_array_lit_matches_per_element_lit(spark):
+    vals = [0, -5, 7, 2**40, -(2**40)]
+    df = spark.range(1)
+    got = df.select(
+        similarity.int_array_lit(vals).alias("a"),
+        F.lit([int(x) for x in vals]).cast("array<bigint>").alias("b"),
+    )
+    # containsNull False on the SQL-literal form is strictly tighter
+    assert (
+        got.schema["a"].dataType.elementType
+        == got.schema["b"].dataType.elementType
+    )
+    r = got.first()
+    assert list(r["a"]) == list(r["b"]) == vals
+
+
+def test_int_array_lit_empty(spark):
+    got = spark.range(1).select(similarity.int_array_lit([]).alias("a"))
+    assert got.schema["a"].dataType.simpleString() == "array<bigint>"
+    assert list(got.first()["a"]) == []
+
+
+def test_centroids_lit_matches_per_element_lit(spark):
+    cents = [[1, -2, 3], [4, 5, -6], [2**35, 0, 1]]
+    df = spark.range(1)
+    got = df.select(
+        similarity._centroids_lit(cents).alias("a"),
+        F.lit([[int(x) for x in c] for c in cents])
+        .cast("array<array<bigint>>")
+        .alias("b"),
+    )
+    assert (
+        got.schema["a"].dataType.simpleString()
+        == got.schema["b"].dataType.simpleString()
+        == "array<array<bigint>>"
+    )
+    r = got.first()
+    assert [list(c) for c in r["a"]] == [list(c) for c in r["b"]] == cents
+
+
+def test_exact_global_rank_matches_naive_window(spark):
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 97).alias("k"),
+    )
+    ranked = text.exact_global_rank(
+        df, [F.col("k").desc(), F.col("id").asc()], n_parts=7
+    ).select("id", "__rank")
+    naive = df.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc(), F.col("id").asc()))
+        .cast("long")
+        .alias("__rank"),
+    )
+    assert rows(ranked) == rows(naive)
+
+
+def test_token_budget_select_matches_naive_prefix(spark):
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        ((F.col("id") * 48271) % 1000).alias("score"),
+        (F.col("id") % 37 + 1).alias("w"),
+    )
+    got = text.token_budget_select(df, "id", "score", "w", budget=900,
+                                   n_parts=5)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    naive = (
+        df.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .filter(F.col("cum_before") < 900)
+        .select("id", "score", "w", "cum_before")
+    )
+    assert rows(got) == rows(naive)
+
+
+def test_token_budget_select_empty_input(spark):
+    df = spark.range(0).select(
+        F.col("id"), F.lit(1).alias("score"), F.lit(1).alias("w")
+    )
+    got = text.token_budget_select(df, "id", "score", "w", budget=10)
+    assert got.count() == 0
+
+
+def test_grouped_budget_select_matches_naive(spark):
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 16807) % 500).alias("score"),
+        (F.col("id") % 11 + 1).alias("w"),
+    )
+    budgets = {"0": 120, "2": 300}
+    got = text.grouped_token_budget_select(
+        df, "id", "g", "score", "w", budgets, n_parts=4
+    ).select("id", "g", "cum_before", "group_budget")
+    w = Window.partitionBy("g").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    bmap = F.create_map(
+        *[F.lit(v) for kv in budgets.items() for v in kv]
+    )
+    naive = (
+        df.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("group_budget", bmap[F.col("g")].cast("long"))
+        .filter(
+            F.col("group_budget").isNotNull()
+            & (F.col("cum_before") < F.col("group_budget"))
+        )
+        .select("id", "g", "cum_before", "group_budget")
+    )
+    assert rows(got) == rows(naive)
+
+
+def test_quality_signal_tokens_col_seam(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", True),
+            (2, "the dog sat on the log and the cat", False),
+            (3, "completely different words here", True),
+            (4, "the cat sat", False),
+        ],
+        "doc_id long, text string, flag boolean",
+    )
+    pre = docs.select(
+        "doc_id",
+        "flag",
+        text.tokens(F.lower(F.col("text"))).alias("__tok"),
+    )
+    plain_lm = text.ngram_lm_score(docs, "doc_id", "text")
+    seam_lm = text.ngram_lm_score(
+        pre, "doc_id", "text", tokens_col="__tok"
+    )
+    assert rows(plain_lm) == rows(seam_lm)
+    plain_ds = text.dsir_importance(docs, "doc_id", "text", F.col("flag"))
+    seam_ds = text.dsir_importance(
+        pre, "doc_id", "text", F.col("flag"), tokens_col="__tok"
+    )
+    assert rows(plain_ds) == rows(seam_ds)
+    plain_ex = text.excess_likelihood_select(
+        docs, "doc_id", "text", F.col("flag")
+    )
+    seam_ex = text.excess_likelihood_select(
+        pre, "doc_id", "text", F.col("flag"), tokens_col="__tok"
+    )
+    assert rows(plain_ex) == rows(seam_ex)
+
+
+def test_build_concurrently_order_and_errors():
+    got = build_concurrently([lambda: 1, lambda: 2, lambda: 3])
+    assert got == [1, 2, 3]
+    assert build_concurrently([]) == []
+    assert build_concurrently([lambda: "x"]) == ["x"]
+
+    def boom():
+        raise ValueError("leg failed")
+
+    with pytest.raises(ValueError, match="leg failed"):
+        build_concurrently([lambda: 1, boom])
+
+
+def test_pagerank_dangling_mass_python_mirror(spark):
+    # a -> b -> c, c dangling: the lazy-rounds rewrite must keep the
+    # per-round dangling-mass redistribution byte-identical
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_iters(
+            edges, "a", "b", n_iter=2, assume_distinct=True
+        ).collect()
+    }
+    scale, damping, n_nodes = 1_000_000, 85, 3
+    base = (scale * (100 - damping)) // 100
+    ranks = {1: scale, 2: scale, 3: scale}
+    deg = {1: 1, 2: 1}
+    for _ in range(2):
+        d_share = ranks[3] // n_nodes
+        contrib = {2: ranks[1] // deg[1], 3: ranks[2] // deg[2]}
+        ranks = {
+            n: base + (damping * (contrib.get(n, 0) + d_share)) // 100
+            for n in ranks
+        }
+    assert got == ranks
