@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 
 
@@ -96,6 +98,11 @@ def bucket_overflow(
     )
 
 
+_BUILD_POOL = None
+_BUILD_POOL_LOCK = _threading.Lock()
+_BUILD_POOL_LOCAL = _threading.local()
+
+
 def build_concurrently(thunks):
     """Run independent DataFrame-building thunks on driver threads and
     return their results in order (guide §2.6 — overlap independent
@@ -116,15 +123,40 @@ def build_concurrently(thunks):
     Thread-local JVM state (job group/description) is NOT propagated —
     callers that label jobs label them per thread. Exceptions
     propagate to the caller (the build fails loudly, never half-built).
-    """
-    from concurrent.futures import ThreadPoolExecutor
 
+    ONE module-level pool, not a pool per call: py4j binds a JVM-side
+    connection to each Python thread, so a fresh pool per invocation
+    would leak a few JVM threads per query across a 189-query bench
+    session; four long-lived workers bound the total. Nested use from
+    a worker thread falls back to sequential execution in that thread
+    (a 4-worker pool deadlocks if workers wait on tasks queued behind
+    themselves).
+    """
     thunks = list(thunks)
-    if len(thunks) <= 1:
+    if (
+        len(thunks) <= 1
+        or getattr(_BUILD_POOL_LOCAL, "inside", False)
+    ):
         return [t() for t in thunks]
-    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
-        futs = [pool.submit(t) for t in thunks]
-        return [f.result() for f in futs]
+
+    global _BUILD_POOL
+    with _BUILD_POOL_LOCK:
+        if _BUILD_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _BUILD_POOL = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="leg-build"
+            )
+
+    def run(t):
+        _BUILD_POOL_LOCAL.inside = True
+        try:
+            return t()
+        finally:
+            _BUILD_POOL_LOCAL.inside = False
+
+    futs = [_BUILD_POOL.submit(run, t) for t in thunks]
+    return [f.result() for f in futs]
 
 
 def shuffle_partitions(df: DataFrame, default: int = 32) -> int:
