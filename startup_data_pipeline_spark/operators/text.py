@@ -2485,10 +2485,10 @@ def shard_plan(
 
     The exact global rank is the ``token_budget_select`` two-level
     shape, NOT one global window: ``repartitionByRange`` on the rank's
-    own order, parallel per-partition ``row_number``, and one bounded
-    driver collect of per-partition COUNTS (#partitions rows) that
-    rides back as a map literal of rank offsets. No single-partition
-    sort anywhere; the report agg carries n_shards rows.
+    own order, parallel per-partition ``row_number``, and per-partition
+    COUNTS (#partitions rows) prefix-summed into rank offsets in-plan
+    (the r15 lazy-offsets rewrite). No single-partition sort anywhere;
+    the report agg carries n_shards rows.
 
     Returns [shard, n_docs, shard_tokens, share_ppm] where
     ``share_ppm`` is the shard's exact integer token share (ppm of the

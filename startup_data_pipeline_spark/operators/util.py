@@ -74,7 +74,15 @@ def materialize_for_self_join(df: DataFrame) -> DataFrame:
     The cost: lineage is truncated, so losing an executor mid-query
     fails the job (a retry, not data loss) instead of recomputing the
     lost blocks — the same trade ``dup_span_rate``'s tokenize-once
-    already accepted."""
+    already accepted.
+
+    Eagerness caveat (r15 finding): under AQE, ``eager=False`` defers
+    only the FINAL stage and the block save — ``toRdd`` on an adaptive
+    plan materializes every shuffle stage below the checkpoint AT THE
+    CALL SITE. A composed query whose independent legs each call this
+    therefore pays their materializations sequentially at plan-build
+    time unless the legs are built from driver threads
+    (``build_concurrently``)."""
     return df.localCheckpoint(eager=False)
 
 
